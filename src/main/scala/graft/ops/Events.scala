@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-log analytics over the `events` stream table — the queries
+  * the reference's users hand-write in `on('data')` handlers
+  * (SURVEY.md §2 Part C): latest-by-key snapshot materialization,
+  * per-op/time-window aggregation, sessionization (gaps-and-islands ≡
+  * `session_window` semantics), as-of correlation, JSON payload
+  * extraction, and transaction framing (begin/commit envelopes).
+  *
+  * `event_type` plays the role of the CDC op (`signup`→insert,
+  * `error`→delete, else update), `event_id` the monotonic LSN,
+  * `user_id` the primary key.
+  *
+  * Timestamps: the parquet column is ns-precision; Spark reads µs.
+  * Every query reduces time to whole seconds (`ts_sec`) so the DuckDB
+  * oracle sees identical values.
+  *
+  * Scale notes: all aggregations key on (user_id[, window]) — at 100 TB
+  * these shuffle once on the key and stay partial+final; the as-of
+  * self-join shuffles both sides by user_id (bounded fan-out per key);
+  * no global ordering is ever required (per-key order via window
+  * functions only).
+  */
+object Events {
+  import Tables._
+
+  private val tsSecSql = "epoch(date_trunc('second', ts))::BIGINT"
+
+  /** CDC op mapping used across queries (same CASE in oracle SQL). */
+  private val opCol =
+    when(col("event_type") === "signup", "insert")
+      .when(col("event_type") === "error", "delete")
+      .otherwise("update")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q11_asof_last_click",
+      s"""WITH p AS (SELECT event_id, user_id FROM events
+         |           WHERE event_type = 'purchase'),
+         |     c AS (SELECT event_id, user_id FROM events
+         |           WHERE event_type = 'click'),
+         |     m AS (SELECT p.event_id AS purchase_id, p.user_id,
+         |                  max(c.event_id) AS last_click_id
+         |           FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |                             AND c.event_id < p.event_id
+         |           GROUP BY p.event_id, p.user_id)
+         |SELECT m.purchase_id, m.user_id, m.last_click_id,
+         |       e.value AS last_click_value
+         |FROM m LEFT JOIN events e ON e.event_id = m.last_click_id
+         |ORDER BY m.purchase_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+                col("user_id").as("c_user_id"))
+      val m = p.join(c,
+          col("c_user_id") === col("user_id") &&
+            col("click_id") < col("purchase_id"), "left")
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(max(col("click_id")).as("last_click_id"))
+      m.join(ev.select(col("event_id"), col("value").as("last_click_value")),
+          col("event_id") === col("last_click_id"), "left")
+        .select(col("purchase_id"), col("user_id"), col("last_click_id"),
+                col("last_click_value"))
+        .orderBy(col("purchase_id"))
+    },
+
+    QueryDef(
+      "q16_cdc_snapshot_latest",
+      s"""SELECT user_id, op AS last_op, value AS last_value, ts_sec
+         |FROM (SELECT user_id, op, value, ts_sec,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY event_id DESC) AS rn
+         |      FROM (SELECT user_id, event_id, value,
+         |              $tsSecSql AS ts_sec,
+         |              CASE event_type WHEN 'signup' THEN 'insert'
+         |                WHEN 'error' THEN 'delete'
+         |                ELSE 'update' END AS op
+         |            FROM events))
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .withColumn("op", opCol)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("op"), col("value"), col("ts_sec")),
+          col("event_id")).as("last"))
+        .filter(col("last.op") =!= "delete")
+        .select(col("user_id"), col("last.op").as("last_op"),
+                col("last.value").as("last_value"),
+                col("last.ts_sec").as("ts_sec"))
+        .orderBy(col("user_id"))
+    },
+
+    QueryDef(
+      "q17_hourly_event_counts",
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY hour_ts, event_type
+        |ORDER BY hour_ts, event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("value_sum"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    },
+
+    QueryDef(
+      "q18_user_sessions",
+      s"""WITH e AS (SELECT user_id, event_id, $tsSecSql AS ts_sec
+         |           FROM events),
+         |     flagged AS (SELECT user_id, ts_sec,
+         |        CASE WHEN ts_sec - lag(ts_sec) OVER w >= 1800
+         |             OR lag(ts_sec) OVER w IS NULL
+         |             THEN 1 ELSE 0 END AS new_session
+         |        FROM e WINDOW w AS (PARTITION BY user_id
+         |                            ORDER BY ts_sec, event_id)),
+         |     sess AS (SELECT user_id, ts_sec,
+         |        sum(new_session) OVER (PARTITION BY user_id
+         |          ORDER BY ts_sec ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS session_id
+         |        FROM flagged),
+         |     per AS (SELECT user_id, session_id, count(*) AS n,
+         |                    max(ts_sec) - min(ts_sec) AS dur
+         |             FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(sum(n) AS BIGINT) AS total_events,
+         |  round(avg(dur), 4) AS avg_session_sec
+         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_sec"))
+        .withColumn("new_session",
+          when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) >= 1800 ||
+            lag(col("ts_sec"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"),
+             (max(col("ts_sec")) - min(col("ts_sec"))).as("dur"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n")).as("total_events"),
+             r4(avg(col("dur"))).as("avg_session_sec"))
+        .orderBy(col("user_id"))
+    },
+
+    QueryDef(
+      "q19_json_props_stats",
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(k), 4) AS k_avg,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(avg(col("k"))).as("k_avg"),
+             min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    },
+
+    QueryDef(
+      "q20_funnel",
+      s"""WITH per_user AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN ts_sec END) AS v,
+         |    min(CASE WHEN event_type = 'click' THEN ts_sec END) AS c,
+         |    min(CASE WHEN event_type = 'purchase' THEN ts_sec END) AS p
+         |  FROM (SELECT user_id, event_type, $tsSecSql AS ts_sec FROM events)
+         |  GROUP BY user_id)
+         |SELECT count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_view,
+         |  count(CASE WHEN v < c THEN 1 END) AS n_view_click,
+         |  count(CASE WHEN v < c AND c < p THEN 1 END)
+         |    AS n_view_click_purchase
+         |FROM per_user""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts_sec"))).as("v"),
+          min(when(col("event_type") === "click", col("ts_sec"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts_sec"))).as("p"))
+        .agg(
+          count(when(col("v").isNotNull, 1)).as("n_view"),
+          count(when(col("v") < col("c"), 1)).as("n_view_click"),
+          count(when(col("v") < col("c") && col("c") < col("p"), 1))
+            .as("n_view_click_purchase"))
+    },
+
+    QueryDef(
+      "q38_tx_frames",
+      s"""SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+         |  min($tsSecSql) AS begin_sec,
+         |  max($tsSecSql) AS commit_sec,
+         |  count(*) AS n_ops,
+         |  count(DISTINCT event_type) AS n_op_types
+         |FROM events GROUP BY user_id, hour_ts
+         |ORDER BY user_id, hour_ts""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("hour_ts"))
+        .agg(min(col("ts_sec")).as("begin_sec"),
+             max(col("ts_sec")).as("commit_sec"),
+             count(lit(1)).as("n_ops"),
+             countDistinct(col("event_type")).as("n_op_types"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }
+  )
+}

@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish tables: hash/partial
+  * aggregation, broadcast + shuffle joins, semi/anti joins, window
+  * functions (ranking + analytic), rollup/cube, set ops, top-k, and a
+  * range (theta) join. These are the operators the reference delegates
+  * to its consumers (SURVEY.md §2 Part C) expressed as native Spark
+  * plans so Catalyst gets pushdown/pruning/join-selection for free.
+  *
+  * Scale notes (100 TB): every aggregate here is a partial+final hash
+  * agg (map-side combine); dimension joins (`nation`, `region`,
+  * `supplier`, buckets) are explicitly `broadcast()`; fact-fact joins
+  * (orders × lineitem) shuffle on the join key only, and AQE can
+  * re-plan skew at runtime. No driver-side loops, no collects.
+  */
+object Relational {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_price"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    QueryDef(
+      "q02_region_segment_sales",
+      """SELECT r_name, c_mktsegment,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, c_mktsegment
+        |ORDER BY r_name, c_mktsegment""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+             r2(sum(col("c_acctbal"))).as("acctbal_sum"))
+        .orderBy(col("r_name"), col("c_mktsegment"))
+    },
+
+    QueryDef(
+      "q03_top_building_orders",
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    QueryDef(
+      "q04_late_shipment_semi",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        val o = orders(s, d)
+        val li = lineitem(s, d)
+        o.join(li,
+            li("l_orderkey") === o("o_orderkey") &&
+              li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAY"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    QueryDef(
+      "q05_customers_without_orders",
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val c = customer(s, d)
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    QueryDef(
+      "q06_revenue_forecast",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+    },
+
+    QueryDef(
+      "q07_topk_parts_per_brand",
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("p_partkey"),
+                col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rn"))
+    },
+
+    QueryDef(
+      "q08_customer_order_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice) OVER w, 2) AS prev_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("prev_price", r2(lag(col("o_totalprice"), 1).over(w)))
+        .withColumn("running_total",
+          r2(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+                col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    QueryDef(
+      "q09_rollup_returns",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
+             count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    QueryDef(
+      "q10_cube_order_status",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             r2(sum(col("o_totalprice"))).as("total_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+                col("n_orders"), col("total_price"))
+        .orderBy(col("orderstatus"), col("orderpriority"))
+    },
+
+    QueryDef(
+      "q12_custkey_setops",
+      """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |             AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |     b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |             AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM a
+        |  INTERSECT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, custkey FROM (SELECT custkey FROM a
+        |  EXCEPT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'only_1996' AS tag, custkey FROM (SELECT custkey FROM b
+        |  EXCEPT SELECT custkey FROM a)
+        |ORDER BY tag, custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      def yr(from: String, to: String) = o
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"))
+        .select(col("o_custkey").as("custkey")).distinct()
+      val a = yr("1995-01-01", "1996-01-01")
+      val b = yr("1996-01-01", "1997-01-01")
+      a.intersect(b).select(lit("both").as("tag"), col("custkey"))
+        .unionAll(a.except(b).select(lit("only_1995").as("tag"), col("custkey")))
+        .unionAll(b.except(a).select(lit("only_1996").as("tag"), col("custkey")))
+        .orderBy(col("tag"), col("custkey"))
+    },
+
+    QueryDef(
+      "q13_top_suppliers_per_nation",
+      """SELECT n_name, rn, s_name, revenue FROM (
+        |  SELECT n_name, s_name, revenue,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY revenue DESC, s_suppkey) AS rn
+        |  FROM (SELECT l_suppkey,
+        |          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |        FROM lineitem GROUP BY l_suppkey)
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      rev
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("n_name"), col("rn"), col("s_name"), col("revenue"))
+        .orderBy(col("n_name"), col("rn"))
+    },
+
+    QueryDef(
+      "q14_distinct_orders_parts",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+               countDistinct(col("l_partkey")).as("n_parts"),
+               count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    QueryDef(
+      "q15_price_bucket_range_join",
+      """SELECT gs AS bucket_id, count(*) AS n_parts,
+        |  round(avg(p_retailprice), 4) AS avg_price
+        |FROM generate_series(0, 19) t(gs)
+        |JOIN part ON p_retailprice >= 900.0 + gs * 5.0
+        |         AND p_retailprice < 900.0 + (gs + 1) * 5.0
+        |GROUP BY gs ORDER BY gs""".stripMargin) { (s, d) =>
+      val buckets = s.range(0, 20).select(col("id").as("bucket_id"))
+      part(s, d)
+        .join(broadcast(buckets),
+          col("p_retailprice") >= lit(900.0) + col("bucket_id") * 5.0 &&
+            col("p_retailprice") < lit(900.0) + (col("bucket_id") + 1) * 5.0)
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n_parts"),
+             r4(avg(col("p_retailprice"))).as("avg_price"))
+        .orderBy(col("bucket_id"))
+    }
+  )
+}

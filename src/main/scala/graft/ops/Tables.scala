@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Shared helpers for the query library.
+  *
+  * Conventions (required for the DuckDB oracle hash-compare):
+  *  - every computed column is explicitly aliased, identically in the
+  *    Spark plan and the oracle SQL;
+  *  - floating aggregates are `round`-ed identically on both sides
+  *    (sum-of-doubles bit patterns differ by accumulation order);
+  *  - `events.ts` is ns-precision parquet; Spark truncates to µs on
+  *    read, so timestamps are always reduced to whole seconds
+  *    (`ts_sec`) before use;
+  *  - every query ends in a deterministic total order.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events with the ns→s timestamp normalization applied once.
+    *
+    * The parquet `ts` column is TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; `nanosAsLong` surfaces it as a raw ns `Long`, from which
+    * we derive exact whole-second (`ts_sec`) and whole-hour (`hour_ts`)
+    * columns with integer arithmetic (a double division would lose
+    * precision above 2^53 ns). The DuckDB oracle sees the original ns
+    * timestamp and applies `date_trunc` — identical values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts_sec", expr("ts DIV 1000000000"))
+      .withColumn("hour_ts",
+        timestamp_seconds(expr("(ts DIV 1000000000) DIV 3600") * 3600))
+  }
+
+  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+}
