@@ -1,0 +1,112 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-facing entry points for the four decoders and the LSN/time
+  * codecs (SURVEY.md §2 A7/A15/A29/A30/A31). Decoders are plain Scala
+  * invoked through Scala UDFs — executor-side, no driver round-trips;
+  * the per-row payload is self-contained (frames carry their own
+  * relation message) so decode parallelizes embarrassingly. For frame
+  * sequences whose registry spans rows, decode per partition after
+  * sorting by LSN ([[decodeFrameSequence]]).
+  */
+object CdcFunctions {
+
+  // ---- LSN + PG-epoch scalar functions (A7, binary-reader.ts:75-91) ----
+
+  val parseLsnUdf = udf((s: String) => if (s == null) null else Lsn.parse(s): java.lang.Long)
+  val formatLsnUdf = udf((l: Long) => Lsn.format(l))
+  val lsnPlusOneUdf = udf((l: Long) => Lsn.plusOne(l))
+  val pgEpochToUnixUdf = udf((us: Long) => PgEpoch.toUnixMicros(us))
+  val unixToPgEpochUdf = udf((us: Long) => PgEpoch.fromUnixMicros(us))
+
+  def parse_lsn(c: Column): Column = parseLsnUdf(c)
+  def format_lsn(c: Column): Column = formatLsnUdf(c)
+
+  // ---- pgoutput (A15-A28) ----
+
+  /** Decode an ordered sequence of pgoutput frames sharing one
+    * relation registry (one transaction, one slot partition, ...).
+    * Relation/type messages must precede their rows, as on the wire.
+    */
+  def decodeFrameSequence(frames: Seq[Array[Byte]]): Seq[ChangeEvent] = {
+    val parser = new PgoutputParser
+    frames.map(parser.parse(_))
+  }
+
+  /** UDF: array<binary> of pgoutput frames → decoded insert/update/
+    * delete tuples as name→text maps (begin/commit/relation frames
+    * update state / framing but carry no tuple). */
+  val pgoutputTuplesUdf = udf { frames: Seq[Array[Byte]] =>
+    decodeFrameSequence(frames)
+      .filter(e => e.tag == "insert" || e.tag == "update" || e.tag == "delete")
+      .map(e => Map(
+        "_tag" -> e.tag, "_schema" -> e.schema, "_table" -> e.table) ++
+        (if (e.after != null) e.after else if (e.before != null) e.before
+         else Map.empty[String, String]))
+  }
+
+  // ---- test_decoding (A29) ----
+
+  val testDecodingTupleUdf = udf { line: String =>
+    val e = TestDecodingParser.parse(line)
+    Map("_tag" -> e.tag, "_schema" -> e.schema, "_table" -> e.table) ++
+      (if (e.after != null) e.after
+       else if (e.before != null) e.before else Map.empty[String, String])
+  }
+
+  // ---- decoderbufs (A31) ----
+
+  val decoderbufsTupleUdf = udf { payload: Array[Byte] =>
+    val e = Decoderbufs.toChangeEvent(Decoderbufs.decode(payload))
+    Map("_tag" -> e.tag, "_schema" -> e.schema, "_table" -> e.table,
+      "_xid" -> e.xid.toString) ++
+      (if (e.after != null) e.after
+       else if (e.before != null) e.before else Map.empty[String, String])
+  }
+
+  // ---- wal2json (A30): pure Spark, no UDF ----
+
+  /** Spark schema of the wal2json Output document
+    * (`wal2json-plugin-output.type.ts:2-66`). `columnvalues` arrives
+    * as strings (Spark's JSON reader renders scalars to string when
+    * the target type is string). */
+  val wal2jsonSchema: StructType = StructType(Seq(
+    StructField("change", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("columnnames", ArrayType(StringType)),
+      StructField("columntypes", ArrayType(StringType)),
+      StructField("columnvalues", ArrayType(StringType)),
+      StructField("oldkeys", StructType(Seq(
+        StructField("keynames", ArrayType(StringType)),
+        StructField("keytypes", ArrayType(StringType)),
+        StructField("keyvalues", ArrayType(StringType))))))))),
+    StructField("xid", LongType),
+    StructField("nextlsn", StringType),
+    StructField("origin", LongType),
+    StructField("timestamp", StringType)))
+
+  /** wal2json payload column → one row per change with the canonical
+    * columns; the parallel name/value arrays zip into the tuple map
+    * (`from_json` + `explode`, no custom generator — SURVEY §7.4). */
+  def wal2jsonChanges(df: DataFrame, payload: Column): DataFrame = {
+    val parsed = df.withColumn("_w2j", from_json(payload, wal2jsonSchema))
+    parsed
+      .withColumn("_change", explode(col("_w2j.change")))
+      .select(
+        col("_w2j.xid").as("xid"),
+        col("_w2j.nextlsn").as("nextlsn"),
+        col("_change.kind").as("op"),
+        col("_change.schema").as("schema"),
+        col("_change.table").as("table"),
+        map_from_arrays(col("_change.columnnames"),
+          col("_change.columnvalues")).as("after"),
+        when(col("_change.oldkeys").isNotNull,
+          map_from_arrays(col("_change.oldkeys.keynames"),
+            col("_change.oldkeys.keyvalues"))).as("key"))
+  }
+}

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** Oracle-checked exercises of the four CDC decoders and the LSN /
+  * PG-epoch codecs: each query *encodes* the deterministic `events`
+  * rows into a wire format, *decodes* them with the engine's parser,
+  * and projects the tuple back out — so the DuckDB oracle is a plain
+  * projection of `events`, and any decode defect breaks the hash
+  * match. (The wire formats are synthesized; there is no live
+  * PostgreSQL in this environment — SURVEY.md §5.)
+  *
+  * Scale notes: encode+decode run inside whole-row UDFs per event —
+  * fully executor-parallel, no shared state (each synthesized frame
+  * sequence carries its own relation message, mirroring how a
+  * distributed decode must ship the registry with the data).
+  */
+object CdcQueries {
+  import Tables._
+  import CdcFunctions._
+
+  private val opSql =
+    """CASE event_type WHEN 'signup' THEN 'insert'
+      |  WHEN 'error' THEN 'delete' ELSE 'update' END""".stripMargin
+
+  private val opCol =
+    when(col("event_type") === "signup", "insert")
+      .when(col("event_type") === "error", "delete")
+      .otherwise("update")
+
+  /** value rendered identically in both engines: decimal(10,2) text. */
+  private val valueStrCol =
+    col("value").cast("decimal(10,2)").cast("string")
+  private val valueStrSql =
+    "CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)"
+
+  /** events relation used by the pgoutput roundtrip frames. */
+  private val eventsRel = RelationInfo(
+    relationOid = 50001, schema = "public", name = "events",
+    replicaIdentity = "default",
+    columns = Seq(
+      ColumnInfo("event_id", 1, 20, -1, null, null),  // int8, key
+      ColumnInfo("user_id", 0, 20, -1, null, null),
+      ColumnInfo("value_str", 0, 25, -1, null, null), // text
+      ColumnInfo("props", 0, 25, -1, null, null)))
+
+  /** Per-row pgoutput encode→decode: synthesizes a B/R/(I|U|D)/C frame
+    * sequence and decodes it with a fresh parser. Updates exercise the
+    * 'O' old-tuple submessage plus an unchanged-TOAST 'u' column
+    * resolved from old; deletes exercise the 'K' key submessage with
+    * key projection. */
+  private val pgoutputRoundtripUdf = udf {
+    (op: String, eventId: Long, userId: Long, valueStr: String) =>
+      val values = Seq(eventId.toString, userId.toString, valueStr, "PROPS")
+      val dml = op match {
+        case "insert" => PgoutputWriter.insert(eventsRel.relationOid, values)
+        case "update" => PgoutputWriter.updateWithToast(
+          eventsRel.relationOid,
+          oldTuple = Seq(eventId.toString, userId.toString, "0.00", "OLD"),
+          newTuple = Seq(Some(eventId.toString), Some(userId.toString),
+            Some(valueStr), None))
+        case "delete" => PgoutputWriter.delete(eventsRel.relationOid, 'K',
+          Seq(eventId.toString, null, null, null))
+      }
+      val frames = Seq(
+        PgoutputWriter.begin(1000L + eventId, eventId * 1000000L, eventId),
+        PgoutputWriter.relation(eventsRel),
+        dml,
+        PgoutputWriter.commit(1000L + eventId, 1001L + eventId,
+          eventId * 1000000L))
+      val decoded = CdcFunctions.decodeFrameSequence(frames)
+      val e = decoded.find(x =>
+        x.tag == "insert" || x.tag == "update" || x.tag == "delete").get
+      val tuple =
+        if (e.after != null) e.after
+        else if (e.before != null) e.before
+        else if (e.key != null) e.key
+        else Map.empty[String, String]
+      Map("_tag" -> e.tag, "_table" -> e.table) ++ tuple
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q33_wal2json_roundtrip",
+      s"""SELECT event_id % 1000 AS xid, $opSql AS op,
+         |  'events' AS table_name, event_id, user_id,
+         |  $valueStrSql AS value_str, event_type, event_id AS lsn
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val payload = concat(
+        lit("""{"change":[{"kind":""""), opCol,
+        lit("""","schema":"public","table":"events","columnnames":["event_id","user_id","value_str","event_type"],"columntypes":["bigint","bigint","text","text"],"columnvalues":["""),
+        col("event_id"), lit(","), col("user_id"), lit(",\""),
+        valueStrCol, lit("\",\""), col("event_type"),
+        lit("\"]}],\"xid\":"), col("event_id") % 1000,
+        lit(""","nextlsn":""""), format_lsn(col("event_id")), lit("\"}"))
+      val encoded = events(s, d).select(payload.as("payload"))
+      wal2jsonChanges(encoded, col("payload"))
+        .select(
+          col("xid"), col("op"), col("table").as("table_name"),
+          col("after")("event_id").cast("long").as("event_id"),
+          col("after")("user_id").cast("long").as("user_id"),
+          col("after")("value_str").as("value_str"),
+          col("after")("event_type").as("event_type"),
+          parse_lsn(col("nextlsn")).as("lsn"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "q34_test_decoding_roundtrip",
+      s"""SELECT event_id, user_id, $valueStrSql AS value_str,
+         |  props AS props_out,
+         |  CASE event_type WHEN 'signup' THEN 'insert'
+         |    WHEN 'error' THEN 'delete' ELSE 'update' END AS op,
+         |  'events' AS table_name
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val actionCol =
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE")
+      val line = concat(
+        lit("table public.events: "), actionCol,
+        lit(": event_id[bigint]:"), col("event_id"),
+        lit(" user_id[bigint]:"), col("user_id"),
+        lit(" value_str[text]:'"), valueStrCol,
+        lit("' props[text]:'"), col("props"), lit("'"))
+      events(s, d).select(line.as("line"))
+        .select(testDecodingTupleUdf(col("line")).as("m"))
+        .select(
+          col("m")("event_id").cast("long").as("event_id"),
+          col("m")("user_id").cast("long").as("user_id"),
+          col("m")("value_str").as("value_str"),
+          col("m")("props").as("props_out"),
+          col("m")("_tag").as("op"),
+          col("m")("_table").as("table_name"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "q35_pgoutput_roundtrip",
+      s"""SELECT event_id, $opSql AS op, 'events' AS table_name,
+         |  CASE WHEN $opSql = 'delete' THEN NULL
+         |       ELSE user_id END AS user_id_out,
+         |  CASE WHEN $opSql = 'delete' THEN NULL
+         |       ELSE $valueStrSql END AS value_str_out,
+         |  CASE WHEN $opSql = 'update' THEN 'OLD'
+         |       WHEN $opSql = 'insert' THEN 'PROPS'
+         |       ELSE NULL END AS props_out
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .withColumn("op", opCol)
+        .select(col("event_id"), col("op"),
+          pgoutputRoundtripUdf(col("op"), col("event_id"), col("user_id"),
+            valueStrCol).as("m"))
+        .select(
+          col("m")("event_id").cast("long").as("event_id"),
+          col("m")("_tag").as("op"),
+          col("m")("_table").as("table_name"),
+          col("m")("user_id").cast("long").as("user_id_out"),
+          col("m")("value_str").as("value_str_out"),
+          col("m")("props").as("props_out"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "q35b_decoderbufs_roundtrip",
+      s"""SELECT event_id, user_id, $opSql AS op,
+         |  'events' AS table_name, $valueStrSql AS value_str
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val encodeUdf = udf { (op: String, eventId: Long, userId: Long, vs: String) =>
+        val opCode = op match {
+          case "insert" => Decoderbufs.OpInsert
+          case "update" => Decoderbufs.OpUpdate
+          case "delete" => Decoderbufs.OpDelete
+        }
+        val tuple = Seq(
+          Decoderbufs.encodeDatumInt64("event_id", 20, eventId),
+          Decoderbufs.encodeDatumInt64("user_id", 20, userId),
+          Decoderbufs.encodeDatumString("value_str", 25, vs))
+        // deletes carry the old tuple, like the plugin
+        if (opCode == Decoderbufs.OpDelete)
+          Decoderbufs.encodeRow(eventId, eventId, "public.events", opCode,
+            Nil, tuple)
+        else
+          Decoderbufs.encodeRow(eventId, eventId, "public.events", opCode,
+            tuple)
+      }
+      events(s, d)
+        .withColumn("op", opCol)
+        .select(decoderbufsTupleUdf(
+          encodeUdf(col("op"), col("event_id"), col("user_id"), valueStrCol))
+          .as("m"))
+        .select(
+          col("m")("event_id").cast("long").as("event_id"),
+          col("m")("user_id").cast("long").as("user_id"),
+          col("m")("_tag").as("op"),
+          col("m")("_table").as("table_name"),
+          col("m")("value_str").as("value_str"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "q36_lsn_codec",
+      """SELECT id,
+        |  upper(lpad(to_hex((id * 4294967311) // 4294967296), 8, '0'))
+        |    || '/' ||
+        |  upper(lpad(to_hex((id * 4294967311) % 4294967296), 8, '0'))
+        |    AS lsn_str,
+        |  id * 4294967311 AS lsn_back,
+        |  id * 4294967296 AS next_after_carry
+        |FROM range(1, 2001) t(id) ORDER BY id""".stripMargin) { (s, d) =>
+      s.range(1, 2001)
+        .withColumn("lsn", col("id") * lit(4294967311L))
+        .withColumn("lsn_str", format_lsn(col("lsn")))
+        .withColumn("lsn_back", parse_lsn(col("lsn_str")))
+        // lo-word 0xFFFFFFFF: +1 must carry into the hi word
+        .withColumn("next_after_carry",
+          lsnPlusOneUdf(col("id") * lit(4294967296L) - 1))
+        .select(col("id"), col("lsn_str"), col("lsn_back"),
+          col("next_after_carry"))
+        .orderBy(col("id"))
+    },
+
+    QueryDef(
+      "q37_pg_epoch_codec",
+      """SELECT event_id,
+        |  epoch(date_trunc('second', ts))::BIGINT * 1000000
+        |    - 946684800000000 AS pg_us,
+        |  epoch(date_trunc('second', ts))::BIGINT AS sec_back
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .withColumn("pg_us", unixToPgEpochUdf(col("ts_sec") * 1000000L))
+        .withColumn("sec_back",
+          (pgEpochToUnixUdf(col("pg_us")) / 1000000L).cast("long"))
+        .select(col("event_id"), col("pg_us"), col("sec_back"))
+        .orderBy(col("event_id"))
+    }
+  )
+}
