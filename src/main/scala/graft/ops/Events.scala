@@ -127,7 +127,8 @@ object Events {
          |             FROM sess GROUP BY user_id, session_id)
          |SELECT user_id, count(*) AS n_sessions,
          |  CAST(sum(n) AS BIGINT) AS total_events,
-         |  round(avg(dur), 4) AS avg_session_sec
+         |  CAST(floor(sum(dur) * 10000.0 / count(*)) AS BIGINT)
+         |    AS avg_session_sec_4
          |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_sec"), col("event_id"))
@@ -145,14 +146,15 @@ object Events {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
              sum(col("n")).as("total_events"),
-             r4(avg(col("dur"))).as("avg_session_sec"))
+             floor(sum(col("dur")) * 10000.0 / count(lit(1))).cast("long")
+               .as("avg_session_sec_4"))
         .orderBy(col("user_id"))
     },
 
     QueryDef(
       "q19_json_props_stats",
       """SELECT event_type, count(*) AS n,
-        |  round(avg(k), 4) AS k_avg,
+        |  CAST(floor(sum(k) * 10000.0 / count(*)) AS BIGINT) AS k_avg_4,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -162,7 +164,9 @@ object Events {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(avg(col("k"))).as("k_avg"),
+        .agg(count(lit(1)).as("n"),
+             floor(sum(col("k")) * 10000.0 / count(lit(1))).cast("long")
+               .as("k_avg_4"),
              min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy(col("event_type"))
     },

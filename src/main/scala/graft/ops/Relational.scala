@@ -25,8 +25,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  CAST(floor(sum(l_quantity) * 10000 / count(*)) AS BIGINT) AS avg_qty_4,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -36,9 +36,10 @@ object Relational {
         .agg(
           r2(sum(col("l_quantity"))).as("sum_qty"),
           r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
             .as("sum_disc_price"),
-          r4(avg(col("l_quantity"))).as("avg_qty"),
+          floor(sum(col("l_quantity")) * 10000 / count(lit(1))).cast("long")
+            .as("avg_qty_4"),
           r4(avg(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -66,7 +67,7 @@ object Relational {
     QueryDef(
       "q03_top_building_orders",
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  o_orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -82,7 +83,7 @@ object Relational {
         .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
         .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -128,7 +129,7 @@ object Relational {
 
     QueryDef(
       "q06_revenue_forecast",
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -138,7 +139,7 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
     },
 
     QueryDef(
@@ -253,14 +254,14 @@ object Relational {
         |    row_number() OVER (PARTITION BY n_name
         |      ORDER BY revenue DESC, s_suppkey) AS rn
         |  FROM (SELECT l_suppkey,
-        |          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |          round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |        FROM lineitem GROUP BY l_suppkey)
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey)
         |WHERE rn <= 2 ORDER BY n_name, rn""".stripMargin) { (s, d) =>
       val rev = lineitem(s, d)
         .groupBy(col("l_suppkey"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
       val w = Window.partitionBy(col("n_name"))
         .orderBy(col("revenue").desc, col("s_suppkey"))

@@ -1,0 +1,348 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-data-pipeline surface (BASELINE.json north star): token stats,
+  * quality scoring, language ID, fingerprinting, exact dedup, n-gram
+  * Jaccard near-dup, MinHash+LSH, and SimHash with banded Hamming
+  * join.
+  *
+  * Cross-engine determinism: `md5` is the one hash both Spark and
+  * DuckDB compute identically, so every hash-derived quantity
+  * (minhash signatures, LSH band keys, simhash bit weights,
+  * fingerprints) is built from md5 hex text. Tokenization is
+  * `lower → split [^a-z]+ → drop empties` on both sides.
+  *
+  * Scale notes (100 TB):
+  *  - token/shingle explosion is map-side only; every aggregate is
+  *    partial+final keyed on doc_id (one shuffle);
+  *  - exact pairwise Jaccard (q25) joins on shared shingles — the
+  *    quadratic baseline; MinHash banding (q26) is the scale path:
+  *    candidates come from equi-joins on 8 constant-width band keys,
+  *    so the shuffle is keyed and bounded, never a cross join;
+  *  - SimHash (q27) avoids the all-pairs Hamming scan with a 4×8-bit
+  *    band join that is *exact* for distance ≤ 3 (pigeonhole: 3 bit
+  *    errors cannot touch all 4 bands).
+  */
+object Text {
+  import Tables._
+
+  // ---- shared tokenization (identical in oracle SQL) ----
+
+  private def toksCol: Column =
+    filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  private def withToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("toks", toksCol)
+
+  /** word 3-gram shingles, distinct per doc (engine side). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    withToks(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+      .distinct()
+
+  /** identical shingle extraction for the DuckDB oracle (1-based). */
+  private val shinglesSql =
+    s"""SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+       |     UNNEST(range(1, len(toks) - 1)) AS t(i)""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q21_token_stats_per_lang",
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(floor(sum(n_toks) * 10000.0 / count(*)) AS BIGINT)
+         |    AS avg_tokens_4,
+         |  max(n_toks) AS max_tokens
+         |FROM (SELECT lang, len($toksSql) AS n_toks FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("lang"), size(toksCol).cast("long").as("n_toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).as("total_tokens"),
+             floor(sum(col("n_toks")) * 10000.0 / count(lit(1))).cast("long")
+               .as("avg_tokens_4"),
+             max(col("n_toks")).as("max_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef(
+      "q22_doc_quality",
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(floor(sum_len * 10000.0 / n_tokens) AS BIGINT) AS avg_token_len_4,
+         |  CAST(floor(n_stop * 10000.0 / n_tokens) AS BIGINT) AS stopword_ratio_4,
+         |  CAST(floor(n_uniq * 10000.0 / n_tokens) AS BIGINT) AS uniq_ratio_4,
+         |  CAST(floor(10000.0 * (0.4 * least(1.0, n_tokens / 100.0)
+         |    + 0.3 * (1.0 - n_stop * 1.0 / n_tokens)
+         |    + 0.3 * (n_uniq * 1.0 / n_tokens))) AS BIGINT) AS quality_score_4
+         |FROM (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         |          AS sum_len,
+         |        CAST(len(list_filter(toks, x ->
+         |          list_contains(['the','a','of','and','to','in','is','it'], x)))
+         |          AS BIGINT) AS n_stop,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stopArr = array(stopwords.map(lit): _*)
+      withToks(s, d)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          aggregate(transform(col("toks"), x => length(x)), lit(0),
+            (acc, x) => acc + x).cast("long").as("sum_len"),
+          size(filter(col("toks"), x => array_contains(stopArr, x)))
+            .cast("long").as("n_stop"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("sum_len") * 10000.0 / col("n_tokens")).cast("long")
+            .as("avg_token_len_4"),
+          floor(col("n_stop") * 10000.0 / col("n_tokens")).cast("long")
+            .as("stopword_ratio_4"),
+          floor(col("n_uniq") * 10000.0 / col("n_tokens")).cast("long")
+            .as("uniq_ratio_4"),
+          floor(lit(10000.0) * (lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * (lit(1.0) - col("n_stop") * 1.0 / col("n_tokens"))
+            + lit(0.3) * (col("n_uniq") * 1.0 / col("n_tokens")))).cast("long")
+            .as("quality_score_4"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q23_langid_confusion",
+      s"""WITH scored AS (SELECT lang,
+         |  len(list_filter(toks, x -> list_contains(['the','a','is','of'], x))) AS s_en,
+         |  len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS s_de,
+         |  len(list_filter(toks, x -> list_contains(['le','et','les','une'], x))) AS s_fr,
+         |  len(list_filter(toks, x -> list_contains(['el','y','los','una'], x))) AS s_es
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents))
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS guess,
+         |  count(*) AS n
+         |FROM scored GROUP BY lang, guess ORDER BY lang, guess""".stripMargin) {
+      (s, d) =>
+        def hits(words: Seq[String]): Column =
+          size(filter(col("toks"), x => array_contains(
+            array(words.map(lit): _*), x)))
+        withToks(s, d)
+          .select(col("lang"),
+            hits(Seq("the", "a", "is", "of")).as("s_en"),
+            hits(Seq("der", "die", "das", "und")).as("s_de"),
+            hits(Seq("le", "et", "les", "une")).as("s_fr"),
+            hits(Seq("el", "y", "los", "una")).as("s_es"))
+          .withColumn("guess",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+              col("s_en") >= col("s_es"), "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+              .when(col("s_fr") >= col("s_es"), "fr")
+              .otherwise("es"))
+          .groupBy(col("lang"), col("guess"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("guess"))
+    },
+
+    QueryDef(
+      "q24_doc_fingerprints",
+      s"""WITH fp AS (SELECT doc_id,
+         |    md5(array_to_string($toksSql, ' ')) AS fingerprint
+         |  FROM documents)
+         |SELECT doc_id, fingerprint,
+         |  min(doc_id) OVER (PARTITION BY fingerprint) AS first_doc_id
+         |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      withToks(s, d)
+        .select(col("doc_id"),
+          md5(array_join(col("toks"), " ")).as("fingerprint"))
+        .withColumn("first_doc_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q28_exact_dedup_summary",
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT md5(array_to_string($toksSql, ' ')))
+         |    AS n_distinct,
+         |  count(*) - count(DISTINCT md5(array_to_string($toksSql, ' ')))
+         |    AS n_dups
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        withToks(s, d)
+          .select(col("source"), md5(array_join(col("toks"), " ")).as("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("fp")).as("n_distinct"),
+               (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))
+          .orderBy(col("source"))
+    },
+
+    QueryDef(
+      "q25_ngram_jaccard_pairs",
+      s"""WITH shingles AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  CAST(floor(inter * 10000.0 / (ca.n + cb.n - inter)) AS BIGINT)
+         |    AS jaccard_4
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = d1
+         |JOIN cnt cb ON cb.doc_id = d2
+         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.6
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val pairs = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter") * 1.0 /
+        (col("na") + col("nb") - col("inter"))
+      pairs
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .filter(jac >= 0.6)
+        .select(col("d1"), col("d2"),
+          floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
+            .cast("long").as("jaccard_4"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
+      "q26_minhash_lsh_pairs",
+      s"""WITH shingles AS ($shinglesSql),
+         |sig AS (SELECT doc_id,
+         |  ${(0 until 16).map(j => s"min(md5('$j:' || sh)) AS h$j")
+             .mkString(", ")}
+         |  FROM shingles GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 8).map(b =>
+             s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sig")
+             .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  CAST(floor(i * 10000.0 / (ca.n + cb.n - i)) AS BIGINT) AS jaccard_4
+         |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sh = shingles(s, d).cache()
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("h0"),
+        (1 until 16).map(j =>
+          min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
+      val bands = (0 until 8).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+      }.reduce(_ unionAll _)
+      val ba = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      val bb = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"))
+      val cand = ba.join(bb, Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
+        .join(cand, Seq("d1", "d2"), "left_semi")
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("i"))
+      val jac = col("i") * 1.0 / (col("na") + col("nb") - col("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .filter(jac >= 0.6)
+        .select(col("d1"), col("d2"),
+          floor(col("i") * 10000.0 / (col("na") + col("nb") - col("i")))
+            .cast("long").as("jaccard_4"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
+      "q27_simhash_hamming_pairs",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |th AS (SELECT doc_id,
+         |  (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS h32
+         |  FROM tok),
+         |sums AS (SELECT doc_id,
+         |  ${(0 until 32).map(i =>
+             s"CAST(sum(2 * ((h32 >> $i) & 1) - 1) AS BIGINT) AS s$i")
+             .mkString(", ")}
+         |  FROM th GROUP BY doc_id),
+         |sim AS (SELECT doc_id,
+         |  ${(0 until 32).map(i =>
+             s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+             .mkString(" + ")} AS simhash
+         |  FROM sums),
+         |bands AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bkey FROM sim")
+             .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS sh1,
+         |    b.doc_id AS d2, b.simhash AS sh2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, bit_count(xor(sh1, sh2)) AS hamming
+         |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val th = withToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h32"))
+      val sums = th.groupBy(col("doc_id")).agg(
+        expr("CAST(sum(2 * ((h32 >> 0) & 1) - 1) AS BIGINT)").as("s0"),
+        (1 until 32).map(i =>
+          expr(s"CAST(sum(2 * ((h32 >> $i) & 1) - 1) AS BIGINT)").as(s"s$i")): _*)
+      val sim = sums.select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      val bands = (0 until 4).map { b =>
+        sim.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("bkey"))
+      }.reduce(_ unionAll _)
+      val ba = bands.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
+        col("band"), col("bkey"))
+      val bb = bands.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
+        col("band"), col("bkey"))
+      ba.join(bb, Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("sh1"), col("d2"), col("sh2")).distinct()
+        .select(col("d1"), col("d2"),
+          expr("bit_count(sh1 ^ sh2)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("d1"), col("d2"))
+    }
+  )
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` vectors (64-dim float,
+  * unit-norm): brute-force cosine top-k as the correctness baseline,
+  * sign-bucket IVF as the scale path, and per-label centroid
+  * statistics (vector aggregation).
+  *
+  * Cross-engine determinism: all arithmetic is double precision with
+  * an explicit left-to-right fold (Spark `aggregate` with 0.0 init ≡
+  * DuckDB `list_reduce`), `sqrt(na)*sqrt(nb)` spelled identically,
+  * and scores rounded to 6 places before ranking with a vec_id
+  * tie-break.
+  *
+  * Scale notes (100 TB): the brute-force path broadcasts the (small)
+  * query set against the full collection — linear scan, no shuffle of
+  * the big side, whole-stage codegen over array ops. The IVF path
+  * replaces the scan with an equi-join on an 8-bit sign-bucket key:
+  * candidates shuffle by bucket only, so cost follows bucket occupancy
+  * rather than N². Centroid stats are two keyed aggregations
+  * (label×dim, then label).
+  */
+object Vectors {
+  import Tables._
+
+  /** double-cast vector + its squared-norm fold (left-to-right). */
+  private def prepared(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q29_knn_bruteforce",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    ${dotSql("v", "v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id < 20),
+         |p AS (SELECT qid, c.vec_id AS cid,
+         |    round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |      AS score
+         |  FROM q JOIN n c ON c.vec_id <> qid)
+         |SELECT qid, rn, cid, score FROM (
+         |  SELECT qid, cid, score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM p)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val n = prepared(s, d)
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("cid"), col("score"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    QueryDef(
+      "q30_ann_ivf_signbuckets",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, ${dotSql("v", "v")} AS nrm FROM e),
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |    round(${dotSql("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)), 6)
+         |      AS score
+         |  FROM n a JOIN n b ON a.bucket = b.bucket
+         |                   AND a.vec_id <> b.vec_id)
+         |SELECT qid, rn, cid, score FROM (
+         |  SELECT qid, cid, score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM p)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val n = prepared(s, d)
+        .withColumn("bucket",
+          (0 until 8).map(i =>
+            when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i))
+              .otherwise(lit(0))).reduce(_ + _))
+      val a = n.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+      val b = n.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      a.join(b, Seq("bucket"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(dot(col("qv"), col("cv")) /
+            (sqrt(col("qn")) * sqrt(col("cn"))), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("cid"), col("score"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    QueryDef(
+      "q31_label_centroid_stats",
+      s"""WITH x AS (SELECT label, vec_id, i, embedding[i]::DOUBLE AS val
+         |  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+         |cent AS (SELECT label, i, avg(val) AS c FROM x GROUP BY label, i),
+         |carr AS (SELECT label, array_agg(c ORDER BY i) AS cv
+         |         FROM cent GROUP BY label),
+         |dists AS (SELECT e.label, round(sqrt(list_reduce(
+         |    list_transform(range(1, 65), i ->
+         |      (e.embedding[i]::DOUBLE - cv[i]) * (e.embedding[i]::DOUBLE - cv[i])),
+         |    (a, b) -> a + b)), 6) AS dist
+         |  FROM embeddings e JOIN carr ON carr.label = e.label)
+         |SELECT c.label,
+         |  (SELECT count(*) FROM embeddings e2 WHERE e2.label = c.label)
+         |    AS n_vectors,
+         |  round(sqrt(list_reduce(list_transform(range(1, 65), i ->
+         |    cv[i] * cv[i]), (a, b) -> a + b)), 6) AS centroid_norm,
+         |  (SELECT round(avg(dist), 4) FROM dists dd WHERE dd.label = c.label)
+         |    AS avg_dist
+         |FROM carr c ORDER BY c.label""".stripMargin) { (s, d) =>
+      val e = prepared(s, d)
+      val x = e.select(col("label"), col("vec_id"),
+          posexplode(col("v")).as(Seq("pos", "val")))
+        .select(col("label"), (col("pos") + 1).as("i"), col("val"))
+      val cent = x.groupBy(col("label"), col("i")).agg(avg(col("val")).as("c"))
+      val carr = cent.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cv"))
+      val dists = e.join(carr, "label")
+        .select(col("label"),
+          round(sqrt(aggregate(zip_with(col("v"), col("cv"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6)
+            .as("dist"))
+      val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+      val avgd = dists.groupBy(col("label")).agg(r4(avg(col("dist"))).as("avg_dist"))
+      carr
+        .select(col("label"),
+          round(sqrt(aggregate(transform(col("cv"), c => c * c), lit(0.0),
+            (acc, x) => acc + x)), 6).as("centroid_norm"))
+        .join(counts, "label")
+        .join(avgd, "label")
+        .select(col("label"), col("n_vectors"), col("centroid_norm"),
+          col("avg_dist"))
+        .orderBy(col("label"))
+    }
+  )
+}
