@@ -1,0 +1,233 @@
+package graft.streaming
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.Lsn
+
+/** "cdc-replay" — a DataSource V2 source that replays a CDC frame log
+  * with the reference's delivery semantics (SURVEY.md §2 A1, A9-A13,
+  * B10):
+  *
+  *  - offsets are LSNs (`startingLsn` option ≡ `uptoLsn` resume;
+  *    `0/00000000` replays everything, `acknowledge.spec.ts:70-75`);
+  *  - `maxFramesPerTrigger` bounds a micro-batch (the pull-based
+  *    analogue of the reference's flow control, A12);
+  *  - `commit(offset)` emulates the standby-status ack by persisting
+  *    the acked LSN to an `_acked_lsn` sidecar (A9/A10) — restart
+  *    resumes from the checkpoint, replaying any unacked tail ⇒
+  *    at-least-once, deduplicated downstream;
+  *  - also exposes BATCH_READ so `spark.read` replays the same log.
+  *
+  * Log format: one JSON line per transaction:
+  * `{"lsn":<commitLsn>,"frames":["<hex pgoutput frame>",...]}`.
+  * One file ≈ one slot/publication shard: `planInputPartitions`
+  * emits one partition per file, so replay parallelism scales with
+  * shard count while preserving intra-shard LSN order (the same
+  * trade the reference makes with one ordered stream per slot, O5).
+  */
+object CdcReplaySource {
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("frames", ArrayType(BinaryType), nullable = false)))
+
+  val FORMAT: String = classOf[CdcReplayProvider].getName
+
+  /** Writes a frame log (driver-side test/fixture helper). */
+  def writeLog(path: String, rows: Seq[(Long, Seq[Array[Byte]])]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.jsonl"))
+    try rows.sortBy(_._1).foreach { case (lsn, frames) =>
+      val hex = frames.map(f => "\"" + f.map("%02x".format(_)).mkString + "\"")
+      w.println(s"""{"lsn":$lsn,"frames":[${hex.mkString(",")}]}""")
+    } finally w.close()
+  }
+
+  def listLogFiles(path: String): Seq[String] = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) Seq(path)
+    else dir.listFiles().filter(_.getName.endsWith(".jsonl"))
+      .map(_.getPath).sorted.toSeq
+  }
+
+  /** Driver-side index scan: all (file, lsn) pairs, lsn-sorted. */
+  def lsnIndex(path: String): Seq[Long] =
+    listLogFiles(path).flatMap { f =>
+      scala.io.Source.fromFile(f).getLines().map(parseLsn).toList
+    }.sorted
+
+  private[streaming] def parseLsn(line: String): Long = {
+    val i = line.indexOf("\"lsn\":") + 6
+    var j = i
+    while (j < line.length && line.charAt(j).isDigit) j += 1
+    line.substring(i, j).toLong
+  }
+
+  private[streaming] def parseFrames(line: String): Seq[Array[Byte]] = {
+    val start = line.indexOf("\"frames\":[") + 10
+    val end = line.lastIndexOf("]")
+    val body = line.substring(start, end)
+    if (body.isEmpty) Nil
+    else body.split(",").toSeq.map { q =>
+      val hex = q.trim.stripPrefix("\"").stripSuffix("\"")
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+  }
+
+  def ackSidecar(path: String) = new java.io.File(path, "_acked_lsn")
+
+  def lastAckedLsn(path: String): Option[Long] = {
+    val f = ackSidecar(path)
+    if (f.exists) Some(scala.io.Source.fromFile(f).mkString.trim.toLong)
+    else None
+  }
+}
+
+class CdcReplayProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcReplaySource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcReplayTable(properties.asScala.toMap)
+}
+
+class CdcReplayTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"cdc-replay(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = CdcReplaySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(options.get("path") != null,
+      "cdc-replay requires the 'path' option (directory of *.jsonl frame logs)")
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        private val path = options.get("path")
+        override def readSchema(): StructType = CdcReplaySource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new CdcReplayStream(path,
+            Option(options.get("startingLsn")).map(parseStart).getOrElse(0L),
+            Option(options.get("maxFramesPerTrigger")).map(_.toLong)
+              .getOrElse(Long.MaxValue))
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            CdcReplaySource.listLogFiles(path)
+              .map(f => CdcReplayPartition(f, Long.MinValue, Long.MaxValue)
+                : InputPartition).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new CdcReplayReaderFactory
+        }
+      }
+    }
+  }
+
+  private def parseStart(s: String): Long =
+    if (s.contains("/")) Lsn.parse(s) else s.toLong
+}
+
+/** LSN offset: "frames with lsn <= value have been delivered". */
+case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = lsn.toString
+}
+
+class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // full lsn index, loaded once per stream start (driver side)
+  private lazy val index: Seq[Long] =
+    CdcReplaySource.lsnIndex(path).filter(_ > startingLsn)
+
+  // Trigger.AvailableNow bound: fixed at query start
+  private var availableNowEnd: Option[Long] = None
+
+  override def initialOffset(): Offset = LsnOffset(startingLsn)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(if (index.isEmpty) startingLsn else index.last)
+
+  /** Admission control (the pull-based analogue of the reference's
+    * flow control, A12): each micro-batch admits at most
+    * maxFramesPerTrigger transactions. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LsnOffset].lsn
+    val cap = availableNowEnd.getOrElse(Long.MaxValue)
+    val pending = index.filter(l => l > s && l <= cap)
+    val taken = limit match {
+      case r: ReadMaxRows => pending.take(r.maxRows().toInt)
+      case _ => pending
+    }
+    LsnOffset(if (taken.isEmpty) s else taken.last)
+  }
+
+  override def reportLatestOffset(): Offset =
+    LsnOffset(if (index.isEmpty) startingLsn else index.last)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "admission-control latestOffset(start, limit) is used")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LsnOffset].lsn
+    val e = end.asInstanceOf[LsnOffset].lsn
+    CdcReplaySource.listLogFiles(path)
+      .map(f => CdcReplayPartition(f, s, e): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReplayReaderFactory
+
+  override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
+
+  /** The standby-status analogue: persist the acked LSN (A9/A10). */
+  override def commit(end: Offset): Unit = {
+    val f = CdcReplaySource.ackSidecar(path)
+    val w = new java.io.PrintWriter(f)
+    try w.print(end.asInstanceOf[LsnOffset].lsn.toString) finally w.close()
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** (start, end] slice of one log file. */
+case class CdcReplayPartition(file: String, startExclusive: Long,
+    endInclusive: Long) extends InputPartition
+
+class CdcReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcReplayPartition]
+    new PartitionReader[InternalRow] {
+      private val lines = scala.io.Source.fromFile(p.file).getLines()
+        .filter { l =>
+          val lsn = CdcReplaySource.parseLsn(l)
+          lsn > p.startExclusive && lsn <= p.endInclusive
+        }
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        val line = lines.next()
+        val frames = CdcReplaySource.parseFrames(line)
+        current = InternalRow(
+          CdcReplaySource.parseLsn(line),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            frames.toArray))
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

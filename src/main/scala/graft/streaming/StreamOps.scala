@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.cdc.CdcFunctions
+
+/** Streaming change-log operators over the cdc-replay source: decode,
+  * watermarked windowed aggregation, duplicate suppression, and the
+  * stateful latest-by-key snapshot — the Structured Streaming versions
+  * of what the reference's users hand-write in `on('data')` handlers
+  * (SURVEY.md §2 Part C, §7.2 step 7).
+  *
+  * Scale notes: decode is per-row (executor-local, registry shipped
+  * inside each transaction's frame array); snapshot state is keyed by
+  * (table, key) so it partitions across executors and is bounded by
+  * live-key cardinality; windowed aggregates are bounded by the
+  * watermark. At-least-once replay duplicates collapse either via
+  * `dropDuplicatesWithinWatermark` (pre-agg) or the idempotent
+  * max_by-LSN merge sink (post-agg).
+  */
+object StreamOps {
+
+  /** (lsn, frames) → one row per decoded DML change. */
+  def decodedChanges(frameLog: DataFrame): DataFrame = {
+    val decode = udf { (lsn: Long, frames: Seq[Array[Byte]]) =>
+      CdcFunctions.decodeFrameSequence(frames)
+        .filter(e => e.tag == "insert" || e.tag == "update" || e.tag == "delete")
+        .map { e =>
+          val tuple =
+            if (e.after != null) e.after
+            else if (e.before != null) e.before
+            else if (e.key != null) e.key else Map.empty[String, String]
+          (e.tag, e.schema, e.table, tuple)
+        }
+    }
+    frameLog
+      .select(col("lsn"), explode(decode(col("lsn"), col("frames"))).as("c"))
+      .select(col("lsn"), col("c._1").as("op"), col("c._2").as("schema"),
+        col("c._3").as("table"), col("c._4").as("tuple"))
+  }
+
+  final case class KeyedChange(table: String, key: String, lsn: Long,
+      op: String, tuple: Map[String, String])
+  final case class SnapshotRow(table: String, key: String, lsn: Long,
+      op: String, tuple: Map[String, String])
+
+  /** Latest-by-key snapshot as explicit keyed state
+    * (flatMapGroupsWithState): emits the current row for a key on
+    * every update; deletes tombstone the key. LSN ordering per key is
+    * enforced by ignoring stale updates (at-least-once replays arrive
+    * with lsn <= state.lsn and are dropped — idempotent by design). */
+  def statefulSnapshot(changes: Dataset[KeyedChange]): Dataset[SnapshotRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(c => (c.table, c.key))
+      .flatMapGroupsWithState[SnapshotRow, SnapshotRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((table, key), rows, state: GroupState[SnapshotRow]) =>
+          val sorted = rows.toSeq.sortBy(_.lsn)
+          val last = state.getOption
+          val newest = sorted.lastOption
+          newest match {
+            case Some(c) if last.forall(_.lsn < c.lsn) =>
+              val row = SnapshotRow(table, key, c.lsn, c.op, c.tuple)
+              state.update(row)
+              Iterator.single(row)
+            case _ => Iterator.empty // stale replay — idempotent drop
+          }
+      }
+  }
+
+  /** Tumbling-window op counts with a watermark (late frames beyond
+    * the horizon are dropped, the streaming analogue of the ack
+    * horizon, §3.2). `eventTime` must be a timestamp column. */
+  def windowedOpCounts(changes: DataFrame, eventTime: String,
+      windowLen: String, watermark: String): DataFrame =
+    changes
+      .withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLen), col("op"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("op"), col("n"))
+
+  /** Idempotent foreachBatch merge: latest-by-(table,key,lsn) upsert
+    * into a parquet snapshot dir — the replay-safe sink (a real
+    * deployment would MERGE into a transactional table; parquet
+    * rewrite keeps the demo dependency-free). */
+  def upsertBatch(snapshotDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.select("table", "key", "lsn", "op", "tuple")
+    val existing =
+      try spark.read.parquet(snapshotDir)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val all =
+      if (existing.columns.isEmpty) incoming
+      else existing.unionByName(incoming)
+    val merged = all
+      .groupBy(col("table"), col("key"))
+      .agg(max_by(struct(col("lsn"), col("op"), col("tuple")), col("lsn"))
+        .as("last"))
+      .select(col("table"), col("key"), col("last.lsn").as("lsn"),
+        col("last.op").as("op"), col("last.tuple").as("tuple"))
+      .filter(col("op") =!= "delete")
+    val tmp = snapshotDir + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(snapshotDir)
+    if (fs.exists) {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(fs)
+    }
+    new java.io.File(tmp).renameTo(fs)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+
+/** End-to-end Structured Streaming tests over the cdc-replay source:
+  * the delivery semantics the reference proves with a live server
+  * (resume-from-LSN, replay-of-unacked ⇒ at-least-once ⇒ idempotent
+  * consumption; `acknowledge.spec.ts:32-76`) re-proven against the
+  * frame-log replay. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var logDir: String = _
+
+  private val usersRel = RelationInfo(777, "public", "users", "default",
+    Seq(ColumnInfo("id", 1, 20, -1, null, null),
+      ColumnInfo("name", 0, 25, -1, null, null)))
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 40 transactions: insert id=i, then updates/deletes over the same keys
+    logDir = java.nio.file.Files.createTempDirectory("cdclog").toString
+    val txs = (1 to 40).map { i =>
+      val lsn = i * 10L
+      val key = (i % 10).toString
+      val dml =
+        if (i <= 10) PgoutputWriter.insert(777, Seq(key, s"name$i"))
+        else if (i % 7 == 0) PgoutputWriter.delete(777, 'K', Seq(key, null))
+        else PgoutputWriter.update(777, 'N', Nil, Seq(key, s"name$i"))
+      (lsn, Seq(
+        PgoutputWriter.begin(lsn, 1700000000000000L + i * 1000000L, i.toLong),
+        PgoutputWriter.relation(usersRel),
+        dml,
+        PgoutputWriter.commit(lsn, lsn + 1, 1700000000000000L + i * 1000000L)))
+    }
+    CdcReplaySource.writeLog(logDir, txs)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def expectedSnapshot(): Map[String, (Long, String)] = {
+    // replay the log logically: latest op per key, deletes drop
+    var m = Map.empty[String, (Long, String, String)]
+    (1 to 40).foreach { i =>
+      val lsn = i * 10L
+      val key = (i % 10).toString
+      val (op, name) =
+        if (i <= 10) ("insert", s"name$i")
+        else if (i % 7 == 0) ("delete", null)
+        else ("update", s"name$i")
+      m += key -> (lsn, op, name)
+    }
+    m.collect { case (k, (lsn, op, name)) if op != "delete" =>
+      k -> (lsn, name)
+    }
+  }
+
+  test("batch read of the frame log decodes all transactions") {
+    val df = spark.read.format(CdcReplaySource.FORMAT).option("path", logDir)
+      .load()
+    assert(df.count() == 40)
+    val decoded = StreamOps.decodedChanges(df)
+    assert(decoded.count() == 40) // one DML per tx
+    // deletes at i % 7 == 0 for i in 11..40: 14, 21, 28, 35
+    assert(decoded.filter(col("op") === "delete").count() == 4)
+  }
+
+  test("streaming snapshot equals logical replay; maxFramesPerTrigger honored") {
+    val sp = spark; import sp.implicits._
+    val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", logDir)
+      .option("maxFramesPerTrigger", "7")
+      .load()
+    val changes = StreamOps.decodedChanges(stream)
+      .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+        col("op"), col("tuple"))
+      .as[StreamOps.KeyedChange]
+    val snap = StreamOps.statefulSnapshot(changes)
+    val q = snap.writeStream
+      .format("memory").queryName("snap")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val rows = spark.sql(
+      """SELECT key, max_by(tuple['name'], lsn) AS name, max(lsn) AS lsn,
+        |       max_by(op, lsn) AS op
+        |FROM snap GROUP BY key""".stripMargin)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getString(1), r.getString(3)))
+      .toMap
+    val live = rows.collect { case (k, (lsn, name, op)) if op != "delete" =>
+      k -> (lsn, name)
+    }
+    assert(live == expectedSnapshot())
+
+    // admission control: 40 tx / 7 per trigger → at least 6 batches
+    val progress = q.recentProgress
+    assert(progress.length >= 6,
+      s"expected >=6 micro-batches, got ${progress.length}")
+    assert(progress.forall(_.numInputRows <= 7))
+  }
+
+  test("commit persists the acked LSN (standby-status analogue)") {
+    // Spark commits batch N's offset when batch N+1 starts, so the
+    // sidecar holds the second-to-last boundary after AvailableNow
+    // completes — same deferred-ack shape as the reference's
+    // auto-ack-after-delivery (A10). 40 tx / 7 per trigger ⇒ last
+    // committed boundary is >= 350.
+    val acked = CdcReplaySource.lastAckedLsn(logDir)
+    assert(acked.exists(_ >= 350L), s"acked=$acked")
+  }
+
+  test("resume from startingLsn replays only the tail (uptoLsn semantics)") {
+    val df = spark.read.format(CdcReplaySource.FORMAT)
+      .option("path", logDir).load()
+      .filter(col("lsn") > 200L) // batch path filter ≡ source option
+    assert(df.count() == 20)
+
+    val sp = spark; import sp.implicits._
+    val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", logDir)
+      .option("startingLsn", "200")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("tail")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM tail").head().getLong(0) == 20L)
+    assert(spark.sql("SELECT min(lsn) FROM tail").head().getLong(0) == 210L)
+  }
+
+  test("at-least-once replay-from-zero duplicates collapse in the idempotent sink") {
+    val sp = spark; import sp.implicits._
+    val snapshotDir =
+      java.nio.file.Files.createTempDirectory("snapdir").toString + "/snap"
+
+    def runOnce(tag: String): Unit = {
+      val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", logDir).load()
+      val changes = StreamOps.decodedChanges(stream)
+        .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+          col("op"), col("tuple"))
+      val q = changes.writeStream
+        .foreachBatch(StreamOps.upsertBatch(snapshotDir) _)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ckpt$tag").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    runOnce("a")
+    // fresh checkpoint ⇒ full replay from 0/00000000 ⇒ duplicates
+    runOnce("b")
+
+    val snap = spark.read.parquet(snapshotDir)
+      .collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("lsn"), r.getAs[Map[String, String]]("tuple")("name")))
+      .toMap
+    assert(snap == expectedSnapshot())
+  }
+
+  test("windowed op counts with watermark over commit time") {
+    val sp = spark; import sp.implicits._
+    val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", logDir)
+      .option("maxFramesPerTrigger", "10")
+      .load()
+    val withTs = StreamOps.decodedChanges(stream)
+      .withColumn("commit_ts",
+        timestamp_seconds(lit(1700000000L) + col("lsn") / 10))
+    // event times span 40s; a 5s watermark closes 5s windows up to
+    // t+35 as the per-batch watermark advances (the last window stays
+    // open — append-mode semantics)
+    val counts = StreamOps.windowedOpCounts(withTs, "commit_ts",
+      "5 seconds", "5 seconds")
+    val q = counts.writeStream.format("memory").queryName("wins")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt3").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*) FROM wins").head().getLong(0)
+    assert(n >= 5, s"expected >=5 closed windows, got $n")
+    val total = spark.sql("SELECT sum(n) FROM wins").head().getLong(0)
+    assert(total >= 30, s"closed windows should cover most rows, got $total")
+  }
+}
