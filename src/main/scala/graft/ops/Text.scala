@@ -255,10 +255,13 @@ object Text {
         min(md5(concat(lit("0:"), col("sh")))).as("h0"),
         (1 until 16).map(j =>
           min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
-      val bands = (0 until 8).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
-      }.reduce(_ unionAll _)
+      // one pass over sig: all 8 band keys exploded from an array
+      // (a unionAll of 8 selects would recompute the 16-way minhash
+      // aggregation 8 times)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 8).map(b =>
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
+          .as(Seq("band", "bkey")))
       val ba = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
       val bb = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"))
       val cand = ba.join(bb, Seq("band", "bkey"))
@@ -267,8 +270,11 @@ object Text {
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("sh"))
-      val inter = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
-        .join(cand, Seq("d1", "d2"), "left_semi")
+      // candidate-bounded intersection: expand candidates by d1's
+      // shingles, then equi-join (d2, sh) — never the full pairwise
+      // shingle join
+      val inter = cand.join(a, Seq("d1"))
+        .join(b, Seq("d2", "sh"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("i"))
       val jac = col("i") * 1.0 / (col("na") + col("nb") - col("i"))
@@ -328,10 +334,11 @@ object Text {
         (0 until 32).map(i =>
           when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      val bands = (0 until 4).map { b =>
-        sim.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("bkey"))
-      }.reduce(_ unionAll _)
+      // one pass over sim: 4 byte-band keys exploded from an array
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255)): _*))
+          .as(Seq("band", "bkey")))
       val ba = bands.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
         col("band"), col("bkey"))
       val bb = bands.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
