@@ -22,8 +22,9 @@ object CdcFunctions {
   val pgEpochToUnixUdf = udf((us: Long) => PgEpoch.toUnixMicros(us))
   val unixToPgEpochUdf = udf((us: Long) => PgEpoch.fromUnixMicros(us))
 
-  def parse_lsn(c: Column): Column = parseLsnUdf(c)
-  def format_lsn(c: Column): Column = formatLsnUdf(c)
+  // native Catalyst expressions (codegen) — see LsnExpressions.scala
+  def parse_lsn(c: Column): Column = GraftFunctions.parse_lsn(c)
+  def format_lsn(c: Column): Column = GraftFunctions.format_lsn(c)
 
   // ---- pgoutput (A15-A28) ----
 

@@ -1,0 +1,79 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the LSN codec (A7) — unlike Scala
+  * UDFs these stay inside whole-stage codegen (no serialization
+  * boundary, no boxing in the generated loop). `GraftFunctions
+  * .register` exposes them to SQL and to the `call_function` Column
+  * wrappers.
+  */
+case class FormatLsnExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "format_lsn"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Lsn.format(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.cdc.Lsn.format($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ParseLsnExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "parse_lsn"
+
+  override def nullSafeEval(v: Any): Any =
+    Lsn.parse(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.Lsn.parse($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** lsn + 1 with uint64 carry — the ack arithmetic (A9). */
+case class LsnPlusOneExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsn_plus_one"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Lsn.plusOne(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"($c + 1L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.functions.call_function
+
+  // Column wrappers resolve through the function registry — call
+  // register() on the session first (idempotent, cheap).
+  def format_lsn(c: Column): Column = call_function("format_lsn", c)
+  def parse_lsn(c: Column): Column = call_function("parse_lsn", c)
+  def lsn_plus_one(c: Column): Column = call_function("lsn_plus_one", c)
+
+  /** Make the functions callable from SQL: format_lsn(x), ... */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("format_lsn",
+      exprs => FormatLsnExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_lsn",
+      exprs => ParseLsnExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lsn_plus_one",
+      exprs => LsnPlusOneExpr(exprs.head), "scala_udf")
+  }
+}

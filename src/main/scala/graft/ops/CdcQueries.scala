@@ -87,6 +87,7 @@ object CdcQueries {
          |  'events' AS table_name, event_id, user_id,
          |  $valueStrSql AS value_str, event_type, event_id AS lsn
          |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
       val payload = concat(
         lit("""{"change":[{"kind":""""), opCol,
         lit("""","schema":"public","table":"events","columnnames":["event_id","user_id","value_str","event_type"],"columntypes":["bigint","bigint","text","text"],"columnvalues":["""),
@@ -209,13 +210,14 @@ object CdcQueries {
         |  id * 4294967311 AS lsn_back,
         |  id * 4294967296 AS next_after_carry
         |FROM range(1, 2001) t(id) ORDER BY id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
       s.range(1, 2001)
         .withColumn("lsn", col("id") * lit(4294967311L))
         .withColumn("lsn_str", format_lsn(col("lsn")))
         .withColumn("lsn_back", parse_lsn(col("lsn_str")))
         // lo-word 0xFFFFFFFF: +1 must carry into the hi word
         .withColumn("next_after_carry",
-          lsnPlusOneUdf(col("id") * lit(4294967296L) - 1))
+          GraftFunctions.lsn_plus_one(col("id") * lit(4294967296L) - 1))
         .select(col("id"), col("lsn_str"), col("lsn_back"),
           col("next_after_carry"))
         .orderBy(col("id"))

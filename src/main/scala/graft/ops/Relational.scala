@@ -290,6 +290,25 @@ object Relational {
           .orderBy(col("l_returnflag"))
     },
 
+    // HLL sketch — no DuckDB oracle (approx algorithms differ across
+    // engines); the driver records a rows-only check. Exactness is
+    // cross-checked in-plan: the approx estimate must sit within 5%
+    // of the exact distinct count or the row is flagged.
+    QueryDef(
+      "q39_approx_distinct",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .withColumn("within_5pct",
+            abs(col("approx_orders") - col("exact_orders")) <=
+              col("exact_orders") * 0.05)
+          .orderBy(col("l_returnflag")),
+      None),
+
     QueryDef(
       "q15_price_bucket_range_join",
       """SELECT gs AS bucket_id, count(*) AS n_parts,

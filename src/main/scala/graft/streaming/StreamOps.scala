@@ -22,6 +22,37 @@ import graft.cdc.CdcFunctions
   */
 object StreamOps {
 
+  /** (lsn, frames) → one row per decoded DML change, with per-
+    * transaction error isolation (the dead-letter pattern, SURVEY
+    * §3.3): a frame sequence that fails to decode yields a single row
+    * with `error` set instead of failing the batch — the streaming
+    * analogue of the reference's per-message error events that keep
+    * the queue draining (`flow-control.spec.ts:128-174`). */
+  def decodedChangesWithErrors(frameLog: DataFrame): DataFrame = {
+    val decode = udf { (lsn: Long, frames: Seq[Array[Byte]]) =>
+      try {
+        CdcFunctions.decodeFrameSequence(frames)
+          .filter(e => e.tag == "insert" || e.tag == "update" || e.tag == "delete")
+          .map { e =>
+            val tuple =
+              if (e.after != null) e.after
+              else if (e.before != null) e.before
+              else if (e.key != null) e.key else Map.empty[String, String]
+            (e.tag, e.schema, e.table, tuple, null: String)
+          }
+      } catch {
+        case ex: Exception =>
+          Seq((null: String, null: String, null: String,
+            Map.empty[String, String], s"${ex.getClass.getSimpleName}: ${ex.getMessage}"))
+      }
+    }
+    frameLog
+      .select(col("lsn"), explode(decode(col("lsn"), col("frames"))).as("c"))
+      .select(col("lsn"), col("c._1").as("op"), col("c._2").as("schema"),
+        col("c._3").as("table"), col("c._4").as("tuple"),
+        col("c._5").as("error"))
+  }
+
   /** (lsn, frames) → one row per decoded DML change. */
   def decodedChanges(frameLog: DataFrame): DataFrame = {
     val decode = udf { (lsn: Long, frames: Seq[Array[Byte]]) =>

@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+
+/** The remaining Part-C streaming operators: stream-stream join within
+  * a watermark, dropDuplicatesWithinWatermark, session_window batch ≡
+  * gaps-and-islands, dead-letter decode, typed refinement, TOAST
+  * recovery, and SQL-registered LSN functions with codegen. */
+class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var logDir: String = _
+
+  private val rel = RelationInfo(801, "public", "items", "default",
+    Seq(ColumnInfo("id", 1, 20, -1, null, null),
+      ColumnInfo("v", 0, 25, -1, null, null)))
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-ops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    logDir = java.nio.file.Files.createTempDirectory("opslog").toString
+    val txs = (1 to 30).map { i =>
+      val lsn = i * 10L
+      val dml =
+        if (i % 3 == 0) PgoutputWriter.delete(801, 'K', Seq((i % 10).toString, null))
+        else PgoutputWriter.insert(801, Seq((i % 10).toString, s"v$i"))
+      (lsn, Seq(PgoutputWriter.begin(lsn, 0L, i.toLong),
+        PgoutputWriter.relation(rel), dml,
+        PgoutputWriter.commit(lsn, lsn + 1, 0L)))
+    }
+    CdcReplaySource.writeLog(logDir, txs)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def changesStream() = {
+    val raw = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", logDir).load()
+    StreamOps.decodedChanges(raw)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("lsn") / 10))
+  }
+
+  test("stream-stream join: deletes matched to their prior insert within watermark") {
+    val ins = changesStream().filter(col("op") === "insert")
+      .select(col("tuple")("id").as("ikey"), col("lsn").as("ilsn"),
+        col("ts").as("its"))
+      .withWatermark("its", "60 seconds")
+    val del = changesStream().filter(col("op") === "delete")
+      .select(col("tuple")("id").as("dkey"), col("lsn").as("dlsn"),
+        col("ts").as("dts"))
+      .withWatermark("dts", "60 seconds")
+
+    val joined = del.join(ins,
+      col("dkey") === col("ikey") && col("ilsn") < col("dlsn") &&
+        col("its") >= col("dts") - expr("INTERVAL 60 SECONDS"),
+      "inner")
+
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckss").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(*) FROM ssjoin").head().getLong(0)
+    assert(n > 0, "expected delete-insert correlations")
+    // every joined row pairs a delete with an earlier insert on same key
+    assert(spark.sql(
+      "SELECT count(*) FROM ssjoin WHERE ilsn >= dlsn OR ikey <> dkey")
+      .head().getLong(0) == 0L)
+  }
+
+  test("dropDuplicatesWithinWatermark collapses at-least-once redelivery") {
+    // simulate redelivery by unioning the stream with itself
+    val once = changesStream()
+    val redelivered = once.union(changesStream())
+      .withWatermark("ts", "60 seconds")
+      .dropDuplicatesWithinWatermark("lsn")
+    val q = redelivered.writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckdd").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM dedup").head().getLong(0) == 30L)
+    assert(spark.sql("SELECT count(DISTINCT lsn) FROM dedup")
+      .head().getLong(0) == 30L)
+  }
+
+  test("session_window batch aggregation matches gaps-and-islands") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("ts_sec")).as("t"), col("ts_sec"))
+
+    val viaSessionWindow = ev
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val viaIslands = ev
+      .withColumn("new_s",
+        when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) >= 1800 ||
+          lag(col("ts_sec"), 1).over(w).isNull, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+
+    val a = viaSessionWindow.orderBy("user_id").collect().map(_.toSeq)
+    val b = viaIslands.orderBy("user_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("dead-letter decode isolates a corrupt transaction") {
+    val badDir = java.nio.file.Files.createTempDirectory("badops").toString
+    CdcReplaySource.writeLog(badDir, Seq(
+      10L -> Seq(PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(801, Seq("1", "ok"))),
+      20L -> Seq(Array[Byte]('Z', 1, 2)), // unknown tag — decode throws
+      30L -> Seq(PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(801, Seq("2", "ok2")))))
+    val out = StreamOps.decodedChangesWithErrors(
+      spark.read.format(CdcReplaySource.FORMAT).option("path", badDir).load())
+    val rows = out.orderBy("lsn").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("op") == "insert" &&
+      rows(0).getAs[String]("error") == null)
+    assert(rows(1).getAs[String]("op") == null &&
+      rows(1).getAs[String]("error").contains("unknown pgoutput message"))
+    assert(rows(2).getAs[String]("op") == "insert")
+  }
+
+  test("typed refinement casts the text-map transport per relation") {
+    val sp = spark; import sp.implicits._
+    val typedRel = RelationInfo(900, "public", "t", "default", Seq(
+      ColumnInfo("id", 1, 20, -1, null, null),      // int8
+      ColumnInfo("n", 0, 23, -1, null, null),       // int4
+      ColumnInfo("ok", 0, 16, -1, null, null),      // bool
+      ColumnInfo("price", 0, 701, -1, null, null))) // float8
+    val df = Seq(
+      (10L, "insert", Map("id" -> "7", "n" -> "42", "ok" -> "true",
+        "price" -> "12.5")),
+      (20L, "insert", Map("id" -> "8", "n" -> null, "ok" -> "false",
+        "price" -> "0.25")))
+      .toDF("lsn", "op", "tuple")
+    val typed = TypedRefinement.typedView(df, "tuple", typedRel)
+    val schema = typed.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("id") == "bigint" && schema("n") == "int" &&
+      schema("ok") == "boolean" && schema("price") == "double")
+    val r = typed.orderBy("lsn").collect()
+    assert(r(0).getAs[Long]("id") == 7L && r(0).getAs[Boolean]("ok"))
+    assert(r(1).isNullAt(r(1).fieldIndex("n")))
+  }
+
+  test("TOAST recovery back-fills from the snapshot") {
+    val sp = spark; import sp.implicits._
+    val changes = Seq(
+      ("1", 100L, Map("id" -> "1", "big" -> null.asInstanceOf[String])),
+      ("2", 110L, Map("id" -> "2", "big" -> "fresh")))
+      .toDF("key", "lsn", "tuple")
+    val snapshot = Seq(
+      ("1", Map("id" -> "1", "big" -> "recovered-from-snapshot")),
+      ("2", Map("id" -> "2", "big" -> "stale")))
+      .toDF("key", "tuple")
+    val out = TypedRefinement.recoverToast(changes, snapshot, Seq("id", "big"))
+      .orderBy("key").collect()
+    assert(out(0).getAs[Map[String, String]]("tuple")("big")
+      == "recovered-from-snapshot")
+    assert(out(1).getAs[Map[String, String]]("tuple")("big") == "fresh")
+  }
+
+  test("LSN functions registered for SQL run inside codegen") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT format_lsn(id * 4294967311) AS s,
+        |       parse_lsn(format_lsn(id * 4294967311)) AS back,
+        |       lsn_plus_one(id * 4294967296 - 1) AS carried
+        |FROM range(1, 100)""".stripMargin)
+    val rows = r.collect()
+    assert(rows.forall(row =>
+      Lsn.parse(row.getAs[String]("s")) == row.getAs[Long]("back")))
+    assert(rows.head.getAs[Long]("carried") == 4294967296L)
+    // codegen-friendly: the plan stays in WholeStageCodegen (asterisked)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stages in:\n$plan")
+  }
+}
