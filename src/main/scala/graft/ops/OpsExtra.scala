@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.cdc._
+
+/** Remaining operator-inventory coverage: the wal2json pushdown
+  * filters applied engine-side (SURVEY §2 B4/B7), GROUPING SETS,
+  * and the date/time + string function surfaces (Part C rows).
+  */
+object OpsExtra {
+  import Tables._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q40_wal2json_filtered_replay",
+      """SELECT event_id,
+        |  CASE WHEN user_id % 3 = 2 THEN 'stats' ELSE 'public' END
+        |    AS schema_name,
+        |  CASE user_id % 3 WHEN 0 THEN 'events_a' WHEN 1 THEN 'events_b'
+        |    ELSE 'events_c' END AS table_name,
+        |  CASE event_type WHEN 'signup' THEN 'insert'
+        |    WHEN 'error' THEN 'delete' ELSE 'update' END AS op
+        |FROM events
+        |WHERE user_id % 3 <> 1
+        |  AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // encode each event as a wal2json document with a schema/table
+      // that depends on the row, decode, then apply the B4/B7 filters
+      val schemaCol = when(col("user_id") % 3 === 2, "stats")
+        .otherwise("public")
+      val tableCol = when(col("user_id") % 3 === 0, "events_a")
+        .when(col("user_id") % 3 === 1, "events_b")
+        .otherwise("events_c")
+      val opCol = when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "error", "delete")
+        .otherwise("update")
+      val payload = concat(
+        lit("""{"change":[{"kind":""""), opCol,
+        lit("""","schema":""""), schemaCol,
+        lit("""","table":""""), tableCol,
+        lit("""","columnnames":["event_id"],"columntypes":["bigint"],"columnvalues":["""),
+        col("event_id"), lit("]}]}"))
+      val decoded = CdcFunctions.wal2jsonChanges(
+        events(s, d).select(payload.as("payload")), col("payload"))
+      val kept = ReplayFilters.actions(
+        ReplayFilters.addTables(decoded, "public.events_a,stats.*"),
+        Seq("insert", "update"))
+      kept.select(
+        col("after")("event_id").cast("long").as("event_id"),
+        col("schema").as("schema_name"),
+        col("table").as("table_name"),
+        col("op"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "q41_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    },
+
+    QueryDef(
+      "q42_datetime_functions",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+        |    AS first_month,
+        |  CAST(max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+        |    o_orderdate)) AS BIGINT) AS max_days_since_95,
+        |  count(*) AS n
+        |FROM orders GROUP BY y, q ORDER BY y, q""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"))
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("first_month"),
+          max(datediff(col("o_orderdate"),
+            lit("1995-01-01").cast("timestamp"))).cast("long")
+            .as("max_days_since_95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("y"), col("q"))
+    },
+
+    QueryDef(
+      "q43_string_functions",
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  replace(c_name, 'Customer', 'Cust') AS shortname,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("shortname"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          length(col("c_name")).cast("long").as("name_len"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+}
