@@ -13,7 +13,9 @@ final class BinaryReader(buf: Array[Byte]) {
   private var p = 0
 
   private def checkSize(n: Int): Unit =
-    if (buf.length < p + n) throw new IllegalArgumentException(
+    // n < 0 (corrupt length field) and p + n overflow must both fail
+    // the decoder's "unexpected end" contract, not leak raw exceptions
+    if (n < 0 || n > buf.length - p) throw new IllegalArgumentException(
       "unexpected end of message")
 
   def position: Int = p

@@ -16,9 +16,6 @@ object CdcFunctions {
 
   // ---- LSN + PG-epoch scalar functions (A7, binary-reader.ts:75-91) ----
 
-  val parseLsnUdf = udf((s: String) => if (s == null) null else Lsn.parse(s): java.lang.Long)
-  val formatLsnUdf = udf((l: Long) => Lsn.format(l))
-  val lsnPlusOneUdf = udf((l: Long) => Lsn.plusOne(l))
   val pgEpochToUnixUdf = udf((us: Long) => PgEpoch.toUnixMicros(us))
   val unixToPgEpochUdf = udf((us: Long) => PgEpoch.fromUnixMicros(us))
 

@@ -19,9 +19,17 @@ object Lsn {
   def parse(s: String): Long = {
     val i = s.indexOf('/')
     require(i > 0 && i < s.length - 1, s"malformed LSN: $s")
-    val hi = java.lang.Long.parseLong(s.substring(0, i), 16)
-    val lo = java.lang.Long.parseLong(s.substring(i + 1), 16)
-    require(hi <= 0xffffffffL && lo <= 0xffffffffL, s"malformed LSN: $s")
+    val hi =
+      try java.lang.Long.parseLong(s.substring(0, i), 16)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"malformed LSN: $s") }
+    val lo =
+      try java.lang.Long.parseLong(s.substring(i + 1), 16)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"malformed LSN: $s") }
+    // signed parse accepts a leading '-'; reject it and the >32-bit range
+    require(hi >= 0 && hi <= 0xffffffffL && lo >= 0 && lo <= 0xffffffffL,
+      s"malformed LSN: $s")
     (hi << 32) | lo
   }
 

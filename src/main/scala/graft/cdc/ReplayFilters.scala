@@ -95,9 +95,11 @@ object ReplayFilters {
   /** B6 message-prefix filters; filter applies before add (`:107`). */
   def msgPrefixFilters(df: DataFrame, filterPrefixes: Seq[String],
       addPrefixes: Seq[String]): DataFrame = {
+    // null prefixes must survive the exclusion filter (three-valued
+    // logic would otherwise drop them: false || NULL = NULL)
     val afterFilter =
       if (filterPrefixes.isEmpty) df
-      else df.filter(col("op") =!= "message" ||
+      else df.filter(col("op") =!= "message" || col("prefix").isNull ||
         !col("prefix").isin(filterPrefixes: _*))
     if (addPrefixes.isEmpty) afterFilter
     else afterFilter.filter(col("op") =!= "message" ||

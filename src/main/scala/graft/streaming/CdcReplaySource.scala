@@ -10,7 +10,6 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.cdc.Lsn
 
@@ -63,7 +62,8 @@ object CdcReplaySource {
   /** Driver-side index scan: all (file, lsn) pairs, lsn-sorted. */
   def lsnIndex(path: String): Seq[Long] =
     listLogFiles(path).flatMap { f =>
-      scala.io.Source.fromFile(f).getLines().map(parseLsn).toList
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(parseLsn).toList finally src.close()
     }.sorted
 
   private[streaming] def parseLsn(line: String): Long = {
@@ -88,8 +88,11 @@ object CdcReplaySource {
 
   def lastAckedLsn(path: String): Option[Long] = {
     val f = ackSidecar(path)
-    if (f.exists) Some(scala.io.Source.fromFile(f).mkString.trim.toLong)
-    else None
+    if (!f.exists) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try Some(src.mkString.trim.toLong) finally src.close()
+    }
   }
 }
 
@@ -167,7 +170,8 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
     val cap = availableNowEnd.getOrElse(Long.MaxValue)
     val pending = index.filter(l => l > s && l <= cap)
     val taken = limit match {
-      case r: ReadMaxRows => pending.take(r.maxRows().toInt)
+      case r: ReadMaxRows =>
+        pending.take(math.min(r.maxRows(), Int.MaxValue.toLong).toInt)
       case _ => pending
     }
     LsnOffset(if (taken.isEmpty) s else taken.last)
@@ -209,25 +213,28 @@ class CdcReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcReplayPartition]
     new PartitionReader[InternalRow] {
-      private val lines = scala.io.Source.fromFile(p.file).getLines()
-        .filter { l =>
-          val lsn = CdcReplaySource.parseLsn(l)
-          lsn > p.startExclusive && lsn <= p.endInclusive
-        }
+      private val source = scala.io.Source.fromFile(p.file)
+      // log files are LSN-sorted per shard (the stream's invariant),
+      // so the tail past endInclusive terminates the scan early; the
+      // LSN is parsed once per line
+      private val rows = source.getLines()
+        .map(l => (CdcReplaySource.parseLsn(l), l))
+        .dropWhile(_._1 <= p.startExclusive)
+        .takeWhile(_._1 <= p.endInclusive)
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        if (!lines.hasNext) return false
-        val line = lines.next()
+        if (!rows.hasNext) return false
+        val (lsn, line) = rows.next()
         val frames = CdcReplaySource.parseFrames(line)
         current = InternalRow(
-          CdcReplaySource.parseLsn(line),
+          lsn,
           org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
             frames.toArray))
         true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = source.close()
     }
   }
 }

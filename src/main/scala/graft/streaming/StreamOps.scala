@@ -22,40 +22,11 @@ import graft.cdc.CdcFunctions
   */
 object StreamOps {
 
-  /** (lsn, frames) → one row per decoded DML change, with per-
-    * transaction error isolation (the dead-letter pattern, SURVEY
-    * §3.3): a frame sequence that fails to decode yields a single row
-    * with `error` set instead of failing the batch — the streaming
-    * analogue of the reference's per-message error events that keep
-    * the queue draining (`flow-control.spec.ts:128-174`). */
-  def decodedChangesWithErrors(frameLog: DataFrame): DataFrame = {
-    val decode = udf { (lsn: Long, frames: Seq[Array[Byte]]) =>
-      try {
-        CdcFunctions.decodeFrameSequence(frames)
-          .filter(e => e.tag == "insert" || e.tag == "update" || e.tag == "delete")
-          .map { e =>
-            val tuple =
-              if (e.after != null) e.after
-              else if (e.before != null) e.before
-              else if (e.key != null) e.key else Map.empty[String, String]
-            (e.tag, e.schema, e.table, tuple, null: String)
-          }
-      } catch {
-        case ex: Exception =>
-          Seq((null: String, null: String, null: String,
-            Map.empty[String, String], s"${ex.getClass.getSimpleName}: ${ex.getMessage}"))
-      }
-    }
-    frameLog
-      .select(col("lsn"), explode(decode(col("lsn"), col("frames"))).as("c"))
-      .select(col("lsn"), col("c._1").as("op"), col("c._2").as("schema"),
-        col("c._3").as("table"), col("c._4").as("tuple"),
-        col("c._5").as("error"))
-  }
-
-  /** (lsn, frames) → one row per decoded DML change. */
-  def decodedChanges(frameLog: DataFrame): DataFrame = {
-    val decode = udf { (lsn: Long, frames: Seq[Array[Byte]]) =>
+  /** One decoded DML change per output element; errors either rethrow
+    * (fail-fast) or become a dead-letter element. */
+  private def decodeTx(frames: Seq[Array[Byte]], failFast: Boolean)
+      : Seq[(String, String, String, Map[String, String], String)] =
+    try {
       CdcFunctions.decodeFrameSequence(frames)
         .filter(e => e.tag == "insert" || e.tag == "update" || e.tag == "delete")
         .map { e =>
@@ -63,14 +34,36 @@ object StreamOps {
             if (e.after != null) e.after
             else if (e.before != null) e.before
             else if (e.key != null) e.key else Map.empty[String, String]
-          (e.tag, e.schema, e.table, tuple)
+          (e.tag, e.schema, e.table, tuple, null: String)
         }
+    } catch {
+      case ex: Exception if !failFast =>
+        Seq((null, null, null, Map.empty[String, String],
+          s"${ex.getClass.getSimpleName}: ${ex.getMessage}"))
     }
+
+  private def decoded(frameLog: DataFrame, failFast: Boolean): DataFrame = {
+    val decode = udf((frames: Seq[Array[Byte]]) => decodeTx(frames, failFast))
     frameLog
-      .select(col("lsn"), explode(decode(col("lsn"), col("frames"))).as("c"))
+      .select(col("lsn"), explode(decode(col("frames"))).as("c"))
       .select(col("lsn"), col("c._1").as("op"), col("c._2").as("schema"),
-        col("c._3").as("table"), col("c._4").as("tuple"))
+        col("c._3").as("table"), col("c._4").as("tuple"),
+        col("c._5").as("error"))
   }
+
+  /** (lsn, frames) → one row per decoded DML change, with per-
+    * transaction error isolation (the dead-letter pattern, SURVEY
+    * §3.3): a frame sequence that fails to decode yields a single row
+    * with `error` set instead of failing the batch — the streaming
+    * analogue of the reference's per-message error events that keep
+    * the queue draining (`flow-control.spec.ts:128-174`). */
+  def decodedChangesWithErrors(frameLog: DataFrame): DataFrame =
+    decoded(frameLog, failFast = false)
+
+  /** (lsn, frames) → one row per decoded DML change; decode errors
+    * fail the batch (use [[decodedChangesWithErrors]] to isolate). */
+  def decodedChanges(frameLog: DataFrame): DataFrame =
+    decoded(frameLog, failFast = true).drop("error")
 
   final case class KeyedChange(table: String, key: String, lsn: Long,
       op: String, tuple: Map[String, String])
@@ -116,7 +109,13 @@ object StreamOps {
   /** Idempotent foreachBatch merge: latest-by-(table,key,lsn) upsert
     * into a parquet snapshot dir — the replay-safe sink (a real
     * deployment would MERGE into a transactional table; parquet
-    * rewrite keeps the demo dependency-free). */
+    * rewrite keeps the demo dependency-free).
+    *
+    * Delete tombstones are KEPT in the stored state: replayed stale
+    * updates arriving in a later batch than the delete (at-least-once
+    * with maxFramesPerTrigger splits) must lose the max_by(lsn) merge
+    * against the tombstone, or deleted keys would resurrect. Read the
+    * live view with [[readSnapshot]]. */
   def upsertBatch(snapshotDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val incoming = batch.select("table", "key", "lsn", "op", "tuple")
@@ -132,7 +131,6 @@ object StreamOps {
         .as("last"))
       .select(col("table"), col("key"), col("last.lsn").as("lsn"),
         col("last.op").as("op"), col("last.tuple").as("tuple"))
-      .filter(col("op") =!= "delete")
     val tmp = snapshotDir + "_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val fs = new java.io.File(snapshotDir)
@@ -142,6 +140,12 @@ object StreamOps {
       }
       del(fs)
     }
-    new java.io.File(tmp).renameTo(fs)
+    if (!new java.io.File(tmp).renameTo(fs))
+      throw new java.io.IOException(
+        s"failed to publish snapshot: rename $tmp -> $snapshotDir")
   }
+
+  /** Live rows of the stored snapshot (tombstones filtered). */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(snapshotDir).filter(col("op") =!= "delete")
 }

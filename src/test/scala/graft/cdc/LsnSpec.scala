@@ -36,6 +36,12 @@ class LsnSpec extends AnyFunSuite {
     assert(Lsn.format(Lsn.plusOne(atBoundary)) == "00000006/00000000")
   }
 
+  test("signed hex words are rejected (not silently corrupted)") {
+    intercept[IllegalArgumentException] { Lsn.parse("-1/0") }
+    intercept[IllegalArgumentException] { Lsn.parse("16/-B374") }
+    intercept[IllegalArgumentException] { Lsn.parse("100000000/0") } // > 32 bits
+  }
+
   test("unsigned compare") {
     assert(Lsn.compare(-1L, 1L) > 0) // 0xFFFF.../... is the largest
     assert(Lsn.compare(1L, 2L) < 0)

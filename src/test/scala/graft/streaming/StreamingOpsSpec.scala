@@ -185,6 +185,18 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getAs[Map[String, String]]("tuple")("big") == "fresh")
   }
 
+  test("msg-prefix exclusion keeps null-prefix messages (3VL)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      ("message", "noisy"), ("message", null.asInstanceOf[String]),
+      ("message", "keep"), ("insert", null.asInstanceOf[String]))
+      .toDF("op", "prefix")
+    val out = ReplayFilters.msgPrefixFilters(df, Seq("noisy"), Nil)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("message", null), ("message", "keep"),
+      ("insert", null)))
+  }
+
   test("LSN functions registered for SQL run inside codegen") {
     GraftFunctions.register(spark)
     val r = spark.sql(

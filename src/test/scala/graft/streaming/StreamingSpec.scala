@@ -174,12 +174,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fresh checkpoint ⇒ full replay from 0/00000000 ⇒ duplicates
     runOnce("b")
 
-    val snap = spark.read.parquet(snapshotDir)
+    val snap = StreamOps.readSnapshot(spark, snapshotDir)
       .collect()
       .map(r => r.getAs[String]("key") ->
         (r.getAs[Long]("lsn"), r.getAs[Map[String, String]]("tuple")("name")))
       .toMap
     assert(snap == expectedSnapshot())
+  }
+
+  test("stale replayed update cannot resurrect a deleted key (tombstones)") {
+    val snapshotDir =
+      java.nio.file.Files.createTempDirectory("tomb").toString + "/snap"
+
+    def run(dir: String, tag: String): Unit = {
+      val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", dir).load()
+      val changes = StreamOps.decodedChanges(stream)
+        .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+          col("op"), col("tuple"))
+      val q = changes.writeStream
+        .foreachBatch(StreamOps.upsertBatch(snapshotDir) _)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"cktomb$tag").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // full history: insert then delete
+    val fullDir = java.nio.file.Files.createTempDirectory("tombfull").toString
+    CdcReplaySource.writeLog(fullDir, Seq(
+      10L -> Seq(PgoutputWriter.relation(usersRel),
+        PgoutputWriter.insert(777, Seq("99", "ghost"))),
+      20L -> Seq(PgoutputWriter.relation(usersRel),
+        PgoutputWriter.delete(777, 'K', Seq("99", null)))))
+    run(fullDir, "a")
+    assert(StreamOps.readSnapshot(spark, snapshotDir)
+      .filter(col("key") === "99").count() == 0L)
+
+    // redelivered stale chunk: only the old insert, in its own batch
+    val staleDir = java.nio.file.Files.createTempDirectory("tombstale").toString
+    CdcReplaySource.writeLog(staleDir, Seq(
+      10L -> Seq(PgoutputWriter.relation(usersRel),
+        PgoutputWriter.insert(777, Seq("99", "ghost")))))
+    run(staleDir, "b")
+    // the lsn-20 tombstone must still win the merge
+    assert(StreamOps.readSnapshot(spark, snapshotDir)
+      .filter(col("key") === "99").count() == 0L)
   }
 
   test("windowed op counts with watermark over commit time") {
