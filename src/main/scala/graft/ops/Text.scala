@@ -40,14 +40,16 @@ object Text {
   private def withToks(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("toks", toksCol)
 
-  /** word 3-gram shingles, distinct per doc (engine side). */
+  /** word 3-gram shingles, distinct per doc (engine side). The dedup
+    * happens map-side inside the array (`array_distinct` before the
+    * explode) — a post-explode `.distinct()` would shuffle the full
+    * shingle stream just to dedupe within each document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     withToks(s, d)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks)-3), i -> " +
-          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
-      .distinct()
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
 
   /** identical shingle extraction for the DuckDB oracle (1-based). */
   private val shinglesSql =
