@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Heartbeat/liveness surface for cdc-replay streams (SURVEY §2
+  * A8/A11: the reference's keepalive events and 1 s standby timer
+  * surface here as `StreamingQueryListener` progress events). Each
+  * micro-batch progress carries the source's end offset — which for
+  * cdc-replay IS the LSN — so downstream monitoring gets the same
+  * (lsn, clock, rows) triple the reference emits per keepalive.
+  */
+final class CdcProgressListener extends StreamingQueryListener {
+
+  final case class Heartbeat(
+      queryName: String,
+      lsn: Long,
+      timestampMs: Long,
+      numInputRows: Long)
+
+  private val events = new ConcurrentLinkedQueue[Heartbeat]()
+
+  def heartbeats: Seq[Heartbeat] = events.asScala.toSeq
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    p.sources
+      // other sources (e.g. rate) also serialize digit-only offsets —
+      // only cdc-replay streams feed the heartbeat surface (progress
+      // descriptions carry the stream class name)
+      .filter(s => Option(s.description).exists(_.contains("CdcReplayStream")))
+      .foreach { s =>
+        // cdc-replay offsets serialize as the bare LSN (LsnOffset.json)
+        val end = Option(s.endOffset).map(_.trim)
+        end.filter(e => e.nonEmpty && e.forall(_.isDigit)).foreach { lsnStr =>
+          events.add(Heartbeat(
+            Option(p.name).getOrElse(p.id.toString),
+            lsnStr.toLong,
+            java.time.Instant.parse(p.timestamp).toEpochMilli,
+            p.numInputRows))
+        }
+      }
+  }
+}

@@ -185,6 +185,59 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getAs[Map[String, String]]("tuple")("big") == "fresh")
   }
 
+  test("progress listener surfaces LSN heartbeats (keepalive analogue)") {
+    val listener = new CdcProgressListener
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", logDir)
+        .option("maxFramesPerTrigger", "10")
+        .load()
+        .writeStream.format("memory").queryName("hb")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckhb").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // listener events are delivered asynchronously
+      var tries = 0
+      while (listener.heartbeats.size < 3 && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val hbs = listener.heartbeats.filter(_.queryName == "hb")
+      assert(hbs.nonEmpty, "expected heartbeats from the hb query")
+      // LSNs advance monotonically to the log's end
+      val lsns = hbs.map(_.lsn).filter(_ > 0)
+      assert(lsns == lsns.sorted)
+      assert(lsns.last == 300L)
+      assert(hbs.map(_.numInputRows).sum == 30L)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("huge transaction streams incrementally (O6 parity)") {
+    // one transaction carrying 50k row-updates — the reference's
+    // 500k-row fixture shape, scaled for test time; must stream
+    // through decode + aggregation without materializing per-row state
+    val bigDir = java.nio.file.Files.createTempDirectory("huge").toString
+    val n = 50000
+    val frames = Seq(PgoutputWriter.begin(1000L, 0L, 1L),
+      PgoutputWriter.relation(rel)) ++
+      (1 to n).map(i => PgoutputWriter.update(801, 'N', Nil,
+        Seq((i % 1000).toString, s"v$i"))) :+
+      PgoutputWriter.commit(1000L, 1001L, 0L)
+    CdcReplaySource.writeLog(bigDir, Seq(1000L -> frames))
+
+    val t0 = System.nanoTime()
+    val counts = StreamOps.decodedChanges(
+      spark.read.format(CdcReplaySource.FORMAT).option("path", bigDir).load())
+      .groupBy(col("tuple")("id")).count()
+    assert(counts.count() == 1000L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"$n row-updates decoded+aggregated in $secs%.1f s")
+    assert(secs < 60, s"huge tx took $secs s") // reference budget: 100 s for 10x rows
+  }
+
   test("msg-prefix exclusion keeps null-prefix messages (3VL)") {
     val sp = spark; import sp.implicits._
     val df = Seq(
