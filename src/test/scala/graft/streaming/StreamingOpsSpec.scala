@@ -215,6 +215,24 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("sliding windows: 10s window sliding by 5s doubles coverage") {
+    // 30 events at 1s spacing; each lands in two overlapping windows
+    val counts = changesStream()
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("slide")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cksl").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val total = spark.sql("SELECT sum(n) FROM slide").head().getLong(0)
+    val wins = spark.sql("SELECT count(*) FROM slide").head().getLong(0)
+    assert(total == 60L, s"each of 30 events must appear in 2 windows, got $total")
+    assert(wins >= 6)
+  }
+
   test("huge transaction streams incrementally (O6 parity)") {
     // one transaction carrying 50k row-updates — the reference's
     // 500k-row fixture shape, scaled for test time; must stream
