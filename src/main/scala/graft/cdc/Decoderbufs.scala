@@ -223,6 +223,17 @@ object Decoderbufs {
       .writeTag(6, 1).writeFixed64(java.lang.Double.doubleToLongBits(v))
       .result()
 
+  def encodeDatumPoint(name: String, columnType: Long, x: Double,
+      y: Double): Array[Byte] = {
+    val point = new PbWriter()
+      .writeTag(1, 1).writeFixed64(java.lang.Double.doubleToLongBits(x))
+      .writeTag(2, 1).writeFixed64(java.lang.Double.doubleToLongBits(y))
+      .result()
+    new PbWriter().writeString(1, name)
+      .writeTag(2, 0).writeVarint(columnType)
+      .writeBytes(10, point).result()
+  }
+
   def encodeRow(xid: Long, commitTimeMicros: Long, table: String, op: Int,
       newTuple: Seq[Array[Byte]], oldTuple: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val w = new PbWriter()

@@ -65,6 +65,18 @@ object StreamOps {
   def decodedChanges(frameLog: DataFrame): DataFrame =
     decoded(frameLog, failFast = true).drop("error")
 
+  /** Rollback invisibility (reference `decoder-pgoutput.spec.ts:
+    * 235-274`): PostgreSQL only streams committed transactions, so a
+    * frame sequence lacking its commit frame — e.g. a writer crashed
+    * mid-append — must contribute NO changes. This variant drops
+    * uncommitted sequences entirely. */
+  def decodedCommittedChanges(frameLog: DataFrame): DataFrame = {
+    val committed = udf { frames: Seq[Array[Byte]] =>
+      frames.nonEmpty && frames.exists(f => f.nonEmpty && f(0) == 'C')
+    }
+    decodedChanges(frameLog.filter(committed(col("frames"))))
+  }
+
   final case class KeyedChange(table: String, key: String, lsn: Long,
       op: String, tuple: Map[String, String])
   final case class SnapshotRow(table: String, key: String, lsn: Long,

@@ -110,6 +110,15 @@ class DecoderbufsSpec extends AnyFunSuite {
     assert(e.after("gone") == null)
   }
 
+  test("Point datum roundtrips through the oneof") {
+    val row = Decoderbufs.decode(Decoderbufs.encodeRow(1L, 0L, "public.geo",
+      Decoderbufs.OpInsert,
+      Seq(Decoderbufs.encodeDatumPoint("loc", 600, 1.5, -2.25))))
+    val d = row.newTuple.head
+    assert(d.kind == "point" && d.pointX == 1.5 && d.pointY == -2.25)
+    assert(Decoderbufs.toChangeEvent(row).after("loc") == "(1.5,-2.25)")
+  }
+
   test("delete carries old tuple; begin/commit map to tags") {
     val del = Decoderbufs.decode(Decoderbufs.encodeRow(1L, 0L, "public.t",
       Decoderbufs.OpDelete, Nil,

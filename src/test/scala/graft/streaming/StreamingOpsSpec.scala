@@ -215,6 +215,29 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("uncommitted transactions are invisible (rollback semantics)") {
+    val mixDir = java.nio.file.Files.createTempDirectory("rollbk").toString
+    CdcReplaySource.writeLog(mixDir, Seq(
+      10L -> Seq(PgoutputWriter.begin(10L, 0L, 1L),
+        PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(801, Seq("1", "committed")),
+        PgoutputWriter.commit(10L, 11L, 0L)),
+      // writer crashed mid-append: no commit frame
+      20L -> Seq(PgoutputWriter.begin(20L, 0L, 2L),
+        PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(801, Seq("2", "uncommitted"))),
+      30L -> Seq(PgoutputWriter.begin(30L, 0L, 3L),
+        PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(801, Seq("3", "committed2")),
+        PgoutputWriter.commit(30L, 31L, 0L))))
+    val df = spark.read.format(CdcReplaySource.FORMAT)
+      .option("path", mixDir).load()
+    assert(StreamOps.decodedChanges(df).count() == 3L) // raw: all three
+    val committed = StreamOps.decodedCommittedChanges(df)
+    assert(committed.count() == 2L)
+    assert(committed.filter(col("tuple")("v") === "uncommitted").count() == 0L)
+  }
+
   test("sliding windows: 10s window sliding by 5s doubles coverage") {
     // 30 events at 1s spacing; each lands in two overlapping windows
     val counts = changesStream()
