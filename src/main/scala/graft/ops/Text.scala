@@ -197,30 +197,38 @@ object Text {
       "q25_ngram_jaccard_pairs",
       s"""WITH shingles AS ($shinglesSql),
          |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM shingles a JOIN shingles b
+         |sn AS (SELECT s.doc_id, s.sh, c.n FROM shingles s
+         |       JOIN cnt c ON c.doc_id = s.doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM sn a JOIN sn b
          |    ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+         |  GROUP BY 1, 2, 3, 4)
          |SELECT d1, d2,
-         |  CAST(floor(inter * 10000.0 / (ca.n + cb.n - inter)) AS BIGINT)
+         |  CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
          |    AS jaccard_4
          |FROM pairs
-         |JOIN cnt ca ON ca.doc_id = d1
-         |JOIN cnt cb ON cb.doc_id = d2
-         |WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.6
+         |WHERE inter * 1.0 / (na + nb - inter) >= 0.6
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // Exact size-ratio pruning: J(A,B) >= 0.6 forces
+      // min(|A|,|B|)/max(|A|,|B|) >= 0.6, so pairs violating
+      // 5*min >= 3*max can be dropped inside the shingle join itself
+      // (before the count aggregation) without losing any result —
+      // the quadratic baseline then only aggregates plausible pairs.
       val sh = shingles(s, d).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("d1"), col("sh"))
-      val b = sh.select(col("doc_id").as("d2"), col("sh"))
-      val pairs = a.join(b, a("sh") === b("sh") && col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2"))
+      val sn = sh.join(broadcast(cnt), "doc_id")
+      val a = sn.select(col("doc_id").as("d1"), col("sh"), col("n").as("na"))
+      val b = sn.select(col("doc_id").as("d2"), col("sh"), col("n").as("nb"))
+      val pairs = a.join(b,
+          a("sh") === b("sh") && col("d1") < col("d2") &&
+            col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+        .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
         .agg(count(lit(1)).as("inter"))
       val jac = col("inter") * 1.0 /
         (col("na") + col("nb") - col("inter"))
       pairs
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
         .filter(jac >= 0.6)
         .select(col("d1"), col("d2"),
           floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
