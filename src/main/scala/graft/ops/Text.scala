@@ -59,6 +59,13 @@ object Text {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Affine minhash family h_j(x) = (a_j·x + b_j) mod 2³¹−1 — the one
+    * source of truth for both the Spark plan and the oracle SQL. */
+  private val minhashA: Seq[Long] =
+    (0 until 16).map(j => (1099087573L * (j + 1)) % 2147483647L)
+  private val minhashB: Seq[Long] =
+    (0 until 16).map(j => (2654435761L * (j + 7)) % 2147483647L)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q21_token_stats_per_lang",
@@ -250,24 +257,14 @@ object Text {
          |    + (strpos('0123456789abcdef', substr(md5(sh), 8, 1)) - 1) AS h32
          |  FROM shingles),
          |sig AS (SELECT doc_id,
-         |  min((1099087573 * h32 + 1401181151) % 2147483647) AS h0, min((50691499 * h32 + 1908133265) % 2147483647) AS h1, min((1149779072 * h32 + 267601732) % 2147483647) AS h2, min((101382998 * h32 + 774553846) % 2147483647) AS h3, min((1200470571 * h32 + 1281505960) % 2147483647) AS h4, min((152074497 * h32 + 1788458074) % 2147483647) AS h5, min((1251162070 * h32 + 147926541) % 2147483647) AS h6, min((202765996 * h32 + 654878655) % 2147483647) AS h7, min((1301853569 * h32 + 1161830769) % 2147483647) AS h8, min((253457495 * h32 + 1668782883) % 2147483647) AS h9, min((1352545068 * h32 + 28251350) % 2147483647) AS h10, min((304148994 * h32 + 535203464) % 2147483647) AS h11, min((1403236567 * h32 + 1042155578) % 2147483647) AS h12, min((354840493 * h32 + 1549107692) % 2147483647) AS h13, min((1453928066 * h32 + 2056059806) % 2147483647) AS h14, min((405531992 * h32 + 415528273) % 2147483647) AS h15
+         |  ${(0 until 16).map(j =>
+             s"min((${minhashA(j)} * h32 + ${minhashB(j)}) % 2147483647) AS h$j")
+             .mkString(", ")}
          |  FROM sh32 GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, 0 AS band, h0 * 2147483648 + h1 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, h2 * 2147483648 + h3 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 2 AS band, h4 * 2147483648 + h5 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 3 AS band, h6 * 2147483648 + h7 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 4 AS band, h8 * 2147483648 + h9 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 5 AS band, h10 * 2147483648 + h11 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 6 AS band, h12 * 2147483648 + h13 AS bkey FROM sig
-  UNION ALL
-  SELECT doc_id, 7 AS band, h14 * 2147483648 + h15 AS bkey FROM sig),
+         |  ${(0 until 8).map(b =>
+             s"SELECT doc_id, $b AS band, h${2 * b} * 2147483648 + h${2 * b + 1} AS bkey FROM sig")
+             .mkString("\n  UNION ALL\n  ")}),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -285,14 +282,13 @@ object Text {
       // minhash family: one md5 per shingle reduced to 32 bits, then
       // 16 affine permutations (a*h+b mod 2^31-1) — integer ops are
       // engine-identical and ~16x cheaper than per-permutation md5
-      val hA = Seq(1099087573L, 50691499L, 1149779072L, 101382998L, 1200470571L, 152074497L, 1251162070L, 202765996L, 1301853569L, 253457495L, 1352545068L, 304148994L, 1403236567L, 354840493L, 1453928066L, 405531992L)
-      val hB = Seq(1401181151L, 1908133265L, 267601732L, 774553846L, 1281505960L, 1788458074L, 147926541L, 654878655L, 1161830769L, 1668782883L, 28251350L, 535203464L, 1042155578L, 1549107692L, 2056059806L, 415528273L)
       val withH = sh.withColumn("h32",
         conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
       val sig = withH.groupBy(col("doc_id")).agg(
-        min((lit(hA(0)) * col("h32") + lit(hB(0))) % 2147483647L).as("h0"),
+        min((lit(minhashA(0)) * col("h32") + lit(minhashB(0))) % 2147483647L)
+          .as("h0"),
         (1 until 16).map(j =>
-          min((lit(hA(j)) * col("h32") + lit(hB(j))) % 2147483647L)
+          min((lit(minhashA(j)) * col("h32") + lit(minhashB(j))) % 2147483647L)
             .as(s"h$j")): _*)
       // one pass over sig: all 8 band keys exploded from an array;
       // bkey pairs two 31-bit minhashes into one 62-bit integer

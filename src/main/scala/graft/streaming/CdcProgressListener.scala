@@ -1,10 +1,21 @@
 package graft.streaming
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+object CdcProgressListener {
+  /** One keepalive-equivalent observation: per-source LSN + clock +
+    * that source's row count for the micro-batch. */
+  final case class Heartbeat(
+      queryName: String,
+      lsn: Long,
+      timestampMs: Long,
+      numInputRows: Long)
+}
 
 /** Heartbeat/liveness surface for cdc-replay streams (SURVEY §2
   * A8/A11: the reference's keepalive events and 1 s standby timer
@@ -12,18 +23,30 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * micro-batch progress carries the source's end offset — which for
   * cdc-replay IS the LSN — so downstream monitoring gets the same
   * (lsn, clock, rows) triple the reference emits per keepalive.
+  *
+  * The buffer is bounded (oldest dropped past `maxRetained`); use
+  * [[drainHeartbeats]] for continuous consumption.
   */
-final class CdcProgressListener extends StreamingQueryListener {
-
-  final case class Heartbeat(
-      queryName: String,
-      lsn: Long,
-      timestampMs: Long,
-      numInputRows: Long)
+final class CdcProgressListener(maxRetained: Int = 1024)
+    extends StreamingQueryListener {
+  import CdcProgressListener.Heartbeat
 
   private val events = new ConcurrentLinkedQueue[Heartbeat]()
+  private val retained = new AtomicInteger(0)
 
   def heartbeats: Seq[Heartbeat] = events.asScala.toSeq
+
+  /** Remove and return everything observed so far. */
+  def drainHeartbeats(): Seq[Heartbeat] = {
+    val out = Seq.newBuilder[Heartbeat]
+    var h = events.poll()
+    while (h != null) {
+      retained.decrementAndGet()
+      out += h
+      h = events.poll()
+    }
+    out.result()
+  }
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
@@ -43,7 +66,11 @@ final class CdcProgressListener extends StreamingQueryListener {
             Option(p.name).getOrElse(p.id.toString),
             lsnStr.toLong,
             java.time.Instant.parse(p.timestamp).toEpochMilli,
-            p.numInputRows))
+            s.numInputRows))
+          if (retained.incrementAndGet() > maxRetained) {
+            events.poll()
+            retained.decrementAndGet()
+          }
         }
       }
   }

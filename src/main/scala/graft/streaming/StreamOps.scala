@@ -66,13 +66,17 @@ object StreamOps {
     decoded(frameLog, failFast = true).drop("error")
 
   /** Rollback invisibility (reference `decoder-pgoutput.spec.ts:
-    * 235-274`): PostgreSQL only streams committed transactions, so a
-    * frame sequence lacking its commit frame — e.g. a writer crashed
-    * mid-append — must contribute NO changes. This variant drops
-    * uncommitted sequences entirely. */
+    * 235-274`): PostgreSQL only streams committed transactions. A log
+    * entry is one transaction; it counts as committed only when its
+    * commit frame TERMINATES the sequence — a commit followed by more
+    * frames means a second transaction started and never committed,
+    * and those trailing changes must not leak through. */
   def decodedCommittedChanges(frameLog: DataFrame): DataFrame = {
     val committed = udf { frames: Seq[Array[Byte]] =>
-      frames.nonEmpty && frames.exists(f => f.nonEmpty && f(0) == 'C')
+      frames.nonEmpty && {
+        val last = frames.last
+        last.nonEmpty && last(0) == 'C'
+      }
     }
     decodedChanges(frameLog.filter(committed(col("frames"))))
   }

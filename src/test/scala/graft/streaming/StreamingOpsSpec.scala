@@ -236,6 +236,21 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val committed = StreamOps.decodedCommittedChanges(df)
     assert(committed.count() == 2L)
     assert(committed.filter(col("tuple")("v") === "uncommitted").count() == 0L)
+
+    // a commit frame that does NOT terminate the entry (second tx
+    // started after it, never committed) must not leak its changes
+    val fragDir = java.nio.file.Files.createTempDirectory("frag").toString
+    CdcReplaySource.writeLog(fragDir, Seq(
+      40L -> Seq(PgoutputWriter.begin(40L, 0L, 4L),
+        PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(801, Seq("4", "committed")),
+        PgoutputWriter.commit(40L, 41L, 0L),
+        PgoutputWriter.begin(50L, 0L, 5L),
+        PgoutputWriter.insert(801, Seq("5", "trailing-uncommitted")))))
+    val frag = StreamOps.decodedCommittedChanges(
+      spark.read.format(CdcReplaySource.FORMAT).option("path", fragDir).load())
+    assert(frag.filter(col("tuple")("v") === "trailing-uncommitted")
+      .count() == 0L)
   }
 
   test("sliding windows: 10s window sliding by 5s doubles coverage") {
