@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents`: duplicate-cluster
+  * assignment (connected components over the near-dup graph),
+  * deterministic hash-based dataset splits, document-frequency-weighted
+  * term scoring, and exact rank-based percentiles.
+  *
+  * Cross-engine determinism: all scores are integer arithmetic
+  * (`DIV` ≡ DuckDB `//`); the split hash is the md5-derived 32-bit
+  * integer both engines compute identically; the median is the mean of
+  * at most two integers (exact 0.5-lattice double).
+  *
+  * Scale notes (100 TB):
+  *  - q45's component search is iterative min-label propagation —
+  *    every iteration is one keyed join + one keyed aggregation, both
+  *    partitioned by node id, with `localCheckpoint` truncating the
+  *    lineage so the plan does not grow with iteration count.
+  *    Convergence is O(graph diameter); near-dup clusters are shallow
+  *    (size 2–4 here), and a skew-prone giant component would call for
+  *    the large-star/small-star variant — same join shape, fewer
+  *    rounds. The driver-side loop only ever inspects a scalar
+  *    changed-row count, never row data.
+  *  - q46's split is a pure map-side hash + one partial+final agg —
+  *    the canonical shuffle-free way to split 100 TB reproducibly
+  *    (no sampling, no global sort, stable under re-runs and
+  *    repartitioning).
+  *  - q47 is two keyed aggregations (term×lang tf, term df) joined on
+  *    term; df for common terms is bounded by |docs| so no key is
+  *    hotter than the corpus itself.
+  *  - q48 ranks within language partitions only (no global sort) and
+  *    reduces each to a 3-number summary.
+  */
+object Pipeline {
+  import Tables._
+  import Text.{jaccardPairs, jaccardPairsSql, shinglesSql, toksSql, withToks}
+
+  /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
+    * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
+  private[ops] def h32Sql(e: String): String =
+    (0 until 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q45_dedup_clusters",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+         |SELECT root, count(*) AS cluster_size, max(doc_id) AS max_doc
+         |FROM root GROUP BY root ORDER BY root""".stripMargin) { (s, d) =>
+      // Connected components over the Jaccard>=0.6 near-dup graph:
+      // min-label propagation to a fixpoint. The oracle computes the
+      // same components via a recursive transitive closure (fine at
+      // oracle scale; quadratic in component size, which is why the
+      // engine side propagates labels instead).
+      val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      val edges = pairs
+        .union(pairs.select(col("d2"), col("d1")))
+        .toDF("a", "b")
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val msgs = edges
+          .join(labels.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"), col("label"))
+        val next = labels.union(msgs)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val changed = next
+          .join(labels.withColumnRenamed("label", "prev"), "node")
+          .filter(col("label") < col("prev"))
+          .count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+        .groupBy(col("label").as("root"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
+        .orderBy(col("root"))
+    },
+
+    QueryDef(
+      "q46_hash_split",
+      s"""SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM (SELECT lang, len($toksSql) AS n_toks,
+         |        (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+         |      FROM documents)
+         |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          size(Text.toksCol).cast("long").as("n_toks"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split"))
+    },
+
+    QueryDef(
+      "q47_top_terms_per_lang",
+      s"""WITH tok AS (SELECT lang, doc_id, unnest($toksSql) AS term
+         |             FROM documents),
+         |tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |scored AS (SELECT lang, term, tf, df,
+         |    tf * n_total * 1000000 // df AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT lang, rn, term, tf, df, score FROM (
+         |  SELECT lang, term, tf, df, score, row_number() OVER (
+         |    PARTITION BY lang ORDER BY score DESC, term) AS rn FROM scored)
+         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      // Integer-scaled tf-idf surrogate tf·N·10^6 ÷ df: rare terms with
+      // high in-language frequency rank first, with no transcendental
+      // function in the score (ln() is not bit-identical across
+      // engines; an integer ratio is).
+      val tok = withToks(s, d)
+        .select(col("lang"), col("doc_id"), explode(col("toks")).as("term"))
+      val tf = tok.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("term"), col("doc_id")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nTotal = documents(s, d).agg(count(lit(1)).as("n_total"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nTotal))
+        .withColumn("score", expr("tf * n_total * 1000000 DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    QueryDef(
+      "q48_token_percentiles",
+      s"""WITH base AS (SELECT lang, doc_id, len($toksSql) AS n_toks
+         |              FROM documents),
+         |ranked AS (SELECT lang, n_toks,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY n_toks, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM base)
+         |SELECT lang, count(*) AS n_docs,
+         |  avg(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |           THEN n_toks END) AS median_tokens,
+         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_toks END)
+         |    AS p90_tokens
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // Exact discrete percentiles from the rank formula — the mean of
+      // the one or two middle integers (an exact 0.5-lattice double)
+      // and the ceil(0.9·n)-th value; no interpolation semantics to
+      // disagree on.
+      val base = withToks(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_toks"), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          avg(when(col("rn") === expr("(n + 1) DIV 2") ||
+            col("rn") === expr("(n + 2) DIV 2"), col("n_toks")))
+            .as("median_tokens"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("n_toks")))
+            .as("p90_tokens"))
+        .orderBy(col("lang"))
+    }
+  )
+}

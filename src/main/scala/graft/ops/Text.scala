@@ -31,20 +31,20 @@ object Text {
 
   // ---- shared tokenization (identical in oracle SQL) ----
 
-  private def toksCol: Column =
+  private[ops] def toksCol: Column =
     filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
 
-  private val toksSql =
+  private[ops] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
 
-  private def withToks(s: SparkSession, d: String): DataFrame =
+  private[ops] def withToks(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("toks", toksCol)
 
   /** word 3-gram shingles, distinct per doc (engine side). The dedup
     * happens map-side inside the array (`array_distinct` before the
     * explode) — a post-explode `.distinct()` would shuffle the full
     * shingle stream just to dedupe within each document. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingles(s: SparkSession, d: String): DataFrame =
     withToks(s, d)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -52,10 +52,45 @@ object Text {
           "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
 
   /** identical shingle extraction for the DuckDB oracle (1-based). */
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     s"""SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents),
        |     UNNEST(range(1, len(toks) - 1)) AS t(i)""".stripMargin
+
+  /** Exact n-gram-Jaccard near-dup pairs (d1 < d2, J >= 0.6), with the
+    * size-ratio bound pushed into the shared-shingle join — the core of
+    * q25, reused by q45's duplicate-cluster graph. Columns:
+    * d1, d2, na, nb, inter. */
+  private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sn = sh.join(broadcast(cnt), "doc_id")
+    val a = sn.select(col("doc_id").as("d1"), col("sh"), col("n").as("na"))
+    val b = sn.select(col("doc_id").as("d2"), col("sh"), col("n").as("nb"))
+    val jac = col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
+    a.join(b,
+        a("sh") === b("sh") && col("d1") < col("d2") &&
+          col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+      .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(jac >= 0.6)
+  }
+
+  /** Oracle mirror of [[jaccardPairs]] as CTE bodies; prepend
+    * `WITH [RECURSIVE] shingles AS (shinglesSql), ...` and select from
+    * `jpairs(d1, d2)`. */
+  private[ops] val jaccardPairsSql =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+      |sn AS (SELECT s.doc_id, s.sh, c.n FROM shingles s
+      |       JOIN cnt c ON c.doc_id = s.doc_id),
+      |jp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.n AS na, b.n AS nb, count(*) AS inter
+      |  FROM sn a JOIN sn b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+      |  GROUP BY 1, 2, 3, 4),
+      |jpairs AS (SELECT d1, d2, na, nb, inter FROM jp
+      |  WHERE inter * 1.0 / (na + nb - inter) >= 0.6)""".stripMargin
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -203,40 +238,18 @@ object Text {
     QueryDef(
       "q25_ngram_jaccard_pairs",
       s"""WITH shingles AS ($shinglesSql),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-         |sn AS (SELECT s.doc_id, s.sh, c.n FROM shingles s
-         |       JOIN cnt c ON c.doc_id = s.doc_id),
-         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |    a.n AS na, b.n AS nb, count(*) AS inter
-         |  FROM sn a JOIN sn b
-         |    ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
-         |  GROUP BY 1, 2, 3, 4)
+         |$jaccardPairsSql
          |SELECT d1, d2,
          |  CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
          |    AS jaccard_4
-         |FROM pairs
-         |WHERE inter * 1.0 / (na + nb - inter) >= 0.6
+         |FROM jpairs
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       // Exact size-ratio pruning: J(A,B) >= 0.6 forces
       // min(|A|,|B|)/max(|A|,|B|) >= 0.6, so pairs violating
       // 5*min >= 3*max can be dropped inside the shingle join itself
       // (before the count aggregation) without losing any result —
       // the quadratic baseline then only aggregates plausible pairs.
-      val sh = shingles(s, d).cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val sn = sh.join(broadcast(cnt), "doc_id")
-      val a = sn.select(col("doc_id").as("d1"), col("sh"), col("n").as("na"))
-      val b = sn.select(col("doc_id").as("d2"), col("sh"), col("n").as("nb"))
-      val pairs = a.join(b,
-          a("sh") === b("sh") && col("d1") < col("d2") &&
-            col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
-        .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = col("inter") * 1.0 /
-        (col("na") + col("nb") - col("inter"))
-      pairs
-        .filter(jac >= 0.6)
+      jaccardPairs(s, d)
         .select(col("d1"), col("d2"),
           floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
             .cast("long").as("jaccard_4"))

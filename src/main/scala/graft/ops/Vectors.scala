@@ -116,6 +116,44 @@ object Vectors {
     },
 
     QueryDef(
+      "q44_embedding_neardup",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, ${dotSql("v", "v")} AS nrm FROM e),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |    ${dotSql("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS score
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT d1, d2, round(score, 6) AS score_6
+         |FROM p WHERE score >= 0.35 ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // Embedding-cosine near-duplicate pairs, the fifth dedup family
+      // (exact / MinHash / SimHash / Jaccard / embedding): candidates
+      // come from the same 8-bit sign-bucket LSH as q30, so the pair
+      // space is bucket-bounded, never N². The threshold compares the
+      // *raw* left-to-right-folded double (bit-identical across
+      // engines); only the reported score is rounded.
+      val n = prepared(s, d)
+        .withColumn("bucket",
+          (0 until 8).map(i =>
+            when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i))
+              .otherwise(lit(0))).reduce(_ + _))
+      val a = n.select(col("vec_id").as("d1"), col("v").as("av"),
+        col("nrm").as("an"), col("bucket"))
+      val b = n.select(col("vec_id").as("d2"), col("v").as("bv"),
+        col("nrm").as("bn"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("score",
+          dot(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn"))))
+        .filter(col("score") >= 0.35)
+        .select(col("d1"), col("d2"), round(col("score"), 6).as("score_6"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
       "q31_label_centroid_stats",
       s"""WITH x AS (SELECT label, vec_id, i, embedding[i]::DOUBLE AS val
          |  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
