@@ -34,6 +34,21 @@ object CdcFunctions {
     frames.map(parser.parse(_))
   }
 
+  /** Proto-v2 stream visibility: keep only data changes whose
+    * transaction was stream-committed — changes of stream-aborted
+    * transactions are invisible, mirroring rollback invisibility on
+    * the non-streamed path (where aborted transactions never reach
+    * the wire at all). Non-streamed changes (xid 0 on the event)
+    * pass through. */
+  def streamCommittedChanges(events: Seq[ChangeEvent]): Seq[ChangeEvent] = {
+    val committed = events.collect {
+      case e if e.tag == "stream_commit" => e.xid
+    }.toSet
+    events.filter(e =>
+      (e.tag == "insert" || e.tag == "update" || e.tag == "delete") &&
+        (e.xid == 0L || committed(e.xid)))
+  }
+
   /** UDF: array<binary> of pgoutput frames → decoded insert/update/
     * delete tuples as name→text maps (begin/commit/relation frames
     * update state / framing but carry no tuple). */

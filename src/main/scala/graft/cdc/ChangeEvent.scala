@@ -36,7 +36,7 @@ final case class RelationInfo(
   * downstream `select` with casts — see [[graft.cdc.CdcFunctions]].
   */
 final case class ChangeEvent(
-    tag: String,                                   // begin|commit|origin|type|relation|insert|update|delete|truncate|message
+    tag: String,                                   // begin|commit|origin|type|relation|insert|update|delete|truncate|message|stream_start|stream_stop|stream_commit|stream_abort
     lsn: Long,                                     // frame LSN (0 = unknown)
     xid: Long,                                     // begin only (0 otherwise)
     commitLsn: Long,
@@ -60,7 +60,9 @@ final case class ChangeEvent(
     messageTransactional: Boolean,
     truncateCascade: Boolean,
     truncateRestartIdentity: Boolean,
-    truncateRelationOids: Seq[Long])
+    truncateRelationOids: Seq[Long],
+    streamFirstSegment: Boolean,                   // stream_start only (proto v2)
+    subXid: Long)                                  // stream_abort only (proto v2)
 
 object ChangeEvent {
   val empty: ChangeEvent = ChangeEvent(
@@ -71,5 +73,5 @@ object ChangeEvent {
     typeSchema = null, typeName = null, messagePrefix = null,
     messageContent = null, messageTransactional = false,
     truncateCascade = false, truncateRestartIdentity = false,
-    truncateRelationOids = null)
+    truncateRelationOids = null, streamFirstSegment = false, subXid = 0L)
 }

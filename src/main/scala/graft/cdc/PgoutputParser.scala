@@ -8,6 +8,13 @@ import scala.collection.mutable
   * same stateful relation/type caches (`:21-22`), key-tuple projection
   * (`:215-229`) and unchanged-TOAST fallback (`:260-261`).
   *
+  * Beyond the reference (which implements only the non-stream tags and
+  * documents proto_version 2 as a gap — SURVEY.md §2 B3), this parser
+  * also decodes the protocol-v2 in-progress-transaction stream tags
+  * `S E c A` (Stream Start/Stop/Commit/Abort) and the per-message xid
+  * prefix that every `R Y I U D T M` message carries inside a stream
+  * block, per the PostgreSQL logical-replication message-format docs.
+  *
   * One parser instance carries the registry for one ordered frame
   * sequence (relation messages must precede the rows that use them —
   * the reference throws `missing relation` likewise, `:151-153`). For
@@ -18,14 +25,45 @@ final class PgoutputParser {
   val relationCache: mutable.Map[Int, RelationInfo] = mutable.Map.empty
   val typeCache: mutable.Map[Int, (String, String)] = mutable.Map.empty
 
+  /** inside an S..E stream block (proto v2): data messages carry xid. */
+  private var inStream: Boolean = false
+
   def parse(frame: Array[Byte]): ChangeEvent = parse(frame, 0L)
 
   def parse(frame: Array[Byte], lsn: Long): ChangeEvent = {
     val r = new BinaryReader(frame)
     val tag = r.readUint8()
-    val base = ChangeEvent.empty.copy(lsn = lsn)
+    // proto v2: messages inside a stream block are prefixed with the
+    // transaction id of the (interleavable) in-progress transaction
+    val streamXid =
+      if (inStream && "RYIUDTM".indexOf(tag) >= 0)
+        r.readInt32().toLong & 0xffffffffL
+      else 0L
+    val base = ChangeEvent.empty.copy(lsn = lsn, xid = streamXid)
 
     tag match {
+      case 'S' =>
+        val xid = r.readInt32().toLong & 0xffffffffL
+        val first = r.readUint8() == 1
+        inStream = true
+        base.copy(tag = "stream_start", xid = xid, streamFirstSegment = first)
+
+      case 'E' =>
+        inStream = false
+        base.copy(tag = "stream_stop")
+
+      case 'c' =>
+        val xid = r.readInt32().toLong & 0xffffffffL
+        r.readUint8() // flags, reserved
+        base.copy(tag = "stream_commit", xid = xid,
+          commitLsn = r.readLsn(),
+          commitEndLsn = r.readLsn(),
+          commitTimeMicros = r.readTimeMicros())
+
+      case 'A' =>
+        base.copy(tag = "stream_abort",
+          xid = r.readInt32().toLong & 0xffffffffL,
+          subXid = r.readInt32().toLong & 0xffffffffL)
       case 'B' =>
         base.copy(tag = "begin",
           commitLsn = r.readLsn(),
@@ -302,4 +340,38 @@ object PgoutputWriter {
       .writeUint8(if (transactional) 1 else 0).writeLsn(lsn)
       .writeString(prefix).writeInt32(content.length).writeBytes(content)
       .result()
+
+  // ---- proto v2 stream frames (S E c A) ----
+
+  def streamStart(xid: Long, firstSegment: Boolean): Array[Byte] =
+    new BinaryWriter().writeUint8('S').writeInt32(xid.toInt)
+      .writeUint8(if (firstSegment) 1 else 0).result()
+
+  def streamStop(): Array[Byte] =
+    new BinaryWriter().writeUint8('E').result()
+
+  def streamCommit(xid: Long, commitLsn: Long, commitEndLsn: Long,
+      commitTimeUnixMicros: Long): Array[Byte] =
+    new BinaryWriter().writeUint8('c').writeInt32(xid.toInt).writeUint8(0)
+      .writeLsn(commitLsn).writeLsn(commitEndLsn)
+      .writeTimeMicros(commitTimeUnixMicros).result()
+
+  def streamAbort(xid: Long, subXid: Long): Array[Byte] =
+    new BinaryWriter().writeUint8('A').writeInt32(xid.toInt)
+      .writeInt32(subXid.toInt).result()
+
+  /** Splice the proto-v2 in-stream xid prefix into a data frame:
+    * `[tag][rest]` → `[tag][xid:int32][rest]`. Valid for R Y I U D T M
+    * frames emitted between streamStart and streamStop. */
+  def streamed(xid: Long, frame: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](frame.length + 4)
+    out(0) = frame(0)
+    val x = xid.toInt
+    out(1) = (x >>> 24).toByte
+    out(2) = (x >>> 16).toByte
+    out(3) = (x >>> 8).toByte
+    out(4) = x.toByte
+    System.arraycopy(frame, 1, out, 5, frame.length - 1)
+    out
+  }
 }

@@ -201,6 +201,49 @@ object CdcQueries {
     },
 
     QueryDef(
+      "q49_pgoutput_v2_stream",
+      s"""SELECT event_id, user_id, $valueStrSql AS value_str,
+         |  'insert' AS op, event_id + 1 AS xid
+         |FROM events WHERE event_type <> 'error'
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // Proto-v2 in-progress-transaction streaming: every event becomes
+      // a streamed transaction S / R+xid / I+xid / E followed by a
+      // stream-commit — except 'error' events, whose stream is
+      // stream-aborted and must stay invisible downstream. xid is
+      // event_id+1: PostgreSQL xids start at 3, and xid 0 means
+      // "not streamed" to streamCommittedChanges.
+      val v2Udf = udf { (abort: Boolean, eventId: Long, userId: Long,
+          valueStr: String) =>
+        val xid = eventId + 1
+        val frames = Seq(
+          PgoutputWriter.streamStart(xid, firstSegment = true),
+          PgoutputWriter.streamed(xid, PgoutputWriter.relation(eventsRel)),
+          PgoutputWriter.streamed(xid, PgoutputWriter.insert(
+            eventsRel.relationOid,
+            Seq(eventId.toString, userId.toString, valueStr, "PROPS"))),
+          PgoutputWriter.streamStop(),
+          if (abort) PgoutputWriter.streamAbort(xid, xid)
+          else PgoutputWriter.streamCommit(xid, 1000L + eventId,
+            1001L + eventId, eventId * 1000000L))
+        val parser = new PgoutputParser
+        val decoded = frames.map(parser.parse(_))
+        CdcFunctions.streamCommittedChanges(decoded).map(e =>
+          Map("_tag" -> e.tag, "_xid" -> e.xid.toString) ++ e.after)
+      }
+      events(s, d)
+        .select(v2Udf(col("event_type") === "error", col("event_id"),
+          col("user_id"), valueStrCol).as("ms"))
+        .select(explode(col("ms")).as("m"))
+        .select(
+          col("m")("event_id").cast("long").as("event_id"),
+          col("m")("user_id").cast("long").as("user_id"),
+          col("m")("value_str").as("value_str"),
+          col("m")("_tag").as("op"),
+          col("m")("_xid").cast("long").as("xid"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
       "q36_lsn_codec",
       """SELECT id,
         |  upper(lpad(to_hex((id * 4294967311) // 4294967296), 8, '0'))
