@@ -36,15 +36,7 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
   import Tables._
-  import Text.{jaccardPairs, jaccardPairsSql, shinglesSql, toksSql, withToks}
-
-  /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
-    * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
-  private[ops] def h32Sql(e: String): String =
-    (0 until 8)
-      .map(i => s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
-        s" * ${1L << (4 * (7 - i))}")
-      .mkString(" + ")
+  import Text.{h32Sql, jaccardPairs, jaccardPairsSql, shinglesSql, toksSql, withToks}
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -40,36 +40,61 @@ object Text {
   private[ops] def withToks(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("toks", toksCol)
 
-  /** word 3-gram shingles, distinct per doc (engine side). The dedup
-    * happens map-side inside the array (`array_distinct` before the
-    * explode) — a post-explode `.distinct()` would shuffle the full
-    * shingle stream just to dedupe within each document. */
-  private[ops] def shingles(s: SparkSession, d: String): DataFrame =
+  /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
+    * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
+  private[ops] def h32Sql(e: String): String =
+    (0 until 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+
+  /** word 3-gram shingles hashed to 32-bit md5-derived ints, distinct
+    * per doc (engine side). Joining/minhashing on the int instead of
+    * the shingle string shrinks the shuffle (8 bytes vs ~20-char
+    * strings) and makes key compares branchless; the dedup happens
+    * map-side inside the array (`array_distinct` before the explode) —
+    * a post-explode `.distinct()` would shuffle the full shingle
+    * stream just to dedupe within each document. At corpus scales
+    * where 32-bit birthday collisions bite, widen to the first 15 hex
+    * digits (60 bits) — same construction in both engines. */
+  private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
     withToks(s, d)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks)-3), i -> " +
-          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("sh"))
+          "CAST(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], " +
+          "toks[i+2])), 1, 8), 16, 10) AS BIGINT))"))).as("h"))
 
-  /** identical shingle extraction for the DuckDB oracle (1-based). */
+  /** identical hashed-shingle extraction for the DuckDB oracle
+    * (1-based); CTE shape `shingles(doc_id, h)`. */
   private[ops] val shinglesSql =
-    s"""SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-       |FROM (SELECT doc_id, $toksSql AS toks FROM documents),
-       |     UNNEST(range(1, len(toks) - 1)) AS t(i)""".stripMargin
+    s"""SELECT DISTINCT doc_id, ${h32Sql("sh")} AS h
+       |FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+       |           UNNEST(range(1, len(toks) - 1)) AS t(i))""".stripMargin
 
   /** Exact n-gram-Jaccard near-dup pairs (d1 < d2, J >= 0.6), with the
     * size-ratio bound pushed into the shared-shingle join — the core of
     * q25, reused by q45's duplicate-cluster graph. Columns:
     * d1, d2, na, nb, inter. */
   private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val sh = shingleHashes(s, d).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sn = sh.join(broadcast(cnt), "doc_id")
-    val a = sn.select(col("doc_id").as("d1"), col("sh"), col("n").as("na"))
-    val b = sn.select(col("doc_id").as("d2"), col("sh"), col("n").as("nb"))
+    val a = sn.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
+    val b = sn.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
     val jac = col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
+    // One equi-join on the hashed shingle with the size-ratio bound
+    // pushed inside, then a keyed count — measured faster here than a
+    // PPJoin prefix-filter variant (the extra df join + per-doc window
+    // sort + candidate-verify passes cost more than the candidate
+    // explosion they avoid at this corpus size). At corpora where the
+    // co-occurrence pair space outgrows memory, layer the prefix
+    // filter on top: order shingles by (df, h), join only the
+    // (n - ceil(0.6·n) + 1)-element rarest-first prefixes (lossless
+    // for J >= 0.6), and verify candidates with this same join shape.
     a.join(b,
-        a("sh") === b("sh") && col("d1") < col("d2") &&
+        a("h") === b("h") && col("d1") < col("d2") &&
           col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
       .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -81,12 +106,12 @@ object Text {
     * `jpairs(d1, d2)`. */
   private[ops] val jaccardPairsSql =
     """cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-      |sn AS (SELECT s.doc_id, s.sh, c.n FROM shingles s
+      |sn AS (SELECT s.doc_id, s.h, c.n FROM shingles s
       |       JOIN cnt c ON c.doc_id = s.doc_id),
       |jp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
       |    a.n AS na, b.n AS nb, count(*) AS inter
       |  FROM sn a JOIN sn b
-      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    ON a.h = b.h AND a.doc_id < b.doc_id
       |   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
       |  GROUP BY 1, 2, 3, 4),
       |jpairs AS (SELECT d1, d2, na, nb, inter FROM jp
@@ -259,21 +284,11 @@ object Text {
     QueryDef(
       "q26_minhash_lsh_pairs",
       s"""WITH shingles AS ($shinglesSql),
-         |sh32 AS (SELECT doc_id,
-         |    (strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) * 268435456
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 16777216
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 1048576
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 4, 1)) - 1) * 65536
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 5, 1)) - 1) * 4096
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 6, 1)) - 1) * 256
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 7, 1)) - 1) * 16
-         |    + (strpos('0123456789abcdef', substr(md5(sh), 8, 1)) - 1) AS h32
-         |  FROM shingles),
          |sig AS (SELECT doc_id,
          |  ${(0 until 16).map(j =>
-             s"min((${minhashA(j)} * h32 + ${minhashB(j)}) % 2147483647) AS h$j")
+             s"min((${minhashA(j)} * h + ${minhashB(j)}) % 2147483647) AS h$j")
              .mkString(", ")}
-         |  FROM sh32 GROUP BY doc_id),
+         |  FROM shingles GROUP BY doc_id),
          |bands AS (
          |  ${(0 until 8).map(b =>
              s"SELECT doc_id, $b AS band, h${2 * b} * 2147483648 + h${2 * b + 1} AS bkey FROM sig")
@@ -283,7 +298,7 @@ object Text {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM shingles a JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
          |  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
          |  GROUP BY 1, 2)
          |SELECT d1, d2,
@@ -291,17 +306,15 @@ object Text {
          |FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val sh = shingles(s, d).cache()
-      // minhash family: one md5 per shingle reduced to 32 bits, then
-      // 16 affine permutations (a*h+b mod 2^31-1) — integer ops are
+      val sh = shingleHashes(s, d).cache()
+      // minhash family: the shingle's 32-bit md5-derived hash feeds 16
+      // affine permutations (a*h+b mod 2^31-1) — integer ops are
       // engine-identical and ~16x cheaper than per-permutation md5
-      val withH = sh.withColumn("h32",
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
-      val sig = withH.groupBy(col("doc_id")).agg(
-        min((lit(minhashA(0)) * col("h32") + lit(minhashB(0))) % 2147483647L)
+      val sig = sh.groupBy(col("doc_id")).agg(
+        min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
           .as("h0"),
         (1 until 16).map(j =>
-          min((lit(minhashA(j)) * col("h32") + lit(minhashB(j))) % 2147483647L)
+          min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
             .as(s"h$j")): _*)
       // one pass over sig: all 8 band keys exploded from an array;
       // bkey pairs two 31-bit minhashes into one 62-bit integer
@@ -315,13 +328,13 @@ object Text {
         .filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2")).distinct()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("d1"), col("sh"))
-      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      val a = sh.select(col("doc_id").as("d1"), col("h"))
+      val b = sh.select(col("doc_id").as("d2"), col("h"))
       // candidate-bounded intersection: expand candidates by d1's
       // shingles, then equi-join (d2, sh) — never the full pairwise
       // shingle join
       val inter = cand.join(a, Seq("d1"))
-        .join(b, Seq("d2", "sh"))
+        .join(b, Seq("d2", "h"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("i"))
       val jac = col("i") * 1.0 / (col("na") + col("nb") - col("i"))
