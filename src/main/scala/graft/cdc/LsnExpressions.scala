@@ -57,6 +57,38 @@ case class LsnPlusOneExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PG epoch (2000-01-01, µs) → Unix µs — `binary-reader.ts:88-91`.
+  * Pure constant addition, fully codegen-friendly. */
+case class PgEpochToUnixExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pg_epoch_to_unix"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(PgEpoch.toUnixMicros(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"($c + ${PgEpoch.OffsetMicros}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unix µs → PG epoch µs — the standby-status timestamp arithmetic
+  * (`logical-replication-service.ts:262-264`). */
+case class UnixToPgEpochExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "unix_to_pg_epoch"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(PgEpoch.fromUnixMicros(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"($c - ${PgEpoch.OffsetMicros}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.functions.call_function
 
@@ -65,15 +97,24 @@ object GraftFunctions {
   def format_lsn(c: Column): Column = call_function("format_lsn", c)
   def parse_lsn(c: Column): Column = call_function("parse_lsn", c)
   def lsn_plus_one(c: Column): Column = call_function("lsn_plus_one", c)
+  def pg_epoch_to_unix(c: Column): Column = call_function("pg_epoch_to_unix", c)
+  def unix_to_pg_epoch(c: Column): Column = call_function("unix_to_pg_epoch", c)
 
   /** Make the functions callable from SQL: format_lsn(x), ... */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("format_lsn",
-      exprs => FormatLsnExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("parse_lsn",
-      exprs => ParseLsnExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("lsn_plus_one",
-      exprs => LsnPlusOneExpr(exprs.head), "scala_udf")
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("format_lsn")).isEmpty) {
+      reg.createOrReplaceTempFunction("format_lsn",
+        exprs => FormatLsnExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("parse_lsn",
+        exprs => ParseLsnExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("lsn_plus_one",
+        exprs => LsnPlusOneExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("pg_epoch_to_unix",
+        exprs => PgEpochToUnixExpr(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("unix_to_pg_epoch",
+        exprs => UnixToPgEpochExpr(exprs.head), "scala_udf")
+    }
   }
 }

@@ -273,10 +273,13 @@ object CdcQueries {
         |    - 946684800000000 AS pg_us,
         |  epoch(date_trunc('second', ts))::BIGINT AS sec_back
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
       events(s, d)
-        .withColumn("pg_us", unixToPgEpochUdf(col("ts_sec") * 1000000L))
+        .withColumn("pg_us",
+          GraftFunctions.unix_to_pg_epoch(col("ts_sec") * 1000000L))
         .withColumn("sec_back",
-          (pgEpochToUnixUdf(col("pg_us")) / 1000000L).cast("long"))
+          (GraftFunctions.pg_epoch_to_unix(col("pg_us")) / 1000000L)
+            .cast("long"))
         .select(col("event_id"), col("pg_us"), col("sec_back"))
         .orderBy(col("event_id"))
     }

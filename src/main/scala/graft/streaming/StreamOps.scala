@@ -111,6 +111,47 @@ object StreamOps {
       }
   }
 
+  final case class StreamEvent(xid: Long, lsn: Long, tag: String,
+      table: String, tuple: Map[String, String])
+  final case class CommittedChange(xid: Long, commitLsn: Long, op: String,
+      table: String, tuple: Map[String, String])
+
+  /** Proto-v2 in-progress-transaction reassembly as keyed streaming
+    * state: data changes of a streamed transaction buffer per xid
+    * until its `stream_commit` arrives (emit) or `stream_abort` does
+    * (discard) — the Structured Streaming analogue of
+    * [[graft.cdc.CdcFunctions.streamCommittedChanges]]. State is
+    * bounded by the changes of concurrently in-progress transactions
+    * only (PostgreSQL streams a transaction precisely because it is
+    * too big to buffer server-side; the per-xid partitioned state is
+    * how that bound distributes across executors at scale). */
+  def streamedTransactions(events: Dataset[StreamEvent])
+      : Dataset[CommittedChange] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.xid)
+      .flatMapGroupsWithState[Seq[StreamEvent], CommittedChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (xid, rows, state: GroupState[Seq[StreamEvent]]) =>
+          val sorted = rows.toSeq.sortBy(_.lsn)
+          val buf = state.getOption.getOrElse(Seq.empty) ++
+            sorted.filter(e =>
+              e.tag == "insert" || e.tag == "update" || e.tag == "delete")
+          if (sorted.exists(_.tag == "stream_abort")) {
+            state.remove()
+            Iterator.empty
+          } else sorted.find(_.tag == "stream_commit") match {
+            case Some(c) =>
+              state.remove()
+              buf.iterator.map(e =>
+                CommittedChange(xid, c.lsn, e.tag, e.table, e.tuple))
+            case None =>
+              state.update(buf)
+              Iterator.empty
+          }
+      }
+  }
+
   /** Tumbling-window op counts with a watermark (late frames beyond
     * the horizon are dropped, the streaming analogue of the ack
     * horizon, §3.2). `eventTime` must be a timestamp column. */

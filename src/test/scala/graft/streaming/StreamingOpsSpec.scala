@@ -321,4 +321,44 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = r.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"expected codegen stages in:\n$plan")
   }
+
+  test("PG-epoch functions registered for SQL run inside codegen") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT id, pg_epoch_to_unix(unix_to_pg_epoch(id * 1000000)) AS back
+        |FROM range(1, 100)""".stripMargin)
+    assert(r.collect().forall(row =>
+      row.getAs[Long]("back") == row.getAs[Long]("id") * 1000000L))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stages in:\n$plan")
+  }
+
+  test("proto-v2 streamed transactions: commit emits across segments, abort discards") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val input = MemoryStream[StreamOps.StreamEvent]
+    val out = StreamOps.streamedTransactions(input.toDS())
+    val q = out.writeStream.format("memory").queryName("v2tx")
+      .outputMode("append").start()
+    try {
+      // batch 1: xid 1 first segment buffers; xid 2 aborts
+      input.addData(
+        StreamOps.StreamEvent(1L, 10L, "insert", "t", Map("id" -> "1")),
+        StreamOps.StreamEvent(2L, 11L, "insert", "t", Map("id" -> "2")),
+        StreamOps.StreamEvent(2L, 12L, "stream_abort", "t", null))
+      q.processAllAvailable()
+      assert(spark.table("v2tx").count() == 0)
+      // batch 2: xid 1's second segment + stream commit releases both
+      input.addData(
+        StreamOps.StreamEvent(1L, 20L, "insert", "t", Map("id" -> "3")),
+        StreamOps.StreamEvent(1L, 30L, "stream_commit", "t", null))
+      q.processAllAvailable()
+      val rows = spark.table("v2tx").as[StreamOps.CommittedChange]
+        .collect().sortBy(_.tuple("id"))
+      assert(rows.map(_.tuple("id")).toSeq == Seq("1", "3"))
+      assert(rows.forall(r => r.xid == 1L && r.commitLsn == 30L))
+    } finally q.stop()
+  }
 }
