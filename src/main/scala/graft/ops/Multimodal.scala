@@ -60,7 +60,72 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("width"),
       ((col("doc_id") * 37) % 480 + 1).cast("int").as("height"))
 
+  /** Resize + frame-sample output (stub codec, real plumbing). */
+  final case class MediaSample(
+      doc_id: Long,
+      n_frames: Long,
+      n_sampled: Long,
+      frame_checksum: Long,
+      new_w: Int,
+      new_h: Int)
+
+  /** STUB resize/frame-sample — stands in for pixel resampling and
+    * video frame extraction. Frames are 64-byte payload chunks; every
+    * 4th frame is "sampled" and checksummed; resize fits (w, h) into a
+    * 128×128 box preserving aspect ratio with integer arithmetic. */
+  def sampleStub(rec: MediaRecord): MediaSample = {
+    val frameLen = 64
+    val nFrames = (rec.payload.length + frameLen - 1) / frameLen
+    var checksum = 0L
+    var sampled = 0L
+    var f = 0
+    while (f < nFrames) {
+      if (f % 4 == 0) {
+        sampled += 1
+        var i = f * frameLen
+        val end = math.min(i + frameLen, rec.payload.length)
+        while (i < end) { checksum += (rec.payload(i) & 0xff); i += 1 }
+      }
+      f += 4
+    }
+    val m = math.max(rec.width, rec.height)
+    val (nw, nh) =
+      if (m <= 128) (rec.width, rec.height)
+      else (rec.width * 128 / m, rec.height * 128 / m)
+    MediaSample(rec.doc_id, nFrames.toLong, sampled, checksum, nw, nh)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q50_multimodal_frame_sample",
+      """SELECT doc_id,
+        |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
+        |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> CASE WHEN ((i - 1) // 64) % 4 = 0
+        |              THEN unicode(substr(text, i, 1)) ELSE 0 END))
+        |    AS BIGINT) AS frame_checksum,
+        |  CASE WHEN greatest(n_chars % 640, (doc_id * 37) % 480 + 1) <= 128
+        |       THEN n_chars % 640
+        |       ELSE (n_chars % 640) * 128
+        |            // greatest(n_chars % 640, (doc_id * 37) % 480 + 1)
+        |       END AS new_w,
+        |  CASE WHEN greatest(n_chars % 640, (doc_id * 37) % 480 + 1) <= 128
+        |       THEN (doc_id * 37) % 480 + 1
+        |       ELSE ((doc_id * 37) % 480 + 1) * 128
+        |            // greatest(n_chars % 640, (doc_id * 37) % 480 + 1)
+        |       END AS new_h
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = mediaTable(s, d).as[MediaRecord]
+      media.mapPartitions(_.map(sampleStub))
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          col("frame_checksum"), col("new_w").cast("long").as("new_w"),
+          col("new_h").cast("long").as("new_h"))
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef(
       "q32_multimodal_decode",
       """SELECT doc_id,
