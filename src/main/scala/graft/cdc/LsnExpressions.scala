@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,7 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * .register` exposes them to SQL and to the `call_function` Column
   * wrappers.
   */
-case class FormatLsnExpr(child: Expression) extends UnaryExpression {
+case class FormatLsnExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = StringType
   override def prettyName: String = "format_lsn"
 
@@ -28,7 +30,9 @@ case class FormatLsnExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class ParseLsnExpr(child: Expression) extends UnaryExpression {
+case class ParseLsnExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "parse_lsn"
 
@@ -43,7 +47,9 @@ case class ParseLsnExpr(child: Expression) extends UnaryExpression {
 }
 
 /** lsn + 1 with uint64 carry — the ack arithmetic (A9). */
-case class LsnPlusOneExpr(child: Expression) extends UnaryExpression {
+case class LsnPlusOneExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "lsn_plus_one"
 
@@ -59,7 +65,9 @@ case class LsnPlusOneExpr(child: Expression) extends UnaryExpression {
 
 /** PG epoch (2000-01-01, µs) → Unix µs — `binary-reader.ts:88-91`.
   * Pure constant addition, fully codegen-friendly. */
-case class PgEpochToUnixExpr(child: Expression) extends UnaryExpression {
+case class PgEpochToUnixExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "pg_epoch_to_unix"
 
@@ -75,7 +83,9 @@ case class PgEpochToUnixExpr(child: Expression) extends UnaryExpression {
 
 /** Unix µs → PG epoch µs — the standby-status timestamp arithmetic
   * (`logical-replication-service.ts:262-264`). */
-case class UnixToPgEpochExpr(child: Expression) extends UnaryExpression {
+case class UnixToPgEpochExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def prettyName: String = "unix_to_pg_epoch"
 
@@ -87,6 +97,28 @@ case class UnixToPgEpochExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `spark.sql.extensions`-style integration: a session built with
+  * `.config("spark.sql.extensions", "graft.cdc.GraftExtensions")`
+  * gets every graft scalar function registered at session creation —
+  * no explicit `GraftFunctions.register` call needed. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String) = new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    ext.injectFunction((FunctionIdentifier("format_lsn"), info("format_lsn"),
+      (exprs: Seq[Expression]) => FormatLsnExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("parse_lsn"), info("parse_lsn"),
+      (exprs: Seq[Expression]) => ParseLsnExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("lsn_plus_one"), info("lsn_plus_one"),
+      (exprs: Seq[Expression]) => LsnPlusOneExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pg_epoch_to_unix"), info("pg_epoch_to_unix"),
+      (exprs: Seq[Expression]) => PgEpochToUnixExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("unix_to_pg_epoch"), info("unix_to_pg_epoch"),
+      (exprs: Seq[Expression]) => UnixToPgEpochExpr(exprs.head)))
+  }
 }
 
 object GraftFunctions {

@@ -12,6 +12,54 @@ object OpsExtra {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q51_pivot_event_matrix",
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, d) =>
+      // relational pivot: wide op×cohort matrix from the long event
+      // stream — explicit value list keeps the plan a single
+      // partial+final aggregation (no value-discovery pre-pass)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("cohort") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("cohort"))
+    },
+
+    QueryDef(
+      "q52_salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        // two-phase salted aggregation — the skew-mitigation shape for
+        // heavy-hitter group keys at scale: phase 1 spreads each hot
+        // key over 16 salt shards (shuffle keyed on (key, salt) is
+        // uniform), phase 2 combines the 16 partials per key (tiny).
+        // Results are bit-identical to the direct groupBy because the
+        // summed quantities are integer-valued (exact in double at any
+        // association order) — which is also why the oracle can be the
+        // plain one-phase SQL.
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            pmod(hash(col("l_orderkey")), lit(16)).as("salt"))
+          .agg(sum(col("l_quantity")).as("part_qty"),
+            count(lit(1)).as("part_n"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("part_qty")).cast("long").as("sum_qty"),
+            sum(col("part_n")).as("n"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    QueryDef(
       "q40_wal2json_filtered_replay",
       """SELECT event_id,
         |  CASE WHEN user_id % 3 = 2 THEN 'stats' ELSE 'public' END
