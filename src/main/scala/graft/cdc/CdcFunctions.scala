@@ -103,6 +103,54 @@ object CdcFunctions {
     StructField("origin", LongType),
     StructField("timestamp", StringType)))
 
+  /** Spark schema of a wal2json `format-version '2'` record: one JSON
+    * object *per change* with `action` (`B C I U D T M`), typed
+    * `columns` entries, and the old key in `identity` — the layout
+    * behind the reference's `formatVersion` option
+    * (`wal2json-plugin-options.type.ts`, serialized at
+    * `wal2json-plugin.ts:20-23`). */
+  val wal2jsonV2Schema: StructType = {
+    val colEntry = StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("value", StringType)))
+    StructType(Seq(
+      StructField("action", StringType),
+      StructField("xid", LongType),
+      StructField("lsn", StringType),
+      StructField("timestamp", StringType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("columns", ArrayType(colEntry)),
+      StructField("identity", ArrayType(colEntry))))
+  }
+
+  /** wal2json v2 payload column → canonical change rows. Pure Spark
+    * (`from_json` + `map_from_entries`), no UDF. */
+  def wal2jsonV2Changes(df: DataFrame, payload: Column): DataFrame = {
+    def entries(c: Column): Column =
+      map_from_entries(transform(c, e =>
+        struct(e.getField("name"), e.getField("value"))))
+    val opCol = when(col("_v2.action") === "I", "insert")
+      .when(col("_v2.action") === "U", "update")
+      .when(col("_v2.action") === "D", "delete")
+      .when(col("_v2.action") === "T", "truncate")
+      .when(col("_v2.action") === "B", "begin")
+      .when(col("_v2.action") === "C", "commit")
+      .when(col("_v2.action") === "M", "message")
+    df.withColumn("_v2", from_json(payload, wal2jsonV2Schema))
+      .select(
+        opCol.as("op"),
+        col("_v2.xid").as("xid"),
+        col("_v2.lsn").as("lsn"),
+        col("_v2.schema").as("schema"),
+        col("_v2.table").as("table"),
+        when(col("_v2.columns").isNotNull, entries(col("_v2.columns")))
+          .as("after"),
+        when(col("_v2.identity").isNotNull, entries(col("_v2.identity")))
+          .as("key"))
+  }
+
   /** wal2json payload column → one row per change with the canonical
     * columns; the parallel name/value arrays zip into the tuple map
     * (`from_json` + `explode`, no custom generator — SURVEY §7.4). */

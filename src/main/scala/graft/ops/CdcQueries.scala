@@ -108,6 +108,51 @@ object CdcQueries {
     },
 
     QueryDef(
+      "q53_wal2json_v2_roundtrip",
+      s"""SELECT event_id % 1000 AS xid, $opSql AS op,
+         |  'events' AS table_name,
+         |  CASE WHEN $opSql = 'delete' THEN NULL ELSE event_id END
+         |    AS event_id_out,
+         |  CASE WHEN $opSql = 'delete' THEN NULL ELSE $valueStrSql END
+         |    AS value_str_out,
+         |  CASE WHEN $opSql = 'delete' THEN event_id ELSE NULL END
+         |    AS key_event_id,
+         |  event_id AS lsn, event_id AS order_key
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // format-version 2: one JSON object per change, typed `columns`
+      // entries, old key in `identity` (deletes carry identity only)
+      GraftFunctions.register(s)
+      val payload = concat(
+        lit("""{"action":""""),
+        when(opCol === "insert", "I").when(opCol === "delete", "D")
+          .otherwise("U"),
+        lit("""","xid":"""), col("event_id") % 1000,
+        lit(""","lsn":""""), format_lsn(col("event_id")),
+        lit("""","schema":"public","table":"events""""),
+        when(opCol =!= "delete", concat(
+          lit(""","columns":[{"name":"event_id","type":"bigint","value":"""),
+          col("event_id"),
+          lit("""},{"name":"value_str","type":"text","value":""""),
+          valueStrCol, lit("\"}]"))).otherwise(lit("")),
+        when(opCol =!= "insert", concat(
+          lit(""","identity":[{"name":"event_id","type":"bigint","value":"""),
+          col("event_id"), lit("}]"))).otherwise(lit("")),
+        lit("}"))
+      val encoded = events(s, d).select(payload.as("payload"))
+      wal2jsonV2Changes(encoded, col("payload"))
+        .select(
+          col("xid"), col("op"), col("table").as("table_name"),
+          col("after")("event_id").cast("long").as("event_id_out"),
+          col("after")("value_str").as("value_str_out"),
+          when(col("op") === "delete", col("key")("event_id").cast("long"))
+            .as("key_event_id"),
+          parse_lsn(col("lsn")).as("lsn"))
+        .withColumn("order_key",
+          coalesce(col("event_id_out"), col("key_event_id")))
+        .orderBy(col("order_key"))
+    },
+
+    QueryDef(
       "q34_test_decoding_roundtrip",
       s"""SELECT event_id, user_id, $valueStrSql AS value_str,
          |  props AS props_out,
