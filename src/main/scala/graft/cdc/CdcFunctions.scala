@@ -49,6 +49,32 @@ object CdcFunctions {
         (e.xid == 0L || committed(e.xid)))
   }
 
+  /** Two-phase visibility: a prepared transaction's changes become
+    * visible only when its gid is COMMIT PREPARED — changes whose gid
+    * was ROLLBACK PREPARED (or never resolved) stay invisible. Data
+    * changes arrive inside a begin_prepare..prepare envelope carrying
+    * no per-change gid, so the envelope's xid links them: changes are
+    * kept iff some commit_prepared event shares their envelope's xid.
+    * Non-prepared changes (no begin_prepare envelope) pass through. */
+  def preparedVisibleChanges(events: Seq[ChangeEvent]): Seq[ChangeEvent] = {
+    val committedXids = events.collect {
+      case e if e.tag == "commit_prepared" => e.xid
+    }.toSet
+    var inPrepared = false
+    var envelopeXid = 0L
+    val out = Seq.newBuilder[ChangeEvent]
+    events.foreach { e =>
+      e.tag match {
+        case "begin_prepare" => inPrepared = true; envelopeXid = e.xid
+        case "prepare" => inPrepared = false; envelopeXid = 0L
+        case "insert" | "update" | "delete" =>
+          if (!inPrepared || committedXids(envelopeXid)) out += e
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
   /** UDF: array<binary> of pgoutput frames → decoded insert/update/
     * delete tuples as name→text maps (begin/commit/relation frames
     * update state / framing but carry no tuple). */

@@ -62,7 +62,8 @@ final case class ChangeEvent(
     truncateRestartIdentity: Boolean,
     truncateRelationOids: Seq[Long],
     streamFirstSegment: Boolean,                   // stream_start only (proto v2)
-    subXid: Long)                                  // stream_abort only (proto v2)
+    subXid: Long,                                  // stream_abort only (proto v2)
+    gid: String)                                   // two-phase tags only (proto v3 / two_phase)
 
 object ChangeEvent {
   val empty: ChangeEvent = ChangeEvent(
@@ -73,5 +74,6 @@ object ChangeEvent {
     typeSchema = null, typeName = null, messagePrefix = null,
     messageContent = null, messageTransactional = false,
     truncateCascade = false, truncateRestartIdentity = false,
-    truncateRelationOids = null, streamFirstSegment = false, subXid = 0L)
+    truncateRelationOids = null, streamFirstSegment = false, subXid = 0L,
+    gid = null)
 }

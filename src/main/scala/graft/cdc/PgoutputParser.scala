@@ -64,6 +64,44 @@ final class PgoutputParser {
         base.copy(tag = "stream_abort",
           xid = r.readInt32().toLong & 0xffffffffL,
           subXid = r.readInt32().toLong & 0xffffffffL)
+
+      // two-phase commit tags (PG15+, `two_phase` subscription option):
+      // prepared transactions surface as prepare / commit-prepared /
+      // rollback-prepared envelopes identified by a user-visible gid
+      case 'b' =>
+        base.copy(tag = "begin_prepare",
+          commitLsn = r.readLsn(),          // prepare LSN
+          commitEndLsn = r.readLsn(),       // prepare end LSN
+          commitTimeMicros = r.readTimeMicros(),
+          xid = r.readInt32().toLong & 0xffffffffL,
+          gid = r.readString())
+
+      case 'P' =>
+        r.readUint8() // flags, reserved
+        base.copy(tag = "prepare",
+          commitLsn = r.readLsn(),
+          commitEndLsn = r.readLsn(),
+          commitTimeMicros = r.readTimeMicros(),
+          xid = r.readInt32().toLong & 0xffffffffL,
+          gid = r.readString())
+
+      case 'K' =>
+        r.readUint8() // flags, reserved
+        base.copy(tag = "commit_prepared",
+          commitLsn = r.readLsn(),
+          commitEndLsn = r.readLsn(),
+          commitTimeMicros = r.readTimeMicros(),
+          xid = r.readInt32().toLong & 0xffffffffL,
+          gid = r.readString())
+
+      case 'r' =>
+        r.readUint8() // flags, reserved
+        base.copy(tag = "rollback_prepared",
+          commitLsn = r.readLsn(),          // prepare end LSN
+          commitEndLsn = r.readLsn(),       // rollback end LSN
+          commitTimeMicros = { r.readTimeMicros(); r.readTimeMicros() },
+          xid = r.readInt32().toLong & 0xffffffffL,
+          gid = r.readString())
       case 'B' =>
         base.copy(tag = "begin",
           commitLsn = r.readLsn(),
@@ -359,6 +397,34 @@ object PgoutputWriter {
   def streamAbort(xid: Long, subXid: Long): Array[Byte] =
     new BinaryWriter().writeUint8('A').writeInt32(xid.toInt)
       .writeInt32(subXid.toInt).result()
+
+  // ---- two-phase commit frames (b P K r, PG15+ two_phase option) ----
+
+  def beginPrepare(prepareLsn: Long, prepareEndLsn: Long,
+      tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+    new BinaryWriter().writeUint8('b').writeLsn(prepareLsn)
+      .writeLsn(prepareEndLsn).writeTimeMicros(tsUnixMicros)
+      .writeInt32(xid.toInt).writeString(gid).result()
+
+  def prepare(prepareLsn: Long, prepareEndLsn: Long,
+      tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+    new BinaryWriter().writeUint8('P').writeUint8(0).writeLsn(prepareLsn)
+      .writeLsn(prepareEndLsn).writeTimeMicros(tsUnixMicros)
+      .writeInt32(xid.toInt).writeString(gid).result()
+
+  def commitPrepared(commitLsn: Long, commitEndLsn: Long,
+      tsUnixMicros: Long, xid: Long, gid: String): Array[Byte] =
+    new BinaryWriter().writeUint8('K').writeUint8(0).writeLsn(commitLsn)
+      .writeLsn(commitEndLsn).writeTimeMicros(tsUnixMicros)
+      .writeInt32(xid.toInt).writeString(gid).result()
+
+  def rollbackPrepared(prepareEndLsn: Long, rollbackEndLsn: Long,
+      prepareTsUnixMicros: Long, rollbackTsUnixMicros: Long,
+      xid: Long, gid: String): Array[Byte] =
+    new BinaryWriter().writeUint8('r').writeUint8(0).writeLsn(prepareEndLsn)
+      .writeLsn(rollbackEndLsn).writeTimeMicros(prepareTsUnixMicros)
+      .writeTimeMicros(rollbackTsUnixMicros).writeInt32(xid.toInt)
+      .writeString(gid).result()
 
   /** Splice the proto-v2 in-stream xid prefix into a data frame:
     * `[tag][rest]` → `[tag][xid:int32][rest]`. Valid for R Y I U D T M

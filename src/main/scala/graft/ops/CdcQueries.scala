@@ -289,6 +289,58 @@ object CdcQueries {
     },
 
     QueryDef(
+      "q54_pgoutput_two_phase",
+      s"""SELECT event_id, user_id, $valueStrSql AS value_str,
+         |  'insert' AS op, event_id + 1 AS xid,
+         |  'gid-' || CAST(event_id AS VARCHAR) AS gid
+         |FROM events WHERE event_type <> 'error'
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // PG15 two-phase commit: every event becomes a prepared
+      // transaction (begin_prepare / R / I / prepare) that is COMMIT
+      // PREPARED — except 'error' events, which are ROLLBACK PREPARED
+      // and must stay invisible downstream.
+      val tpUdf = udf { (rollback: Boolean, eventId: Long, userId: Long,
+          valueStr: String) =>
+        val xid = eventId + 1
+        val gid = s"gid-$eventId"
+        val frames = Seq(
+          PgoutputWriter.beginPrepare(100L + eventId, 101L + eventId,
+            eventId * 1000000L, xid, gid),
+          PgoutputWriter.relation(eventsRel),
+          PgoutputWriter.insert(eventsRel.relationOid,
+            Seq(eventId.toString, userId.toString, valueStr, "PROPS")),
+          PgoutputWriter.prepare(100L + eventId, 101L + eventId,
+            eventId * 1000000L, xid, gid),
+          if (rollback)
+            PgoutputWriter.rollbackPrepared(101L + eventId, 202L + eventId,
+              eventId * 1000000L, eventId * 1000000L + 1L, xid, gid)
+          else
+            PgoutputWriter.commitPrepared(200L + eventId, 201L + eventId,
+              eventId * 1000000L, xid, gid))
+        val parser = new PgoutputParser
+        val decoded = frames.map(parser.parse(_))
+        val gidByXid = decoded.collect {
+          case e if e.tag == "begin_prepare" => e.xid -> e.gid
+        }.toMap
+        CdcFunctions.preparedVisibleChanges(decoded).map(e =>
+          Map("_tag" -> e.tag, "_xid" -> (eventId + 1).toString,
+            "_gid" -> gidByXid.getOrElse(eventId + 1, null)) ++ e.after)
+      }
+      events(s, d)
+        .select(tpUdf(col("event_type") === "error", col("event_id"),
+          col("user_id"), valueStrCol).as("ms"))
+        .select(explode(col("ms")).as("m"))
+        .select(
+          col("m")("event_id").cast("long").as("event_id"),
+          col("m")("user_id").cast("long").as("user_id"),
+          col("m")("value_str").as("value_str"),
+          col("m")("_tag").as("op"),
+          col("m")("_xid").cast("long").as("xid"),
+          col("m")("_gid").as("gid"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
       "q36_lsn_codec",
       """SELECT id,
         |  upper(lpad(to_hex((id * 4294967311) // 4294967296), 8, '0'))
