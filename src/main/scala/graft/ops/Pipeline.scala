@@ -36,29 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
   import Tables._
-  import Text.{h32Sql, jaccardPairs, jaccardPairsSql, shinglesSql, toksSql, withToks}
+  import Text.{h32Sql, jaccardPairs, jaccardPairsSql, qualityScores,
+    qualityScoresSql, shinglesSql, toksSql, withToks}
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef(
-      "q45_dedup_clusters",
-      s"""WITH RECURSIVE shingles AS ($shinglesSql),
-         |$jaccardPairsSql,
-         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
-         |          UNION SELECT d2, d1 FROM jpairs),
-         |nodes AS (SELECT DISTINCT a AS n FROM edges),
-         |reach AS (
-         |  SELECT n AS a, n AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
-         |),
-         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
-         |SELECT root, count(*) AS cluster_size, max(doc_id) AS max_doc
-         |FROM root GROUP BY root ORDER BY root""".stripMargin) { (s, d) =>
-      // Connected components over the Jaccard>=0.6 near-dup graph:
-      // min-label propagation to a fixpoint. The oracle computes the
-      // same components via a recursive transitive closure (fine at
-      // oracle scale; quadratic in component size, which is why the
-      // engine side propagates labels instead).
+  /** (node, label) connected-component assignment over the Jaccard
+    * near-dup graph — min-label propagation to a fixpoint, memoized
+    * per (session, dataset) like the pair graph it derives from. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.getOrElseUpdate((s, d), {
       val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
       val edges = pairs
         .union(pairs.select(col("d2"), col("d1")))
@@ -85,9 +74,100 @@ object Pipeline {
         iter += 1
       }
       labels
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q45_dedup_clusters",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+         |SELECT root, count(*) AS cluster_size, max(doc_id) AS max_doc
+         |FROM root GROUP BY root ORDER BY root""".stripMargin) { (s, d) =>
+      // Connected components over the Jaccard>=0.6 near-dup graph:
+      // min-label propagation to a fixpoint ([[clusterLabels]]). The
+      // oracle computes the same components via a recursive transitive
+      // closure (fine at oracle scale; quadratic in component size,
+      // which is why the engine side propagates labels instead).
+      clusterLabels(s, d)
         .groupBy(col("label").as("root"))
         .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
         .orderBy(col("root"))
+    },
+
+    QueryDef(
+      "q55_canonical_docs",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |$qualityScoresSql,
+         |ranked AS (SELECT root.root, root.doc_id, qual.q,
+         |    row_number() OVER (PARTITION BY root.root
+         |                       ORDER BY qual.q DESC, root.doc_id) AS rn
+         |  FROM root JOIN qual ON qual.doc_id = root.doc_id)
+         |SELECT root, doc_id AS keep_doc_id, q AS keep_quality_4,
+         |  (SELECT count(*) FROM root r2 WHERE r2.root = ranked.root)
+         |    AS cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY root""".stripMargin) { (s, d) =>
+      // The dedup pipeline end-product: for every near-dup cluster,
+      // keep the highest-quality member (q22 score, doc_id tiebreak) —
+      // cluster assignment and quality compose as two keyed joins.
+      import org.apache.spark.sql.expressions.Window
+      val labels = clusterLabels(s, d)
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("q").desc, col("node"))
+      labels
+        .join(qualityScores(s, d), labels("node") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(sizes, "label")
+        .select(col("label").as("root"), col("doc_id").as("keep_doc_id"),
+          col("q").as("keep_quality_4"), col("cluster_size"))
+        .orderBy(col("root"))
+    },
+
+    QueryDef(
+      "q56_retention_cohorts",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch(date_trunc('second', ts))::BIGINT // 604800 AS week
+        |  FROM events),
+        |first AS (SELECT user_id, min(week) AS cohort_week
+        |          FROM uw GROUP BY user_id)
+        |SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+        |  count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN first f ON f.user_id = uw.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // classic cohort retention: users bucketed by first-seen week,
+      // activity counted per week offset — two keyed aggregations and
+      // one equi-join, all integer arithmetic (epoch weeks)
+      val uw = events(s, d)
+        .select(col("user_id"), expr("ts_sec DIV 604800").as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     },
 
     QueryDef(

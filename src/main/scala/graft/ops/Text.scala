@@ -134,6 +134,39 @@ object Text {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** (doc_id, q) — the q22 quality score, reusable by downstream
+    * selection operators (q55 canonical-doc choice). */
+  private[ops] def qualityScores(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    withToks(s, d)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), x => array_contains(stopArr, x)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        floor(lit(10000.0) * (lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.3) * (lit(1.0) - col("n_stop") * 1.0 / col("n_tokens"))
+          + lit(0.3) * (col("n_uniq") * 1.0 / col("n_tokens")))).cast("long")
+          .as("q"))
+  }
+
+  /** Oracle mirror of [[qualityScores]]: CTE `qual(doc_id, q)`. */
+  private[ops] val qualityScoresSql =
+    s"""qual AS (SELECT doc_id,
+       |  CAST(floor(10000.0 * (0.4 * least(1.0, n_tokens / 100.0)
+       |    + 0.3 * (1.0 - n_stop * 1.0 / n_tokens)
+       |    + 0.3 * (n_uniq * 1.0 / n_tokens))) AS BIGINT) AS q
+       |FROM (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(toks, x ->
+       |          list_contains(['the','a','of','and','to','in','is','it'], x)))
+       |          AS BIGINT) AS n_stop,
+       |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |WHERE n_tokens > 0)""".stripMargin
+
   /** Affine minhash family h_j(x) = (a_j·x + b_j) mod 2³¹−1 — the one
     * source of truth for both the Spark plan and the oracle SQL. */
   private val minhashA: Seq[Long] =
