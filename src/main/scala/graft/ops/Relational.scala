@@ -280,6 +280,29 @@ object Relational {
     },
 
     QueryDef(
+      "q57_topk_udaf",
+      """SELECT n_name, rank, s_name, s_acctbal FROM (
+        |  SELECT n_name, s_name, s_acctbal,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY s_acctbal DESC, s_suppkey) AS rank
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin) { (s, d) =>
+      // same result as the q13 window pattern, but through the custom
+      // bounded TopK Aggregator: partial buffers are capped at k, so
+      // the per-group shuffle carries k rows per map partition instead
+      // of every supplier — the UDAF surface done scale-first
+      val topk = udaf(new Aggregators.TopK(3))
+      supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(topk(col("s_acctbal"), col("s_suppkey"), col("s_name")).as("top"))
+        .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("n_name"), (col("pos") + 1).as("rank"),
+          col("e")("payload").as("s_name"), col("e")("score").as("s_acctbal"))
+        .orderBy(col("n_name"), col("rank"))
+    },
+
+    QueryDef(
       "q14_distinct_orders_parts",
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS n_orders,
