@@ -108,6 +108,30 @@ object Events {
     },
 
     QueryDef(
+      "q58_sliding_window_counts",
+      """WITH w AS (SELECT event_type,
+        |    unnest([ (epoch(date_trunc('second', ts))::BIGINT // 3600) * 3600,
+        |             (epoch(date_trunc('second', ts))::BIGINT // 3600) * 3600 - 3600 ])
+        |      AS win_start
+        |  FROM events)
+        |SELECT win_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      // batch sliding window (2h length, 1h slide) via the native
+      // window() generator: each event lands in exactly two windows;
+      // output keyed on the integer epoch-second window start so no
+      // timezone semantics enter the oracle compare
+      events(s, d)
+        .groupBy(
+          window(timestamp_seconds(col("ts_sec")), "2 hours", "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    QueryDef(
       "q18_user_sessions",
       s"""WITH e AS (SELECT user_id, event_id, $tsSecSql AS ts_sec
          |           FROM events),
