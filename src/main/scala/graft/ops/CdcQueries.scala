@@ -20,6 +20,17 @@ object CdcQueries {
   import Tables._
   import CdcFunctions._
 
+  /** typed rows for the mapPartitions roundtrips (q49/q54) — flat
+    * case classes keep the hot path free of Map→MapData conversion. */
+  final case class TwoPhaseIn(rollback: Boolean, event_id: Long,
+      user_id: Long, value_str: String)
+  final case class TwoPhaseOut(event_id: Long, user_id: Long,
+      value_str: String, op: String, xid: Long, gid: String)
+  final case class V2In(abort: Boolean, event_id: Long,
+      user_id: Long, value_str: String)
+  final case class V2Out(event_id: Long, user_id: Long,
+      value_str: String, op: String, xid: Long)
+
   private val opSql =
     """CASE event_type WHEN 'signup' THEN 'insert'
       |  WHEN 'error' THEN 'delete' ELSE 'update' END""".stripMargin
@@ -256,35 +267,36 @@ object CdcQueries {
       // stream-commit — except 'error' events, whose stream is
       // stream-aborted and must stay invisible downstream. xid is
       // event_id+1: PostgreSQL xids start at 3, and xid 0 means
-      // "not streamed" to streamCommittedChanges.
-      val v2Udf = udf { (abort: Boolean, eventId: Long, userId: Long,
-          valueStr: String) =>
-        val xid = eventId + 1
-        val frames = Seq(
-          PgoutputWriter.streamStart(xid, firstSegment = true),
-          PgoutputWriter.streamed(xid, PgoutputWriter.relation(eventsRel)),
-          PgoutputWriter.streamed(xid, PgoutputWriter.insert(
-            eventsRel.relationOid,
-            Seq(eventId.toString, userId.toString, valueStr, "PROPS"))),
-          PgoutputWriter.streamStop(),
-          if (abort) PgoutputWriter.streamAbort(xid, xid)
-          else PgoutputWriter.streamCommit(xid, 1000L + eventId,
-            1001L + eventId, eventId * 1000000L))
-        val parser = new PgoutputParser
-        val decoded = frames.map(parser.parse(_))
-        CdcFunctions.streamCommittedChanges(decoded).map(e =>
-          Map("_tag" -> e.tag, "_xid" -> e.xid.toString) ++ e.after)
-      }
+      // "not streamed" to streamCommittedChanges. Typed mapPartitions
+      // keeps the hot path conversion-free (see q54).
+      import s.implicits._
       events(s, d)
-        .select(v2Udf(col("event_type") === "error", col("event_id"),
-          col("user_id"), valueStrCol).as("ms"))
-        .select(explode(col("ms")).as("m"))
         .select(
-          col("m")("event_id").cast("long").as("event_id"),
-          col("m")("user_id").cast("long").as("user_id"),
-          col("m")("value_str").as("value_str"),
-          col("m")("_tag").as("op"),
-          col("m")("_xid").cast("long").as("xid"))
+          (col("event_type") === "error").as("abort"),
+          col("event_id"), col("user_id"), valueStrCol.as("value_str"))
+        .as[V2In]
+        .mapPartitions { it =>
+          val parser = new PgoutputParser
+          it.flatMap { r =>
+            val xid = r.event_id + 1
+            val frames = Seq(
+              PgoutputWriter.streamStart(xid, firstSegment = true),
+              PgoutputWriter.streamed(xid, PgoutputWriter.relation(eventsRel)),
+              PgoutputWriter.streamed(xid, PgoutputWriter.insert(
+                eventsRel.relationOid,
+                Seq(r.event_id.toString, r.user_id.toString, r.value_str,
+                  "PROPS"))),
+              PgoutputWriter.streamStop(),
+              if (r.abort) PgoutputWriter.streamAbort(xid, xid)
+              else PgoutputWriter.streamCommit(xid, 1000L + r.event_id,
+                1001L + r.event_id, r.event_id * 1000000L))
+            val decoded = frames.map(parser.parse(_))
+            CdcFunctions.streamCommittedChanges(decoded).map(e =>
+              V2Out(e.after("event_id").toLong, e.after("user_id").toLong,
+                e.after("value_str"), e.tag, e.xid))
+          }
+        }
+        .toDF()
         .orderBy(col("event_id"))
     },
 
@@ -298,45 +310,49 @@ object CdcQueries {
       // PG15 two-phase commit: every event becomes a prepared
       // transaction (begin_prepare / R / I / prepare) that is COMMIT
       // PREPARED — except 'error' events, which are ROLLBACK PREPARED
-      // and must stay invisible downstream.
-      val tpUdf = udf { (rollback: Boolean, eventId: Long, userId: Long,
-          valueStr: String) =>
-        val xid = eventId + 1
-        val gid = s"gid-$eventId"
-        val frames = Seq(
-          PgoutputWriter.beginPrepare(100L + eventId, 101L + eventId,
-            eventId * 1000000L, xid, gid),
-          PgoutputWriter.relation(eventsRel),
-          PgoutputWriter.insert(eventsRel.relationOid,
-            Seq(eventId.toString, userId.toString, valueStr, "PROPS")),
-          PgoutputWriter.prepare(100L + eventId, 101L + eventId,
-            eventId * 1000000L, xid, gid),
-          if (rollback)
-            PgoutputWriter.rollbackPrepared(101L + eventId, 202L + eventId,
-              eventId * 1000000L, eventId * 1000000L + 1L, xid, gid)
-          else
-            PgoutputWriter.commitPrepared(200L + eventId, 201L + eventId,
-              eventId * 1000000L, xid, gid))
-        val parser = new PgoutputParser
-        val decoded = frames.map(parser.parse(_))
-        val gidByXid = decoded.collect {
-          case e if e.tag == "begin_prepare" => e.xid -> e.gid
-        }.toMap
-        CdcFunctions.preparedVisibleChanges(decoded).map(e =>
-          Map("_tag" -> e.tag, "_xid" -> (eventId + 1).toString,
-            "_gid" -> gidByXid.getOrElse(eventId + 1, null)) ++ e.after)
-      }
+      // and must stay invisible downstream. Typed mapPartitions with a
+      // flat case-class output: no per-row Map→MapData conversion on
+      // the hot path, parser reused across the partition (each frame
+      // sequence re-ships its relation, so reuse is safe).
+      import s.implicits._
       events(s, d)
-        .select(tpUdf(col("event_type") === "error", col("event_id"),
-          col("user_id"), valueStrCol).as("ms"))
-        .select(explode(col("ms")).as("m"))
         .select(
-          col("m")("event_id").cast("long").as("event_id"),
-          col("m")("user_id").cast("long").as("user_id"),
-          col("m")("value_str").as("value_str"),
-          col("m")("_tag").as("op"),
-          col("m")("_xid").cast("long").as("xid"),
-          col("m")("_gid").as("gid"))
+          (col("event_type") === "error").as("rollback"),
+          col("event_id"), col("user_id"), valueStrCol.as("value_str"))
+        .as[TwoPhaseIn]
+        .mapPartitions { it =>
+          val parser = new PgoutputParser
+          it.flatMap { r =>
+            val xid = r.event_id + 1
+            val gid = s"gid-${r.event_id}"
+            val frames = Seq(
+              PgoutputWriter.beginPrepare(100L + r.event_id, 101L + r.event_id,
+                r.event_id * 1000000L, xid, gid),
+              PgoutputWriter.relation(eventsRel),
+              PgoutputWriter.insert(eventsRel.relationOid,
+                Seq(r.event_id.toString, r.user_id.toString, r.value_str,
+                  "PROPS")),
+              PgoutputWriter.prepare(100L + r.event_id, 101L + r.event_id,
+                r.event_id * 1000000L, xid, gid),
+              if (r.rollback)
+                PgoutputWriter.rollbackPrepared(101L + r.event_id,
+                  202L + r.event_id, r.event_id * 1000000L,
+                  r.event_id * 1000000L + 1L, xid, gid)
+              else
+                PgoutputWriter.commitPrepared(200L + r.event_id,
+                  201L + r.event_id, r.event_id * 1000000L, xid, gid))
+            val decoded = frames.map(parser.parse(_))
+            val gidByXid = decoded.collect {
+              case e if e.tag == "begin_prepare" => e.xid -> e.gid
+            }.toMap
+            CdcFunctions.preparedVisibleChanges(decoded).map(e =>
+              TwoPhaseOut(
+                e.after("event_id").toLong, e.after("user_id").toLong,
+                e.after("value_str"), e.tag, xid,
+                gidByXid.getOrElse(xid, null)))
+          }
+        }
+        .toDF()
         .orderBy(col("event_id"))
     },
 
