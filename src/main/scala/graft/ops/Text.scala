@@ -37,8 +37,16 @@ object Text {
   private[ops] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
 
+  // tokenized documents memoized per (session, dataset): every text /
+  // dedup / pipeline operator starts from the same tokenization, so
+  // materialize it once per session (one entry per (session, sf-dir))
+  private val toksCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   private[ops] def withToks(s: SparkSession, d: String): DataFrame =
-    documents(s, d).withColumn("toks", toksCol)
+    toksCache.getOrElseUpdate((s, d),
+      documents(s, d).withColumn("toks", toksCol).cache())
 
   /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
     * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
