@@ -113,24 +113,67 @@ class CdcReplayTable(props: Map[String, String]) extends Table with SupportsRead
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(options.get("path") != null,
       "cdc-replay requires the 'path' option (directory of *.jsonl frame logs)")
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        private val path = options.get("path")
-        override def readSchema(): StructType = CdcReplaySource.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcReplayStream(path,
-            Option(options.get("startingLsn")).map(parseStart).getOrElse(0L),
-            Option(options.get("maxFramesPerTrigger")).map(_.toLong)
-              .getOrElse(Long.MaxValue))
-        override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
-            CdcReplaySource.listLogFiles(path)
-              .map(f => CdcReplayPartition(f, Long.MinValue, Long.MaxValue)
-                : InputPartition).toArray
-          override def createReaderFactory(): PartitionReaderFactory =
-            new CdcReplayReaderFactory
-        }
-      }
+    new CdcReplayScanBuilder(options)
+  }
+}
+
+/** Scan builder with LSN-range filter pushdown (SURVEY §4 O1 made
+  * real for this source): `lsn` comparisons become the partitions'
+  * (startExclusive, endInclusive) bounds, which the reader turns into
+  * skip-head / stop-early I/O on the LSN-sorted shard files — the
+  * replay analogue of `START_REPLICATION ... <lsn>` doing the
+  * filtering server-side. Accepted filters are applied *exactly*, so
+  * they are consumed here and not re-evaluated post-scan. */
+class CdcReplayScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private val path = options.get("path")
+  private var lsnLowExclusive = Long.MinValue
+  private var lsnHighInclusive = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+
+  private def num(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val remaining = filters.filter {
+      case GreaterThan("lsn", v) if num(v).isDefined =>
+        lsnLowExclusive = math.max(lsnLowExclusive, num(v).get); false
+      case GreaterThanOrEqual("lsn", v) if num(v).isDefined =>
+        lsnLowExclusive = math.max(lsnLowExclusive, num(v).get - 1); false
+      case LessThan("lsn", v) if num(v).isDefined =>
+        lsnHighInclusive = math.min(lsnHighInclusive, num(v).get - 1); false
+      case LessThanOrEqual("lsn", v) if num(v).isDefined =>
+        lsnHighInclusive = math.min(lsnHighInclusive, num(v).get); false
+      case EqualTo("lsn", v) if num(v).isDefined =>
+        lsnLowExclusive = math.max(lsnLowExclusive, num(v).get - 1)
+        lsnHighInclusive = math.min(lsnHighInclusive, num(v).get); false
+      case _ => true
+    }
+    pushed = filters.diff(remaining)
+    remaining
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = CdcReplaySource.schema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new CdcReplayStream(path,
+        Option(options.get("startingLsn")).map(parseStart).getOrElse(0L),
+        Option(options.get("maxFramesPerTrigger")).map(_.toLong)
+          .getOrElse(Long.MaxValue))
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        CdcReplaySource.listLogFiles(path)
+          .map(f => CdcReplayPartition(f, lsnLowExclusive, lsnHighInclusive)
+            : InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new CdcReplayReaderFactory
     }
   }
 

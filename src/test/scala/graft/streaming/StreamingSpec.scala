@@ -249,4 +249,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = spark.sql("SELECT sum(n) FROM wins").head().getLong(0)
     assert(total >= 30, s"closed windows should cover most rows, got $total")
   }
+
+  test("batch read pushes lsn range filters into the scan partitions") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual, EqualTo}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // unit level: the accepted filters become partition bounds and are
+    // consumed (not left for post-scan re-evaluation)
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", logDir))
+    val sb = new CdcReplayScanBuilder(opts)
+    val remaining = sb.pushFilters(Array(
+      GreaterThan("lsn", 100L), LessThanOrEqual("lsn", 300L),
+      EqualTo("frames", null)))
+    assert(remaining.length == 1) // the non-lsn filter stays post-scan
+    assert(sb.pushedFilters().length == 2)
+    val parts = sb.build().toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val cp = p.asInstanceOf[CdcReplayPartition]
+      assert(cp.startExclusive == 100L)
+      assert(cp.endInclusive == 300L)
+    }
+    // end to end: the filtered read returns exactly the range
+    val df = spark.read.format(CdcReplaySource.FORMAT).option("path", logDir)
+      .load().filter("lsn > 100 AND lsn <= 300")
+    val lsns = df.select("lsn").collect().map(_.getLong(0)).sorted
+    assert(lsns.toSeq == (11 to 30).map(_ * 10L))
+  }
 }
