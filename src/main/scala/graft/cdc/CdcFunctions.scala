@@ -14,12 +14,9 @@ import org.apache.spark.sql.types._
   */
 object CdcFunctions {
 
-  // ---- LSN + PG-epoch scalar functions (A7, binary-reader.ts:75-91) ----
+  // ---- LSN + PG-epoch scalar functions (A7, binary-reader.ts:75-91)
+  // all native Catalyst expressions (codegen) — see LsnExpressions.scala
 
-  val pgEpochToUnixUdf = udf((us: Long) => PgEpoch.toUnixMicros(us))
-  val unixToPgEpochUdf = udf((us: Long) => PgEpoch.fromUnixMicros(us))
-
-  // native Catalyst expressions (codegen) — see LsnExpressions.scala
   def parse_lsn(c: Column): Column = GraftFunctions.parse_lsn(c)
   def format_lsn(c: Column): Column = GraftFunctions.format_lsn(c)
 
@@ -38,15 +35,39 @@ object CdcFunctions {
     * transaction was stream-committed — changes of stream-aborted
     * transactions are invisible, mirroring rollback invisibility on
     * the non-streamed path (where aborted transactions never reach
-    * the wire at all). Non-streamed changes (xid 0 on the event)
-    * pass through. */
+    * the wire at all). Non-streamed changes (outside any S..E block)
+    * pass through.
+    *
+    * Subtransaction semantics: the per-message xid prefix is the xid
+    * of the (sub)transaction that made the change, which for a change
+    * inside a savepoint is the SUBtransaction's xid — commit keying
+    * therefore uses the *enclosing stream block's* toplevel xid, and
+    * a `stream_abort(xid, subXid)` with `subXid != xid` (ROLLBACK TO
+    * SAVEPOINT) removes only that subtransaction's changes while the
+    * rest of the block stays eligible for stream_commit. */
   def streamCommittedChanges(events: Seq[ChangeEvent]): Seq[ChangeEvent] = {
     val committed = events.collect {
       case e if e.tag == "stream_commit" => e.xid
     }.toSet
-    events.filter(e =>
-      (e.tag == "insert" || e.tag == "update" || e.tag == "delete") &&
-        (e.xid == 0L || committed(e.xid)))
+    val abortedSubs = events.collect {
+      case e if e.tag == "stream_abort" && e.subXid != e.xid =>
+        (e.xid, e.subXid)
+    }.toSet
+    var blockXid = 0L // 0 = outside any stream block
+    val out = Seq.newBuilder[ChangeEvent]
+    events.foreach { e =>
+      e.tag match {
+        case "stream_start" => blockXid = e.xid
+        case "stream_stop" => blockXid = 0L
+        case "insert" | "update" | "delete" =>
+          val visible =
+            if (blockXid == 0L) true // non-streamed path
+            else committed(blockXid) && !abortedSubs((blockXid, e.xid))
+          if (visible) out += e
+        case _ => ()
+      }
+    }
+    out.result()
   }
 
   /** Two-phase visibility: a prepared transaction's changes become

@@ -132,21 +132,22 @@ object GraftFunctions {
   def pg_epoch_to_unix(c: Column): Column = call_function("pg_epoch_to_unix", c)
   def unix_to_pg_epoch(c: Column): Column = call_function("unix_to_pg_epoch", c)
 
-  /** Make the functions callable from SQL: format_lsn(x), ... */
+  /** Make the functions callable from SQL: format_lsn(x), ...
+    * Each function registers independently iff its name is absent, so
+    * a partially-populated registry (an older build, a user override)
+    * still gains the missing ones, and nothing already registered is
+    * clobbered or re-registered (no replace warnings per query). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("format_lsn")).isEmpty) {
-      reg.createOrReplaceTempFunction("format_lsn",
-        exprs => FormatLsnExpr(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("parse_lsn",
-        exprs => ParseLsnExpr(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("lsn_plus_one",
-        exprs => LsnPlusOneExpr(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("pg_epoch_to_unix",
-        exprs => PgEpochToUnixExpr(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("unix_to_pg_epoch",
-        exprs => UnixToPgEpochExpr(exprs.head), "scala_udf")
-    }
+    def ensure(name: String,
+        builder: Seq[Expression] => Expression): Unit =
+      if (reg.lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("format_lsn", exprs => FormatLsnExpr(exprs.head))
+    ensure("parse_lsn", exprs => ParseLsnExpr(exprs.head))
+    ensure("lsn_plus_one", exprs => LsnPlusOneExpr(exprs.head))
+    ensure("pg_epoch_to_unix", exprs => PgEpochToUnixExpr(exprs.head))
+    ensure("unix_to_pg_epoch", exprs => UnixToPgEpochExpr(exprs.head))
   }
 }

@@ -342,14 +342,10 @@ object CdcQueries {
                 PgoutputWriter.commitPrepared(200L + r.event_id,
                   201L + r.event_id, r.event_id * 1000000L, xid, gid))
             val decoded = frames.map(parser.parse(_))
-            val gidByXid = decoded.collect {
-              case e if e.tag == "begin_prepare" => e.xid -> e.gid
-            }.toMap
             CdcFunctions.preparedVisibleChanges(decoded).map(e =>
               TwoPhaseOut(
                 e.after("event_id").toLong, e.after("user_id").toLong,
-                e.after("value_str"), e.tag, xid,
-                gidByXid.getOrElse(xid, null)))
+                e.after("value_str"), e.tag, xid, gid))
           }
         }
         .toDF()

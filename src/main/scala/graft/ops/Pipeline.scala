@@ -42,12 +42,10 @@ object Pipeline {
   /** (node, label) connected-component assignment over the Jaccard
     * near-dup graph — min-label propagation to a fixpoint, memoized
     * per (session, dataset) like the pair graph it derives from. */
-  private val labelCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+  private val labelCache = new Tables.DfMemo()
 
   private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.getOrElseUpdate((s, d), {
+    labelCache.getOrElseUpdate((s, d)) {
       val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
       val edges = pairs
         .union(pairs.select(col("d2"), col("d1")))
@@ -73,8 +71,12 @@ object Pipeline {
         converged = changed == 0
         iter += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge within $iter rounds " +
+          "(component diameter exceeds the cap); raise the cap or switch " +
+          "to the large-star/small-star variant for this graph")
       labels
-    })
+    }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -77,12 +77,13 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
-      // the segment-filtered customer set is dimension-sized at any SF
-      // (1/5 of customers, two columns after pruning) — broadcasting it
-      // removes the orders-side shuffle entirely; only orders×lineitem
-      // shuffles, on the join key
-      broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey")))
+      // the segment-filtered customer side is pruned to one key column
+      // but still scales linearly with SF, so the broadcast-vs-shuffle
+      // choice is left to Catalyst/AQE size estimates (it broadcasts
+      // at bench scale, and falls back to a shuffle join at SFs where
+      // a forced broadcast would OOM)
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
         .join(orders(s, d), col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))

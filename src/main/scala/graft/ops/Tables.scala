@@ -50,4 +50,35 @@ object Tables {
   def r2(c: Column): Column = round(c, 2)
   def r4(c: Column): Column = round(c, 4)
   def r6(c: Column): Column = round(c, 6)
+
+  /** Small LRU memo for per-(session, dataset) materialized
+    * DataFrames (shared shingle/token/pair indexes). Bounded: evicting
+    * an entry unpersists its cached blocks, so a long-lived driver
+    * cycling over many sessions/datasets cannot pin storage without
+    * limit. */
+  private[ops] final class DfMemo(max: Int = 8) {
+    private val m =
+      new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), DataFrame])
+            : Boolean =
+          if (size > max) {
+            try e.getValue.unpersist(false)
+            catch { case _: Exception => () }
+            true
+          } else false
+      }
+
+    def getOrElseUpdate(k: (SparkSession, String))(
+        build: => DataFrame): DataFrame = m.synchronized {
+      val hit = m.get(k)
+      if (hit != null) hit
+      else {
+        val v = build
+        m.put(k, v)
+        v
+      }
+    }
+  }
 }

@@ -40,12 +40,10 @@ object Text {
   // tokenized documents memoized per (session, dataset): every text /
   // dedup / pipeline operator starts from the same tokenization, so
   // materialize it once per session (one entry per (session, sf-dir))
-  private val toksCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+  private val toksCache = new Tables.DfMemo()
 
   private[ops] def withToks(s: SparkSession, d: String): DataFrame =
-    toksCache.getOrElseUpdate((s, d),
+    toksCache.getOrElseUpdate((s, d))(
       documents(s, d).withColumn("toks", toksCol).cache())
 
   /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
@@ -70,13 +68,11 @@ object Text {
   // operators consume (q25/q26/q45) — materialize each once per
   // session instead of once per query, like a persisted shingle index
   // would be at scale. Bounded: one entry per (session, sf-dir).
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shCache = new Tables.DfMemo()
+  private val pairCache = new Tables.DfMemo()
 
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate((s, d),
+    shCache.getOrElseUpdate((s, d))(
       withToks(s, d)
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -98,7 +94,7 @@ object Text {
     * q25, reused by q45's duplicate-cluster graph. Columns:
     * d1, d2, na, nb, inter. */
   private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d), buildJaccardPairs(s, d).cache())
+    pairCache.getOrElseUpdate((s, d))(buildJaccardPairs(s, d).cache())
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleHashes(s, d)

@@ -59,11 +59,22 @@ object CdcReplaySource {
       .map(_.getPath).sorted.toSeq
   }
 
-  /** Driver-side index scan: all (file, lsn) pairs, lsn-sorted. */
+  /** Driver-side index scan: all (file, lsn) pairs, lsn-sorted.
+    * Enforces the per-shard LSN-sort format invariant (this reads
+    * every line anyway, so the check is free here). */
   def lsnIndex(path: String): Seq[Long] =
     listLogFiles(path).flatMap { f =>
       val src = scala.io.Source.fromFile(f)
-      try src.getLines().map(parseLsn).toList finally src.close()
+      try {
+        val lsns = src.getLines().map(parseLsn).toList
+        lsns.iterator.sliding(2).foreach {
+          case Seq(a, b) if b < a => throw new IllegalStateException(
+            s"$f is not LSN-sorted ($b after $a); " +
+              "cdc-replay shards must be written in LSN order")
+          case _ => ()
+        }
+        lsns
+      } finally src.close()
     }.sorted
 
   private[streaming] def parseLsn(line: String): Long = {
@@ -140,16 +151,20 @@ class CdcReplayScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // -1 adjustments must not wrap at Long.MinValue — a value at the
+    // edge stays unconsumed (Spark evaluates it post-scan) rather
+    // than flipping the bound to its opposite
     val remaining = filters.filter {
       case GreaterThan("lsn", v) if num(v).isDefined =>
         lsnLowExclusive = math.max(lsnLowExclusive, num(v).get); false
-      case GreaterThanOrEqual("lsn", v) if num(v).isDefined =>
+      case GreaterThanOrEqual("lsn", v)
+          if num(v).exists(_ != Long.MinValue) =>
         lsnLowExclusive = math.max(lsnLowExclusive, num(v).get - 1); false
-      case LessThan("lsn", v) if num(v).isDefined =>
+      case LessThan("lsn", v) if num(v).exists(_ != Long.MinValue) =>
         lsnHighInclusive = math.min(lsnHighInclusive, num(v).get - 1); false
       case LessThanOrEqual("lsn", v) if num(v).isDefined =>
         lsnHighInclusive = math.min(lsnHighInclusive, num(v).get); false
-      case EqualTo("lsn", v) if num(v).isDefined =>
+      case EqualTo("lsn", v) if num(v).exists(_ != Long.MinValue) =>
         lsnLowExclusive = math.max(lsnLowExclusive, num(v).get - 1)
         lsnHighInclusive = math.min(lsnHighInclusive, num(v).get); false
       case _ => true
@@ -257,11 +272,24 @@ class CdcReplayReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[CdcReplayPartition]
     new PartitionReader[InternalRow] {
       private val source = scala.io.Source.fromFile(p.file)
-      // log files are LSN-sorted per shard (the stream's invariant),
-      // so the tail past endInclusive terminates the scan early; the
-      // LSN is parsed once per line
+      // log files are LSN-sorted per shard — a FORMAT INVARIANT that
+      // both the streaming offsets and the pushed-down batch bounds
+      // rely on. Monotonicity is checked on every line this reader
+      // consumes (and over whole files in lsnIndex, which the stream
+      // path always builds), so an out-of-order producer fails loudly
+      // instead of silently losing rows. The sorted tail past
+      // endInclusive terminates the scan early; the LSN is parsed
+      // once per line.
+      private var lastSeen = Long.MinValue
       private val rows = source.getLines()
-        .map(l => (CdcReplaySource.parseLsn(l), l))
+        .map { l =>
+          val lsn = CdcReplaySource.parseLsn(l)
+          if (lsn < lastSeen) throw new IllegalStateException(
+            s"${p.file} is not LSN-sorted ($lsn after $lastSeen); " +
+              "cdc-replay shards must be written in LSN order")
+          lastSeen = lsn
+          (lsn, l)
+        }
         .dropWhile(_._1 <= p.startExclusive)
         .takeWhile(_._1 <= p.endInclusive)
       private var current: InternalRow = _

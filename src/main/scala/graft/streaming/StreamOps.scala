@@ -111,33 +111,47 @@ object StreamOps {
       }
   }
 
+  /** `xid` is the toplevel (stream-block) transaction id — the group
+    * key. `subXid` is the per-message (sub)transaction id: for data
+    * changes the xid prefix the change arrived under, for
+    * stream_abort the aborted subtransaction; 0 means "same as xid". */
   final case class StreamEvent(xid: Long, lsn: Long, tag: String,
-      table: String, tuple: Map[String, String])
+      table: String, tuple: Map[String, String], subXid: Long = 0L)
   final case class CommittedChange(xid: Long, commitLsn: Long, op: String,
       table: String, tuple: Map[String, String])
 
   /** Proto-v2 in-progress-transaction reassembly as keyed streaming
-    * state: data changes of a streamed transaction buffer per xid
-    * until its `stream_commit` arrives (emit) or `stream_abort` does
-    * (discard) — the Structured Streaming analogue of
-    * [[graft.cdc.CdcFunctions.streamCommittedChanges]]. State is
-    * bounded by the changes of concurrently in-progress transactions
-    * only (PostgreSQL streams a transaction precisely because it is
-    * too big to buffer server-side; the per-xid partitioned state is
-    * how that bound distributes across executors at scale). */
+    * state: data changes of a streamed transaction buffer per toplevel
+    * xid until its `stream_commit` arrives (emit) or a whole-
+    * transaction `stream_abort` does (discard) — the Structured
+    * Streaming analogue of
+    * [[graft.cdc.CdcFunctions.streamCommittedChanges]]. A
+    * subtransaction abort (`subXid != xid`, ROLLBACK TO SAVEPOINT)
+    * prunes only that subtransaction's buffered changes and keeps the
+    * rest of the transaction in flight. State is bounded by the
+    * changes of concurrently in-progress transactions only
+    * (PostgreSQL streams a transaction precisely because it is too
+    * big to buffer server-side; the per-xid partitioned state is how
+    * that bound distributes across executors at scale). */
   def streamedTransactions(events: Dataset[StreamEvent])
       : Dataset[CommittedChange] = {
     import events.sparkSession.implicits._
+    def sub(e: StreamEvent): Long = if (e.subXid == 0L) e.xid else e.subXid
     events
       .groupByKey(_.xid)
       .flatMapGroupsWithState[Seq[StreamEvent], CommittedChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (xid, rows, state: GroupState[Seq[StreamEvent]]) =>
           val sorted = rows.toSeq.sortBy(_.lsn)
-          val buf = state.getOption.getOrElse(Seq.empty) ++
+          var buf = state.getOption.getOrElse(Seq.empty) ++
             sorted.filter(e =>
               e.tag == "insert" || e.tag == "update" || e.tag == "delete")
-          if (sorted.exists(_.tag == "stream_abort")) {
+          var wholeTxAborted = false
+          sorted.filter(_.tag == "stream_abort").foreach { a =>
+            if (sub(a) == a.xid) wholeTxAborted = true
+            else buf = buf.filterNot(e => sub(e) == sub(a))
+          }
+          if (wholeTxAborted) {
             state.remove()
             Iterator.empty
           } else sorted.find(_.tag == "stream_commit") match {

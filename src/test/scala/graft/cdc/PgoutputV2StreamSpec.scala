@@ -77,6 +77,31 @@ class PgoutputV2StreamSpec extends AnyFunSuite {
     assert(visible.forall(_.xid == 1L))
   }
 
+  test("subtransaction abort removes only the savepoint's changes") {
+    // toplevel xid 7 opens a savepoint (subxact 8): the subxact's
+    // change carries xid prefix 8 inside xid-7's stream block;
+    // ROLLBACK TO SAVEPOINT emits stream_abort(7, 8) and only that
+    // change disappears — the rest of the transaction commits
+    val p = new PgoutputParser
+    val frames = Seq(
+      PgoutputWriter.streamStart(7L, firstSegment = true),
+      PgoutputWriter.streamed(7L, PgoutputWriter.relation(usersRel)),
+      PgoutputWriter.streamed(7L,
+        PgoutputWriter.insert(usersRel.relationOid, Seq("1", "keep"))),
+      PgoutputWriter.streamed(8L,
+        PgoutputWriter.insert(usersRel.relationOid, Seq("2", "savepoint"))),
+      PgoutputWriter.streamStop(),
+      PgoutputWriter.streamAbort(7L, 8L),
+      PgoutputWriter.streamStart(7L, firstSegment = false),
+      PgoutputWriter.streamed(7L,
+        PgoutputWriter.insert(usersRel.relationOid, Seq("3", "keep2"))),
+      PgoutputWriter.streamStop(),
+      PgoutputWriter.streamCommit(7L, 1000L, 1001L, 0L))
+    val events = frames.map(p.parse(_))
+    val visible = CdcFunctions.streamCommittedChanges(events)
+    assert(visible.map(_.after("id")) == Seq("1", "3"))
+  }
+
   test("interleaved stream segments resolve by per-message xid") {
     // two in-progress transactions interleave segments — the whole
     // point of proto v2; each data message resolves to its own xid

@@ -361,4 +361,32 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.forall(r => r.xid == 1L && r.commitLsn == 30L))
     } finally q.stop()
   }
+
+  test("streamed transactions: subtransaction abort prunes only the savepoint") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val input = MemoryStream[StreamOps.StreamEvent]
+    val out = StreamOps.streamedTransactions(input.toDS())
+    val q = out.writeStream.format("memory").queryName("v2sub")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamOps.StreamEvent(7L, 10L, "insert", "t", Map("id" -> "1")),
+        StreamOps.StreamEvent(7L, 11L, "insert", "t", Map("id" -> "2"),
+          subXid = 8L),
+        StreamOps.StreamEvent(7L, 12L, "stream_abort", "t", null,
+          subXid = 8L))
+      q.processAllAvailable()
+      assert(spark.table("v2sub").count() == 0) // still in flight
+      input.addData(
+        StreamOps.StreamEvent(7L, 20L, "insert", "t", Map("id" -> "3")),
+        StreamOps.StreamEvent(7L, 30L, "stream_commit", "t", null))
+      q.processAllAvailable()
+      val ids = spark.table("v2sub").as[StreamOps.CommittedChange]
+        .collect().map(_.tuple("id")).sorted.toSeq
+      assert(ids == Seq("1", "3")) // savepoint change 2 pruned
+    } finally q.stop()
+  }
 }
