@@ -176,6 +176,47 @@ object Events {
     },
 
     QueryDef(
+      "q59_map_functions",
+      """SELECT event_id,
+        |  len(list_filter([
+        |    CASE WHEN (event_id % 97) % 2 = 0 THEN 1 END,
+        |    CASE WHEN k % 2 = 0 THEN 1 END,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 END], x -> x IS NOT NULL))
+        |    AS n_keys,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN (event_id % 97) % 2 = 0
+        |         THEN 'eid=' || CAST((event_id % 97) * 3 AS VARCHAR) END,
+        |    CASE WHEN k % 2 = 0 THEN 'k=' || CAST(k * 3 AS VARCHAR) END,
+        |    CASE WHEN user_id % 2 = 0
+        |         THEN 'uid=' || CAST(user_id * 3 AS VARCHAR) END],
+        |    x -> x IS NOT NULL), ','), '') AS entries
+        |FROM (SELECT event_id, user_id,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // higher-order map functions over a per-event map: map_filter
+      // keeps even values, transform_values scales them, map_entries +
+      // array_sort + array_join canonicalize to a comparable string
+      // (keys are eid < k < uid, so the sorted order matches the
+      // oracle's hand-ordered list)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("m", map(
+          lit("eid"), col("event_id") % 97,
+          lit("k"), col("k"),
+          lit("uid"), col("user_id")))
+        .withColumn("kept", map_filter(col("m"), (_, v) => v % 2 === 0))
+        .withColumn("scaled", transform_values(col("kept"), (_, v) => v * 3))
+        .select(col("event_id"),
+          size(col("kept")).cast("long").as("n_keys"),
+          array_join(transform(array_sort(map_entries(col("scaled"))),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string"))), ",").as("entries"))
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef(
       "q19_json_props_stats",
       """SELECT event_type, count(*) AS n,
         |  CAST(floor(sum(k) * 10000.0 / count(*)) AS BIGINT) AS k_avg_4,
