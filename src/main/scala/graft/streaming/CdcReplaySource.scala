@@ -42,10 +42,16 @@ object CdcReplaySource {
   val FORMAT: String = classOf[CdcReplayProvider].getName
 
   /** Writes a frame log (driver-side test/fixture helper). */
-  def writeLog(path: String, rows: Seq[(Long, Seq[Array[Byte]])]): Unit = {
+  def writeLog(path: String, rows: Seq[(Long, Seq[Array[Byte]])]): Unit =
+    writeLogShard(path, 0, rows)
+
+  /** Writes one shard of a frame log; a shard ≈ one slot/publication
+    * (replay parallelism = shard count, intra-shard LSN order). */
+  def writeLogShard(path: String, shard: Int,
+      rows: Seq[(Long, Seq[Array[Byte]])]): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
-    val w = new java.io.PrintWriter(new java.io.File(dir, "part-0.jsonl"))
+    val w = new java.io.PrintWriter(new java.io.File(dir, s"part-$shard.jsonl"))
     try rows.sortBy(_._1).foreach { case (lsn, frames) =>
       val hex = frames.map(f => "\"" + f.map("%02x".format(_)).mkString + "\"")
       w.println(s"""{"lsn":$lsn,"frames":[${hex.mkString(",")}]}""")

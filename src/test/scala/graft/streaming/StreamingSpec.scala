@@ -250,6 +250,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total >= 30, s"closed windows should cover most rows, got $total")
   }
 
+  test("multi-shard logs read in parallel with one partition per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcshards").toString
+    def tx(lsn: Long, key: String): (Long, Seq[Array[Byte]]) =
+      (lsn, Seq(
+        PgoutputWriter.begin(lsn, 0L, lsn),
+        PgoutputWriter.relation(usersRel),
+        PgoutputWriter.insert(777, Seq(key, s"v$lsn")),
+        PgoutputWriter.commit(lsn, lsn + 1, 0L)))
+    // two shards with interleaved LSN ranges (shard ≈ slot)
+    CdcReplaySource.writeLogShard(dir, 0, Seq(tx(10, "a"), tx(30, "b"), tx(50, "c")))
+    CdcReplaySource.writeLogShard(dir, 1, Seq(tx(20, "d"), tx(40, "e")))
+
+    val df = spark.read.format(CdcReplaySource.FORMAT).option("path", dir).load()
+    assert(df.rdd.getNumPartitions == 2) // one per shard file
+    assert(df.select("lsn").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L, 50L))
+
+    // streaming offsets advance over the merged (cross-shard) index
+    val q = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("shards")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sh").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM shards").head().getLong(0) == 5L)
+  }
+
   test("batch read pushes lsn range filters into the scan partitions") {
     import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual, EqualTo}
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
