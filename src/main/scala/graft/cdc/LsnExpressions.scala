@@ -118,6 +118,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => PgEpochToUnixExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("unix_to_pg_epoch"), info("unix_to_pg_epoch"),
       (exprs: Seq[Expression]) => UnixToPgEpochExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("md5_h32"), info("md5_h32"),
+      (exprs: Seq[Expression]) => Md5H32Expr(exprs.head)))
   }
 }
 
@@ -131,6 +133,7 @@ object GraftFunctions {
   def lsn_plus_one(c: Column): Column = call_function("lsn_plus_one", c)
   def pg_epoch_to_unix(c: Column): Column = call_function("pg_epoch_to_unix", c)
   def unix_to_pg_epoch(c: Column): Column = call_function("unix_to_pg_epoch", c)
+  def md5_h32(c: Column): Column = call_function("md5_h32", c)
 
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
@@ -149,5 +152,41 @@ object GraftFunctions {
     ensure("lsn_plus_one", exprs => LsnPlusOneExpr(exprs.head))
     ensure("pg_epoch_to_unix", exprs => PgEpochToUnixExpr(exprs.head))
     ensure("unix_to_pg_epoch", exprs => UnixToPgEpochExpr(exprs.head))
+    ensure("md5_h32", exprs => Md5H32Expr(exprs.head))
   }
+}
+
+/** First 4 bytes of the MD5 digest as a non-negative 32-bit value in
+  * a Long — numerically identical to
+  * `conv(substring(md5(x), 1, 8), 16, 10)` but without materializing
+  * the 32-char hex string or re-parsing it (the dedup/minhash hot
+  * path hashes every shingle and token). */
+object Md5H32 {
+  private val mdTl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def hash(bytes: Array[Byte]): Long = {
+    val md = mdTl.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+case class Md5H32Expr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_h32"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Md5H32.hash(v.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.Md5H32.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -183,11 +183,12 @@ object Pipeline {
          |        (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
          |      FROM documents)
          |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
       documents(s, d)
         .select(col("lang"),
           size(Text.toksCol).cast("long").as("n_toks"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 100).as("bucket"))
+          (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
+            % 100).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")

@@ -72,14 +72,18 @@ object Text {
   private val pairCache = new Tables.DfMemo()
 
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate((s, d))(
+    shCache.getOrElseUpdate((s, d)) {
+      // md5_h32 is the native digest-bytes expression — value-identical
+      // to conv(substring(md5(x),1,8),16,10) without the hex round-trip
+      graft.cdc.GraftFunctions.register(s)
       withToks(s, d)
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(toks)-3), i -> " +
-            "CAST(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], " +
-            "toks[i+2])), 1, 8), 16, 10) AS BIGINT))"))).as("h"))
-        .cache())
+            "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")))
+          .as("h"))
+        .cache()
+    }
 
   /** identical hashed-shingle extraction for the DuckDB oracle
     * (1-based); CTE shape `shingles(doc_id, h)`. */
@@ -434,10 +438,11 @@ object Text {
          |SELECT d1, d2, bit_count(xor(sh1, sh2)) AS hamming
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
       val th = withToks(s, d)
         .select(col("doc_id"), explode(col("toks")).as("tok"))
         .select(col("doc_id"),
-          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h32"))
+          graft.cdc.GraftFunctions.md5_h32(col("tok")).as("h32"))
       val sums = th.groupBy(col("doc_id")).agg(
         expr("CAST(sum(2 * ((h32 >> 0) & 1) - 1) AS BIGINT)").as("s0"),
         (1 until 32).map(i =>

@@ -322,6 +322,18 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*("), s"expected codegen stages in:\n$plan")
   }
 
+  test("md5_h32 equals the conv/substring/md5 construction, in codegen") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT md5_h32(CAST(id AS STRING)) AS fast,
+        |  CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)
+        |       AS BIGINT) AS slow
+        |FROM range(0, 1000)""".stripMargin)
+    assert(r.filter("fast <> slow").count() == 0)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stages in:\n$plan")
+  }
+
   test("PG-epoch functions registered for SQL run inside codegen") {
     GraftFunctions.register(spark)
     val r = spark.sql(
