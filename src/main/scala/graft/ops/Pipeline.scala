@@ -147,6 +147,80 @@ object Pipeline {
     },
 
     QueryDef(
+      "q60_decontamination",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |bk AS (SELECT doc_id,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 80 AS is_train
+         |  FROM documents)
+         |SELECT CASE WHEN a.is_train THEN d2 ELSE d1 END AS eval_doc,
+         |       CASE WHEN a.is_train THEN d1 ELSE d2 END AS train_doc,
+         |       CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
+         |         AS jaccard_4
+         |FROM jpairs JOIN bk a ON a.doc_id = d1 JOIN bk b ON b.doc_id = d2
+         |WHERE a.is_train <> b.is_train
+         |ORDER BY eval_doc, train_doc""".stripMargin) { (s, d) =>
+      // eval-set decontamination: a near-dup pair that straddles the
+      // q46 train/eval split boundary means the eval doc leaks
+      // training data — the canonical pre-training hygiene check,
+      // expressed as the memoized pair graph joined twice against the
+      // (broadcastable) per-doc split assignment
+      graft.cdc.GraftFunctions.register(s)
+      val bk = documents(s, d).select(col("doc_id"),
+        (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
+          % 100 < 80).as("is_train"))
+      jaccardPairs(s, d)
+        .join(broadcast(bk.select(col("doc_id").as("d1"),
+          col("is_train").as("t1"))), "d1")
+        .join(broadcast(bk.select(col("doc_id").as("d2"),
+          col("is_train").as("t2"))), "d2")
+        .filter(col("t1") =!= col("t2"))
+        .select(
+          when(col("t1"), col("d2")).otherwise(col("d1")).as("eval_doc"),
+          when(col("t1"), col("d1")).otherwise(col("d2")).as("train_doc"),
+          floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
+            .cast("long").as("jaccard_4"))
+        .orderBy(col("eval_doc"), col("train_doc"))
+    },
+
+    QueryDef(
+      "q61_asof_tolerance",
+      """WITH p AS (SELECT event_id, user_id,
+        |           epoch(date_trunc('second', ts))::BIGINT AS ts_sec
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id,
+        |           epoch(date_trunc('second', ts))::BIGINT AS ts_sec
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       max(c.event_id) AS last_click_id,
+        |       count(c.event_id) AS n_clicks_in_window
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |                  AND c.ts_sec < p.ts_sec
+        |                  AND c.ts_sec >= p.ts_sec - 3600
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      // as-of join with tolerance (merge_asof semantics): the match
+      // must fall inside a bounded look-back window, so stale state
+      // never matches — the range predicate also bounds the join's
+      // per-key fan-out at scale
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_sec").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("ts_sec").as("c_ts"))
+      p.join(c,
+          col("c_user_id") === col("user_id") &&
+            col("c_ts") < col("p_ts") &&
+            col("c_ts") >= col("p_ts") - 3600, "left")
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(max(col("click_id")).as("last_click_id"),
+          count(col("click_id")).as("n_clicks_in_window"))
+        .orderBy(col("purchase_id"))
+    },
+
+    QueryDef(
       "q56_retention_cohorts",
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch(date_trunc('second', ts))::BIGINT // 604800 AS week
