@@ -37,6 +37,43 @@ object Events {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q61_asof_tolerance",
+      s"""WITH p AS (SELECT event_id, user_id,
+        |           $tsSecSql AS ts_sec
+         |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id,
+        |           $tsSecSql AS ts_sec
+         |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       max(c.event_id) AS last_click_id,
+        |       count(c.event_id) AS n_clicks_in_window
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |                  AND c.ts_sec < p.ts_sec
+        |                  AND c.ts_sec >= p.ts_sec - 3600
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      // as-of join with tolerance (merge_asof semantics): the match
+      // must fall inside a bounded look-back window, so stale state
+      // never matches — the range predicate also bounds the join's
+      // per-key fan-out at scale
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_sec").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("ts_sec").as("c_ts"))
+      p.join(c,
+          col("c_user_id") === col("user_id") &&
+            col("c_ts") < col("p_ts") &&
+            col("c_ts") >= col("p_ts") - 3600, "left")
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(max(col("click_id")).as("last_click_id"),
+          count(col("click_id")).as("n_clicks_in_window"))
+        .orderBy(col("purchase_id"))
+    },
+
+    QueryDef(
       "q11_asof_last_click",
       s"""WITH p AS (SELECT event_id, user_id FROM events
          |           WHERE event_type = 'purchase'),

@@ -166,9 +166,11 @@ object Pipeline {
       // expressed as the memoized pair graph joined twice against the
       // (broadcastable) per-doc split assignment
       graft.cdc.GraftFunctions.register(s)
+      // materialized once: both broadcast sides read the same cached
+      // split assignment instead of re-scanning + re-hashing documents
       val bk = documents(s, d).select(col("doc_id"),
         (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
-          % 100 < 80).as("is_train"))
+          % 100 < 80).as("is_train")).cache()
       jaccardPairs(s, d)
         .join(broadcast(bk.select(col("doc_id").as("d1"),
           col("is_train").as("t1"))), "d1")
@@ -181,43 +183,6 @@ object Pipeline {
           floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
             .cast("long").as("jaccard_4"))
         .orderBy(col("eval_doc"), col("train_doc"))
-    },
-
-    QueryDef(
-      "q61_asof_tolerance",
-      """WITH p AS (SELECT event_id, user_id,
-        |           epoch(date_trunc('second', ts))::BIGINT AS ts_sec
-        |           FROM events WHERE event_type = 'purchase'),
-        |     c AS (SELECT event_id, user_id,
-        |           epoch(date_trunc('second', ts))::BIGINT AS ts_sec
-        |           FROM events WHERE event_type = 'click')
-        |SELECT p.event_id AS purchase_id, p.user_id,
-        |       max(c.event_id) AS last_click_id,
-        |       count(c.event_id) AS n_clicks_in_window
-        |FROM p LEFT JOIN c ON c.user_id = p.user_id
-        |                  AND c.ts_sec < p.ts_sec
-        |                  AND c.ts_sec >= p.ts_sec - 3600
-        |GROUP BY p.event_id, p.user_id
-        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
-      // as-of join with tolerance (merge_asof semantics): the match
-      // must fall inside a bounded look-back window, so stale state
-      // never matches — the range predicate also bounds the join's
-      // per-key fan-out at scale
-      val ev = events(s, d)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts_sec").as("p_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("c_user_id"), col("ts_sec").as("c_ts"))
-      p.join(c,
-          col("c_user_id") === col("user_id") &&
-            col("c_ts") < col("p_ts") &&
-            col("c_ts") >= col("p_ts") - 3600, "left")
-        .groupBy(col("purchase_id"), col("user_id"))
-        .agg(max(col("click_id")).as("last_click_id"),
-          count(col("click_id")).as("n_clicks_in_window"))
-        .orderBy(col("purchase_id"))
     },
 
     QueryDef(
