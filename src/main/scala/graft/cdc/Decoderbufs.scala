@@ -196,6 +196,11 @@ object Decoderbufs {
       while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
       this
     }
+    def writeFixed32(v: Int): this.type = {
+      var i = 0
+      while (i < 4) { out.write(((v >>> (8 * i)) & 0xff)); i += 1 }
+      this
+    }
     def writeBytes(field: Int, b: Array[Byte]): this.type = {
       writeTag(field, 2).writeVarint(b.length); out.write(b, 0, b.length); this
     }
@@ -216,6 +221,30 @@ object Decoderbufs {
     new PbWriter().writeString(1, name)
       .writeTag(2, 0).writeVarint(columnType)
       .writeTag(4, 0).writeVarint(v).result()
+
+  /** negative int32 encodes as the 10-byte sign-extended varint, like
+    * standard protobuf int32 (decode truncates back via toInt). */
+  def encodeDatumInt32(name: String, columnType: Long, v: Int): Array[Byte] =
+    new PbWriter().writeString(1, name)
+      .writeTag(2, 0).writeVarint(columnType)
+      .writeTag(3, 0).writeVarint(v.toLong).result()
+
+  def encodeDatumFloat(name: String, columnType: Long, v: Float): Array[Byte] =
+    new PbWriter().writeString(1, name)
+      .writeTag(2, 0).writeVarint(columnType)
+      .writeTag(5, 5).writeFixed32(java.lang.Float.floatToIntBits(v))
+      .result()
+
+  def encodeDatumBool(name: String, columnType: Long, v: Boolean): Array[Byte] =
+    new PbWriter().writeString(1, name)
+      .writeTag(2, 0).writeVarint(columnType)
+      .writeTag(7, 0).writeVarint(if (v) 1L else 0L).result()
+
+  def encodeDatumBytes(name: String, columnType: Long,
+      v: Array[Byte]): Array[Byte] =
+    new PbWriter().writeString(1, name)
+      .writeTag(2, 0).writeVarint(columnType)
+      .writeBytes(9, v).result()
 
   def encodeDatumDouble(name: String, columnType: Long, v: Double): Array[Byte] =
     new PbWriter().writeString(1, name)

@@ -47,6 +47,37 @@ class DecoderbufsPropSpec extends AnyFunSuite {
     })
   }
 
+  test("int32 datums roundtrip the full range including negatives") {
+    check(Prop.forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
+      val row = Decoderbufs.encodeRow(1L, 0L, "public.t", Decoderbufs.OpInsert,
+        Seq(Decoderbufs.encodeDatumInt32("i", 23, v)))
+      val e = Decoderbufs.toChangeEvent(Decoderbufs.decode(row))
+      e.after("i") == v.toString
+    })
+  }
+
+  test("float datums roundtrip") {
+    check(Prop.forAll(Gen.chooseNum(-1e30f, 1e30f)) { v =>
+      val row = Decoderbufs.encodeRow(1L, 0L, "public.t", Decoderbufs.OpInsert,
+        Seq(Decoderbufs.encodeDatumFloat("f", 700, v)))
+      val e = Decoderbufs.toChangeEvent(Decoderbufs.decode(row))
+      e.after("f") == v.toDouble.toString
+    })
+  }
+
+  test("bool and bytes datums roundtrip") {
+    check(Prop.forAll(Gen.oneOf(true, false),
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { (b, bs) =>
+      val bytes = bs.toArray
+      val row = Decoderbufs.encodeRow(1L, 0L, "public.t", Decoderbufs.OpInsert,
+        Seq(Decoderbufs.encodeDatumBool("b", 16, b),
+          Decoderbufs.encodeDatumBytes("y", 17, bytes)))
+      val e = Decoderbufs.toChangeEvent(Decoderbufs.decode(row))
+      e.after("b") == b.toString &&
+        e.after("y") == "\\x" + bytes.map("%02x".format(_)).mkString
+    })
+  }
+
   test("point datums roundtrip coordinates") {
     check(Prop.forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(-1e6, 1e6)) {
       (x, y) =>
