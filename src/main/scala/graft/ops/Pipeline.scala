@@ -186,6 +186,42 @@ object Pipeline {
     },
 
     QueryDef(
+      "q62_stratified_sample",
+      s"""WITH cnt AS (SELECT lang, count(*) AS n_total
+         |             FROM documents GROUP BY lang),
+         |rates AS (SELECT lang, n_total,
+         |    (SELECT min(n_total) FROM cnt) * 1000 // n_total AS rate_milli
+         |  FROM cnt),
+         |hashed AS (SELECT lang,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 1000 AS h
+         |  FROM documents)
+         |SELECT r.lang, r.n_total, r.rate_milli,
+         |  count(*) FILTER (h.h < r.rate_milli) AS n_sampled
+         |FROM rates r JOIN hashed h ON h.lang = r.lang
+         |GROUP BY r.lang, r.n_total, r.rate_milli
+         |ORDER BY r.lang""".stripMargin) { (s, d) =>
+      // deterministic stratified downsampling: each stratum keeps docs
+      // whose doc_id hash falls under a per-stratum rate targeting the
+      // smallest stratum's size — balanced classes with no RNG, no
+      // global sort, stable under re-runs/repartitioning. Two keyed
+      // aggregations + a broadcast of the per-stratum rates; the
+      // hash gate itself is a pure map-side filter at any scale.
+      graft.cdc.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val cnt = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"))
+      val rates = cnt.withColumn("rate_milli",
+        expr("min(n_total) OVER () * 1000 DIV n_total"))
+      val hashed = documents(s, d).select(col("lang"),
+        (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
+          % 1000).as("h"))
+      hashed.join(broadcast(rates), "lang")
+        .groupBy(col("lang"), col("n_total"), col("rate_milli"))
+        .agg(count(when(col("h") < col("rate_milli"), 1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef(
       "q56_retention_cohorts",
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch(date_trunc('second', ts))::BIGINT // 604800 AS week
