@@ -154,6 +154,52 @@ object Vectors {
     },
 
     QueryDef(
+      "q63_embedding_quantization",
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |sc AS (SELECT vec_id, label, v,
+         |    list_reduce(list_transform(v, x -> abs(x)),
+         |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS scale
+         |  FROM e),
+         |err AS (SELECT label,
+         |    list_reduce(list_transform(v, x ->
+         |      CASE WHEN scale = 0 THEN 0.0 ELSE
+         |        (x - (floor(x / scale * 127.0) * scale / 127.0))
+         |        * (x - (floor(x / scale * 127.0) * scale / 127.0)) END),
+         |      (a, b) -> a + b) AS sq
+         |  FROM sc)
+         |SELECT label, count(*) AS n_vectors,
+         |  CAST(floor(sum(sq) * 1000000.0 / count(*)) AS BIGINT)
+         |    AS mse_6
+         |FROM err GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      // int8 scalar quantization: per-vector scale = max|x|, code =
+      // floor(x/scale*127) — the 4x storage compression an ANN index
+      // would persist at 100 TB; reconstruction MSE per label stays a
+      // keyed aggregation. floor (not round) keeps the code integers
+      // engine-identical, and the left-to-right list folds make the
+      // error sums bit-identical before the floor-scaled output.
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val sc = e.withColumn("scale",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (a, b) => when(b > a, b).otherwise(a)))
+      val recon = (x: Column, scale: Column) =>
+        floor(x / scale * 127.0) * scale / 127.0
+      val err = sc.select(col("label"),
+        aggregate(transform(col("v"), x =>
+          when(col("scale") === 0, 0.0)
+            .otherwise((x - recon(x, col("scale")))
+              * (x - recon(x, col("scale"))))),
+          lit(0.0), (a, b) => a + b).as("sq"))
+      err.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          floor(sum(col("sq")) * 1000000.0 / count(lit(1))).cast("long")
+            .as("mse_6"))
+        .orderBy(col("label"))
+    },
+
+    QueryDef(
       "q31_label_centroid_stats",
       s"""WITH x AS (SELECT label, vec_id, i, embedding[i]::DOUBLE AS val
          |  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
