@@ -317,6 +317,71 @@ object Text {
     },
 
     QueryDef(
+      "q64_repetition_ratio",
+      s"""SELECT doc_id, n_shingles,
+         |  CAST(floor((n_shingles - n_uniq) * 10000.0 / n_shingles)
+         |       AS BIGINT) AS rep_ratio_4,
+         |  CASE WHEN (n_shingles - n_uniq) * 10.0 / n_shingles > 3.0
+         |       THEN 1 ELSE 0 END AS flagged
+         |FROM (SELECT doc_id,
+         |        CAST(len(sh) AS BIGINT) AS n_shingles,
+         |        CAST(len(list_distinct(sh)) AS BIGINT) AS n_uniq
+         |      FROM (SELECT doc_id, list_transform(
+         |              range(1, len(toks) - 1),
+         |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |              AS sh
+         |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |            WHERE len(toks) >= 3))
+         |WHERE n_shingles > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // intra-document repetition (the Gopher-style duplicate-ngram
+      // quality gate): duplicated 3-gram mass within a doc — pure
+      // map-side array arithmetic, integer-scaled for the oracle;
+      // docs over the 30% threshold are flagged for removal
+      withToks(s, d)
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", expr(
+          "transform(sequence(0, size(toks)-3), i -> " +
+            "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_uniq"))
+        .filter(col("n_shingles") > 0)
+        .select(col("doc_id"), col("n_shingles"),
+          floor((col("n_shingles") - col("n_uniq")) * 10000.0
+            / col("n_shingles")).cast("long").as("rep_ratio_4"),
+          when((col("n_shingles") - col("n_uniq")) * 10.0
+            / col("n_shingles") > 3.0, 1L).otherwise(0L).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q65_pattern_counts",
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{6,}')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_long_digits,
+        |  CAST(sum(CASE WHEN regexp_matches(text, 'http')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_urlish,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+        |    AS total_number_runs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // pattern-based noise/PII screening counts (long digit runs,
+      // URL-ish markers, numeric-run density) — the regex subset here
+      // ([0-9]{6,}, literal substrings, [0-9]+) evaluates identically
+      // under Java regex and DuckDB's RE2
+      documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").rlike("[0-9]{6,}"), 1).otherwise(0))
+            .cast("long").as("n_long_digits"),
+          sum(when(col("text").rlike("http"), 1).otherwise(0))
+            .cast("long").as("n_urlish"),
+          sum(size(expr("regexp_extract_all(text, '[0-9]+', 0)")))
+            .cast("long").as("total_number_runs"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef(
       "q25_ngram_jaccard_pairs",
       s"""WITH shingles AS ($shinglesSql),
          |$jaccardPairsSql
