@@ -222,6 +222,44 @@ object Pipeline {
     },
 
     QueryDef(
+      "q66_sequence_packing",
+      s"""WITH base AS (SELECT lang, doc_id, len($toksSql) AS n_toks
+         |              FROM documents),
+         |cum AS (SELECT lang, doc_id, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY lang
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS before
+         |  FROM base WHERE n_toks > 0)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  (CAST(sum(n_toks) AS BIGINT) + 2047) // 2048 AS n_blocks,
+         |  CAST(sum(CASE WHEN before // 2048 <>
+         |        (before + n_toks - 1) // 2048 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddling
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // sequence-packing layout (LM pretraining style): per-language
+      // token streams concatenated in doc_id order and sliced into
+      // 2048-token blocks; a doc straddles when its span crosses a
+      // block boundary. One window cumsum per language partition plus
+      // a keyed aggregation — integer arithmetic end to end.
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withToks(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0)
+        .withColumn("before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          expr("(sum(n_toks) + 2047) DIV 2048").as("n_blocks"),
+          sum(when(expr("before DIV 2048") =!=
+            expr("(before + n_toks - 1) DIV 2048"), 1L).otherwise(0L))
+            .as("n_straddling"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef(
       "q56_retention_cohorts",
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch(date_trunc('second', ts))::BIGINT // 604800 AS week
