@@ -37,6 +37,43 @@ object Events {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q67_outlier_counts",
+      """WITH ranked AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |thr AS (SELECT event_type, max(value) AS p90
+        |  FROM ranked WHERE rn = (9 * n + 9) // 10 GROUP BY event_type)
+        |SELECT r.event_type, max(r.n) AS n_events,
+        |  round(max(t.p90), 2) AS p90_value,
+        |  CAST(sum(CASE WHEN r.value > t.p90 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM ranked r JOIN thr t ON t.event_type = r.event_type
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin) { (s, d) =>
+      // robust outlier gate: the p90 threshold is an actual data
+      // element picked by the exact rank formula (no stddev — its
+      // accumulation order is engine-dependent; a quantile element is
+      // not), and the comparison against it is exact on raw doubles
+      val ranked = events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val thr = ranked
+        .filter(col("rn") === expr("(9 * n + 9) DIV 10"))
+        .groupBy(col("event_type")).agg(max(col("value")).as("p90"))
+      ranked.join(thr, "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          round(max(col("p90")), 2).as("p90_value"),
+          sum(when(col("value") > col("p90"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
+    QueryDef(
       "q61_asof_tolerance",
       s"""WITH p AS (SELECT event_id, user_id,
         |           $tsSecSql AS ts_sec
