@@ -304,6 +304,66 @@ object Relational {
     },
 
     QueryDef(
+      "q68_full_outer_diff",
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |             AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |            WHEN b.o_custkey IS NULL THEN 'churned'
+        |            ELSE 'retained' END AS status,
+        |  count(*) AS n_customers
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      // snapshot reconciliation via FULL OUTER join — the diff shape
+      // for comparing two materialized CDC snapshots (added / churned
+      // / retained keys); both sides pre-reduce to distinct keys so
+      // the join input is key-sized
+      def yr(from: String, to: String) = orders(s, d)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val a = yr("1996-01-01", "1997-01-01").withColumnRenamed("o_custkey", "a_key")
+      val b = yr("1997-01-01", "1998-01-01").withColumnRenamed("o_custkey", "b_key")
+      a.join(b, col("a_key") === col("b_key"), "full_outer")
+        .select(when(col("a_key").isNull, "added")
+          .when(col("b_key").isNull, "churned")
+          .otherwise("retained").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("status"))
+    },
+
+    QueryDef(
+      "q69_bag_setops",
+      """WITH a AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |     b AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderstatus = 'F')
+        |SELECT 'except_all' AS op, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      // bag-semantics set ops (multiplicity-aware EXCEPT ALL /
+      // INTERSECT ALL) — the multiset complement of q12's distinct
+      // set ops; Spark plans both as counted anti/semi aggregations
+      val a = orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"))
+      val b = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val ex = a.exceptAll(b).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("n"))
+      val in = a.intersectAll(b).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("n"))
+      ex.unionAll(in).orderBy(col("op"))
+    },
+
+    QueryDef(
       "q14_distinct_orders_parts",
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS n_orders,
