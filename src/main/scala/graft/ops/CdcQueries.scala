@@ -106,7 +106,7 @@ object CdcQueries {
         valueStrCol, lit("\",\""), col("event_type"),
         lit("\"]}],\"xid\":"), col("event_id") % 1000,
         lit(""","nextlsn":""""), format_lsn(col("event_id")), lit("\"}"))
-      val encoded = events(s, d).select(payload.as("payload"))
+      val encoded = fanOut(events(s, d).select(payload.as("payload")))
       wal2jsonChanges(encoded, col("payload"))
         .select(
           col("xid"), col("op"), col("table").as("table_name"),
@@ -149,7 +149,7 @@ object CdcQueries {
           lit(""","identity":[{"name":"event_id","type":"bigint","value":"""),
           col("event_id"), lit("}]"))).otherwise(lit("")),
         lit("}"))
-      val encoded = events(s, d).select(payload.as("payload"))
+      val encoded = fanOut(events(s, d).select(payload.as("payload")))
       wal2jsonV2Changes(encoded, col("payload"))
         .select(
           col("xid"), col("op"), col("table").as("table_name"),
@@ -181,7 +181,7 @@ object CdcQueries {
         lit(" user_id[bigint]:"), col("user_id"),
         lit(" value_str[text]:'"), valueStrCol,
         lit("' props[text]:'"), col("props"), lit("'"))
-      events(s, d).select(line.as("line"))
+      fanOut(events(s, d).select(line.as("line")))
         .select(testDecodingTupleUdf(col("line")).as("m"))
         .select(
           col("m")("event_id").cast("long").as("event_id"),
@@ -204,11 +204,13 @@ object CdcQueries {
          |       WHEN $opSql = 'insert' THEN 'PROPS'
          |       ELSE NULL END AS props_out
          |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
-      events(s, d)
+      fanOut(events(s, d)
         .withColumn("op", opCol)
+        .select(col("event_id"), col("op"), col("user_id"),
+          valueStrCol.as("value_str")))
         .select(col("event_id"), col("op"),
           pgoutputRoundtripUdf(col("op"), col("event_id"), col("user_id"),
-            valueStrCol).as("m"))
+            col("value_str")).as("m"))
         .select(
           col("m")("event_id").cast("long").as("event_id"),
           col("m")("_tag").as("op"),
@@ -242,11 +244,13 @@ object CdcQueries {
           Decoderbufs.encodeRow(eventId, eventId, "public.events", opCode,
             tuple)
       }
-      events(s, d)
+      fanOut(events(s, d)
         .withColumn("op", opCol)
+        .select(col("op"), col("event_id"), col("user_id"),
+          valueStrCol.as("value_str")))
         .select(decoderbufsTupleUdf(
-          encodeUdf(col("op"), col("event_id"), col("user_id"), valueStrCol))
-          .as("m"))
+          encodeUdf(col("op"), col("event_id"), col("user_id"),
+            col("value_str"))).as("m"))
         .select(
           col("m")("event_id").cast("long").as("event_id"),
           col("m")("user_id").cast("long").as("user_id"),
@@ -270,10 +274,10 @@ object CdcQueries {
       // "not streamed" to streamCommittedChanges. Typed mapPartitions
       // keeps the hot path conversion-free (see q54).
       import s.implicits._
-      events(s, d)
+      fanOut(events(s, d)
         .select(
           (col("event_type") === "error").as("abort"),
-          col("event_id"), col("user_id"), valueStrCol.as("value_str"))
+          col("event_id"), col("user_id"), valueStrCol.as("value_str")))
         .as[V2In]
         .mapPartitions { it =>
           val parser = new PgoutputParser
@@ -315,10 +319,10 @@ object CdcQueries {
       // the hot path, parser reused across the partition (each frame
       // sequence re-ships its relation, so reuse is safe).
       import s.implicits._
-      events(s, d)
+      fanOut(events(s, d)
         .select(
           (col("event_type") === "error").as("rollback"),
-          col("event_id"), col("user_id"), valueStrCol.as("value_str"))
+          col("event_id"), col("user_id"), valueStrCol.as("value_str")))
         .as[TwoPhaseIn]
         .mapPartitions { it =>
           val parser = new PgoutputParser

@@ -89,7 +89,7 @@ object OpsExtra {
         lit("""","columnnames":["event_id"],"columntypes":["bigint"],"columnvalues":["""),
         col("event_id"), lit("]}]}"))
       val decoded = CdcFunctions.wal2jsonChanges(
-        events(s, d).select(payload.as("payload")), col("payload"))
+        fanOut(events(s, d).select(payload.as("payload"))), col("payload"))
       val kept = ReplayFilters.actions(
         ReplayFilters.addTables(decoded, "public.events_a,stats.*"),
         Seq("insert", "update"))

@@ -47,6 +47,19 @@ object Tables {
         timestamp_seconds(expr("(ts DIV 1000000000) DIV 3600") * 3600))
   }
 
+  /** Fan a narrow input out across the cluster before a CPU-heavy
+    * per-row stage (wire-format encode/decode, parsing). A small
+    * parquet file scans as ONE input split, which would run the
+    * expensive stage single-threaded no matter how many cores exist;
+    * an explicit round-robin repartition to `spark.sql.shuffle
+    * .partitions` costs one cheap shuffle of the skinny rows and buys
+    * full parallelism. At 100 TB the scan already yields thousands of
+    * splits, where this keeps partition counts aligned with the
+    * cluster instead of the file layout. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def r2(c: Column): Column = round(c, 2)
   def r4(c: Column): Column = round(c, 4)
   def r6(c: Column): Column = round(c, 6)
