@@ -36,12 +36,24 @@ object Bench {
     // Compact keys (qNN prefix) + 3-decimal values keep the JSON line
     // under ~1 KB so the driver's bounded stdout-tail capture can parse
     // it whole (full names at 9 decimals overflow the capture window).
+    // Colliding prefixes fall back to the full name so no timing is
+    // silently dropped by duplicate JSON keys.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val dup = prefixes.groupBy(identity).collect {
+      case (p, vs) if vs.size > 1 => p
+    }.toSet
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+      val p = k.takeWhile(_ != '_')
+      "\"" + (if (dup(p)) k else p) + "\":" + f3(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1000)
+      System.err.println(
+        s"WARN: bench JSON line is ${line.length} bytes (> 1000-byte capture budget)")
+    println(line)
     spark.stop()
   }
 }

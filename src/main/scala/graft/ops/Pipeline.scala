@@ -207,11 +207,16 @@ object Pipeline {
       // aggregations + a broadcast of the per-stratum rates; the
       // hash gate itself is a pure map-side filter at any scale.
       graft.cdc.GraftFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
       val cnt = documents(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"))
-      val rates = cnt.withColumn("rate_milli",
-        expr("min(n_total) OVER () * 1000 DIV n_total"))
+      // scalar min via a 1-row broadcast cross join, not min() OVER ():
+      // an unpartitioned window collapses the rates table to a single
+      // partition (WindowExec warns) — harmless on one row per stratum,
+      // wrong shape on a wide stratum space
+      val minTotal = cnt.agg(min(col("n_total")).as("min_total"))
+      val rates = cnt.crossJoin(broadcast(minTotal))
+        .withColumn("rate_milli", expr("min_total * 1000 DIV n_total"))
+        .drop("min_total")
       val hashed = documents(s, d).select(col("lang"),
         (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
           % 1000).as("h"))
