@@ -395,6 +395,70 @@ object CdcQueries {
             .cast("long"))
         .select(col("event_id"), col("pg_us"), col("sec_back"))
         .orderBy(col("event_id"))
+    },
+
+    QueryDef(
+      "q73_decoder_parity",
+      s"""WITH base AS (SELECT
+         |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+         |      || '|' || $valueStrSql AS canon
+         |  FROM events WHERE event_id % 10 = 0),
+         |agg AS (SELECT count(*) AS n_changes,
+         |    CAST(sum(${Text.h32Sql("canon")}) AS BIGINT) AS checksum
+         |  FROM base)
+         |SELECT d.decoder, agg.n_changes, agg.checksum
+         |FROM (VALUES ('decoderbufs'), ('pgoutput'), ('test_decoding'),
+         |      ('wal2json')) d(decoder), agg
+         |ORDER BY d.decoder""".stripMargin) { (s, d) =>
+      // Cross-decoder parity: the same insert stream is encoded into all
+      // four wire formats, decoded by the four engine decoders, and each
+      // branch reduced to an order-independent content checksum
+      // (count + sum of md5_h32 over the canonical tuple). All four rows
+      // must carry the SAME checksum as the oracle computes straight
+      // from `events` — any drift in any decoder breaks its row. Sums
+      // commute, so the reduction needs no ordering or collect at any
+      // scale; a 10% event_id slice keeps the fan-out bounded.
+      GraftFunctions.register(s)
+      val base = fanOut(events(s, d)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"),
+          valueStrCol.as("value_str")))
+      def canon(m: org.apache.spark.sql.Column) =
+        concat_ws("|", m("event_id"), m("user_id"), m("value_str"))
+      val pg = base.select(lit("pgoutput").as("decoder"),
+        canon(pgoutputRoundtripUdf(lit("insert"), col("event_id"),
+          col("user_id"), col("value_str"))).as("canon"))
+      val tdLine = concat(
+        lit("table public.events: INSERT: event_id[bigint]:"), col("event_id"),
+        lit(" user_id[bigint]:"), col("user_id"),
+        lit(" value_str[text]:'"), col("value_str"), lit("'"))
+      val td = base.select(lit("test_decoding").as("decoder"),
+        canon(testDecodingTupleUdf(tdLine)).as("canon"))
+      val w2jPayload = concat(
+        lit("""{"change":[{"kind":"insert","schema":"public","table":"events","columnnames":["event_id","user_id","value_str"],"columntypes":["bigint","bigint","text"],"columnvalues":["""),
+        col("event_id"), lit(","), col("user_id"), lit(",\""),
+        col("value_str"), lit("\"]}]}"))
+      val w2j = wal2jsonChanges(base.select(w2jPayload.as("payload")),
+          col("payload"))
+        .select(lit("wal2json").as("decoder"),
+          concat_ws("|", col("after")("event_id"), col("after")("user_id"),
+            col("after")("value_str")).as("canon"))
+      val dbufEncode = udf { (eventId: Long, userId: Long, vs: String) =>
+        Decoderbufs.encodeRow(eventId, eventId, "public.events",
+          Decoderbufs.OpInsert,
+          Seq(Decoderbufs.encodeDatumInt64("event_id", 20, eventId),
+            Decoderbufs.encodeDatumInt64("user_id", 20, userId),
+            Decoderbufs.encodeDatumString("value_str", 25, vs)))
+      }
+      val db = base.select(lit("decoderbufs").as("decoder"),
+        canon(decoderbufsTupleUdf(dbufEncode(col("event_id"),
+          col("user_id"), col("value_str")))).as("canon"))
+      pg.unionAll(td).unionAll(w2j).unionAll(db)
+        .groupBy(col("decoder"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(GraftFunctions.md5_h32(col("canon"))).cast("long")
+            .as("checksum"))
+        .orderBy(col("decoder"))
     }
   )
 }

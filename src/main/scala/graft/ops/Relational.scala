@@ -415,6 +415,53 @@ object Relational {
         .agg(count(lit(1)).as("n_parts"),
              r4(avg(col("p_retailprice"))).as("avg_price"))
         .orderBy(col("bucket_id"))
+    },
+
+    QueryDef(
+      "q70_corr_stats",
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_rows,
+        |  CAST(sx AS BIGINT) AS sum_qty, CAST(sy AS BIGINT) AS sum_price_cents,
+        |  CAST(floor(10000.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))) AS BIGINT)
+        |    AS corr_qty_price_4
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Pearson correlation from exact integer moments: Spark's corr()
+      // and DuckDB's accumulate doubles in engine-dependent order, so
+      // their outputs don't hash-match. Instead both engines sum exact
+      // integers (quantity, price in cents; 128-bit sums — DECIMAL(38,0)
+      // here, HUGEINT in the oracle) and apply the textbook formula with
+      // an identical double-op sequence at the very end — one partial+
+      // final keyed agg, overflow-safe at any row count, same plan shape
+      // as plain corr() at scale.
+      val d38 = "decimal(38,0)"
+      val b = lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      b.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).as("syy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          col("sx").cast("long").as("sum_qty"),
+          col("sy").cast("long").as("sum_price_cents"),
+          floor(lit(10000.0) *
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
+            .cast("long").as("corr_qty_price_4"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

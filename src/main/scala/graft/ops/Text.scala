@@ -532,6 +532,56 @@ object Text {
           expr("bit_count(sh1 ^ sh2)").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
+      "q71_term_search",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |hits AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+         |  WHERE tok IN ('spark', 'join', 'merge') GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM hits GROUP BY doc_id HAVING count(*) = 3
+         |ORDER BY total_tf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      // conjunctive inverted-index search: AND-match docs containing
+      // every query term, ranked by summed term frequency. The term
+      // filter sits before the shuffle, so only postings for the query
+      // terms move — the distributed shape of an index probe (posting
+      // fetch → doc-grouped AND + rank), never a scan-side regex.
+      val terms = Seq("spark", "join", "merge")
+      withToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+        .filter(col("n_terms") === terms.size)
+        .select(col("doc_id"), col("total_tf"))
+        .orderBy(col("total_tf").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    QueryDef(
+      "q72_length_buckets",
+      """SELECT lang,
+        |  CAST(length(bin(n_chars)) AS BIGINT) AS bits,
+        |  count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang, bits
+        |ORDER BY lang, bits""".stripMargin) { (s, d) =>
+      // power-of-two length histogram: the bucket is the integer bit
+      // length of n_chars (length of its binary rendering — exact in
+      // both engines, unlike floor(log2(x)) whose float rounding can
+      // misbucket exact powers of two). One keyed partial+final agg.
+      documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          length(bin(col("n_chars"))).cast("long").as("bits"))
+        .groupBy(col("lang"), col("bits"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy(col("lang"), col("bits"))
     }
   )
 }
