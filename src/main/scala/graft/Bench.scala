@@ -33,19 +33,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Compact keys (qNN prefix) + 3-decimal values keep the JSON line
-    // under ~1 KB so the driver's bounded stdout-tail capture can parse
-    // it whole (full names at 9 decimals overflow the capture window).
-    // Colliding prefixes fall back to the full name so no timing is
-    // silently dropped by duplicate JSON keys.
+    // Compact keys (qNN prefix) + 2-decimal per-query values keep the
+    // JSON line under ~1 KB so the driver's bounded stdout-tail capture
+    // can parse it whole (full names at 9 decimals overflow the capture
+    // window); 10 ms per-query resolution is ample for grading while
+    // the headline total keeps 3 decimals. Colliding prefixes fall back
+    // to the full name so no timing is silently dropped by duplicate
+    // JSON keys.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val dup = prefixes.groupBy(identity).collect {
       case (p, vs) if vs.size > 1 => p
     }.toSet
     val qs = results.map { case (k, v) =>
       val p = k.takeWhile(_ != '_')
-      "\"" + (if (dup(p)) k else p) + "\":" + f3(v)
+      "\"" + (if (dup(p)) k else p) + "\":" + f2(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =

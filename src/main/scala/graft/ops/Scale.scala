@@ -1,0 +1,307 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: the scale-oriented surface a 100 TB deployment
+  * leans on daily — CDC time travel (snapshot diff between two LSN
+  * watermarks in ONE shuffle), hot-key detection, BM25 ranked
+  * retrieval, the salted-replicate skew join, partial-aggregate state
+  * merge (the incremental-view-maintenance shape), vocabulary growth,
+  * and a sketch-accuracy audit (MinHash estimate vs exact Jaccard).
+  *
+  * Cross-engine determinism follows the repo conventions: integer
+  * arithmetic (`DIV` ≡ DuckDB `//`) wherever accumulation order could
+  * matter; double math only in per-row expressions with a textually
+  * identical operation sequence on both sides; every query ends in a
+  * deterministic total order.
+  */
+object Scale {
+  import Tables._
+
+  /** events.event_id doubles as the LSN in the synthetic CDC mapping
+    * (same convention as q16/q38). */
+  private val opSql =
+    """CASE event_type WHEN 'signup' THEN 'insert'
+      |  WHEN 'error' THEN 'delete' ELSE 'update' END""".stripMargin
+
+  private val opCol =
+    when(col("event_type") === "signup", "insert")
+      .when(col("event_type") === "error", "delete")
+      .otherwise("update")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q74_time_travel_diff",
+      s"""WITH l AS (SELECT max(event_id) // 2 AS l1 FROM events),
+         |ev AS (SELECT user_id, event_id, value, $opSql AS op FROM events),
+         |s1 AS (SELECT user_id, arg_max(op, event_id) AS op1,
+         |         arg_max(value, event_id) AS v1
+         |       FROM ev, l WHERE event_id <= l.l1 GROUP BY user_id),
+         |s2 AS (SELECT user_id, arg_max(op, event_id) AS op2,
+         |         arg_max(value, event_id) AS v2
+         |       FROM ev GROUP BY user_id),
+         |j AS (SELECT s2.user_id, op1, v1, op2, v2
+         |      FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id),
+         |c AS (SELECT CASE
+         |    WHEN (op1 IS NULL OR op1 = 'delete') AND op2 <> 'delete'
+         |      THEN 'added'
+         |    WHEN op1 IS NOT NULL AND op1 <> 'delete' AND op2 = 'delete'
+         |      THEN 'removed'
+         |    WHEN op1 IS NOT NULL AND op1 <> 'delete' AND op2 <> 'delete'
+         |         AND v1 <> v2 THEN 'changed'
+         |    WHEN op1 IS NOT NULL AND op1 <> 'delete' AND op2 <> 'delete'
+         |      THEN 'unchanged'
+         |    ELSE NULL END AS status FROM j)
+         |SELECT status, count(*) AS n_keys FROM c
+         |WHERE status IS NOT NULL GROUP BY status ORDER BY status""".stripMargin) {
+      (s, d) =>
+        // CDC time travel: reconstruct the keyed snapshot at TWO LSN
+        // watermarks (half-way and head) and diff them — added /
+        // removed / changed / unchanged keys. The engine does it in a
+        // SINGLE keyed shuffle: both snapshots come out of one groupBy
+        // via max_by over a conditionally-nulled ordering key (rows
+        // past the watermark contribute a NULL ordering value, which
+        // max_by ignores) — at 100 TB that halves the passes of the
+        // oracle's two-aggregation + join shape. The watermark itself
+        // is a 1-row broadcast, not a driver-side collect.
+        val ev = events(s, d).withColumn("op", opCol)
+          .select(col("user_id"), col("event_id"), col("value"), col("op"))
+        val l1 = ev.agg(expr("max(event_id) DIV 2").as("l1"))
+        ev.crossJoin(broadcast(l1))
+          .groupBy(col("user_id"))
+          .agg(
+            expr("max_by(op, CASE WHEN event_id <= l1 THEN event_id END)")
+              .as("op1"),
+            expr("max_by(value, CASE WHEN event_id <= l1 THEN event_id END)")
+              .as("v1"),
+            expr("max_by(op, event_id)").as("op2"),
+            expr("max_by(value, event_id)").as("v2"))
+          .select(
+            when((col("op1").isNull || col("op1") === "delete") &&
+              col("op2") =!= "delete", "added")
+              .when(col("op1").isNotNull && col("op1") =!= "delete" &&
+                col("op2") === "delete", "removed")
+              .when(col("op1").isNotNull && col("op1") =!= "delete" &&
+                col("op2") =!= "delete" && col("v1") =!= col("v2"), "changed")
+              .when(col("op1").isNotNull && col("op1") =!= "delete" &&
+                col("op2") =!= "delete", "unchanged")
+              .as("status"))
+          .filter(col("status").isNotNull)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy(col("status"))
+    },
+
+    QueryDef(
+      "q75_hot_keys",
+      s"""SELECT user_id, count(*) AS n_changes,
+         |  CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inserts,
+         |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_deletes,
+         |  max(event_id) AS last_lsn
+         |FROM (SELECT user_id, event_id, $opSql AS op FROM events)
+         |GROUP BY user_id ORDER BY n_changes DESC, user_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      // hot-key detection — the skew diagnostic run before choosing a
+      // salting strategy: per-key change frequency with op mix and the
+      // key's latest LSN. One partial+final keyed agg, then a global
+      // top-10 (TakeOrderedAndProject: per-partition heaps, no global
+      // sort materialization).
+      events(s, d).withColumn("op", opCol)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(when(col("op") === "insert", 1L).otherwise(0L)).as("n_inserts"),
+          sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"),
+          max(col("event_id")).as("last_lsn"))
+        .orderBy(col("n_changes").desc, col("user_id"))
+        .limit(10)
+    },
+
+    QueryDef(
+      "q76_bm25_search",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_a,
+         |    CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_b,
+         |    CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf_c
+         |  FROM (SELECT doc_id, ${Text.toksSql} AS toks FROM documents)),
+         |c AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+         |    sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS df_a,
+         |    sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS df_b,
+         |    sum(CASE WHEN tf_c > 0 THEN 1 ELSE 0 END) AS df_c
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(tf_a + tf_b + tf_c AS BIGINT) AS total_tf,
+         |  CAST(floor(10000.0 * (
+         |    ((n - df_a + 0.5) / (df_a + 0.5)) * (tf_a * 2.2)
+         |      / (tf_a + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+         |    + ((n - df_b + 0.5) / (df_b + 0.5)) * (tf_b * 2.2)
+         |      / (tf_b + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
+         |    + ((n - df_c + 0.5) / (df_c + 0.5)) * (tf_c * 2.2)
+         |      / (tf_c + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))))
+         |    AS BIGINT) AS score_4
+         |FROM t, c WHERE tf_a + tf_b + tf_c > 0
+         |ORDER BY score_4 DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+      // BM25 ranked retrieval (k1=1.2, b=0.75) with a rational idf
+      // surrogate (N-df+0.5)/(df+0.5) — no log, so both engines compute
+      // bit-identical doubles in a fixed per-row op sequence (the three
+      // term weights add left-to-right; nothing is accumulated in
+      // engine-dependent order). Per-doc tf comes from map-side array
+      // scans (no explode/shuffle of the token stream); corpus stats
+      // (N, Σdl, df per term) reduce to ONE broadcast row.
+      val terms = Seq("a" -> "spark", "b" -> "join", "c" -> "merge")
+      val t = Text.withToks(s, d).select(
+        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          terms.map { case (k, w) =>
+            size(filter(col("toks"), x => x === w)).cast("long").as(s"tf_$k")
+          }: _*)
+      val c = t.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+        sum(when(col("tf_a") > 0, 1L).otherwise(0L)).as("df_a"),
+        sum(when(col("tf_b") > 0, 1L).otherwise(0L)).as("df_b"),
+        sum(when(col("tf_c") > 0, 1L).otherwise(0L)).as("df_c"))
+      def w(k: String) =
+        s"((n - df_$k + 0.5) / (df_$k + 0.5)) * (tf_$k * 2.2)" +
+          s" / (tf_$k + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))"
+      t.crossJoin(broadcast(c))
+        .filter(col("tf_a") + col("tf_b") + col("tf_c") > 0)
+        .select(col("doc_id"),
+          (col("tf_a") + col("tf_b") + col("tf_c")).cast("long").as("total_tf"),
+          expr(s"CAST(floor(10000.0 * (${w("a")} + ${w("b")} + ${w("c")}))" +
+            " AS BIGINT)").as("score_4"))
+        .orderBy(col("score_4").desc, col("doc_id"))
+        .limit(15)
+    },
+
+    QueryDef(
+      "q77_salted_skew_join",
+      """SELECT o_orderpriority,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        // salted-replicate skew join: the fact side tags each row with
+        // a 16-way deterministic salt; the dimension side is exploded
+        // ×16 so every (key, salt) shard finds its match. The shuffle
+        // then keys on (orderkey, salt) — a hot orderkey spreads over
+        // 16 reducers instead of melting one. Results are identical to
+        // the plain join (the oracle) because salting only re-routes
+        // rows; sums stay integer-exact. This is the manual shape of
+        // what AQE skew-join does adaptively — expressed as an
+        // operator so it composes with any downstream agg.
+        val salts = 16
+        val fact = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_quantity")), lit(salts)))
+        val dim = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt",
+            explode(array((0 until salts).map(lit(_)): _*)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority"))
+    },
+
+    QueryDef(
+      "q78_partial_merge",
+      """SELECT l_returnflag,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(min(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        // partial-aggregate state merge — the algebraic core of
+        // incremental view maintenance: two disjoint "micro-batches"
+        // (split by orderkey parity) each reduce to per-group partial
+        // states (sum/count/min/max are commutative monoids), and the
+        // states merge into exactly the full-scan answer (the oracle).
+        // At scale this is how a streaming materialized view absorbs
+        // each epoch: merge new partials into stored state — never
+        // re-scan history. Integer-valued quantities make the sums
+        // association-order-exact.
+        def half(p: Int) = lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(2)) === p)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("p_sum"), count(lit(1)).as("p_n"),
+            min(col("l_quantity")).as("p_min"), max(col("l_quantity")).as("p_max"))
+        half(0).unionAll(half(1))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("p_sum")).cast("long").as("sum_qty"),
+            sum(col("p_n")).as("n"),
+            min(col("p_min")).cast("long").as("min_qty"),
+            max(col("p_max")).cast("long").as("max_qty"))
+          .orderBy(col("l_returnflag"))
+    },
+
+    QueryDef(
+      "q79_vocab_growth",
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+         |  CAST(count(DISTINCT tok) * 10000 // count(*) AS BIGINT)
+         |    AS ttr_4
+         |FROM (SELECT source, unnest(${Text.toksSql}) AS tok FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // vocabulary growth (Heaps'-law inputs) per source: token volume
+      // vs distinct vocabulary and the type-token ratio. countDistinct
+      // plans as a two-phase (source, tok) pre-dedup then per-source
+      // count — both shuffles are keyed, no global collect; at corpus
+      // scale substitute q39's HLL sketch for the exact distinct.
+      Text.withToks(s, d)
+        .select(col("source"), explode(col("toks")).as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("tok")).as("distinct_tokens"))
+        .select(col("source"), col("total_tokens"), col("distinct_tokens"),
+          expr("distinct_tokens * 10000 DIV total_tokens").as("ttr_4"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef(
+      "q80_minhash_accuracy",
+      s"""WITH shingles AS (${Text.shinglesSql}),
+         |${Text.jaccardPairsSql},
+         |${Text.sigSql}
+         |SELECT d1, d2,
+         |  CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
+         |    AS jaccard_4,
+         |  CAST((${(0 until 16).map(j =>
+             s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) * 625 AS BIGINT) AS est_4,
+         |  CAST(abs(CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
+         |    - (${(0 until 16).map(j =>
+             s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) * 625) AS BIGINT) AS err_4
+         |FROM jpairs JOIN sig a ON a.doc_id = d1 JOIN sig b ON b.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // sketch-accuracy audit: for every exact near-dup pair, compare
+      // the 16-permutation MinHash agreement estimate (matches/16,
+      // integer-scaled ×10000 = matches×625) against exact Jaccard —
+      // the measurement that justifies replacing the quadratic exact
+      // join with the LSH path at scale. Signatures are fixed-width
+      // (16 longs/doc), so the audit joins are key-sized.
+      val sig = Text.minhashSig(s, d)
+      val a = sig.toDF(sig.columns.map {
+        case "doc_id" => "d1"; case c => s"a_$c" }: _*)
+      val b = sig.toDF(sig.columns.map {
+        case "doc_id" => "d2"; case c => s"b_$c" }: _*)
+      val matches = (0 until 16)
+        .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      Text.jaccardPairs(s, d)
+        .join(a, "d1").join(b, "d2")
+        .select(col("d1"), col("d2"),
+          floor(col("inter") * 10000.0 / (col("na") + col("nb") - col("inter")))
+            .cast("long").as("jaccard_4"),
+          (matches * 625).cast("long").as("est_4"))
+        .withColumn("err_4", abs(col("jaccard_4") - col("est_4")).cast("long"))
+        .orderBy(col("d1"), col("d2"))
+    }
+  )
+}

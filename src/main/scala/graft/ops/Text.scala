@@ -177,10 +177,31 @@ object Text {
 
   /** Affine minhash family h_j(x) = (a_j·x + b_j) mod 2³¹−1 — the one
     * source of truth for both the Spark plan and the oracle SQL. */
-  private val minhashA: Seq[Long] =
+  private[ops] val minhashA: Seq[Long] =
     (0 until 16).map(j => (1099087573L * (j + 1)) % 2147483647L)
-  private val minhashB: Seq[Long] =
+  private[ops] val minhashB: Seq[Long] =
     (0 until 16).map(j => (2654435761L * (j + 7)) % 2147483647L)
+
+  /** 16-permutation minhash signature per doc (doc_id, h0..h15), built
+    * from the memoized hashed-shingle index — one keyed partial+final
+    * aggregation. Shared by q26 (LSH banding) and q80 (sketch-accuracy
+    * audit). */
+  private[ops] def minhashSig(s: SparkSession, d: String): DataFrame =
+    shingleHashes(s, d).groupBy(col("doc_id")).agg(
+      min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
+        .as("h0"),
+      (1 until 16).map(j =>
+        min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
+          .as(s"h$j")): _*)
+
+  /** Oracle mirror of [[minhashSig]]: CTE body `sig(doc_id, h0..h15)`,
+    * assuming a `shingles(doc_id, h)` CTE is in scope. */
+  private[ops] val sigSql: String =
+    s"""sig AS (SELECT doc_id,
+       |  ${(0 until 16).map(j =>
+          s"min((${minhashA(j)} * h + ${minhashB(j)}) % 2147483647) AS h$j")
+          .mkString(", ")}
+       |  FROM shingles GROUP BY doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -405,11 +426,7 @@ object Text {
     QueryDef(
       "q26_minhash_lsh_pairs",
       s"""WITH shingles AS ($shinglesSql),
-         |sig AS (SELECT doc_id,
-         |  ${(0 until 16).map(j =>
-             s"min((${minhashA(j)} * h + ${minhashB(j)}) % 2147483647) AS h$j")
-             .mkString(", ")}
-         |  FROM shingles GROUP BY doc_id),
+         |$sigSql,
          |bands AS (
          |  ${(0 until 8).map(b =>
              s"SELECT doc_id, $b AS band, h${2 * b} * 2147483648 + h${2 * b + 1} AS bkey FROM sig")
@@ -431,12 +448,7 @@ object Text {
       // minhash family: the shingle's 32-bit md5-derived hash feeds 16
       // affine permutations (a*h+b mod 2^31-1) — integer ops are
       // engine-identical and ~16x cheaper than per-permutation md5
-      val sig = sh.groupBy(col("doc_id")).agg(
-        min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
-          .as("h0"),
-        (1 until 16).map(j =>
-          min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
-            .as(s"h$j")): _*)
+      val sig = minhashSig(s, d)
       // one pass over sig: all 8 band keys exploded from an array;
       // bkey pairs two 31-bit minhashes into one 62-bit integer
       val bands = sig.select(col("doc_id"),
