@@ -29,6 +29,17 @@ object Scale {
       .when(col("event_type") === "error", "delete")
       .otherwise("update")
 
+  /** BM25 term weight, ONE string used verbatim by both the Spark
+    * `expr` and the DuckDB oracle — every integer input is CAST to
+    * DOUBLE at the leaves so both engines run the identical IEEE
+    * double op sequence (a bare `0.5` literal would otherwise pull
+    * the whole formula into engine-specific DECIMAL arithmetic). */
+  private def bm25W(k: String): String =
+    s"((CAST(n AS DOUBLE) - CAST(df_$k AS DOUBLE) + 0.5)" +
+      s" / (CAST(df_$k AS DOUBLE) + 0.5)) * (CAST(tf_$k AS DOUBLE) * 2.2)" +
+      s" / (CAST(tf_$k AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)" +
+      s" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q74_time_travel_diff",
@@ -133,13 +144,7 @@ object Scale {
          |  FROM t)
          |SELECT doc_id,
          |  CAST(tf_a + tf_b + tf_c AS BIGINT) AS total_tf,
-         |  CAST(floor(10000.0 * (
-         |    ((n - df_a + 0.5) / (df_a + 0.5)) * (tf_a * 2.2)
-         |      / (tf_a + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
-         |    + ((n - df_b + 0.5) / (df_b + 0.5)) * (tf_b * 2.2)
-         |      / (tf_b + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))
-         |    + ((n - df_c + 0.5) / (df_c + 0.5)) * (tf_c * 2.2)
-         |      / (tf_c + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))))
+         |  CAST(floor(10000.0 * (${bm25W("a")} + ${bm25W("b")} + ${bm25W("c")}))
          |    AS BIGINT) AS score_4
          |FROM t, c WHERE tf_a + tf_b + tf_c > 0
          |ORDER BY score_4 DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
@@ -147,9 +152,12 @@ object Scale {
       // surrogate (N-df+0.5)/(df+0.5) — no log, so both engines compute
       // bit-identical doubles in a fixed per-row op sequence (the three
       // term weights add left-to-right; nothing is accumulated in
-      // engine-dependent order). Per-doc tf comes from map-side array
-      // scans (no explode/shuffle of the token stream); corpus stats
-      // (N, Σdl, df per term) reduce to ONE broadcast row.
+      // engine-dependent order; every integer input is CAST to DOUBLE
+      // up front so neither engine silently plans the formula in
+      // decimal arithmetic — Spark parses bare 0.5 as DECIMAL(1,1)).
+      // Per-doc tf comes from map-side array scans (no explode/shuffle
+      // of the token stream); corpus stats (N, Σdl, df per term)
+      // reduce to ONE broadcast row.
       val terms = Seq("a" -> "spark", "b" -> "join", "c" -> "merge")
       val t = Text.withToks(s, d).select(
         col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
@@ -161,15 +169,13 @@ object Scale {
         sum(when(col("tf_a") > 0, 1L).otherwise(0L)).as("df_a"),
         sum(when(col("tf_b") > 0, 1L).otherwise(0L)).as("df_b"),
         sum(when(col("tf_c") > 0, 1L).otherwise(0L)).as("df_c"))
-      def w(k: String) =
-        s"((n - df_$k + 0.5) / (df_$k + 0.5)) * (tf_$k * 2.2)" +
-          s" / (tf_$k + 1.2 * (0.25 + 0.75 * dl / (sumdl * 1.0 / n)))"
       t.crossJoin(broadcast(c))
         .filter(col("tf_a") + col("tf_b") + col("tf_c") > 0)
         .select(col("doc_id"),
           (col("tf_a") + col("tf_b") + col("tf_c")).cast("long").as("total_tf"),
-          expr(s"CAST(floor(10000.0 * (${w("a")} + ${w("b")} + ${w("c")}))" +
-            " AS BIGINT)").as("score_4"))
+          expr("CAST(floor(10000.0 * " +
+            s"(${bm25W("a")} + ${bm25W("b")} + ${bm25W("c")})) AS BIGINT)")
+            .as("score_4"))
         .orderBy(col("score_4").desc, col("doc_id"))
         .limit(15)
     },
