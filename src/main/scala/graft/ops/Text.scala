@@ -42,9 +42,15 @@ object Text {
   // materialize it once per session (one entry per (session, sf-dir))
   private val toksCache = new Tables.DfMemo()
 
+  // the cache keeps only the columns downstream operators read
+  // (doc_id, lang, source, toks) — persisting the raw text alongside
+  // its token array would double the cached bytes for nothing
   private[ops] def withToks(s: SparkSession, d: String): DataFrame =
     toksCache.getOrElseUpdate((s, d))(
-      documents(s, d).withColumn("toks", toksCol).cache())
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          toksCol.as("toks"))
+        .cache())
 
   /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
     * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
