@@ -53,9 +53,13 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1000)
+    // The driver's stdout-tail capture is 2000 bytes (measured:
+    // BENCH_r05.json "tail" length); sbt's trailing "[success] ..."
+    // line eats ~70 of them, so warn with margin at 1800.
+    if (line.length > 1800)
       System.err.println(
-        s"WARN: bench JSON line is ${line.length} bytes (> 1000-byte capture budget)")
+        s"WARN: bench JSON line is ${line.length} bytes (> 1800 of the " +
+          "2000-byte driver capture window)")
     println(line)
     spark.stop()
   }

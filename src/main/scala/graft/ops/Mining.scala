@@ -1,0 +1,377 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: the data-mining / sketching surface of a
+  * 100 TB training-data pipeline — a Count-Min-sketch accuracy audit,
+  * n-gram eval-set decontamination, equi-depth quantile binning,
+  * TF-IDF cosine document similarity, deterministic per-group
+  * sampling, bigram language-model counts, a Bloom-filter-pruned
+  * join (the manual shape of a runtime row-group filter), and exact
+  * z-score outlier detection.
+  *
+  * Cross-engine determinism follows the repo conventions: every
+  * accumulated quantity is integer (md5-derived hashes, milli-unit
+  * fixed point, DECIMAL(38,0)/HUGEINT moments); doubles appear only
+  * in per-row final expressions with a textually identical op
+  * sequence on both sides; every query ends in a deterministic total
+  * order.
+  *
+  * Scale notes (100 TB):
+  *  - q81's sketch is 4×256 integers — the whole point of CMS is that
+  *    the reduce state is O(1) in the key cardinality; both the table
+  *    build and the probe are single keyed partial+final aggregations;
+  *  - q82 joins each document's shingles against the distinct train
+  *    shingle set on the 32-bit shingle hash — a keyed equi-join that
+  *    shuffles only (hash, doc) pairs, never document text;
+  *  - q83's window is partitioned by `lang` (never unpartitioned) and
+  *    reduces each partition to 4 summary rows;
+  *  - q84 prunes postings to terms in ≤5% of docs before the
+  *    pair-generating self-join (prefix filtering) so candidate
+  *    fan-out is bounded by df², not corpus size, and all weights are
+  *    integer so partial-sum order cannot change a bit;
+  *  - q85 is the shuffle-free way to sample k docs per group
+  *    reproducibly (min-wise hashing: rank by md5, keep k) — no RNG
+  *    state, stable under re-runs and repartitioning;
+  *  - q87 broadcasts a ~1 MB Bloom filter instead of the key set
+  *    itself; the map-side probe drops most rows before the exact
+  *    semi-join that removes the false positives.
+  */
+object Mining {
+  import Tables._
+  import Text.{h32Sql, shinglesSql, toksSql, withToks}
+
+  /** 2³¹−1, the modulus of the affine hash family shared with the
+    * MinHash permutations ([[Text.minhashA]]). */
+  private val P = 2147483647L
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q81_countmin_audit",
+      s"""WITH kc AS (SELECT user_id, count(*) AS cnt,
+         |    (${h32Sql("CAST(user_id AS VARCHAR)")}) % $P AS h
+         |  FROM events GROUP BY user_id),
+         |kb AS (
+         |  ${(0 until 4).map(j =>
+             s"SELECT user_id, cnt, $j AS j, " +
+               s"((${Text.minhashA(j)} * h + ${Text.minhashB(j)}) % $P) % 256" +
+               s" AS bucket FROM kc").mkString("\n  UNION ALL ")}),
+         |cms AS (SELECT j, bucket, sum(cnt) AS bsum FROM kb GROUP BY j, bucket),
+         |top AS (SELECT user_id, cnt FROM kc ORDER BY cnt DESC, user_id LIMIT 10)
+         |SELECT t.user_id, t.cnt AS exact_cnt,
+         |  CAST(min(bsum) AS BIGINT) AS cm_est,
+         |  CAST(min(bsum) - t.cnt AS BIGINT) AS overcount
+         |FROM top t
+         |JOIN kb ON kb.user_id = t.user_id
+         |JOIN cms ON cms.j = kb.j AND cms.bucket = kb.bucket
+         |GROUP BY t.user_id, t.cnt
+         |ORDER BY exact_cnt DESC, t.user_id""".stripMargin) { (s, d) =>
+      // Count-Min sketch accuracy audit: build a depth-4 × width-256
+      // CMS over per-user event counts (the affine hash family is the
+      // md5-derived 32-bit key pushed through 4 of the MinHash
+      // permutations — deterministic in both engines), then probe it
+      // for the 10 hottest users and report estimate vs exact. The
+      // sketch table build is ONE keyed aggregation whose state is
+      // 1024 counters regardless of user cardinality — the property
+      // that makes CMS the scale path when exact per-key counts don't
+      // fit; the audit quantifies the overcount those collisions cost.
+      graft.cdc.GraftFunctions.register(s)
+      val kc = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h",
+          pmod(graft.cdc.GraftFunctions.md5_h32(
+            col("user_id").cast("string")), lit(P)))
+      val kb = kc.select(col("user_id"), col("cnt"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          (((lit(Text.minhashA(j)) * col("h") + lit(Text.minhashB(j))) % P)
+            % 256).as("bucket"))): _*)).as("jb"))
+        .select(col("user_id"), col("cnt"),
+          col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      val cms = kb.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("cnt")).as("bsum"))
+      val top = kc.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .select(col("user_id"), col("cnt"))
+      top.join(kb.drop("cnt"), "user_id")
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy(col("user_id"), col("cnt"))
+        .agg(min(col("bsum")).cast("long").as("cm_est"),
+          (min(col("bsum")) - col("cnt")).cast("long").as("overcount"))
+        .select(col("user_id"), col("cnt").as("exact_cnt"),
+          col("cm_est"), col("overcount"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+
+    QueryDef(
+      "q82_ngram_decontamination",
+      s"""WITH shingles AS ($shinglesSql),
+         |split AS (SELECT doc_id,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 80 AS is_train
+         |  FROM documents),
+         |train_sh AS (SELECT DISTINCT h FROM shingles
+         |  JOIN split USING (doc_id) WHERE is_train),
+         |eval_sh AS (SELECT doc_id, h FROM shingles
+         |  JOIN split USING (doc_id) WHERE NOT is_train),
+         |per_doc AS (SELECT e.doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contam
+         |  FROM eval_sh e LEFT JOIN train_sh t ON t.h = e.h
+         |  GROUP BY e.doc_id)
+         |SELECT doc_id AS eval_doc, n_shingles,
+         |  CAST(n_contam AS BIGINT) AS n_contam,
+         |  CAST(n_contam * 100 // n_shingles AS BIGINT) AS contam_pct
+         |FROM per_doc WHERE n_contam * 2 >= n_shingles
+         |ORDER BY contam_pct DESC, eval_doc LIMIT 20""".stripMargin) { (s, d) =>
+      // n-gram eval-set decontamination (the Big-Bench/GPT-3 hygiene
+      // check): an eval doc whose 3-gram shingles mostly also occur
+      // somewhere in the train split has leaked into training data.
+      // Complements q60 (which flags near-dup PAIRS straddling the
+      // split): this flags overlap against the train set as a WHOLE —
+      // piecewise contamination that no single train doc is a near-dup
+      // of. The train shingle set is distinct-by-hash (one keyed agg)
+      // and the membership probe is a keyed left join on the 32-bit
+      // shingle hash; at corpus scale both sides partition by h.
+      graft.cdc.GraftFunctions.register(s)
+      val split = documents(s, d).select(col("doc_id"),
+        (pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(100L)) < 80).as("is_train"))
+      val sh = Text.shingleHashes(s, d).join(broadcast(split), "doc_id")
+      val trainSh = sh.filter(col("is_train")).select(col("h")).distinct()
+        .withColumn("hit", lit(1))
+      sh.filter(!col("is_train"))
+        .join(trainSh, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).as("n_contam"))
+        .filter(col("n_contam") * 2 >= col("n_shingles"))
+        .select(col("doc_id").as("eval_doc"), col("n_shingles"),
+          col("n_contam").cast("long").as("n_contam"),
+          expr("n_contam * 100 DIV n_shingles").as("contam_pct"))
+        .orderBy(col("contam_pct").desc, col("eval_doc"))
+        .limit(20)
+    },
+
+    QueryDef(
+      "q83_equidepth_quartiles",
+      """SELECT lang, q, count(*) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM (SELECT lang, n_chars,
+        |        ntile(4) OVER (PARTITION BY lang
+        |                       ORDER BY n_chars, doc_id) AS q
+        |      FROM documents)
+        |GROUP BY lang, q ORDER BY lang, q""".stripMargin) { (s, d) =>
+      // Equi-depth quantile binning: per-language quartile boundaries
+      // of document length via ntile — deterministic because the
+      // window order is a total order (n_chars, doc_id). The window
+      // partitions by lang (PlanGuard: never unpartitioned) and each
+      // partition reduces to 4 summary rows; at 100 TB this is the
+      // per-stratum histogram pass a length-balanced batch sampler
+      // reads, not a global sort.
+      documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          ntile(4).over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"), col("doc_id"))).as("q"))
+        .groupBy(col("lang"), col("q"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy(col("lang"), col("q"))
+    },
+
+    QueryDef(
+      "q84_tfidf_cosine_pairs",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |w AS (SELECT doc_id, tok, tf * (((n - df) * 1000) // df) AS w
+         |  FROM tf JOIN df USING (tok), n WHERE df * 20 <= n),
+         |norm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |dot AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(n1.nrm AS DOUBLE)) * sqrt(CAST(n2.nrm AS DOUBLE))), 6)
+         |    AS cos_sim
+         |FROM dot JOIN norm n1 ON n1.doc_id = d1 JOIN norm n2 ON n2.doc_id = d2
+         |ORDER BY cos_sim DESC, d1, d2 LIMIT 10""".stripMargin) { (s, d) =>
+      // TF-IDF cosine document similarity over sparse term vectors:
+      // the classic complement to q76's BM25 (retrieval) and q29's
+      // dense-embedding cosine. Weights are integer fixed-point
+      // (tf × milli-idf, idf the rational (n−df)/df — no log, so both
+      // engines compute identical integers) and dot/norm accumulate
+      // integers, making the result independent of partial-sum order;
+      // the only double math is the final one-row divide. The
+      // pair-generating self-join runs on postings pruned to terms in
+      // ≤5% of documents (prefix filtering) — candidate fan-out is
+      // bounded by df² per rare term, never corpus², and the join is
+      // keyed on the term, never a cross product.
+      val n = documents(s, d).count()
+      val d38 = "decimal(38,0)"
+      val tf = withToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") * 20 <= n)
+      val w = tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"),
+          expr(s"tf * ((($n - df) * 1000) DIV df)").as("w"))
+      val norm = w.groupBy(col("doc_id"))
+        .agg(sum(col("w").cast(d38) * col("w")).as("nrm"))
+      val a = w.select(col("doc_id").as("d1"), col("tok"), col("w").as("w1"))
+      val b = w.select(col("doc_id").as("d2"), col("tok"), col("w").as("w2"))
+      a.join(b, Seq("tok")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum(col("w1").cast(d38) * col("w2")).as("dot"))
+        .join(broadcast(norm.select(col("doc_id").as("d1"),
+          col("nrm").as("nrm1"))), "d1")
+        .join(broadcast(norm.select(col("doc_id").as("d2"),
+          col("nrm").as("nrm2"))), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("dot").cast("double") /
+            (sqrt(col("nrm1").cast("double")) *
+              sqrt(col("nrm2").cast("double"))), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
+        .limit(10)
+    },
+
+    QueryDef(
+      "q85_group_hash_sample",
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      // Deterministic k-per-group sampling by min-wise hashing: rank
+      // docs inside each language by their md5-derived hash and keep
+      // the 5 smallest. Statistically a uniform sample (the hash is
+      // uncorrelated with content), yet fully reproducible — no RNG
+      // seed, no sampleBy fraction tuning, stable under re-runs,
+      // re-partitioning and incremental appends (a new doc displaces
+      // at most one sampled row). The window partitions by lang and
+      // Spark plans a WindowGroupLimit (rank pushdown) so each
+      // partition keeps only its top-5 before the final sort.
+      graft.cdc.GraftFunctions.register(s)
+      documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(graft.cdc.GraftFunctions.md5_h32(
+              col("doc_id").cast("string")), col("doc_id"))).as("rk"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    QueryDef(
+      "q86_bigram_counts",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |bg AS (SELECT lang, toks[i] || ' ' || toks[i+1] AS bigram
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram)
+         |SELECT lang, rk, bigram, cnt FROM (
+         |  SELECT lang, bigram, cnt,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY cnt DESC, bigram) AS rk
+         |  FROM c)
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      // Bigram language-model counts: the first pass of any n-gram LM
+      // / tokenizer-training pipeline — adjacent-token pairs exploded
+      // map-side from the shared tokenization, one keyed partial+final
+      // count, then a per-language top-5 (rank pushdown keeps only 5
+      // rows per partition through the window). At 100 TB the bigram
+      // key space is the shuffle key and no single bigram outweighs
+      // the corpus' Zipf head, which partial aggregation absorbs
+      // before the exchange.
+      withToks(s, d)
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), col("bigram"), col("cnt"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("bigram"))).as("rk"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("bigram"), col("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    QueryDef(
+      "q87_bloom_pruned_join",
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Bloom-filter-pruned semi-join — the manual shape of Spark's
+      // runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter):
+      // build a Bloom filter over the filtered dimension keys, ship it
+      // to every task (a ~1 MB bitmap broadcasts where a 100M-key set
+      // cannot), drop non-matching fact rows at the scan, then run the
+      // exact semi-join to remove the false positives. The final join
+      // guarantees oracle-exact results no matter the fpp; the bloom
+      // probe only shrinks what the shuffle has to move — at 100 TB
+      // that pre-filter is the difference between shuffling the whole
+      // fact table and shuffling the ~2% that can match.
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+      val bfBc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+      lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"))
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    QueryDef(
+      "q88_zscore_outliers",
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, count(*) AS n_outliers,
+        |  CAST(max(v) AS BIGINT) AS max_v_milli
+        |FROM b JOIN s USING (event_type)
+        |WHERE (CAST(n AS HUGEINT) * v - s1) * (CAST(n AS HUGEINT) * v - s1)
+        |    > 9 * (CAST(n AS HUGEINT) * s2 - s1 * s1)
+        |GROUP BY b.event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Exact z-score outlier detection (|v − μ| > 3σ) per event type,
+      // in pure integer arithmetic: values go to milli-unit fixed
+      // point, per-group moments (n, Σv, Σv²) accumulate in 128-bit
+      // (DECIMAL(38,0) here, HUGEINT in the oracle), and the 3σ test
+      // is cross-multiplied into (n·v − Σv)² > 9·(n·Σv² − (Σv)²) so no
+      // engine ever divides or square-roots — bit-exact across engines
+      // and accumulation orders. Two passes over events (moments, then
+      // probe) with the 4-row moments table broadcast to the second.
+      val d38 = "decimal(38,0)"
+      val b = events(s, d).select(col("event_type"),
+        round(col("value") * 1000).cast("long").as("v"))
+      val mom = b.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("v").cast(d38)).as("s1"),
+          sum((col("v") * col("v")).cast(d38)).as("s2"))
+      b.join(broadcast(mom), "event_type")
+        .filter((col("n") * col("v") - col("s1")) *
+            (col("n") * col("v") - col("s1")) >
+          lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          max(col("v")).cast("long").as("max_v_milli"))
+        .orderBy(col("event_type"))
+    }
+  )
+}
