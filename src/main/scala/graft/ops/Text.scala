@@ -44,10 +44,15 @@ object Text {
 
   // the cache keeps only the columns downstream operators read
   // (doc_id, lang, source, toks) — persisting the raw text alongside
-  // its token array would double the cached bytes for nothing
+  // its token array would double the cached bytes for nothing.
+  // fanOut first: the test corpus is ONE parquet split, which would
+  // run the regex tokenization single-threaded AND pin every cached
+  // downstream map stage to one partition; the round-robin shuffle of
+  // raw rows is far cheaper than serializing tokenization.
   private[ops] def withToks(s: SparkSession, d: String): DataFrame =
     toksCache.getOrElseUpdate((s, d))(
-      documents(s, d)
+      fanOut(documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"), col("text")))
         .select(col("doc_id"), col("lang"), col("source"),
           toksCol.as("toks"))
         .cache())
@@ -219,8 +224,8 @@ object Text {
          |  max(n_toks) AS max_tokens
          |FROM (SELECT lang, len($toksSql) AS n_toks FROM documents)
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      documents(s, d)
-        .select(col("lang"), size(toksCol).cast("long").as("n_toks"))
+      withToks(s, d)
+        .select(col("lang"), size(col("toks")).cast("long").as("n_toks"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_toks")).as("total_tokens"),
@@ -396,7 +401,7 @@ object Text {
       // URL-ish markers, numeric-run density) — the regex subset here
       // ([0-9]{6,}, literal substrings, [0-9]+) evaluates identically
       // under Java regex and DuckDB's RE2
-      documents(s, d)
+      fanOut(documents(s, d).select(col("source"), col("text")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("text").rlike("[0-9]{6,}"), 1).otherwise(0))

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
 object Vectors {
   import Tables._
 
-  /** double-cast vector + its squared-norm fold (left-to-right). */
+  /** double-cast vector + its squared-norm fold (left-to-right).
+    * fanOut first: the test collection is ONE parquet split, which
+    * would run every downstream per-vector fold single-threaded. */
   private def prepared(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+    fanOut(embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm",
