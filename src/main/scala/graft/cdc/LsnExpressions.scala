@@ -2,7 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -120,6 +120,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => UnixToPgEpochExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("md5_h32"), info("md5_h32"),
       (exprs: Seq[Expression]) => Md5H32Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -134,6 +136,7 @@ object GraftFunctions {
   def pg_epoch_to_unix(c: Column): Column = call_function("pg_epoch_to_unix", c)
   def unix_to_pg_epoch(c: Column): Column = call_function("unix_to_pg_epoch", c)
   def md5_h32(c: Column): Column = call_function("md5_h32", c)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
@@ -153,6 +156,7 @@ object GraftFunctions {
     ensure("pg_epoch_to_unix", exprs => PgEpochToUnixExpr(exprs.head))
     ensure("unix_to_pg_epoch", exprs => UnixToPgEpochExpr(exprs.head))
     ensure("md5_h32", exprs => Md5H32Expr(exprs.head))
+    ensure("vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)))
   }
 }
 
@@ -189,4 +193,49 @@ case class Md5H32Expr(child: Expression) extends UnaryExpression
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Left-to-right dot product over two double arrays — the kernel of
+  * every cosine-similarity operator. The fold order (ascending index,
+  * `acc + a[i]*b[i]`) is EXACTLY the order the DuckDB oracle's
+  * `list_reduce(list_transform(...))` evaluates, so results are
+  * bit-identical to the SQL-expressible formulation. */
+object VecOps {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native `vec_dot(a, b)` — unlike `aggregate(zip_with(a, b, ...))`,
+  * which drops out of whole-stage codegen into the interpreted
+  * higher-order-function path and allocates the zipped array, this
+  * stays inside the generated loop with zero intermediate
+  * allocation. Inputs implicit-cast to array<double> (so raw
+  * array<float> embedding columns work directly). */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.cdc.VecOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -26,19 +26,24 @@ import org.apache.spark.sql.functions._
 object Vectors {
   import Tables._
 
-  /** double-cast vector + its squared-norm fold (left-to-right).
+  /** double-cast vector + its squared-norm (left-to-right fold order,
+    * evaluated by the native codegen kernel).
     * fanOut first: the test collection is ONE parquet split, which
     * would run every downstream per-vector fold single-threaded. */
-  private def prepared(s: SparkSession, d: String): DataFrame =
+  private def prepared(s: SparkSession, d: String): DataFrame = {
+    graft.cdc.GraftFunctions.register(s)
     fanOut(embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        aggregate(transform(col("v"), x => x * x), lit(0.0),
-          (acc, x) => acc + x))
+      .withColumn("nrm", dot(col("v"), col("v")))
+  }
 
+  /** Native `vec_dot` expression — same ascending-index fold the
+    * oracle's `list_reduce` runs, but inside whole-stage codegen with
+    * no intermediate zipped array (`aggregate(zip_with(...))` falls
+    * out of codegen into the interpreted higher-order path). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.cdc.GraftFunctions.vec_dot(a, b)
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
