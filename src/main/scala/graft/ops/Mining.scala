@@ -381,6 +381,158 @@ object Mining {
         .agg(count(lit(1)).as("n_outliers"),
           max(col("v")).cast("long").as("max_v_milli"))
         .orderBy(col("event_type"))
+    },
+
+    QueryDef(
+      "q89_funnel_stages",
+      """WITH tv AS (SELECT user_id, min(event_id) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, min(event_id) AS tc FROM events e
+        |  JOIN tv ON tv.user_id = e.user_id
+        |  WHERE event_type = 'click' AND event_id > tv.tv
+        |  GROUP BY e.user_id),
+        |tp AS (SELECT e.user_id, min(event_id) AS tp FROM events e
+        |  JOIN tc ON tc.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND event_id > tc.tc
+        |  GROUP BY e.user_id)
+        |SELECT count(tv.tv) AS n_view_users,
+        |  count(tc.tc) AS n_click_users,
+        |  count(tp.tp) AS n_purchase_users,
+        |  CAST(count(tp.tp) * 1000 // count(tv.tv) AS BIGINT) AS conv_milli
+        |FROM tv LEFT JOIN tc ON tc.user_id = tv.user_id
+        |        LEFT JOIN tp ON tp.user_id = tv.user_id""".stripMargin) {
+      (s, d) =>
+        // ordered funnel analysis (view -> click -> purchase): each
+        // stage keeps the earliest qualifying event that happened
+        // AFTER the user's previous stage (sequence position =
+        // event_id, monotone in the stream). Three keyed min-aggs
+        // chained by user_id joins — every stage shrinks the key set,
+        // so at 100 TB the heavy table is touched once per stage with
+        // the stage filter pushed to the scan, and the final count is
+        // a 3-way join of per-user scalars.
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          col("event_id"))
+        val tv = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("event_id")).as("tv"))
+        val tc = ev.filter(col("event_type") === "click")
+          .join(tv, "user_id").filter(col("event_id") > col("tv"))
+          .groupBy(col("user_id")).agg(min(col("event_id")).as("tc"))
+        val tp = ev.filter(col("event_type") === "purchase")
+          .join(tc, "user_id").filter(col("event_id") > col("tc"))
+          .groupBy(col("user_id")).agg(min(col("event_id")).as("tp"))
+        tv.join(tp, Seq("user_id"), "left")
+          .join(tc.select(col("user_id"), col("tc")), Seq("user_id"), "left")
+          .agg(count(col("tv")).as("n_view_users"),
+            count(col("tc")).as("n_click_users"),
+            count(col("tp")).as("n_purchase_users"))
+          .select(col("n_view_users"), col("n_click_users"),
+            col("n_purchase_users"),
+            expr("n_purchase_users * 1000 DIV n_view_users").as("conv_milli"))
+    },
+
+    QueryDef(
+      "q90_pmi_lift_pairs",
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+         |    (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+         |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |pair AS (SELECT a.tok AS t1, b.tok AS t2, count(*) AS pxy
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY a.tok, b.tok)
+         |SELECT t1, t2, pxy,
+         |  CAST(pxy * n * 1000 // (d1.df * d2.df) AS BIGINT) AS lift_milli
+         |FROM pair JOIN df d1 ON d1.tok = t1 JOIN df d2 ON d2.tok = t2, n
+         |ORDER BY lift_milli DESC, t1, t2 LIMIT 15""".stripMargin) { (s, d) =>
+      // token co-occurrence lift (the log-free core of PMI):
+      // lift = N·p(x,y) / (p(x)·p(y)) in integer fixed point, over
+      // doc-level co-occurrence. The pair source is a self-join of
+      // per-doc DISTINCT tokens keyed on doc_id — fan-out is bounded
+      // by per-doc vocabulary², never corpus², and the dedup happens
+      // map-side inside the token array before the explode. Downstream
+      // is one keyed pair count plus two joins against the (small)
+      // document-frequency table.
+      val n = documents(s, d).count()
+      val dt = withToks(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val pair = dt.select(col("doc_id"), col("tok").as("t1"))
+        .join(dt.select(col("doc_id"), col("tok").as("t2")), "doc_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("pxy"))
+      pair
+        .join(broadcast(df.select(col("tok").as("t1"), col("df").as("df1"))),
+          "t1")
+        .join(broadcast(df.select(col("tok").as("t2"), col("df").as("df2"))),
+          "t2")
+        .select(col("t1"), col("t2"), col("pxy"),
+          expr(s"pxy * $n * 1000 DIV (df1 * df2)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("t1"), col("t2"))
+        .limit(15)
+    },
+
+    QueryDef(
+      "q91_char_trigram_profile",
+      s"""WITH norm AS (SELECT lang,
+         |    array_to_string($toksSql, ' ') AS nt FROM documents),
+         |tri AS (SELECT lang, substring(nt, i, 3) AS tg
+         |  FROM norm, UNNEST(range(1, length(nt) - 1)) AS u(i)
+         |  WHERE length(nt) >= 3),
+         |c AS (SELECT lang, tg, count(*) AS cnt FROM tri GROUP BY lang, tg)
+         |SELECT lang, rk, tg, cnt FROM (
+         |  SELECT lang, tg, cnt, row_number() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, tg) AS rk FROM c)
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+      // character-trigram frequency profile per language — the
+      // feature extraction of every classic n-gram language
+      // identifier (textcat). The normalized text (tokens re-joined
+      // with single spaces, so both engines see identical bytes)
+      // explodes map-side into overlapping 3-char windows; one keyed
+      // partial+final count, then a per-language top-5 with rank
+      // pushdown. Trigram volume ≈ corpus bytes, all map-side until
+      // the (lang, trigram)-keyed shuffle.
+      withToks(s, d)
+        .select(col("lang"), array_join(col("toks"), " ").as("nt"))
+        .filter(length(col("nt")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(nt) - 2), i -> substring(nt, i, 3))"))
+          .as("tg"))
+        .groupBy(col("lang"), col("tg"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), col("tg"), col("cnt"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("tg"))).as("rk"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("tg"), col("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    QueryDef(
+      "q92_schema_evolution_union",
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, lang, n_chars, source FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT coalesce(source, 'legacy') AS source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // schema-evolution union: an old snapshot generation lacking the
+      // `source` column unions with the current one by NAME (missing
+      // columns null-filled) — `unionByName(allowMissingColumns)`,
+      // the Spark idiom for reading across schema versions without
+      // rewriting history; DuckDB's UNION ALL BY NAME is the exact
+      // oracle. Downstream aggregation treats the legacy rows as
+      // their own bucket via coalesce.
+      val old = documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cur = documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      old.unionByName(cur, allowMissingColumns = true)
+        .groupBy(coalesce(col("source"), lit("legacy")).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("source"))
     }
   )
 }
