@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.cdc.CdcFunctions
 
@@ -109,6 +109,54 @@ object StreamOps {
             case _ => Iterator.empty // stale replay — idempotent drop
           }
       }
+  }
+
+  /** [[statefulSnapshot]] re-expressed on the state-v2
+    * `transformWithState` API (Spark 4's successor to
+    * flatMapGroupsWithState): per-key `ValueState[SnapshotRow]` backed
+    * by the RocksDB state store — the deployment shape for snapshot
+    * state that outgrows executor heap (state lives off-heap/on-disk
+    * per partition, changelog-checkpointed, instead of in an HDFS-
+    * backed in-memory map). Semantics are identical to
+    * [[statefulSnapshot]]: newest LSN wins, stale at-least-once
+    * replays drop idempotently.
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState rejects the
+    * default HDFS-backed provider). */
+  def statefulSnapshotTws(changes: Dataset[KeyedChange])
+      : Dataset[SnapshotRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(c => (c.table, c.key))
+      .transformWithState(new SnapshotProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Keyed processor for [[statefulSnapshotTws]]: one ValueState cell
+    * per (table, key) holding the current snapshot row. */
+  final class SnapshotProcessor
+      extends StatefulProcessor[(String, String), KeyedChange, SnapshotRow] {
+    @transient private var snap: ValueState[SnapshotRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      snap = getHandle.getValueState[SnapshotRow]("snap",
+        org.apache.spark.sql.Encoders.product[SnapshotRow], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String),
+        rows: Iterator[KeyedChange],
+        timerValues: TimerValues): Iterator[SnapshotRow] = {
+      val newest = rows.foldLeft(Option.empty[KeyedChange]) { (acc, c) =>
+        if (acc.forall(_.lsn < c.lsn)) Some(c) else acc
+      }
+      val prev = if (snap.exists()) Some(snap.get()) else None
+      newest match {
+        case Some(c) if prev.forall(_.lsn < c.lsn) =>
+          val row = SnapshotRow(key._1, key._2, c.lsn, c.op, c.tuple)
+          snap.update(row)
+          Iterator.single(row)
+        case _ => Iterator.empty // stale replay — idempotent drop
+      }
+    }
   }
 
   /** `xid` is the toplevel (stream-block) transaction id — the group

@@ -118,6 +118,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(progress.forall(_.numInputRows <= 7))
   }
 
+  test("transformWithState snapshot (RocksDB state-v2) equals logical replay") {
+    val sp = spark; import sp.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", logDir)
+        .load()
+      val changes = StreamOps.decodedChanges(stream)
+        .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+          col("op"), col("tuple"))
+        .as[StreamOps.KeyedChange]
+      val snap = StreamOps.statefulSnapshotTws(changes)
+      val q = snap.writeStream
+        .format("memory").queryName("snap_tws")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_tws").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val rows = spark.sql(
+        """SELECT key, max_by(tuple['name'], lsn) AS name, max(lsn) AS lsn,
+          |       max_by(op, lsn) AS op
+          |FROM snap_tws GROUP BY key""".stripMargin)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getString(1), r.getString(3)))
+        .toMap
+      val live = rows.collect { case (k, (lsn, name, op)) if op != "delete" =>
+        k -> (lsn, name)
+      }
+      assert(live == expectedSnapshot())
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("commit persists the acked LSN (standby-status analogue)") {
     // Spark commits batch N's offset when batch N+1 starts, so the
     // sidecar holds the second-to-last boundary after AvailableNow
