@@ -533,6 +533,68 @@ object Mining {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("source"))
+    },
+
+    QueryDef(
+      "q93_range_frame_rolling",
+      """SELECT user_id, event_id, ts_sec,
+        |  count(*) OVER w AS roll_cnt,
+        |  CAST(sum(v) OVER w AS BIGINT) AS roll_v_milli
+        |FROM (SELECT user_id, event_id,
+        |        epoch_ns(ts) // 1000000000 AS ts_sec,
+        |        CAST(round(value * 1000) AS BIGINT) AS v
+        |      FROM events WHERE user_id < 50)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      // time-based window frame (RANGE BETWEEN 3600 PRECEDING): the
+      // rolling last-hour count/sum per user — the frame q08's
+      // ROWS-based running total can't express (RANGE bounds follow
+      // the ORDER BY VALUE, so ties share one frame and gaps widen
+      // it). Values are milli-unit integers so in-frame accumulation
+      // order can't flip a bit (engines disagree on sliding-sum
+      // evaluation order for doubles). Partitioned by user — each
+      // window sorts locally after the keyed exchange, no global sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          round(col("value") * 1000).cast("long").as("v"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          count(lit(1)).over(w).as("roll_cnt"),
+          sum(col("v")).over(w).cast("long").as("roll_v_milli"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    QueryDef(
+      "q94_correlated_subquery",
+      """SELECT p_partkey, p_brand,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        |FROM part p
+        |WHERE 100 * CAST(round(p_retailprice * 100) AS BIGINT) *
+        |    (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |  > 103 * (SELECT sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+        |          FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // the SQL entry point with correlated scalar subqueries: parts
+      // priced >3% above their brand's average, the predicate
+      // cross-multiplied into pure integers (comparing against a
+      // double avg would put boundary rows at the mercy of
+      // accumulation order). Catalyst decorrelates both subqueries
+      // into ONE per-brand aggregate joined back — .explain shows no
+      // per-row re-scan, the textbook rewrite a naive engine misses.
+      // Same SQL text runs verbatim in DuckDB (the oracle).
+      part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT p_partkey, p_brand,
+          |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+          |FROM part p
+          |WHERE 100 * CAST(round(p_retailprice * 100) AS BIGINT) *
+          |    (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+          |  > 103 * (SELECT sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
+          |          FROM part p2 WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin)
     }
   )
 }
