@@ -54,7 +54,13 @@ object Events {
       // robust outlier gate: the p90 threshold is an actual data
       // element picked by the exact rank formula (no stddev — its
       // accumulation order is engine-dependent; a quantile element is
-      // not), and the comparison against it is exact on raw doubles
+      // not), and the comparison against it is exact on raw doubles.
+      // The ranked window runs ONCE (threshold extraction only); the
+      // outlier count joins the raw scan against the per-type
+      // thresholds as a BROADCAST (handful of rows) — re-keying the
+      // full event stream on ~5 hot event_type values would funnel
+      // everything through 5 reducers, the exact skew the plan guard
+      // exists to catch elsewhere.
       val ranked = events(s, d)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("event_type"))
@@ -64,9 +70,9 @@ object Events {
       val thr = ranked
         .filter(col("rn") === expr("(9 * n + 9) DIV 10"))
         .groupBy(col("event_type")).agg(max(col("value")).as("p90"))
-      ranked.join(thr, "event_type")
+      events(s, d).join(broadcast(thr), "event_type")
         .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n_events"),
+        .agg(count(lit(1)).as("n_events"),
           round(max(col("p90")), 2).as("p90_value"),
           sum(when(col("value") > col("p90"), 1L).otherwise(0L))
             .as("n_outliers"))
