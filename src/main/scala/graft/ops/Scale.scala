@@ -308,6 +308,93 @@ object Scale {
           (matches * 625).cast("long").as("est_4"))
         .withColumn("err_4", abs(col("jaccard_4") - col("est_4")).cast("long"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
+      "q95_retraction_ivm",
+      s"""WITH ev AS (SELECT user_id, event_id, $opSql AS op,
+         |    CAST(round(value * 1000) AS BIGINT) AS v
+         |  FROM events WHERE user_id < 100),
+         |st AS (SELECT user_id, event_id, op, v,
+         |    CASE WHEN op = 'delete' THEN NULL ELSE v END AS state_v,
+         |    coalesce(lag(CASE WHEN op = 'delete' THEN NULL ELSE v END)
+         |      OVER (PARTITION BY user_id ORDER BY event_id), 0) AS prev_v
+         |  FROM ev),
+         |d AS (SELECT user_id, event_id,
+         |    coalesce(state_v, 0) - prev_v AS delta
+         |  FROM st)
+         |SELECT user_id, count(*) AS n_ops,
+         |  CAST(sum(delta) AS BIGINT) AS maintained_milli
+         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      // incremental view maintenance WITH RETRACTIONS — the delta
+      // algebra a CDC-fed materialized sum needs: every op emits
+      // delta = new_state − old_state (update: new−old; delete:
+      // 0−old; insert/upsert: new−old with absent = 0), so the
+      // per-key delta stream telescopes EXACTLY to the current state
+      // and the maintained aggregate never rescans history — q78's
+      // append-only merge extended to updates/deletes. lag()
+      // reconstructs each event's pre-image per user partition (at
+      // 100 TB: the stateful-snapshot join), and all deltas are
+      // milli-unit integers.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), opCol.as("op"),
+          round(col("value") * 1000).cast("long").as("v"))
+        .withColumn("state_v",
+          when(col("op") === "delete", lit(null).cast("long"))
+            .otherwise(col("v")))
+        .withColumn("prev_v", coalesce(lag(col("state_v"), 1).over(w), lit(0L)))
+        .select(col("user_id"),
+          (coalesce(col("state_v"), lit(0L)) - col("prev_v")).as("delta"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          sum(col("delta")).cast("long").as("maintained_milli"))
+        .orderBy(col("user_id"))
+    },
+
+    QueryDef(
+      "q96_selective_salted_join",
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        // selective salting — the production refinement of q77's
+        // blanket salt: ONLY keys above a frequency threshold get
+        // salted (their dim rows replicated), everything else takes
+        // the plain keyed join. One cheap keyed count finds the hot
+        // set (broadcast, it's tiny by definition of "hot"); the dim
+        // side replicates ×8 only for those keys, so replication cost
+        // scales with the number of hot keys, not the dimension table.
+        // This is what AQE skew-join does adaptively, expressed as a
+        // composable operator with the same oracle as the plain join.
+        val salts = 8
+        val fact = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        val dim = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        val hot = fact.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
+          .select(col("l_orderkey").as("hot_key"))
+        val factH = fact.join(broadcast(hot),
+            col("l_orderkey") === col("hot_key"), "left_semi")
+          .withColumn("salt",
+            pmod(hash(col("l_orderkey"), col("l_quantity")), lit(salts)))
+        val factC = fact.join(broadcast(hot),
+          col("l_orderkey") === col("hot_key"), "left_anti")
+        val dimH = dim.join(broadcast(hot),
+            col("o_orderkey") === col("hot_key"), "left_semi")
+          .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+        val joinedH = factH.join(dimH,
+          factH("l_orderkey") === dimH("o_orderkey") &&
+            factH("salt") === dimH("salt"))
+          .select(col("o_orderpriority"), col("l_quantity"))
+        val joinedC = factC.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), col("l_quantity"))
+        joinedH.unionAll(joinedC)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
     }
   )
 }
