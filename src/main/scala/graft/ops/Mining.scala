@@ -595,6 +595,68 @@ object Mining {
           |  > 103 * (SELECT sum(CAST(round(p2.p_retailprice * 100) AS BIGINT))
           |          FROM part p2 WHERE p2.p_brand = p.p_brand)
           |ORDER BY p_partkey""".stripMargin)
+    },
+
+    QueryDef(
+      "q97_distribution_windows",
+      """SELECT doc_id, lang, n_chars,
+        |  rank() OVER w AS rnk,
+        |  CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS prank_4,
+        |  CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cume_4
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
+        |QUALIFY doc_id % 29 = 0
+        |ORDER BY lang, n_chars, doc_id""".stripMargin) { (s, d) =>
+      // distribution window functions (rank / percent_rank /
+      // cume_dist): where does each document's length sit within its
+      // language? Value-ordered, so ties share a rank and the outputs
+      // are independent of any tiebreak — deterministic without an
+      // artificial total order. Both percentiles are exact rationals
+      // (rank-1)/(n-1) and rows<=x/n computed from the same integers
+      // in both engines, floor-scaled before compare. The QUALIFY
+      // sampling keeps the output small while exercising the full
+      // window; partitions are per-lang, never global.
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          rank().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"))).cast("long").as("rnk"),
+          floor(percent_rank().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"))) * 10000).cast("long").as("prank_4"),
+          floor(cume_dist().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars"))) * 10000).cast("long").as("cume_4"))
+        .filter(col("doc_id") % 29 === 0)
+        .orderBy(col("lang"), col("n_chars"), col("doc_id"))
+    },
+
+    QueryDef(
+      "q98_editdistance_verify",
+      s"""WITH shingles AS ($shinglesSql),
+         |${Text.jaccardPairsSql},
+         |pfx AS (SELECT doc_id, substring(lower(text), 1, 40) AS p
+         |  FROM documents)
+         |SELECT d1, d2,
+         |  levenshtein(a.p, b.p) AS prefix_edit_dist,
+         |  CAST(length(a.p) AS BIGINT) AS len1,
+         |  CAST(length(b.p) AS BIGINT) AS len2
+         |FROM jpairs JOIN pfx a ON a.doc_id = d1 JOIN pfx b ON b.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // edit-distance verification layer: for every shingle-level
+      // near-dup pair, the Levenshtein distance between the docs'
+      // 40-char prefixes — the character-level second opinion a dedup
+      // pipeline uses to separate true near-dups from shingle-hash
+      // coincidences. Exact integer DP in both engines (identical
+      // definition), and it only ever runs on the CANDIDATE pairs —
+      // the O(len²) DP never touches the full corpus cross product.
+      val pfx = documents(s, d)
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("p"))
+      Text.jaccardPairs(s, d)
+        .join(pfx.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
+        .join(pfx.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
+        .select(col("d1"), col("d2"),
+          levenshtein(col("p1"), col("p2")).as("prefix_edit_dist"),
+          length(col("p1")).cast("long").as("len1"),
+          length(col("p2")).cast("long").as("len2"))
+        .orderBy(col("d1"), col("d2"))
     }
   )
 }
