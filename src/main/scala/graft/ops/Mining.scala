@@ -657,6 +657,66 @@ object Mining {
           length(col("p1")).cast("long").as("len1"),
           length(col("p2")).cast("long").as("len2"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
+      "q99_bpe_pair_counts",
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS tok FROM t),
+         |pairs AS (SELECT substring(tok, i, 2) AS pair
+         |  FROM tok, UNNEST(range(1, length(tok))) AS u(i)
+         |  WHERE length(tok) >= 2)
+         |SELECT pair, count(*) AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 10""".stripMargin) {
+      (s, d) =>
+        // the first iteration of BPE tokenizer training: global counts
+        // of adjacent symbol pairs (here: char bigrams inside tokens —
+        // exactly what the first merge rule is chosen from). The pair
+        // stream flattens map-side from the cached token arrays in ONE
+        // generate (no token-level explode feeding a second explode),
+        // then a single keyed partial+final count; at 100 TB the Zipf
+        // head is absorbed by map-side combine before the shuffle.
+        withToks(s, d)
+          .select(explode(expr(
+            "flatten(transform(toks, t -> CASE WHEN length(t) >= 2 THEN " +
+              "transform(sequence(1, length(t) - 1), " +
+              "i -> substring(t, i, 2)) ELSE array() END))")).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(10)
+    },
+
+    QueryDef(
+      "q100_cross_source_neardups",
+      s"""WITH shingles AS ($shinglesSql),
+         |${Text.jaccardPairsSql},
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src1,
+         |  greatest(a.source, b.source) AS src2,
+         |  count(*) AS n_pairs
+         |FROM jpairs JOIN src a ON a.doc_id = d1 JOIN src b ON b.doc_id = d2
+         |WHERE a.source <> b.source
+         |GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin) { (s, d) =>
+      // cross-source duplication matrix: which sources near-duplicate
+      // each other (mirror sites, scraped re-posts) — the per-source-
+      // pair count of near-dup doc pairs whose members come from
+      // DIFFERENT sources, symmetric via least/greatest. Joins the
+      // cached candidate graph against the (broadcastable) doc→source
+      // map twice; the output is source², the smallest table in the
+      // pipeline, and the input is candidate pairs, never corpus².
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      Text.jaccardPairs(s, d)
+        .join(broadcast(src.select(col("doc_id").as("d1"),
+          col("source").as("s1"))), "d1")
+        .join(broadcast(src.select(col("doc_id").as("d2"),
+          col("source").as("s2"))), "d2")
+        .filter(col("s1") =!= col("s2"))
+        .select(least(col("s1"), col("s2")).as("src1"),
+          greatest(col("s1"), col("s2")).as("src2"))
+        .groupBy(col("src1"), col("src2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src1"), col("src2"))
     }
   )
 }
