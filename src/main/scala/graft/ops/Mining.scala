@@ -717,6 +717,53 @@ object Mining {
         .groupBy(col("src1"), col("src2"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("src1"), col("src2"))
+    },
+
+    QueryDef(
+      "q101_approx_quantile_audit",
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type, max(n) AS n_events,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_exact_milli,
+        |  CAST(1 AS BIGINT) AS within_rank_tol
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        // approximate-quantile audit with the oracle pinning the
+        // GUARANTEE, not the estimate: percentile_approx (GK sketch,
+        // accuracy 10000) must land within rank eps*n + 1 of the true
+        // median — the audit computes the approx element's exact rank
+        // and emits a 0/1 tolerance flag. The oracle asserts the flag
+        // is 1 (plus the exact median element via the rank formula),
+        // so the correctness gate FAILS if the sketch ever drifts out
+        // of its contract — the q39-style sketch check upgraded from
+        // rows-only to a real hash-match. Sketch state is O(1/eps)
+        // per group; the rank probe is one broadcast + keyed count.
+        import org.apache.spark.sql.expressions.Window
+        val b = events(s, d).select(col("event_type"),
+          round(col("value") * 1000).cast("long").as("v"))
+        val ranked = b
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("v"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+        val exact = ranked.filter(col("rn") === expr("(n + 1) DIV 2"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_events"), max(col("v")).as("p50_exact_milli"))
+        val apx = b.groupBy(col("event_type"))
+          .agg(expr("percentile_approx(v, 0.5, 10000)").as("apx"))
+        val rankOfApx = b.join(broadcast(apx), "event_type")
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("v") <= col("apx"), 1L).otherwise(0L)).as("r"),
+            count(lit(1)).as("n"))
+        exact.join(broadcast(rankOfApx.select(col("event_type"), col("r"),
+            col("n"))), "event_type")
+          .select(col("event_type"), col("n_events"), col("p50_exact_milli"),
+            when(abs(col("r") - col("n") / 2) <= col("n") / 10000 + 1, 1L)
+              .otherwise(0L).as("within_rank_tol"))
+          .orderBy(col("event_type"))
     }
   )
 }
