@@ -5,12 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 operators: the data-mining / sketching surface of a
-  * 100 TB training-data pipeline — a Count-Min-sketch accuracy audit,
-  * n-gram eval-set decontamination, equi-depth quantile binning,
-  * TF-IDF cosine document similarity, deterministic per-group
-  * sampling, bigram language-model counts, a Bloom-filter-pruned
-  * join (the manual shape of a runtime row-group filter), and exact
-  * z-score outlier detection.
+  * 100 TB training-data pipeline — Count-Min and GK-quantile sketch
+  * audits, n-gram eval-set decontamination, equi-depth quantile
+  * binning, TF-IDF cosine similarity, deterministic per-group
+  * sampling, bigram/BPE language-model counts, char-trigram
+  * profiles, a Bloom-filter-pruned join, exact z-score outliers,
+  * funnel analysis, PMI lift, edit-distance dedup verification,
+  * cross-source duplication, distribution window functions,
+  * schema-evolution unions, and the correlated-subquery SQL surface.
   *
   * Cross-engine determinism follows the repo conventions: every
   * accumulated quantity is integer (md5-derived hashes, milli-unit
