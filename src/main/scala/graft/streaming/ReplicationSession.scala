@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.cdc.{AckScheduler, CdcFormat, Lsn}
+
+/** Reference-API facade: the lifecycle of the reference's
+  * `LogicalReplicationService` (`logical-replication-service.ts`)
+  * mapped one-to-one onto Structured Streaming over the cdc-replay
+  * source, so a user of the reference can switch by name:
+  *
+  *  - `subscribe(plugin, slotName, uptoLsn?)` (`:66-148`) → a
+  *    streaming DataFrame of raw (lsn, frames) rows for the plugin's
+  *    frame log; downstream decode is the `'data'` handler analogue
+  *    (`StreamOps.decodedChanges` et al.). The plugin's
+  *    START_REPLICATION serialization is exposed via
+  *    [[startReplicationSql]] — in a live deployment that string is
+  *    what the connector issues; in replay it documents the session.
+  *  - `acknowledge(lsn)` (`:250-262`) → persists the standby-status
+  *    LSN to the source's `_acked_lsn` sidecar, monotonically (the
+  *    reference also only advances `lastLsn`). The source's own
+  *    commit hook auto-acks delivered batches exactly like
+  *    `acknowledge.auto = true` (`:54-57`).
+  *  - periodic re-ack (`acknowledge.timeoutSeconds`, default 10,
+  *    `:20,238-247`) → an [[graft.cdc.AckScheduler]] wired to the
+  *    same sidecar.
+  *  - `stop()` (`:264-280`) → stops every query this session started.
+  *  - `'heartbeat'` events (`:165-171`) → [[CdcProgressListener]]
+  *    heartbeats, attached per session.
+  *
+  * Threading differences are the point: the reference delivers on one
+  * Node event loop; here delivery is a Spark query, so "the handler"
+  * is a distributed plan and ordering guarantees are per key/shard
+  * (SURVEY O5), not global.
+  */
+final class ReplicationSession(
+    spark: SparkSession,
+    logDir: String,
+    ackTimeoutSeconds: Int = 10) {
+
+  private var queries: List[StreamingQuery] = Nil
+
+  /** The heartbeat surface ('heartbeat'/keepalive analogue). */
+  val listener = new CdcProgressListener()
+  spark.streams.addListener(listener)
+
+  /** Standby-status re-ack timer (`timeoutSeconds`, 1 s resolution in
+    * the reference; drive [[AckScheduler.tick]] from any scheduler). */
+  val ackScheduler = new AckScheduler(ackTimeoutSeconds,
+    send = lsn => writeAck(lsn))
+
+  /** The exact START_REPLICATION command a live session would issue
+    * for this plugin/slot — byte-for-byte the reference's
+    * (`pgoutput-plugin.ts:31` etc.). */
+  def startReplicationSql(format: CdcFormat, slotName: String,
+      lastLsn: String = "0/00000000"): String =
+    format.startReplicationSql(slotName, lastLsn)
+
+  /** `subscribe(plugin, slotName, uptoLsn?)`: the streaming read
+    * path. `uptoLsn` mirrors the reference's resume-position argument
+    * (`:66`): replay starts strictly AFTER it, `0/00000000` replays
+    * everything (`acknowledge.spec.ts:70-75`); absent → resume from
+    * the acked sidecar, the reference's default of continuing from
+    * the server-confirmed position. */
+  def subscribe(format: CdcFormat, slotName: String,
+      uptoLsn: Option[String] = None,
+      maxFramesPerTrigger: Option[Long] = None): DataFrame = {
+    val start = uptoLsn
+      .map(Lsn.parse)
+      .orElse(CdcReplaySource.lastAckedLsn(logDir))
+      .getOrElse(0L)
+    val r = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", logDir)
+      .option("startingLsn", start.toString)
+    maxFramesPerTrigger.fold(r)(n =>
+      r.option("maxFramesPerTrigger", n.toString)).load()
+  }
+
+  /** Track a started query so [[stop]] can close the session. */
+  def register(q: StreamingQuery): StreamingQuery = synchronized {
+    queries = q :: queries
+    q
+  }
+
+  /** `acknowledge(lsn)`: persist the standby-status position —
+    * monotonic, like the reference's `lastLsn` advance (`:250-262`).
+    * Accepts `X/XXXXXXXX` text or decimal. */
+  def acknowledge(lsn: String): Boolean = synchronized {
+    val v = Lsn.parse(lsn)
+    val cur = CdcReplaySource.lastAckedLsn(logDir).getOrElse(-1L)
+    if (v > cur) { writeAck(v); ackScheduler.delivered(v); true }
+    else false
+  }
+
+  /** The confirmed position (reference `lastLsn`). */
+  def lastAckedLsn(): Option[Long] = CdcReplaySource.lastAckedLsn(logDir)
+
+  /** `stop()`: stop every query started through this session and
+    * detach the heartbeat listener (`:264-280`). */
+  def stop(): Unit = synchronized {
+    queries.foreach(q => if (q.isActive) q.stop())
+    queries = Nil
+    spark.streams.removeListener(listener)
+  }
+
+  private def writeAck(lsn: Long): Unit = {
+    // atomic replace, same protocol as the source's commit hook
+    val dir = Paths.get(logDir)
+    val tmp = Files.createTempFile(dir, "_acked_lsn", ".tmp")
+    Files.write(tmp, lsn.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, CdcReplaySource.ackSidecar(logDir).toPath,
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
