@@ -212,6 +212,20 @@ object VecOps {
     }
     acc
   }
+
+  /** A NULL element anywhere poisons the product — mirrors how the
+    * `aggregate(zip_with(...))` fold (and DuckDB's `list_reduce`)
+    * propagate NULL through `acc + x*y`. */
+  def hasNullElement(
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 }
 
 /** Native `vec_dot(a, b)` — unlike `aggregate(zip_with(a, b, ...))`,
@@ -228,12 +242,22 @@ case class VecDotExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    java.lang.Double.valueOf(
-      VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (VecOps.hasNullElement(x) || VecOps.hasNullElement(y)) null
+    else java.lang.Double.valueOf(VecOps.dot(x, y))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.cdc.VecOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if (graft.cdc.VecOps.hasNullElement($a)
+         |    || graft.cdc.VecOps.hasNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.cdc.VecOps.dot($a, $b);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -60,12 +60,21 @@ final class ReplicationSession(
       lastLsn: String = "0/00000000"): String =
     format.startReplicationSql(slotName, lastLsn)
 
+  /** The START_REPLICATION command of the most recent [[subscribe]]
+    * — what a live transport would have issued (inspectable, like the
+    * reference's logged start command). */
+  @volatile var lastStartReplicationSql: Option[String] = None
+
   /** `subscribe(plugin, slotName, uptoLsn?)`: the streaming read
-    * path. `uptoLsn` mirrors the reference's resume-position argument
-    * (`:66`): replay starts strictly AFTER it, `0/00000000` replays
-    * everything (`acknowledge.spec.ts:70-75`); absent → resume from
-    * the acked sidecar, the reference's default of continuing from
-    * the server-confirmed position. */
+    * path. One session maps to ONE slot's frame log (the reference is
+    * also one-subscription-per-service: `subscribe` stop()s any prior
+    * session, `:72-87`) — the plugin/slot select the server-side
+    * START_REPLICATION (recorded in [[lastStartReplicationSql]]; the
+    * replay log was produced by that command). `uptoLsn` mirrors the
+    * resume-position argument (`:66`): replay starts strictly AFTER
+    * it, `0/00000000` replays everything (`acknowledge.spec.ts:
+    * 70-75`); absent → resume from the acked sidecar, the reference's
+    * default of continuing from the server-confirmed position. */
   def subscribe(format: CdcFormat, slotName: String,
       uptoLsn: Option[String] = None,
       maxFramesPerTrigger: Option[Long] = None): DataFrame = {
@@ -73,6 +82,8 @@ final class ReplicationSession(
       .map(Lsn.parse)
       .orElse(CdcReplaySource.lastAckedLsn(logDir))
       .getOrElse(0L)
+    lastStartReplicationSql =
+      Some(format.startReplicationSql(slotName, Lsn.format(start)))
     val r = spark.readStream.format(CdcReplaySource.FORMAT)
       .option("path", logDir)
       .option("startingLsn", start.toString)
@@ -91,9 +102,9 @@ final class ReplicationSession(
     * Accepts `X/XXXXXXXX` text or decimal. */
   def acknowledge(lsn: String): Boolean = synchronized {
     val v = Lsn.parse(lsn)
-    val cur = CdcReplaySource.lastAckedLsn(logDir).getOrElse(-1L)
-    if (v > cur) { writeAck(v); ackScheduler.delivered(v); true }
-    else false
+    val advanced = CdcReplaySource.lastAckedLsn(logDir).forall(_ < v)
+    if (advanced) { writeAck(v); ackScheduler.delivered(v) }
+    advanced
   }
 
   /** The confirmed position (reference `lastLsn`). */
@@ -107,13 +118,19 @@ final class ReplicationSession(
     spark.streams.removeListener(listener)
   }
 
-  private def writeAck(lsn: Long): Unit = {
-    // atomic replace, same protocol as the source's commit hook
-    val dir = Paths.get(logDir)
-    val tmp = Files.createTempFile(dir, "_acked_lsn", ".tmp")
-    Files.write(tmp, lsn.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, CdcReplaySource.ackSidecar(logDir).toPath,
-      StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+  /** Atomic, MONOTONIC sidecar write: every path into the sidecar
+    * (manual acknowledge, the periodic re-ack timer) re-checks the
+    * current confirmed position under the session lock, so a stale
+    * scheduler tick can never regress past a newer auto-ack from the
+    * source's commit hook (which itself only moves forward). */
+  private def writeAck(lsn: Long): Unit = synchronized {
+    if (CdcReplaySource.lastAckedLsn(logDir).forall(_ < lsn)) {
+      val dir = Paths.get(logDir)
+      val tmp = Files.createTempFile(dir, "_acked_lsn", ".tmp")
+      Files.write(tmp, lsn.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, CdcReplaySource.ackSidecar(logDir).toPath,
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 }
