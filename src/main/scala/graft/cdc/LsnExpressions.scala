@@ -250,10 +250,14 @@ case class VecDotExpr(left: Expression, right: Expression)
     else java.lang.Double.valueOf(VecOps.dot(x, y))
   }
 
+  // NB: no generated line may BEGIN with '|' — enclosing expressions
+  // compose child code inside s"""..."""​.stripMargin templates, which
+  // would eat the leading pipes of a line-initial `||` (seen in the
+  // wild as `')' expected instead of 'graft'` Janino failures).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""if (graft.cdc.VecOps.hasNullElement($a)
-         |    || graft.cdc.VecOps.hasNullElement($b)) {
+      s"""if (graft.cdc.VecOps.hasNullElement($a) ||
+         |    graft.cdc.VecOps.hasNullElement($b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.cdc.VecOps.dot($a, $b);
