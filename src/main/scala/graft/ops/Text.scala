@@ -85,14 +85,20 @@ object Text {
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate((s, d)) {
       // md5_h32 is the native digest-bytes expression — value-identical
-      // to conv(substring(md5(x),1,8),16,10) without the hex round-trip
+      // to conv(substring(md5(x),1,8),16,10) without the hex round-trip.
+      // The per-doc distinct-shingle count n rides along from the
+      // array the explode flattens — map-side and free, so consumers
+      // (jaccard ratio bound, q26 union sizing) never re-aggregate +
+      // broadcast-join a separate per-doc count.
       graft.cdc.GraftFunctions.register(s)
       withToks(s, d)
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(expr(
+        .select(col("doc_id"), array_distinct(expr(
           "transform(sequence(0, size(toks)-3), i -> " +
-            "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")))
-          .as("h"))
+            "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+          .as("hs"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+          explode(col("hs")).as("h"))
         .cache()
     }
 
@@ -112,11 +118,11 @@ object Text {
     pairCache.getOrElseUpdate((s, d))(buildJaccardPairs(s, d).cache())
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // per-doc shingle counts ride on the cached index (map-side from
+    // the pre-explode array) — no count aggregation, no broadcast join
     val sh = shingleHashes(s, d)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sn = sh.join(broadcast(cnt), "doc_id")
-    val a = sn.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
-    val b = sn.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
+    val a = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
+    val b = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
     val jac = col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
     // One equi-join on the hashed shingle with the size-ratio bound
     // pushed inside, then a keyed count — measured faster here than a
@@ -193,17 +199,18 @@ object Text {
   private[ops] val minhashB: Seq[Long] =
     (0 until 16).map(j => (2654435761L * (j + 7)) % 2147483647L)
 
-  /** 16-permutation minhash signature per doc (doc_id, h0..h15), built
-    * from the memoized hashed-shingle index — one keyed partial+final
-    * aggregation. Shared by q26 (LSH banding) and q80 (sketch-accuracy
-    * audit). */
+  /** 16-permutation minhash signature per doc (doc_id, h0..h15, n —
+    * the doc's distinct-shingle count, folded into the same keyed
+    * partial+final aggregation for free), built from the memoized
+    * hashed-shingle index. Shared by q26 (LSH banding) and q80
+    * (sketch-accuracy audit). */
   private[ops] def minhashSig(s: SparkSession, d: String): DataFrame =
     shingleHashes(s, d).groupBy(col("doc_id")).agg(
       min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
         .as("h0"),
       (1 until 16).map(j =>
         min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
-          .as(s"h$j")): _*)
+          .as(s"h$j")) :+ max(col("n")).as("n"): _*)
 
   /** Oracle mirror of [[minhashSig]]: CTE body `sig(doc_id, h0..h15)`,
     * assuming a `shingles(doc_id, h)` CTE is in scope. */
@@ -461,17 +468,21 @@ object Text {
       // engine-identical and ~16x cheaper than per-permutation md5
       val sig = minhashSig(s, d)
       // one pass over sig: all 8 band keys exploded from an array;
-      // bkey pairs two 31-bit minhashes into one 62-bit integer
-      val bands = sig.select(col("doc_id"),
+      // bkey pairs two 31-bit minhashes into one 62-bit integer. The
+      // doc's shingle count rides along, so the candidate pairs come
+      // out of the band join already carrying (na, nb) — no per-doc
+      // count re-aggregation or join afterwards.
+      val bands = sig.select(col("doc_id"), col("n"),
         posexplode(array((0 until 8).map(b =>
           col(s"h${2 * b}") * 2147483648L + col(s"h${2 * b + 1}")): _*))
           .as(Seq("band", "bkey")))
-      val ba = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
-      val bb = bands.select(col("doc_id").as("d2"), col("band"), col("bkey"))
+      val ba = bands.select(col("doc_id").as("d1"), col("n").as("na"),
+        col("band"), col("bkey"))
+      val bb = bands.select(col("doc_id").as("d2"), col("n").as("nb"),
+        col("band"), col("bkey"))
       val cand = ba.join(bb, Seq("band", "bkey"))
         .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(col("d1"), col("d2"), col("na"), col("nb")).distinct()
       val a = sh.select(col("doc_id").as("d1"), col("h"))
       val b = sh.select(col("doc_id").as("d2"), col("h"))
       // candidate-bounded intersection: expand candidates by d1's
@@ -479,12 +490,10 @@ object Text {
       // shingle join
       val inter = cand.join(a, Seq("d1"))
         .join(b, Seq("d2", "h"))
-        .groupBy(col("d1"), col("d2"))
+        .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
         .agg(count(lit(1)).as("i"))
       val jac = col("i") * 1.0 / (col("na") + col("nb") - col("i"))
       inter
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
         .filter(jac >= 0.6)
         .select(col("d1"), col("d2"),
           floor(col("i") * 10000.0 / (col("na") + col("nb") - col("i")))
