@@ -366,8 +366,13 @@ object Mining {
       // (DECIMAL(38,0) here, HUGEINT in the oracle), and the 3σ test
       // is cross-multiplied into (n·v − Σv)² > 9·(n·Σv² − (Σv)²) so no
       // engine ever divides or square-roots — bit-exact across engines
-      // and accumulation orders. Two passes over events (moments, then
-      // probe) with the 4-row moments table broadcast to the second.
+      // and accumulation orders. The quadratic test is then SOLVED for
+      // v per group (BigInteger isqrt on the handful of moment rows):
+      // x² > D with x = n·v − Σv integer ⟺ |x| > isqrt(D), which
+      // rearranges to two long bounds lo/hi per event_type. The probe
+      // pass is a broadcast join + two long compares per row — no
+      // per-row 128-bit multiplication, and the same threshold-
+      // pushdown shape that keeps the 100 TB probe scan cheap.
       val d38 = "decimal(38,0)"
       val b = events(s, d).select(col("event_type"),
         round(col("value") * 1000).cast("long").as("v"))
@@ -375,10 +380,30 @@ object Mining {
         .agg(count(lit(1)).cast(d38).as("n"),
           sum(col("v").cast(d38)).as("s1"),
           sum((col("v") * col("v")).cast(d38)).as("s2"))
-      b.join(broadcast(mom), "event_type")
-        .filter((col("n") * col("v") - col("s1")) *
-            (col("n") * col("v") - col("s1")) >
-          lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
+      import java.math.BigInteger
+      // floor/ceil division with positive divisor, exact in BigInteger
+      def floorDiv(a: BigInteger, q: BigInteger): BigInteger = {
+        val Array(quo, rem) = a.divideAndRemainder(q)
+        if (rem.signum < 0) quo.subtract(BigInteger.ONE) else quo
+      }
+      val bounds = mom.collect().map { r =>
+        val n = r.getDecimal(1).toBigInteger
+        val s1 = r.getDecimal(2).toBigInteger
+        val s2 = r.getDecimal(3).toBigInteger
+        val dd = BigInteger.valueOf(9).multiply(
+          n.multiply(s2).subtract(s1.multiply(s1)))
+        val t = dd.sqrt()
+        // outlier-high: n·v − s1 >  t ⟺ v > (s1+t)/n ⟺ v > floor((s1+t)/n)
+        // outlier-low:  n·v − s1 < −t ⟺ v < (s1−t)/n ⟺ v < ceil((s1−t)/n)
+        val hi = floorDiv(s1.add(t), n).longValueExact()
+        val lo = floorDiv(s1.subtract(t).add(n).subtract(BigInteger.ONE), n)
+          .longValueExact()
+        (r.getString(0), lo, hi)
+      }.toSeq
+      val boundsDf = s.createDataFrame(bounds)
+        .toDF("event_type", "lo", "hi")
+      b.join(broadcast(boundsDf), "event_type")
+        .filter(col("v") < col("lo") || col("v") > col("hi"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_outliers"),
           max(col("v")).cast("long").as("max_v_milli"))

@@ -189,15 +189,19 @@ object Scale {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
       (s, d) =>
         // salted-replicate skew join: the fact side tags each row with
-        // a 16-way deterministic salt; the dimension side is exploded
-        // ×16 so every (key, salt) shard finds its match. The shuffle
+        // an 8-way deterministic salt; the dimension side is exploded
+        // ×8 so every (key, salt) shard finds its match. The shuffle
         // then keys on (orderkey, salt) — a hot orderkey spreads over
-        // 16 reducers instead of melting one. Results are identical to
+        // 8 reducers instead of melting one. Results are identical to
         // the plain join (the oracle) because salting only re-routes
         // rows; sums stay integer-exact. This is the manual shape of
         // what AQE skew-join does adaptively — expressed as an
-        // operator so it composes with any downstream agg.
-        val salts = 16
+        // operator so it composes with any downstream agg. The salt
+        // factor prices the tradeoff: dim bytes shuffled scale ×salts,
+        // so it should match the reducer spread a hot key needs, not
+        // default to "more" (q96 is the selective variant that salts
+        // only the measured-hot keys).
+        val salts = 8
         val fact = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
           .withColumn("salt",
             pmod(hash(col("l_orderkey"), col("l_quantity")), lit(salts)))

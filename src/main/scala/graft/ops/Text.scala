@@ -557,12 +557,17 @@ object Text {
         col("band"), col("bkey"))
       val bb = bands.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
         col("band"), col("bkey"))
+      // hamming is a pure function of the pair, so the <=3 cut runs
+      // BEFORE the dedup across bands: the distinct then only sees
+      // the surviving near-dup pairs, not every band collision (the
+      // band join emits ~30x more collisions than survivors here,
+      // and the ratio only grows with corpus homogeneity)
       ba.join(bb, Seq("band", "bkey"))
         .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("sh1"), col("d2"), col("sh2")).distinct()
         .select(col("d1"), col("d2"),
           expr("bit_count(sh1 ^ sh2)").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy(col("d1"), col("d2"))
     },
 
