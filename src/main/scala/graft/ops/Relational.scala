@@ -379,24 +379,37 @@ object Relational {
           .orderBy(col("l_returnflag"))
     },
 
-    // HLL sketch — no DuckDB oracle (approx algorithms differ across
-    // engines); the driver records a rows-only check. Exactness is
-    // cross-checked in-plan: the approx estimate must sit within 5%
-    // of the exact distinct count or the row is flagged.
+    // HLL sketch audit — raw approx values differ across engines, so
+    // the result exposes only engine-independent facts: the exact
+    // distinct counts plus booleans asserting the HLL estimate sits
+    // within its 5% envelope. DuckDB pins the exact counts and the
+    // flags as literal TRUE, turning the sketch's accuracy GUARANTEE
+    // into a hash-matched oracle row (same recipe as the q101
+    // percentile_approx audit).
     QueryDef(
       "q39_approx_distinct",
-      (s: org.apache.spark.sql.SparkSession, d: String) =>
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_within_5pct,
+        |  TRUE AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
         lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-          .withColumn("within_5pct",
-            abs(col("approx_orders") - col("exact_orders")) <=
-              col("exact_orders") * 0.05)
-          .orderBy(col("l_returnflag")),
-      None),
+          .select(
+            col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+            (abs(col("approx_orders") - col("exact_orders")) <=
+              col("exact_orders") * 0.05).as("orders_within_5pct"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("parts_within_5pct"))
+          .orderBy(col("l_returnflag"))
+    },
 
     QueryDef(
       "q15_price_bucket_range_join",
