@@ -54,6 +54,16 @@ object Pipeline {
       var labels = edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint()
+      // Convergence probe: min-label propagation can only DECREASE a
+      // node's label, so the global label sum strictly decreases until
+      // the fixpoint — comparing this round's sum to last round's
+      // detects convergence with one scalar aggregate instead of a
+      // per-iteration next⋈prev join (half the per-round work, and the
+      // sum is a decimal(38,0) so billion-node × 64-bit-id graphs
+      // cannot overflow it).
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 50) {
@@ -63,12 +73,10 @@ object Pipeline {
         val next = labels.union(msgs)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
           .localCheckpoint()
-        val changed = next
-          .join(labels.withColumnRenamed("label", "prev"), "node")
-          .filter(col("label") < col("prev"))
-          .count()
+        val nextSum = labelSum(next)
         labels = next
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         iter += 1
       }
       if (!converged) throw new IllegalStateException(

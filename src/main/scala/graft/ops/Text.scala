@@ -203,14 +203,22 @@ object Text {
     * the doc's distinct-shingle count, folded into the same keyed
     * partial+final aggregation for free), built from the memoized
     * hashed-shingle index. Shared by q26 (LSH banding) and q80
-    * (sketch-accuracy audit). */
+    * (sketch-accuracy audit) — and memoized itself: q26's band
+    * SELF-join otherwise re-runs the 16-way min aggregation once per
+    * join side, and q80 a third time. One signature row per doc, so
+    * the cache is tiny (docs × 18 longs) while the recompute it
+    * saves is a full pass over the shingle index. */
+  private val sigCache = new Tables.DfMemo()
+
   private[ops] def minhashSig(s: SparkSession, d: String): DataFrame =
-    shingleHashes(s, d).groupBy(col("doc_id")).agg(
-      min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
-        .as("h0"),
-      (1 until 16).map(j =>
-        min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
-          .as(s"h$j")) :+ max(col("n")).as("n"): _*)
+    sigCache.getOrElseUpdate((s, d))(
+      shingleHashes(s, d).groupBy(col("doc_id")).agg(
+        min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
+          .as("h0"),
+        (1 until 16).map(j =>
+          min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
+            .as(s"h$j")) :+ max(col("n")).as("n"): _*)
+        .cache())
 
   /** Oracle mirror of [[minhashSig]]: CTE body `sig(doc_id, h0..h15)`,
     * assuming a `shingles(doc_id, h)` CTE is in scope. */
