@@ -345,10 +345,15 @@ object Pipeline {
       // function in the score (ln() is not bit-identical across
       // engines; an integer ratio is).
       val tok = withToks(s, d)
-        .select(col("lang"), col("doc_id"), explode(col("toks")).as("term"))
+        .select(col("lang"), explode(col("toks")).as("term"))
       val tf = tok.groupBy(col("lang"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select(col("term"), col("doc_id")).distinct()
+      // df counts docs-containing-term: dedup map-side inside each
+      // doc's array (array_distinct before the explode), so the
+      // shuffle carries doc-vocab rows with partial counts — never
+      // the full (term, doc_id) occurrence stream a .distinct() would
+      val dfreq = withToks(s, d)
+        .select(explode(array_distinct(col("toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nTotal = documents(s, d).agg(count(lit(1)).as("n_total"))
       val w = Window.partitionBy(col("lang"))

@@ -544,14 +544,22 @@ object Text {
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
+      // tf-grouped: occurrences collapse to (doc, tok, tf) first — the
+      // explode keeps each doc's tokens in one partition, so map-side
+      // combine reduces the shuffle to doc-vocab rows, and the md5 +
+      // 32 bit-extractions then run once per DISTINCT doc-token (each
+      // occurrence's ±1 contribution just scales by tf — identical
+      // arithmetic, ~3x fewer hashes at typical tf)
       val th = withToks(s, d)
         .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .select(col("doc_id"),
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("tf"),
           graft.cdc.GraftFunctions.md5_h32(col("tok")).as("h32"))
       val sums = th.groupBy(col("doc_id")).agg(
-        expr("CAST(sum(2 * ((h32 >> 0) & 1) - 1) AS BIGINT)").as("s0"),
+        expr("CAST(sum(tf * (2 * ((h32 >> 0) & 1) - 1)) AS BIGINT)").as("s0"),
         (1 until 32).map(i =>
-          expr(s"CAST(sum(2 * ((h32 >> $i) & 1) - 1) AS BIGINT)").as(s"s$i")): _*)
+          expr(s"CAST(sum(tf * (2 * ((h32 >> $i) & 1) - 1)) AS BIGINT)").as(s"s$i")): _*)
       val sim = sums.select(col("doc_id"),
         (0 until 32).map(i =>
           when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
