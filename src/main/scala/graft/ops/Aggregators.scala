@@ -40,4 +40,51 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
+
+  /** Misra-Gries heavy-hitters sketch as a mergeable typed UDAF —
+    * the deterministic counter-based complement to the Count-Min
+    * sketch (q81): k counters, O(k) state per partial buffer, and a
+    * hard error bound with NO hash-collision probability. For any
+    * item, exact_count − estimate ∈ [0, n/(k+1)] where n is the
+    * stream length — the bound survives arbitrary merge trees
+    * (Agarwal et al., "Mergeable Summaries", PODS 2012), which is
+    * exactly what Spark's partial/final aggregation performs. Items
+    * with frequency above n/(k+1) are GUARANTEED to survive in the
+    * sketch. Estimates depend on partition order (like any MG), but
+    * the bound does not — q103 audits the bound, not the estimate. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
+      buf.get(x) match {
+        case Some(c) => buf.updated(x, c + 1)
+        case None if buf.size < k => buf.updated(x, 1L)
+        case None => // decrement-all step: drop zeros
+          buf.flatMap { case (key, c) =>
+            if (c > 1) Some(key -> (c - 1)) else None }
+      }
+
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val sum = b2.foldLeft(b1) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everything; at
+        // most k survive and each item loses ≤ what a stream-order
+        // decrement sequence would have cost it
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (key, c) =>
+          if (c > cut) Some(key -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
 }

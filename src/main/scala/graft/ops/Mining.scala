@@ -791,6 +791,48 @@ object Mining {
             when(abs(col("r") - col("n") / 2) <= col("n") / 10000 + 1, 1L)
               .otherwise(0L).as("within_rank_tol"))
           .orderBy(col("event_type"))
+    },
+
+    QueryDef(
+      "q103_misra_gries_audit",
+      s"""WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |n AS (SELECT count(*) AS n FROM tok),
+         |top AS (SELECT tok, count(*) AS exact_cnt FROM tok
+         |        GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 5)
+         |SELECT tok, exact_cnt,
+         |  exact_cnt * 65 > n AS present_guaranteed,
+         |  TRUE AS within_bound
+         |FROM top, n ORDER BY exact_cnt DESC, tok""".stripMargin) { (s, d) =>
+      // Misra-Gries heavy-hitters audit — the deterministic
+      // counter-based sketch beside q81's probabilistic Count-Min.
+      // k=64 counters over the full token stream via the mergeable
+      // typed Aggregator (partial buffers are O(k) regardless of
+      // vocabulary; Spark's partial/final aggregation IS the merge
+      // tree the PODS'12 mergeability result covers). The oracle pins
+      // the sketch's CONTRACT, not its order-dependent estimates:
+      // for the 5 hottest tokens, exact − estimate must fall in
+      // [0, n/(k+1)] (within_bound) and any token with frequency
+      // above n/(k+1) must have survived in the sketch
+      // (present_guaranteed, derived from exact quantities in both
+      // engines; presence itself is implied by the bound since
+      // exact > n/(k+1) ≥ exact − estimate forces estimate > 0).
+      val k = 64
+      val toks = withToks(s, d).select(explode(col("toks")).as("tok"))
+      val n = toks.count()
+      val bound = n / (k + 1)
+      val sketch: Map[String, Long] = {
+        import s.implicits._
+        toks.as[String].select(
+          new Aggregators.MisraGries(k).toColumn).head()
+      }
+      val est = typedLit(sketch)
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(5)
+        .select(col("tok"), col("exact_cnt"),
+          (col("exact_cnt") * (k + 1) > n).as("present_guaranteed"),
+          (col("exact_cnt") - coalesce(element_at(est, col("tok")), lit(0L)))
+            .between(0, bound).as("within_bound"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
     }
   )
 }

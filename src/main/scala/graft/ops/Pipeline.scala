@@ -403,6 +403,112 @@ object Pipeline {
           max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("n_toks")))
             .as("p90_tokens"))
         .orderBy(col("lang"))
+    },
+
+    QueryDef(
+      "q102_cc_star",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+         |SELECT root, count(*) AS cluster_size, max(doc_id) AS max_doc
+         |FROM root GROUP BY root ORDER BY root""".stripMargin) { (s, d) =>
+      // Connected components via alternating large-star/small-star
+      // contraction (Kiveris et al., "Connected Components in
+      // MapReduce and Beyond") — the 100 TB-scale path q45's comments
+      // point at. Min-label propagation (q45) needs O(diameter)
+      // rounds, which a chain-shaped giant component turns into
+      // hundreds of shuffles; star contraction halves component
+      // height per round (O(log n) rounds on ANY topology) and every
+      // round is two keyed join+agg passes — no per-node neighbor
+      // lists materialized, so a 10^9-degree hub never concentrates
+      // on one task beyond its own edge partition. Both algorithms
+      // converge to the same min-rooted stars, so this query shares
+      // q45's recursive-closure oracle verbatim: the driver
+      // hash-matching BOTH queries proves the scale algorithm is
+      // output-identical to the simple one.
+      starComponents(s, d)
+        .groupBy(col("label").as("root"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
+        .orderBy(col("root"))
     }
   )
+
+  /** (node, label) component assignment via alternating large-star /
+    * small-star edge contraction to a fixpoint — O(log n) rounds on
+    * any topology. Each round is: per-node min over current
+    * neighbors+self (one keyed agg), then an edge rewrite through one
+    * equi-join. Exact set-equality convergence probe (count + one-way
+    * exceptAll on deduped edge sets) — two scalar jobs per round. */
+  private[ops] def starComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+    starContraction(pairs)
+  }
+
+  /** Core star-contraction over an arbitrary undirected edge list
+    * (two columns, one row per edge in either orientation). Returns
+    * (node, label) with label = the component's minimum node id. */
+  private[graft] def starContraction(pairs: DataFrame): DataFrame = {
+    var edges = pairs.toDF("d1", "d2")
+      .union(pairs.toDF("d1", "d2").select(col("d2"), col("d1")))
+      .toDF("u", "v").filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+
+    // per-u min over neighbors and self: m = min(min(v), u)
+    def mins(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+
+    // large-star: every neighbor v > u re-points to u's local min m;
+    // keeps both directions of surviving edges (input is symmetric).
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = mins(e)
+      e.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      .unionAll(e.filter(col("v") > col("u")).join(m, "u")
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v")))
+        .distinct()
+    }
+
+    // small-star: orient edges larger-first, then every node in
+    // N(u) ∪ {u} except the min re-points to the min.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.filter(col("v") < col("u"))
+      val m = mins(oriented)
+      val re = oriented.join(m, "u")
+        .select(col("v").as("a"), col("m"))
+        .unionAll(oriented.join(m, "u").select(col("u").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .distinct()
+      re.select(col("a").as("u"), col("m").as("v"))
+        .unionAll(re.select(col("m").as("u"), col("a").as("v")))
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val sameCount = next.count() == edges.count()
+      converged = sameCount && next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"star contraction did not converge within $iter rounds")
+    // at the fixpoint edges are min-rooted stars (child > root, both
+    // directions present): child labels from the larger-first half,
+    // roots label themselves
+    val stars = edges.filter(col("v") < col("u"))
+    stars.select(col("u").as("node"), col("v").as("label"))
+      .unionAll(stars.select(col("v")).distinct()
+        .select(col("v").as("node"), col("v").as("label")))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Star-contraction connected components (q102's core) on topologies
+  * the near-dup corpus never produces: long chains (worst case for
+  * q45's O(diameter) label propagation — the case star contraction
+  * exists for), hub stars, and multi-component forests. Labels must
+  * equal the component minimum for every node. */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-graph-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Pipeline.starContraction(edges.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain contracts to its minimum (diameter >> round count)") {
+    val chain = (1L until 64L).map(i => i -> (i + 1))
+    val labels = labelsOf(chain)
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 1L))
+  }
+
+  test("hub star roots at the min even when the hub is not the min") {
+    // hub 50 connected to 1..10: component min is 1, not the hub
+    val star = (1L to 10L).map(i => 50L -> i)
+    val labels = labelsOf(star)
+    assert(labels.size == 11)
+    assert(labels.values.forall(_ == 1L))
+  }
+
+  test("forest keeps components separate") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L, 21L -> 22L)
+    val labels = labelsOf(e)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("cycle plus tail agrees with a dense component") {
+    val e = Seq(5L -> 6L, 6L -> 7L, 7L -> 5L, // cycle
+      7L -> 8L, 8L -> 9L, // tail
+      2L -> 9L) // tail reaches a smaller node
+    val labels = labelsOf(e)
+    assert(labels.values.toSet == Set(2L))
+    assert(labels.keySet == Set(2L, 5L, 6L, 7L, 8L, 9L))
+  }
+}
