@@ -467,29 +467,35 @@ object Pipeline {
 
     // large-star: every neighbor v > u re-points to u's local min m;
     // keeps both directions of surviving edges (input is symmetric).
+    // Both directions explode from ONE join pass — a unionAll of two
+    // selects over the same join would execute the join twice.
     def largeStar(e: DataFrame): DataFrame = {
       val m = mins(e)
       e.filter(col("v") > col("u")).join(m, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+        .select(explode(array(
+          struct(col("v").as("x"), col("m").as("y")),
+          struct(col("m").as("x"), col("v").as("y")))).as("p"))
+        .select(col("p.x").as("u"), col("p.y").as("v"))
         .filter(col("u") =!= col("v"))
-      .unionAll(e.filter(col("v") > col("u")).join(m, "u")
-        .select(col("m").as("u"), col("v"))
-        .filter(col("u") =!= col("v")))
         .distinct()
     }
 
     // small-star: orient edges larger-first, then every node in
-    // N(u) ∪ {u} except the min re-points to the min.
+    // N(u) ∪ {u} except the min re-points to the min. Same
+    // single-join explode trick for the (neighbor, self) pair and
+    // again for the symmetric output (the two output directions
+    // cannot collide: m is the strict min, so re always has a > m).
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.filter(col("v") < col("u"))
       val m = mins(oriented)
       val re = oriented.join(m, "u")
-        .select(col("v").as("a"), col("m"))
-        .unionAll(oriented.join(m, "u").select(col("u").as("a"), col("m")))
+        .select(explode(array(col("v"), col("u"))).as("a"), col("m"))
         .filter(col("a") =!= col("m"))
         .distinct()
-      re.select(col("a").as("u"), col("m").as("v"))
-        .unionAll(re.select(col("m").as("u"), col("a").as("v")))
+      re.select(explode(array(
+          struct(col("a").as("x"), col("m").as("y")),
+          struct(col("m").as("x"), col("a").as("y")))).as("p"))
+        .select(col("p.x").as("u"), col("p.y").as("v"))
     }
 
     var converged = false
