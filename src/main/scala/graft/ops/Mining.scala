@@ -226,13 +226,21 @@ object Mining {
           .filter(col("df") * 20 <= n)
         tf.join(df, "tok")
           .select(col("doc_id"), col("tok"),
-            expr(s"tf * ((($n - df) * 1000) DIV df)").as("w"))
+            expr(s"tf * ((($n - df) * 1000) DIV df)").as("w"), col("df"))
           .cache()
       }
       val norm = w.groupBy(col("doc_id"))
         .agg(sum(col("w").cast(d38) * col("w")).as("nrm"))
-      val a = w.select(col("doc_id").as("d1"), col("tok"), col("w").as("w1"))
-      val b = w.select(col("doc_id").as("d2"), col("tok"), col("w").as("w2"))
+      // df=1 terms contribute to norms but can never produce a
+      // cross-doc pair (the only match is the posting itself, killed
+      // by d1 < d2) — filtering them from the pair join's inputs is
+      // lossless and drops the singleton tail of the vocabulary,
+      // which in a Zipf corpus is most of the posting list.
+      val pairable = w.filter(col("df") >= 2)
+      val a = pairable.select(col("doc_id").as("d1"), col("tok"),
+        col("w").as("w1"))
+      val b = pairable.select(col("doc_id").as("d2"), col("tok"),
+        col("w").as("w2"))
       a.join(b, Seq("tok")).filter(col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2"))
         .agg(sum(col("w1").cast(d38) * col("w2")).as("dot"))
@@ -833,6 +841,35 @@ object Mining {
           (col("exact_cnt") - coalesce(element_at(est, col("tok")), lit(0L)))
             .between(0, bound).as("within_bound"))
         .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+
+    QueryDef(
+      "q104_weighted_sample",
+      s"""SELECT doc_id, lang, n_chars,
+         |  (${h32Sql("CAST(doc_id AS VARCHAR)")}) * 100000 // n_chars
+         |    AS priority
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      // Deterministic size-weighted sampling — the data-mixing
+      // primitive (sample sources proportional to byte weight): each
+      // doc draws priority hash/weight, the global k smallest win, so
+      // P(selected) grows with n_chars while staying fully
+      // reproducible (no RNG), stable under repartitioning and
+      // incremental appends (a new doc displaces at most one row) —
+      // the weighted analog of q85's per-group min-wise hashing, as
+      // priority sampling (Duffield et al.) with the md5-derived
+      // integer standing in for the uniform draw. Integer DIV keeps
+      // both engines bit-identical; the global top-k plans as
+      // TakeOrderedAndProject (per-partition heads merged on the
+      // driver), never a full sort.
+      graft.cdc.GraftFunctions.register(s)
+      documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("md5_h32(CAST(doc_id AS STRING)) * 100000 DIV n_chars")
+            .as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
     }
   )
 }
