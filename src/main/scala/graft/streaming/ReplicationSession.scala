@@ -78,6 +78,10 @@ final class ReplicationSession(
   def subscribe(format: CdcFormat, slotName: String,
       uptoLsn: Option[String] = None,
       maxFramesPerTrigger: Option[Long] = None): DataFrame = {
+    if (destroyed) throw new IllegalStateException(
+      "session destroyed: create a new ReplicationSession " +
+        "(reference: subscribe after destroy() rejects, the client is gone)")
+    stopped = false
     val start = uptoLsn
       .map(Lsn.parse)
       .orElse(CdcReplaySource.lastAckedLsn(logDir))
@@ -110,12 +114,29 @@ final class ReplicationSession(
   /** The confirmed position (reference `lastLsn`). */
   def lastAckedLsn(): Option[Long] = CdcReplaySource.lastAckedLsn(logDir)
 
+  @volatile private var stopped = false
+  @volatile private var destroyed = false
+
   /** `stop()`: stop every query started through this session and
-    * detach the heartbeat listener (`:264-280`). */
+    * detach the heartbeat listener (`:264-280`). Restartable — a new
+    * [[subscribe]] re-opens the session, like the reference's
+    * stop/subscribe cycle (`:72-87,98-118`). */
   def stop(): Unit = synchronized {
     queries.foreach(q => if (q.isActive) q.stop())
     queries = Nil
     spark.streams.removeListener(listener)
+    stopped = true
+  }
+
+  /** Reference `isStop()` (`:90-92`): true once [[stop]] or
+    * [[destroy]] ran and no new subscription started since. */
+  def isStop: Boolean = stopped
+
+  /** Reference `destroy()` (`:120-140`): terminal stop — the session
+    * cannot subscribe again (the reference releases its pg client).
+    * Idempotent, like the reference's repeated-destroy guard. */
+  def destroy(): Unit = synchronized {
+    if (!destroyed) { stop(); destroyed = true }
   }
 
   /** Atomic, MONOTONIC sidecar write: every path into the sidecar

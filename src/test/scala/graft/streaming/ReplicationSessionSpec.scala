@@ -92,7 +92,27 @@ class ReplicationSessionSpec extends AnyFunSuite with BeforeAndAfterAll {
         java.nio.file.Files.createTempDirectory("ckpt-rs").toString)
       .start())
     assert(q.isActive)
+    assert(!session.isStop)
     session.stop()
     assert(!q.isActive)
+    assert(session.isStop)
+  }
+
+  test("destroy is terminal; stop is restartable (reference lifecycle)") {
+    val session = new ReplicationSession(spark, logDir)
+    session.subscribe(new PgoutputFormat(), "slot1",
+      uptoLsn = Some("0/00000000"))
+    session.stop()
+    assert(session.isStop)
+    // stop is restartable: a new subscribe re-opens the session
+    session.subscribe(new PgoutputFormat(), "slot1",
+      uptoLsn = Some("0/00000000"))
+    assert(!session.isStop)
+    session.destroy()
+    assert(session.isStop)
+    session.destroy() // idempotent
+    intercept[IllegalStateException] {
+      session.subscribe(new PgoutputFormat(), "slot1")
+    }
   }
 }
