@@ -250,6 +250,100 @@ object Vectors {
         .select(col("label"), col("n_vectors"), col("centroid_norm"),
           col("avg_dist"))
         .orderBy(col("label"))
+    },
+
+    QueryDef(
+      "q106_ann_recall_audit",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, ${dotSql("v", "v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb
+         |      FROM n WHERE vec_id < 20),
+         |ex AS (SELECT qid, cid FROM (
+         |  SELECT qid, c.vec_id AS cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY
+         |        round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |          DESC, c.vec_id) AS rn
+         |    FROM q JOIN n c ON c.vec_id <> qid)
+         |  WHERE rn <= 5),
+         |iv1 AS (SELECT qid, cid FROM (
+         |  SELECT qid, c.vec_id AS cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY
+         |        round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |          DESC, c.vec_id) AS rn
+         |    FROM q JOIN n c ON c.bucket = qb AND c.vec_id <> qid)
+         |  WHERE rn <= 5),
+         |iv9 AS (SELECT qid, cid FROM (
+         |  SELECT qid, c.vec_id AS cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY
+         |        round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |          DESC, c.vec_id) AS rn
+         |    FROM q JOIN n c ON bit_count(xor(c.bucket, qb)) <= 1
+         |                   AND c.vec_id <> qid)
+         |  WHERE rn <= 5)
+         |SELECT ex.qid,
+         |  count(iv1.cid) * 20 AS recall1_pct,
+         |  count(iv9.cid) * 20 AS recall9_pct
+         |FROM ex
+         |LEFT JOIN iv1 ON iv1.qid = ex.qid AND iv1.cid = ex.cid
+         |LEFT JOIN iv9 ON iv9.qid = ex.qid AND iv9.cid = ex.cid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
+      // ANN quality gate: recall@5 of the sign-bucket IVF (q30's
+      // index) against the exact scan (q29's baseline), per query and
+      // per probe width — nprobe=1 (own bucket) vs nprobe=9 (all
+      // Hamming-1 sign flips), the knob an IVF deployment tunes. Run
+      // as a query so the oracle hash-pins the ACHIEVED recall: on
+      // this corpus the 1-probe recall is near zero (8 sign bits
+      // partition random 64-dim vectors too finely — the audit's
+      // verdict, not a bug) and multi-probe recovers part of it; at
+      // 100 TB this is the continuous-monitoring query that decides
+      // when an index needs wider probes or retraining. Rankings use
+      // the identical rounded-score + vec_id tie-break on both
+      // engines. The multi-probe candidate set explodes the 9 probe
+      // buckets from the query side and equi-joins on the bucket —
+      // never a bit_count theta scan over the collection.
+      val n = prepared(s, d)
+        .withColumn("bucket",
+          (0 until 8).map(i =>
+            when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i))
+              .otherwise(lit(0))).reduce(_ + _))
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val qProbes = q.select(col("qid"), col("qv"), col("qn"),
+        explode(array(col("qb") +: (0 until 8).map(i =>
+          col("qb").bitwiseXOR(lit(1 << i))): _*)).as("probe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      def top5(cand: DataFrame): DataFrame = cand
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"))
+      val exact = top5(n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid")))
+      val ivf1 = top5(n.join(broadcast(q), col("bucket") === col("qb"))
+        .filter(col("vec_id") =!= col("qid")))
+        .toDF("q1", "c1")
+      val ivf9 = top5(n.join(broadcast(qProbes),
+          col("bucket") === col("probe"))
+        .filter(col("vec_id") =!= col("qid")))
+        .toDF("q9", "c9")
+      exact
+        .join(ivf1, col("qid") === col("q1") && col("cid") === col("c1"),
+          "left")
+        .join(ivf9, col("qid") === col("q9") && col("cid") === col("c9"),
+          "left")
+        .groupBy(col("qid"))
+        .agg((count(col("c1")) * 20).as("recall1_pct"),
+          (count(col("c9")) * 20).as("recall9_pct"))
+        .orderBy(col("qid"))
     }
   )
 }
