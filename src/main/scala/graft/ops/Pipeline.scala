@@ -62,7 +62,7 @@ object Pipeline {
       // sum is a decimal(38,0) so billion-node × 64-bit-id graphs
       // cannot overflow it).
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0

@@ -297,9 +297,9 @@ object Scale {
       // join with the LSH path at scale. Signatures are fixed-width
       // (16 longs/doc), so the audit joins are key-sized.
       val sig = Text.minhashSig(s, d)
-      val a = sig.toDF(sig.columns.map {
+      val a = sig.toDF(sig.columns.toIndexedSeq.map {
         case "doc_id" => "d1"; case c => s"a_$c" }: _*)
-      val b = sig.toDF(sig.columns.map {
+      val b = sig.toDF(sig.columns.toIndexedSeq.map {
         case "doc_id" => "d2"; case c => s"b_$c" }: _*)
       val matches = (0 until 16)
         .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1L).otherwise(0L))

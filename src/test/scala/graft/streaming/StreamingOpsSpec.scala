@@ -374,6 +374,37 @@ class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters run as a streaming aggregate (complete mode)") {
+    // the q103 sketch over an unbounded stream: the same mergeable
+    // Aggregator drives a streaming groupBy — micro-batch partials
+    // merge into running state exactly like the batch partial/final
+    // tree, so the n/(k+1) bound holds over everything seen so far
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val mg = new graft.ops.Aggregators.MisraGries(4)
+    val input = MemoryStream[String]
+    val q = input.toDS().select(mg.toColumn.name("sketch"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(30)("hot") ++ Seq("a", "b", "c"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(20)("hot") ++ Seq("d", "e", "f", "g"): _*)
+      q.processAllAvailable()
+      val sketch = spark.table("mg_stream")
+        .as[Map[String, Long]].collect().head
+      val n = 57L // total items streamed
+      val exactHot = 50L
+      val est = sketch.getOrElse("hot", 0L)
+      assert(est <= exactHot && exactHot - est <= n / 5,
+        s"bound violated: est=$est")
+      assert(sketch.contains("hot"), "heavy key must survive")
+      assert(sketch.size <= 4)
+    } finally q.stop()
+  }
+
   test("streamed transactions: subtransaction abort prunes only the savepoint") {
     val ss = spark
     import ss.implicits._
