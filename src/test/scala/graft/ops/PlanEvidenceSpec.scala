@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positive plan-quality assertions — PlanGuardSpec bans the
+  * anti-patterns; this spec pins the INTENDED physical operators for
+  * representative queries so a refactor that silently degrades a plan
+  * (broadcast lost to a shuffle, rank pushdown lost to a full window
+  * sort, filter no longer reaching the scan) fails CI instead of
+  * surfacing as a 100 TB incident. AQE disabled: assertions are on
+  * the static plan, which AQE can only improve. */
+class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-evidence")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: dimension joins broadcast (no shuffle of the small sides)") {
+    assert(plan("q02_region_segment_sales").contains("BroadcastHashJoin"))
+  }
+
+  test("q06: scan-range predicates reach the parquet scan") {
+    val p = plan("q06_revenue_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed l_shipdate filter in:\n$p")
+  }
+
+  test("q07: per-group top-k plans a WindowGroupLimit (rank pushdown)") {
+    assert(plan("q07_topk_parts_per_brand").contains("WindowGroupLimit"))
+  }
+
+  test("q03/q104: global top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("q03_top_building_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q104_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("q04/q05: EXISTS/NOT EXISTS plan as semi/anti joins, not subplans") {
+    assert(plan("q04_late_shipment_semi").contains("LeftSemi"))
+    assert(plan("q05_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("q16: snapshot scan prunes to the referenced columns only") {
+    val p = plan("q16_cdc_snapshot_latest")
+    assert(!p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint," +
+      "event_type:string,value:double,ts:bigint,props:string>"),
+      s"snapshot scan reads every column:\n$p")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine present)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation in:\n$p")
+  }
+}
