@@ -218,10 +218,8 @@ object Mining {
       val d38 = "decimal(38,0)"
       val w = postingsCache.getOrElseUpdate((s, d)) {
         val n = documents(s, d).count()
-        val tf = withToks(s, d)
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+        val tf = Text.docTermFreq(s, d).select(col("doc_id"), col("tok"),
+          col("tf"))
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
           .filter(col("df") * 20 <= n)
         tf.join(df, "tok")
@@ -487,8 +485,8 @@ object Mining {
       // is one keyed pair count plus two joins against the (small)
       // document-frequency table.
       val n = documents(s, d).count()
-      val dt = withToks(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      // the tf index's keys ARE the per-doc distinct tokens
+      val dt = Text.docTermFreq(s, d).select(col("doc_id"), col("tok"))
       val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val pair = dt.select(col("doc_id"), col("tok").as("t1"))
         .join(dt.select(col("doc_id"), col("tok").as("t2")), "doc_id")

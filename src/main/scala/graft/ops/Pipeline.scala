@@ -344,17 +344,14 @@ object Pipeline {
       // high in-language frequency rank first, with no transcendental
       // function in the score (ln() is not bit-identical across
       // engines; an integer ratio is).
-      val tok = withToks(s, d)
-        .select(col("lang"), explode(col("toks")).as("term"))
-      val tf = tok.groupBy(col("lang"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      // df counts docs-containing-term: dedup map-side inside each
-      // doc's array (array_distinct before the explode), so the
-      // shuffle carries doc-vocab rows with partial counts — never
-      // the full (term, doc_id) occurrence stream a .distinct() would
-      val dfreq = withToks(s, d)
-        .select(explode(array_distinct(col("toks"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // both aggregations re-shape the shared term-frequency index:
+      // per-(lang, term) totals sum the per-doc tfs, and df counts the
+      // index's keys (one row per doc containing the term)
+      val idx = Text.docTermFreq(s, d)
+      val tf = idx.groupBy(col("lang"), col("tok").as("term"))
+        .agg(sum(col("tf")).as("tf"))
+      val dfreq = idx.groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("df"))
       val nTotal = documents(s, d).agg(count(lit(1)).as("n_total"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("score").desc, col("term"))
