@@ -117,6 +117,57 @@ object Events {
     },
 
     QueryDef(
+      "q107_asof_nearest",
+      s"""WITH p AS (SELECT event_id, user_id, $tsSecSql AS ts_sec
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT event_id, user_id, $tsSecSql AS ts_sec
+         |           FROM events WHERE event_type = 'click'),
+         |     m AS (SELECT p.event_id AS purchase_id, p.user_id,
+         |             c.event_id AS click_id,
+         |             abs(c.ts_sec - p.ts_sec) AS gap_sec,
+         |             row_number() OVER (PARTITION BY p.event_id
+         |               ORDER BY abs(c.ts_sec - p.ts_sec),
+         |                 CASE WHEN c.ts_sec <= p.ts_sec THEN 0 ELSE 1 END,
+         |                 c.event_id) AS rn
+         |           FROM p JOIN c ON c.user_id = p.user_id
+         |             AND c.ts_sec >= p.ts_sec - 900
+         |             AND c.ts_sec <= p.ts_sec + 900)
+         |SELECT purchase_id, user_id, click_id AS nearest_click_id,
+         |  gap_sec
+         |FROM m WHERE rn = 1 ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      // the third merge_asof direction ('nearest', after q11 backward
+      // and q61 tolerance-bounded backward): the click closest in
+      // time to each purchase within ±900 s, ties broken backward
+      // then by event id — a total order, so both engines pick the
+      // same row. The tolerance bounds the range join's per-key
+      // fan-out exactly as q61's look-back window does; the window
+      // ranks within purchase_id partitions only (each a handful of
+      // candidate clicks, never a global sort).
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_sec").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("ts_sec").as("c_ts"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(abs(col("c_ts") - col("p_ts")),
+          when(col("c_ts") <= col("p_ts"), 0).otherwise(1),
+          col("click_id"))
+      p.join(c,
+          col("c_user_id") === col("user_id") &&
+            col("c_ts") >= col("p_ts") - 900 &&
+            col("c_ts") <= col("p_ts") + 900)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"),
+          col("click_id").as("nearest_click_id"),
+          abs(col("c_ts") - col("p_ts")).as("gap_sec"))
+        .orderBy(col("purchase_id"))
+    },
+
+    QueryDef(
       "q11_asof_last_click",
       s"""WITH p AS (SELECT event_id, user_id FROM events
          |           WHERE event_type = 'purchase'),
