@@ -631,6 +631,38 @@ object Mining {
     },
 
     QueryDef(
+      "q108_lateral_topn",
+      """SELECT n.n_name, t.c_custkey, t.bal_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey,
+        |           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |         FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY bal_cents DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin) {
+      (s, d) =>
+        // LATERAL correlated subquery join — the SQL spelling of
+        // per-group top-k (top-2 customers by balance per nation),
+        // run verbatim in both engines. Catalyst decorrelates the
+        // lateral limit into a ranked window join rather than
+        // re-running the subquery per outer row — same engine shape
+        // as q07/q13's window top-k, reached from the SQL surface.
+        // Balances compare as integer cents so ordering never
+        // depends on double formatting.
+        nation(s, d).createOrReplaceTempView("nation")
+        customer(s, d).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT n.n_name, t.c_custkey, t.bal_cents
+            |FROM nation n,
+            |LATERAL (SELECT c_custkey,
+            |           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            |         FROM customer
+            |         WHERE c_nationkey = n.n_nationkey
+            |         ORDER BY bal_cents DESC, c_custkey LIMIT 2) t
+            |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin)
+    },
+
+    QueryDef(
       "q97_distribution_windows",
       """SELECT doc_id, lang, n_chars,
         |  rank() OVER w AS rnk,
