@@ -34,6 +34,43 @@ object OpsExtra {
     },
 
     QueryDef(
+      "q109_unpivot_measures",
+      """WITH long AS (
+        |  SELECT l_returnflag, 'quantity' AS measure,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice',
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount',
+        |         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem)
+        |SELECT l_returnflag, measure,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n
+        |FROM long GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      // UNPIVOT (melt) — the inverse of q51's pivot, via Spark's
+      // native unpivot operator (an Expand node: each input row fans
+      // out to one row per measure MAP-SIDE, no join, no shuffle
+      // before the final keyed agg). The oracle spells the identical
+      // long-form relation as a UNION ALL — engine-agnostic SQL with
+      // the same one-aggregation plan shape. Measures convert to
+      // integer cents BEFORE the fan-out so sums are associative.
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("quantity"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("extendedprice"),
+          round(col("l_discount") * 100).cast("long").as("discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "cents")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
+    QueryDef(
       "q52_salted_agg",
       """SELECT l_returnflag,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
