@@ -70,4 +70,11 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"expected partial aggregation in:\n$p")
   }
+
+  test("q109: unpivot plans a map-side Expand, not a self-union of scans") {
+    val p = plan("q109_unpivot_measures")
+    assert(p.contains("Expand"), s"expected Expand in:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected ONE lineitem scan in:\n$p")
+  }
 }
