@@ -651,6 +651,53 @@ object Text {
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
         .orderBy(col("lang"), col("bits"))
+    },
+
+    QueryDef(
+      "q110_segment_dedup",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |segs AS (SELECT doc_id,
+         |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         |      AS seg
+         |  FROM t, UNNEST(range(0, len(toks) // 10)) AS u(i)
+         |  WHERE len(toks) >= 10),
+         |sh AS (SELECT DISTINCT doc_id, ${h32Sql("seg")} AS h FROM segs),
+         |df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+         |per_doc AS (SELECT doc_id, count(*) AS n_segs,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sh JOIN df USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_segs, CAST(n_dup AS BIGINT) AS n_dup_segs,
+         |  n_dup * 100 // n_segs AS dup_pct
+         |FROM per_doc
+         |ORDER BY dup_pct DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      // Sub-document (line-level) dedup — the RefinedWeb/C4 pass that
+      // document-level dedup (q24-q28) cannot do: segment each doc
+      // into non-overlapping 10-token runs, hash them, and score each
+      // doc by the fraction of its segments appearing in OTHER docs
+      // too (df >= 2) — the removal criterion for boilerplate and
+      // partially-copied text. Segmentation, hashing, and the per-doc
+      // dedup of repeated segments all happen map-side inside the
+      // token array; the only shuffles are the two keyed aggs (df by
+      // hash, score by doc). At 100 TB the segment-hash df table is
+      // the corpus's line index — partitioned by hash, never
+      // collected.
+      graft.cdc.GraftFunctions.register(s)
+      val sh = withToks(s, d)
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) DIV 10 - 1), " +
+            "i -> md5_h32(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")))
+          .as("h"))
+      val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      sh.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_segs"),
+          col("n_dup").cast("long").as("n_dup_segs"),
+          expr("n_dup * 100 DIV n_segs").as("dup_pct"))
+        .orderBy(col("dup_pct").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }
