@@ -274,6 +274,51 @@ object Scale {
     },
 
     QueryDef(
+      "q111_mixture_rates",
+      s"""WITH tok AS (SELECT source, count(*) AS actual_tokens
+         |  FROM (SELECT source, unnest(${Text.toksSql}) AS tok FROM documents)
+         |  GROUP BY source),
+         |w AS (SELECT source, actual_tokens,
+         |    (${Text.h32Sql("source")}) % 5 + 1 AS weight FROM tok),
+         |tot AS (SELECT sum(actual_tokens) AS corpus,
+         |    sum(weight) AS wsum FROM w)
+         |SELECT source, actual_tokens, weight,
+         |  corpus * 5 * weight // (wsum * 10) AS target_tokens,
+         |  least(corpus * 5 * weight // (wsum * 10) * 1000
+         |      // actual_tokens, 3000) AS rate_milli,
+         |  (corpus * 5 * weight // (wsum * 10) + actual_tokens - 1)
+         |      // actual_tokens AS n_epochs
+         |FROM w, tot ORDER BY source""".stripMargin) { (s, d) =>
+      // Data-mixture planner — the sampling-rate computation a
+      // Pile/Dolma-style mixing step runs before training: given a
+      // target weight per source (here hash-derived so both engines
+      // agree) and a token budget (50% of the corpus), emit each
+      // source's target token count, its sampling rate in
+      // milli-units (capped at 3 epochs of oversampling), and the
+      // epoch count needed. Pure integer arithmetic over one
+      // per-source aggregate plus a 1-row broadcast total — the
+      // whole plan is two keyed aggs regardless of corpus size; the
+      // rates then drive q104-style weighted selection shard-local.
+      graft.cdc.GraftFunctions.register(s)
+      val tok = Text.withToks(s, d)
+        .select(col("source"), explode(col("toks")).as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("actual_tokens"))
+      val w = tok.withColumn("weight",
+        pmod(graft.cdc.GraftFunctions.md5_h32(col("source")), lit(5L)) + 1L)
+      val tot = w.agg(sum(col("actual_tokens")).as("corpus"),
+        sum(col("weight")).as("wsum"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("actual_tokens"), col("weight"),
+          expr("corpus * 5 * weight DIV (wsum * 10)").as("target_tokens"),
+          expr("least(corpus * 5 * weight DIV (wsum * 10) * 1000 " +
+            "DIV actual_tokens, 3000)").as("rate_milli"),
+          expr("(corpus * 5 * weight DIV (wsum * 10) + actual_tokens - 1) " +
+            "DIV actual_tokens").as("n_epochs"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef(
       "q80_minhash_accuracy",
       s"""WITH shingles AS (${Text.shinglesSql}),
          |${Text.jaccardPairsSql},
