@@ -117,6 +117,46 @@ object Events {
     },
 
     QueryDef(
+      "q112_trend_slope",
+      s"""WITH b AS (SELECT event_type,
+         |    $tsSecSql AS x,
+         |    CAST(round(value * 1000) AS BIGINT) AS y FROM events),
+         |s AS (SELECT event_type, count(*) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM b GROUP BY event_type)
+         |SELECT event_type, n AS n_rows,
+         |  CAST(floor(1000000.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+         |    AS slope_micro_per_sec
+         |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Per-group OLS trend (metric drift detection): the slope of
+      // event value over time from the same exact-integer-moment
+      // recipe as q70's correlation — 128-bit sums of (x, y, xy, x²),
+      // one partial+final keyed agg, and a single identical
+      // double-op sequence at the end, so the result is independent
+      // of partition order and hash-matches across engines where a
+      // naive regr_slope() of doubles would not.
+      val d38 = "decimal(38,0)"
+      val b = events(s, d).select(col("event_type"),
+        col("ts_sec").as("x"),
+        round(col("value") * 1000).cast("long").as("y"))
+      b.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum((col("x").cast(d38) * col("y"))).as("sxy"),
+          sum((col("x").cast(d38) * col("x"))).as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_rows"),
+          floor(lit(1000000.0) *
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+            .cast("long").as("slope_micro_per_sec"))
+        .orderBy(col("event_type"))
+    },
+
+    QueryDef(
       "q107_asof_nearest",
       s"""WITH p AS (SELECT event_id, user_id, $tsSecSql AS ts_sec
          |           FROM events WHERE event_type = 'purchase'),
