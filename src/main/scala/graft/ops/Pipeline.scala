@@ -403,6 +403,50 @@ object Pipeline {
     },
 
     QueryDef(
+      "q113_weighted_percentiles",
+      s"""WITH base AS (SELECT lang, doc_id, len($toksSql) AS n_toks
+         |              FROM documents),
+         |c AS (SELECT lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang
+         |      ORDER BY n_toks, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n_toks) OVER (PARTITION BY lang) AS total
+         |  FROM base)
+         |SELECT lang, CAST(max(total) AS BIGINT) AS total_tokens,
+         |  min(CASE WHEN 2 * cum >= total THEN n_toks END)
+         |    AS wmedian_tokens,
+         |  min(CASE WHEN 10 * cum >= 9 * total THEN n_toks END)
+         |    AS wp90_tokens
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // TOKEN-weighted percentiles — the batch-packing planner's
+      // view of length: the doc length below which half (90%) of the
+      // corpus TOKENS sit, not half the documents (q48's unweighted
+      // median ignores that a 4096-token doc costs 100x a 40-token
+      // one). Exact integer definition: the smallest length whose
+      // cumulative token mass reaches the threshold, over the total
+      // order (n_toks, doc_id) — no interpolation, engine-identical.
+      // The cumsum window partitions by lang (PlanGuard: never
+      // unpartitioned) and each partition reduces to 3 numbers.
+      val base = withToks(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"))
+      val wc = Window.partitionBy(col("lang"))
+        .orderBy(col("n_toks"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("lang"))
+      base
+        .withColumn("cum", sum(col("n_toks")).over(wc))
+        .withColumn("total", sum(col("n_toks")).over(wt))
+        .groupBy(col("lang"))
+        .agg(max(col("total")).cast("long").as("total_tokens"),
+          min(when(col("cum") * 2 >= col("total"), col("n_toks")))
+            .as("wmedian_tokens"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("n_toks")))
+            .as("wp90_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef(
       "q102_cc_star",
       s"""WITH RECURSIVE shingles AS ($shinglesSql),
          |$jaccardPairsSql,
