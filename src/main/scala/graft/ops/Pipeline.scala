@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *    partitioned by node id, with `localCheckpoint` truncating the
   *    lineage so the plan does not grow with iteration count.
   *    Convergence is O(graph diameter); near-dup clusters are shallow
-  *    (size 2–4 here), and a skew-prone giant component would call for
-  *    the large-star/small-star variant — same join shape, fewer
-  *    rounds. The driver-side loop only ever inspects a scalar
-  *    changed-row count, never row data.
+  *    (size 2–4 here), and a skew-prone giant component calls for the
+  *    large-star/small-star variant — implemented as q102
+  *    ([[starContraction]], O(log n) rounds on any topology) and
+  *    hash-matched against the same oracle. The driver-side loop only
+  *    ever inspects a scalar label sum, never row data.
   *  - q46's split is a pure map-side hash + one partial+final agg —
   *    the canonical shuffle-free way to split 100 TB reproducibly
   *    (no sampling, no global sort, stable under re-runs and
