@@ -141,6 +141,32 @@ object Relational {
     },
 
     QueryDef(
+      "q114_ordered_string_agg",
+      """WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority
+        |           FROM orders)
+        |SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  count(*) AS n_priorities
+        |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+        // ordered string aggregation (listagg surface): collect_set
+        // is unordered and collect_list partition-order-dependent, so
+        // the canonical form is array_sort before array_join — the
+        // only deterministic way to serialize a group's members to a
+        // string in a distributed engine, and byte-identical to the
+        // oracle's ORDER BY'd string_agg over the distinct pairs.
+        orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+              .as("priorities"),
+            size(collect_set(col("o_orderpriority"))).cast("long")
+              .as("n_priorities"))
+          .orderBy(col("o_orderstatus"))
+    },
+
+    QueryDef(
       "q04_late_shipment_semi",
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o
