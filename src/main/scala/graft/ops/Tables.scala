@@ -68,7 +68,11 @@ object Tables {
     * DataFrames (shared shingle/token/pair indexes). Bounded: evicting
     * an entry unpersists its cached blocks, so a long-lived driver
     * cycling over many sessions/datasets cannot pin storage without
-    * limit. */
+    * limit. NB Spark's CacheManager keys cache entries by LOGICAL
+    * PLAN — two memo entries whose frames share a plan would share
+    * one storage entry, and evicting either unpersists both. Memo
+    * keys here are (session, sf-dir) with per-key distinct plans, so
+    * entries never alias (TablesSpec documents the hazard). */
   private[ops] final class DfMemo(max: Int = 8) {
     private val m =
       new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
