@@ -344,6 +344,92 @@ object Vectors {
         .agg((count(col("c1")) * 20).as("recall1_pct"),
           (count(col("c9")) * 20).as("recall9_pct"))
         .orderBy(col("qid"))
+    },
+
+    QueryDef(
+      "q115_kmeans_ivf",
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+        |    FROM embeddings),
+        |dims AS (SELECT vec_id, i, q[i] AS v
+        |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |c0 AS (SELECT vec_id AS j, i, v AS c FROM dims WHERE vec_id < 8),
+        |d1 AS (SELECT d.vec_id, c.j,
+        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+        |       FROM dims d JOIN c0 c ON c.i = d.i GROUP BY d.vec_id, c.j),
+        |a1 AS (SELECT vec_id, j FROM (
+        |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist, j) AS rn FROM d1) WHERE rn = 1),
+        |n1 AS (SELECT j, count(*) AS n FROM a1 GROUP BY j),
+        |s1 AS (SELECT a1.j, d.i, sum(d.v) AS s
+        |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
+        |       GROUP BY a1.j, d.i),
+        |c1 AS (SELECT s1.j, s1.i, (2 * s1.s + n1.n) // (2 * n1.n) AS c
+        |       FROM s1 JOIN n1 ON n1.j = s1.j),
+        |d2 AS (SELECT d.vec_id, c.j,
+        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+        |       FROM dims d JOIN c1 c ON c.i = d.i GROUP BY d.vec_id, c.j),
+        |a2 AS (SELECT vec_id, j FROM (
+        |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist, j) AS rn FROM d2) WHERE rn = 1)
+        |SELECT a2.j AS cluster_id, count(*) AS n_members,
+        |  min(a2.vec_id) AS min_vec,
+        |  CAST(sum(e2.q0) AS BIGINT) AS sum_q0
+        |FROM a2 JOIN (SELECT vec_id, q[1] AS q0 FROM e) e2
+        |  ON e2.vec_id = a2.vec_id
+        |GROUP BY a2.j ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      // TRAINED IVF: two full Lloyd iterations of k-means (k=8, seeds
+      // = vectors 0..7), made exactly reproducible by doing ALL
+      // arithmetic on integers. Embeddings quantize to a shifted
+      // non-negative grid (floor(x·1000)+1000 ∈ [0,2000] — distances
+      // are shift-invariant), so squared distances are exact longs,
+      // and the recomputed centroid rounds to the grid via
+      // (2S+n) DIV (2n) — nearest-integer on non-negatives, where
+      // truncating and flooring division agree across engines (the
+      // reason for the shift: they disagree on negatives). No
+      // doubles anywhere between quantization and output, so two
+      // engines — or two cluster topologies — produce bit-identical
+      // centroids and assignments; at 100 TB each iteration is one
+      // broadcast-assign pass (distances via a codegen'd zip_with
+      // fold, ranked within each vector's 8 candidates) plus one
+      // keyed (cluster, dim) sum, the canonical distributed-k-means
+      // shape. The grid rounding costs ≤0.05% of the embedding scale
+      // per coordinate — noise against k-means' own local optima.
+      val e = prepared(s, d).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+          " AS BIGINT) + 1000)").as("q"))
+      val distExpr = expr(
+        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, x) -> acc + x)")
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("j"))
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("j"), col("q"), distExpr.as("dist"))
+          .withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("j"))
+      val init = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("j"), col("q").as("c"))
+      val a1 = assign(init)
+      val n1 = a1.groupBy(col("j")).agg(count(lit(1)).as("n"))
+      val s1 = a1.join(e, "vec_id")
+        .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("j"), col("i")).agg(sum(col("v")).as("s"))
+      val c1 = s1.join(n1, "j")
+        .select(col("j"), col("i"),
+          expr("(2 * s + n) DIV (2 * n)").as("ci"))
+        .groupBy(col("j"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+          p => p.getField("ci")).as("c"))
+      val a2 = assign(c1)
+      a2.join(e.select(col("vec_id"),
+          element_at(col("q"), 1).as("q0")), "vec_id")
+        .groupBy(col("j").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("vec_id")).as("min_vec"),
+          sum(col("q0")).cast("long").as("sum_q0"))
+        .orderBy(col("cluster_id"))
     }
   )
 }
