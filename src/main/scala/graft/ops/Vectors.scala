@@ -395,9 +395,117 @@ object Vectors {
       // keyed (cluster, dim) sum, the canonical distributed-k-means
       // shape. The grid rounding costs ≤0.05% of the embedding scale
       // per coordinate — noise against k-means' own local optima.
-      val e = prepared(s, d).select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
-          " AS BIGINT) + 1000)").as("q"))
+      val a2 = kmeansAssignments(s, d)
+      a2.join(quantized(s, d).select(col("vec_id"),
+          element_at(col("q"), 1).as("q0")), "vec_id")
+        .groupBy(col("j").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("vec_id")).as("min_vec"),
+          sum(col("q0")).cast("long").as("sum_q0"))
+        .orderBy(col("cluster_id"))
+    },
+
+    QueryDef(
+      "q116_trained_ivf_recall",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+         |    FROM embeddings),
+         |dims AS (SELECT vec_id, i, q[i] AS v
+         |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+         |c0 AS (SELECT vec_id AS j, i, v AS c FROM dims WHERE vec_id < 8),
+         |d1 AS (SELECT d.vec_id, c.j,
+         |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |       FROM dims d JOIN c0 c ON c.i = d.i GROUP BY d.vec_id, c.j),
+         |a1 AS (SELECT vec_id, j FROM (
+         |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY dist, j) AS rn FROM d1) WHERE rn = 1),
+         |n1 AS (SELECT j, count(*) AS n FROM a1 GROUP BY j),
+         |s1 AS (SELECT a1.j, d.i, sum(d.v) AS s
+         |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
+         |       GROUP BY a1.j, d.i),
+         |c1 AS (SELECT s1.j, s1.i, (2 * s1.s + n1.n) // (2 * n1.n) AS c
+         |       FROM s1 JOIN n1 ON n1.j = s1.j),
+         |d2 AS (SELECT d.vec_id, c.j,
+         |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |       FROM dims d JOIN c1 c ON c.i = d.i GROUP BY d.vec_id, c.j),
+         |a2 AS (SELECT vec_id, j FROM (
+         |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY dist, j) AS rn FROM d2) WHERE rn = 1),
+         |qd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |         sum((da.v - db.v) * (da.v - db.v)) AS dist
+         |       FROM a2 a JOIN a2 b ON a.vec_id < 20
+         |                         AND b.vec_id <> a.vec_id
+         |       JOIN dims da ON da.vec_id = a.vec_id
+         |       JOIN dims db ON db.vec_id = b.vec_id AND db.i = da.i
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= 5),
+         |iv AS (SELECT qid, cid FROM (
+         |         SELECT qd.qid, qd.cid, row_number() OVER (
+         |             PARTITION BY qd.qid ORDER BY qd.dist, qd.cid) AS rn
+         |           FROM qd
+         |           JOIN a2 qa ON qa.vec_id = qd.qid
+         |           JOIN a2 ca ON ca.vec_id = qd.cid AND ca.j = qa.j)
+         |       WHERE rn <= 5)
+         |SELECT ex.qid, count(iv.cid) * 20 AS recall_pct
+         |FROM ex LEFT JOIN iv ON iv.qid = ex.qid AND iv.cid = ex.cid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
+      // The trained-IVF pipeline end to end: q115's k-means centroids
+      // become the index (every vector carries its trained cluster),
+      // search runs only within the query's own cell (nprobe=1), and
+      // recall@5 is audited against the exact scan — with EVERY
+      // distance an exact integer on the quantized grid, so search
+      // ranking, index assignment, and the audit itself are all
+      // bit-reproducible (q106's cosine audit needs a rounded-double
+      // tie-break; here even that is gone). The exact arm computes
+      // once per probe (20 queries × collection, keyed on the probe),
+      // and the IVF arm restricts it to cell-mates via the
+      // assignment join — candidate cost follows cell occupancy,
+      // the IVF contract.
+      val e = quantized(s, d)
+      val a2 = kmeansAssignments(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val dist = expr(
+        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, x) -> acc + x)")
+      val qd = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), dist.as("dist"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      val exact = qd.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      val qCell = a2.select(col("vec_id").as("qid"), col("j").as("qj"))
+      val cCell = a2.select(col("vec_id").as("cid"), col("j").as("cj"))
+      val ivf = qd.join(broadcast(qCell), "qid").join(cCell, "cid")
+        .filter(col("qj") === col("cj"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5)
+        .select(col("qid").as("iqid"), col("cid").as("icid"))
+      exact.join(ivf,
+          col("qid") === col("iqid") && col("cid") === col("icid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("icid")) * 20).as("recall_pct"))
+        .orderBy(col("qid"))
+    }
+  )
+
+  /** Shifted non-negative integer quantization (q115/q116's grid). */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    prepared(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+        " AS BIGINT) + 1000)").as("q"))
+
+  /** (vec_id, j): every vector's trained cluster after two exact-
+    * integer Lloyd iterations — memoized, shared by q115 (summary)
+    * and q116 (search + recall audit). */
+  private val kmCache = new Tables.DfMemo()
+
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame =
+    kmCache.getOrElseUpdate((s, d)) {
+      val e = quantized(s, d)
       val distExpr = expr(
         "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, " +
           "(acc, x) -> acc + x)")
@@ -422,14 +530,6 @@ object Vectors {
         .groupBy(col("j"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
           p => p.getField("ci")).as("c"))
-      val a2 = assign(c1)
-      a2.join(e.select(col("vec_id"),
-          element_at(col("q"), 1).as("q0")), "vec_id")
-        .groupBy(col("j").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"),
-          min(col("vec_id")).as("min_vec"),
-          sum(col("q0")).cast("long").as("sum_q0"))
-        .orderBy(col("cluster_id"))
+      assign(c1).cache()
     }
-  )
 }
