@@ -489,8 +489,104 @@ object Vectors {
         .groupBy(col("qid"))
         .agg((count(col("icid")) * 20).as("recall_pct"))
         .orderBy(col("qid"))
+    },
+
+    QueryDef(
+      "q117_product_quantization",
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+        |    FROM embeddings),
+        |dims AS (SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS si,
+        |           q[i] AS v
+        |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |c0 AS (SELECT sub, vec_id AS j, si, v AS c FROM dims
+        |       WHERE vec_id < 4),
+        |d1 AS (SELECT d.vec_id, d.sub, c.j,
+        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+        |       FROM dims d JOIN c0 c ON c.sub = d.sub AND c.si = d.si
+        |       GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, j FROM (
+        |         SELECT vec_id, sub, j, row_number() OVER (
+        |           PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |n1 AS (SELECT sub, j, count(*) AS n FROM a1 GROUP BY sub, j),
+        |s1 AS (SELECT a1.sub, a1.j, d.si, sum(d.v) AS s
+        |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
+        |                          AND d.sub = a1.sub
+        |       GROUP BY 1, 2, 3),
+        |c1 AS (SELECT s1.sub, s1.j, s1.si,
+        |         (2 * s1.s + n1.n) // (2 * n1.n) AS c
+        |       FROM s1 JOIN n1 ON n1.sub = s1.sub AND n1.j = s1.j),
+        |d2 AS (SELECT d.vec_id, d.sub, c.j,
+        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+        |       FROM dims d JOIN c1 c ON c.sub = d.sub AND c.si = d.si
+        |       GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, sub, j, dist FROM (
+        |         SELECT vec_id, sub, j, dist, row_number() OVER (
+        |           PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+        |         FROM d2) WHERE rn = 1)
+        |SELECT sub, j AS symbol, count(*) AS n_members,
+        |  CAST(sum(dist) AS BIGINT) AS sum_sq_err
+        |FROM a2 GROUP BY sub, j ORDER BY sub, symbol""".stripMargin) {
+      (s, d) =>
+        // Product quantization — the 8-byte-per-vector compression an
+        // ANN index stores instead of raw floats: 8 subspaces of 8
+        // dims, each with its own k=4 codebook trained by one
+        // exact-integer Lloyd iteration (the q115 grid recipe per
+        // subspace, so codebooks and code assignments are
+        // bit-reproducible). Output: per (subspace, symbol) the code
+        // usage and the EXACT summed squared reconstruction error —
+        // the audit that decides codebook size vs recall budget (the
+        // PQ analogue of q63's scalar-quantization MSE). Training and
+        // encoding are keyed aggs over (sub, symbol, dim); at 100 TB
+        // the codebooks are 8×4×8 integers broadcast everywhere —
+        // encode is one map-side pass.
+        pqAssignments(s, d)
+          .groupBy(col("sub"), col("symbol").as("symbol"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("err")).cast("long").as("sum_sq_err"))
+          .orderBy(col("sub"), col("symbol"))
     }
   )
+
+  /** Product quantization over the integer grid: 8 subspaces × 8 dims,
+    * k=4 codes per subspace, one exact-integer Lloyd iteration per
+    * codebook (same recipe as [[kmeansAssignments]] — the non-negative
+    * grid keeps every distance a long and every centroid rounding
+    * engine-identical). Returns one row per (vector, subspace) with
+    * the assigned symbol and its exact squared reconstruction error. */
+  private def pqAssignments(s: SparkSession, d: String): DataFrame = {
+    val sub = quantized(s, d)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), s -> slice(q, s * 8 + 1, 8))"))
+        .as(Seq("sub", "sq")))
+    val distExpr = expr(
+      "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)), 0L, " +
+        "(acc, x) -> acc + x)")
+    val wv = Window.partitionBy(col("sub"), col("vec_id"))
+      .orderBy(col("dist"), col("j"))
+    def assign(cent: DataFrame): DataFrame =
+      sub.join(broadcast(cent), "sub")
+        .select(col("vec_id"), col("sub"), col("j"), col("sq"),
+          distExpr.as("dist"))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+    val init = sub.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("j"), col("sq").as("c"))
+    val a1 = assign(init).select(col("vec_id"), col("sub"), col("j"))
+    val n1 = a1.groupBy(col("sub"), col("j")).agg(count(lit(1)).as("n"))
+    val s1 = a1.join(sub, Seq("vec_id", "sub"))
+      .select(col("sub"), col("j"), posexplode(col("sq")).as(Seq("i", "v")))
+      .groupBy(col("sub"), col("j"), col("i")).agg(sum(col("v")).as("s"))
+    val c1 = s1.join(n1, Seq("sub", "j"))
+      .select(col("sub"), col("j"), col("i"),
+        expr("(2 * s + n) DIV (2 * n)").as("ci"))
+      .groupBy(col("sub"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+        p => p.getField("ci")).as("c"))
+    assign(c1).select(col("vec_id"), col("sub"), col("j").as("symbol"),
+      col("dist").as("err"))
+  }
 
   /** Shifted non-negative integer quantization (q115/q116's grid). */
   private def quantized(s: SparkSession, d: String): DataFrame =
