@@ -63,4 +63,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.values.toSet == Set(2L))
     assert(labels.keySet == Set(2L, 5L, 6L, 7L, 8L, 9L))
   }
+
+  test("random graphs agree with an independent union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 120
+      val edges = Seq.fill(150)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // ground truth: driver-side union-find with min-root labels
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      assert(labelsOf(edges) == expected)
+    }
+  }
 }
