@@ -546,6 +546,109 @@ object Vectors {
           .agg(count(lit(1)).as("n_members"),
             sum(col("err")).cast("long").as("sum_sq_err"))
           .orderBy(col("sub"), col("symbol"))
+    },
+
+    QueryDef(
+      "q118_pq_adc_recall",
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+        |    FROM embeddings),
+        |dims AS (SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS si,
+        |           q[i] AS v
+        |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |c0 AS (SELECT sub, vec_id AS j, si, v AS c FROM dims
+        |       WHERE vec_id < 4),
+        |d1 AS (SELECT d.vec_id, d.sub, c.j,
+        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+        |       FROM dims d JOIN c0 c ON c.sub = d.sub AND c.si = d.si
+        |       GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, j FROM (
+        |         SELECT vec_id, sub, j, row_number() OVER (
+        |           PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |n1 AS (SELECT sub, j, count(*) AS n FROM a1 GROUP BY sub, j),
+        |s1 AS (SELECT a1.sub, a1.j, d.si, sum(d.v) AS s
+        |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
+        |                          AND d.sub = a1.sub
+        |       GROUP BY 1, 2, 3),
+        |c1 AS (SELECT s1.sub, s1.j, s1.si,
+        |         (2 * s1.s + n1.n) // (2 * n1.n) AS c
+        |       FROM s1 JOIN n1 ON n1.sub = s1.sub AND n1.j = s1.j),
+        |d2 AS (SELECT d.vec_id, d.sub, c.j,
+        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+        |       FROM dims d JOIN c1 c ON c.sub = d.sub AND c.si = d.si
+        |       GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, sub, j FROM (
+        |         SELECT vec_id, sub, j, row_number() OVER (
+        |           PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |qsub AS (SELECT vec_id AS qid, sub, si, v FROM dims
+        |         WHERE vec_id < 20),
+        |adc AS (SELECT qs.qid, a2.vec_id AS cid,
+        |         sum((qs.v - c1.c) * (qs.v - c1.c)) AS dist
+        |       FROM qsub qs
+        |       JOIN a2 ON a2.sub = qs.sub AND a2.vec_id <> qs.qid
+        |       JOIN c1 ON c1.sub = qs.sub AND c1.j = a2.j
+        |              AND c1.si = qs.si
+        |       GROUP BY 1, 2),
+        |pq5 AS (SELECT qid, cid FROM (
+        |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |           ORDER BY dist, cid) AS rn FROM adc) WHERE rn <= 5),
+        |ed AS (SELECT dq.vec_id AS qid, dc.vec_id AS cid,
+        |         sum((dq.v - dc.v) * (dq.v - dc.v)) AS dist
+        |       FROM dims dq JOIN dims dc ON dc.sub = dq.sub
+        |                                AND dc.si = dq.si
+        |                                AND dc.vec_id <> dq.vec_id
+        |       WHERE dq.vec_id < 20 GROUP BY 1, 2),
+        |ex AS (SELECT qid, cid FROM (
+        |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |           ORDER BY dist, cid) AS rn FROM ed) WHERE rn <= 5)
+        |SELECT ex.qid, count(pq5.cid) * 20 AS recall_pct
+        |FROM ex LEFT JOIN pq5 ON pq5.qid = ex.qid AND pq5.cid = ex.cid
+        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
+      // Compressed-domain search — what PQ exists for: candidates are
+      // ranked by ASYMMETRIC distance (uncompressed query subvector
+      // vs each candidate's codebook centroid), so the scan touches
+      // 8 symbols per candidate instead of 64 raw dims, and the
+      // recall@5 audit against the exact integer scan quantifies what
+      // the 8-byte compression costs. Every distance stays an exact
+      // integer (query, codebooks, and codes all live on the q115
+      // grid) — rankings bit-reproducible in both engines. The ADC
+      // join is keyed on (sub, symbol) against a broadcast codebook
+      // of 8x4 centroids: per-candidate cost is 8 lookups + adds, the
+      // table-scan shape a PQ index serves at 100 TB.
+      val cb = pqCodebooks(s, d).withColumnRenamed("j", "symbol")
+      val codes = pqAssignments(s, d)
+        .select(col("vec_id").as("cid"), col("sub"), col("symbol"))
+      val qsubs = subVectors(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      val adc = qsubs.join(codes, "sub")
+        .filter(col("cid") =!= col("qid"))
+        .join(broadcast(cb), Seq("sub", "symbol"))
+        .select(col("qid"), col("cid"), pqDistExpr.as("pd"))
+        .groupBy(col("qid"), col("cid")).agg(sum(col("pd")).as("dist"))
+      val pq5 = adc.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5)
+        .select(col("qid").as("pqid"), col("cid").as("pcid"))
+      val e = quantized(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val exDist = expr(
+        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, x) -> acc + x)")
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), exDist.as("dist"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"))
+      exact.join(pq5,
+          col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("pcid")) * 20).as("recall_pct"))
+        .orderBy(col("qid"))
     }
   )
 
@@ -555,38 +658,54 @@ object Vectors {
     * grid keeps every distance a long and every centroid rounding
     * engine-identical). Returns one row per (vector, subspace) with
     * the assigned symbol and its exact squared reconstruction error. */
-  private def pqAssignments(s: SparkSession, d: String): DataFrame = {
-    val sub = quantized(s, d)
+  /** Per-vector subspace slices of the quantized grid. */
+  private def subVectors(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
       .select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 7), s -> slice(q, s * 8 + 1, 8))"))
         .as(Seq("sub", "sq")))
-    val distExpr = expr(
-      "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)), 0L, " +
-        "(acc, x) -> acc + x)")
+
+  private val pqDistExpr = expr(
+    "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)), 0L, " +
+      "(acc, x) -> acc + x)")
+
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
     val wv = Window.partitionBy(col("sub"), col("vec_id"))
       .orderBy(col("dist"), col("j"))
-    def assign(cent: DataFrame): DataFrame =
-      sub.join(broadcast(cent), "sub")
-        .select(col("vec_id"), col("sub"), col("j"), col("sq"),
-          distExpr.as("dist"))
-        .withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
-    val init = sub.filter(col("vec_id") < 4)
-      .select(col("sub"), col("vec_id").as("j"), col("sq").as("c"))
-    val a1 = assign(init).select(col("vec_id"), col("sub"), col("j"))
-    val n1 = a1.groupBy(col("sub"), col("j")).agg(count(lit(1)).as("n"))
-    val s1 = a1.join(sub, Seq("vec_id", "sub"))
-      .select(col("sub"), col("j"), posexplode(col("sq")).as(Seq("i", "v")))
-      .groupBy(col("sub"), col("j"), col("i")).agg(sum(col("v")).as("s"))
-    val c1 = s1.join(n1, Seq("sub", "j"))
-      .select(col("sub"), col("j"), col("i"),
-        expr("(2 * s + n) DIV (2 * n)").as("ci"))
-      .groupBy(col("sub"), col("j"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
-        p => p.getField("ci")).as("c"))
-    assign(c1).select(col("vec_id"), col("sub"), col("j").as("symbol"),
-      col("dist").as("err"))
+    sub.join(broadcast(cent), "sub")
+      .select(col("vec_id"), col("sub"), col("j"), col("sq"),
+        pqDistExpr.as("dist"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
   }
+
+  /** Trained PQ codebooks (sub, j, c: 8-dim integer centroid) after
+    * one Lloyd iteration per subspace — memoized (q117 + q118). */
+  private val pqCbCache = new Tables.DfMemo()
+
+  private def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    pqCbCache.getOrElseUpdate((s, d)) {
+      val sub = subVectors(s, d)
+      val init = sub.filter(col("vec_id") < 4)
+        .select(col("sub"), col("vec_id").as("j"), col("sq").as("c"))
+      val a1 = pqAssign(sub, init).select(col("vec_id"), col("sub"), col("j"))
+      val n1 = a1.groupBy(col("sub"), col("j")).agg(count(lit(1)).as("n"))
+      val s1 = a1.join(sub, Seq("vec_id", "sub"))
+        .select(col("sub"), col("j"), posexplode(col("sq")).as(Seq("i", "v")))
+        .groupBy(col("sub"), col("j"), col("i")).agg(sum(col("v")).as("s"))
+      s1.join(n1, Seq("sub", "j"))
+        .select(col("sub"), col("j"), col("i"),
+          expr("(2 * s + n) DIV (2 * n)").as("ci"))
+        .groupBy(col("sub"), col("j"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+          p => p.getField("ci")).as("c"))
+        .cache()
+    }
+
+  private def pqAssignments(s: SparkSession, d: String): DataFrame =
+    pqAssign(subVectors(s, d), pqCodebooks(s, d))
+      .select(col("vec_id"), col("sub"), col("j").as("symbol"),
+        col("dist").as("err"))
 
   /** Shifted non-negative integer quantization (q115/q116's grid). */
   private def quantized(s: SparkSession, d: String): DataFrame =
