@@ -707,11 +707,17 @@ object Vectors {
       .select(col("vec_id"), col("sub"), col("j").as("symbol"),
         col("dist").as("err"))
 
-  /** Shifted non-negative integer quantization (q115/q116's grid). */
+  /** Shifted non-negative integer quantization — the grid every
+    * trained-index query (q115-q118) computes on. Memoized: one
+    * cached relation of vectors × 64 longs instead of four scans. */
+  private val quantCache = new Tables.DfMemo()
+
   private def quantized(s: SparkSession, d: String): DataFrame =
-    prepared(s, d).select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
-        " AS BIGINT) + 1000)").as("q"))
+    quantCache.getOrElseUpdate((s, d))(
+      prepared(s, d).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+          " AS BIGINT) + 1000)").as("q"))
+        .cache())
 
   /** (vec_id, j): every vector's trained cluster after two exact-
     * integer Lloyd iterations — memoized, shared by q115 (summary)
