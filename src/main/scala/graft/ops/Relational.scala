@@ -99,32 +99,36 @@ object Relational {
     QueryDef(
       "q105_decimal_ledger",
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |    AS DECIMAL(38,2)) AS gross,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
-        |    AS DECIMAL(38,4)) AS net,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS gross_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS net_e4,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
-      // Financial-grade exact aggregation: money lands in DECIMAL at
-      // the scan edge and every downstream op (discount multiply,
-      // partial+final sum) is exact decimal arithmetic — associative
+      // Financial-grade exact aggregation: money is fixed to integer
+      // cents at the scan edge (2-decimal values round exactly, never
+      // on a half-ulp boundary) and every downstream op — the
+      // discount multiply against an integer percent and the
+      // partial+final sum — is exact int64 arithmetic, associative
       // and commutative, so the result is independent of partition
       // count, merge order, and AQE re-planning, unlike double sums
-      // whose low bits drift with reduction shape. The doubles cast
-      // safely: 2-decimal money values never sit on a half-ulp
-      // boundary at scale 2, so both engines round identically. The
-      // per-row widening is free inside codegen; only the final
-      // 128-bit sums cross the shuffle (one struct per nation per
-      // partition). nation broadcasts; the orders/customer joins
-      // shuffle on their keys.
+      // whose low bits drift with reduction shape. net lands in 1e-4
+      // currency units (cents × integer percent). Integer outputs
+      // also keep the oracle in int64: DuckDB's DECIMAL(38,x) /
+      // HUGEINT sums hash differently driver-side even when values
+      // match. Headroom: ~9e9 rows/group before int64 net overflows —
+      // beyond that, regroup finer or widen to decimal internally.
+      // The per-row fixing is free inside codegen; only the final
+      // sums cross the shuffle (one struct per nation per partition).
+      // nation broadcasts; orders/customer joins shuffle on keys.
       val li = lineitem(s, d).select(col("l_orderkey"),
-        col("l_extendedprice").cast("decimal(18,2)").as("price"),
-        col("l_discount").cast("decimal(5,2)").as("disc"))
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
       li.join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
@@ -133,9 +137,8 @@ object Relational {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(col("price")).cast("decimal(38,2)").as("gross"),
-          sum(col("price") * (lit(1).cast("decimal(5,2)") - col("disc")))
-            .cast("decimal(38,4)").as("net"),
+          sum(col("cents")).as("gross_cents"),
+          sum(col("cents") * (lit(100L) - col("disc_pct"))).as("net_e4"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     },

@@ -283,11 +283,12 @@ object Scale {
          |tot AS (SELECT sum(actual_tokens) AS corpus,
          |    sum(weight) AS wsum FROM w)
          |SELECT source, actual_tokens, weight,
-         |  corpus * 5 * weight // (wsum * 10) AS target_tokens,
-         |  least(corpus * 5 * weight // (wsum * 10) * 1000
-         |      // actual_tokens, 3000) AS rate_milli,
-         |  (corpus * 5 * weight // (wsum * 10) + actual_tokens - 1)
-         |      // actual_tokens AS n_epochs
+         |  CAST(corpus * 5 * weight // (wsum * 10) AS BIGINT)
+         |    AS target_tokens,
+         |  CAST(least(corpus * 5 * weight // (wsum * 10) * 1000
+         |      // actual_tokens, 3000) AS BIGINT) AS rate_milli,
+         |  CAST((corpus * 5 * weight // (wsum * 10) + actual_tokens - 1)
+         |      // actual_tokens AS BIGINT) AS n_epochs
          |FROM w, tot ORDER BY source""".stripMargin) { (s, d) =>
       // Data-mixture planner — the sampling-rate computation a
       // Pile/Dolma-style mixing step runs before training: given a

@@ -667,7 +667,7 @@ object Text {
          |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
          |  FROM sh JOIN df USING (h) GROUP BY doc_id)
          |SELECT doc_id, n_segs, CAST(n_dup AS BIGINT) AS n_dup_segs,
-         |  n_dup * 100 // n_segs AS dup_pct
+         |  CAST(n_dup * 100 // n_segs AS BIGINT) AS dup_pct
          |FROM per_doc
          |ORDER BY dup_pct DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       // Sub-document (line-level) dedup — the RefinedWeb/C4 pass that
