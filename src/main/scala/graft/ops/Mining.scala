@@ -339,7 +339,14 @@ object Mining {
       val urgent = orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
-      val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+      // Size the filter from the build side, not a constant: a fixed
+      // capacity saturates at 100x SF (fpp -> 1, the pre-filter stops
+      // filtering exactly where it matters). One cheap scalar job over
+      // the already-filtered dimension; production would reuse a table
+      // stats row instead. Floor keeps tiny builds from a degenerate
+      // bitmap.
+      val nUrgent = math.max(urgent.count(), 1024L)
+      val bf = urgent.stat.bloomFilter("o_orderkey", nUrgent, 0.01)
       val bfBc = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
       lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),

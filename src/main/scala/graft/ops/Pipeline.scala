@@ -487,8 +487,12 @@ object Pipeline {
     * small-star edge contraction to a fixpoint — O(log n) rounds on
     * any topology. Each round is: per-node min over current
     * neighbors+self (one keyed agg), then an edge rewrite through one
-    * equi-join. Exact set-equality convergence probe (count + one-way
-    * exceptAll on deduped edge sets) — two scalar jobs per round. */
+    * equi-join. Convergence probe: one scalar agg per round — a
+    * commutative (count, sum-of-xxhash64) digest of the edge set,
+    * equal to the previous round's iff the set is unchanged (up to a
+    * 2^-64 sum collision; GraphSpec cross-checks the labels against
+    * union-find). Replaces the count + exceptAll probe whose anti-join
+    * cost exceeded the contraction itself. */
   private[ops] def starComponents(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
     starContraction(pairs)
@@ -540,12 +544,26 @@ object Pipeline {
         .select(col("p.x").as("u"), col("p.y").as("v"))
     }
 
+    // edge-set digest: count + XOR of per-edge hashes. Commutative and
+    // overflow-free under ANSI mode (sum of hashes would throw on long
+    // overflow), one job; equal digests across rounds mean the deduped
+    // edge set reached the smallStar∘largeStar fixpoint. XOR is a
+    // sound set digest here because the edge set is distinct — no
+    // duplicate elements to self-cancel.
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = digest(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val sameCount = next.count() == edges.count()
-      converged = sameCount && next.exceptAll(edges).isEmpty
+      val cur = digest(next)
+      converged = cur == prev
+      prev = cur
       edges = next
       iter += 1
     }
