@@ -455,8 +455,12 @@ object Relational {
     // HLL sketch audit — raw approx values differ across engines, so
     // the result exposes only engine-independent facts: the exact
     // distinct counts plus booleans asserting the HLL estimate sits
-    // within its 5% envelope. DuckDB pins the exact counts and the
-    // flags as literal TRUE, turning the sketch's accuracy GUARANTEE
+    // within a 10% envelope. At rsd=0.02 the error is probabilistic
+    // (unlike q101's GK sketch, which has a hard bound), so the
+    // envelope is 5x the rsd — a bound the estimator practically
+    // never exceeds on ANY dataset — rather than a tight 2.5-sigma
+    // one a new SF could trip. DuckDB pins the exact counts and the
+    // flags as literal TRUE, turning the sketch's accuracy guarantee
     // into a hash-matched oracle row (same recipe as the q101
     // percentile_approx audit).
     QueryDef(
@@ -464,8 +468,8 @@ object Relational {
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS exact_orders,
         |  count(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS orders_within_5pct,
-        |  TRUE AS parts_within_5pct
+        |  TRUE AS orders_within_10pct,
+        |  TRUE AS parts_within_10pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, d) =>
         lineitem(s, d)
@@ -478,9 +482,9 @@ object Relational {
           .select(
             col("l_returnflag"), col("exact_orders"), col("exact_parts"),
             (abs(col("approx_orders") - col("exact_orders")) <=
-              col("exact_orders") * 0.05).as("orders_within_5pct"),
+              col("exact_orders") * 0.10).as("orders_within_10pct"),
             (abs(col("approx_parts") - col("exact_parts")) <=
-              col("exact_parts") * 0.05).as("parts_within_5pct"))
+              col("exact_parts") * 0.10).as("parts_within_10pct"))
           .orderBy(col("l_returnflag"))
     },
 

@@ -77,11 +77,13 @@ final class ReplicationSession(
     * default of continuing from the server-confirmed position. */
   def subscribe(format: CdcFormat, slotName: String,
       uptoLsn: Option[String] = None,
-      maxFramesPerTrigger: Option[Long] = None): DataFrame = {
+      maxFramesPerTrigger: Option[Long] = None): DataFrame = synchronized {
+    // Under the same lock as stop()/destroy(): a concurrent destroy()
+    // can otherwise interleave after the check and leave an active
+    // subscription on a destroyed session.
     if (destroyed) throw new IllegalStateException(
       "session destroyed: create a new ReplicationSession " +
         "(reference: subscribe after destroy() rejects, the client is gone)")
-    stopped = false
     val start = uptoLsn
       .map(Lsn.parse)
       .orElse(CdcReplaySource.lastAckedLsn(logDir))
@@ -91,8 +93,12 @@ final class ReplicationSession(
     val r = spark.readStream.format(CdcReplaySource.FORMAT)
       .option("path", logDir)
       .option("startingLsn", start.toString)
-    maxFramesPerTrigger.fold(r)(n =>
+    val df = maxFramesPerTrigger.fold(r)(n =>
       r.option("maxFramesPerTrigger", n.toString)).load()
+    // only once the subscription actually exists — a throw above must
+    // not flip a stopped session back to live
+    stopped = false
+    df
   }
 
   /** Track a started query so [[stop]] can close the session. */
