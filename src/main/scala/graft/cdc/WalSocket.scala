@@ -1,0 +1,269 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, DataInputStream, IOException, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+/** PostgreSQL wire framing for the replication CopyBoth subprotocol:
+  * every message is `[tag:1][length:4 BE, includes itself][body]`. The
+  * reference receives these pre-deframed by the `pg` driver (its
+  * `copyData` handler gets only the body —
+  * `logical-replication-service.ts:144`) and sends the standby status
+  * with `sendCopyFromChunk` (`:297`); here both directions carry the
+  * explicit framing so a socket really is the transport.
+  */
+object WalWire {
+  final case class Msg(tag: Byte, body: Array[Byte])
+
+  def write(out: OutputStream, tag: Int, body: Array[Byte]): Unit = {
+    out.write(new BinaryWriter().writeUint8(tag).writeInt32(body.length + 4)
+      .writeBytes(body).result())
+    out.flush()
+  }
+
+  /** None on orderly EOF (peer closed between messages). */
+  def read(in: DataInputStream): Option[Msg] = {
+    val tag = in.read()
+    if (tag < 0) return None
+    val len = in.readInt()
+    require(len >= 4, s"wire message length $len < 4")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Some(Msg(tag.toByte, body))
+  }
+}
+
+/** A walsender analogue: serves a recorded frame log over a local TCP
+  * socket in CopyBoth framing, so the full live loop the reference
+  * runs against PostgreSQL (`logical-replication-service.ts:126-185`)
+  * can be exercised end-to-end without a server — connect, receive
+  * START_REPLICATION, reply CopyBothResponse, stream XLogData +
+  * keepalives, collect 34-byte standby statuses off the wire.
+  *
+  * Replay honors the START_REPLICATION position: only transactions
+  * with `lsn > start` are sent (the server-side filtering that
+  * `uptoLsn` resume relies on, `acknowledge.spec.ts:70-75`).
+  *
+  * @param log            (commitLsn, frames) transactions, LSN-sorted
+  * @param keepaliveAfter 1-based tx indices (within a connection)
+  *                       after which a shouldRespond keepalive is sent;
+  *                       index 0 = one keepalive before any data
+  * @param dropAfterTxs   close the connection after this many txs —
+  *                       once, for reconnect tests; subsequent
+  *                       connections stream to completion
+  */
+final class LoopbackWalServer(
+    log: Seq[(Long, Seq[Array[Byte]])],
+    keepaliveAfter: Set[Int] = Set.empty,
+    dropAfterTxs: Option[Int] = None) {
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+
+  private val statuses = ArrayBuffer.empty[Transport.StandbyStatus]
+  private val starts = ArrayBuffer.empty[String]
+  @volatile private var confirmed = 0L
+  @volatile private var drop = dropAfterTxs
+  @volatile private var running = true
+
+  /** Standby statuses received, in arrival order. */
+  def receivedStatuses: Seq[Transport.StandbyStatus] =
+    synchronized(statuses.toList)
+  /** Highest flushed position acknowledged by the client. */
+  def confirmedFlush: Long = confirmed
+  /** START_REPLICATION commands received, one per connection. */
+  def startCommands: Seq[String] = synchronized(starts.toList)
+
+  private val acceptThread = new Thread(() => {
+    while (running) {
+      try serve(server.accept())
+      catch { case _: IOException => () } // closed server / dropped conn
+    }
+  }, "loopback-walsender")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def close(): Unit = { running = false; server.close() }
+
+  private def nowMicros: Long = System.currentTimeMillis() * 1000L
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = sock.getOutputStream
+    try {
+      // simple-query START_REPLICATION, as the reference's plugin.start
+      // issues through the pg client (`pgoutput-plugin.ts:31`)
+      val q = WalWire.read(in).getOrElse(return)
+      require(q.tag == 'Q', s"expected Query, got tag ${q.tag}")
+      val sql = new String(q.body, StandardCharsets.UTF_8).takeWhile(_ != 0)
+      synchronized(starts += sql)
+      val start = raw"LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)".r
+        .findFirstMatchIn(sql).map(m => Lsn.parse(m.group(1))).getOrElse(0L)
+
+      // CopyBothResponse: overall format 0, no columns
+      WalWire.write(out, 'W',
+        new BinaryWriter().writeUint8(0).writeInt16(0).result())
+
+      // acks arrive concurrently with the outbound stream
+      val reader = new Thread(() => {
+        try {
+          var m = WalWire.read(in)
+          while (m.isDefined) {
+            m.get match {
+              case WalWire.Msg('d', body) if body.nonEmpty && body(0) == 'r' =>
+                val st = Transport.decodeStandbyStatus(body)
+                synchronized(statuses += st)
+                if (Lsn.compare(st.flushed, confirmed) > 0) confirmed = st.flushed
+              case _ => () // reference warns and drops unknown tags (:147-149)
+            }
+            m = WalWire.read(in)
+          }
+        } catch { case _: IOException => () }
+      }, "loopback-walsender-ack-reader")
+      reader.setDaemon(true)
+      reader.start()
+
+      if (keepaliveAfter(0))
+        WalWire.write(out, 'd',
+          Transport.encodeKeepalive(start, nowMicros, shouldRespond = true))
+
+      var sent = 0
+      val pending = log.filter(_._1 > start)
+      for ((lsn, frames) <- pending) {
+        frames.foreach { f =>
+          WalWire.write(out, 'd', Transport.encodeXLogData(lsn, lsn, nowMicros, f))
+        }
+        sent += 1
+        if (keepaliveAfter(sent))
+          WalWire.write(out, 'd',
+            Transport.encodeKeepalive(lsn, nowMicros, shouldRespond = true))
+        if (drop.contains(sent)) { drop = None; sock.close(); return }
+      }
+
+      // final keepalive, then hold the connection until the tail ack
+      // lands (flushed = lastLsn + 1) or a bounded wait elapses
+      val lastLsn = if (pending.isEmpty) start else pending.last._1
+      WalWire.write(out, 'd',
+        Transport.encodeKeepalive(lastLsn, nowMicros, shouldRespond = true))
+      val deadline = System.currentTimeMillis() + 5000
+      while (Lsn.compare(confirmed, lastLsn) <= 0 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+    } finally sock.close()
+  }
+}
+
+/** The client half of the reference's runtime loop
+  * (`logical-replication-service.ts:126-185`), over a real socket:
+  * connect, issue the plugin's START_REPLICATION from the confirmed
+  * position, demux CopyData into XLogData / keepalive
+  * ([[Transport.demux]], `:146-174`), group frames into transactions
+  * by walStart, append each to the cdc-replay frame log *durably
+  * before acking* (the at-least-once contract: an ack claims
+  * delivery, so the log write precedes it), auto-ack per transaction
+  * (`acknowledge.auto`, `:186-191`), and reply immediately to
+  * shouldRespond keepalives with the last seen LSN (`:165-173` — the
+  * reference overwrites `_lastLsn` with keepalive LSNs too, so the
+  * reply position advances even between transactions).
+  *
+  * The delivered log feeds [[graft.streaming.ReplicationSession]] /
+  * the cdc-replay source: socket ingest and Spark consumption are
+  * decoupled exactly as a production deployment would shard them.
+  */
+final class WalSocketClient(
+    host: String, port: Int,
+    format: CdcFormat, slotName: String,
+    logDir: String, shard: Int) {
+
+  final case class RunResult(
+      txs: Seq[(Long, Seq[Array[Byte]])],
+      heartbeats: Int,
+      acksSent: Int)
+
+  private def nowMicros: Long = System.currentTimeMillis() * 1000L
+
+  /** Connect and consume until the server closes; returns what was
+    * delivered this session. Resume position: the log dir's acked
+    * sidecar (the reference's default of continuing from the
+    * server-confirmed position). */
+  def run(): RunResult = {
+    val resume = graft.streaming.CdcReplaySource.lastAckedLsn(logDir)
+      .getOrElse(0L)
+    val sock = new Socket(host, port)
+    sock.setSoTimeout(30000)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = sock.getOutputStream
+    val logFile = new java.io.File(logDir, s"part-$shard.jsonl")
+    logFile.getParentFile.mkdirs()
+    val logOut = new java.io.PrintWriter(
+      new java.io.FileWriter(logFile, /* append = */ true))
+
+    val delivered = ArrayBuffer.empty[(Long, Seq[Array[Byte]])]
+    var heartbeats = 0
+    var acks = 0
+    var lastLsn = resume
+    var curLsn = -1L
+    var curFrames = ArrayBuffer.empty[Array[Byte]]
+
+    def sendStatus(lsn: Long): Unit = {
+      try {
+        WalWire.write(out, 'd', Transport.standbyStatus(lsn, nowMicros))
+        acks += 1
+      } catch { case _: IOException => () } // server already gone: the
+      // unacked tail replays next session (at-least-once)
+    }
+
+    // durable-then-ack: append the tx line, fsync-equivalent flush,
+    // advance the sidecar, THEN send the standby status
+    def finishTx(): Unit = if (curLsn >= 0) {
+      val frames = curFrames.toSeq
+      val hex = frames.map(f => "\"" + f.map("%02x".format(_)).mkString + "\"")
+      logOut.println(s"""{"lsn":$curLsn,"frames":[${hex.mkString(",")}]}""")
+      logOut.flush()
+      delivered += ((curLsn, frames))
+      graft.streaming.CdcReplaySource.writeAckedLsn(logDir, curLsn)
+      if (Lsn.compare(curLsn, lastLsn) > 0) lastLsn = curLsn
+      sendStatus(curLsn)
+      curLsn = -1L
+      curFrames = ArrayBuffer.empty
+    }
+
+    try {
+      WalWire.write(out, 'Q', new BinaryWriter()
+        .writeString(format.startReplicationSql(slotName, Lsn.format(resume)))
+        .result())
+      val first = WalWire.read(in).getOrElse(
+        throw new IOException("connection closed before CopyBothResponse"))
+      require(first.tag == 'W',
+        s"expected CopyBothResponse, got tag ${first.tag}")
+
+      var msg = WalWire.read(in)
+      while (msg.isDefined) {
+        msg.get match {
+          case WalWire.Msg('d', body) =>
+            Transport.demux(body) match {
+              case Transport.XLogData(walStart, _, _, payload) =>
+                if (walStart != curLsn) finishTx()
+                curLsn = walStart
+                curFrames += payload
+              case Transport.Keepalive(serverLsn, _, shouldRespond) =>
+                finishTx() // a keepalive never splits a transaction
+                heartbeats += 1
+                if (Lsn.compare(serverLsn, lastLsn) > 0) lastLsn = serverLsn
+                if (shouldRespond) sendStatus(lastLsn)
+              case Transport.Unknown(_) => ()
+            }
+          case _ => () // non-CopyData from the server: ignore
+        }
+        msg = WalWire.read(in)
+      }
+      finishTx()
+      RunResult(delivered.toSeq, heartbeats, acks)
+    } finally {
+      logOut.close()
+      sock.close()
+    }
+  }
+}

@@ -103,6 +103,21 @@ object CdcReplaySource {
 
   def ackSidecar(path: String) = new java.io.File(path, "_acked_lsn")
 
+  /** Atomic, MONOTONIC sidecar advance — every ack path (stream
+    * commit, manual acknowledge, re-ack timer, socket client) funnels
+    * here so a stale writer can never regress a newer position. */
+  def writeAckedLsn(path: String, lsn: Long): Unit = synchronized {
+    if (lastAckedLsn(path).forall(_ < lsn)) {
+      val dir = java.nio.file.Paths.get(path)
+      val tmp = java.nio.file.Files.createTempFile(dir, "_acked_lsn", ".tmp")
+      java.nio.file.Files.write(tmp,
+        lsn.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, ackSidecar(path).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   def lastAckedLsn(path: String): Option[Long] = {
     val f = ackSidecar(path)
     if (!f.exists) None
@@ -260,11 +275,8 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
   override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
 
   /** The standby-status analogue: persist the acked LSN (A9/A10). */
-  override def commit(end: Offset): Unit = {
-    val f = CdcReplaySource.ackSidecar(path)
-    val w = new java.io.PrintWriter(f)
-    try w.print(end.asInstanceOf[LsnOffset].lsn.toString) finally w.close()
-  }
+  override def commit(end: Offset): Unit =
+    CdcReplaySource.writeAckedLsn(path, end.asInstanceOf[LsnOffset].lsn)
 
   override def stop(): Unit = ()
 }

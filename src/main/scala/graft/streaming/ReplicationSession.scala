@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -145,19 +142,11 @@ final class ReplicationSession(
     if (!destroyed) { stop(); destroyed = true }
   }
 
-  /** Atomic, MONOTONIC sidecar write: every path into the sidecar
-    * (manual acknowledge, the periodic re-ack timer) re-checks the
-    * current confirmed position under the session lock, so a stale
-    * scheduler tick can never regress past a newer auto-ack from the
-    * source's commit hook (which itself only moves forward). */
-  private def writeAck(lsn: Long): Unit = synchronized {
-    if (CdcReplaySource.lastAckedLsn(logDir).forall(_ < lsn)) {
-      val dir = Paths.get(logDir)
-      val tmp = Files.createTempFile(dir, "_acked_lsn", ".tmp")
-      Files.write(tmp, lsn.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, CdcReplaySource.ackSidecar(logDir).toPath,
-        StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-  }
+  /** Every path into the sidecar (manual acknowledge, the periodic
+    * re-ack timer) funnels through [[CdcReplaySource.writeAckedLsn]] —
+    * atomic and monotonic, so a stale scheduler tick can never regress
+    * past a newer auto-ack from the source's commit hook (which itself
+    * only moves forward). */
+  private def writeAck(lsn: Long): Unit =
+    CdcReplaySource.writeAckedLsn(logDir, lsn)
 }

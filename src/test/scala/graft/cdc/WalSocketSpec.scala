@@ -1,0 +1,142 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcReplaySource, ReplicationSession}
+
+/** The live runtime loop over a REAL socket — the reference's core
+  * path (`logical-replication-service.ts:126-185`) that the replay
+  * source alone cannot exercise: START_REPLICATION handshake,
+  * CopyBoth framing, XLogData delivery, keepalive shouldRespond
+  * replies (`:165-172`), 34-byte standby-status acks on the wire
+  * (`:254-300`, incl. the 32-bit LSN carry `:266-272`), and
+  * resume-after-reconnect from the confirmed position
+  * (`acknowledge.spec.ts:70-75` semantics).
+  */
+class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  private val rel = RelationInfo(901, "public", "wire", "default",
+    Seq(ColumnInfo("id", 1, 20, -1, null, null)))
+
+  private def tx(lsn: Long, i: Int): (Long, Seq[Array[Byte]]) =
+    (lsn, Seq(
+      PgoutputWriter.begin(lsn, 1700000000000000L + i, i.toLong),
+      PgoutputWriter.relation(rel),
+      PgoutputWriter.insert(901, Seq(i.toString)),
+      PgoutputWriter.commit(lsn, lsn + 1, 1700000000000000L + i)))
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-wal-socket-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("socket -> frame log -> ReplicationSession delivers every tx") {
+    val log = (1 to 5).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, keepaliveAfter = Set(3))
+    val dir = tmpDir("walsock")
+    try {
+      val client = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_wire", dir, shard = 0)
+      val r = client.run()
+
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(r.txs.forall { case (lsn, frames) =>
+        frames.map(_.toSeq) == log.find(_._1 == lsn).get._2.map(_.toSeq) })
+      assert(r.heartbeats >= 2) // mid-stream + final
+      // the handshake carried the plugin's exact START_REPLICATION
+      assert(server.startCommands.head ==
+        new PgoutputFormat().startReplicationSql("slot_wire", Lsn.format(0L)))
+      // acks observed on the wire: 34-byte messages, flushed = lsn+1,
+      // written == flushed == applied (the reference fills all three)
+      val sts = server.receivedStatuses
+      assert(sts.nonEmpty)
+      assert(sts.forall(s => s.written == s.flushed && s.flushed == s.applied))
+      assert(server.confirmedFlush == 501L)
+      assert(CdcReplaySource.lastAckedLsn(dir).contains(500L))
+
+      // the delivered log IS a cdc-replay log: subscribe from zero and
+      // count the decoded frame rows (4 frames per tx)
+      val session = new ReplicationSession(spark, dir)
+      val df = session.subscribe(new PgoutputFormat(), "slot_wire",
+        uptoLsn = Some("0/00000000"))
+      val name = s"wal_${System.nanoTime()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir("walsock-ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 5)
+      session.stop()
+    } finally server.close()
+  }
+
+  test("keepalive shouldRespond elicits an immediate standby reply") {
+    // no transactions at all: the only ack the server can receive is
+    // the keepalive reply, at the keepalive's own LSN (the reference
+    // overwrites _lastLsn with keepalive positions too, :173)
+    val server = new LoopbackWalServer(Nil, keepaliveAfter = Set(0))
+    val dir = tmpDir("walsock-ka")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_ka", dir, shard = 0).run()
+      assert(r.txs.isEmpty)
+      assert(r.heartbeats >= 1)
+      assert(r.acksSent >= 1)
+      val sts = server.receivedStatuses
+      assert(sts.nonEmpty)
+      // server started at 0/00000000: keepalive LSN 0, reply flushes 1
+      assert(sts.head.flushed == 1L)
+    } finally server.close()
+  }
+
+  test("ack carries lsn+1 across the 32-bit word boundary on the wire") {
+    val boundary = 0xFFFFFFFFL // X/FFFFFFFF: +1 must roll the high word
+    val server = new LoopbackWalServer(Seq(tx(boundary, 1)))
+    val dir = tmpDir("walsock-carry")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_carry", dir, shard = 0).run()
+      assert(r.txs.map(_._1) == Seq(boundary))
+      assert(server.receivedStatuses.exists(_.flushed == 0x100000000L))
+      assert(server.confirmedFlush == 0x100000000L)
+    } finally server.close()
+  }
+
+  test("reconnect resumes from the acked position without re-delivery") {
+    val log = (1 to 6).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, dropAfterTxs = Some(3))
+    val dir = tmpDir("walsock-resume")
+    try {
+      val r1 = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_rc", dir, shard = 0).run()
+      assert(r1.txs.map(_._1) == Seq(100L, 200L, 300L))
+      assert(CdcReplaySource.lastAckedLsn(dir).contains(300L))
+
+      val r2 = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_rc", dir, shard = 1).run()
+      assert(r2.txs.map(_._1) == Seq(400L, 500L, 600L))
+      // second handshake asked to resume AFTER the confirmed position
+      assert(server.startCommands(1).contains(Lsn.format(300L)))
+
+      // the union is the full log, exactly once, batch-readable
+      val lsns = spark.read.format(CdcReplaySource.FORMAT)
+        .option("path", dir).load()
+        .select("lsn").collect().map(_.getLong(0)).sorted.toSeq
+      assert(lsns == log.map(_._1))
+    } finally server.close()
+  }
+}
