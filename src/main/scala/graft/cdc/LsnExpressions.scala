@@ -137,6 +137,7 @@ object GraftFunctions {
   def unix_to_pg_epoch(c: Column): Column = call_function("unix_to_pg_epoch", c)
   def md5_h32(c: Column): Column = call_function("md5_h32", c)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def pg_array_tokens(c: Column): Column = call_function("pg_array_tokens", c)
 
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
@@ -157,6 +158,7 @@ object GraftFunctions {
     ensure("unix_to_pg_epoch", exprs => UnixToPgEpochExpr(exprs.head))
     ensure("md5_h32", exprs => Md5H32Expr(exprs.head))
     ensure("vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)))
+    ensure("pg_array_tokens", exprs => PgArrayTokensExpr(exprs.head))
   }
 }
 

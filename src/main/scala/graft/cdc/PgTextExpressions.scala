@@ -1,0 +1,87 @@
+package graft.cdc
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** postgres-array text-format tokenizer — the grammar pg-types'
+  * `postgres-array` package parses for every `T[]` column the
+  * reference passes through (`pgoutput-parser.ts:144` defers each
+  * array OID to `types.getTypeParser`, whose default is that parser).
+  * One dimension, the overwhelmingly dominant shape:
+  * `{a,"quoted, with comma",NULL,\"esc}` → tokens with NULL mapped to
+  * null and quotes/backslash escapes resolved. Multidimensional
+  * arrays (nested `{}`) return null — a documented divergence; the
+  * typed layer keeps the raw text for those.
+  */
+object PgTextArray {
+  def tokens(s: UTF8String): ArrayData = {
+    val str = s.toString.trim
+    if (str.length < 2 || str.charAt(0) != '{' || str.last != '}') return null
+    val body = str.substring(1, str.length - 1)
+    if (body.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var quoted = false
+    var wasQuoted = false
+    val n = body.length
+    def flush(): Unit = {
+      val t = sb.toString
+      out += (if (!wasQuoted && t == "NULL") null else UTF8String.fromString(t))
+      sb.setLength(0)
+      wasQuoted = false
+    }
+    while (i < n) {
+      val c = body.charAt(i)
+      if (quoted) c match {
+        case '\\' if i + 1 < n => sb.append(body.charAt(i + 1)); i += 1
+        case '"' => quoted = false
+        case _ => sb.append(c)
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true
+        case ',' => flush()
+        case '{' => return null // multidimensional: unsupported
+        case '\\' if i + 1 < n => sb.append(body.charAt(i + 1)); i += 1
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native `pg_array_tokens(text)` → array<string> (null elements for
+  * SQL NULL, null result for malformed/multidim input). Splitting
+  * stays in generated code via a static call (the Md5H32 pattern);
+  * element casts compose on top with builtin `transform` + `cast`,
+  * which ARE codegen'd — so refining a `bigint[]` column never leaves
+  * whole-stage codegen except for this tokenizer call itself. */
+case class PgArrayTokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"pg_array_tokens needs a string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pg_array_tokens"
+
+  override def nullSafeEval(v: Any): Any =
+    PgTextArray.tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.cdc.PgTextArray.tokens($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

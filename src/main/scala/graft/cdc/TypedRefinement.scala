@@ -16,6 +16,28 @@ import org.apache.spark.sql.types._
   */
 object TypedRefinement {
 
+  /** PG interval's internal shape: (months, days, micros) — the three
+    * independently-stored fields PG itself keeps, so no information
+    * from the text form is lost (a CalendarInterval literal could not
+    * round-trip e.g. "1 mon" vs "30 days"). */
+  val IntervalStruct: StructType = StructType(Seq(
+    StructField("months", IntegerType),
+    StructField("days", IntegerType),
+    StructField("micros", LongType)))
+
+  /** PG point → (x, y), the decoderbufs Point shape
+    * (`pg_logicaldec.proto.ts:35-97`). */
+  val PointStruct: StructType = StructType(Seq(
+    StructField("x", DoubleType),
+    StructField("y", DoubleType)))
+
+  /** array OID → element OID (pg catalog pairs for the common types;
+    * the reference inherits these via pg-types' postgres-array). */
+  val ArrayElemOid: Map[Int, Int] = Map(
+    1000 -> 16, 1005 -> 21, 1007 -> 23, 1016 -> 20, 1021 -> 700,
+    1022 -> 701, 1009 -> 25, 1014 -> 1042, 1015 -> 1043, 1231 -> 1700,
+    1182 -> 1082, 1115 -> 1114, 1185 -> 1184)
+
   /** PG type OID → Spark type (SURVEY §1.2 table). */
   def sparkTypeFor(typeOid: Int): DataType = typeOid match {
     case 16 => BooleanType                    // bool
@@ -28,19 +50,71 @@ object TypedRefinement {
     case 1700 => DecimalType(38, 18)          // numeric (divergence: ref → string)
     case 1114 | 1184 => TimestampType         // timestamp / timestamptz
     case 1082 => DateType                     // date
-    case 17 => StringType                     // bytea stays \x-hex text transport
-    case _ => StringType                      // text/varchar/json/custom
+    case 17 => BinaryType                     // bytea (\x-hex decoded)
+    case 114 | 3802 => VariantType            // json / jsonb
+    case 1186 => IntervalStruct               // interval (months, days, micros)
+    case 600 => PointStruct                   // point "(x,y)"
+    case oid if ArrayElemOid.contains(oid) =>
+      ArrayType(sparkTypeFor(ArrayElemOid(oid)))
+    case _ => StringType                      // text/varchar/custom
+  }
+
+  /** One raw text column → its typed form. Every branch is built-in
+    * (codegen'd) except the pg_array_tokens tokenizer, a native
+    * expression resolved through the function registry — callers of
+    * array refinement must have run [[GraftFunctions.register]] on
+    * the session. */
+  def refine(raw: Column, typeOid: Int): Column = typeOid match {
+    case 1114 | 1184 => to_timestamp(raw)
+    case 17 =>
+      // PG text bytea is hex with a \x prefix
+      unhex(when(raw.startsWith("\\x"), raw.substr(lit(3), length(raw)))
+        .otherwise(raw))
+    case 114 | 3802 => try_parse_json(raw)
+    case 1186 => parseInterval(raw)
+    case 600 =>
+      val pointRe = raw"^\((.+),(.+)\)$$"
+      def coord(i: Int): Column =
+        nullif(regexp_extract(raw, pointRe, i), lit("")).cast("double")
+      struct(coord(1).as("x"), coord(2).as("y"))
+    case oid if ArrayElemOid.contains(oid) =>
+      val elemOid = ArrayElemOid(oid)
+      transform(GraftFunctions.pg_array_tokens(raw),
+        e => refine(e, elemOid))
+    case oid => raw.cast(sparkTypeFor(oid))
+  }
+
+  /** PG "postgres-style" interval text → (months, days, micros):
+    * `-1 years 2 mons 3 days -04:05:06.789` — each unit group is
+    * independently signed, fractional seconds carry to micros
+    * exactly via a decimal (never float) path. */
+  private def parseInterval(raw: Column): Column = {
+    // regexp_extract yields '' on no match — nullify before the cast
+    // (ANSI mode makes ''::int an error, not a null)
+    def grp(re: String, i: Int): Column =
+      nullif(regexp_extract(raw, re, i), lit(""))
+    def unit(re: String): Column = coalesce(grp(re, 1).cast("int"), lit(0))
+    val years = unit(raw"(-?\d+) year")
+    val mons = unit(raw"(-?\d+) mon")
+    val days = unit(raw"(-?\d+) day")
+    val timeRe = raw"([+-]?)(\d+):(\d{2}):(\d{2}(?:\.\d+)?)"
+    val sign = when(grp(timeRe, 1) === "-", lit(-1L)).otherwise(lit(1L))
+    val hh = coalesce(grp(timeRe, 2).cast("long"), lit(0L))
+    val mm = coalesce(grp(timeRe, 3).cast("long"), lit(0L))
+    val ss = coalesce(grp(timeRe, 4).cast("decimal(15,6)"),
+      lit(0).cast("decimal(15,6)"))
+    val micros = sign * ((hh * 3600L + mm * 60L) * 1000000L +
+      (ss * 1000000L).cast("long"))
+    struct(
+      (years * 12 + mons).cast("int").as("months"),
+      days.cast("int").as("days"),
+      micros.cast("long").as("micros"))
   }
 
   /** tuple-map column → typed columns for every relation column. */
   def typedColumns(tuple: Column, rel: RelationInfo): Seq[Column] =
     rel.columns.map { c =>
-      val raw = element_at(tuple, c.name)
-      val typed = sparkTypeFor(c.typeOid) match {
-        case TimestampType => to_timestamp(raw)
-        case dt => raw.cast(dt)
-      }
-      typed.as(c.name)
+      refine(element_at(tuple, c.name), c.typeOid).as(c.name)
     }
 
   /** DataFrame with a `tuple` map column → typed per-table view. */

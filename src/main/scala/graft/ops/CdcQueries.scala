@@ -459,6 +459,88 @@ object CdcQueries {
           sum(GraftFunctions.md5_h32(col("canon"))).cast("long")
             .as("checksum"))
         .orderBy(col("decoder"))
+    },
+
+    QueryDef(
+      "q119_typed_oids",
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CAST(o_orderkey % 100 AS BIGINT) AS qty,
+        |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100
+        |    AS price,
+        |  (o_orderkey % 2 = 0) AS flag,
+        |  o_orderdate AS created,
+        |  o_orderpriority || '|a, b|?' AS tags_joined,
+        |  upper(hex(o_orderpriority)) AS payload_hex,
+        |  CAST(o_orderkey % 5 AS BIGINT) AS dur_months,
+        |  CAST(o_orderkey % 11 AS BIGINT) AS dur_days,
+        |  CAST(((o_orderkey % 24) * 3600 + 30 * 60 + 45) * 1000000
+        |    + 500000 AS BIGINT) AS dur_micros,
+        |  CAST(o_custkey AS DOUBLE) + 0.5 AS pos_x,
+        |  CAST(o_orderkey % 97 AS DOUBLE) + 0.25 AS pos_y,
+        |  CAST(o_orderkey % 7 AS BIGINT) AS js_k,
+        |  o_orderstatus AS js_s
+        |FROM orders ORDER BY id""".stripMargin) { (s, d) =>
+      // Per-OID typed refinement as an oracle query: render every
+      // orders row into the PG *text* forms the wire delivers —
+      // numeric, bool 't'/'f', timestamptz, a text[] literal with a
+      // quoted comma element and a NULL, \x-hex bytea, a
+      // "mons/days/HH:MM:SS.f" interval, a point, jsonb — refine the
+      // tuple map through TypedRefinement (the pg-types analogue,
+      // `pgoutput-parser.ts:144`), and project the typed values back
+      // out. The oracle computes the same values directly from the
+      // base columns, so any parse defect in any OID family breaks
+      // the hash. All refinement is per-row expression work fused
+      // into the scan stage — no shuffle beyond the output sort.
+      GraftFunctions.register(s)
+      val rel = RelationInfo(50002, "public", "typed_orders", "default",
+        Seq(ColumnInfo("id", 1, 20, -1, null, null),
+          ColumnInfo("qty", 0, 21, -1, null, null),
+          ColumnInfo("price", 0, 1700, -1, null, null),
+          ColumnInfo("flag", 0, 16, -1, null, null),
+          ColumnInfo("created", 0, 1184, -1, null, null),
+          ColumnInfo("tags", 0, 1009, -1, null, null),
+          ColumnInfo("payload", 0, 17, -1, null, null),
+          ColumnInfo("dur", 0, 1186, -1, null, null),
+          ColumnInfo("pos", 0, 600, -1, null, null),
+          ColumnInfo("js", 0, 3802, -1, null, null)))
+      val o = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val raw = orders(s, d).select(map(
+        lit("id"), o.cast("string"),
+        lit("qty"), (o % 100).cast("string"),
+        lit("price"), concat((cents / 100).cast("long").cast("string"),
+          lit("."), lpad((cents % 100).cast("string"), 2, "0")),
+        lit("flag"), when(o % 2 === 0, "t").otherwise("f"),
+        lit("created"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss+00"),
+        lit("tags"), concat(lit("{"), col("o_orderpriority"),
+          lit(",\"a, b\",NULL}")),
+        lit("payload"), concat(lit("\\x"), lower(hex(col("o_orderpriority")))),
+        lit("dur"), concat((o % 5).cast("string"), lit(" mons "),
+          (o % 11).cast("string"), lit(" days "),
+          lpad((o % 24).cast("string"), 2, "0"), lit(":30:45.5")),
+        lit("pos"), concat(lit("("), col("o_custkey").cast("string"),
+          lit(".5,"), (o % 97).cast("string"), lit(".25)")),
+        lit("js"), concat(lit("{\"k\":"), (o % 7).cast("string"),
+          lit(",\"s\":\""), col("o_orderstatus"), lit("\"}"))
+      ).as("tuple"))
+      TypedRefinement.typedView(raw, "tuple", rel, keep = Nil)
+        .select(
+          col("id"),
+          col("qty").cast("long").as("qty"),
+          col("price").cast("double").as("price"),
+          col("flag"),
+          col("created"),
+          array_join(col("tags"), "|", "?").as("tags_joined"),
+          upper(hex(col("payload"))).as("payload_hex"),
+          col("dur.months").cast("long").as("dur_months"),
+          col("dur.days").cast("long").as("dur_days"),
+          col("dur.micros").as("dur_micros"),
+          col("pos.x").as("pos_x"),
+          col("pos.y").as("pos_y"),
+          expr("variant_get(js, '$.k', 'long')").as("js_k"),
+          expr("variant_get(js, '$.s', 'string')").as("js_s"))
+        .orderBy(col("id"))
     }
   )
 }
