@@ -1,23 +1,117 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque `binary` payloads with
-  * a typed metadata struct, and a batched per-partition "decode"
-  * stage — the shape a real image/audio pipeline needs on Spark
-  * (schema, partitioning, batch iteration), with the actual codec
-  * STUBBED deterministically because no media libraries exist in this
-  * container. The stub derives the payload from `documents.text`
-  * bytes so the DuckDB oracle can recompute every output.
+/** Multimodal-column operators: media as opaque `binary` payloads with
+  * typed metadata, and a batched per-partition decode stage — the
+  * shape an image/audio pipeline needs on Spark (schema, partitioning,
+  * batch iteration). The codec is REAL: payloads are binary P6 PPM
+  * images (multi-frame, concatenated — the "video" analogue) and the
+  * decode parses headers (magic, comments, dimensions, maxval) and raw
+  * RGB pixels with no library dependency. Payload pixels are a
+  * deterministic function of `doc_id`, so the DuckDB oracle recomputes
+  * every pixel-derived feature closed-form — any parser defect breaks
+  * the hash match.
   *
-  * Scale notes (100 TB): payloads never leave their partition — the
-  * decode is `mapPartitions` over the typed Dataset (one JVM pass,
-  * batch-shaped like `mapInPandas`), metadata-only columns flow to
-  * downstream relational ops, and nothing is collected to the driver.
+  * Scale notes (100 TB): payloads never leave their partition — both
+  * synthesis and decode run inside `mapPartitions`-shaped Dataset
+  * passes (the JVM analogue of `mapInPandas` batches), feature-only
+  * columns flow to downstream relational ops, and nothing is collected
+  * to the driver.
   */
 object Multimodal {
   import Tables._
+
+  /** Minimal real P6 (binary) PPM codec. */
+  object Ppm {
+    val Comment = "# graft synthetic"
+
+    /** Deterministic pixel channels — integer formulas kept simple so
+      * the oracle can restate them in SQL. */
+    @inline def r(x: Int, y: Int, seed: Int): Int = (x * 7 + y * 13 + seed) % 256
+    @inline def g(x: Int, y: Int, seed: Int): Int = (x * 3 + y * 5 + 2 * seed) % 256
+    @inline def b(x: Int, y: Int, seed: Int): Int = (x + y + 3 * seed) % 256
+    /** Integer luminance: weights 2/5/1 of 8 (a BT.601-shaped mix that
+      * stays exact in integer math on both engines). */
+    @inline def lum(r: Int, g: Int, b: Int): Int = (2 * r + 5 * g + b) / 8
+
+    /** One frame: header (with a comment line — decoders must skip
+      * them) + row-major RGB bytes. */
+    def encodeFrame(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val header = s"P6\n$Comment\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val px = new Array[Byte](3 * w * h)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(i) = r(x, y, seed).toByte
+          px(i + 1) = g(x, y, seed).toByte
+          px(i + 2) = b(x, y, seed).toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      header ++ px
+    }
+
+    final case class Frame(width: Int, height: Int, pixelsOffset: Int) {
+      def end: Int = pixelsOffset + 3 * width * height
+      @inline def lumAt(payload: Array[Byte], x: Int, y: Int): Int = {
+        val i = pixelsOffset + 3 * (y * width + x)
+        lum(payload(i) & 0xff, payload(i + 1) & 0xff, payload(i + 2) & 0xff)
+      }
+    }
+
+    /** Parse one frame starting at `off`: P6 magic, whitespace and
+      * `#` comment lines, width/height/maxval, then the single
+      * whitespace byte preceding raw pixel data. */
+    def parseFrame(bytes: Array[Byte], off0: Int): Frame = {
+      var off = off0
+      require(off + 2 <= bytes.length &&
+        bytes(off) == 'P' && bytes(off + 1) == '6',
+        s"not a P6 ppm at offset $off0")
+      off += 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && off < bytes.length) {
+          val c = bytes(off)
+          if (c == '#') while (off < bytes.length && bytes(off) != '\n') off += 1
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') off += 1
+          else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = 0
+        require(off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9',
+          s"expected digit at offset $off")
+        while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
+          v = v * 10 + (bytes(off) - '0')
+          off += 1
+        }
+        v
+      }
+      val w = readInt()
+      val h = readInt()
+      val maxval = readInt()
+      require(maxval == 255, s"unsupported maxval $maxval")
+      off += 1 // exactly one whitespace byte before pixel data
+      require(off + 3 * w * h <= bytes.length, "truncated pixel data")
+      Frame(w, h, off)
+    }
+
+    /** Fit (w, h) into a box×box square, aspect-preserving, integer
+      * nearest-neighbor; degenerate 0 clamped to 1. */
+    def fit(w: Int, h: Int, box: Int): (Int, Int) = {
+      val m = math.max(w, h)
+      if (m <= box) (w, h)
+      else (math.max(1, w * box / m), math.max(1, h * box / m))
+    }
+  }
 
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRecord(
@@ -27,122 +121,181 @@ object Multimodal {
       width: Int,
       height: Int)
 
-  /** Extracted features (decode output). */
+  /** q32 decode output — everything pixel- or header-derived. */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
-      brightness: Long,
-      aspect_millis: Long,
+      width: Long,
+      height: Long,
+      mean_lum: Long,
+      n_bright: Long,
       mime: String)
 
-  /** STUB decode — stands in for an image/audio codec. Deterministic:
-    * "brightness" is the sum of the first 16 payload bytes mod 256;
-    * a real implementation would decode pixels here. */
-  def decodeStub(rec: MediaRecord): MediaFeatures = {
-    val head = rec.payload.take(16)
-    val brightness = head.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256
-    MediaFeatures(
-      doc_id = rec.doc_id,
-      n_bytes = rec.payload.length.toLong,
-      brightness = brightness,
-      aspect_millis = if (rec.height == 0) 0L
-        else rec.width.toLong * 1000L / rec.height,
-      mime = rec.mime)
-  }
-
-  /** documents → media records (payload = utf-8 text bytes, metadata
-    * derived deterministically). */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      lit("text/plain").as("mime"),
-      (col("n_chars") % 640).cast("int").as("width"),
-      ((col("doc_id") * 37) % 480 + 1).cast("int").as("height"))
-
-  /** Resize + frame-sample output (stub codec, real plumbing). */
+  /** q50 frame-sample + resize output. */
   final case class MediaSample(
       doc_id: Long,
       n_frames: Long,
       n_sampled: Long,
-      frame_checksum: Long,
-      new_w: Int,
-      new_h: Int)
+      sampled_lum_sum: Long,
+      new_w: Long,
+      new_h: Long,
+      resize_checksum: Long)
 
-  /** STUB resize/frame-sample — stands in for pixel resampling and
-    * video frame extraction. Frames are 64-byte payload chunks; every
-    * 4th frame is "sampled" and checksummed; resize fits (w, h) into a
-    * 128×128 box preserving aspect ratio with integer arithmetic. */
-  def sampleStub(rec: MediaRecord): MediaSample = {
-    val frameLen = 64
-    val nFrames = (rec.payload.length + frameLen - 1) / frameLen
-    var checksum = 0L
-    var sampled = 0L
-    var f = 0
-    while (f < nFrames) {
-      if (f % 4 == 0) {
-        sampled += 1
-        var i = f * frameLen
-        val end = math.min(i + frameLen, rec.payload.length)
-        while (i < end) { checksum += (rec.payload(i) & 0xff); i += 1 }
-      }
-      f += 4
+  /** documents → media records: a (doc_id % 3 + 1)-frame P6 "video",
+    * frame f seeded with (doc_id*31 + f*17) % 256, dimensions
+    * (doc_id % 16 + 1) × (doc_id % 12 + 1). Synthesis is executor-side
+    * and partition-local. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id % 12 + 1).toInt
+      val k = (id % 3 + 1).toInt
+      val payload = (0 until k).iterator
+        .map(f => Ppm.encodeFrame(w, h, ((id * 31 + f * 17) % 256).toInt))
+        .reduce(_ ++ _)
+      MediaRecord(id, payload, "image/x-portable-pixmap", w, h)
     }
-    val m = math.max(rec.width, rec.height)
-    val (nw, nh) =
-      if (m <= 128) (rec.width, rec.height)
-      else (rec.width * 128 / m, rec.height * 128 / m)
-    MediaSample(rec.doc_id, nFrames.toLong, sampled, checksum, nw, nh)
   }
+
+  /** REAL decode of the first frame: parse the header (dimensions come
+    * from the bytes, not the metadata), walk the RGB triples, compute
+    * integer mean luminance and the bright-pixel count. */
+  def decode(rec: MediaRecord): MediaFeatures = {
+    val frame = Ppm.parseFrame(rec.payload, 0)
+    var lumSum = 0L
+    var nBright = 0L
+    var i = frame.pixelsOffset
+    val end = frame.end
+    while (i < end) {
+      val l = Ppm.lum(rec.payload(i) & 0xff, rec.payload(i + 1) & 0xff,
+        rec.payload(i + 2) & 0xff)
+      lumSum += l
+      if (l >= 128) nBright += 1
+      i += 3
+    }
+    val nPixels = frame.width.toLong * frame.height
+    MediaFeatures(rec.doc_id, rec.payload.length.toLong,
+      frame.width.toLong, frame.height.toLong,
+      lumSum / nPixels, nBright, rec.mime)
+  }
+
+  /** REAL frame scan + sample + resize: frames are discovered by
+    * sequential header parsing (n_frames is not metadata), every 2nd
+    * frame is decoded and luminance-summed, and frame 0 is resized
+    * into an 8×8 box by integer nearest-neighbor with a checksum over
+    * the resampled luminances. */
+  def sample(rec: MediaRecord): MediaSample = {
+    var off = 0
+    var nFrames = 0L
+    var nSampled = 0L
+    var lumSum = 0L
+    var frame0: Ppm.Frame = null
+    while (off < rec.payload.length) {
+      val fr = Ppm.parseFrame(rec.payload, off)
+      if (nFrames == 0) frame0 = fr
+      if (nFrames % 2 == 0) {
+        nSampled += 1
+        var y = 0
+        while (y < fr.height) {
+          var x = 0
+          while (x < fr.width) {
+            lumSum += fr.lumAt(rec.payload, x, y)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      off = fr.end
+      nFrames += 1
+    }
+    val (nw, nh) = Ppm.fit(frame0.width, frame0.height, 8)
+    var checksum = 0L
+    var i = 0
+    while (i < nh) {
+      var j = 0
+      while (j < nw) {
+        val sx = j * frame0.width / nw
+        val sy = i * frame0.height / nh
+        checksum += frame0.lumAt(rec.payload, sx, sy)
+        j += 1
+      }
+      i += 1
+    }
+    MediaSample(rec.doc_id, nFrames, nSampled, lumSum,
+      nw.toLong, nh.toLong, checksum)
+  }
+
+  // ---- oracle SQL building blocks (closed-form restatements of the
+  // synthesized pixels; `//` keeps everything integer) ----
+  private val dimsSql =
+    """SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h,
+      |    doc_id % 3 + 1 AS k FROM documents""".stripMargin
+  private def lumSql(seed: String): String =
+    s"(2*((x*7 + y*13 + $seed) % 256) + 5*((x*3 + y*5 + 2*($seed)) % 256)" +
+      s" + ((x + y + 3*($seed)) % 256)) // 8"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
-      "q50_multimodal_frame_sample",
-      """SELECT doc_id,
-        |  (octet_length(encode(text)) + 63) // 64 AS n_frames,
-        |  ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> CASE WHEN ((i - 1) // 64) % 4 = 0
-        |              THEN unicode(substr(text, i, 1)) ELSE 0 END))
-        |    AS BIGINT) AS frame_checksum,
-        |  CASE WHEN greatest(n_chars % 640, (doc_id * 37) % 480 + 1) <= 128
-        |       THEN n_chars % 640
-        |       ELSE (n_chars % 640) * 128
-        |            // greatest(n_chars % 640, (doc_id * 37) % 480 + 1)
-        |       END AS new_w,
-        |  CASE WHEN greatest(n_chars % 640, (doc_id * 37) % 480 + 1) <= 128
-        |       THEN (doc_id * 37) % 480 + 1
-        |       ELSE ((doc_id * 37) % 480 + 1) * 128
-        |            // greatest(n_chars % 640, (doc_id * 37) % 480 + 1)
-        |       END AS new_h
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = mediaTable(s, d).as[MediaRecord]
-      media.mapPartitions(_.map(sampleStub))
+      "q32_multimodal_decode",
+      s"""WITH d AS ($dimsSql),
+         |px AS (SELECT doc_id, ${lumSql("(doc_id * 31) % 256")} AS lum
+         |  FROM d, UNNEST(range(0, h)) t(y), UNNEST(range(0, w)) u(x)),
+         |st AS (SELECT doc_id, count(*) AS n_px, sum(lum) AS lum_sum,
+         |    sum(CASE WHEN lum >= 128 THEN 1 ELSE 0 END) AS n_bright
+         |  FROM px GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(k * (3 + 18 + length(CAST(w AS VARCHAR)) + 1
+         |    + length(CAST(h AS VARCHAR)) + 1 + 4 + 3*w*h) AS BIGINT)
+         |    AS n_bytes,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(lum_sum // n_px AS BIGINT) AS mean_lum,
+         |  CAST(n_bright AS BIGINT) AS n_bright,
+         |  'image/x-portable-pixmap' AS mime
+         |FROM d JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      // batched per-partition decode: payload bytes never move; the
+      // oracle's n_bytes term is the exact P6 header length (magic 3 +
+      // comment 18 + dims + maxval 4) so a synthesis/parse drift in
+      // either header or pixels breaks the match
+      mediaTable(s, d).map(decode)(
+        org.apache.spark.sql.Encoders.product[MediaFeatures])
         .toDF()
-        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
-          col("frame_checksum"), col("new_w").cast("long").as("new_w"),
-          col("new_h").cast("long").as("new_h"))
         .orderBy(col("doc_id"))
     },
 
     QueryDef(
-      "q32_multimodal_decode",
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(
-        |    range(1, least(17, length(text) + 1)),
-        |    i -> unicode(substr(text, i, 1)))) % 256 AS BIGINT) AS brightness,
-        |  (n_chars % 640) * 1000 // ((doc_id * 37) % 480 + 1) AS aspect_millis,
-        |  'text/plain' AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val media = mediaTable(s, d).as[MediaRecord]
-      // batched per-partition decode: the payload bytes never move
-      media.mapPartitions(_.map(decodeStub))
+      "q50_multimodal_frame_sample",
+      s"""WITH d AS ($dimsSql),
+         |dim AS (SELECT doc_id, w, h, k, greatest(w, h) AS m FROM d),
+         |rs AS (SELECT doc_id, w, h, k,
+         |    CASE WHEN m <= 8 THEN w ELSE greatest(1, w * 8 // m) END AS nw,
+         |    CASE WHEN m <= 8 THEN h ELSE greatest(1, h * 8 // m) END AS nh
+         |  FROM dim),
+         |samp AS (SELECT doc_id, sum(lum) AS lum_sum FROM (
+         |    SELECT rs.doc_id, ${lumSql("(doc_id * 31 + f * 17) % 256")} AS lum
+         |    FROM rs, UNNEST(range(0, k)) fr(f),
+         |      UNNEST(range(0, h)) t(y), UNNEST(range(0, w)) u(x)
+         |    WHERE f % 2 = 0) GROUP BY doc_id),
+         |rz AS (SELECT doc_id, sum(lum) AS cks FROM (
+         |    SELECT doc_id, ${lumSql("(doc_id * 31) % 256")} AS lum
+         |    FROM (SELECT doc_id, j * w // nw AS x, i * h // nh AS y
+         |      FROM rs, UNNEST(range(0, nh)) t(i), UNNEST(range(0, nw)) u(j))
+         |  ) GROUP BY doc_id)
+         |SELECT rs.doc_id, CAST(k AS BIGINT) AS n_frames,
+         |  CAST((k + 1) // 2 AS BIGINT) AS n_sampled,
+         |  CAST(samp.lum_sum AS BIGINT) AS sampled_lum_sum,
+         |  CAST(nw AS BIGINT) AS new_w, CAST(nh AS BIGINT) AS new_h,
+         |  CAST(rz.cks AS BIGINT) AS resize_checksum
+         |FROM rs JOIN samp ON rs.doc_id = samp.doc_id
+         |JOIN rz ON rs.doc_id = rz.doc_id
+         |ORDER BY rs.doc_id""".stripMargin) { (s, d) =>
+      // frame discovery is a real sequential header scan; sampling
+      // decodes every 2nd frame; resize is integer nearest-neighbor
+      // over frame 0 — all reproduced closed-form by the oracle
+      mediaTable(s, d).map(sample)(
+        org.apache.spark.sql.Encoders.product[MediaSample])
         .toDF()
-        .select(col("doc_id"), col("n_bytes"), col("brightness"),
-          col("aspect_millis"), col("mime"))
         .orderBy(col("doc_id"))
     }
   )
