@@ -267,6 +267,93 @@ object Events {
     },
 
     QueryDef(
+      "q120_scd2_history",
+      s"""WITH c AS (SELECT user_id, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c,
+         |    CASE event_type WHEN 'signup' THEN 'insert'
+         |      WHEN 'error' THEN 'delete' ELSE 'update' END AS op
+         |  FROM events),
+         |v AS (SELECT user_id, op, value_c,
+         |    event_id AS valid_from,
+         |    lead(event_id) OVER (PARTITION BY user_id
+         |                         ORDER BY event_id) AS valid_to
+         |  FROM c)
+         |SELECT user_id, valid_from, valid_to, op, value_c,
+         |  (valid_to IS NULL AND op <> 'delete') AS is_current
+         |FROM v WHERE op <> 'delete'
+         |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+      // SCD2 (type-2 slowly-changing-dimension) history — the
+      // materialization every warehouse consumer of logical
+      // replication builds from the change stream: each
+      // insert/update opens a version valid [its LSN, next change's
+      // LSN); a delete closes the prior version without opening one;
+      // the open-ended surviving version is flagged current. One
+      // window per key partition (PlanGuard-safe, no global sort) —
+      // at 100 TB this is a single shuffle on the key followed by a
+      // per-key ordered scan, the same cost class as the snapshot
+      // (q16) it generalizes: q16 is exactly this table filtered to
+      // is_current.
+      val versions = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("value_c"), opCol.as("op"))
+        .select(col("user_id"), col("op"), col("value_c"),
+          col("event_id").as("valid_from"),
+          lead(col("event_id"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("event_id"))).as("valid_to"))
+      versions.filter(col("op") =!= "delete")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("op"), col("value_c"),
+          (col("valid_to").isNull && col("op") =!= "delete").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
+    QueryDef(
+      "q121_changelog_compaction",
+      s"""WITH c AS (SELECT user_id, event_id,
+         |    ($tsSecSql // 3600) * 3600 AS hour_sec,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c,
+         |    CASE event_type WHEN 'signup' THEN 'insert'
+         |      WHEN 'error' THEN 'delete' ELSE 'update' END AS op
+         |  FROM events)
+         |SELECT user_id, hour_sec, count(*) AS n_ops,
+         |  CASE WHEN arg_min(op, event_id) = 'insert'
+         |         AND arg_max(op, event_id) = 'delete' THEN 'noop'
+         |    WHEN arg_min(op, event_id) = 'insert' THEN 'insert'
+         |    WHEN arg_max(op, event_id) = 'delete' THEN 'delete'
+         |    ELSE 'update' END AS net_op,
+         |  arg_max(value_c, event_id) AS last_value_c
+         |FROM c GROUP BY user_id, hour_sec
+         |ORDER BY user_id, hour_sec""".stripMargin) { (s, d) =>
+      // Changelog compaction — collapse each key's burst of changes
+      // per hour bucket into its NET effect (the pre-merge pass that
+      // turns an at-least-once firehose into one upsert per key per
+      // window; Kafka log-compaction semantics with a time fence).
+      // insert…delete telescopes to noop, insert…update to insert,
+      // update…delete to delete, else update. ONE keyed partial+final
+      // aggregation via min_by/max_by — no window, no per-key sort;
+      // at 100 TB the shuffle carries one row per (key, hour) per
+      // map partition, and the merge sink applies n_ops-times fewer
+      // writes.
+      val hourSec = (col("ts_sec") / 3600).cast("long") * 3600
+      events(s, d)
+        .select(col("user_id"), col("event_id"), hourSec.as("hour_sec"),
+          round(col("value") * 100).cast("long").as("value_c"), opCol.as("op"))
+        .groupBy(col("user_id"), col("hour_sec"))
+        .agg(count(lit(1)).as("n_ops"),
+          min_by(col("op"), col("event_id")).as("first_op"),
+          max_by(col("op"), col("event_id")).as("last_op"),
+          max_by(col("value_c"), col("event_id")).as("last_value_c"))
+        .select(col("user_id"), col("hour_sec"), col("n_ops"),
+          when(col("first_op") === "insert" && col("last_op") === "delete",
+            "noop")
+            .when(col("first_op") === "insert", "insert")
+            .when(col("last_op") === "delete", "delete")
+            .otherwise("update").as("net_op"),
+          col("last_value_c"))
+        .orderBy(col("user_id"), col("hour_sec"))
+    },
+
+    QueryDef(
       "q17_hourly_event_counts",
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS value_sum
