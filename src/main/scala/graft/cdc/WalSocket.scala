@@ -17,11 +17,12 @@ import scala.collection.mutable.ArrayBuffer
 object WalWire {
   final case class Msg(tag: Byte, body: Array[Byte])
 
-  def write(out: OutputStream, tag: Int, body: Array[Byte]): Unit = {
+  /** Does NOT flush — callers control batching (flush after the
+    * handshake, after keepalives, and with each covering ack; the
+    * in-between stream rides the buffer for throughput). */
+  def write(out: OutputStream, tag: Int, body: Array[Byte]): Unit =
     out.write(new BinaryWriter().writeUint8(tag).writeInt32(body.length + 4)
       .writeBytes(body).result())
-    out.flush()
-  }
 
   /** None on orderly EOF (peer closed between messages). */
   def read(in: DataInputStream): Option[Msg] = {
@@ -91,7 +92,7 @@ final class LoopbackWalServer(
 
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = sock.getOutputStream
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     try {
       // simple-query START_REPLICATION, as the reference's plugin.start
       // issues through the pg client (`pgoutput-plugin.ts:31`)
@@ -105,6 +106,7 @@ final class LoopbackWalServer(
       // CopyBothResponse: overall format 0, no columns
       WalWire.write(out, 'W',
         new BinaryWriter().writeUint8(0).writeInt16(0).result())
+      out.flush()
 
       // acks arrive concurrently with the outbound stream
       val reader = new Thread(() => {
@@ -125,9 +127,11 @@ final class LoopbackWalServer(
       reader.setDaemon(true)
       reader.start()
 
-      if (keepaliveAfter(0))
+      if (keepaliveAfter(0)) {
         WalWire.write(out, 'd',
           Transport.encodeKeepalive(start, nowMicros, shouldRespond = true))
+        out.flush()
+      }
 
       var sent = 0
       val pending = log.filter(_._1 > start)
@@ -136,10 +140,14 @@ final class LoopbackWalServer(
           WalWire.write(out, 'd', Transport.encodeXLogData(lsn, lsn, nowMicros, f))
         }
         sent += 1
-        if (keepaliveAfter(sent))
+        if (keepaliveAfter(sent)) {
           WalWire.write(out, 'd',
             Transport.encodeKeepalive(lsn, nowMicros, shouldRespond = true))
-        if (drop.contains(sent)) { drop = None; sock.close(); return }
+          out.flush()
+        }
+        // a drop flushes first: the cut lands between messages, the
+        // client sees a clean EOF with exactly `sent` transactions
+        if (drop.contains(sent)) { drop = None; out.flush(); sock.close(); return }
       }
 
       // final keepalive, then hold the connection until the tail ack
@@ -147,6 +155,7 @@ final class LoopbackWalServer(
       val lastLsn = if (pending.isEmpty) start else pending.last._1
       WalWire.write(out, 'd',
         Transport.encodeKeepalive(lastLsn, nowMicros, shouldRespond = true))
+      out.flush()
       val deadline = System.currentTimeMillis() + 5000
       while (Lsn.compare(confirmed, lastLsn) <= 0 &&
           System.currentTimeMillis() < deadline)
@@ -175,7 +184,13 @@ final class LoopbackWalServer(
 final class WalSocketClient(
     host: String, port: Int,
     format: CdcFormat, slotName: String,
-    logDir: String, shard: Int) {
+    logDir: String, shard: Int,
+    /** Ack (and advance the durable sidecar) every N delivered
+      * transactions rather than each one — the standard at-least-once
+      * batching: the log is flushed BEFORE the covering ack, so a
+      * crash replays at most N transactions. Keepalive replies and
+      * stream end always flush+ack pending work immediately. */
+    ackEveryTxs: Int = 1) {
 
   final case class RunResult(
       txs: Seq[(Long, Seq[Array[Byte]])],
@@ -194,11 +209,11 @@ final class WalSocketClient(
     val sock = new Socket(host, port)
     sock.setSoTimeout(30000)
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = sock.getOutputStream
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     val logFile = new java.io.File(logDir, s"part-$shard.jsonl")
     logFile.getParentFile.mkdirs()
-    val logOut = new java.io.PrintWriter(
-      new java.io.FileWriter(logFile, /* append = */ true))
+    val logOut = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(logFile, /* append = */ true), 1 << 16))
 
     val delivered = ArrayBuffer.empty[(Long, Seq[Array[Byte]])]
     var heartbeats = 0
@@ -210,22 +225,30 @@ final class WalSocketClient(
     def sendStatus(lsn: Long): Unit = {
       try {
         WalWire.write(out, 'd', Transport.standbyStatus(lsn, nowMicros))
+        out.flush()
         acks += 1
       } catch { case _: IOException => () } // server already gone: the
       // unacked tail replays next session (at-least-once)
     }
 
-    // durable-then-ack: append the tx line, fsync-equivalent flush,
-    // advance the sidecar, THEN send the standby status
+    // durable-then-ack: flush the appended tx lines, advance the
+    // sidecar, THEN send the covering standby status
+    var sinceAck = 0
+    def flushAndAck(lsn: Long): Unit = {
+      logOut.flush()
+      graft.streaming.CdcReplaySource.writeAckedLsn(logDir, lsn)
+      sendStatus(lsn)
+      sinceAck = 0
+    }
     def finishTx(): Unit = if (curLsn >= 0) {
       val frames = curFrames.toSeq
-      val hex = frames.map(f => "\"" + f.map("%02x".format(_)).mkString + "\"")
+      val hex = frames.map(f =>
+        "\"" + graft.streaming.CdcReplaySource.hex(f) + "\"")
       logOut.println(s"""{"lsn":$curLsn,"frames":[${hex.mkString(",")}]}""")
-      logOut.flush()
       delivered += ((curLsn, frames))
-      graft.streaming.CdcReplaySource.writeAckedLsn(logDir, curLsn)
       if (Lsn.compare(curLsn, lastLsn) > 0) lastLsn = curLsn
-      sendStatus(curLsn)
+      sinceAck += 1
+      if (sinceAck >= ackEveryTxs) flushAndAck(curLsn)
       curLsn = -1L
       curFrames = ArrayBuffer.empty
     }
@@ -234,32 +257,45 @@ final class WalSocketClient(
       WalWire.write(out, 'Q', new BinaryWriter()
         .writeString(format.startReplicationSql(slotName, Lsn.format(resume)))
         .result())
+      out.flush()
       val first = WalWire.read(in).getOrElse(
         throw new IOException("connection closed before CopyBothResponse"))
       require(first.tag == 'W',
         s"expected CopyBothResponse, got tag ${first.tag}")
 
-      var msg = WalWire.read(in)
-      while (msg.isDefined) {
-        msg.get match {
-          case WalWire.Msg('d', body) =>
-            Transport.demux(body) match {
-              case Transport.XLogData(walStart, _, _, payload) =>
-                if (walStart != curLsn) finishTx()
-                curLsn = walStart
-                curFrames += payload
-              case Transport.Keepalive(serverLsn, _, shouldRespond) =>
-                finishTx() // a keepalive never splits a transaction
-                heartbeats += 1
-                if (Lsn.compare(serverLsn, lastLsn) > 0) lastLsn = serverLsn
-                if (shouldRespond) sendStatus(lastLsn)
-              case Transport.Unknown(_) => ()
-            }
-          case _ => () // non-CopyData from the server: ignore
+      try {
+        var msg = WalWire.read(in)
+        while (msg.isDefined) {
+          msg.get match {
+            case WalWire.Msg('d', body) =>
+              Transport.demux(body) match {
+                case Transport.XLogData(walStart, _, _, payload) =>
+                  if (walStart != curLsn) finishTx()
+                  curLsn = walStart
+                  curFrames += payload
+                case Transport.Keepalive(serverLsn, _, shouldRespond) =>
+                  finishTx() // a keepalive never splits a transaction
+                  heartbeats += 1
+                  if (Lsn.compare(serverLsn, lastLsn) > 0) lastLsn = serverLsn
+                  if (shouldRespond) flushAndAck(lastLsn)
+                case Transport.Unknown(_) => ()
+              }
+            case _ => () // non-CopyData from the server: ignore
+          }
+          msg = WalWire.read(in)
         }
-        msg = WalWire.read(in)
+        // clean EOF: the stream ended on a message boundary, so the
+        // in-flight transaction is complete
+        finishTx()
+      } catch {
+        case _: IOException =>
+          // abrupt cut mid-message: the partial transaction is NOT
+          // delivered — never logged, never acked; it replays next
+          // session from the confirmed position
+          curLsn = -1L
+          curFrames = ArrayBuffer.empty
       }
-      finishTx()
+      if (sinceAck > 0) flushAndAck(lastLsn)
       RunResult(delivered.toSeq, heartbeats, acks)
     } finally {
       logOut.close()

@@ -45,6 +45,23 @@ object CdcReplaySource {
   def writeLog(path: String, rows: Seq[(Long, Seq[Array[Byte]])]): Unit =
     writeLogShard(path, 0, rows)
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Fast lowercase hex — the frame-log append is the live client's
+    * hot path; per-byte String.format costs ~1 µs/byte and dominates
+    * socket throughput. */
+  def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(i * 2) = HexChars(v >> 4)
+      out(i * 2 + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Writes one shard of a frame log; a shard ≈ one slot/publication
     * (replay parallelism = shard count, intra-shard LSN order). */
   def writeLogShard(path: String, shard: Int,
@@ -53,8 +70,8 @@ object CdcReplaySource {
     dir.mkdirs()
     val w = new java.io.PrintWriter(new java.io.File(dir, s"part-$shard.jsonl"))
     try rows.sortBy(_._1).foreach { case (lsn, frames) =>
-      val hex = frames.map(f => "\"" + f.map("%02x".format(_)).mkString + "\"")
-      w.println(s"""{"lsn":$lsn,"frames":[${hex.mkString(",")}]}""")
+      val hexed = frames.map(f => "\"" + hex(f) + "\"")
+      w.println(s"""{"lsn":$lsn,"frames":[${hexed.mkString(",")}]}""")
     } finally w.close()
   }
 

@@ -77,4 +77,29 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"expected ONE lineitem scan in:\n$p")
   }
+
+  test("q120: SCD2 versioning windows per key, one key shuffle") {
+    val p = plan("q120_scd2_history")
+    assert(p.contains("Window ") && p.contains("lead("),
+      s"expected a lead window in:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one key shuffle in:\n$p")
+  }
+
+  test("q121: compaction is one partial+final keyed aggregation, no window") {
+    val p = plan("q121_changelog_compaction")
+    assert(!p.contains("Window "), s"compaction must not window:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_max_by"),
+      s"expected map-side partial min_by/max_by in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one key shuffle in:\n$p")
+  }
+
+  test("q119: typed refinement fuses into the scan stage (no extra shuffle)") {
+    val p = plan("q119_typed_oids")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"refinement must be per-row map work, no key shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected ONE orders scan in:\n$p")
+  }
 }
