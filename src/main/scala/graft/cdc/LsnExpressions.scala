@@ -122,6 +122,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => Md5H32Expr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("pg_array_tokens"),
+      info("pg_array_tokens"),
+      (exprs: Seq[Expression]) => PgArrayTokensExpr(exprs.head)))
   }
 }
 

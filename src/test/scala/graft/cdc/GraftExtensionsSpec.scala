@@ -39,7 +39,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       lsn_plus_one(4294967295) AS p,
         |       pg_epoch_to_unix(0) AS u,
         |       unix_to_pg_epoch(946684800000000) AS z,
-        |       vec_dot(array(2.0, 3.0), array(4.0, 5.0)) AS d""".stripMargin)
+        |       vec_dot(array(2.0, 3.0), array(4.0, 5.0)) AS d,
+        |       pg_array_tokens('{a,"b c",NULL}') AS arr""".stripMargin)
       .collect().head
     assert(row.getAs[String]("s") == "00000001/00000000")
     assert(row.getAs[Long]("l") == 4294967296L)
@@ -47,5 +48,6 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("u") == PgEpoch.OffsetMicros)
     assert(row.getAs[Long]("z") == 0L)
     assert(row.getAs[Double]("d") == 23.0)
+    assert(row.getSeq[String](row.fieldIndex("arr")) == Seq("a", "b c", null))
   }
 }
