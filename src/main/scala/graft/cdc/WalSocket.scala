@@ -54,11 +54,15 @@ object WalWire {
   * @param dropAfterTxs   close the connection after this many txs —
   *                       once, for reconnect tests; subsequent
   *                       connections stream to completion
+  * @param holdOpenMillis keep the connection open this long after the
+  *                       stream ends (quiet wire — lets tests observe
+  *                       the client's periodic re-ack timer)
   */
 final class LoopbackWalServer(
     log: Seq[(Long, Seq[Array[Byte]])],
     keepaliveAfter: Set[Int] = Set.empty,
-    dropAfterTxs: Option[Int] = None) {
+    dropAfterTxs: Option[Int] = None,
+    holdOpenMillis: Long = 0L) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -160,6 +164,7 @@ final class LoopbackWalServer(
       while (Lsn.compare(confirmed, lastLsn) <= 0 &&
           System.currentTimeMillis() < deadline)
         Thread.sleep(5)
+      if (holdOpenMillis > 0) Thread.sleep(holdOpenMillis)
     } finally sock.close()
   }
 }
@@ -190,7 +195,12 @@ final class WalSocketClient(
       * batching: the log is flushed BEFORE the covering ack, so a
       * crash replays at most N transactions. Keepalive replies and
       * stream end always flush+ack pending work immediately. */
-    ackEveryTxs: Int = 1) {
+    ackEveryTxs: Int = 1,
+    /** Re-ack the confirmed position when no standby status has been
+      * sent for this long — the reference's `checkStandbyStatus` 1 s
+      * timer (`logical-replication-service.ts:231-248`,
+      * `acknowledge.timeoutSeconds` default 10). 0 disables. */
+    ackTimeoutSeconds: Int = 0) {
 
   final case class RunResult(
       txs: Seq[(Long, Seq[Array[Byte]])],
@@ -222,7 +232,9 @@ final class WalSocketClient(
     var curLsn = -1L
     var curFrames = ArrayBuffer.empty[Array[Byte]]
 
-    def sendStatus(lsn: Long): Unit = {
+    // socket writes can come from the read loop AND the re-ack timer
+    val writeLock = new Object
+    def sendStatus(lsn: Long): Unit = writeLock.synchronized {
       try {
         WalWire.write(out, 'd', Transport.standbyStatus(lsn, nowMicros))
         out.flush()
@@ -230,6 +242,23 @@ final class WalSocketClient(
       } catch { case _: IOException => () } // server already gone: the
       // unacked tail replays next session (at-least-once)
     }
+    // A11 in the live loop: the AckScheduler re-sends the confirmed
+    // position when the wire has been quiet past the timeout — the
+    // liveness signal a walsender uses to not kill the slot
+    val scheduler = new AckScheduler(math.max(ackTimeoutSeconds, 1),
+      send = lsn => sendStatus(lsn))
+    @volatile var closed = false
+    val ackTimer: Option[Thread] =
+      if (ackTimeoutSeconds <= 0) None
+      else Some {
+        val t = new Thread(() => {
+          try while (!closed) { Thread.sleep(200); scheduler.tick() }
+          catch { case _: InterruptedException => () }
+        }, "wal-socket-ack-timer")
+        t.setDaemon(true)
+        t.start()
+        t
+      }
 
     // durable-then-ack: flush the appended tx lines, advance the
     // sidecar, THEN send the covering standby status
@@ -237,7 +266,11 @@ final class WalSocketClient(
     def flushAndAck(lsn: Long): Unit = {
       logOut.flush()
       graft.streaming.CdcReplaySource.writeAckedLsn(logDir, lsn)
-      sendStatus(lsn)
+      scheduler.delivered(lsn)
+      // position 0 is the scheduler's InvalidLsn sentinel — a
+      // keepalive reply at the stream origin still goes on the wire
+      if (lsn != Lsn.InvalidLsn) scheduler.ack() // send + reset timer
+      else sendStatus(lsn)
       sinceAck = 0
     }
     def finishTx(): Unit = if (curLsn >= 0) {
@@ -298,6 +331,8 @@ final class WalSocketClient(
       if (sinceAck > 0) flushAndAck(lastLsn)
       RunResult(delivered.toSeq, heartbeats, acks)
     } finally {
+      closed = true
+      ackTimer.foreach(_.interrupt())
       logOut.close()
       sock.close()
     }
