@@ -48,6 +48,39 @@ object Vectors {
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
+  /** Shared oracle CTE chain mirroring [[kmeansAssignments]]: the
+    * shifted integer grid `e(vec_id, q)` through two exact-integer
+    * Lloyd iterations to the trained assignment `a2(vec_id, j)`.
+    * Prepend as `"WITH " + lloydA2Sql` (+ `",\n"` for further CTEs) —
+    * q115 (summary), q116 (recall audit), and q122 (semantic dedup)
+    * all consume the same chain, so the engine memo and the oracle
+    * stay in lockstep by construction. */
+  private val lloydA2Sql =
+    """e AS (SELECT vec_id, list_transform(embedding,
+      |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+      |    FROM embeddings),
+      |dims AS (SELECT vec_id, i, q[i] AS v
+      |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+      |c0 AS (SELECT vec_id AS j, i, v AS c FROM dims WHERE vec_id < 8),
+      |d1 AS (SELECT d.vec_id, c.j,
+      |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+      |       FROM dims d JOIN c0 c ON c.i = d.i GROUP BY d.vec_id, c.j),
+      |a1 AS (SELECT vec_id, j FROM (
+      |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY dist, j) AS rn FROM d1) WHERE rn = 1),
+      |n1 AS (SELECT j, count(*) AS n FROM a1 GROUP BY j),
+      |s1 AS (SELECT a1.j, d.i, sum(d.v) AS s
+      |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
+      |       GROUP BY a1.j, d.i),
+      |c1 AS (SELECT s1.j, s1.i, (2 * s1.s + n1.n) // (2 * n1.n) AS c
+      |       FROM s1 JOIN n1 ON n1.j = s1.j),
+      |d2 AS (SELECT d.vec_id, c.j,
+      |         sum((d.v - c.c) * (d.v - c.c)) AS dist
+      |       FROM dims d JOIN c1 c ON c.i = d.i GROUP BY d.vec_id, c.j),
+      |a2 AS (SELECT vec_id, j FROM (
+      |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY dist, j) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q29_knn_bruteforce",
@@ -348,31 +381,8 @@ object Vectors {
 
     QueryDef(
       "q115_kmeans_ivf",
-      """WITH e AS (SELECT vec_id, list_transform(embedding,
-        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
-        |    FROM embeddings),
-        |dims AS (SELECT vec_id, i, q[i] AS v
-        |         FROM e, UNNEST(range(1, 65)) AS t(i)),
-        |c0 AS (SELECT vec_id AS j, i, v AS c FROM dims WHERE vec_id < 8),
-        |d1 AS (SELECT d.vec_id, c.j,
-        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
-        |       FROM dims d JOIN c0 c ON c.i = d.i GROUP BY d.vec_id, c.j),
-        |a1 AS (SELECT vec_id, j FROM (
-        |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
-        |           ORDER BY dist, j) AS rn FROM d1) WHERE rn = 1),
-        |n1 AS (SELECT j, count(*) AS n FROM a1 GROUP BY j),
-        |s1 AS (SELECT a1.j, d.i, sum(d.v) AS s
-        |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
-        |       GROUP BY a1.j, d.i),
-        |c1 AS (SELECT s1.j, s1.i, (2 * s1.s + n1.n) // (2 * n1.n) AS c
-        |       FROM s1 JOIN n1 ON n1.j = s1.j),
-        |d2 AS (SELECT d.vec_id, c.j,
-        |         sum((d.v - c.c) * (d.v - c.c)) AS dist
-        |       FROM dims d JOIN c1 c ON c.i = d.i GROUP BY d.vec_id, c.j),
-        |a2 AS (SELECT vec_id, j FROM (
-        |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
-        |           ORDER BY dist, j) AS rn FROM d2) WHERE rn = 1)
-        |SELECT a2.j AS cluster_id, count(*) AS n_members,
+      "WITH " + lloydA2Sql + "\n" +
+      """SELECT a2.j AS cluster_id, count(*) AS n_members,
         |  min(a2.vec_id) AS min_vec,
         |  CAST(sum(e2.q0) AS BIGINT) AS sum_q0
         |FROM a2 JOIN (SELECT vec_id, q[1] AS q0 FROM e) e2
@@ -407,31 +417,8 @@ object Vectors {
 
     QueryDef(
       "q116_trained_ivf_recall",
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
-         |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
-         |    FROM embeddings),
-         |dims AS (SELECT vec_id, i, q[i] AS v
-         |         FROM e, UNNEST(range(1, 65)) AS t(i)),
-         |c0 AS (SELECT vec_id AS j, i, v AS c FROM dims WHERE vec_id < 8),
-         |d1 AS (SELECT d.vec_id, c.j,
-         |         sum((d.v - c.c) * (d.v - c.c)) AS dist
-         |       FROM dims d JOIN c0 c ON c.i = d.i GROUP BY d.vec_id, c.j),
-         |a1 AS (SELECT vec_id, j FROM (
-         |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY dist, j) AS rn FROM d1) WHERE rn = 1),
-         |n1 AS (SELECT j, count(*) AS n FROM a1 GROUP BY j),
-         |s1 AS (SELECT a1.j, d.i, sum(d.v) AS s
-         |       FROM a1 JOIN dims d ON d.vec_id = a1.vec_id
-         |       GROUP BY a1.j, d.i),
-         |c1 AS (SELECT s1.j, s1.i, (2 * s1.s + n1.n) // (2 * n1.n) AS c
-         |       FROM s1 JOIN n1 ON n1.j = s1.j),
-         |d2 AS (SELECT d.vec_id, c.j,
-         |         sum((d.v - c.c) * (d.v - c.c)) AS dist
-         |       FROM dims d JOIN c1 c ON c.i = d.i GROUP BY d.vec_id, c.j),
-         |a2 AS (SELECT vec_id, j FROM (
-         |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY dist, j) AS rn FROM d2) WHERE rn = 1),
-         |qd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+      "WITH " + lloydA2Sql + ",\n" +
+      s"""qd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
          |         sum((da.v - db.v) * (da.v - db.v)) AS dist
          |       FROM a2 a JOIN a2 b ON a.vec_id < 20
          |                         AND b.vec_id <> a.vec_id
@@ -649,6 +636,64 @@ object Vectors {
         .groupBy(col("qid"))
         .agg((count(col("pcid")) * 20).as("recall_pct"))
         .orderBy(col("qid"))
+    },
+
+    QueryDef(
+      "q122_semantic_dedup",
+      "WITH " + lloydA2Sql + ",\n" +
+      s"""er AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |nr AS (SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM er),
+         |dup AS (SELECT qa.j AS cluster_id, qa.vec_id AS d1,
+         |    qb.vec_id AS d2
+         |  FROM a2 qa JOIN a2 qb
+         |    ON qa.j = qb.j AND qa.vec_id < qb.vec_id
+         |  JOIN nr a ON a.vec_id = qa.vec_id
+         |  JOIN nr b ON b.vec_id = qb.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (sqrt(a.nrm) * sqrt(b.nrm))
+         |        >= 0.35),
+         |mem AS (SELECT j AS cluster_id, count(*) AS n_members
+         |        FROM a2 GROUP BY j),
+         |st AS (SELECT cluster_id, count(*) AS n_dup_pairs,
+         |         count(DISTINCT d2) AS n_to_drop
+         |       FROM dup GROUP BY cluster_id)
+         |SELECT m.cluster_id, m.n_members,
+         |  CAST(coalesce(st.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         |  CAST(coalesce(st.n_to_drop, 0) AS BIGINT) AS n_to_drop
+         |FROM mem m LEFT JOIN st ON st.cluster_id = m.cluster_id
+         |ORDER BY m.cluster_id""".stripMargin) { (s, d) =>
+      // SemDeDup (Abbas et al. 2023): semantic dedup scoped to trained
+      // k-means cells — embeddings cluster first (the shared exact-
+      // integer Lloyd assignment), then cosine near-dup pairs are
+      // sought only WITHIN each cell, and every higher-id member of a
+      // duplicate pair is marked droppable (keep-lowest, the q55
+      // canonical-selection rule). The cluster key bounds the pair
+      // space: candidates scale with cell occupancy, never corpus².
+      // At 100 TB the cell count k grows with N (fixed target cell
+      // size), keeping within-cell pair work linear overall — k=8
+      // here is the bit-reproducible oracle fixture, not the scale
+      // setting. Cosine compares the raw left-to-right-folded double
+      // (the q44 recipe), so the threshold cut is engine-identical.
+      val a2 = kmeansAssignments(s, d)
+      val m = prepared(s, d).join(a2, "vec_id")
+      val aSide = m.select(col("j"), col("vec_id").as("d1"),
+        col("v").as("av"), col("nrm").as("an"))
+      val bSide = m.select(col("j"), col("vec_id").as("d2"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val dup = aSide.join(bSide, Seq("j"))
+        .filter(col("d1") < col("d2"))
+        .filter(dot(col("av"), col("bv")) /
+          (sqrt(col("an")) * sqrt(col("bn"))) >= 0.35)
+      val mem = a2.groupBy(col("j").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      val st = dup.groupBy(col("j").as("cluster_id"))
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("d2")).as("n_to_drop"))
+      mem.join(st, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_to_drop"), lit(0L)).as("n_to_drop"))
+        .orderBy(col("cluster_id"))
     }
   )
 
