@@ -111,6 +111,54 @@ object StreamOps {
       }
   }
 
+  final case class Scd2Version(table: String, key: String,
+      valid_from: Long, valid_to: Option[Long], op: String,
+      tuple: Map[String, String], is_current: Boolean)
+
+  /** q120's SCD2 history maintained INCREMENTALLY in keyed state —
+    * the streaming form of the type-2 dimension build: each arriving
+    * change closes the key's open version (emitting it with
+    * `valid_to` = the new change's LSN) and, unless it is a delete,
+    * opens and emits a new open-ended version. Deletes close without
+    * opening; the state keeps a non-emitted high-water marker so a
+    * replayed pre-delete change cannot resurrect the key (the same
+    * stale-LSN idempotence as [[statefulSnapshot]]). Emissions are
+    * upserts keyed on (table, key, valid_from): a closed version
+    * supersedes its earlier open-ended emission in the sink — the
+    * MERGE contract shared with the snapshot sink. State is one
+    * version per live key, partitioned by key: identical cost shape
+    * to the snapshot at any scale. */
+  def scd2History(changes: Dataset[KeyedChange]): Dataset[Scd2Version] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(c => (c.table, c.key))
+      .flatMapGroupsWithState[Scd2Version, Scd2Version](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((table, key), rows, state: GroupState[Scd2Version]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+          rows.toSeq.sortBy(_.lsn).foreach { c =>
+            if (cur.forall(_.valid_from < c.lsn)) {
+              cur.filter(_.is_current).foreach { o =>
+                out += o.copy(valid_to = Some(c.lsn), is_current = false)
+              }
+              if (c.op != "delete") {
+                val v = Scd2Version(table, key, c.lsn, None, c.op, c.tuple,
+                  is_current = true)
+                out += v
+                cur = Some(v)
+              } else {
+                // tombstone marker: holds the high-water LSN, never emitted
+                cur = Some(Scd2Version(table, key, c.lsn, None, "delete",
+                  Map.empty, is_current = false))
+              }
+            } // else: stale at-least-once replay — idempotent drop
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** [[statefulSnapshot]] re-expressed on the state-v2
     * `transformWithState` API (Spark 4's successor to
     * flatMapGroupsWithState): per-key `ValueState[SnapshotRow]` backed

@@ -69,6 +69,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Logical SCD2 replay of the fixture: (key, valid_from) →
+    * (valid_to, name). Versions open on insert/update, close at the
+    * key's next change LSN (deletes close without opening). */
+  private def expectedScd2(): Map[(String, Long), (Option[Long], String)] = {
+    val byKey = (1 to 40).map { i =>
+      val lsn = i * 10L
+      val key = (i % 10).toString
+      val op =
+        if (i <= 10) "insert" else if (i % 7 == 0) "delete" else "update"
+      (key, lsn, op, s"name$i")
+    }.groupBy(_._1)
+    byKey.flatMap { case (key, changes) =>
+      val sorted = changes.sortBy(_._2)
+      sorted.zipWithIndex.collect {
+        case ((_, lsn, op, name), idx) if op != "delete" =>
+          val validTo = sorted.drop(idx + 1).headOption.map(_._2)
+          (key, lsn) -> (validTo, name)
+      }
+    }
+  }
+
+  test("streaming SCD2 history equals the logical replay") {
+    val sp = spark; import sp.implicits._
+    val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", logDir)
+      .option("maxFramesPerTrigger", "9") // versions must close ACROSS batches
+      .load()
+    val changes = StreamOps.decodedChanges(stream)
+      .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+        col("op"), col("tuple"))
+      .as[StreamOps.KeyedChange]
+    val hist = StreamOps.scd2History(changes)
+    val q = hist.writeStream
+      .format("memory").queryName("scd2")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-scd2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // sink-side MERGE on (key, valid_from): the closed emission (with
+    // valid_to) supersedes the earlier open-ended one
+    val rows = spark.sql(
+      """SELECT key, valid_from, max(valid_to) AS valid_to,
+        |       max_by(tuple['name'], coalesce(valid_to, 0)) AS name
+        |FROM scd2 GROUP BY key, valid_from""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+      .toMap
+    assert(rows == expectedScd2())
+    // exactly one open (current) version per live key
+    val open = rows.collect { case ((k, _), (None, _)) => k }.toSeq
+    assert(open.size == expectedSnapshot().size && open.distinct == open)
+  }
+
   test("batch read of the frame log decodes all transactions") {
     val df = spark.read.format(CdcReplaySource.FORMAT).option("path", logDir)
       .load()
