@@ -116,6 +116,52 @@ object Vectors {
     },
 
     QueryDef(
+      "q123_hard_negatives",
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    ${dotSql("v", "v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < 20),
+         |p AS (SELECT qid, c.vec_id AS cid, c.label AS neg_label,
+         |    round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |      AS score
+         |  FROM q JOIN n c ON c.vec_id <> qid AND c.label <> qlabel)
+         |SELECT qid, rn, cid, neg_label, score FROM (
+         |  SELECT qid, cid, neg_label, score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM p)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      // Hard-negative mining — the contrastive-training selection pass
+      // (pick, per anchor, the most-similar examples with a DIFFERENT
+      // label: negatives the current representation finds hardest).
+      // Same shape as q29's exact kNN with the label-disagreement
+      // predicate pushed into the join, same rounded-score ranking so
+      // both engines order identically. The per-anchor top-3 rank
+      // prunes through WindowGroupLimit; at corpus scale the exact arm
+      // swaps for the trained-IVF candidate generator (q116) with the
+      // label filter applied to its cell-mates — this query is the
+      // audit-grade exact baseline.
+      val n = prepared(s, d)
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid") &&
+          col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          col("label").as("neg_label"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("cid"), col("neg_label"),
+          col("score"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    QueryDef(
       "q30_ann_ivf_signbuckets",
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> x::DOUBLE) AS v,
