@@ -10,11 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `postgres-array` package parses for every `T[]` column the
   * reference passes through (`pgoutput-parser.ts:144` defers each
   * array OID to `types.getTypeParser`, whose default is that parser).
-  * One dimension, the overwhelmingly dominant shape:
   * `{a,"quoted, with comma",NULL,\"esc}` → tokens with NULL mapped to
   * null and quotes/backslash escapes resolved. Multidimensional
-  * arrays (nested `{}`) return null — a documented divergence; the
-  * typed layer keeps the raw text for those.
+  * arrays nest: a `{...}` element is emitted VERBATIM as its own
+  * array literal (quotes/escapes preserved), so another
+  * `pg_array_tokens` application peels the next dimension —
+  * `transform(pg_array_tokens(x), e -> pg_array_tokens(e))` parses
+  * `int[][]`. Malformed input (no braces, unbalanced nesting) → null.
   */
 object PgTextArray {
   def tokens(s: UTF8String): ArrayData = {
@@ -27,6 +29,7 @@ object PgTextArray {
     var i = 0
     var quoted = false
     var wasQuoted = false
+    var depth = 0 // inside a nested {...} element: capture verbatim
     val n = body.length
     def flush(): Unit = {
       val t = sb.toString
@@ -37,25 +40,44 @@ object PgTextArray {
     while (i < n) {
       val c = body.charAt(i)
       if (quoted) c match {
-        case '\\' if i + 1 < n => sb.append(body.charAt(i + 1)); i += 1
-        case '"' => quoted = false
+        case '\\' if i + 1 < n =>
+          if (depth > 0) { sb.append(c); sb.append(body.charAt(i + 1)) }
+          else sb.append(body.charAt(i + 1))
+          i += 1
+        case '"' =>
+          quoted = false
+          if (depth > 0) sb.append(c)
         case _ => sb.append(c)
       } else c match {
-        case '"' => quoted = true; wasQuoted = true
-        case ',' => flush()
-        case '{' => return null // multidimensional: unsupported
-        case '\\' if i + 1 < n => sb.append(body.charAt(i + 1)); i += 1
+        case '"' =>
+          quoted = true
+          if (depth > 0) sb.append(c) else wasQuoted = true
+        case '{' =>
+          depth += 1
+          sb.append(c)
+        case '}' =>
+          if (depth == 0) return null // unbalanced
+          depth -= 1
+          sb.append(c)
+          if (depth == 0) wasQuoted = true // sub-array is never NULL-folded
+        case ',' if depth == 0 => flush()
+        case '\\' if i + 1 < n =>
+          if (depth > 0) { sb.append(c); sb.append(body.charAt(i + 1)) }
+          else sb.append(body.charAt(i + 1))
+          i += 1
         case _ => sb.append(c)
       }
       i += 1
     }
+    if (quoted || depth != 0) return null // unterminated quote / brace
     flush()
     new GenericArrayData(out.toArray)
   }
 }
 
 /** Native `pg_array_tokens(text)` → array<string> (null elements for
-  * SQL NULL, null result for malformed/multidim input). Splitting
+  * SQL NULL, nested `{...}` elements verbatim for another
+  * application, null result for malformed input). Splitting
   * stays in generated code via a static call (the Md5H32 pattern);
   * element casts compose on top with builtin `transform` + `cast`,
   * which ARE codegen'd — so refining a `bigint[]` column never leaves

@@ -61,4 +61,16 @@ class PgTextArrayPropSpec extends AnyFunSuite {
     assert(parse("{}") == Seq.empty)
     assert(parse("""{""}""") == Seq(Some("")))
   }
+
+  test("2-D arrays roundtrip: outer tokens are re-tokenizable literals") {
+    check(Prop.forAll(Gen.listOf(Gen.listOf(element))) { rows =>
+      val rendered =
+        rows.map(render).mkString("{", ",", "}")
+      val outer = parse(rendered)
+      outer.length == rows.length &&
+        outer.zip(rows).forall { case (lit, row) =>
+          lit.exists(l => parse(l) == row)
+        }
+    })
+  }
 }

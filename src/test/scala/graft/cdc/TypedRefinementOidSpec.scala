@@ -44,8 +44,14 @@ class TypedRefinementOidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks("""{"quoted \"q\"","back\\slash"}""") ==
       Seq("quoted \"q\"", "back\\slash"))
     assert(toks("""{"NULL"}""") == Seq("NULL")) // quoted NULL is the string
-    assert(toks("{{1,2},{3,4}}") == null)       // multidim: documented null
+    // multidim: nested elements come back verbatim, re-tokenizable
+    assert(toks("{{1,2},{3,4}}") == Seq("{1,2}", "{3,4}"))
+    assert(toks("""{{a,"x,y"},NULL}""") == Seq("""{a,"x,y"}""", null))
+    assert(toks("""{{a,"x,y"},NULL}""").filter(_ != null).flatMap(toks) ==
+      Seq("a", "x,y"))
     assert(toks("not an array") == null)
+    assert(toks("{{1,2}") == null)  // unbalanced
+    assert(toks("""{"unterminated}""") == null)
   }
 
   private def one(oid: Int, text: String): org.apache.spark.sql.Row = {
