@@ -116,6 +116,40 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("proto-v2 streamed transactions compose with the live path") {
+    // in-progress-transaction segments of two xids interleave on the
+    // wire (the server streams them as soon as they spill); xid 7
+    // commits, xid 9 aborts. The socket client just delivers frames;
+    // stream-commit visibility is decided downstream.
+    val log = Seq(
+      (100L, Seq(
+        PgoutputWriter.streamStart(7L, firstSegment = true),
+        PgoutputWriter.streamed(7L, PgoutputWriter.relation(rel)),
+        PgoutputWriter.streamed(7L, PgoutputWriter.insert(901, Seq("1"))),
+        PgoutputWriter.streamStop())),
+      (200L, Seq(
+        PgoutputWriter.streamStart(9L, firstSegment = true),
+        PgoutputWriter.streamed(9L, PgoutputWriter.relation(rel)),
+        PgoutputWriter.streamed(9L, PgoutputWriter.insert(901, Seq("2"))),
+        PgoutputWriter.streamStop())),
+      (300L, Seq(PgoutputWriter.streamCommit(7L, 1000L, 1001L, 0L))),
+      (400L, Seq(PgoutputWriter.streamAbort(9L, 9L))))
+    val server = new LoopbackWalServer(log)
+    val dir = tmpDir("walsock-v2")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_v2", dir, shard = 0).run()
+      assert(r.txs.map(_._1) == Seq(100L, 200L, 300L, 400L))
+      // replay the delivered log through the v2 reassembly: only the
+      // committed stream's change is visible
+      val p = new PgoutputParser
+      val events = r.txs.flatMap(_._2).map(p.parse(_))
+      val visible = CdcFunctions.streamCommittedChanges(events)
+      assert(visible.map(_.after("id")) == Seq("1"))
+      assert(visible.forall(_.xid == 7L))
+    } finally server.close()
+  }
+
   test("reconnect resumes from the acked position without re-delivery") {
     val log = (1 to 6).map(i => tx(i * 100L, i))
     val server = new LoopbackWalServer(log, dropAfterTxs = Some(3))
