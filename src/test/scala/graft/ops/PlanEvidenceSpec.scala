@@ -95,6 +95,23 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly one key shuffle in:\n$p")
   }
 
+  test("q122: semantic dedup pairs join on the cluster key, never cartesian") {
+    val p = plan("q122_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"pair space must be keyed:\n$p")
+    assert(p.contains("SortMergeJoin [j") || p.contains("ShuffledHashJoin [j")
+      || p.contains("BroadcastHashJoin [j"),
+      s"expected the self-join keyed on the cluster id j in:\n$p")
+  }
+
+  test("q123: per-anchor top-k prunes through WindowGroupLimit") {
+    val p = plan("q123_hard_negatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank pushdown in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected the 20-anchor set broadcast in:\n$p")
+  }
+
   test("q119: typed refinement fuses into the scan stage (no extra shuffle)") {
     val p = plan("q119_typed_oids")
     assert(!p.contains("Exchange hashpartitioning"),
