@@ -907,6 +907,57 @@ object Mining {
             .as("priority"))
         .orderBy(col("priority"), col("doc_id"))
         .limit(50)
+    },
+
+    QueryDef(
+      "q124_unigram_surprisal",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |  FROM t, UNNEST(toks) AS u(tok) GROUP BY doc_id, tok),
+         |c AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |b AS (SELECT tf.doc_id, tf.tf,
+         |    length(bin(total // cnt)) - 1 AS bits
+         |  FROM tf JOIN c USING (tok) CROSS JOIN tot),
+         |p AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+         |    CAST(sum(tf * bits) AS BIGINT) AS sum_bits
+         |  FROM b GROUP BY doc_id)
+         |SELECT doc_id, n_toks, sum_bits,
+         |  CAST(sum_bits * 1000 // n_toks AS BIGINT) AS avg_milli_bits
+         |FROM p ORDER BY avg_milli_bits DESC, doc_id LIMIT 25""".stripMargin) {
+      (s, d) =>
+      // Unigram-LM surprisal scoring — the CCNet/Wikipedia-LM quality
+      // filter reduced to its corpus-statistics core: score each doc
+      // by the average per-token surprisal -log2 p(tok) under the
+      // corpus's own unigram distribution. High scorers are rare-token
+      // noise (gibberish, hex dumps), low scorers are boilerplate —
+      // both removal candidates in a training-data pipeline. The
+      // transcendental is eliminated for cross-engine determinism:
+      // floor(-log2(cnt/total)) = floor(log2(total/cnt)) =
+      // bitlength(total DIV cnt) - 1 exactly (for x in [q, q+1) with
+      // q = total DIV cnt >= 1, no power of two lies strictly inside,
+      // so floor(log2 x) = bitlength(q) - 1) — whole-bit surprisal in
+      // pure int64, identical in both engines, then milli-bit fixed
+      // point for the average. Plan shape at 100 TB: the memoized
+      // (doc, tok, tf) term index feeds one keyed agg for the vocab
+      // table (partitioned by token, never collected), a 1-row total
+      // broadcast, one equi-join back on token, and one keyed agg by
+      // doc — all partial+final, nothing driver-side; the top-k is
+      // TakeOrderedAndProject.
+      val tf = Text.docTermFreq(s, d).select(col("doc_id"), col("tok"), col("tf"))
+      val c = tf.groupBy(col("tok")).agg(sum(col("tf")).cast("long").as("cnt"))
+      val tot = c.agg(sum(col("cnt")).cast("long").as("total"))
+      tf.join(c, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"),
+          (length(bin(expr("total DIV cnt"))) - 1).cast("long").as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_toks"),
+          sum(col("tf") * col("bits")).cast("long").as("sum_bits"))
+        .select(col("doc_id"), col("n_toks"), col("sum_bits"),
+          expr("sum_bits * 1000 DIV n_toks").as("avg_milli_bits"))
+        .orderBy(col("avg_milli_bits").desc, col("doc_id"))
+        .limit(25)
     }
   )
 }

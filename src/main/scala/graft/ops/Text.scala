@@ -698,6 +698,80 @@ object Text {
           expr("n_dup * 100 DIV n_segs").as("dup_pct"))
         .orderBy(col("dup_pct").desc, col("doc_id"))
         .limit(20)
+    },
+
+    QueryDef(
+      "q125_dedup_removal_manifest",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, source, len(toks) AS n_toks, toks FROM t),
+         |segs AS (SELECT doc_id,
+         |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         |      AS seg
+         |  FROM base, UNNEST(range(0, n_toks // 10)) AS u(i)
+         |  WHERE n_toks >= 10),
+         |sh AS (SELECT DISTINCT doc_id, ${h32Sql("seg")} AS h FROM segs),
+         |dfh AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+         |per_doc AS (SELECT doc_id, count(*) AS n_segs,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sh JOIN dfh USING (h) GROUP BY doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN 2 * coalesce(n_dup, 0) > coalesce(n_segs, 0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+         |  CAST(sum(n_toks) AS BIGINT) AS toks_total,
+         |  CAST(sum(CASE WHEN 2 * coalesce(n_dup, 0) > coalesce(n_segs, 0)
+         |    THEN n_toks ELSE 0 END) AS BIGINT) AS toks_dropped,
+         |  CAST((sum(n_toks)
+         |      - sum(CASE WHEN 2 * coalesce(n_dup, 0) > coalesce(n_segs, 0)
+         |        THEN n_toks ELSE 0 END)) * 1000 // sum(n_toks) AS BIGINT)
+         |    AS retained_milli
+         |FROM base LEFT JOIN per_doc USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // The APPLY side of q110's segment-dedup score: turn the
+      // per-doc duplicate-segment fraction into the actual C4/
+      // RefinedWeb removal decision (drop docs whose segments are
+      // majority-duplicated, dup_pct > 50%) and report the corpus
+      // impact per source — docs dropped, tokens dropped, tokens
+      // retained per mille. This is the manifest a pipeline operator
+      // emits before committing a filtered snapshot: which sources
+      // lose how much. Same machinery as q110 (segment → hash →
+      // corpus df → per-doc dup count), then one left join back to
+      // the full doc list (short docs with <10 tokens have no
+      // segments and are always kept — coalesce(0)) and a tiny
+      // per-source rollup. Shuffles at 100 TB: the df agg and the
+      // doc agg are keyed partial+final on hash/doc_id; the doc_id
+      // left join is keyed; the source rollup reduces to one row per
+      // source map-side. Nothing driver-side, no text shuffled —
+      // only (doc, hash) and (doc, counts) pairs.
+      graft.cdc.GraftFunctions.register(s)
+      val base = withToks(s, d).select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"), col("toks"))
+      val sh = base
+        .filter(col("n_toks") >= 10)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) DIV 10 - 1), " +
+            "i -> md5_h32(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")))
+          .as("h"))
+      val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(dfh, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val dropped =
+        lit(2L) * coalesce(col("n_dup"), lit(0L)) >
+          coalesce(col("n_segs"), lit(0L))
+      base.select(col("doc_id"), col("source"), col("n_toks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(dropped, 1L).otherwise(0L)).as("n_docs_dropped"),
+          sum(col("n_toks")).as("toks_total"),
+          sum(when(dropped, col("n_toks")).otherwise(0L)).as("toks_dropped"))
+        .select(col("source"), col("n_docs"), col("n_docs_dropped"),
+          col("toks_total").cast("long").as("toks_total"),
+          col("toks_dropped").cast("long").as("toks_dropped"),
+          expr("(toks_total - toks_dropped) * 1000 DIV toks_total")
+            .as("retained_milli"))
+        .orderBy(col("source"))
     }
   )
 }
