@@ -772,6 +772,172 @@ object Text {
           expr("(toks_total - toks_dropped) * 1000 DIV toks_total")
             .as("retained_milli"))
         .orderBy(col("source"))
+    },
+
+    QueryDef(
+      "q126_doc_repetition",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 10),
+         |base AS (SELECT doc_id, len(toks) AS n FROM t),
+         |b2 AS (SELECT doc_id,
+         |    array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         |c2 AS (SELECT doc_id, max(c) AS m FROM
+         |  (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |b5 AS (SELECT doc_id,
+         |    array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+         |  FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)),
+         |c5 AS (SELECT doc_id,
+         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_pos
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM b5 GROUP BY doc_id, g)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+         |  CAST(m * 1000 // (n - 1) AS BIGINT) AS top2_milli,
+         |  CAST(dup_pos * 1000 // (n - 4) AS BIGINT) AS dup5_milli,
+         |  (m * 1000 // (n - 1) > 180 OR dup_pos * 1000 // (n - 4) > 300)
+         |    AS flagged
+         |FROM base JOIN c2 USING (doc_id) JOIN c5 USING (doc_id)
+         |ORDER BY dup5_milli DESC, top2_milli DESC, doc_id
+         |LIMIT 25""".stripMargin) { (s, d) =>
+      // Within-document repetition filters — the Gopher/MassiveText
+      // quality rules that cross-doc dedup (q110/q125) cannot see:
+      // a doc whose text loops on itself (scraper artifacts, chat
+      // spam, keyword stuffing) duplicates its OWN n-grams. Two
+      // classic scores per doc, adapted to token counts and fixed
+      // point: top2_milli = occurrences of the doc's most frequent
+      // bigram per mille of bigram positions; dup5_milli = fraction
+      // of 5-gram positions whose 5-gram repeats within the doc.
+      // Thresholds (180/300) are the Gopher-style knobs, documented
+      // constants here so the flag column exercises the full rule.
+      // Scale shape: gram explosion is map-side; the (doc, gram)
+      // partial counts combine BEFORE the shuffle (in-doc repeats
+      // collapse map-side — the whole point of the metric), and the
+      // per-doc reduce is a second keyed partial+final agg. Nothing
+      // crosses partitions except (doc, gram, count) and the per-doc
+      // scalar rows; top-k is TakeOrderedAndProject on the driver's
+      // 25 rows only.
+      val t = withToks(s, d).filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+      val c2 = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat_ws(' ', slice(toks, i, 2)))")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("m"))
+      val c5 = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 4), " +
+            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_pos"))
+      t.select(col("doc_id"), col("n"))
+        .join(c2, "doc_id").join(c5, "doc_id")
+        .select(col("doc_id"), col("n").as("n_toks"),
+          expr("m * 1000 DIV (n - 1)").as("top2_milli"),
+          expr("dup_pos * 1000 DIV (n - 4)").as("dup5_milli"))
+        .withColumn("flagged",
+          col("top2_milli") > 180 || col("dup5_milli") > 300)
+        .orderBy(col("dup5_milli").desc, col("top2_milli").desc,
+          col("doc_id"))
+        .limit(25)
+    },
+
+    QueryDef(
+      "q127_dup_span_merge",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 8),
+         |base AS (SELECT doc_id, len(toks) AS n FROM t),
+         |pos AS (SELECT doc_id, i,
+         |    ${h32Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+         |      AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS df
+         |  FROM pos GROUP BY h),
+         |dup AS (SELECT doc_id, i AS s, i + 8 AS e
+         |  FROM pos JOIN dfh USING (h) WHERE df >= 2),
+         |flg AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w1 IS NULL OR s > max(e) OVER w1
+         |      THEN 1 ELSE 0 END AS ng
+         |  FROM dup
+         |  WINDOW w1 AS (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sp AS (SELECT doc_id, grp, min(s) AS ss, max(e) AS se
+         |  FROM (SELECT doc_id, s, e,
+         |      sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |    FROM flg)
+         |  GROUP BY doc_id, grp),
+         |per AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(se - ss) AS covered, max(se - ss) AS longest
+         |  FROM sp GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+         |  CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(covered AS BIGINT) AS covered_toks,
+         |  CAST(longest AS BIGINT) AS longest_span,
+         |  CAST(covered * 1000 // n AS BIGINT) AS covered_milli
+         |FROM per JOIN base USING (doc_id)
+         |ORDER BY covered_milli DESC, doc_id LIMIT 25""".stripMargin) {
+      (s, d) =>
+      // Exact duplicated-SUBSTRING spans — the Lee et al. 2022
+      // ("Deduplicating Training Data Makes LMs Better") suffix-array
+      // pass re-expressed for a distributed engine: q110 scores fixed
+      // disjoint segments, but real copied text starts anywhere. Here
+      // every sliding 8-token window is hashed, windows appearing in
+      // >= 2 documents mark their positions as duplicated, and each
+      // doc's marked [i, i+8) intervals are merged into maximal
+      // spans — a distributed interval-merge: running max(end) over
+      // the PRECEDING frame detects gap starts, the running sum of
+      // gap flags numbers the islands, one keyed agg per island
+      // yields exact span extents with zero double-counting of
+      // overlapping windows. That is the remove-list an exact
+      // substring dedup emits. Scale shape: the sliding-window hash
+      // explosion is map-side (int64 hashes, never the text); df is
+      // one keyed agg on hash; the position join is keyed on hash;
+      // both window functions share ONE sort, partitioned by doc_id
+      // (PlanGuard: no unpartitioned window); per-island and per-doc
+      // reduces are keyed partial+final. A 100 TB corpus shuffles
+      // only (hash, doc, pos) tuples — the suffix-array equivalent
+      // without a global sort.
+      graft.cdc.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val t = withToks(s, d).filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+      val pos = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> struct(i AS i, " +
+            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+      val dfh = pos.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val dup = pos.join(dfh, "h").filter(col("df") >= 2)
+        .select(col("doc_id"), col("i").cast("long").as("s"),
+          (col("i") + 8).cast("long").as("e"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val flg = dup.withColumn("cme",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ng",
+          when(col("cme").isNull || col("s") > col("cme"), 1L).otherwise(0L))
+      val sp = flg.withColumn("grp",
+          sum(col("ng")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      sp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("se") - col("ss")).as("covered"),
+          max(col("se") - col("ss")).as("longest"))
+        .join(t.select(col("doc_id"), col("n")), "doc_id")
+        .select(col("doc_id"), col("n").as("n_toks"),
+          col("n_spans"), col("covered").cast("long").as("covered_toks"),
+          col("longest").cast("long").as("longest_span"),
+          expr("covered * 1000 DIV n").as("covered_milli"))
+        .orderBy(col("covered_milli").desc, col("doc_id"))
+        .limit(25)
     }
   )
 }

@@ -119,4 +119,25 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"expected ONE orders scan in:\n$p")
   }
+
+  test("q126: in-doc gram repeats collapse map-side before the shuffle") {
+    val p = plan("q126_doc_repetition")
+    assert(p.contains("partial_count"),
+      s"expected map-side partial (doc, gram) counts in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-25 as TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("q127: both interval-merge windows share ONE doc_id sort") {
+    val p = plan("q127_dup_span_merge")
+    // running-max(end) and running-sum(gap flag) must ride the same
+    // keyed sort — a second Sort/Exchange would double the cost of
+    // the merge at corpus scale
+    assert("\\bWindow \\[".r.findAllIn(p).size == 2,
+      s"expected the two window functions as two Window nodes in:\n$p")
+    assert("\\bSort \\[doc_id".r.findAllIn(p).size == 1,
+      s"expected one shared (doc_id, s) sort under both windows in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-25 as TakeOrderedAndProject in:\n$p")
+  }
 }
