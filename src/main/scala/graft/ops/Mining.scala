@@ -958,6 +958,72 @@ object Mining {
           expr("sum_bits * 1000 DIV n_toks").as("avg_milli_bits"))
         .orderBy(col("avg_milli_bits").desc, col("doc_id"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q128_dsir_selection",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 2),
+         |f AS (SELECT doc_id, lang,
+         |    (${h32Sql("array_to_string(list_slice(toks, i, i + 1), ' ')")})
+         |      % 1024 AS b
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         |c AS (SELECT b, count(*) AS ns,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+         |  FROM f GROUP BY b),
+         |buckets AS (SELECT b, ns + 1 AS cs, nt + 1 AS ct FROM c),
+         |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tc FROM buckets),
+         |bb AS (SELECT b, length(bin(ts // cs)) - 1 AS bs,
+         |    length(bin(tc // ct)) - 1 AS bt
+         |  FROM buckets, tot),
+         |sc AS (SELECT doc_id, any_value(lang) AS lang,
+         |    count(*) AS n_feats, CAST(sum(bs - bt) AS BIGINT) AS score_bits
+         |  FROM f JOIN bb USING (b) GROUP BY doc_id)
+         |SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats, score_bits
+         |FROM sc ORDER BY score_bits DESC, doc_id LIMIT 25""".stripMargin) {
+      (s, d) =>
+      // DSIR — Data Selection via Importance Resampling (Xie et al.
+      // 2023), the hashed-n-gram importance scorer a pipeline runs to
+      // pick target-domain-like documents out of a raw crawl: hash
+      // each bigram into 1024 buckets, fit unigram-over-buckets
+      // models of the target (lang='en') and raw distributions with
+      // add-one smoothing, and score every doc by the summed
+      // log-likelihood ratio. Log2 is computed in whole bits via the
+      // q124 bit-length identity (floor(log2(total/cnt)) =
+      // bitlength(total DIV cnt) - 1), so the score is pure int64 —
+      // bits_raw - bits_target summed per feature occurrence;
+      // positive = looks like the target. A doc's own lang rides
+      // along (any_value: it is functionally dependent on doc_id) to
+      // make the ranking self-evident. Scale shape: the feature
+      // space is CONSTANT (1024 buckets) regardless of corpus size —
+      // both models are one keyed agg with map-side partials that
+      // collapse to <= 1024 rows per partition, the smoothed tables
+      // and their 1-row totals broadcast, and the per-doc score is
+      // one more keyed agg; DSIR's whole point is that this scales
+      // linearly to 100 TB where perplexity-filter LMs cannot.
+      graft.cdc.GraftFunctions.register(s)
+      val f = withToks(s, d).filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> md5_h32(concat_ws(' ', slice(toks, i, 2))) % 1024)"))
+          .as("b"))
+      val c = f.groupBy(col("b"))
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val buckets = c.select(col("b"),
+        (col("ns") + 1L).as("cs"), (col("nt") + 1L).as("ct"))
+      val tot = buckets.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tc"))
+      val bb = buckets.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (length(bin(expr("ts DIV cs"))) - 1).cast("long").as("bs"),
+          (length(bin(expr("tc DIV ct"))) - 1).cast("long").as("bt"))
+      f.join(broadcast(bb), "b")
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"),
+          count(lit(1)).cast("long").as("n_feats"),
+          sum(col("bs") - col("bt")).cast("long").as("score_bits"))
+        .orderBy(col("score_bits").desc, col("doc_id"))
+        .limit(25)
     }
   )
 }

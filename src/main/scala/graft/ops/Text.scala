@@ -938,6 +938,57 @@ object Text {
           expr("covered * 1000 DIV n").as("covered_milli"))
         .orderBy(col("covered_milli").desc, col("doc_id"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q129_containment_dedup",
+      s"""WITH shingles AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |sn AS (SELECT s.doc_id, s.h, c.n FROM shingles s
+         |       JOIN cnt c ON c.doc_id = s.doc_id),
+         |cp AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM sn a JOIN sn b
+         |    ON a.h = b.h AND a.doc_id <> b.doc_id
+         |   AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter * 1000 // na AS BIGINT) AS cont_milli,
+         |  CAST(inter * 1000 // (na + nb - inter) AS BIGINT) AS jac_milli
+         |FROM cp WHERE inter * 5 >= na * 4
+         |ORDER BY cont_milli DESC, d1, d2 LIMIT 25""".stripMargin) { (s, d) =>
+      // Asymmetric CONTAINMENT dedup — |A∩B| / |A| with A the smaller
+      // shingle set: catches a document embedded inside a larger one
+      // (quote farms, boilerplate wrappers, aggregator pages), the
+      // case Jaccard-based passes are structurally blind to — q25's
+      // size-ratio prune (3/5 <= na/nb <= 5/3) deliberately DROPS
+      // exactly these pairs, and their Jaccard is low (jac_milli
+      // rides along to show it). Same cached shingle index and
+      // equi-join-on-hash shape as q25, directed small→big so each
+      // unordered pair appears once; threshold C >= 0.8. Scale path
+      // at 100 TB mirrors q25's documented prefix-filter upgrade,
+      // with the containment-specific bound: A's rarest-first prefix
+      // of size na - ceil(0.8·na) + 1 is lossless for C >= 0.8, and
+      // because only the SMALL side explodes candidates, fan-out is
+      // bounded by the small doc's prefix, not the container's size.
+      val sh = shingleHashes(s, d)
+      val a = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
+      val b = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
+      a.join(b,
+          a("h") === b("h") && col("d1") =!= col("d2") &&
+            (col("na") < col("nb") ||
+              (col("na") === col("nb") && col("d1") < col("d2"))))
+        .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 5 >= col("na") * 4)
+        .select(col("d1"), col("d2"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          col("inter").cast("long").as("inter"),
+          expr("inter * 1000 DIV na").as("cont_milli"),
+          expr("inter * 1000 DIV (na + nb - inter)").as("jac_milli"))
+        .orderBy(col("cont_milli").desc, col("d1"), col("d2"))
+        .limit(25)
     }
   )
 }

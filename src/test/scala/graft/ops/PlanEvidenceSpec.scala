@@ -140,4 +140,21 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected top-25 as TakeOrderedAndProject in:\n$p")
   }
+
+  test("q128: the 1024-bucket DSIR models broadcast back to the features") {
+    val p = plan("q128_dsir_selection")
+    assert(p.contains("BroadcastHashJoin [b"),
+      s"expected the constant-size bucket model broadcast on b in:\n$p")
+    assert(p.contains("partial_count"),
+      s"expected map-side partials collapsing to <=1024 rows in:\n$p")
+  }
+
+  test("q129: containment candidates come from the keyed shingle join") {
+    val p = plan("q129_containment_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair space must be keyed on the shingle hash:\n$p")
+    assert(p.contains("SortMergeJoin [h") || p.contains("ShuffledHashJoin [h")
+      || p.contains("BroadcastHashJoin [h"),
+      s"expected the self-join keyed on h in:\n$p")
+  }
 }
