@@ -976,9 +976,9 @@ object Mining {
          |bb AS (SELECT b, length(bin(ts // cs)) - 1 AS bs,
          |    length(bin(tc // ct)) - 1 AS bt
          |  FROM buckets, tot),
-         |sc AS (SELECT doc_id, any_value(lang) AS lang,
+         |sc AS (SELECT doc_id, lang,
          |    count(*) AS n_feats, CAST(sum(bs - bt) AS BIGINT) AS score_bits
-         |  FROM f JOIN bb USING (b) GROUP BY doc_id)
+         |  FROM f JOIN bb USING (b) GROUP BY doc_id, lang)
          |SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats, score_bits
          |FROM sc ORDER BY score_bits DESC, doc_id LIMIT 25""".stripMargin) {
       (s, d) =>
@@ -993,8 +993,8 @@ object Mining {
       // bitlength(total DIV cnt) - 1), so the score is pure int64 —
       // bits_raw - bits_target summed per feature occurrence;
       // positive = looks like the target. A doc's own lang rides
-      // along (any_value: it is functionally dependent on doc_id) to
-      // make the ranking self-evident. Scale shape: the feature
+      // along in the grouping key (functionally dependent on doc_id)
+      // to make the ranking self-evident. Scale shape: the feature
       // space is CONSTANT (1024 buckets) regardless of corpus size —
       // both models are one keyed agg with map-side partials that
       // collapse to <= 1024 rows per partition, the smoothed tables
@@ -1017,10 +1017,12 @@ object Mining {
         .select(col("b"),
           (length(bin(expr("ts DIV cs"))) - 1).cast("long").as("bs"),
           (length(bin(expr("tc DIV ct"))) - 1).cast("long").as("bt"))
+      // lang joins the grouping keys (functionally dependent on
+      // doc_id) so the per-doc reduce stays a HashAggregate — a
+      // first(lang) aggregate would force SortAggregate + extra sorts
       f.join(broadcast(bb), "b")
-        .groupBy(col("doc_id"))
-        .agg(first(col("lang")).as("lang"),
-          count(lit(1)).cast("long").as("n_feats"),
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_feats"),
           sum(col("bs") - col("bt")).cast("long").as("score_bits"))
         .orderBy(col("score_bits").desc, col("doc_id"))
         .limit(25)
