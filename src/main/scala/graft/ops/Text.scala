@@ -178,6 +178,29 @@ object Text {
       |jpairs AS (SELECT d1, d2, na, nb, inter FROM jp
       |  WHERE inter * 1.0 / (na + nb - inter) >= 0.6)""".stripMargin
 
+  /** Distributed interval merge: collapse possibly-overlapping
+    * half-open [s, e) intervals into maximal disjoint spans, per
+    * partition key. Classic single-sort shape: the running max of
+    * prior ends detects gap starts, the running sum of gap flags
+    * numbers the islands, one keyed agg yields exact extents — both
+    * window functions ride ONE (part, s) sort (PlanEvidenceSpec
+    * pins it for q127). Input columns `part`, `s`, `e`; output
+    * (part, ss, se) with ss/se the merged span bounds. */
+  private[graft] def mergeIntervals(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("part")).orderBy(col("s"))
+    df.withColumn("cme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng",
+        when(col("cme").isNull || col("s") > col("cme"), 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("ng")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("part"), col("grp"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      .select(col("part"), col("ss"), col("se"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** (doc_id, q) — the q22 quality score, reusable by downstream
@@ -903,7 +926,6 @@ object Text {
       // only (hash, doc, pos) tuples — the suffix-array equivalent
       // without a global sort.
       graft.cdc.GraftFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
       val t = withToks(s, d).filter(size(col("toks")) >= 8)
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("long").as("n"))
@@ -915,18 +937,9 @@ object Text {
       val dfh = pos.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val dup = pos.join(dfh, "h").filter(col("df") >= 2)
-        .select(col("doc_id"), col("i").cast("long").as("s"),
+        .select(col("doc_id").as("part"), col("i").cast("long").as("s"),
           (col("i") + 8).cast("long").as("e"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-      val flg = dup.withColumn("cme",
-          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("ng",
-          when(col("cme").isNull || col("s") > col("cme"), 1L).otherwise(0L))
-      val sp = flg.withColumn("grp",
-          sum(col("ng")).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      val sp = mergeIntervals(dup).withColumnRenamed("part", "doc_id")
       sp.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(col("se") - col("ss")).as("covered"),

@@ -135,7 +135,7 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the merge at corpus scale
     assert("\\bWindow \\[".r.findAllIn(p).size == 2,
       s"expected the two window functions as two Window nodes in:\n$p")
-    assert("\\bSort \\[doc_id".r.findAllIn(p).size == 1,
+    assert("\\bSort \\[".r.findAllIn(p).size == 1,
       s"expected one shared (doc_id, s) sort under both windows in:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected top-25 as TakeOrderedAndProject in:\n$p")
