@@ -153,7 +153,8 @@ object Text {
     // co-occurrence pair space outgrows memory, layer the prefix
     // filter on top: order shingles by (df, h), join only the
     // (n - ceil(0.6·n) + 1)-element rarest-first prefixes (lossless
-    // for J >= 0.6), and verify candidates with this same join shape.
+    // for J >= 0.6), and verify candidates with this same join shape
+    // — implemented as q130, oracle-proven output-identical to q25.
     a.join(b,
         a("h") === b("h") && col("d1") < col("d2") &&
           col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
@@ -1002,6 +1003,82 @@ object Text {
           expr("inter * 1000 DIV (na + nb - inter)").as("jac_milli"))
         .orderBy(col("cont_milli").desc, col("d1"), col("d2"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q130_prefix_jaccard_scale",
+      s"""WITH shingles AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |dfh AS (SELECT h, count(*) AS df FROM shingles GROUP BY h),
+         |rk AS (SELECT s.doc_id, s.h, c.n,
+         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h)
+         |      AS rn
+         |  FROM shingles s JOIN cnt c ON c.doc_id = s.doc_id
+         |  JOIN dfh d ON d.h = s.h),
+         |pref AS (SELECT doc_id, h, n FROM rk
+         |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+         |   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3),
+         |sn AS (SELECT s.doc_id, s.h, c.n FROM shingles s
+         |       JOIN cnt c ON c.doc_id = s.doc_id),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM sn a JOIN sn b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2,
+         |  CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
+         |    AS jaccard_4
+         |FROM inter WHERE inter * 1.0 / (na + nb - inter) >= 0.6
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // The PPJoin-style prefix-filtered Jaccard join — the corpus-
+      // scale path q25's comment documents, implemented and proven
+      // OUTPUT-IDENTICAL to q25 by the oracle gate (same rows, same
+      // jaccard_4). Principle (Chaudhuri/Xiao prefix filtering):
+      // J >= 0.6 forces |A∩B| >= ceil(0.6·|A|) and >= ceil(0.6·|B|),
+      // so under ANY global shingle order a qualifying pair shares an
+      // element inside each doc's first n - ceil(0.6·n) + 1 shingles;
+      // ordering rarest-first (df, then h — a total order: h is
+      // distinct within doc) makes those prefix elements the least
+      // common shingles, so the candidate join fans out by df of RARE
+      // keys only. The pair space is then bounded by prefix
+      // co-occurrence, not full shingle co-occurrence — the property
+      // that survives a 100× corpus where q25's full join explodes on
+      // boilerplate shingles. Verification counts intersections only
+      // for candidates: two keyed joins (candidates × small side's
+      // full set on d1, then (d2, h) equi-join), one partial+final
+      // agg. Every stage is keyed on doc_id or h; the ranking window
+      // is partitioned by doc_id.
+      val sh = shingleHashes(s, d)
+      val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val pref = sh.join(dfh, "h")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("h"), col("n"))
+      val pa = pref.select(col("doc_id").as("d1"), col("h"),
+        col("n").as("na"))
+      val pb = pref.select(col("doc_id").as("d2"), col("h"),
+        col("n").as("nb"))
+      val cand = pa.join(pb,
+          pa("h") === pb("h") && col("d1") < col("d2") &&
+            col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+        .select(col("d1"), col("d2")).distinct()
+      val a = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
+      val b = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
+      val jac = col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
+      cand.join(a, "d1")
+        .join(b, Seq("d2", "h"))
+        .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(jac >= 0.6)
+        .select(col("d1"), col("d2"),
+          floor(col("inter") * 10000.0 /
+            (col("na") + col("nb") - col("inter")))
+            .cast("long").as("jaccard_4"))
+        .orderBy(col("d1"), col("d2"))
     }
   )
 }

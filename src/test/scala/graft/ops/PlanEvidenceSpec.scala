@@ -149,6 +149,16 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected map-side partials collapsing to <=1024 rows in:\n$p")
   }
 
+  test("q130: prefix-filtered jaccard joins only keyed prefixes") {
+    val p = plan("q130_prefix_jaccard_scale")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must be keyed on the prefix shingle:\n$p")
+    assert(p.contains("Window"), s"expected the rarest-first rank window:\n$p")
+    assert(p.contains("SortMergeJoin [h") || p.contains("ShuffledHashJoin [h")
+      || p.contains("BroadcastHashJoin [h"),
+      s"expected the prefix self-join keyed on h in:\n$p")
+  }
+
   test("q129: containment candidates come from the keyed shingle join") {
     val p = plan("q129_containment_dedup")
     assert(!p.contains("CartesianProduct"),
