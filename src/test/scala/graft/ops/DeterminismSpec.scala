@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count independence: the repo's determinism claims (exact
+  * integer arithmetic, commutative/associative accumulations, total
+  * output orders) imply every query returns BYTE-IDENTICAL rows in
+  * IDENTICAL order no matter how the shuffle is partitioned. This
+  * spec re-runs the riskiest shapes — decimal-free money sums
+  * (q105), whole-bit surprisal (q124), the interval merge (q127),
+  * star contraction's iterative digest loop (q102), integer-exact
+  * k-means (q115), and the prefix-filtered pair join (q130) — under
+  * shuffle.partitions = 2 and 17 and diffs the full ordered output.
+  * A double sum, a first()-style order-sensitive aggregate, or a
+  * non-total sort key anywhere in these plans would flip rows here. */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-determinism-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String): Seq[String] =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toString).toSeq
+
+  private val watched = Seq(
+    "q105_decimal_ledger",
+    "q124_unigram_surprisal",
+    "q127_dup_span_merge",
+    "q102_cc_star",
+    "q115_kmeans_ivf",
+    "q130_prefix_jaccard_scale")
+
+  for (q <- watched)
+    test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val a = run(q)
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = run(q)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b,
+        s"$q output depends on the shuffle partitioning " +
+          s"(${a.size} vs ${b.size} rows)")
+      assert(a.nonEmpty, s"$q returned no rows at sf0.001")
+    }
+}
