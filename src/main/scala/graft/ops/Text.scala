@@ -1079,6 +1079,76 @@ object Text {
             (col("na") + col("nb") - col("inter")))
             .cast("long").as("jaccard_4"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    QueryDef(
+      "q131_incremental_dedup_probe",
+      s"""WITH shingles AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |sn AS (SELECT s.doc_id, s.h, c.n,
+         |    (${h32Sql("CAST(s.doc_id AS VARCHAR)")}) % 10 = 0 AS is_new
+         |  FROM shingles s JOIN cnt c ON c.doc_id = s.doc_id),
+         |pairs AS (SELECT a.doc_id AS new_doc, b.doc_id AS old_doc,
+         |    a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM sn a JOIN sn b ON a.h = b.h
+         |  WHERE a.is_new AND NOT b.is_new
+         |  GROUP BY 1, 2, 3, 4),
+         |scored AS (SELECT new_doc, old_doc,
+         |    CAST(floor(inter * 10000.0 / (na + nb - inter)) AS BIGINT)
+         |      AS jaccard_4,
+         |    row_number() OVER (PARTITION BY new_doc
+         |      ORDER BY floor(inter * 10000.0 / (na + nb - inter)) DESC,
+         |        old_doc) AS rn
+         |  FROM pairs),
+         |newdocs AS (SELECT DISTINCT doc_id AS new_doc FROM sn WHERE is_new)
+         |SELECT n.new_doc, s.old_doc AS best_match,
+         |  coalesce(s.jaccard_4, 0) AS jaccard_4,
+         |  coalesce(s.jaccard_4, 0) >= 6000 AS is_dup
+         |FROM newdocs n LEFT JOIN scored s
+         |  ON s.new_doc = n.new_doc AND s.rn = 1
+         |ORDER BY jaccard_4 DESC, n.new_doc LIMIT 25""".stripMargin) {
+      (s, d) =>
+      // Incremental dedup-on-ingest — the operational shape of
+      // continuous ingestion at 100 TB: the corpus's shingle index is
+      // standing state (here the memoized index filtered to the 90%
+      // "existing" split; in production a bucketed table maintained
+      // per batch), and each arriving batch (hash-split 10% "new")
+      // probes it WITHOUT touching existing-vs-existing pairs — the
+      // join is new×existing only, so work scales with the batch,
+      // not the corpus². Each new doc reports its best existing
+      // match (rank-1 by jaccard then lowest doc id — a
+      // WindowGroupLimit, partitioned by the probe doc) and an
+      // is_dup verdict at J >= 0.6; docs with no shared shingle
+      // survive the left join with jaccard 0. StreamStaticDedupSpec
+      // proves the same shape as a live stream against static state;
+      // this is its oracle-checked batch form.
+      graft.cdc.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val sn = shingleHashes(s, d).withColumn("is_new",
+        pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(10L)) === 0L)
+      val a = sn.filter(col("is_new"))
+        .select(col("doc_id").as("new_doc"), col("h"), col("n").as("na"))
+      val b = sn.filter(!col("is_new"))
+        .select(col("doc_id").as("old_doc"), col("h"), col("n").as("nb"))
+      val pairs = a.join(b, "h")
+        .groupBy(col("new_doc"), col("old_doc"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+      val jac4 = floor(col("inter") * 10000.0 /
+        (col("na") + col("nb") - col("inter"))).cast("long")
+      val w = Window.partitionBy(col("new_doc"))
+        .orderBy(col("jaccard_4").desc, col("old_doc"))
+      val scored = pairs.select(col("new_doc"), col("old_doc"),
+          jac4.as("jaccard_4"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      a.select(col("new_doc")).distinct()
+        .join(scored, Seq("new_doc"), "left")
+        .select(col("new_doc"), col("old_doc").as("best_match"),
+          coalesce(col("jaccard_4"), lit(0L)).as("jaccard_4"),
+          (coalesce(col("jaccard_4"), lit(0L)) >= 6000L).as("is_dup"))
+        .orderBy(col("jaccard_4").desc, col("new_doc"))
+        .limit(25)
     }
   )
 }

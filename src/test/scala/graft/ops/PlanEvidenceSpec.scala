@@ -159,6 +159,14 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the prefix self-join keyed on h in:\n$p")
   }
 
+  test("q131: incremental probe ranks via WindowGroupLimit, keyed join") {
+    val p = plan("q131_incremental_dedup_probe")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank-1-per-probe-doc pushdown in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"new-vs-existing pairs must come from the keyed shingle join:\n$p")
+  }
+
   test("q129: containment candidates come from the keyed shingle join") {
     val p = plan("q129_containment_dedup")
     assert(!p.contains("CartesianProduct"),
