@@ -740,6 +740,72 @@ object Vectors {
           coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
           coalesce(col("n_to_drop"), lit(0L)).as("n_to_drop"))
         .orderBy(col("cluster_id"))
+    },
+
+    QueryDef(
+      "q132_label_centroid_cohesion",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+        |    FROM embeddings),
+        |dims AS (SELECT label, vec_id, i, q[i] AS v
+        |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |cent AS (SELECT d.label, d.i,
+        |    (2 * sum(d.v) + n.n) // (2 * n.n) AS c
+        |  FROM dims d JOIN n ON n.label = d.label
+        |  GROUP BY d.label, d.i, n.n),
+        |nrm AS (SELECT label,
+        |    sum((c - 1000) * (c - 1000)) AS centroid_norm2
+        |  FROM cent GROUP BY label),
+        |d2 AS (SELECT d.label, d.vec_id,
+        |    sum((d.v - c.c) * (d.v - c.c)) AS dist2
+        |  FROM dims d JOIN cent c ON c.label = d.label AND c.i = d.i
+        |  GROUP BY d.label, d.vec_id)
+        |SELECT CAST(d2.label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(any_value(centroid_norm2) AS BIGINT) AS centroid_norm2,
+        |  CAST(sum(dist2) // count(*) AS BIGINT) AS mean_dist2
+        |FROM d2 JOIN nrm ON nrm.label = d2.label
+        |GROUP BY d2.label ORDER BY label""".stripMargin) { (s, d) =>
+      // Per-label embedding centroid + cohesion — the domain-drift
+      // monitor a training pipeline runs over embedded data: each
+      // class's exact integer centroid (same shifted-grid + rounded-
+      // mean recipe as the Lloyd chain, so it is bit-reproducible
+      // across engines and cluster topologies), its norm, and the
+      // mean squared distance of members to it. A source whose
+      // cohesion degrades between snapshots has drifted or been
+      // polluted. Scale shape: the grid explode is map-side; the
+      // centroid table is one keyed (label, dim) agg collapsing to
+      // #labels×64 rows, broadcast back; per-vector distances are one
+      // more keyed agg pair — partial+final everywhere, and every
+      // quantity is int64 so reduce order is irrelevant.
+      val e = embeddings(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)" +
+          " * 1000) AS BIGINT) + 1000)").as("q"))
+      val dims = e.select(col("label"), col("vec_id"),
+        posexplode(col("q")).as(Seq("i", "v")))
+      val n = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val cent = dims.groupBy(col("label"), col("i"))
+        .agg(sum(col("v")).as("sv"))
+        .join(n, "label")
+        .select(col("label"), col("i"),
+          expr("(2 * sv + n) DIV (2 * n)").as("c"))
+      val nrm = cent.groupBy(col("label"))
+        .agg(sum((col("c") - 1000L) * (col("c") - 1000L))
+          .as("centroid_norm2"))
+      val d2 = dims.join(broadcast(cent), Seq("label", "i"))
+        .select(col("label"), col("vec_id"),
+          ((col("v") - col("c")) * (col("v") - col("c"))).as("sq"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("sq")).as("dist2"))
+      d2.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist2")).as("tot"))
+        .join(broadcast(nrm), "label")
+        .select(col("label"), col("n_vecs"),
+          col("centroid_norm2").cast("long").as("centroid_norm2"),
+          expr("tot DIV n_vecs").as("mean_dist2"))
+        .orderBy(col("label"))
     }
   )
 
