@@ -43,7 +43,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q127_dup_span_merge",
     "q102_cc_star",
     "q115_kmeans_ivf",
-    "q130_prefix_jaccard_scale")
+    "q128_dsir_selection",
+    "q130_prefix_jaccard_scale",
+    "q132_label_centroid_cohesion")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
