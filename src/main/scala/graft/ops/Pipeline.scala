@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -480,6 +480,165 @@ object Pipeline {
         .groupBy(col("label").as("root"))
         .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
         .orderBy(col("root"))
+    },
+
+    QueryDef(
+      "q133_filter_funnel",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |fnodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM fnodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, lang, len(toks) AS n_toks, toks FROM t),
+         |segs AS (SELECT doc_id,
+         |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         |      AS seg
+         |  FROM base, UNNEST(range(0, n_toks // 10)) AS u(i)
+         |  WHERE n_toks >= 10),
+         |sh10 AS (SELECT DISTINCT doc_id, ${h32Sql("seg")} AS h FROM segs),
+         |df10 AS (SELECT h, count(*) AS df FROM sh10 GROUP BY h),
+         |pd AS (SELECT doc_id, count(*) AS n_segs,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sh10 JOIN df10 USING (h) GROUP BY doc_id),
+         |split AS (SELECT doc_id,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 80 AS is_train
+         |  FROM documents),
+         |ev_sh AS (SELECT DISTINCT h FROM shingles
+         |  JOIN split USING (doc_id) WHERE NOT is_train),
+         |cont AS (SELECT s.doc_id, count(*) AS n_sh,
+         |    sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+         |  FROM shingles s LEFT JOIN ev_sh e ON e.h = s.h
+         |  GROUP BY s.doc_id),
+         |flags AS (SELECT b.doc_id, b.n_toks,
+         |    b.lang = 'en' AS s1,
+         |    b.n_toks >= 30 AS s2,
+         |    (root.root IS NULL OR root.root = b.doc_id) AS s3,
+         |    NOT (2 * coalesce(pd.n_dup, 0) > coalesce(pd.n_segs, 0)) AS s4,
+         |    coalesce(c.n_cont, 0) * 2 < coalesce(c.n_sh, 1) AS s5
+         |  FROM base b
+         |  LEFT JOIN pd ON pd.doc_id = b.doc_id
+         |  LEFT JOIN root ON root.doc_id = b.doc_id
+         |  LEFT JOIN cont c ON c.doc_id = b.doc_id),
+         |agg AS (SELECT
+         |    count(*) AS d0, sum(n_toks) AS t0,
+         |    sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+         |    sum(CASE WHEN s1 THEN n_toks ELSE 0 END) AS t1,
+         |    sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS d2,
+         |    sum(CASE WHEN s1 AND s2 THEN n_toks ELSE 0 END) AS t2,
+         |    sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS d3,
+         |    sum(CASE WHEN s1 AND s2 AND s3 THEN n_toks ELSE 0 END) AS t3,
+         |    sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+         |      AS d4,
+         |    sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN n_toks ELSE 0 END)
+         |      AS t4,
+         |    sum(CASE WHEN s1 AND s2 AND s3 AND s4 AND s5
+         |      THEN 1 ELSE 0 END) AS d5,
+         |    sum(CASE WHEN s1 AND s2 AND s3 AND s4 AND s5
+         |      THEN n_toks ELSE 0 END) AS t5
+         |  FROM flags)
+         |SELECT stage, stage_name,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(n_toks * 1000 // t0 AS BIGINT) AS retained_milli
+         |FROM (
+         |  SELECT 0 AS stage, 'all' AS stage_name, d0 AS n_docs,
+         |    t0 AS n_toks, t0 FROM agg
+         |  UNION ALL SELECT 1, 'lang_id', d1, t1, t0 FROM agg
+         |  UNION ALL SELECT 2, 'quality', d2, t2, t0 FROM agg
+         |  UNION ALL SELECT 3, 'near_dedup', d3, t3, t0 FROM agg
+         |  UNION ALL SELECT 4, 'seg_dedup', d4, t4, t0 FROM agg
+         |  UNION ALL SELECT 5, 'decontam', d5, t5, t0 FROM agg)
+         |ORDER BY stage""".stripMargin) { (s, d) =>
+      // The pipeline funnel — the flagship filter families composed
+      // into the survival report a curator reads before committing a
+      // training snapshot: language ID → quality length gate →
+      // near-dup canonicalization (keep each Jaccard cluster's
+      // minimum member, q45's components) → cross-doc segment dedup
+      // (q110/q125's majority-duplicated rule) → eval-set
+      // decontamination (drop the held-out split AND any training
+      // doc whose shingles are >= 50% contained in it — "don't train
+      // on the benchmark", q82's direction reversed to the train
+      // side). Per stage: docs/tokens surviving the cumulative AND
+      // and tokens retained per mille. Proves the operators compose
+      // in ONE plan: the segment-df, cluster-label, and containment
+      // tables are the memoized keyed-agg shapes the standalone
+      // queries use, joined back per doc; the funnel reduces to a
+      // single 1-row aggregate and the 6-stage report is a
+      // constant-width stack — at 100 TB one corpus pass, keyed
+      // shuffles only, one scalar row out.
+      graft.cdc.GraftFunctions.register(s)
+      val base = withToks(s, d)
+        .select(col("doc_id"), col("lang"), col("toks"),
+          size(col("toks")).cast("long").as("n_toks"))
+      val sh10 = base.filter(col("n_toks") >= 10)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) DIV 10 - 1), " +
+            "i -> md5_h32(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")))
+          .as("h"))
+      val pd = sh10
+        .join(sh10.groupBy(col("h")).agg(count(lit(1)).as("df")), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val roots = clusterLabels(s, d)
+        .select(col("node").as("doc_id"), col("label").as("root"))
+      val sh3 = Text.shingleHashes(s, d).select(col("doc_id"), col("h"))
+      val isTrain = pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(100L)) < 80
+      val evSh = sh3.filter(!isTrain).select(col("h")).distinct()
+      val cont = sh3.join(evSh.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_cont"))
+      val flags = base
+        .join(pd, Seq("doc_id"), "left")
+        .join(roots, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          (col("lang") === "en").as("s1"),
+          (col("n_toks") >= 30).as("s2"),
+          (col("root").isNull || col("root") === col("doc_id")).as("s3"),
+          (!(lit(2L) * coalesce(col("n_dup"), lit(0L)) >
+            coalesce(col("n_segs"), lit(0L)))).as("s4"),
+          (coalesce(col("n_cont"), lit(0L)) * 2L <
+            coalesce(col("n_sh"), lit(1L))).as("s5"))
+      def cum(k: Int): Column =
+        Seq("s1", "s2", "s3", "s4", "s5").take(k)
+          .map(col).foldLeft(lit(true))(_ && _)
+      val agg = flags.agg(
+        count(lit(1)).as("d0"), sum(col("n_toks")).as("t0"),
+        sum(when(cum(1), 1L).otherwise(0L)).as("d1"),
+        sum(when(cum(1), col("n_toks")).otherwise(0L)).as("t1"),
+        sum(when(cum(2), 1L).otherwise(0L)).as("d2"),
+        sum(when(cum(2), col("n_toks")).otherwise(0L)).as("t2"),
+        sum(when(cum(3), 1L).otherwise(0L)).as("d3"),
+        sum(when(cum(3), col("n_toks")).otherwise(0L)).as("t3"),
+        sum(when(cum(4), 1L).otherwise(0L)).as("d4"),
+        sum(when(cum(4), col("n_toks")).otherwise(0L)).as("t4"),
+        sum(when(cum(5), 1L).otherwise(0L)).as("d5"),
+        sum(when(cum(5), col("n_toks")).otherwise(0L)).as("t5"))
+      agg.select(expr(
+          "stack(6, " +
+            "0L, 'all', d0, t0, " +
+            "1L, 'lang_id', d1, t1, " +
+            "2L, 'quality', d2, t2, " +
+            "3L, 'near_dedup', d3, t3, " +
+            "4L, 'seg_dedup', d4, t4, " +
+            "5L, 'decontam', d5, t5) " +
+            "AS (stage, stage_name, n_docs, n_toks)"),
+          col("t0"))
+        .select(col("stage"), col("stage_name"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_toks").cast("long").as("n_toks"),
+          expr("n_toks * 1000 DIV t0").as("retained_milli"))
+        .orderBy(col("stage"))
     }
   )
 
