@@ -1026,6 +1026,65 @@ object Mining {
           sum(col("bs") - col("bt")).cast("long").as("score_bits"))
         .orderBy(col("score_bits").desc, col("doc_id"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q134_vocab_drift",
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |sided AS (SELECT tok, tf,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 2 = 0 AS side_a
+         |  FROM tf),
+         |c AS (SELECT tok,
+         |    CAST(sum(CASE WHEN side_a THEN tf ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN side_a THEN 0 ELSE tf END) AS BIGINT) AS cb
+         |  FROM sided GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
+         |r AS (SELECT tok, ca, cb,
+         |    ca * 1000000 // na AS ra, cb * 1000000 // nb AS rb
+         |  FROM c, tot WHERE ca + cb >= 50)
+         |SELECT tok, ca, cb, CAST(ra AS BIGINT) AS ra_ppm,
+         |  CAST(rb AS BIGINT) AS rb_ppm,
+         |  CAST(abs(ra - rb) AS BIGINT) AS drift_ppm
+         |FROM r ORDER BY drift_ppm DESC, tok LIMIT 25""".stripMargin) {
+      (s, d) =>
+      // Vocabulary drift between corpus snapshots — the monitoring
+      // query behind "did my crawl shift?": hash-split the corpus
+      // into two pseudo-snapshots, compute each token's rate in
+      // parts-per-million of its snapshot's token mass, and rank by
+      // absolute rate change, support-filtered (ca+cb >= 50) so rare
+      // tokens don't dominate with noise. In production the two
+      // sides are consecutive snapshot partitions; the hash split
+      // makes the fixture deterministic. Everything is int64-safe at
+      // any scale (rates are bounded by 1e6, counts by corpus size):
+      // one keyed (doc, tok) agg feeds one keyed token agg with BOTH
+      // sides accumulated in a single pass (conditional sums — no
+      // self-join of snapshots), a 1-row total broadcast, and a
+      // TakeOrderedAndProject top-k. At 100 TB the token table
+      // partitions by tok and never collects.
+      graft.cdc.GraftFunctions.register(s)
+      val tf = Text.docTermFreq(s, d)
+        .select(col("doc_id"), col("tok"), col("tf"))
+      val sided = tf.withColumn("side_a",
+        pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(2L)) === 0L)
+      val c = sided.groupBy(col("tok"))
+        .agg(sum(when(col("side_a"), col("tf")).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("side_a"), 0L).otherwise(col("tf")))
+            .cast("long").as("cb"))
+      val tot = c.agg(sum(col("ca")).cast("long").as("na"),
+        sum(col("cb")).cast("long").as("nb"))
+      c.filter(col("ca") + col("cb") >= 50)
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("ca"), col("cb"),
+          expr("ca * 1000000 DIV na").as("ra_ppm"),
+          expr("cb * 1000000 DIV nb").as("rb_ppm"))
+        .withColumn("drift_ppm", abs(col("ra_ppm") - col("rb_ppm")))
+        .orderBy(col("drift_ppm").desc, col("tok"))
+        .limit(25)
     }
   )
 }
