@@ -639,6 +639,85 @@ object Pipeline {
           col("n_toks").cast("long").as("n_toks"),
           expr("n_toks * 1000 DIV t0").as("retained_milli"))
         .orderBy(col("stage"))
+    },
+
+    QueryDef(
+      "q135_cluster_chain_audit",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |cnodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM cnodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |szs AS (SELECT root, count(*) AS csize FROM root GROUP BY root),
+         |mpairs AS (SELECT a.root, a.doc_id AS d1, b.doc_id AS d2
+         |  FROM root a JOIN root b
+         |    ON a.root = b.root AND a.doc_id < b.doc_id),
+         |pint AS (SELECT p.root, p.d1, p.d2, sa.n AS na, sb.n AS nb,
+         |    count(*) AS inter
+         |  FROM mpairs p
+         |  JOIN sn sa ON sa.doc_id = p.d1
+         |  JOIN sn sb ON sb.doc_id = p.d2 AND sb.h = sa.h
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |pj AS (SELECT p.root,
+         |    coalesce(CAST(floor(i.inter * 10000.0
+         |      / (i.na + i.nb - i.inter)) AS BIGINT), 0) AS j4
+         |  FROM mpairs p LEFT JOIN pint i
+         |    ON i.root = p.root AND i.d1 = p.d1 AND i.d2 = p.d2),
+         |agg AS (SELECT root, count(*) AS n_pairs, min(j4) AS min_pair_j4
+         |  FROM pj GROUP BY root)
+         |SELECT s.root, CAST(s.csize AS BIGINT) AS cluster_size,
+         |  CAST(a.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(a.min_pair_j4 AS BIGINT) AS min_pair_j4,
+         |  a.min_pair_j4 < 6000 AS chained
+         |FROM szs s JOIN agg a ON a.root = s.root
+         |ORDER BY s.root""".stripMargin) { (s, d) =>
+      // Transitive-closure chaining audit — the known dedup-cluster
+      // pathology: components are built from pairwise J >= 0.6 edges,
+      // but A~B~C chains can pull in member pairs with Jaccard far
+      // below the threshold, silently over-merging (and q55 then
+      // deletes docs that are NOT near-dups of the kept canonical).
+      // For every cluster: all member pairs' exact Jaccard (pairs
+      // with no shared shingle score 0 via the left join), the
+      // minimum, and a chained flag when it undercuts the edge
+      // threshold. Pair fan-out is size²/2 per cluster — near-dup
+      // clusters are shallow (2-4 members); at corpus scale cap the
+      // audit to clusters under a size bound and sample the giants
+      // (the giants are precisely the chained ones). All joins keyed
+      // on root / doc / shingle hash; the intersection count is the
+      // same two-keyed-join shape as q131's probe.
+      val roots = clusterLabels(s, d)
+        .select(col("node").as("doc_id"), col("label").as("root"))
+      val szs = roots.groupBy(col("root")).agg(count(lit(1)).as("csize"))
+      val a = roots.select(col("root"), col("doc_id").as("d1"))
+      val b = roots.select(col("root"), col("doc_id").as("d2"))
+      val mpairs = a.join(b, Seq("root"))
+        .filter(col("d1") < col("d2"))
+      val sh = Text.shingleHashes(s, d)
+      val sa = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
+      val sb = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
+      val pint = mpairs.join(sa, "d1").join(sb, Seq("d2", "h"))
+        .groupBy(col("root"), col("d1"), col("d2"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("root"), col("d1"), col("d2"),
+          floor(col("inter") * 10000.0 /
+            (col("na") + col("nb") - col("inter")))
+            .cast("long").as("j4"))
+      val agg = mpairs.join(pint, Seq("root", "d1", "d2"), "left")
+        .select(col("root"), coalesce(col("j4"), lit(0L)).as("j4"))
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("j4")).as("min_pair_j4"))
+      szs.join(agg, "root")
+        .select(col("root"), col("csize").cast("long").as("cluster_size"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          col("min_pair_j4"),
+          (col("min_pair_j4") < 6000L).as("chained"))
+        .orderBy(col("root"))
     }
   )
 
