@@ -1149,6 +1149,56 @@ object Text {
           (coalesce(col("jaccard_4"), lit(0L)) >= 6000L).as("is_dup"))
         .orderBy(col("jaccard_4").desc, col("new_doc"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q136_boilerplate_segments",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+         |  FROM documents),
+         |segs AS (SELECT doc_id, source,
+         |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         |      AS seg
+         |  FROM t, UNNEST(range(0, len(toks) // 10)) AS u(i)
+         |  WHERE len(toks) >= 10),
+         |g AS (SELECT ${h32Sql("seg")} AS h, min(seg) AS seg,
+         |    count(*) AS occurrences,
+         |    count(DISTINCT doc_id) AS n_docs,
+         |    count(DISTINCT source) AS n_sources
+         |  FROM segs GROUP BY ${h32Sql("seg")})
+         |SELECT seg, CAST(occurrences AS BIGINT) AS occurrences,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_sources AS BIGINT) AS n_sources
+         |FROM g WHERE n_docs >= 2
+         |ORDER BY n_docs DESC, occurrences DESC, seg
+         |LIMIT 25""".stripMargin) { (s, d) =>
+      // The boilerplate report — which exact 10-token segments repeat
+      // across the most documents, and how many sources they span:
+      // the list a curator reads to write targeted line-removal rules
+      // (cookie banners, navigation chrome, license footers) before
+      // rerunning q110/q125. Grouping is keyed on the segment's
+      // 32-bit hash, NOT the string — only int64 keys shuffle, with
+      // min(seg) carrying one representative text per group map-side
+      // (all equal absent a hash collision, so min is deterministic
+      // either way) — and the distinct doc/source counts are Spark's
+      // expand-based distinct aggs over that same keyed shuffle. The
+      // 25-row report is TakeOrderedAndProject.
+      graft.cdc.GraftFunctions.register(s)
+      withToks(s, d)
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(toks) DIV 10 - 1), " +
+            "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")).as("seg"))
+        .groupBy(graft.cdc.GraftFunctions.md5_h32(col("seg")).as("h"))
+        .agg(min(col("seg")).as("seg"),
+          count(lit(1)).as("occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_docs") >= 2)
+        .select(col("seg"), col("occurrences"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_sources").cast("long").as("n_sources"))
+        .orderBy(col("n_docs").desc, col("occurrences").desc, col("seg"))
+        .limit(25)
     }
   )
 }
