@@ -45,7 +45,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q115_kmeans_ivf",
     "q128_dsir_selection",
     "q130_prefix_jaccard_scale",
-    "q132_label_centroid_cohesion")
+    "q132_label_centroid_cohesion",
+    "q133_filter_funnel",
+    "q134_vocab_drift")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
