@@ -78,6 +78,13 @@ class IntervalMergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("empty input merges to empty output") {
+    val s = spark
+    import s.implicits._
+    assert(Text.mergeIntervals(
+      Seq.empty[(Long, Long, Long)].toDF("part", "s", "e")).count() == 0)
+  }
+
   test("merged spans are disjoint with a strict gap between them") {
     check(Prop.forAll(genIntervals) { iv0 =>
       val iv = iv0.groupBy(x => (x._1, x._2)).values.map(_.head).toList
