@@ -445,6 +445,63 @@ object Scale {
           .agg(count(lit(1)).as("n_items"),
             sum(col("l_quantity")).cast("long").as("sum_qty"))
           .orderBy(col("o_orderpriority"))
+    },
+
+    QueryDef(
+      "q137_budget_mixing",
+      s"""WITH ${Text.qualityScoresSql},
+         |src AS (SELECT d.source,
+         |    CAST(sum(q.q) // count(*) AS BIGINT) AS src_q4,
+         |    CAST(sum(len(${Text.toksSql})) AS BIGINT) AS tokens
+         |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+         |  GROUP BY d.source),
+         |tot AS (SELECT sum(tokens) AS corpus FROM src),
+         |cum AS (SELECT a.source, a.src_q4, a.tokens,
+         |    CAST(sum(b.tokens) AS BIGINT) AS cum_tokens
+         |  FROM src a JOIN src b
+         |    ON b.src_q4 > a.src_q4
+         |    OR (b.src_q4 = a.src_q4 AND b.source <= a.source)
+         |  GROUP BY a.source, a.src_q4, a.tokens)
+         |SELECT c.source, c.src_q4, c.tokens, c.cum_tokens,
+         |  c.cum_tokens * 2 <= t.corpus AS included
+         |FROM cum c, tot t
+         |ORDER BY c.src_q4 DESC, c.source""".stripMargin) { (s, d) =>
+      // Quality-ordered budget mixing — the greedy source-selection
+      // step of a mixture planner: rank sources by mean document
+      // quality (q22's integer score), then admit whole sources in
+      // rank order until the token budget (50% of the corpus) is
+      // spent. The greedy prefix is sequential by nature, but over
+      // SOURCES (a tiny relation), so the cumulative sum is a
+      // triangle self-join on the broadcast per-source table —
+      // #sources² rows, constant at any corpus size — instead of an
+      // unpartitioned window, which PlanGuard forbids because on a
+      // ROW-scale relation it is the classic single-task bottleneck.
+      // Everything upstream is keyed partial+final aggs over the
+      // memoized quality/token indexes; q111's rate planner consumes
+      // the complement of this report (sources to downsample rather
+      // than drop).
+      val src = Text.qualityScores(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .join(Text.withToks(s, d).select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks")), "doc_id")
+        .groupBy(col("source"))
+        .agg(expr("sum(q) DIV count(1)").as("src_q4"),
+          sum(col("n_toks")).cast("long").as("tokens"))
+      val tot = src.agg(sum(col("tokens")).as("corpus"))
+      val a = src.select(col("source"), col("src_q4"), col("tokens"))
+      val b = src.select(col("source").as("b_source"),
+        col("src_q4").as("b_q4"), col("tokens").as("b_tokens"))
+      a.join(broadcast(b),
+          b("b_q4") > a("src_q4") ||
+            (b("b_q4") === a("src_q4") && b("b_source") <= a("source")))
+        .groupBy(col("source"), col("src_q4"), col("tokens"))
+        .agg(sum(col("b_tokens")).cast("long").as("cum_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("src_q4"), col("tokens"),
+          col("cum_tokens"),
+          (col("cum_tokens") * 2 <= col("corpus")).as("included"))
+        .orderBy(col("src_q4").desc, col("source"))
     }
   )
 }
