@@ -718,6 +718,100 @@ object Pipeline {
           col("min_pair_j4"),
           (col("min_pair_j4") < 6000L).as("chained"))
         .orderBy(col("root"))
+    },
+
+    QueryDef(
+      "q138_source_quota",
+      s"""WITH ${Text.qualityScoresSql},
+         |toks AS (SELECT doc_id, CAST(len(${Text.toksSql}) AS BIGINT)
+         |           AS n_toks FROM documents),
+         |ranked AS (SELECT d.source, t.n_toks,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY q.q DESC, d.doc_id) AS rk
+         |  FROM documents d
+         |  JOIN qual q ON q.doc_id = d.doc_id
+         |  JOIN toks t ON t.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN rk <= 15 THEN n_toks ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  CAST(sum(CASE WHEN rk > 15 THEN n_toks ELSE 0 END) AS BIGINT)
+         |    AS dropped_tokens
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      // Per-source quota capping — the domain-cap pass of a web-scale
+      // pipeline (keep the best K documents per source/domain so no
+      // single crawl host dominates the mixture). Rank docs by the
+      // shared q22 quality score WITHIN each source — a partitioned
+      // window (source is the partition key, so no single-task
+      // bottleneck; skewed mega-domains stay one partition each,
+      // which is exactly the cardinality a rank-then-cap needs) —
+      // then aggregate kept/dropped token mass per source. At 100 TB
+      // the rank+filter half is eligible for WindowGroupLimit
+      // pushdown when only kept rows are needed; here both sides of
+      // the cap feed the report, so the full rank is the work item.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(Text.qualityScores(s, d), "doc_id")
+        .join(Text.withToks(s, d).select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks")), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= 15, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= 15, col("n_toks")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(when(col("rk") > 15, col("n_toks")).otherwise(0L))
+            .as("dropped_tokens"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef(
+      "q139_overlap_chunking",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(${Text.toksSql}) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT lang, n,
+         |    CASE WHEN n <= 64 THEN 1
+         |         ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+         |  FROM t WHERE n > 0),
+         |e AS (SELECT lang, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS i FROM c)
+         |SELECT lang,
+         |  CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(least(64, n - i * 48)) AS BIGINT) AS chunk_tokens,
+         |  CAST(sum(least(64, n - i * 48))
+         |    - sum(CASE WHEN i = 0 THEN n ELSE 0 END) AS BIGINT)
+         |    AS overlap_tokens
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // Sliding-window chunking — the context-length segmentation pass
+      // (RAG indexing / long-doc training): windows of 64 tokens at
+      // stride 48 (16-token overlap), final partial window kept. The
+      // chunk COUNT is closed-form per doc, so the explode is a
+      // map-side sequence() over an integer range — no window
+      // function, no shuffle until the per-lang rollup; chunk row
+      // volume is ~n/48 per doc, the same linear blow-up the real
+      // chunk materialization would pay. Per-doc totals ride along on
+      // the i=0 row instead of a second aggregation pass.
+      Text.withToks(s, d)
+        .select(col("lang"), size(col("toks")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("n_chunks", when(col("n") <= 64, 1L)
+          .otherwise(expr("1 + (n - 64 + 47) DIV 48")))
+        .select(col("lang"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("i") === 0L, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(least(lit(64L), col("n") - col("i") * 48L))
+            .as("chunk_tokens"),
+          (sum(least(lit(64L), col("n") - col("i") * 48L))
+            - sum(when(col("i") === 0L, col("n")).otherwise(0L)))
+            .as("overlap_tokens"))
+        .orderBy(col("lang"))
     }
   )
 

@@ -47,7 +47,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q130_prefix_jaccard_scale",
     "q132_label_centroid_cohesion",
     "q133_filter_funnel",
-    "q134_vocab_drift")
+    "q134_vocab_drift",
+    "q138_source_quota",
+    "q139_overlap_chunking")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
