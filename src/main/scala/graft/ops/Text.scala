@@ -1199,6 +1199,93 @@ object Text {
           col("n_sources").cast("long").as("n_sources"))
         .orderBy(col("n_docs").desc, col("occurrences").desc, col("seg"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q140_source_similarity",
+      s"""WITH shingles AS ($shinglesSql),
+         |ssh AS (SELECT d.source, s.h FROM shingles s
+         |        JOIN documents d ON d.doc_id = s.doc_id),
+         |ssig AS (SELECT source,
+         |  ${(0 until 16).map(j =>
+             s"min((${minhashA(j)} * h + ${minhashB(j)}) % 2147483647) AS h$j")
+             .mkString(",\n  ")}
+         |  FROM ssh GROUP BY source),
+         |pairs AS (SELECT a.source AS s1, b.source AS s2,
+         |    ${(0 until 16).map(j =>
+               s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS agree
+         |  FROM ssig a JOIN ssig b ON a.source < b.source)
+         |SELECT s1, s2, CAST(agree AS BIGINT) AS agree,
+         |  CAST(agree * 625 AS BIGINT) AS est_j4
+         |FROM pairs ORDER BY s1, s2""".stripMargin) { (s, d) =>
+      // Corpus-level source-pair similarity via minhash sketch UNION:
+      // min over a source's docs of each permutation's min is exactly
+      // the minhash of the union of its shingle sets (mergeability —
+      // the property that lets per-partition sketches reduce without
+      // ever shuffling shingles). One keyed agg collapses the corpus
+      // to #sources sketch rows of 16 ints; the pair matrix is a
+      // broadcast triangle join over that tiny relation (#sources²
+      // rows, constant in corpus size). The estimate: J(A,B) ≈
+      // agreeing permutations / 16, scaled to basis points.
+      val ssh = shingleHashes(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("h"))
+      val perm = (0 until 16).map(j =>
+        min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
+          .as(s"h$j"))
+      val ssig = ssh.groupBy(col("source"))
+        .agg(perm.head, perm.tail: _*)
+      val a = ssig.select(col("source").as("s1") +:
+        (0 until 16).map(j => col(s"h$j").as(s"a$j")): _*)
+      val b = ssig.select(col("source").as("s2") +:
+        (0 until 16).map(j => col(s"h$j").as(s"b$j")): _*)
+      val agree = (0 until 16).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      a.join(broadcast(b), col("s1") < col("s2"))
+        .select(col("s1"), col("s2"), agree.as("agree"))
+        .select(col("s1"), col("s2"), col("agree"),
+          (col("agree") * 625L).as("est_j4"))
+        .orderBy(col("s1"), col("s2"))
+    },
+
+    QueryDef(
+      "q141_vocab_oov",
+      s"""WITH toks AS (SELECT lang, unnest($toksSql) AS tok
+         |             FROM documents),
+         |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 256)
+         |SELECT t.lang, count(*) AS total_toks,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_toks,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS oov_ppm
+         |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, d) =>
+      // Tokenizer-coverage audit: fix the vocabulary to the corpus's
+      // top-256 tokens (count desc, token asc — a total order, so the
+      // LIMIT is deterministic and TakeOrderedAndProject-shaped), then
+      // measure each language's out-of-vocabulary occurrence rate in
+      // ppm. The vocab is broadcast — the token stream is scanned
+      // once, never shuffled by token for the membership test; only
+      // the per-lang partial aggregates move. The high-OOV language
+      // is the one a shared tokenizer underserves (fertility risk).
+      val toks = withToks(s, d)
+        .select(col("lang"), explode(col("toks")).as("tok"))
+      val vocab = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(256)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_toks"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_toks"))
+        .select(col("lang"), col("total_toks"), col("oov_toks"),
+          expr("oov_toks * 1000000 DIV total_toks").as("oov_ppm"))
+        .orderBy(col("lang"))
     }
   )
 }
