@@ -1085,6 +1085,63 @@ object Mining {
         .withColumn("drift_ppm", abs(col("ra_ppm") - col("rb_ppm")))
         .orderBy(col("drift_ppm").desc, col("tok"))
         .limit(25)
+    },
+
+    QueryDef(
+      "q142_bigram_fluency",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |pr AS (SELECT doc_id, lang, toks[i] AS t1, toks[i+1] AS t2
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT t1, t2, count(*) AS c2 FROM pr GROUP BY t1, t2),
+         |c1 AS (SELECT t1, count(*) AS c1 FROM pr GROUP BY t1),
+         |bp AS (SELECT c2.t1, c2.t2,
+         |    CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS p_ppm
+         |  FROM c2 JOIN c1 ON c1.t1 = c2.t1),
+         |ds AS (SELECT pr.doc_id, pr.lang,
+         |    CAST(sum(bp.p_ppm) // count(*) AS BIGINT) AS fl
+         |  FROM pr JOIN bp ON bp.t1 = pr.t1 AND bp.t2 = pr.t2
+         |  GROUP BY pr.doc_id, pr.lang)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(fl) // count(*) AS BIGINT) AS avg_fluency_ppm,
+         |  CAST(min(fl) AS BIGINT) AS min_fluency_ppm,
+         |  CAST(max(fl) AS BIGINT) AS max_fluency_ppm
+         |FROM ds GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // LM-fluency quality proxy (the CCNet-style perplexity filter,
+      // with the corpus itself as the language model): a doc's score
+      // is its mean conditional bigram probability P(t2|t1), in ppm.
+      // Everything is integer (count ratios via DIV) — no log(), whose
+      // last-ulp behavior differs between engines and would poison the
+      // exact-hash gate. Scale shape: the adjacent-pair stream is a
+      // map-side transform+explode (no shuffle to build it); the model
+      // is two keyed counts over that stream; c2⋈c1 runs on the MODEL
+      // relation (bigram types, ≪ occurrences) so the single join the
+      // occurrence stream pays is one keyed equi-join against the
+      // scored bigram table — partitioned by (t1,t2), skew bounded by
+      // the Zipf head, which AQE splits. Per-doc then per-lang aggs
+      // reduce to ≤ |langs| rows.
+      val pr = withToks(s, d)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> struct(toks[i] AS t1, toks[i+1] AS t2))")).as("p"))
+        .select(col("doc_id"), col("lang"),
+          col("p.t1").as("t1"), col("p.t2").as("t2"))
+      val c2 = pr.groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = pr.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+      val bp = c2.join(c1, "t1")
+        .select(col("t1"), col("t2"),
+          expr("c2 * 1000000 DIV c1").as("p_ppm"))
+      pr.join(bp, Seq("t1", "t2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(p_ppm) DIV count(*)").as("fl"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(fl) DIV count(*)").as("avg_fluency_ppm"),
+          min(col("fl")).as("min_fluency_ppm"),
+          max(col("fl")).as("max_fluency_ppm"))
+        .orderBy(col("lang"))
     }
   )
 }

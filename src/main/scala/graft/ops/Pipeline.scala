@@ -812,6 +812,49 @@ object Pipeline {
             - sum(when(col("i") === 0L, col("n")).otherwise(0L)))
             .as("overlap_tokens"))
         .orderBy(col("lang"))
+    },
+
+    QueryDef(
+      "q143_quality_dup_calibration",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+         |  FROM t WHERE len(toks) > 0),
+         |dup AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp),
+         |$qualityScoresSql,
+         |j AS (SELECT qual.q // 1000 AS bucket,
+         |    CASE WHEN dup.n > 1 THEN 1 ELSE 0 END AS is_dup
+         |  FROM qual JOIN fp ON fp.doc_id = qual.doc_id
+         |  JOIN dup ON dup.fp = fp.fp)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |  CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      // Calibration audit for the dedup↔quality interaction: does the
+      // quality filter already remove the duplicated mass, or do the
+      // two passes prune disjoint sets? Buckets are FIXED-WIDTH slices
+      // of the q22 score (q DIV 1000 over the 0..10000 lattice), not
+      // ntile deciles — deciles need a global sort rank; fixed cutoffs
+      // are a map-side projection, identical on any cluster size, and
+      // comparable across corpus snapshots (a decile edge moves when
+      // the distribution does). Dup flags come from the exact-dedup
+      // fingerprint: one keyed count per fingerprint joined back —
+      // both joins keyed, nothing broadcast-sized required, the
+      // output is ≤ 11 rows regardless of corpus size.
+      val fp = withToks(s, d).filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          md5(array_join(col("toks"), " ")).as("fp"))
+      val dup = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      qualityScores(s, d)
+        .select(col("doc_id"), expr("q DIV 1000").as("bucket"))
+        .join(fp, "doc_id")
+        .join(dup, "fp")
+        .select(col("bucket"),
+          when(col("n") > 1, 1L).otherwise(0L).as("is_dup"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).cast("long").as("n_dups"),
+          expr("sum(is_dup) * 1000000 DIV count(*)").as("dup_ppm"))
+        .orderBy(col("bucket"))
     }
   )
 
