@@ -855,6 +855,64 @@ object Pipeline {
           sum(col("is_dup")).cast("long").as("n_dups"),
           expr("sum(is_dup) * 1000000 DIV count(*)").as("dup_ppm"))
         .orderBy(col("bucket"))
+    },
+
+    QueryDef(
+      "q144_split_leakage",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+         |  FROM t WHERE len(toks) > 0),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train'
+         |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 100 AS b
+         |        FROM documents)),
+         |j AS (SELECT sp.split, fp.fp FROM fp JOIN sp USING (doc_id)),
+         |g AS (SELECT fp, count(*) AS n, count(DISTINCT split) AS ns
+         |  FROM j GROUP BY fp)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_docs,
+         |  CAST(sum(CASE WHEN g.ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS leaked_docs,
+         |  CAST(sum(CASE WHEN g.ns > 1 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS leak_ppm
+         |FROM j JOIN g USING (fp) GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      // Split-contamination audit: exact duplicates that straddle the
+      // q46 train/val/test hash split leak training text into eval —
+      // the failure n-gram decontamination (q60/q82) checks for EVAL
+      // SETS but nobody re-checks for the corpus's own held-out split.
+      // Dedup-by-fingerprint then split-by-doc_id-hash are independent
+      // functions, so duplicate groups scatter across splits unless a
+      // canonical pass (q55) ran first; this measures how much. Shape:
+      // one keyed fingerprint agg (count + distinct-split count, both
+      // in the same pass), one keyed join back, 3 output rows. The
+      // split assignment is the same md5_h32 lattice as q46 — pure
+      // map-side, no sampling, stable under repartitioning.
+      graft.cdc.GraftFunctions.register(s)
+      val fp = withToks(s, d).filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          md5(array_join(col("toks"), " ")).as("fp"))
+      val sp = documents(s, d).select(col("doc_id"),
+        (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
+          % 100).as("b"))
+        .select(col("doc_id"),
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test").as("split"))
+      val j = fp.join(sp, "doc_id").select(col("split"), col("fp"))
+      val g = j.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("split")).as("ns"))
+      j.join(g, "fp")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).cast("long")
+            .as("dup_docs"),
+          sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("long")
+            .as("leaked_docs"),
+          expr("sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) * 1000000" +
+            " DIV count(*)").as("leak_ppm"))
+        .orderBy(col("split"))
     }
   )
 

@@ -98,4 +98,36 @@ class FluencyCalibrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // docs partition across buckets exactly once
     assert(got.values.map(_._1).sum == docs.length.toLong)
   }
+
+  test("q144: split-leakage counts match a brute-force model") {
+    def h32(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = toksByDoc().filter(_._3.nonEmpty)
+    val rows = docs.map { case (id, _, ts) =>
+      val split = h32(id.toString) % 100 match {
+        case b if b < 80 => "train"
+        case b if b < 90 => "val"
+        case _           => "test"
+      }
+      (split, ts.mkString(" "))
+    }
+    val byFp = rows.groupBy(_._2)
+    val expected = rows.groupBy(_._1).map { case (split, o) =>
+      val dup = o.count(r => byFp(r._2).length > 1).toLong
+      val leak = o.count(r => byFp(r._2).map(_._1).distinct.length > 1)
+        .toLong
+      split -> (o.length.toLong, dup, leak, leak * 1000000L / o.length)
+    }
+    val got = graft.SparkEntry.queries("q144_split_leakage")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // leaked docs are a subset of duplicated docs in every split
+    got.values.foreach { case (_, dup, leak, _) => assert(leak <= dup) }
+  }
 }

@@ -175,4 +175,33 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       || p.contains("BroadcastHashJoin [h"),
       s"expected the self-join keyed on h in:\n$p")
   }
+
+  test("q140: source pair triangle broadcasts the sketch relation") {
+    val p = plan("q140_source_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the #sources-row triangle must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q141: the top-256 vocab broadcasts to the token stream") {
+    val p = plan("q141_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership must be a broadcast probe, not a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocab cut must be a top-k, not a global sort:\n$p")
+  }
+
+  test("q142: the occurrence stream pays only keyed equi-joins") {
+    val p = plan("q142_bigram_fluency")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bigram scoring must join on (t1,t2)/(t1) keys only:\n$p")
+  }
+
+  test("q144: leakage audit is two keyed joins, no window") {
+    val p = plan("q144_split_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      s"group stats ride the fingerprint agg, not a window:\n$p")
+  }
 }
