@@ -1129,7 +1129,10 @@ object Mining {
           col("p.t1").as("t1"), col("p.t2").as("t2"))
       val c2 = pr.groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("c2"))
-      val c1 = pr.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+      // c1 folds out of c2 (sum over t2) — the prefix count comes off
+      // the bigram-TYPE relation instead of a second full shuffle of
+      // the occurrence stream.
+      val c1 = c2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
       val bp = c2.join(c1, "t1")
         .select(col("t1"), col("t2"),
           expr("c2 * 1000000 DIV c1").as("p_ppm"))

@@ -1235,8 +1235,13 @@ object Text {
       val perm = (0 until 16).map(j =>
         min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
           .as(s"h$j"))
+      // localCheckpoint: both triangle arms read this #sources-row
+      // relation; without it each arm re-runs the corpus-wide sketch
+      // aggregation — the dominant cost at scale — from the cached
+      // shingle index.
       val ssig = ssh.groupBy(col("source"))
         .agg(perm.head, perm.tail: _*)
+        .localCheckpoint()
       val a = ssig.select(col("source").as("s1") +:
         (0 until 16).map(j => col(s"h$j").as(s"a$j")): _*)
       val b = ssig.select(col("source").as("s2") +:
