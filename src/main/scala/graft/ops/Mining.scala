@@ -638,6 +638,51 @@ object Mining {
     },
 
     QueryDef(
+      "q145_laggard_suppliers",
+      """SELECT l1.l_suppkey AS suppkey, count(*) AS n_waiting
+        |FROM lineitem l1
+        |WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate >= l1.l_shipdate)
+        |GROUP BY l1.l_suppkey
+        |ORDER BY n_waiting DESC, suppkey
+        |LIMIT 25""".stripMargin) { (s, d) =>
+      // TPC-H Q21's shape on this schema (no commit/receipt dates in
+      // the synthetic lineitem, so "late" = strictly latest ship date
+      // in a multi-supplier order): an IN, an EXISTS, and a NOT EXISTS
+      // with a non-equi correlated predicate, all over the SAME fact
+      // table — the classic decorrelation torture test. Catalyst plans
+      // one semi join (IN), one semi join (EXISTS), and one anti join
+      // with the range condition attached (NOT EXISTS) — three keyed
+      // joins on l_orderkey, no per-row re-scans; at 100 TB all three
+      // co-partition on the order key in one shuffle stage each. Same
+      // SQL text runs verbatim in DuckDB.
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT l1.l_suppkey AS suppkey, count(*) AS n_waiting
+          |FROM lineitem l1
+          |WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders
+          |                        WHERE o_orderstatus = 'F')
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |              WHERE l3.l_orderkey = l1.l_orderkey
+          |                AND l3.l_suppkey <> l1.l_suppkey
+          |                AND l3.l_shipdate >= l1.l_shipdate)
+          |GROUP BY l1.l_suppkey
+          |ORDER BY n_waiting DESC, suppkey
+          |LIMIT 25""".stripMargin)
+    },
+
+    QueryDef(
       "q108_lateral_topn",
       """SELECT n.n_name, t.c_custkey, t.bal_cents
         |FROM nation n,
@@ -1131,7 +1176,10 @@ object Mining {
         .agg(count(lit(1)).as("c2"))
       // c1 folds out of c2 (sum over t2) — the prefix count comes off
       // the bigram-TYPE relation instead of a second full shuffle of
-      // the occurrence stream.
+      // the occurrence stream. int64 bound: c2 * 1e6 overflows only
+      // past c2 ≈ 9.2e12 occurrences of ONE bigram — the hottest
+      // English bigram at ~1e13 corpus tokens is ~1e10, two orders of
+      // magnitude of headroom at 100 TB.
       val c1 = c2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
       val bp = c2.join(c1, "t1")
         .select(col("t1"), col("t2"),

@@ -198,6 +198,15 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bigram scoring must join on (t1,t2)/(t1) keys only:\n$p")
   }
 
+  test("q145: IN/EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q145_laggard_suppliers")
+    assert(p.contains("LeftSemi"),
+      s"IN and EXISTS must plan as semi joins:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join with the range condition:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q144: leakage audit is two keyed joins, no window") {
     val p = plan("q144_split_leakage")
     assert(!p.contains("CartesianProduct"), p)
