@@ -62,7 +62,16 @@ final class LoopbackWalServer(
     log: Seq[(Long, Seq[Array[Byte]])],
     keepaliveAfter: Set[Int] = Set.empty,
     dropAfterTxs: Option[Int] = None,
-    holdOpenMillis: Long = 0L) {
+    holdOpenMillis: Long = 0L,
+    /** Chaos: cut EVERY connection after it has served this many
+      * transactions (never cleared, unlike dropAfterTxs) — the
+      * flapping-walsender harness. */
+    dropEveryTxs: Option[Int] = None,
+    /** Chaos: on the first connection only, close cleanly after
+      * sending `frames` frames of the `tx`-th pending transaction
+      * (1-based) — a cut on a message boundary INSIDE a transaction,
+      * indistinguishable at the socket layer from end-of-stream. */
+    dropMidTxFrames: Option[(Int, Int)] = None) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -71,6 +80,7 @@ final class LoopbackWalServer(
   private val starts = ArrayBuffer.empty[String]
   @volatile private var confirmed = 0L
   @volatile private var drop = dropAfterTxs
+  @volatile private var midTx = dropMidTxFrames
   @volatile private var running = true
 
   /** Standby statuses received, in arrival order. */
@@ -140,6 +150,17 @@ final class LoopbackWalServer(
       var sent = 0
       val pending = log.filter(_._1 > start)
       for ((lsn, frames) <- pending) {
+        if (midTx.exists(_._1 == sent + 1)) {
+          // clean close after a PREFIX of this transaction's frames:
+          // at the socket layer this EOF looks exactly like a normal
+          // end of stream — the client must not treat it as a commit
+          val k = midTx.get._2
+          frames.take(k).foreach { f =>
+            WalWire.write(out, 'd',
+              Transport.encodeXLogData(lsn, lsn, nowMicros, f))
+          }
+          midTx = None; out.flush(); sock.close(); return
+        }
         frames.foreach { f =>
           WalWire.write(out, 'd', Transport.encodeXLogData(lsn, lsn, nowMicros, f))
         }
@@ -151,7 +172,11 @@ final class LoopbackWalServer(
         }
         // a drop flushes first: the cut lands between messages, the
         // client sees a clean EOF with exactly `sent` transactions
-        if (drop.contains(sent)) { drop = None; out.flush(); sock.close(); return }
+        // delivered-but-unconfirmed (the last one replays: no
+        // following message ever evidences its completeness)
+        if (drop.contains(sent) || dropEveryTxs.contains(sent)) {
+          drop = None; out.flush(); sock.close(); return
+        }
       }
 
       // final keepalive, then hold the connection until the tail ack
@@ -317,9 +342,14 @@ final class WalSocketClient(
           }
           msg = WalWire.read(in)
         }
-        // clean EOF: the stream ended on a message boundary, so the
-        // in-flight transaction is complete
-        finishTx()
+        // clean EOF with a transaction in flight: a MESSAGE boundary is
+        // not a TRANSACTION boundary — a server dying between two
+        // frames of one tx also closes cleanly. Completeness is only
+        // ever evidenced by the next message (a keepalive or a new
+        // walStart), so the in-flight frames are discarded; unacked,
+        // the transaction replays next session (at-least-once).
+        curLsn = -1L
+        curFrames = ArrayBuffer.empty
       } catch {
         case _: IOException =>
           // abrupt cut mid-message: the partial transaction is NOT

@@ -157,14 +157,17 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val r1 = new WalSocketClient("127.0.0.1", server.port,
         new PgoutputFormat(), "slot_rc", dir, shard = 0).run()
-      assert(r1.txs.map(_._1) == Seq(100L, 200L, 300L))
-      assert(CdcReplaySource.lastAckedLsn(dir).contains(300L))
+      // the cut lands right after tx 300's frames: nothing after them
+      // ever evidences that tx's completeness, so the client must NOT
+      // deliver it this session — it replays on reconnect instead
+      assert(r1.txs.map(_._1) == Seq(100L, 200L))
+      assert(CdcReplaySource.lastAckedLsn(dir).contains(200L))
 
       val r2 = new WalSocketClient("127.0.0.1", server.port,
         new PgoutputFormat(), "slot_rc", dir, shard = 1).run()
-      assert(r2.txs.map(_._1) == Seq(400L, 500L, 600L))
+      assert(r2.txs.map(_._1) == Seq(300L, 400L, 500L, 600L))
       // second handshake asked to resume AFTER the confirmed position
-      assert(server.startCommands(1).contains(Lsn.format(300L)))
+      assert(server.startCommands(1).contains(Lsn.format(200L)))
 
       // the union is the full log, exactly once, batch-readable
       val lsns = spark.read.format(CdcReplaySource.FORMAT)
