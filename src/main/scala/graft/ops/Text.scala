@@ -1291,6 +1291,63 @@ object Text {
         .select(col("lang"), col("total_toks"), col("oov_toks"),
           expr("oov_toks * 1000000 DIV total_toks").as("oov_ppm"))
         .orderBy(col("lang"))
+    },
+
+    QueryDef(
+      "q146_dedup_threshold_sweep",
+      s"""WITH shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |p4 AS (SELECT d1, d2,
+         |    CAST(inter * 10000 // (na + nb - inter) AS BIGINT) AS j4
+         |  FROM jpairs),
+         |thr AS (SELECT unnest([6000, 6500, 7000, 7500, 8000, 8500,
+         |                       9000]) AS thr),
+         |pc AS (SELECT thr,
+         |    CAST(count(CASE WHEN j4 >= thr THEN 1 END) AS BIGINT)
+         |      AS n_pairs
+         |  FROM thr LEFT JOIN p4 ON TRUE GROUP BY thr),
+         |dm AS (SELECT doc_id, max(j4) AS m FROM (
+         |    SELECT d1 AS doc_id, j4 FROM p4
+         |    UNION ALL SELECT d2 AS doc_id, j4 FROM p4)
+         |  GROUP BY doc_id),
+         |dc AS (SELECT thr,
+         |    CAST(count(CASE WHEN m >= thr THEN 1 END) AS BIGINT)
+         |      AS n_docs
+         |  FROM thr LEFT JOIN dm ON TRUE GROUP BY thr)
+         |SELECT pc.thr AS thr_4, pc.n_pairs, dc.n_docs
+         |FROM pc JOIN dc ON dc.thr = pc.thr
+         |ORDER BY thr_4""".stripMargin) { (s, d) =>
+      // Threshold response curve — the tuning audit run before
+      // committing to a dedup cutoff: how many near-dup pairs and how
+      // many affected docs at each Jaccard threshold from 0.60 to
+      // 0.90. Reuses the memoized 0.6-pruned pair graph (the sweep's
+      // floor equals the graph's prune bound, so it is lossless); the
+      // 7-row threshold relation broadcasts against the pair list and
+      // the per-doc max — a bounded 7x pass over the PAIR graph
+      // (already ≪ corpus), never over the corpus itself.
+      val p4 = jaccardPairs(s, d)
+        .select(col("d1"), col("d2"),
+          expr("inter * 10000 DIV (na + nb - inter)").as("j4"))
+      val thr = s.createDataFrame(
+        Seq(6000L, 6500L, 7000L, 7500L, 8000L, 8500L, 9000L)
+          .map(Tuple1(_))).toDF("thr")
+      // the PAIR side streams and the 7-row threshold side broadcasts
+      // (never the reverse); empty-graph thresholds are restored by
+      // the final left join against thr with coalesce(0)
+      val pc = p4.crossJoin(broadcast(thr))
+        .groupBy(col("thr"))
+        .agg(count(when(col("j4") >= col("thr"), 1)).as("n_pairs"))
+      val dm = p4.select(col("d1").as("doc_id"), col("j4"))
+        .unionAll(p4.select(col("d2").as("doc_id"), col("j4")))
+        .groupBy(col("doc_id")).agg(max(col("j4")).as("m"))
+      val dc = dm.crossJoin(broadcast(thr))
+        .groupBy(col("thr"))
+        .agg(count(when(col("m") >= col("thr"), 1)).as("n_docs"))
+      thr.join(pc, Seq("thr"), "left").join(dc, Seq("thr"), "left")
+        .select(col("thr").as("thr_4"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("thr_4"))
     }
   )
 }

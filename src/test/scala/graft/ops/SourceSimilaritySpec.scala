@@ -78,6 +78,25 @@ class SourceSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q146: sweep is monotone and anchored to the 0.6 pair graph") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q146_dedup_threshold_sweep")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq(6000L, 6500L, 7000L, 7500L, 8000L, 8500L, 9000L))
+    // non-increasing in the threshold, for pairs and docs alike
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+    // the 0.60 row IS the memoized pair graph: every pair in the graph
+    // clears the graph's own prune bound
+    val g = Text.jaccardPairs(spark, sfDir)
+    assert(rows.head._2 == g.count())
+    assert(rows.head._3 == g.select(col("d1")).unionAll(g.select(col("d2")))
+      .distinct().count())
+  }
+
   test("q141: OOV rates match a brute-force vocab model") {
     import org.apache.spark.sql.functions._
     val perDoc = Text.withToks(spark, sfDir)
