@@ -49,7 +49,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q133_filter_funnel",
     "q134_vocab_drift",
     "q138_source_quota",
-    "q139_overlap_chunking")
+    "q139_overlap_chunking",
+    "q140_source_similarity",
+    "q142_bigram_fluency",
+    "q143_quality_dup_calibration",
+    "q144_split_leakage",
+    "q145_laggard_suppliers",
+    "q146_dedup_threshold_sweep")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
