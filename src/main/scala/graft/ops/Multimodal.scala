@@ -113,6 +113,95 @@ object Multimodal {
     }
   }
 
+  /** Minimal real RIFF/WAVE PCM codec — the audio analogue of [[Ppm]]:
+    * a correct chunk-walking parser (ids, little-endian sizes, odd-size
+    * pad bytes, unknown chunks skipped) with no library dependency. */
+  object Wav {
+    val SampleRate = 8000
+
+    /** Deterministic 16-bit waveform — restated closed-form by the
+      * oracle. */
+    @inline def sampleAt(id: Long, i: Int): Int =
+      ((id * 7 + i * 13) % 2048).toInt - 1024
+
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    private def tag(b: Array[Byte], off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+
+    /** Mono 16-bit PCM with a junk LIST chunk BETWEEN fmt and data —
+      * a parser that assumes "data follows fmt" breaks on it. Layout:
+      * RIFF(12) fmt(24) LIST(12) data(8 + 2n) = 56 + 2n bytes. */
+    def encode(id: Long, n: Int): Array[Byte] = {
+      val total = 56 + 2 * n
+      val b = new Array[Byte](total)
+      tag(b, 0, "RIFF"); le32(b, 4, total - 8); tag(b, 8, "WAVE")
+      tag(b, 12, "fmt "); le32(b, 16, 16)
+      b(20) = 1; b(21) = 0 // PCM
+      b(22) = 1; b(23) = 0 // mono
+      le32(b, 24, SampleRate)
+      le32(b, 28, SampleRate * 2) // byte rate
+      b(32) = 2; b(33) = 0        // block align
+      b(34) = 16; b(35) = 0       // bits per sample
+      tag(b, 36, "LIST"); le32(b, 40, 4); tag(b, 44, "INFO")
+      tag(b, 48, "data"); le32(b, 52, 2 * n)
+      var i = 0
+      while (i < n) {
+        val v = sampleAt(id, i)
+        b(56 + 2 * i) = v.toByte
+        b(56 + 2 * i + 1) = (v >> 8).toByte
+        i += 1
+      }
+      b
+    }
+
+    final case class Pcm(sampleRate: Int, bitsPerSample: Int,
+        channels: Int, dataOffset: Int, dataSize: Int)
+
+    private def readLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def readLe16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def tagAt(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the chunk list: fmt and data located by id, every other
+      * chunk skipped (odd sizes padded to even, per RIFF). */
+    def parse(b: Array[Byte]): Pcm = {
+      require(b.length >= 12 && tagAt(b, 0) == "RIFF" &&
+        tagAt(b, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var off = 12
+      var rate = -1; var bits = -1; var chans = -1
+      var dOff = -1; var dSize = -1
+      while (off + 8 <= b.length) {
+        val id = tagAt(b, off)
+        val size = readLe32(b, off + 4)
+        val body = off + 8
+        id match {
+          case "fmt " =>
+            require(readLe16(b, body) == 1, "not PCM")
+            chans = readLe16(b, body + 2)
+            rate = readLe32(b, body + 4)
+            bits = readLe16(b, body + 14)
+          case "data" => dOff = body; dSize = size
+          case _ => () // junk chunk: skipped, never interpreted
+        }
+        off = body + size + (size & 1) // odd chunks pad to even
+      }
+      require(rate > 0 && dOff >= 0, "missing fmt or data chunk")
+      require(bits == 16 && chans == 1, s"unsupported pcm $bits/$chans")
+      Pcm(rate, bits, chans, dOff, dSize)
+    }
+
+    @inline def sampleAtOffset(b: Array[Byte], off: Int): Int =
+      (((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)).toShort.toInt
+  }
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRecord(
       doc_id: Long,
@@ -130,6 +219,49 @@ object Multimodal {
       mean_lum: Long,
       n_bright: Long,
       mime: String)
+
+  /** q147 audio decode output — everything byte- or sample-derived. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      peak_abs: Long,
+      power: Long,
+      zero_crossings: Long)
+
+  /** documents → WAV records: (doc_id % 50 + 10) mono PCM samples. */
+  def wavTable(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => (id, Wav.encode(id, (id % 50 + 10).toInt)))
+  }
+
+  /** REAL audio decode: chunk-walk the RIFF container (rate and sample
+    * count come from the bytes, not metadata), then one pass over the
+    * PCM samples for peak, integer power (sum of squares DIV n) and
+    * zero crossings. */
+  def decodeWav(rec: (Long, Array[Byte])): AudioFeatures = {
+    val (id, bytes) = rec
+    val pcm = Wav.parse(bytes)
+    val n = pcm.dataSize / 2
+    var peak = 0L
+    var sumSq = 0L
+    var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val v = Wav.sampleAtOffset(bytes, pcm.dataOffset + 2 * i)
+      if (math.abs(v) > peak) peak = math.abs(v)
+      sumSq += v.toLong * v
+      if (i > 0 && prev * v < 0) zc += 1
+      prev = v
+      i += 1
+    }
+    AudioFeatures(id, bytes.length.toLong, pcm.sampleRate.toLong,
+      n.toLong, n.toLong * 1000 / pcm.sampleRate, peak, sumSq / n, zc)
+  }
 
   /** q50 frame-sample + resize output. */
   final case class MediaSample(
@@ -295,6 +427,43 @@ object Multimodal {
       // over frame 0 — all reproduced closed-form by the oracle
       mediaTable(s, d).map(sample)(
         org.apache.spark.sql.Encoders.product[MediaSample])
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q147_audio_features",
+      s"""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+         |s AS (SELECT doc_id, n, i,
+         |    ((doc_id * 7 + i * 13) % 2048) - 1024 AS v
+         |  FROM d, UNNEST(range(0, n)) u(i)),
+         |zc AS (SELECT a.doc_id,
+         |    count(CASE WHEN a.v * b.v < 0 THEN 1 END) AS z
+         |  FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  GROUP BY a.doc_id),
+         |st AS (SELECT doc_id, max(n) AS n, max(abs(v)) AS peak,
+         |    sum(v * v) AS sq
+         |  FROM s GROUP BY doc_id)
+         |SELECT st.doc_id,
+         |  CAST(56 + 2 * st.n AS BIGINT) AS n_bytes,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(st.n AS BIGINT) AS n_samples,
+         |  CAST(st.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+         |  CAST(peak AS BIGINT) AS peak_abs,
+         |  CAST(sq // st.n AS BIGINT) AS power,
+         |  CAST(coalesce(zc.z, 0) AS BIGINT) AS zero_crossings
+         |FROM st LEFT JOIN zc ON zc.doc_id = st.doc_id
+         |ORDER BY st.doc_id""".stripMargin) { (s, d) =>
+      // the audio arm of the multimodal surface: payloads are REAL
+      // RIFF/WAVE containers (with a junk LIST chunk the parser must
+      // skip by walking ids+sizes, never by assuming layout); rate and
+      // sample count are read from the bytes. The oracle's n_bytes
+      // term is the exact container length (56 + 2n), so any drift in
+      // either the writer or the chunk walker breaks the hash match.
+      // Same scale shape as q32/q50: payloads never leave their
+      // partition, only fixed-width features flow downstream.
+      wavTable(s, d).map(decodeWav)(
+        org.apache.spark.sql.Encoders.product[AudioFeatures])
         .toDF()
         .orderBy(col("doc_id"))
     }
