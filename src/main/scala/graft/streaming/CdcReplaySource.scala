@@ -82,6 +82,36 @@ object CdcReplaySource {
       .map(_.getPath).sorted.toSeq
   }
 
+  /** A frame-log line is complete iff it has the writer's exact object
+    * shape. The append path is line-buffered, so a crash can tear at
+    * most the LAST line of a shard. */
+  private[streaming] def isComplete(line: String): Boolean =
+    line.startsWith("{\"lsn\":") && line.endsWith("]}")
+
+  /** Torn-tail tolerance: a torn LAST line is a crash artifact — by
+    * the durable-then-ack contract (the log flush precedes the
+    * covering ack) it is never acked, so dropping it just replays the
+    * transaction next session. A torn line FOLLOWED by more lines is
+    * not a crash artifact; that file is corrupt — fail loudly rather
+    * than silently delivering a truncated frame. */
+  private[streaming] def completeLines(
+      fileName: String, lines: Iterator[String]): Iterator[String] =
+    new Iterator[String] {
+      private var pending: String = if (lines.hasNext) lines.next() else null
+      def hasNext: Boolean = pending != null && {
+        if (isComplete(pending)) true
+        else if (lines.hasNext) throw new IllegalStateException(
+          s"$fileName has a corrupt frame-log line before end of file; " +
+            "only a torn final line (crash artifact) is tolerated")
+        else { pending = null; false }
+      }
+      def next(): String = {
+        val l = pending
+        pending = if (lines.hasNext) lines.next() else null
+        l
+      }
+    }
+
   /** Driver-side index scan: all (file, lsn) pairs, lsn-sorted.
     * Enforces the per-shard LSN-sort format invariant (this reads
     * every line anyway, so the check is free here). */
@@ -89,7 +119,8 @@ object CdcReplaySource {
     listLogFiles(path).flatMap { f =>
       val src = scala.io.Source.fromFile(f)
       try {
-        val lsns = src.getLines().map(parseLsn).toList
+        val lsns = completeLines(f.toString, src.getLines())
+          .map(parseLsn).toList
         lsns.iterator.sliding(2).foreach {
           case Seq(a, b) if b < a => throw new IllegalStateException(
             s"$f is not LSN-sorted ($b after $a); " +
@@ -316,7 +347,8 @@ class CdcReplayReaderFactory extends PartitionReaderFactory {
       // endInclusive terminates the scan early; the LSN is parsed
       // once per line.
       private var lastSeen = Long.MinValue
-      private val rows = source.getLines()
+      private val rows = CdcReplaySource
+        .completeLines(p.file, source.getLines())
         .map { l =>
           val lsn = CdcReplaySource.parseLsn(l)
           if (lsn < lastSeen) throw new IllegalStateException(

@@ -76,6 +76,52 @@ class WalSocketChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("a torn final log line is dropped; the tx replays next session") {
+    val log = (1 to 3).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log)
+    val dir = tmpDir("walchaos-torn")
+    try {
+      new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_torn", dir, shard = 0).run()
+      assert(readLsns(dir) == Seq(100L, 200L, 300L))
+
+      // simulate a crash mid-append: tear the final line mid-hex and
+      // regress the sidecar to the position its ack actually covered
+      val f = new java.io.File(dir, "part-0.jsonl")
+      val lines = scala.io.Source.fromFile(f).getLines().toVector
+      val torn = lines.init :+ lines.last.take(lines.last.length / 2)
+      val w = new java.io.PrintWriter(f)
+      torn.init.foreach(w.println)
+      w.print(torn.last); w.close()
+      CdcReplaySource.ackSidecar(dir).delete()
+      CdcReplaySource.writeAckedLsn(dir, 200L)
+
+      // the reader must see exactly the two complete transactions
+      assert(readLsns(dir) == Seq(100L, 200L))
+      // a new session resumes from 200 and redelivers tx 300 whole
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_torn", dir, shard = 1).run()
+      assert(r.txs.map(_._1) == Seq(300L))
+      assert(readLsns(dir) == Seq(100L, 200L, 300L))
+    } finally server.close()
+  }
+
+  test("a torn line before end of file is corruption, not a crash") {
+    val dir = tmpDir("walchaos-midcorrupt")
+    val f = new java.io.File(dir, "part-0.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"lsn":100,"frames":["42"]}""")
+    w.println("""{"lsn":200,"frames":["4""") // torn, but NOT last
+    w.println("""{"lsn":300,"frames":["44"]}""")
+    w.close()
+    val e = intercept[Exception] { readLsns(dir) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("corrupt frame-log line"))))
+  }
+
   test("a flapping server converges to exactly-once delivery") {
     val n = 12
     val log = (1 to n).map(i => tx(i * 100L, i))
