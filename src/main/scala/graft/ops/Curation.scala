@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 curation operators: the remaining corpus-maintenance
+  * surface a training-data pipeline runs between ingest and packing —
+  * winnowing fingerprints (the MOSS scheme: position-robust local
+  * fingerprint selection, a different guarantee than q26's minhash or
+  * q27's simhash), distribution-drift monitoring between cohorts
+  * (total-variation distance kept in exact integer arithmetic),
+  * robust outlier screening (median/MAD instead of q88's
+  * mean/stddev, so the screen itself is not dragged by the outliers
+  * it hunts), and padding-waste accounting for length-bucketed batch
+  * shaping (the cost model behind q66's sequence packing).
+  *
+  * Determinism conventions as elsewhere: integer arithmetic wherever
+  * accumulation order could matter, medians by explicit rank (no
+  * interpolation — two engines' `lo + (hi-lo)*f` vs `(lo+hi)/2`
+  * disagree in the last ulp), every query ends in a total order.
+  */
+object Curation {
+  import Tables._
+  import Text.{toksSql, withToks, h32Sql}
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q148: winnowing fingerprints (MOSS) ----------------------
+    // Schleimer/Wilkerson/Aiken 2003 local fingerprinting: hash every
+    // k-token gram, then keep the MINIMUM hash of each w-hash window.
+    // Guarantee: any shared token run of >= w + k - 1 tokens yields a
+    // shared fingerprint — position-robust where q24's whole-doc
+    // fingerprint is not, and span-anchored where minhash is global.
+    // Scale shape: fingerprints are selected map-side (transform +
+    // slice + array_min inside the row), deduped map-side
+    // (array_distinct), and pairs are generated inside fingerprint
+    // buckets (one shuffle on the fingerprint key, the LSH-band
+    // pattern of q26) — never a corpus cross join. Buckets with more
+    // than 20 docs are boilerplate fingerprints and are dropped, the
+    // standard MOSS prune; the cap also bounds in-bucket pair fanout.
+    QueryDef(
+      "q148_winnowing_fingerprints",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 6),
+         |hs AS (SELECT doc_id, i,
+         |    ${h32Sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+         |fpw AS (SELECT doc_id, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS nh
+         |  FROM hs),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM fpw WHERE i + 3 <= nh),
+         |keep AS (SELECT fp FROM fps GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND 20)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM fps a JOIN fps b USING (fp) JOIN keep USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val fps = withToks(s, d)
+        .filter(size(col("toks")) >= 6)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, size(toks)-3), i -> " +
+            "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
+          .as("hs"))
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, size(hs)-4), j -> " +
+            "array_min(slice(hs, j+1, 4)))")).as("fps"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      fps.groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 20))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> " +
+            "struct(x AS d1, y AS d2))))")).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- q150: cohort drift via total-variation distance ----------
+    // Production drift monitor between two event cohorts (even/odd
+    // event_id — the deterministic A/B split), per event type over 10
+    // fixed value bins. TVD is kept EXACT: with totals totp/totq, the
+    // per-bin term |p_i - q_i| = |cp_i*totq - cq_i*totp| / (totp*totq)
+    // — so sum the integer numerators and divide once at the end.
+    // No doubles anywhere: the metric is reproducible bit-for-bit
+    // under any partitioning. One shuffle (type,bin), one (type).
+    QueryDef(
+      "q150_drift_tvd",
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN CAST(floor(value / 25) AS BIGINT) > 9 THEN 9
+        |      ELSE CAST(floor(value / 25) AS BIGINT) END AS bin,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS cp,
+        |    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS cq
+        |  FROM events),
+        |cnt AS (SELECT event_type, bin,
+        |    sum(cp) AS np, sum(cq) AS nq
+        |  FROM b GROUP BY event_type, bin),
+        |tot AS (SELECT event_type, sum(np) AS totp, sum(nq) AS totq
+        |  FROM cnt GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(totp AS BIGINT) AS n_even, CAST(totq AS BIGINT) AS n_odd,
+        |  CAST(sum(abs(np * totq - nq * totp)) AS BIGINT) AS tvd_num,
+        |  CAST(sum(abs(np * totq - nq * totp)) * 1000
+        |    // (2 * totp * totq) AS BIGINT) AS tvd_milli
+        |FROM cnt JOIN tot USING (event_type)
+        |GROUP BY event_type, totp, totq
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = events(s, d).select(col("event_type"),
+        least(lit(9L), floor(col("value") / 25).cast("long")).as("bin"),
+        when(col("event_id") % 2 === 0, 1L).otherwise(0L).as("cp"),
+        when(col("event_id") % 2 === 1, 1L).otherwise(0L).as("cq"))
+      val cnt = b.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+      val tot = cnt.groupBy(col("event_type"))
+        .agg(sum(col("np")).as("totp"), sum(col("nq")).as("totq"))
+      cnt.join(tot, "event_type")
+        .groupBy(col("event_type"), col("totp"), col("totq"))
+        .agg(sum(abs(col("np") * col("totq") - col("nq") * col("totp")))
+          .as("num"))
+        .select(col("event_type"),
+          col("totp").as("n_even"), col("totq").as("n_odd"),
+          col("num").as("tvd_num"),
+          expr("num * 1000 DIV (2 * totp * totq)").as("tvd_milli"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- q152: median/MAD robust outlier screen -------------------
+    // q88 screens with mean/stddev, which heavy tails drag; the
+    // median-absolute-deviation screen is breakdown-robust. Medians
+    // are taken by EXPLICIT RANK (the lower-middle element, rank
+    // (n+1)/2 under a (value, event_id) total order) — no
+    // interpolation, so no engine-specific float formula and the
+    // whole query is partitioning-independent. Two rank windows
+    // partitioned by event_type + two broadcast joins of the 5-row
+    // median tables; |x - med| and the 3*MAD fence are single IEEE
+    // ops, identical on both engines.
+    QueryDef(
+      "q152_mad_outliers",
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type, n, value AS med FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT e.event_type, e.event_id,
+        |    abs(e.value - m.med) AS adev, m.med, m.n
+        |  FROM events e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, adev, med, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY adev, event_id) AS rn
+        |  FROM dev),
+        |mad AS (SELECT event_type, med, n, adev AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(m.n AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_out,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+        |    * 1000 // m.n AS BIGINT) AS out_milli
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type, m.n
+        |ORDER BY d.event_type""".stripMargin) { (s, d) =>
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        col("value"))
+      val w = Window.partitionBy(col("event_type"))
+      def rankedMedian(df: DataFrame, v: String, out: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            w.orderBy(col(v), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("event_type"), col("n"), col(v).as(out))
+      val med = rankedMedian(ev, "value", "med")
+      val dev = ev.join(broadcast(med.drop("n")), "event_type")
+        .select(col("event_type"), col("event_id"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = rankedMedian(dev, "adev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(when(col("adev") > lit(3) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+        .select(col("event_type"), col("n"), col("n_out"),
+          expr("n_out * 1000 DIV n").as("out_milli"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- q154: padding-waste accounting for batch shaping ---------
+    // The cost model behind length-bucketed batching: bucket docs by
+    // token count (width 16), order each bucket by (len, doc_id),
+    // cut batches of 8, pad each batch to its own max. Reports, per
+    // bucket, real vs padded token totals and the padding overhead —
+    // versus the naive pad-to-global-max plan whose waste the last
+    // column exposes. All integer arithmetic; the only windows are
+    // partitioned by bucket (bounded fanout: batch assignment is a
+    // rank DIV, not a global sort). At corpus scale the bucket key
+    // keeps the sort local; the global max rides in via a 1-row
+    // broadcast, never a single-partition window.
+    QueryDef(
+      "q154_padding_waste",
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS n_toks
+        |  FROM documents),
+        |g AS (SELECT max(n_toks) AS gmax FROM t),
+        |b AS (SELECT doc_id, n_toks, n_toks // 16 AS bucket,
+        |    (row_number() OVER (PARTITION BY n_toks // 16
+        |      ORDER BY n_toks, doc_id) - 1) // 8 AS batch
+        |  FROM t),
+        |bt AS (SELECT bucket, batch, count(*) AS bsz,
+        |    sum(n_toks) AS real_toks, max(n_toks) AS bmax
+        |  FROM b GROUP BY bucket, batch)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(bsz) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(real_toks) AS BIGINT) AS real_toks,
+        |  CAST(sum(bmax * bsz) AS BIGINT) AS padded_toks,
+        |  CAST((sum(bmax * bsz) - sum(real_toks)) * 1000
+        |    // sum(bmax * bsz) AS BIGINT) AS waste_milli,
+        |  CAST((SELECT gmax FROM g) * sum(bsz) AS BIGINT) AS naive_toks
+        |FROM bt GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val t = withToks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      val g = t.agg(max(col("n_toks")).as("gmax"))
+      val b = t.withColumn("bucket", expr("n_toks DIV 16"))
+        .withColumn("batch", expr("CAST(row_number() OVER (" +
+          "PARTITION BY bucket ORDER BY n_toks, doc_id) - 1 AS BIGINT)" +
+          " DIV 8"))
+      val bt = b.groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("bsz"), sum(col("n_toks")).as("real_toks"),
+          max(col("n_toks")).as("bmax"))
+      bt.groupBy(col("bucket"))
+        .agg(sum(col("bsz")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("real_toks")).as("real_toks"),
+          sum(col("bmax") * col("bsz")).as("padded_toks"))
+        .crossJoin(broadcast(g))
+        .select(col("bucket"), col("n_docs"), col("n_batches"),
+          col("real_toks"), col("padded_toks"),
+          expr("(padded_toks - real_toks) * 1000 DIV padded_toks")
+            .as("waste_milli"),
+          (col("gmax") * col("n_docs")).as("naive_toks"))
+        .orderBy(col("bucket"))
+    }
+  )
+}

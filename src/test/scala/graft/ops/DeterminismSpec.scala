@@ -55,7 +55,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q143_quality_dup_calibration",
     "q144_split_leakage",
     "q145_laggard_suppliers",
-    "q146_dedup_threshold_sweep")
+    "q146_dedup_threshold_sweep",
+    "q148_winnowing_fingerprints",
+    "q150_drift_tvd",
+    "q152_mad_outliers",
+    "q154_padding_waste")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
