@@ -24,6 +24,17 @@ object Curation {
   import Tables._
   import Text.{toksSql, withToks, h32Sql}
 
+  /** Morton/Z-value bit interleave of two 8-bit coordinates, written
+    * with pure integer arithmetic (bit i of v = (v/2^i) mod 2) so the
+    * identical formula runs on both engines — `div` is the
+    * engine-specific integer-division spelling (Spark `DIV`, DuckDB
+    * `//`). */
+  private def zvalSql(div: String): String =
+    (0 until 8).map(i =>
+      s"((xb $div ${1 << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((yb $div ${1 << i}) % 2) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q148: winnowing fingerprints (MOSS) ----------------------
@@ -247,6 +258,139 @@ object Curation {
             .as("waste_milli"),
           (col("gmax") * col("n_docs")).as("naive_toks"))
         .orderBy(col("bucket"))
+    },
+
+    // ---- q149: Z-order layout audit (data-skipping quality) -------
+    // The physical-layout operator behind min/max-zone-map skipping:
+    // interleave the bits of two query dimensions (user bucket x
+    // value bucket) into a Morton key, range-partition on it, and
+    // measure per-partition dimension spans. A predicate on EITHER
+    // dimension can skip a partition whose [min,max] envelope misses
+    // it, so the summed spans ARE the (inverse) skipping power. The
+    // arrival-order layout is the control: same partition count, same
+    // rows, spans near the full domain. Everything is one pass over
+    // events + a keyed agg per layout; the Morton key is a per-row
+    // integer expression (codegen'd, no UDF), so the same plan
+    // Z-orders a 100 TB write before a `sortWithinPartitions`.
+    QueryDef(
+      "q149_zorder_layout",
+      s"""WITH c AS (SELECT event_id,
+         |    user_id % 256 AS xb,
+         |    CASE WHEN CAST(floor(value / 2) AS BIGINT) > 255 THEN 255
+         |      ELSE CAST(floor(value / 2) AS BIGINT) END AS yb
+         |  FROM events),
+         |m AS (SELECT max(event_id) AS mx FROM c),
+         |z AS (SELECT 'zorder' AS layout,
+         |    (${zvalSql("//")}) // 2048 AS bucket, xb, yb FROM c
+         |  UNION ALL
+         |  SELECT 'arrival' AS layout,
+         |    event_id // ((mx + 32) // 32) AS bucket, xb, yb
+         |  FROM c, m),
+         |sp AS (SELECT layout, bucket,
+         |    max(xb) - min(xb) AS xspan, max(yb) - min(yb) AS yspan,
+         |    count(*) AS n
+         |  FROM z GROUP BY layout, bucket)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(xspan) AS BIGINT) AS sum_xspan,
+         |  CAST(sum(yspan) AS BIGINT) AS sum_yspan
+         |FROM sp GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+      val c = events(s, d).select(col("event_id"),
+        (col("user_id") % 256).as("xb"),
+        least(lit(255L), floor(col("value") / 2).cast("long")).as("yb"))
+      val m = c.agg(max(col("event_id")).as("mx"))
+      val zorder = c.select(lit("zorder").as("layout"),
+        expr(s"(${zvalSql("DIV")}) DIV 2048").as("bucket"),
+        col("xb"), col("yb"))
+      val arrival = c.crossJoin(broadcast(m))
+        .select(lit("arrival").as("layout"),
+          expr("event_id DIV ((mx + 32) DIV 32)").as("bucket"),
+          col("xb"), col("yb"))
+      zorder.unionAll(arrival)
+        .groupBy(col("layout"), col("bucket"))
+        .agg((max(col("xb")) - min(col("xb"))).as("xspan"),
+          (max(col("yb")) - min(col("yb"))).as("yspan"),
+          count(lit(1)).as("n"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          sum(col("xspan")).as("sum_xspan"),
+          sum(col("yspan")).as("sum_yspan"))
+        .orderBy(col("layout"))
+    },
+
+    // ---- q155: cross-document duplicated-span attribution ---------
+    // q127 answers "which of MY positions are duplicated somewhere";
+    // this answers "who shares spans with WHOM" — the evidence table
+    // a dedup reviewer or license audit reads. Same sliding 8-token
+    // hash index; the position join is keyed on the hash with the
+    // bucket capped at df <= 10 (beyond that it is boilerplate, q136's
+    // territory, and the cap bounds the in-bucket pair fanout); the
+    // interval merge then runs partitioned per (d1, d2) PAIR — the
+    // same one-sort island pattern, finer partition key. Output: the
+    // top-25 pair dossiers by shared tokens.
+    QueryDef(
+      "q155_crossdoc_spans",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 8),
+         |pos AS (SELECT doc_id, i,
+         |    ${h32Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+         |      AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         |keep AS (SELECT h FROM pos GROUP BY h
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |pp AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |    a.i AS s, a.i + 8 AS e
+         |  FROM pos a JOIN pos b USING (h) JOIN keep USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |flg AS (SELECT d1, d2, s, e,
+         |    CASE WHEN max(e) OVER w1 IS NULL OR s > max(e) OVER w1
+         |      THEN 1 ELSE 0 END AS ng
+         |  FROM pp
+         |  WINDOW w1 AS (PARTITION BY d1, d2 ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sp AS (SELECT d1, d2, grp, min(s) AS ss, max(e) AS se
+         |  FROM (SELECT d1, d2, s, e,
+         |      sum(ng) OVER (PARTITION BY d1, d2 ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |    FROM flg)
+         |  GROUP BY d1, d2, grp)
+         |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(se - ss) AS BIGINT) AS dup_toks,
+         |  CAST(max(se - ss) AS BIGINT) AS longest_span
+         |FROM sp GROUP BY d1, d2
+         |ORDER BY dup_toks DESC, d1, d2 LIMIT 25""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val pos = withToks(s, d).filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> struct(i AS i, " +
+            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+      val keep = pos.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df").between(2, 10))
+        .select(col("h"))
+      // prune to capped buckets BEFORE the pair join — the cap exists
+      // to bound the join fanout, so it must sit upstream of it
+      val posk = pos.join(keep, "h")
+      val a = posk.select(col("doc_id").as("d1"), col("h"),
+        col("i").cast("long").as("s"))
+      val b = posk.select(col("doc_id").as("d2"), col("h"))
+      val pp = a.join(b, "h")
+        .filter(col("d1") < col("d2"))
+        .select(concat_ws("|", col("d1"), col("d2")).as("part"),
+          col("d1"), col("d2"), col("s"), (col("s") + 8).as("e"))
+        .distinct()
+      val sp = Text.mergeIntervals(
+          pp.select(col("part"), col("s"), col("e")))
+        .withColumn("d1", split(col("part"), "\\|")(0).cast("long"))
+        .withColumn("d2", split(col("part"), "\\|")(1).cast("long"))
+      sp.groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("se") - col("ss")).as("dup_toks"),
+          max(col("se") - col("ss")).as("longest_span"))
+        .orderBy(col("dup_toks").desc, col("d1"), col("d2"))
+        .limit(25)
     }
   )
 }

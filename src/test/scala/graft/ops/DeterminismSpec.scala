@@ -59,7 +59,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q148_winnowing_fingerprints",
     "q150_drift_tvd",
     "q152_mad_outliers",
-    "q154_padding_waste")
+    "q154_padding_waste",
+    "q149_zorder_layout",
+    "q155_crossdoc_spans")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
