@@ -391,6 +391,118 @@ object Curation {
           max(col("se") - col("ss")).as("longest_span"))
         .orderBy(col("dup_toks").desc, col("d1"), col("d2"))
         .limit(25)
+    },
+
+    // ---- q153: BPE merge training (3 rounds) ----------------------
+    // Tokenizer TRAINING, not just q99's one-shot pair count: each
+    // round counts corpus-weighted adjacent token pairs, picks the
+    // argmax (count desc, pair asc — a total tie-break), and applies
+    // the merge corpus-wide. State lives on the vocab-bounded
+    // (word, count) relation — the corpus itself is touched once, by
+    // the initial word count — so a round is one keyed agg plus one
+    // map-side string rewrite no matter the corpus size; only the
+    // 1-row argmax and the 1-row token total come to the driver
+    // (same bounded per-round scalar probes as q115's Lloyd rounds).
+    // Tokens ride in a '|'-bounded string ('|a|b|c|'); a merge
+    // rewrites '|a|b|' → '|ab|' with TWO passes of plain (non-regex)
+    // replace — adjacent occurrences share their boundary '|', so a
+    // single left-to-right pass takes alternate occurrences and the
+    // second pass takes the stranded ones; both engines' replace()
+    // scans identically, making the (greedy, non-overlapping) merge
+    // semantics engine-exact. Runs of the same pair can fixpoint one
+    // merge short of reference-BPE's strict leftmost order — a
+    // documented divergence; the oracle defines the semantics.
+    QueryDef(
+      "q153_bpe_train",
+      s"""WITH wc AS (SELECT w AS word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w),
+         |s0 AS (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g')
+         |    AS s, cnt FROM wc),
+         |q0 AS (SELECT list_filter(string_split(s, '|'), x -> x <> '')
+         |    AS seq, s, cnt FROM s0),
+         |p1 AS (SELECT seq[i] || ' ' || seq[i+1] AS pair, sum(cnt) AS c
+         |  FROM q0, UNNEST(range(1, len(seq))) u(i)
+         |  WHERE len(seq) >= 2 GROUP BY 1),
+         |m1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+         |s1 AS (SELECT replace(replace(s0.s, r.pat, r.rep), r.pat, r.rep)
+         |    AS s, cnt
+         |  FROM s0, (SELECT '|' || replace(pair, ' ', '|') || '|' AS pat,
+         |      '|' || replace(pair, ' ', '') || '|' AS rep FROM m1) r),
+         |q1 AS (SELECT list_filter(string_split(s, '|'), x -> x <> '')
+         |    AS seq, s, cnt FROM s1),
+         |p2 AS (SELECT seq[i] || ' ' || seq[i+1] AS pair, sum(cnt) AS c
+         |  FROM q1, UNNEST(range(1, len(seq))) u(i)
+         |  WHERE len(seq) >= 2 GROUP BY 1),
+         |m2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+         |s2 AS (SELECT replace(replace(s1.s, r.pat, r.rep), r.pat, r.rep)
+         |    AS s, cnt
+         |  FROM s1, (SELECT '|' || replace(pair, ' ', '|') || '|' AS pat,
+         |      '|' || replace(pair, ' ', '') || '|' AS rep FROM m2) r),
+         |q2 AS (SELECT list_filter(string_split(s, '|'), x -> x <> '')
+         |    AS seq, s, cnt FROM s2),
+         |p3 AS (SELECT seq[i] || ' ' || seq[i+1] AS pair, sum(cnt) AS c
+         |  FROM q2, UNNEST(range(1, len(seq))) u(i)
+         |  WHERE len(seq) >= 2 GROUP BY 1),
+         |m3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1),
+         |s3 AS (SELECT replace(replace(s2.s, r.pat, r.rep), r.pat, r.rep)
+         |    AS s, cnt
+         |  FROM s2, (SELECT '|' || replace(pair, ' ', '|') || '|' AS pat,
+         |      '|' || replace(pair, ' ', '') || '|' AS rep FROM m3) r),
+         |t1 AS (SELECT sum(cnt * len(list_filter(string_split(s, '|'),
+         |    x -> x <> ''))) AS toks FROM s1),
+         |t2 AS (SELECT sum(cnt * len(list_filter(string_split(s, '|'),
+         |    x -> x <> ''))) AS toks FROM s2),
+         |t3 AS (SELECT sum(cnt * len(list_filter(string_split(s, '|'),
+         |    x -> x <> ''))) AS toks FROM s3)
+         |SELECT * FROM (
+         |  SELECT 1 AS round, pair, CAST(c AS BIGINT) AS pair_count,
+         |    CAST((SELECT toks FROM t1) AS BIGINT) AS corpus_toks FROM m1
+         |  UNION ALL
+         |  SELECT 2, pair, CAST(c AS BIGINT),
+         |    CAST((SELECT toks FROM t2) AS BIGINT) FROM m2
+         |  UNION ALL
+         |  SELECT 3, pair, CAST(c AS BIGINT),
+         |    CAST((SELECT toks FROM t3) AS BIGINT) FROM m3)
+         |ORDER BY round""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val seqCol = expr("filter(split(s, '\\\\|'), x -> x != '')")
+      def pairCounts(cur: DataFrame): DataFrame =
+        cur.select(seqCol.as("seq"), col("cnt"))
+          .filter(size(col("seq")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(seq)-2), i -> " +
+              "concat_ws(' ', seq[i], seq[i+1]))")).as("pair"),
+            col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+      var cur = withToks(s, d)
+        .select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("|"),
+          regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
+        .cache()
+      val rows = (1 to 3).map { r =>
+        val best = pairCounts(cur)
+          .orderBy(col("c").desc, col("pair")).limit(1).collect()(0)
+        val (pair, c) = (best.getString(0), best.getLong(1))
+        // merge tokens are [a-z] only (the tokenizer strips the rest),
+        // so inlining them into the literal replace is injection-safe
+        val pat = "|" + pair.replace(" ", "|") + "|"
+        val rep = "|" + pair.replace(" ", "") + "|"
+        val next = cur.select(expr(
+          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')").as("s"),
+          col("cnt")).cache()
+        val toks = next.select(sum(col("cnt") * size(seqCol)))
+          .collect()(0).getLong(0)
+        cur.unpersist()
+        cur = next
+        (r, pair, c, toks)
+      }
+      cur.unpersist()
+      rows.toDF("round", "pair", "pair_count", "corpus_toks")
+        .select(col("round").cast("int").as("round"), col("pair"),
+          col("pair_count"), col("corpus_toks"))
+        .orderBy(col("round"))
     }
   )
 }

@@ -273,6 +273,75 @@ object Multimodal {
       new_h: Long,
       resize_checksum: Long)
 
+  /** q151 scene-cut detection output. */
+  final case class SceneCuts(
+      doc_id: Long,
+      n_frames: Long,
+      n_cuts: Long,
+      first_cut: Long,
+      max_delta_milli: Long)
+
+  /** documents → shot-structured "videos": (doc_id % 8 + 4) frames
+    * grouped into 3-frame shots, shot s seeded (doc_id*31 + s*53) %
+    * 256 — luminance statistics are constant inside a shot and jump
+    * at shot boundaries (mostly; the threshold decides from the
+    * BYTES, not the shot arithmetic). */
+  def videoTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id % 12 + 1).toInt
+      val f = (id % 8 + 4).toInt
+      val payload = (0 until f).iterator
+        .map(fr => Ppm.encodeFrame(w, h,
+          ((id * 31 + (fr / 3) * 53) % 256).toInt))
+        .reduce(_ ++ _)
+      MediaRecord(id, payload, "video/x-ppm-stream", w, h)
+    }
+  }
+
+  /** REAL scene-cut detection: frames discovered by sequential header
+    * parsing, per-frame luminance summed from the pixel bytes, a cut
+    * flagged where the mean-luminance delta between consecutive
+    * frames exceeds 10 (compared as integer sums: |Δsum| > 10·n_px,
+    * no division until the report). */
+  def sceneCuts(rec: MediaRecord): SceneCuts = {
+    var off = 0
+    var prevSum = 0L
+    var nPx = 0L
+    var nFrames = 0L
+    var nCuts = 0L
+    var firstCut = -1L
+    var maxDelta = 0L
+    while (off < rec.payload.length) {
+      val fr = Ppm.parseFrame(rec.payload, off)
+      nPx = fr.width.toLong * fr.height
+      var lumSum = 0L
+      var y = 0
+      while (y < fr.height) {
+        var x = 0
+        while (x < fr.width) {
+          lumSum += fr.lumAt(rec.payload, x, y)
+          x += 1
+        }
+        y += 1
+      }
+      if (nFrames > 0) {
+        val delta = math.abs(lumSum - prevSum)
+        if (delta > 10 * nPx) {
+          nCuts += 1
+          if (firstCut < 0) firstCut = nFrames
+        }
+        if (delta > maxDelta) maxDelta = delta
+      }
+      prevSum = lumSum
+      off = fr.end
+      nFrames += 1
+    }
+    SceneCuts(rec.doc_id, nFrames, nCuts, firstCut,
+      maxDelta * 1000 / nPx)
+  }
+
   /** documents → media records: a (doc_id % 3 + 1)-frame P6 "video",
     * frame f seeded with (doc_id*31 + f*17) % 256, dimensions
     * (doc_id % 16 + 1) × (doc_id % 12 + 1). Synthesis is executor-side
@@ -464,6 +533,45 @@ object Multimodal {
       // partition, only fixed-width features flow downstream.
       wavTable(s, d).map(decodeWav)(
         org.apache.spark.sql.Encoders.product[AudioFeatures])
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q151_scene_cuts",
+      s"""WITH d AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+         |    doc_id % 12 + 1 AS h, doc_id % 8 + 4 AS f FROM documents),
+         |fi AS (SELECT doc_id, w, h, fr
+         |  FROM d, UNNEST(range(0, f)) t(fr)),
+         |px AS (SELECT doc_id, w, h, fr,
+         |    ${lumSql("(doc_id * 31 + (fr // 3) * 53) % 256")} AS lum
+         |  FROM fi, UNNEST(range(0, h)) t(y), UNNEST(range(0, w)) u(x)),
+         |ls AS (SELECT doc_id, w, h, fr, sum(lum) AS ml
+         |  FROM px GROUP BY 1, 2, 3, 4),
+         |dl AS (SELECT doc_id, w, h, fr, ml,
+         |    lag(ml) OVER (PARTITION BY doc_id ORDER BY fr) AS pml
+         |  FROM ls),
+         |ct AS (SELECT doc_id, w, h, fr, abs(ml - pml) AS delta,
+         |    CASE WHEN abs(ml - pml) > 10 * w * h THEN 1 ELSE 0 END AS cut
+         |  FROM dl WHERE pml IS NOT NULL)
+         |SELECT d.doc_id, CAST(f AS BIGINT) AS n_frames,
+         |  CAST(sum(cut) AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(min(CASE WHEN cut = 1 THEN fr END), -1) AS BIGINT)
+         |    AS first_cut,
+         |  CAST(max(delta) * 1000 // (d.w * d.h) AS BIGINT)
+         |    AS max_delta_milli
+         |FROM d JOIN ct ON ct.doc_id = d.doc_id
+         |GROUP BY d.doc_id, f, d.w, d.h
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      // the video arm: shot-structured multi-frame payloads, cuts
+      // detected from the BYTES (sequential header walk + pixel sums,
+      // |Δ lum_sum| > 10·n_px — integer throughout). The oracle
+      // recomputes every frame's luminance sum closed-form and runs
+      // the same lag/threshold, so parser drift on ANY frame breaks
+      // the match. Partition-local like q32/q50: payloads never
+      // shuffle, five integers per doc flow downstream.
+      videoTable(s, d).map(sceneCuts)(
+        org.apache.spark.sql.Encoders.product[SceneCuts])
         .toDF()
         .orderBy(col("doc_id"))
     }

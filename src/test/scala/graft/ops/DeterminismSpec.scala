@@ -61,7 +61,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q152_mad_outliers",
     "q154_padding_waste",
     "q149_zorder_layout",
-    "q155_crossdoc_spans")
+    "q155_crossdoc_spans",
+    "q151_scene_cuts",
+    "q153_bpe_train")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
