@@ -29,6 +29,23 @@ object Curation {
     * identical formula runs on both engines — `div` is the
     * engine-specific integer-division spelling (Spark `DIV`, DuckDB
     * `//`). */
+  /** Winnowing fingerprint selection (k=3-token grams, w=4 windows)
+    * over a (doc_id, toks) relation → distinct (doc_id, fp) rows. All
+    * map-side: gram hashing, window minima, and the per-doc distinct
+    * happen inside the row before the explode. Guarantee under test
+    * in WinnowingSpec: docs sharing a run of >= w + k - 1 = 6 tokens
+    * share a fingerprint. */
+  private[ops] def winnowFingerprints(toks: DataFrame): DataFrame =
+    toks.filter(size(col("toks")) >= 6)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(toks)-3), i -> " +
+          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
+        .as("hs"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(hs)-4), j -> " +
+          "array_min(slice(hs, j+1, 4)))")).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
   private def zvalSql(div: String): String =
     (0 until 8).map(i =>
       s"((xb $div ${1 << i}) % 2) * ${1L << (2 * i)}" +
@@ -72,16 +89,8 @@ object Curation {
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val fps = withToks(s, d)
-        .filter(size(col("toks")) >= 6)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, size(toks)-3), i -> " +
-            "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
-          .as("hs"))
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, size(hs)-4), j -> " +
-            "array_min(slice(hs, j+1, 4)))")).as("fps"))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val fps = winnowFingerprints(
+        withToks(s, d).select(col("doc_id"), col("toks")))
       fps.groupBy(col("fp"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 20))
