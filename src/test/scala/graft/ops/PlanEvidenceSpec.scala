@@ -213,4 +213,46 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"),
       s"group stats ride the fingerprint agg, not a window:\n$p")
   }
+
+  test("q148: winnowing selects fingerprints map-side, pairs in-bucket") {
+    val p = plan("q148_winnowing_fingerprints")
+    assert(!p.contains("Window"),
+      s"fingerprint selection must be row-local transforms, not a " +
+        s"position window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must come from fingerprint buckets, not a pair join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"expected partial aggregation on the pair counts:\n$p")
+  }
+
+  test("q152: the 5-row median/MAD tables broadcast back to events") {
+    val p = plan("q152_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median tables must broadcast, not shuffle the event stream:\n$p")
+  }
+
+  test("q154: the global max is a broadcast, batches are bucket windows") {
+    val p = plan("q154_padding_waste")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row global max must broadcast:\n$p")
+    // window partitioning (by bucket) is guarded by PlanGuardSpec
+  }
+
+  test("q155: the df cap prunes the position join's build sides") {
+    val p = plan("q155_crossdoc_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"position pairs must come from the capped hash join:\n$p")
+  }
+
+  test("q149: the Morton key stays inside whole-stage codegen") {
+    val p = plan("q149_zorder_layout")
+    // `*(n)` stage prefixes are the whole-stage-codegen markers in
+    // executedPlan.toString; the Morton arithmetic must sit inside one
+    assert(p.contains("*("),
+      s"the z-value expression must codegen:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
