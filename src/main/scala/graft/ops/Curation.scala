@@ -512,6 +512,165 @@ object Curation {
         .select(col("round").cast("int").as("round"), col("pair"),
           col("pair_count"), col("corpus_toks"))
         .orderBy(col("round"))
+    },
+
+    // ---- q156: dedup REWRITE — emit the cleaned corpus ------------
+    // q127 finds the duplicated spans and q125 lists removals; this
+    // APPLIES them: drop every token inside a merged duplicated span
+    // and reconstruct each document, content-addressed by md5 so the
+    // oracle pins the rewritten corpus byte-for-byte without shipping
+    // the text through the compare. The remove-set join is keyed on
+    // (doc_id, position); reconstruction orders tokens by position
+    // inside the per-doc agg (sort_array over (pos, tok) structs —
+    // one keyed shuffle, no window). Docs with no duplicated span
+    // pass through unchanged (left anti join keeps every position).
+    QueryDef(
+      "q156_dedup_rewrite",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 8),
+         |pos AS (SELECT doc_id, i,
+         |    ${h32Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+         |      AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         |dfh AS (SELECT h, count(DISTINCT doc_id) AS df
+         |  FROM pos GROUP BY h),
+         |dup AS (SELECT doc_id, i AS s, i + 8 AS e
+         |  FROM pos JOIN dfh USING (h) WHERE df >= 2),
+         |flg AS (SELECT doc_id, s, e,
+         |    CASE WHEN max(e) OVER w1 IS NULL OR s > max(e) OVER w1
+         |      THEN 1 ELSE 0 END AS ng
+         |  FROM dup
+         |  WINDOW w1 AS (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |sp AS (SELECT doc_id, grp, min(s) AS ss, max(e) AS se
+         |  FROM (SELECT doc_id, s, e,
+         |      sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |    FROM flg)
+         |  GROUP BY doc_id, grp),
+         |rm AS (SELECT doc_id, u.i FROM sp, UNNEST(range(ss, se)) u(i)),
+         |tk AS (SELECT doc_id, u.i, toks[u.i] AS tok
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+         |kept AS (SELECT tk.doc_id, tk.i, tk.tok
+         |  FROM tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.i = tk.i
+         |  WHERE rm.i IS NULL)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(count(kept.i), 0) AS BIGINT) AS kept_toks,
+         |  CAST(len(t.toks) - coalesce(count(kept.i), 0) AS BIGINT)
+         |    AS removed_toks,
+         |  md5(coalesce(array_to_string(list(kept.tok ORDER BY kept.i)
+         |    FILTER (WHERE kept.i IS NOT NULL), ' '), '')) AS clean_md5
+         |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+         |GROUP BY t.doc_id, len(t.toks)
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val t = withToks(s, d).filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+      val pos = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> struct(i AS i, " +
+            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+      val dfh = pos.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("h"))
+      val dup = pos.join(dfh, "h")
+        .select(col("doc_id").as("part"), col("i").cast("long").as("s"),
+          (col("i") + 8).cast("long").as("e"))
+      val rm = Text.mergeIntervals(dup)
+        .select(col("part").as("doc_id"),
+          explode(expr("sequence(ss, se - 1)")).as("i"))
+      val tk = t.select(col("doc_id"), posexplode(col("toks"))
+          .as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"),
+          col("tok"))
+      val kept = tk.join(rm, Seq("doc_id", "i"), "left_anti")
+      t.select(col("doc_id"), col("n"))
+        .join(kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("kept_toks"),
+            md5(array_join(expr(
+              "transform(sort_array(collect_list(struct(i, tok))), " +
+                "x -> x.tok)"), " ")).as("clean_md5")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_toks"),
+          coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+          (col("n") - coalesce(col("kept_toks"), lit(0L)))
+            .as("removed_toks"),
+          // a fully-duplicated doc rewrites to the EMPTY document,
+          // not to a missing row — content-address it as md5("")
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q157: greedy shingle-coverage selection (submodular) -----
+    // Facility-location data selection: pick, for 5 rounds, the doc
+    // adding the most not-yet-covered 3-gram shingles — the greedy
+    // (1 − 1/e)-approximation to max-coverage that data-efficient
+    // training selection builds on. Feature space is the hashed
+    // 3-gram shingle (the memoized q25/q26 index, NOT the 31-word
+    // unigram vocab, which two docs would saturate). Each round is
+    // one anti-join + keyed count + 1-row argmax; the covered set is
+    // feature-bounded (≤ corpus distinct shingles), a DataFrame that
+    // never touches the driver except its count. Same bounded
+    // per-round scalar probes as q153/q115.
+    QueryDef(
+      "q157_greedy_coverage",
+      {
+        val shingles = Text.shinglesSql
+        def gains(cov: String) =
+          if (cov.isEmpty)
+            "SELECT doc_id, count(*) AS gain FROM shingles GROUP BY doc_id"
+          else
+            s"SELECT doc_id, count(*) AS gain FROM shingles " +
+              s"WHERE h NOT IN (SELECT h FROM $cov) GROUP BY doc_id"
+        def cov(prev: String, b: String) =
+          if (prev.isEmpty)
+            s"SELECT DISTINCT h FROM shingles WHERE doc_id = " +
+              s"(SELECT doc_id FROM $b)"
+          else
+            s"SELECT h FROM $prev UNION SELECT DISTINCT h FROM shingles " +
+              s"WHERE doc_id = (SELECT doc_id FROM $b)"
+        val rounds = (1 to 5).map { r =>
+          val prev = if (r == 1) "" else s"c${r - 1}"
+          s"g$r AS (${gains(prev)}),\n" +
+            s"b$r AS (SELECT doc_id, gain FROM g$r " +
+            s"ORDER BY gain DESC, doc_id LIMIT 1),\n" +
+            s"c$r AS (${cov(prev, s"b$r")})"
+        }.mkString(",\n")
+        val sel = (1 to 5).map { r =>
+          s"SELECT $r AS round, doc_id, CAST(gain AS BIGINT) AS gain, " +
+            s"CAST((SELECT count(*) FROM c$r) AS BIGINT) AS covered " +
+            s"FROM b$r"
+        }.mkString("\nUNION ALL\n")
+        s"WITH shingles AS ($shingles),\n$rounds\n" +
+          s"SELECT * FROM (\n$sel)\nORDER BY round"
+      }) { (s, d) =>
+      import s.implicits._
+      val sh = Text.shingleHashes(s, d).select(col("doc_id"), col("h"))
+      var covered: DataFrame = null
+      val rows = (1 to 5).map { r =>
+        val uncov =
+          if (covered == null) sh
+          else sh.join(covered, Seq("h"), "left_anti")
+        val best = uncov.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .collect()(0)
+        val (doc, gain) = (best.getLong(0), best.getLong(1))
+        val add = sh.filter(col("doc_id") === doc).select(col("h"))
+        val next = (if (covered == null) add
+          else covered.union(add)).distinct().cache()
+        val total = next.count()
+        if (covered != null) covered.unpersist()
+        covered = next
+        (r, doc, gain, total)
+      }
+      covered.unpersist()
+      rows.toDF("round", "doc_id", "gain", "covered")
+        .select(col("round").cast("int").as("round"), col("doc_id"),
+          col("gain"), col("covered"))
+        .orderBy(col("round"))
     }
   )
 }

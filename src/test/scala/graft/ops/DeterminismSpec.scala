@@ -63,7 +63,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q149_zorder_layout",
     "q155_crossdoc_spans",
     "q151_scene_cuts",
-    "q153_bpe_train")
+    "q153_bpe_train",
+    "q156_dedup_rewrite",
+    "q157_greedy_coverage")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
