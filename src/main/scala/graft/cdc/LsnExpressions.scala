@@ -125,6 +125,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("pg_array_tokens"),
       info("pg_array_tokens"),
       (exprs: Seq[Expression]) => PgArrayTokensExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("sliding_min"),
+      info("sliding_min"),
+      (exprs: Seq[Expression]) => SlidingMinExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -141,6 +144,8 @@ object GraftFunctions {
   def md5_h32(c: Column): Column = call_function("md5_h32", c)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def pg_array_tokens(c: Column): Column = call_function("pg_array_tokens", c)
+  def sliding_min(a: Column, w: Column): Column =
+    call_function("sliding_min", a, w)
 
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
@@ -162,6 +167,7 @@ object GraftFunctions {
     ensure("md5_h32", exprs => Md5H32Expr(exprs.head))
     ensure("vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)))
     ensure("pg_array_tokens", exprs => PgArrayTokensExpr(exprs.head))
+    ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
   }
 }
 
@@ -267,6 +273,60 @@ case class VecDotExpr(left: Expression, right: Expression)
          |} else {
          |  ${ev.value} = graft.cdc.VecOps.dot($a, $b);
          |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** O(n) sliding-window minimum over a long array (monotonic deque) —
+  * the winnowing fingerprint selection kernel (q148). Replaces the
+  * `transform(sequence(...), j -> array_min(slice(hs, j+1, w)))`
+  * higher-order chain, which drops out of whole-stage codegen and
+  * allocates a w-element array per window; this allocates once per
+  * row and compares each element at most twice. Output element j is
+  * min(a[j..j+w-1]); n < w yields an empty array (the HOF chain's
+  * `sequence(0, n-w)` behavior under the callers' n >= w guard). */
+object SlidingMin {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def apply(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (w <= 0 || n < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - w + 1)
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      while (tail > head && a.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = a.getLong(deque(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native `sliding_min(arr, w)` — elements must be non-null (the
+  * callers feed md5_h32 outputs, which never are). */
+case class SlidingMinExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override def nullSafeEval(a: Any, w: Any): Any =
+    SlidingMin(a.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, w) => s"graft.cdc.SlidingMin.apply($a, $w)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -41,9 +41,8 @@ object Curation {
         "transform(sequence(0, size(toks)-3), i -> " +
           "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
         .as("hs"))
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(hs)-4), j -> " +
-          "array_min(slice(hs, j+1, 4)))")).as("fps"))
+      .select(col("doc_id"), array_distinct(
+        expr("sliding_min(hs, 4)")).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   private def zvalSql(div: String): String =
