@@ -45,6 +45,45 @@ object Curation {
         expr("sliding_min(hs, 4)")).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
+  /** The q153/q159 BPE merge loop: given a relation carrying a
+    * '|'-bounded token string `s` and an instance count `cnt` (plus
+    * any rider columns), run `rounds` argmax-merge rounds and return
+    * the rewritten relation plus (round, pair, count) picks. Pair
+    * counts are corpus-global (weighted by cnt); only the 1-row
+    * argmax reaches the driver per round. */
+  private[ops] val bpeSeqCol: Column =
+    expr("filter(split(s, '\\\\|'), x -> x != '')")
+
+  private[ops] def bpeMergeRounds(df0: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Int, String, Long, Long)]) = {
+    def pairCounts(cur: DataFrame): DataFrame =
+      cur.select(bpeSeqCol.as("seq"), col("cnt"))
+        .filter(size(col("seq")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(seq)-2), i -> " +
+            "concat_ws(' ', seq[i], seq[i+1]))")).as("pair"),
+          col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+    var cur = df0.cache()
+    val picks = (1 to rounds).map { r =>
+      val best = pairCounts(cur)
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()(0)
+      val (pair, c) = (best.getString(0), best.getLong(1))
+      // merge tokens are [a-z] only (the tokenizer strips the rest),
+      // so inlining them into the literal replace is injection-safe
+      val pat = "|" + pair.replace(" ", "|") + "|"
+      val rep = "|" + pair.replace(" ", "") + "|"
+      val next = cur.withColumn("s", expr(
+        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')")).cache()
+      val toks = next.select(sum(col("cnt") * size(bpeSeqCol)))
+        .collect()(0).getLong(0)
+      cur.unpersist()
+      cur = next
+      (r, pair, c, toks)
+    }
+    (cur, picks)
+  }
+
   private def zvalSql(div: String): String =
     (0 until 8).map(i =>
       s"((xb $div ${1 << i}) % 2) * ${1L << (2 * i)}" +
@@ -474,39 +513,13 @@ object Curation {
          |    CAST((SELECT toks FROM t3) AS BIGINT) FROM m3)
          |ORDER BY round""".stripMargin) { (s, d) =>
       import s.implicits._
-      val seqCol = expr("filter(split(s, '\\\\|'), x -> x != '')")
-      def pairCounts(cur: DataFrame): DataFrame =
-        cur.select(seqCol.as("seq"), col("cnt"))
-          .filter(size(col("seq")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(seq)-2), i -> " +
-              "concat_ws(' ', seq[i], seq[i+1]))")).as("pair"),
-            col("cnt"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
-      var cur = withToks(s, d)
+      val base = withToks(s, d)
         .select(explode(col("toks")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .select(concat(lit("|"),
           regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
-        .cache()
-      val rows = (1 to 3).map { r =>
-        val best = pairCounts(cur)
-          .orderBy(col("c").desc, col("pair")).limit(1).collect()(0)
-        val (pair, c) = (best.getString(0), best.getLong(1))
-        // merge tokens are [a-z] only (the tokenizer strips the rest),
-        // so inlining them into the literal replace is injection-safe
-        val pat = "|" + pair.replace(" ", "|") + "|"
-        val rep = "|" + pair.replace(" ", "") + "|"
-        val next = cur.select(expr(
-          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')").as("s"),
-          col("cnt")).cache()
-        val toks = next.select(sum(col("cnt") * size(seqCol)))
-          .collect()(0).getLong(0)
-        cur.unpersist()
-        cur = next
-        (r, pair, c, toks)
-      }
-      cur.unpersist()
+      val (merged, rows) = bpeMergeRounds(base, 3)
+      merged.unpersist()
       rows.toDF("round", "pair", "pair_count", "corpus_toks")
         .select(col("round").cast("int").as("round"), col("pair"),
           col("pair_count"), col("corpus_toks"))
@@ -670,6 +683,118 @@ object Curation {
         .select(col("round").cast("int").as("round"), col("doc_id"),
           col("gain"), col("covered"))
         .orderBy(col("round"))
+    },
+
+    // ---- q158: source-level containment via winnowing prints ------
+    // Directional "who copies from whom": per-source winnowing
+    // fingerprint sets, |A∩B| / |A| containment over the fingerprint
+    // equi-join. Complements q140 (symmetric minhash ESTIMATE between
+    // sources) with an exact, DIRECTED measure on span-anchored
+    // prints. Per-fingerprint source fanout is bounded by the source
+    // count, so the self-join is bucket-bounded at any corpus size;
+    // the per-source profile is the mergeable artifact a production
+    // pipeline materializes per ingest batch.
+    QueryDef(
+      "q158_source_containment",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+         |  FROM documents WHERE len($toksSql) >= 6),
+         |hs AS (SELECT doc_id, source, i,
+         |    ${h32Sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+         |fpw AS (SELECT doc_id, source, i,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS nh
+         |  FROM hs),
+         |sfp AS (SELECT DISTINCT source, fp FROM fpw WHERE i + 3 <= nh),
+         |sz AS (SELECT source, count(*) AS n FROM sfp GROUP BY source),
+         |sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+         |  FROM sfp a JOIN sfp b USING (fp)
+         |  WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT sa, sb, CAST(shared AS BIGINT) AS shared_fps,
+         |  CAST(sz.n AS BIGINT) AS n_sa,
+         |  CAST(shared * 1000 // sz.n AS BIGINT) AS cont_milli
+         |FROM sh JOIN sz ON sz.source = sh.sa
+         |ORDER BY cont_milli DESC, sa, sb LIMIT 25""".stripMargin) {
+      (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val docSrc = withToks(s, d).select(col("doc_id"), col("source"))
+      val sfp = winnowFingerprints(
+          withToks(s, d).select(col("doc_id"), col("toks")))
+        .join(docSrc, "doc_id")
+        .select(col("source"), col("fp")).distinct()
+      val sz = sfp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val a = sfp.select(col("source").as("sa"), col("fp"))
+      val b = sfp.select(col("source").as("sb"), col("fp"))
+      a.join(b, "fp").filter(col("sa") =!= col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .join(broadcast(sz.select(col("source").as("sa"),
+          col("n").as("n_sa"))), "sa")
+        .select(col("sa"), col("sb"), col("shared_fps"), col("n_sa"),
+          expr("shared_fps * 1000 DIV n_sa").as("cont_milli"))
+        .orderBy(col("cont_milli").desc, col("sa"), col("sb"))
+        .limit(25)
+    },
+
+    // ---- q159: tokenizer fertility audit (BPE inference) ----------
+    // q153 trains the merges; this EVALUATES the resulting tokenizer:
+    // apply the same 3 learned merges (the picks are corpus-global,
+    // so they are identical whether the word counts carry lang or
+    // not) and report per-language fertility — pieces per word in
+    // milli, THE metric tokenizer papers compare. State stays on the
+    // vocab-bounded (lang, word, count) relation; the corpus is
+    // touched once for the word count.
+    QueryDef(
+      "q159_tokenizer_fertility",
+      {
+        def round(r: Int, prev: String) =
+          s"""p$r AS (SELECT seq[i] || ' ' || seq[i+1] AS pair, sum(cnt) AS c
+             |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '')
+             |      AS seq, cnt FROM $prev),
+             |    UNNEST(range(1, len(seq))) u(i)
+             |  WHERE len(seq) >= 2 GROUP BY 1),
+             |m$r AS (SELECT pair FROM p$r ORDER BY c DESC, pair LIMIT 1),
+             |s$r AS (SELECT lang,
+             |    replace(replace($prev.s, r.pat, r.rep), r.pat, r.rep) AS s,
+             |    cnt
+             |  FROM $prev, (SELECT '|' || replace(pair, ' ', '|') || '|'
+             |      AS pat, '|' || replace(pair, ' ', '') || '|' AS rep
+             |    FROM m$r) r)""".stripMargin
+        s"""WITH wc AS (SELECT lang, w AS word, count(*) AS cnt
+           |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+           |  GROUP BY lang, w),
+           |s0 AS (SELECT lang,
+           |    '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s, cnt
+           |  FROM wc),
+           |${round(1, "s0")},
+           |${round(2, "s1")},
+           |${round(3, "s2")}
+           |SELECT lang, CAST(sum(cnt) AS BIGINT) AS words,
+           |  CAST(sum(cnt * len(seq)) AS BIGINT) AS pieces,
+           |  CAST(sum(cnt * len(seq)) * 1000 // sum(cnt) AS BIGINT)
+           |    AS fertility_milli
+           |FROM (SELECT lang, cnt,
+           |    list_filter(string_split(s, '|'), x -> x <> '') AS seq
+           |  FROM s3)
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      val base = withToks(s, d)
+        .select(col("lang"), explode(col("toks")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), concat(lit("|"),
+          regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
+      // the final merged relation stays cached (vocab-bounded, tiny)
+      // so the returned plan reads it directly; its lineage embeds the
+      // already-collected merge literals, so even a recompute after
+      // eviction is deterministic with no further driver probes
+      val (merged, _) = bpeMergeRounds(base, 3)
+      merged.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("words"),
+          sum(col("cnt") * size(bpeSeqCol)).as("pieces"))
+        .select(col("lang"), col("words"), col("pieces"),
+          expr("pieces * 1000 DIV words").as("fertility_milli"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -65,7 +65,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q151_scene_cuts",
     "q153_bpe_train",
     "q156_dedup_rewrite",
-    "q157_greedy_coverage")
+    "q157_greedy_coverage",
+    "q158_source_containment",
+    "q159_tokenizer_fertility")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
