@@ -938,7 +938,7 @@ object Pipeline {
     var edges = pairs.toDF("d1", "d2")
       .union(pairs.toDF("d1", "d2").select(col("d2"), col("d1")))
       .toDF("u", "v").filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
 
     // per-u min over neighbors and self: m = min(min(v), u)
     def mins(e: DataFrame): DataFrame =
@@ -947,7 +947,10 @@ object Pipeline {
     // large-star: every neighbor v > u re-points to u's local min m;
     // keeps both directions of surviving edges (input is symmetric).
     // Both directions explode from ONE join pass — a unionAll of two
-    // selects over the same join would execute the join twice.
+    // selects over the same join would execute the join twice. No
+    // distinct here: smallStar's own distinct dedups one stage later,
+    // so a shuffle per round is saved and the digest's distinct-set
+    // precondition is still met (it hashes smallStar output only).
     def largeStar(e: DataFrame): DataFrame = {
       val m = mins(e)
       e.filter(col("v") > col("u")).join(m, "u")
@@ -956,7 +959,6 @@ object Pipeline {
           struct(col("m").as("x"), col("v").as("y")))).as("p"))
         .select(col("p.x").as("u"), col("p.y").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
 
     // small-star: orient edges larger-first, then every node in
@@ -989,12 +991,18 @@ object Pipeline {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    val verbose = sys.env.contains("SPARK_GRAFT_CC_VERBOSE")
     var prev = digest(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val t0 = System.nanoTime()
+      // lazy checkpoint: the digest job both materializes the round's
+      // edge set and measures it — one Spark job per round, not two
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val cur = digest(next)
+      if (verbose) println(
+        f"CC round $iter%2d  ${(System.nanoTime() - t0) / 1e9}%6.2f s  edges=${cur._1}")
       converged = cur == prev
       prev = cur
       edges = next

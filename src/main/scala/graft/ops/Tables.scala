@@ -11,9 +11,8 @@ import org.apache.spark.sql.Column
   *    Spark plan and the oracle SQL;
   *  - floating aggregates are `round`-ed identically on both sides
   *    (sum-of-doubles bit patterns differ by accumulation order);
-  *  - `events.ts` is ns-precision parquet; Spark truncates to µs on
-  *    read, so timestamps are always reduced to whole seconds
-  *    (`ts_sec`) before use;
+  *  - `events.ts` is µs-precision NTZ parquet; timestamps are always
+  *    reduced to whole seconds (`ts_sec`) before use;
   *  - every query ends in a deterministic total order.
   */
 object Tables {
@@ -30,22 +29,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events with the ns→s timestamp normalization applied once.
+  /** events with the timestamp→whole-second normalization applied once.
     *
-    * The parquet `ts` column is TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; `nanosAsLong` surfaces it as a raw ns `Long`, from which
-    * we derive exact whole-second (`ts_sec`) and whole-hour (`hour_ts`)
-    * columns with integer arithmetic (a double division would lose
-    * precision above 2^53 ns). The DuckDB oracle sees the original ns
-    * timestamp and applies `date_trunc` — identical values.
+    * The parquet `ts` column is TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * → `TimestampNTZType`. `ts_sec` (whole seconds since epoch) is
+    * derived with calendar-field arithmetic — `unix_date`/`hour`/
+    * `minute`/`second` are all wall-clock functions on NTZ values, so
+    * the result is independent of the session time zone (an NTZ→TZ
+    * cast would silently bake the driver's zone into the data). The
+    * DuckDB oracle reads the same micros as a naive TIMESTAMP and
+    * applies `epoch(date_trunc('second', ts))` — identical values.
+    * `hour_ts` stays NTZ (`date_trunc` on NTZ is wall-clock), matching
+    * the oracle's naive `date_trunc('hour', ts)` byte-for-byte.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
-      .withColumn("ts_sec", expr("ts DIV 1000000000"))
-      .withColumn("hour_ts",
-        timestamp_seconds(expr("(ts DIV 1000000000) DIV 3600") * 3600))
-  }
+      .withColumn("ts_sec", expr(
+        "unix_date(cast(ts AS date)) * 86400L + hour(ts) * 3600L + " +
+          "minute(ts) * 60L + second(ts)"))
+      .withColumn("hour_ts", date_trunc("hour", col("ts")))
 
   /** Fan a narrow input out across the cluster before a CPU-heavy
     * per-row stage (wire-format encode/decode, parsing). A small
