@@ -128,6 +128,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("sliding_min"),
       info("sliding_min"),
       (exprs: Seq[Expression]) => SlidingMinExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("jump_shard"),
+      info("jump_shard"),
+      (exprs: Seq[Expression]) => JumpShardExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -146,6 +149,8 @@ object GraftFunctions {
   def pg_array_tokens(c: Column): Column = call_function("pg_array_tokens", c)
   def sliding_min(a: Column, w: Column): Column =
     call_function("sliding_min", a, w)
+  def jump_shard(k: Column, n: Column): Column =
+    call_function("jump_shard", k, n)
 
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
@@ -168,6 +173,7 @@ object GraftFunctions {
     ensure("vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)))
     ensure("pg_array_tokens", exprs => PgArrayTokensExpr(exprs.head))
     ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
+    ensure("jump_shard", exprs => JumpShardExpr(exprs(0), exprs(1)))
   }
 }
 
@@ -327,6 +333,54 @@ case class SlidingMinExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, w) => s"graft.cdc.SlidingMin.apply($a, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jump consistent hash (Lamport & Veach, "A Fast, Minimal Memory,
+  * Consistent Hash Algorithm", arXiv:1406.2294): maps a 64-bit key to
+  * a bucket in [0, n) such that growing n to n' moves only a
+  * (n'-n)/n' fraction of keys — the resharding primitive a 100 TB
+  * corpus needs (mod-N would relocate ~everything). O(log n) loop,
+  * no memory, no lookup table. The arithmetic is exactly the paper's:
+  * an LCG step on the unsigned 64-bit key and a double-precision
+  * scaled jump — both bit-reproducible across engines (the oracle
+  * mirrors it with HUGEINT mod-2^64 and the same double divide). */
+object JumpHash {
+  final val Lcg = 2862933555777941757L
+
+  def shard(key0: Long, buckets: Int): Long = {
+    if (buckets <= 0)
+      throw new IllegalArgumentException(s"buckets must be > 0: $buckets")
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      key = key * Lcg + 1L
+      // (key >>> 33) treats the wrapped product as unsigned, per paper
+      j = ((b + 1L) * (2147483648.0 / (((key >>> 33) + 1L).toDouble))).toLong
+    }
+    b
+  }
+}
+
+/** Native `jump_shard(key, n)` — evaluates in the scan's generated
+  * loop, so shard assignment of a full corpus is one map-side pass. */
+case class JumpShardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jump_shard"
+
+  override def nullSafeEval(k: Any, n: Any): Any =
+    java.lang.Long.valueOf(
+      JumpHash.shard(k.asInstanceOf[Long], n.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, n) => s"graft.cdc.JumpHash.shard($k, $n)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -913,8 +913,92 @@ object Pipeline {
           expr("sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) * 1000000" +
             " DIV count(*)").as("leak_ppm"))
         .orderBy(col("split"))
+    },
+
+    QueryDef(
+      "q160_triangle_census",
+      s"""WITH shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |e AS (SELECT d1, d2 FROM jpairs),
+         |deg AS (SELECT n, count(*) AS deg FROM
+         |    (SELECT d1 AS n FROM e UNION ALL SELECT d2 FROM e)
+         |  GROUP BY n),
+         |o AS (SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.d1 < e.d2)
+         |         THEN e.d1 ELSE e.d2 END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.d1 < e.d2)
+         |         THEN e.d2 ELSE e.d1 END AS dst
+         |  FROM e JOIN deg da ON da.n = e.d1 JOIN deg db ON db.n = e.d2),
+         |od AS (SELECT o.src, o.dst, dd.deg AS ddeg
+         |  FROM o JOIN deg dd ON dd.n = o.dst),
+         |w AS (SELECT a.dst AS b, bb.dst AS c
+         |  FROM od a JOIN od bb ON bb.src = a.src
+         |   AND (a.ddeg < bb.ddeg OR (a.ddeg = bb.ddeg AND a.dst < bb.dst))),
+         |tri AS (SELECT count(*) AS n_triangles
+         |  FROM w JOIN od t ON t.src = w.b AND t.dst = w.c),
+         |wed AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
+         |    AS BIGINT) AS n_wedges FROM deg)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  n_wedges, n_triangles,
+         |  CAST(3000 * n_triangles // greatest(n_wedges, 1) AS BIGINT)
+         |    AS transitivity_milli
+         |FROM wed, tri""".stripMargin) { (s, d) =>
+      // Triangle census of the near-dup graph — the structural audit
+      // beside component size (q45/q102) and chain shape (q135): a
+      // high transitivity says near-dup clusters are tight copy
+      // families (cliques from mirrored documents); a low one with
+      // long chains says drift-by-transitivity is gluing unrelated
+      // docs. Degree-oriented node-iterator counting (each edge points
+      // low-(deg,id) -> high): every triangle is counted exactly once,
+      // from its lowest-ordered vertex, and each node's wedge work is
+      // C(out-deg, 2) where out-degree is bounded by O(sqrt(edges)) on
+      // any graph (arboricity bound) — the property that keeps a 10^9
+      // -follower hub from exploding the wedge join at 100 TB. Three
+      // keyed joins + one count; no per-node adjacency list ever
+      // materializes.
+      triangleCensus(jaccardPairs(s, d).select(col("d1"), col("d2")))
     }
   )
+
+  /** Degree-oriented triangle census over an undirected edge list
+    * (d1 < d2, one row per edge). Returns one row: n_nodes, n_edges,
+    * n_wedges, n_triangles, transitivity_milli. */
+  private[graft] def triangleCensus(pairs: DataFrame): DataFrame = {
+    val e = pairs.toDF("d1", "d2")
+    val deg = e.select(explode(array(col("d1"), col("d2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDegs = e
+      .join(deg.select(col("n").as("d1"), col("deg").as("dga")), "d1")
+      .join(deg.select(col("n").as("d2"), col("deg").as("dgb")), "d2")
+    val aFirst = col("dga") < col("dgb") ||
+      (col("dga") === col("dgb") && col("d1") < col("d2"))
+    val o = withDegs.select(
+      when(aFirst, col("d1")).otherwise(col("d2")).as("src"),
+      when(aFirst, col("d2")).otherwise(col("d1")).as("dst"))
+    val od = o.join(deg.select(col("n").as("dst"),
+      col("deg").as("ddeg")), "dst")
+    val a = od.select(col("src"), col("dst").as("b"),
+      col("ddeg").as("bdeg"))
+    val bb = od.select(col("src"), col("dst").as("c"),
+      col("ddeg").as("cdeg"))
+    val wedges = a.join(bb, Seq("src"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+      .select(col("b"), col("c"))
+    val nTri = wedges.join(od.select(col("src").as("b"),
+        col("dst").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nWed = deg.agg(coalesce(sum(expr("deg * (deg - 1) DIV 2")),
+      lit(0L)).cast("long").as("n_wedges"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nWed).crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3000 * n_triangles DIV greatest(n_wedges, 1L)")
+          .as("transitivity_milli"))
+  }
 
   /** (node, label) component assignment via alternating large-star /
     * small-star edge contraction to a fixpoint — O(log n) rounds on

@@ -502,6 +502,68 @@ object Scale {
           col("cum_tokens"),
           (col("cum_tokens") * 2 <= col("corpus")).as("included"))
         .orderBy(col("src_q4").desc, col("source"))
+    },
+
+    QueryDef(
+      "q161_jump_reshard",
+      s"""WITH RECURSIVE docs AS (SELECT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) AS k
+         |  FROM documents),
+         |seed AS (SELECT doc_id, k, n FROM docs
+         |  CROSS JOIN (VALUES (32), (48)) v(n)),
+         |r AS (
+         |  SELECT doc_id, n, k::HUGEINT AS key, -1::BIGINT AS b,
+         |    0::BIGINT AS j
+         |  FROM seed
+         |  UNION ALL
+         |  SELECT doc_id, n,
+         |    (key * 2862933555777941757 + 1) % 18446744073709551616 AS k2,
+         |    j AS b,
+         |    CAST(floor((j + 1) * (2147483648.0 /
+         |      CAST(((key * 2862933555777941757 + 1)
+         |          % 18446744073709551616)
+         |        // 8589934592 + 1 AS DOUBLE))) AS BIGINT) AS j2
+         |  FROM r WHERE j < n),
+         |fin AS (SELECT doc_id, n, b FROM r WHERE j >= n),
+         |sh AS (SELECT d.doc_id, d.k,
+         |    max(CASE WHEN f.n = 32 THEN f.b END) AS old_jump,
+         |    max(CASE WHEN f.n = 48 THEN f.b END) AS new_jump
+         |  FROM docs d JOIN fin f USING (doc_id) GROUP BY d.doc_id, d.k)
+         |SELECT old_jump AS shard, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN old_jump <> new_jump THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS moved_jump,
+         |  CAST(sum(CASE WHEN k % 32 <> k % 48 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS moved_mod
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      // Resharding audit via jump consistent hash (arXiv:1406.2294):
+      // growing a 100 TB corpus's shard count 32 -> 48 should move
+      // only 16/48 = a third of the documents; naive key-mod-N moves
+      // nearly all of them (every doc whose key differs mod 32 vs 48
+      // relocates, ~97%). Per current shard: doc count, docs the jump
+      // scheme moves, docs mod-N would have moved — the before/after
+      // plan a storage migration reviews. The assignment is the
+      // native jump_shard codegen expression (O(log n) LCG loop per
+      // row, no table), so the whole audit is one map-side pass plus
+      // a 32-group agg; the oracle replays the identical LCG +
+      // double-jump arithmetic as a recursive CTE in HUGEINT
+      // mod-2^64 space.
+      graft.cdc.GraftFunctions.register(s)
+      val k = graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string"))
+      documents(s, d)
+        .select(col("doc_id"), k.as("k"))
+        .select(col("k"),
+          graft.cdc.GraftFunctions.jump_shard(col("k"), lit(32))
+            .as("old_jump"),
+          graft.cdc.GraftFunctions.jump_shard(col("k"), lit(48))
+            .as("new_jump"))
+        .groupBy(col("old_jump").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("old_jump") =!= col("new_jump"), 1L)
+            .otherwise(0L)).cast("long").as("moved_jump"),
+          sum(when(col("k") % 32 =!= col("k") % 48, 1L)
+            .otherwise(0L)).cast("long").as("moved_mod"))
+        .orderBy(col("shard"))
     }
   )
 }

@@ -67,7 +67,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q156_dedup_rewrite",
     "q157_greedy_coverage",
     "q158_source_containment",
-    "q159_tokenizer_fertility")
+    "q159_tokenizer_fertility",
+    "q160_triangle_census",
+    "q161_jump_reshard")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

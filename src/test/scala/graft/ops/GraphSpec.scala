@@ -64,6 +64,58 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.keySet == Set(2L, 5L, 6L, 7L, 8L, 9L))
   }
 
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val s = spark
+    import s.implicits._
+    val r = Pipeline.triangleCensus(edges.toDF("d1", "d2")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangle census: K4 is all triangles, transitivity 1") {
+    // K4: 4 nodes, 6 edges, wedges = 4*C(3,2) = 12, triangles = 4,
+    // transitivity = 3*4/12 = 1
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(census(k4.toSeq) == (4L, 6L, 12L, 4L, 1000L))
+  }
+
+  test("triangle census: path has wedges but no triangles") {
+    val path = (1L until 6L).map(i => i -> (i + 1))
+    assert(census(path) == (6L, 5L, 4L, 0L, 0L))
+  }
+
+  test("triangle census: triangle + pendant counts once") {
+    // triangle 1-2-3 plus pendant 3-4: wedges = C(2,2)... degrees
+    // (2,2,3,1) -> wedges 1+1+3+0 = 5, one triangle
+    val e = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+    assert(census(e) == (4L, 4L, 5L, 1L, 600L))
+  }
+
+  test("triangle census agrees with brute force on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a < b }.distinct
+      val adj = edges.toSet
+      def connected(a: Long, b: Long) =
+        adj(math.min(a, b) -> math.max(a, b))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val triBrute = nodes.combinations(3).count {
+        case Seq(a, b, c) =>
+          connected(a, b) && connected(a, c) && connected(b, c)
+      }
+      val degs = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      val wedBrute = degs.values.map(d => d * (d - 1) / 2).sum
+      val (nn, ne, nw, nt, _) = census(edges)
+      assert(nn == nodes.size.toLong)
+      assert(ne == edges.size.toLong)
+      assert(nw == wedBrute)
+      assert(nt == triBrute.toLong)
+    }
+  }
+
   test("random graphs agree with an independent union-find") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { _ =>
