@@ -131,6 +131,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("jump_shard"),
       info("jump_shard"),
       (exprs: Seq[Expression]) => JumpShardExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("longest_repeat"),
+      info("longest_repeat"),
+      (exprs: Seq[Expression]) => LongestRepeatExpr(exprs.head)))
   }
 }
 
@@ -151,6 +154,8 @@ object GraftFunctions {
     call_function("sliding_min", a, w)
   def jump_shard(k: Column, n: Column): Column =
     call_function("jump_shard", k, n)
+  def longest_repeat(c: Column): Column =
+    call_function("longest_repeat", c)
 
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
@@ -174,6 +179,7 @@ object GraftFunctions {
     ensure("pg_array_tokens", exprs => PgArrayTokensExpr(exprs.head))
     ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
     ensure("jump_shard", exprs => JumpShardExpr(exprs(0), exprs(1)))
+    ensure("longest_repeat", exprs => LongestRepeatExpr(exprs.head))
   }
 }
 
@@ -385,4 +391,109 @@ case class JumpShardExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Longest repeated contiguous token window within one document —
+  * the maximal k such that some k-token window occurs at two distinct
+  * positions. Exact and allocation-lean: tokens intern to int ids,
+  * then binary search on k (duplicate windows are downward-closed in
+  * k) with a 64-bit polynomial rolling hash per level and an exact
+  * id-sequence verify inside each hash bucket, so a hash collision
+  * can never overstate the answer. Expected O(n log n) per document
+  * vs the O(n^2) window materialization a pure-SQL formulation needs
+  * (which is what the DuckDB oracle runs at test scale). */
+object LongestRepeat {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private final val B = 1000003L
+
+  def apply(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n < 2) return 0L
+    val ids = new Array[Int](n)
+    val seen = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) ids(i) = -1 // all null elements compare equal
+      else {
+        val t = a.getUTF8String(i)
+        val id = seen.get(t)
+        if (id == null) {
+          ids(i) = seen.size
+          // clone: the UTF8String may view a shared row buffer
+          seen.put(t.clone(), Integer.valueOf(seen.size))
+        } else ids(i) = id.intValue()
+      }
+      i += 1
+    }
+    var lo = 0
+    var hi = n - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (hasDup(ids, mid)) lo = mid else hi = mid - 1
+    }
+    lo.toLong
+  }
+
+  /** Any k-window occurring twice? Rolling-hash buckets, then exact
+    * compare of id runs within a bucket. */
+  private def hasDup(x: Array[Int], k: Int): Boolean = {
+    val n = x.length
+    var powK = 1L // B^k for the roll-off term
+    var i = 0
+    while (i < k) { powK *= B; i += 1 }
+    val buckets =
+      new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+    var h = 0L
+    var s = 0
+    while (s < n) {
+      h = h * B + x(s)
+      if (s >= k) h -= powK * x(s - k)
+      if (s >= k - 1) {
+        val start = s - k + 1
+        val key = java.lang.Long.valueOf(h)
+        var lst = buckets.get(key)
+        if (lst == null) { lst = new java.util.ArrayList[Integer](2); buckets.put(key, lst) }
+        else {
+          var j = 0
+          while (j < lst.size()) {
+            if (sameRun(x, lst.get(j).intValue(), start, k)) return true
+            j += 1
+          }
+        }
+        lst.add(Integer.valueOf(start))
+      }
+      s += 1
+    }
+    false
+  }
+
+  private def sameRun(x: Array[Int], p: Int, q: Int, k: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      if (x(p + i) != x(q + i)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Native `longest_repeat(toks)` — evaluates per row inside codegen;
+  * null elements (never produced by the tokenizers) all compare
+  * equal to each other. */
+case class LongestRepeatExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "longest_repeat"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(LongestRepeat(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.LongestRepeat.apply($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -1348,6 +1348,48 @@ object Text {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
         .orderBy(col("thr_4"))
+    },
+
+    QueryDef(
+      "q162_longest_selfrepeat",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM t
+         |      WHERE len(toks) >= 2),
+         |w AS (SELECT doc_id, k,
+         |        array_to_string(list_slice(toks, i, i + k - 1), ' ') AS g
+         |      FROM b,
+         |        UNNEST(range(1, n)) AS kk(k),
+         |        UNNEST(range(1, n - k + 2)) AS ii(i)),
+         |dup AS (SELECT doc_id, k FROM w
+         |        GROUP BY doc_id, k, g HAVING count(*) >= 2),
+         |lr AS (SELECT doc_id, max(k) AS max_rep FROM dup GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(n AS BIGINT) AS n_toks,
+         |  CAST(coalesce(max_rep, 0) AS BIGINT) AS max_rep,
+         |  coalesce(max_rep, 0) * 4 >= n AS flagged
+         |FROM b LEFT JOIN lr USING (doc_id)
+         |ORDER BY max_rep DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      // Longest intra-document repeated token window — the sharpest
+      // self-repetition signal beside q126's duplicated-n-gram
+      // fractions: a doc whose longest repeat spans >= a quarter of
+      // its length is a loop artifact (scraper echo, template spam)
+      // even when its 2/5-gram ratios look tame. Runs as the native
+      // longest_repeat codegen expression: token-interning + binary
+      // search on the window length (duplicate windows are downward-
+      // closed in k) with rolling-hash buckets and an exact in-bucket
+      // verify — expected O(n log n) per doc, map-side, zero shuffle
+      // until the final top-k (TakeOrderedAndProject). The oracle
+      // brute-forces all O(n^2) windows in SQL — same answer, only
+      // viable at test scale; the expression is the 100 TB path.
+      graft.cdc.GraftFunctions.register(s)
+      withToks(s, d).filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          graft.cdc.GraftFunctions.longest_repeat(col("toks"))
+            .as("max_rep"))
+        .select(col("doc_id"), col("n_toks"), col("max_rep"),
+          (col("max_rep") * 4 >= col("n_toks")).as("flagged"))
+        .orderBy(col("max_rep").desc, col("doc_id"))
+        .limit(25)
     }
   )
 }

@@ -69,7 +69,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q158_source_containment",
     "q159_tokenizer_fertility",
     "q160_triangle_census",
-    "q161_jump_reshard")
+    "q161_jump_reshard",
+    "q162_longest_selfrepeat")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
