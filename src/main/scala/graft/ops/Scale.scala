@@ -564,6 +564,71 @@ object Scale {
           sum(when(col("k") % 32 =!= col("k") % 48, 1L)
             .otherwise(0L)).cast("long").as("moved_mod"))
         .orderBy(col("shard"))
+    },
+
+    QueryDef(
+      "q163_median_bisect",
+      """WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    AS v FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |        count(*) OVER () AS n FROM b)
+        |SELECT max(n) AS n_rows,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_cents,
+        |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS p90_cents
+        |FROM r""".stripMargin) { (s, d) =>
+      // EXACT global order statistics WITHOUT a global sort — the
+      // distributed selection algorithm a 100 TB column needs where
+      // q48's window/rank formulation (a total sort, one unpartitioned
+      // ordering) cannot run: histogram bisection. Each round buckets
+      // the remaining value range into 256 equal slices and counts
+      // them in ONE keyed 256-row aggregation; the driver walks the
+      // tiny prefix sum to find the slice holding the target rank and
+      // recurses into it. log_256(range) ~ 4 rounds for cents-scale
+      // domains, each a full scan (pruned to one column) + a 256-row
+      // shuffle — no sort, no window, no skew sensitivity (a hot
+      // value concentrates its COUNT, not its rows). The oracle
+      // computes the same ranks via row_number at test scale; both
+      // sides agree exactly because selection is rank-arithmetic,
+      // not interpolation.
+      val base = lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .cache()
+      try {
+        val mm = base.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+        val n = mm.getLong(0)
+        // k-th smallest (1-based): smallest v with count(<= v) >= k
+        def select(k: Long): Long = {
+          var lo = mm.getLong(1)
+          var hi = mm.getLong(2)
+          var need = k
+          while (lo < hi) {
+            val width = (hi - lo) / 256L + 1L // ceil: buckets cover [lo, hi]
+            val hist = base
+              .filter(col("v") >= lo && col("v") <= hi)
+              .groupBy(expr(s"(v - $lo) DIV $width").as("bkt"))
+              .agg(count(lit(1)).as("c"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1))
+              .sortBy(_._1)
+            var acc = 0L
+            var i = 0
+            var found = false
+            while (i < hist.length && !found) {
+              val (bkt, c) = hist(i)
+              if (acc + c >= need) {
+                need -= acc
+                lo = lo + bkt * width
+                hi = math.min(hi, lo + width - 1)
+                found = true
+              } else { acc += c; i += 1 }
+            }
+          }
+          lo
+        }
+        val median = select((n + 1L) / 2L)
+        val p90 = select((n * 9L + 9L) / 10L)
+        import s.implicits._
+        Seq((n, median, p90)).toDF("n_rows", "median_cents", "p90_cents")
+      } finally base.unpersist()
     }
   )
 }

@@ -70,7 +70,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q159_tokenizer_fertility",
     "q160_triangle_census",
     "q161_jump_reshard",
-    "q162_longest_selfrepeat")
+    "q162_longest_selfrepeat",
+    "q163_median_bisect")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
