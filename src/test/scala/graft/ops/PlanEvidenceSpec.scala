@@ -255,4 +255,23 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the z-value expression must codegen:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q161: shard assignment is map-side, one aggregation shuffle") {
+    val p = plan("q161_jump_reshard")
+    assert(p.contains("jump_shard"),
+      s"the native expression must appear in the plan:\n$p")
+    // one exchange total: the final per-shard groupBy. The jump/mod
+    // assignments must NOT introduce extra shuffles or joins.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // partial/final agg pair prints one Exchange + sort for orderBy
+      s"expected map-side assignment + single agg shuffle, got $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q162: longest_repeat evaluates in codegen, top-k never sorts globally") {
+    val p = plan("q162_longest_selfrepeat")
+    assert(p.contains("longest_repeat"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the limit-25 must be a top-k, not a global sort:\n$p")
+  }
 }
