@@ -483,6 +483,52 @@ object Pipeline {
     },
 
     QueryDef(
+      "q164_incremental_components",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+         |SELECT root, count(*) AS cluster_size, max(doc_id) AS max_doc
+         |FROM root GROUP BY root ORDER BY root""".stripMargin) { (s, d) =>
+      // INCREMENTAL component maintenance — the production shape:
+      // a standing corpus already has its components; a new ingest
+      // batch (hash-split 20% here, same lattice as q131/q144) must
+      // merge in WITHOUT recomputing the full graph. The standing
+      // subgraph collapses to its contracted star edges (node→label:
+      // one edge per non-root member — the component STRUCTURE in
+      // O(nodes), not O(edges)); the second contraction runs over
+      // those stars plus only the batch-touching edges. At 100 TB
+      // the standing near-dup graph's edges never re-enter the
+      // shuffle — work scales with the batch and the component
+      // count. The oracle is q102's full-graph recursive closure
+      // VERBATIM: the driver hash-matching both queries proves
+      // incremental merge ≡ batch recompute.
+      graft.cdc.GraftFunctions.register(s)
+      val h1 = graft.cdc.GraftFunctions.md5_h32(col("d1").cast("string"))
+      val h2 = graft.cdc.GraftFunctions.md5_h32(col("d2").cast("string"))
+      val tagged = jaccardPairs(s, d).select(col("d1"), col("d2"),
+        (h1 % 100 < 80).as("s1"), (h2 % 100 < 80).as("s2"))
+      val standing = tagged.filter(col("s1") && col("s2"))
+        .select(col("d1"), col("d2"))
+      val batch = tagged.filter(!(col("s1") && col("s2")))
+        .select(col("d1"), col("d2"))
+      val labels0 = starContraction(standing)
+      val labelEdges = labels0.filter(col("node") =!= col("label"))
+        .select(col("node").as("d1"), col("label").as("d2"))
+      starContraction(labelEdges.union(batch))
+        .groupBy(col("label").as("root"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc"))
+        .orderBy(col("root"))
+    },
+
+    QueryDef(
       "q133_filter_funnel",
       s"""WITH RECURSIVE shingles AS ($shinglesSql),
          |$jaccardPairsSql,

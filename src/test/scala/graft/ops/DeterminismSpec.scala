@@ -71,7 +71,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q160_triangle_census",
     "q161_jump_reshard",
     "q162_longest_selfrepeat",
-    "q163_median_bisect")
+    "q163_median_bisect",
+    "q164_incremental_components")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -113,6 +114,33 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ne == edges.size.toLong)
       assert(nw == wedBrute)
       assert(nt == triBrute.toLong)
+    }
+  }
+
+  test("incremental merge: contracted stars + batch edges == full recompute") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 80
+      val edges = Seq.fill(100)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // q164's split shape: an edge is "standing" iff both endpoints
+      // land in the standing partition
+      def standingNode(x: Long) = x % 5 != 0
+      val (standing, batch) = edges.partition {
+        case (a, b) => standingNode(a) && standingNode(b)
+      }
+      val labels0 = Pipeline.starContraction(standing.toDF("d1", "d2"))
+      val labelEdges = labels0.filter(col("node") =!= col("label"))
+        .select(col("node").as("d1"), col("label").as("d2"))
+      val incr = Pipeline.starContraction(
+          labelEdges.union(batch.toDF("d1", "d2")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Pipeline.starContraction(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr == full)
     }
   }
 
