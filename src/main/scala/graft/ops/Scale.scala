@@ -629,6 +629,56 @@ object Scale {
         import s.implicits._
         Seq((n, median, p90)).toDF("n_rows", "median_cents", "p90_cents")
       } finally base.unpersist()
+    },
+
+    QueryDef(
+      "q165_epoch_shuffle",
+      """WITH x AS (SELECT doc_id, doc_id % 1048576 AS v FROM documents),
+        |s AS (SELECT doc_id, v // 1024 AS l0, v % 1024 AS r0 FROM x),
+        |f1 AS (SELECT doc_id, r0 AS l1,
+        |  (l0 + ((r0 * 2654435761 + 101) // 64) % 1024) % 1024 AS r1 FROM s),
+        |f2 AS (SELECT doc_id, r1 AS l2,
+        |  (l1 + ((r1 * 2654435761 + 211) // 64) % 1024) % 1024 AS r2 FROM f1),
+        |f3 AS (SELECT doc_id, r2 AS l3,
+        |  (l2 + ((r2 * 2654435761 + 307) // 64) % 1024) % 1024 AS r3 FROM f2),
+        |f4 AS (SELECT doc_id, r3 AS l4,
+        |  (l3 + ((r3 * 2654435761 + 401) // 64) % 1024) % 1024 AS r4 FROM f3),
+        |p AS (SELECT doc_id, l4 * 1024 + r4 AS perm FROM f4)
+        |SELECT perm % 8 AS shard, count(*) AS n_docs,
+        |  count(DISTINCT perm) AS n_perms,
+        |  min(perm) AS min_perm, max(perm) AS max_perm
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      // Deterministic epoch shuffle — the trick that reshuffles a
+      // 100 TB corpus per training epoch WITHOUT a shuffle: a 4-round
+      // Feistel network over a 2^20 domain is a BIJECTION for any
+      // round function (here an add-mod variant: L'=R,
+      // R'=(L+F(R)) mod 1024 inverts exactly; xor is avoided only
+      // because DuckDB spells it differently and the two engines must
+      // run textually parallel integer ops). perm(doc_id) is pure
+      // map-side arithmetic: epoch k's read order is just ORDER BY
+      // perm within each shard — no materialized permutation table,
+      // no RNG state, reproducible forever from the round constants
+      // (vary them per epoch). The audit: per target shard, doc count
+      // vs DISTINCT perm count (equal ⇒ injective on the live ids),
+      // plus the perm range. FeistelSpec proves bijectivity over the
+      // ENTIRE 2^20 domain, not just the sample.
+      val x = documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 1048576L).as("v"))
+        .select(col("doc_id"),
+          expr("v DIV 1024").as("l"), (col("v") % 1024).as("r"))
+      val rounds = Seq(101L, 211L, 307L, 401L)
+      val after = rounds.foldLeft(x) { (df, c) =>
+        df.select(col("doc_id"), col("r").as("l"),
+          expr(s"(l + ((r * 2654435761 + $c) DIV 64) % 1024) % 1024")
+            .as("r"))
+      }
+      after.select(col("doc_id"),
+          (col("l") * 1024L + col("r")).as("perm"))
+        .groupBy((col("perm") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("perm")).as("n_perms"),
+          min(col("perm")).as("min_perm"), max(col("perm")).as("max_perm"))
+        .orderBy(col("shard"))
     }
   )
 }

@@ -72,7 +72,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q161_jump_reshard",
     "q162_longest_selfrepeat",
     "q163_median_bisect",
-    "q164_incremental_components")
+    "q164_incremental_components",
+    "q165_epoch_shuffle")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
