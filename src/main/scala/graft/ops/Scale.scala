@@ -679,6 +679,93 @@ object Scale {
           countDistinct(col("perm")).as("n_perms"),
           min(col("perm")).as("min_perm"), max(col("perm")).as("max_perm"))
         .orderBy(col("shard"))
+    },
+
+    QueryDef(
+      "q166_grouped_median_bisect",
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type, max(n) AS n_events,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50_milli,
+        |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS p90_milli
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      // q163's histogram bisection VECTORIZED across groups — exact
+      // per-group medians/p90s with no per-group window sort: every
+      // round broadcasts the per-(group, target) live [lo, hi]
+      // bounds, buckets each row against ITS group's range map-side,
+      // and counts (group, target, bucket) in one keyed agg; the
+      // driver walks each tiny histogram and narrows. All groups and
+      // both targets advance in the SAME scan, so total rounds =
+      // log256(widest range), not groups × rounds. Driver state is
+      // one (lo, hi, need) triple per (group, target) — fine to
+      // millions of groups; past that, the histogram walk itself
+      // moves into a join (the bounds table is already a DataFrame).
+      // Oracle: the per-group rank formula — exact, the q48 shape —
+      // viable at test scale, single-task-per-group at 100 TB.
+      val base = events(s, d)
+        .select(col("event_type").as("g"),
+          round(col("value") * 1000).cast("long").as("v"))
+        .cache()
+      try {
+        val stats = base.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+            max(col("v")).as("hi"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // live state per (group, target-rank): group -> (lo, hi, need)
+        final case class St(g: String, tgt: String, var lo: Long,
+          var hi: Long, var need: Long)
+        val live = scala.collection.mutable.ArrayBuffer[St]()
+        stats.foreach { case (g, n, lo, hi) =>
+          live += St(g, "p50", lo, hi, (n + 1L) / 2L)
+          live += St(g, "p90", lo, hi, (n * 9L + 9L) / 10L)
+        }
+        val spark = s
+        import spark.implicits._
+        while (live.exists(st => st.lo < st.hi)) {
+          val open = live.filter(st => st.lo < st.hi)
+          val bounds = open.map(st =>
+            (st.g, st.tgt, st.lo, st.hi, (st.hi - st.lo) / 256L + 1L))
+            .toSeq.toDF("g", "tgt", "blo", "bhi", "w")
+          val hists = base.join(broadcast(bounds), "g")
+            .filter(col("v") >= col("blo") && col("v") <= col("bhi"))
+            .groupBy(col("g"), col("tgt"),
+              expr("(v - blo) DIV w").as("bkt"))
+            .agg(count(lit(1)).as("c"))
+            .collect()
+            .map(r => ((r.getString(0), r.getString(1)),
+              (r.getLong(2), r.getLong(3))))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+          open.foreach { st =>
+            val width = (st.hi - st.lo) / 256L + 1L
+            var acc = 0L
+            val hist = hists((st.g, st.tgt))
+            var i = 0
+            var found = false
+            while (i < hist.length && !found) {
+              val (bkt, c) = hist(i)
+              if (acc + c >= st.need) {
+                st.need -= acc
+                st.lo = st.lo + bkt * width
+                st.hi = math.min(st.hi, st.lo + width - 1L)
+                found = true
+              } else { acc += c; i += 1 }
+            }
+          }
+        }
+        val res = live.groupBy(_.g).map { case (g, sts) =>
+          val n = stats.find(_._1 == g).get._2
+          (g, n, sts.find(_.tgt == "p50").get.lo,
+            sts.find(_.tgt == "p90").get.lo)
+        }.toSeq.sortBy(_._1)
+        res.toDF("event_type", "n_events", "p50_milli", "p90_milli")
+          .orderBy(col("event_type"))
+      } finally base.unpersist()
     }
   )
 }

@@ -73,7 +73,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q162_longest_selfrepeat",
     "q163_median_bisect",
     "q164_incremental_components",
-    "q165_epoch_shuffle")
+    "q165_epoch_shuffle",
+    "q166_grouped_median_bisect")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
