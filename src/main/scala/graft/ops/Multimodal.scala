@@ -220,6 +220,45 @@ object Multimodal {
       n_bright: Long,
       mime: String)
 
+  /** q167 dHash output: 64 gradient bits split into two uint32 halves
+    * (a single 64-bit hash would set bit 63 and overflow DuckDB's
+    * BIGINT sum on the oracle side). */
+  final case class ImageDhash(doc_id: Long, h1: Long, h2: Long)
+
+  /** Difference hash over the REAL decoded frame 0: nearest-neighbor
+    * sample a 9×8 luminance grid, emit one bit per horizontal
+    * gradient (left < right). Identical images hash equal; small
+    * seed drift flips few bits — the perceptual-dedup primitive. */
+  def dhash(rec: MediaRecord): ImageDhash = {
+    val f = Ppm.parseFrame(rec.payload, 0)
+    val g = Array.ofDim[Int](8, 9)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 9) {
+        g(i)(j) = f.lumAt(rec.payload,
+          j * f.width / 9, i * f.height / 8)
+        j += 1
+      }
+      i += 1
+    }
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (g(i)(j + 1) > g(i)(j)) {
+          val k = i * 8 + j
+          if (k < 32) h1 |= 1L << k else h2 |= 1L << (k - 32)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    ImageDhash(rec.doc_id, h1, h2)
+  }
+
   /** q147 audio decode output — everything byte- or sample-derived. */
   final case class AudioFeatures(
       doc_id: Long,
@@ -574,6 +613,54 @@ object Multimodal {
         org.apache.spark.sql.Encoders.product[SceneCuts])
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q167_image_dhash_dedup",
+      s"""WITH d AS ($dimsSql),
+         |grid AS (SELECT doc_id, i, j,
+         |    ${lumSql("(doc_id * 31) % 256")} AS lum
+         |  FROM (SELECT doc_id, i, j, (j * w) // 9 AS x, (i * h) // 8 AS y,
+         |          w, h
+         |        FROM d, UNNEST(range(0, 8)) t(i), UNNEST(range(0, 9)) u(j))),
+         |bits AS (SELECT a.doc_id, a.i * 8 + a.j AS k,
+         |    CASE WHEN b.lum > a.lum THEN 1 ELSE 0 END AS bit
+         |  FROM grid a JOIN grid b
+         |    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+         |  WHERE a.j < 8),
+         |hs AS (SELECT doc_id,
+         |    sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+         |        ELSE 0 END) AS h1,
+         |    sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+         |        ELSE 0 END) AS h2
+         |  FROM bits GROUP BY doc_id)
+         |SELECT CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+         |  count(*) AS n_images,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM hs GROUP BY h1, h2 HAVING count(*) >= 2
+         |ORDER BY h1, h2""".stripMargin) { (s, d) =>
+      // Perceptual image dedup — the multimodal arm of the dedup
+      // north star: dHash (9×8 nearest-neighbor luminance grid, one
+      // bit per horizontal gradient) over the REAL decoded frame-0
+      // bytes, then exact-hash grouping exactly like q28's text
+      // fingerprints. Identical renders collapse regardless of how
+      // their doc ids differ; the oracle recomputes the same 64 bits
+      // closed-form from the pixel formula, so a drift anywhere in
+      // the codec path (header walk, pixel indexing, grid sampling,
+      // bit packing) breaks the hash match. Per-partition decode —
+      // payloads never shuffle; only (doc_id, h1, h2) moves into the
+      // keyed group. At 100 TB this is the image analogue of exact
+      // text dedup: one map-side decode pass + one hash groupBy;
+      // near-dup (hamming ≤ t) layers the q27 band join on top of
+      // the same 64 bits.
+      mediaTable(s, d).map(dhash)(
+        org.apache.spark.sql.Encoders.product[ImageDhash])
+        .toDF()
+        .groupBy(col("h1"), col("h2"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_images") >= 2)
+        .orderBy(col("h1"), col("h2"))
     }
   )
 }

@@ -74,7 +74,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q163_median_bisect",
     "q164_incremental_components",
     "q165_epoch_shuffle",
-    "q166_grouped_median_bisect")
+    "q166_grouped_median_bisect",
+    "q167_image_dhash_dedup")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
