@@ -302,6 +302,38 @@ object Multimodal {
       n.toLong, n.toLong * 1000 / pcm.sampleRate, peak, sumSq / n, zc)
   }
 
+  /** q168 audio fingerprint: 8 windows × 4-bit quantized energy share
+    * packed into one 32-bit value — an energy-contour hash. */
+  final case class AudioFingerprint(doc_id: Long, fp: Long)
+
+  /** Energy-contour fingerprint over the REAL decoded PCM: samples
+    * split into 8 equal windows by `(idx * 8) DIV n`, per-window sum
+    * of squares quantized to its 4-bit share of total energy —
+    * clips with the same loudness shape collide, the audio analogue
+    * of q167's image dHash. */
+  def audioFingerprint(rec: (Long, Array[Byte])): AudioFingerprint = {
+    val (id, bytes) = rec
+    val pcm = Wav.parse(bytes)
+    val n = pcm.dataSize / 2
+    val win = new Array[Long](8)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = Wav.sampleAtOffset(bytes, pcm.dataOffset + 2 * i).toLong
+      win((i * 8 / n).toInt) += v * v
+      total += v * v
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 8) {
+      val q = win(k) * 16 / (total + 1)
+      fp |= q << (4 * k)
+      k += 1
+    }
+    AudioFingerprint(id, fp)
+  }
+
   /** q50 frame-sample + resize output. */
   final case class MediaSample(
       doc_id: Long,
@@ -661,6 +693,44 @@ object Multimodal {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .filter(col("n_images") >= 2)
         .orderBy(col("h1"), col("h2"))
+    },
+
+    QueryDef(
+      "q168_audio_fingerprint_dedup",
+      s"""WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+         |s AS (SELECT doc_id, n, i, (i * 8) // n AS k,
+         |    ((doc_id * 7 + i * 13) % 2048) - 1024 AS v
+         |  FROM d, UNNEST(range(0, n)) u(i)),
+         |w AS (SELECT doc_id, k, sum(v * v) AS e FROM s
+         |      GROUP BY doc_id, k),
+         |tot AS (SELECT doc_id, sum(e) AS te FROM w GROUP BY doc_id),
+         |fp AS (SELECT w.doc_id,
+         |    sum((e * 16 // (te + 1)) * (1::BIGINT << (4 * k))) AS fp
+         |  FROM w JOIN tot ON tot.doc_id = w.doc_id GROUP BY w.doc_id)
+         |SELECT CAST(fp AS BIGINT) AS fp, count(*) AS n_clips,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM fp GROUP BY fp HAVING count(*) >= 2
+         |ORDER BY fp""".stripMargin) { (s, d) =>
+      // Audio fingerprint dedup — the WAV arm of perceptual dedup
+      // beside q167's image dHash: the REAL chunk-walked PCM stream
+      // splits into 8 equal windows, each window's sum-of-squares
+      // energy quantizes to its 4-bit share of the clip's total, and
+      // the 8 nibbles pack into one 32-bit energy-contour hash.
+      // Clips with the same loudness shape collide regardless of doc
+      // id; the oracle rebuilds the identical integer pipeline from
+      // the sample formula, so drift in the chunk walker, sample
+      // indexing, window split, or nibble packing breaks the match.
+      // Per-partition decode, one keyed groupBy — the exact-dedup
+      // shape at any scale; near-dup layers a nibble-band join on
+      // the same 32 bits.
+      wavTable(s, d).map(audioFingerprint)(
+        org.apache.spark.sql.Encoders.product[AudioFingerprint])
+        .toDF()
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_clips"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_clips") >= 2)
+        .orderBy(col("fp"))
     }
   )
 }

@@ -75,7 +75,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q164_incremental_components",
     "q165_epoch_shuffle",
     "q166_grouped_median_bisect",
-    "q167_image_dhash_dedup")
+    "q167_image_dhash_dedup",
+    "q168_audio_fingerprint_dedup")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
