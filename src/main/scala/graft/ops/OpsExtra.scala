@@ -196,6 +196,70 @@ object OpsExtra {
           lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
           translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"))
         .orderBy(col("c_custkey"))
+    },
+
+    QueryDef(
+      "q169_table_profile",
+      """WITH b AS (SELECT o_orderstatus AS status,
+        |    o_orderpriority AS priority,
+        |    CAST(year(o_orderdate) AS VARCHAR) AS order_year FROM orders),
+        |long AS (SELECT 'status' AS col_name, status AS value FROM b
+        |  UNION ALL SELECT 'priority', priority FROM b
+        |  UNION ALL SELECT 'order_year', order_year FROM b),
+        |c AS (SELECT col_name, value, count(*) AS cnt FROM long
+        |      WHERE value IS NOT NULL GROUP BY col_name, value),
+        |a AS (SELECT col_name, count(*) AS n_distinct,
+        |      sum(cnt) AS n_nonnull FROM c GROUP BY col_name),
+        |t AS (SELECT col_name, value AS top_value, cnt AS top_count
+        |  FROM (SELECT col_name, value, cnt, row_number() OVER (
+        |          PARTITION BY col_name ORDER BY cnt DESC, value) AS rn
+        |        FROM c) WHERE rn = 1),
+        |n AS (SELECT count(*) AS n_rows FROM b)
+        |SELECT a.col_name, n.n_rows,
+        |  CAST(n.n_rows - a.n_nonnull AS BIGINT) AS n_nulls,
+        |  a.n_distinct, t.top_value, CAST(t.top_count AS BIGINT) AS top_count
+        |FROM a JOIN t USING (col_name), n
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      // Table profiler — the Deequ/data-quality summary a pipeline
+      // emits before accepting a snapshot: per column, row count,
+      // null count, exact distinct count, and the modal value with
+      // its frequency (ties broken by value for determinism). The
+      // wide→long fan-out is Spark's native unpivot (an Expand node:
+      // map-side, no join, no shuffle before the keyed count), so
+      // profiling C columns costs ONE pass over the table and a
+      // (col, value) aggregation — the standard shape at any scale;
+      // per-column cardinality rides the same counts relation, and
+      // the modal window partitions by column (C partitions, never
+      // unpartitioned). Nulls are counted by difference against the
+      // row count, so the unpivot's null-dropping semantics cannot
+      // skew the profile.
+      val base = orders(s, d).select(
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("string").as("order_year"))
+      val long = base.unpivot(Array.empty,
+        Array(col("status"), col("priority"), col("order_year")),
+        "col_name", "value")
+      val c = long.filter(col("value").isNotNull)
+        .groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = c.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("cnt")).as("n_nonnull"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("col_name"))
+        .orderBy(col("cnt").desc, col("value"))
+      val t = c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("col_name"), col("value").as("top_value"),
+          col("cnt").as("top_count"))
+      val n = base.agg(count(lit(1)).as("n_rows"))
+      a.join(t, "col_name").crossJoin(broadcast(n))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).cast("long").as("n_nulls"),
+          col("n_distinct"), col("top_value"),
+          col("top_count").cast("long").as("top_count"))
+        .orderBy(col("col_name"))
     }
   )
 }

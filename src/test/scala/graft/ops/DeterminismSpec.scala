@@ -76,7 +76,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q165_epoch_shuffle",
     "q166_grouped_median_bisect",
     "q167_image_dhash_dedup",
-    "q168_audio_fingerprint_dedup")
+    "q168_audio_fingerprint_dedup",
+    "q169_table_profile")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
