@@ -536,6 +536,44 @@ object Events {
              count(lit(1)).as("n_ops"),
              countDistinct(col("event_type")).as("n_op_types"))
         .orderBy(col("user_id"), col("hour_ts"))
+    },
+
+    // ---- q173: behavior transition matrix (first-order Markov) ----
+    // The clickstream model behind next-event prediction and funnel
+    // design: per user, pair each event with its successor (lead over
+    // the per-user time order — (ts, event_id) is a total order, so
+    // both engines pick identical successors), then count transitions
+    // and express each as a per-source-state rate in integer milli.
+    // Scale shape: ONE window partitioned by user_id (millions of
+    // small independent partitions — the sort is per-user, never
+    // global), one keyed count, and a #types x #types result; the
+    // per-prev total rides a tiny window over <= 5 rows, no second
+    // scan of the event stream.
+    QueryDef(
+      "q173_event_transitions",
+      """WITH t AS (SELECT user_id, event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT prev, next, count(*) AS n FROM t
+        |      WHERE next IS NOT NULL GROUP BY prev, next)
+        |SELECT prev, next, n,
+        |  CAST(n * 1000 // sum(n) OVER (PARTITION BY prev) AS BIGINT)
+        |    AS rate_milli
+        |FROM c ORDER BY prev, next""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy(col("prev"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(wu).as("next"))
+        .filter(col("next").isNotNull)
+        .groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(wp))
+        .select(col("prev"), col("next"), col("n"),
+          expr("n * 1000 DIV tot").cast("long").as("rate_milli"))
+        .orderBy(col("prev"), col("next"))
     }
   )
 }

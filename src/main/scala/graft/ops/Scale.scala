@@ -766,6 +766,58 @@ object Scale {
         res.toDF("event_type", "n_events", "p50_milli", "p90_milli")
           .orderBy(col("event_type"))
       } finally base.unpersist()
+    },
+
+    // ---- q170: small-file compaction planner ----------------------
+    // The table-maintenance pass every 100 TB lakehouse runs nightly
+    // (Delta OPTIMIZE / Iceberg rewriteDataFiles): plan which small
+    // files merge into which target-sized output file. Files (here:
+    // documents standing in for data files, n_chars for bytes) are
+    // packed per partition (source) largest-first by cumulative size —
+    // bin = floor(prefix_sum_before / target) — the contiguous-fill
+    // scheme Spark's own file coalescing uses. Deterministic: the
+    // (size DESC, doc_id) pack order is total, assignment is pure
+    // integer arithmetic on a window prefix sum. Scale shape: one
+    // window partitioned BY SOURCE (thousands of independent
+    // partitions at 100 TB — no global sort), then two keyed aggs;
+    // the plan output is bins-per-partition rows, tiny. fill_pct is
+    // the audit number: how close planned bins sit to the target.
+    QueryDef(
+      "q170_compaction_bins",
+      """WITH f AS (SELECT doc_id, source, n_chars,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pre
+        |  FROM documents),
+        |b AS (SELECT source, doc_id, n_chars, pre // 2000 AS bin FROM f),
+        |bins AS (SELECT source, bin, count(*) AS n_files,
+        |    sum(n_chars) AS bin_chars
+        |  FROM b GROUP BY source, bin)
+        |SELECT source, count(*) AS n_bins, sum(n_files) AS n_files,
+        |  sum(bin_chars) AS total_chars, max(bin_chars) AS max_bin_chars,
+        |  CAST(sum(bin_chars) * 100 // (count(*) * 2000) AS BIGINT)
+        |    AS fill_pct
+        |FROM bins GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("pre"))
+        .select(col("source"), col("n_chars"),
+          expr("pre DIV 2000").as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_files")).as("n_files"),
+          sum(col("bin_chars")).as("total_chars"),
+          max(col("bin_chars")).as("max_bin_chars"),
+          expr("sum(bin_chars) * 100 DIV (count(1) * 2000)")
+            .cast("long").as("fill_pct"))
+        .orderBy(col("source"))
     }
   )
 }

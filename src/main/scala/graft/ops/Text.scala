@@ -1390,6 +1390,82 @@ object Text {
           (col("max_rep") * 4 >= col("n_toks")).as("flagged"))
         .orderBy(col("max_rep").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // ---- q171: segment-level language mixing ----------------------
+    // Per-SEGMENT language ID (q23's stopword scorer applied to each
+    // non-overlapping 10-token run, q110's segmentation) surfaces the
+    // docs document-level langid gets wrong on purpose: pages that
+    // interleave two languages (boilerplate in one, content in
+    // another). mix_pct = share of segments disagreeing with the
+    // doc's majority-guess segment language. Scale shape: segmenting
+    // and scoring are map-side inside the token array; the shuffles
+    // are a (doc, guess) count and a per-doc majority window over
+    // <= 4 rows per doc — both keyed on doc_id, no corpus-wide state.
+    QueryDef(
+      "q171_segment_langmix",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |segs AS (SELECT doc_id, lang,
+         |    list_slice(toks, i * 10 + 1, i * 10 + 10) AS seg
+         |  FROM t, UNNEST(range(0, len(toks) // 10)) AS u(i)
+         |  WHERE len(toks) >= 10),
+         |scored AS (SELECT doc_id, lang,
+         |  len(list_filter(seg, x -> list_contains(['the','a','is','of'], x))) AS s_en,
+         |  len(list_filter(seg, x -> list_contains(['der','die','das','und'], x))) AS s_de,
+         |  len(list_filter(seg, x -> list_contains(['le','et','les','une'], x))) AS s_fr,
+         |  len(list_filter(seg, x -> list_contains(['el','y','los','una'], x))) AS s_es
+         |  FROM segs),
+         |g AS (SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS guess
+         |  FROM scored),
+         |cnt AS (SELECT doc_id, lang, guess, count(*) AS c
+         |        FROM g GROUP BY doc_id, lang, guess),
+         |top AS (SELECT doc_id, lang, guess AS top_guess, c AS top_c,
+         |    sum(c) OVER (PARTITION BY doc_id) AS n_segs,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, guess) AS rn
+         |  FROM cnt)
+         |SELECT doc_id, lang, top_guess, CAST(n_segs AS BIGINT) AS n_segs,
+         |  CAST((n_segs - top_c) * 100 // n_segs AS BIGINT) AS mix_pct
+         |FROM top WHERE rn = 1
+         |ORDER BY mix_pct DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def hits(words: Seq[String]): Column =
+        size(filter(col("seg"), x => array_contains(
+          array(words.map(lit): _*), x)))
+      val segs = withToks(s, d)
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(toks) DIV 10 - 1), " +
+            "i -> slice(toks, i * 10 + 1, 10))")).as("seg"))
+      val cnt = segs
+        .select(col("doc_id"), col("lang"),
+          hits(Seq("the", "a", "is", "of")).as("s_en"),
+          hits(Seq("der", "die", "das", "und")).as("s_de"),
+          hits(Seq("le", "et", "les", "une")).as("s_fr"),
+          hits(Seq("el", "y", "los", "una")).as("s_es"))
+        .withColumn("guess",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .groupBy(col("doc_id"), col("lang"), col("guess"))
+        .agg(count(lit(1)).as("c"))
+      val wd = Window.partitionBy(col("doc_id"))
+      cnt
+        .withColumn("n_segs", sum(col("c")).over(wd))
+        .withColumn("rn", row_number().over(
+          wd.orderBy(col("c").desc, col("guess"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"),
+          col("guess").as("top_guess"),
+          col("n_segs").cast("long").as("n_segs"),
+          expr("(n_segs - c) * 100 DIV n_segs").cast("long").as("mix_pct"))
+        .orderBy(col("mix_pct").desc, col("doc_id"))
+        .limit(25)
     }
   )
 }

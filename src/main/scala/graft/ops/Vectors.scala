@@ -806,6 +806,71 @@ object Vectors {
           col("centroid_norm2").cast("long").as("centroid_norm2"),
           expr("tot DIV n_vecs").as("mean_dist2"))
         .orderBy(col("label"))
+    },
+
+    // ---- q172: Matryoshka prefix-dimension recall audit -----------
+    // The MRL (Kusupati et al. 2022) deployment question: if search
+    // ranks by only the FIRST 16 of 64 dimensions (4x cheaper dots,
+    // 4x smaller index), how much of the exact top-5 survives?
+    // Both arms run on the shared quantized integer grid, so every
+    // distance is an exact int64 and the audit is bit-reproducible —
+    // the q116 recall-audit shape with the index arm replaced by a
+    // prefix-metric arm. Scale shape: one pass over the collection
+    // computes both distances per (query, candidate) from the same
+    // row (no second scan), per-query top-5 prunes through
+    // WindowGroupLimit; the exact arm is the k-query audit pattern —
+    // production search would run the prefix arm + full-dim rerank.
+    QueryDef(
+      "q172_matryoshka_recall",
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+        |    FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < 20),
+        |qd AS (SELECT qid, e.vec_id AS cid,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> (qq[i] - e.q[i]) * (qq[i] - e.q[i])),
+        |      (acc, x) -> acc + x) AS dfull,
+        |    list_reduce(list_transform(range(1, 17),
+        |      i -> (qq[i] - e.q[i]) * (qq[i] - e.q[i])),
+        |      (acc, x) -> acc + x) AS dpre
+        |  FROM qs JOIN e ON e.vec_id <> qid),
+        |ex AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dfull, cid) AS rn FROM qd) WHERE rn <= 5),
+        |pr AS (SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dpre, cid) AS rn FROM qd) WHERE rn <= 5)
+        |SELECT ex.qid, count(pr.cid) * 20 AS recall_pct
+        |FROM ex LEFT JOIN pr ON pr.qid = ex.qid AND pr.cid = ex.cid
+        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
+      val e = quantized(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val dFull = expr(
+        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), 0L, " +
+          "(acc, x) -> acc + x)")
+      val dPre = expr(
+        "aggregate(zip_with(slice(qq, 1, 16), slice(q, 1, 16), " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val qd = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dFull.as("dfull"), dPre.as("dpre"))
+      val wq = Window.partitionBy(col("qid"))
+      val exact = qd
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("dfull"), col("cid"))))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      val pre = qd
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("dpre"), col("cid"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid").as("pqid"), col("cid").as("pcid"))
+      exact.join(pre,
+          col("qid") === col("pqid") && col("cid") === col("pcid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("pcid")) * 20).as("recall_pct"))
+        .orderBy(col("qid"))
     }
   )
 

@@ -77,7 +77,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q166_grouped_median_bisect",
     "q167_image_dhash_dedup",
     "q168_audio_fingerprint_dedup",
-    "q169_table_profile")
+    "q169_table_profile",
+    "q170_compaction_bins",
+    "q171_segment_langmix",
+    "q172_matryoshka_recall",
+    "q173_event_transitions")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
