@@ -574,6 +574,64 @@ object Events {
         .select(col("prev"), col("next"), col("n"),
           expr("n * 1000 DIV tot").cast("long").as("rate_milli"))
         .orderBy(col("prev"), col("next"))
+    },
+
+    // ---- q177: conversion latency by cohort -----------------------
+    // The funnel question q20/q89 (conversion COUNTS) cannot answer:
+    // once a user converts, how LONG did it take? Latency = first
+    // purchase at-or-after the user's first view, reported as exact
+    // rank-based p50/p90 per first-view day cohort (the product-
+    // analytics cut: did this week's funnel get slower?). All
+    // integer: ts in whole seconds, percentiles by the ceil-rank
+    // formula (q48's recipe), windows partitioned by cohort day.
+    // Scale shape: two keyed per-user aggs, one user-keyed join with
+    // the at-or-after predicate, then windows over per-day cohorts
+    // of converted users — each stage keys on user_id or cohort_day,
+    // nothing global.
+    QueryDef(
+      "q177_conversion_latency",
+      s"""WITH v AS (SELECT user_id, min($tsSecSql) AS v0 FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |p AS (SELECT e.user_id, min($tsSecSql) AS p0
+         |      FROM events e JOIN v USING (user_id)
+         |      WHERE event_type = 'purchase' AND $tsSecSql >= v0
+         |      GROUP BY e.user_id),
+         |l AS (SELECT v.user_id, v0 // 86400 AS cohort_day, p0 - v0 AS lat
+         |      FROM v JOIN p USING (user_id)),
+         |r AS (SELECT cohort_day, lat,
+         |    row_number() OVER (PARTITION BY cohort_day
+         |      ORDER BY lat, user_id) AS rn,
+         |    count(*) OVER (PARTITION BY cohort_day) AS n FROM l)
+         |SELECT cohort_day, count(*) AS n_converted,
+         |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS BIGINT)
+         |    AS p50_sec,
+         |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat END) AS BIGINT)
+         |    AS p90_sec,
+         |  CAST(max(lat) AS BIGINT) AS max_sec
+         |FROM r GROUP BY cohort_day ORDER BY cohort_day""".stripMargin) {
+      (s, d) =>
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("v0"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts_sec") >= col("v0"))
+        .groupBy(col("user_id")).agg(min(col("ts_sec")).as("p0"))
+      val l = v.join(p, "user_id")
+        .select(col("user_id"), expr("v0 DIV 86400").as("cohort_day"),
+          (col("p0") - col("v0")).as("lat"))
+      val wd = Window.partitionBy(col("cohort_day"))
+      l.withColumn("rn", row_number().over(
+          wd.orderBy(col("lat"), col("user_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(wd))
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_converted"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("lat")))
+            .cast("long").as("p50_sec"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("lat")))
+            .cast("long").as("p90_sec"),
+          max(col("lat")).cast("long").as("max_sec"))
+        .orderBy(col("cohort_day"))
     }
   )
 }

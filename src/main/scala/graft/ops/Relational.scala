@@ -552,6 +552,54 @@ object Relational {
                 sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))))
             .cast("long").as("corr_qty_price_4"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q176: per-group trimmed mean -----------------------------
+    // The robust location estimate between q88's mean/stddev (dragged
+    // by outliers) and q152's median/MAD (discards all magnitude):
+    // drop the bottom and top decile BY RANK and average the middle
+    // 80% — the standard metric for price/latency dashboards where a
+    // few fat-finger rows would otherwise move the mean. Exact
+    // integer end to end: prices on the cent lattice (the q105
+    // ledger recipe), rank over the total order (cents, orderkey,
+    // linenumber), integer DIV for the mean. The rank window
+    // partitions by returnflag (PlanGuard: never unpartitioned);
+    // with few, huge groups at 100 TB the sort concentrates — the
+    // production alternative is q166's histogram bisection to find
+    // the two decile cut values, then one filtered agg; rank-based
+    // trimming is the exact-tie-handling reference semantics.
+    QueryDef(
+      "q176_trimmed_mean",
+      """WITH c AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT flag, cents,
+        |    row_number() OVER (PARTITION BY flag
+        |      ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+        |    count(*) OVER (PARTITION BY flag) AS n FROM c)
+        |SELECT flag, CAST(max(n) AS BIGINT) AS n_items,
+        |  count(*) AS n_kept,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+        |FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+        |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("flag"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      c.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("flag"))))
+        .filter(col("rk") > expr("n DIV 10") &&
+          col("rk") <= col("n") - expr("n DIV 10"))
+        .groupBy(col("flag"))
+        .agg(max(col("n")).cast("long").as("n_items"),
+          count(lit(1)).as("n_kept"),
+          expr("sum(cents) DIV count(1)").cast("long")
+            .as("trimmed_mean_cents"))
+        .orderBy(col("flag"))
     }
   )
 }

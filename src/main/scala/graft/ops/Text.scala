@@ -1466,6 +1466,134 @@ object Text {
           expr("(n_segs - c) * 100 DIV n_segs").cast("long").as("mix_pct"))
         .orderBy(col("mix_pct").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // ---- q174: marginal n-gram novelty per source -----------------
+    // The acquisition-ordering question data sourcing teams actually
+    // ask: processing sources in a fixed order (lexicographic here —
+    // any total order works), how many NEW shingle types does each
+    // source contribute beyond everything before it? The classic
+    // "novelty curve" that decides whether source #19 is worth
+    // licensing. First-seen attribution is min(source) per gram —
+    // ONE keyed agg over the shingle index, no per-prefix rescans
+    // (the naive curve recomputes 20 growing distincts; this computes
+    // all 20 marginals in a single pass). Scale shape: both aggs key
+    // on the 32-bit gram hash / source — map-side combinable,
+    // output is #sources rows.
+    QueryDef(
+      "q174_source_novelty",
+      s"""WITH shingles AS ($shinglesSql),
+         |ds AS (SELECT DISTINCT s.source, sh.h
+         |       FROM shingles sh JOIN documents s USING (doc_id)),
+         |tot AS (SELECT source, count(*) AS n_grams FROM ds GROUP BY source),
+         |fst AS (SELECT h, min(source) AS fsrc FROM ds GROUP BY h),
+         |nw AS (SELECT fsrc AS source, count(*) AS n_new
+         |       FROM fst GROUP BY fsrc)
+         |SELECT source, n_grams, COALESCE(n_new, 0) AS n_new,
+         |  CAST(COALESCE(n_new, 0) * 1000 // n_grams AS BIGINT)
+         |    AS new_pct_milli
+         |FROM tot LEFT JOIN nw USING (source)
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val ds = shingleHashes(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("h")).distinct()
+      val tot = ds.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val nw = ds.groupBy(col("h")).agg(min(col("source")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      tot.join(nw, Seq("source"), "left")
+        .select(col("source"), col("n_grams"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          expr("COALESCE(n_new, 0) * 1000 DIV n_grams").cast("long")
+            .as("new_pct_milli"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q175: LSH banding design sweep ---------------------------
+    // The LSH tuning decision made before any 100 TB dedup run: with
+    // the SAME 16-permutation signature, compare candidate volume and
+    // recall of 8 bands x 2 rows (q26's config: recall-heavy, S-curve
+    // threshold ~ (1/8)^(1/2) = 0.35) against 4 bands x 4 rows
+    // (precision-heavy, threshold ~ (1/4)^(1/4) = 0.71). Ground truth
+    // is the exact-Jaccard pair graph (q25's memoized index). The
+    // numbers quantify the tradeoff the S-curve only sketches:
+    // candidate-verify cost (precision) vs missed near-dups (recall).
+    // Scale shape: band buckets are equi-join keys exactly as in q26;
+    // the sweep adds one band relation per config, each a map-side
+    // projection of the cached signature — the signature build is
+    // not repeated.
+    QueryDef(
+      "q175_lsh_band_sweep",
+      s"""WITH shingles AS ($shinglesSql),
+         |$sigSql,
+         |$jaccardPairsSql,
+         |tp AS (SELECT d1, d2 FROM jpairs),
+         |tot AS (SELECT count(*) AS n_true_total FROM tp),
+         |bA AS (
+         |  ${(0 until 8).map(b =>
+             s"SELECT doc_id, $b AS band, concat_ws(' ', h${2 * b}, h${2 * b + 1}) AS bkey FROM sig")
+             .mkString("\n  UNION ALL\n  ")}),
+         |bB AS (
+         |  ${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, concat_ws(' ', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS bkey FROM sig")
+             .mkString("\n  UNION ALL\n  ")}),
+         |cA AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bA a JOIN bA b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |cB AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bB a JOIN bB b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sA AS (SELECT 'b8r2' AS config, count(*) AS n_cand,
+         |    CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true_cand
+         |  FROM cA LEFT JOIN tp t ON t.d1 = cA.d1 AND t.d2 = cA.d2),
+         |sB AS (SELECT 'b4r4' AS config, count(*) AS n_cand,
+         |    CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true_cand
+         |  FROM cB LEFT JOIN tp t ON t.d1 = cB.d1 AND t.d2 = cB.d2)
+         |SELECT config, n_cand, n_true_cand, n_true_total,
+         |  CAST(CASE WHEN n_cand > 0
+         |    THEN n_true_cand * 1000 // n_cand END AS BIGINT)
+         |    AS precision_milli,
+         |  CAST(CASE WHEN n_true_total > 0
+         |    THEN n_true_cand * 1000 // n_true_total END AS BIGINT)
+         |    AS recall_milli
+         |FROM (SELECT * FROM sA UNION ALL SELECT * FROM sB)
+         |CROSS JOIN tot ORDER BY config""".stripMargin) { (s, d) =>
+      val sig = minhashSig(s, d)
+      val tp = jaccardPairs(s, d).select(col("d1"), col("d2"))
+        .withColumn("t", lit(1))
+      val tot = tp.agg(count(lit(1)).as("n_true_total"))
+      def bands(rows: Int): DataFrame =
+        (0 until 16 / rows).map { b =>
+          sig.select(col("doc_id"), lit(b).as("band"),
+            concat_ws(" ",
+              (0 until rows).map(j => col(s"h${rows * b + j}")): _*)
+              .as("bkey"))
+        }.reduce(_ unionAll _)
+      def sweep(config: String, rows: Int): DataFrame = {
+        val bd = bands(rows)
+        val cand = bd.as("a").join(bd.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cand.join(tp, Seq("d1", "d2"), "left")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("t"), lit(0))).cast("long").as("n_true_cand"))
+          .withColumn("config", lit(config))
+      }
+      sweep("b8r2", 2).unionAll(sweep("b4r4", 4))
+        .crossJoin(broadcast(tot))
+        .select(col("config"), col("n_cand"), col("n_true_cand"),
+          col("n_true_total"),
+          expr("CASE WHEN n_cand > 0 THEN n_true_cand * 1000 DIV n_cand END")
+            .cast("long").as("precision_milli"),
+          expr("CASE WHEN n_true_total > 0 " +
+            "THEN n_true_cand * 1000 DIV n_true_total END")
+            .cast("long").as("recall_milli"))
+        .orderBy(col("config"))
     }
   )
 }

@@ -81,7 +81,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q170_compaction_bins",
     "q171_segment_langmix",
     "q172_matryoshka_recall",
-    "q173_event_transitions")
+    "q173_event_transitions",
+    "q174_source_novelty",
+    "q175_lsh_band_sweep",
+    "q176_trimmed_mean",
+    "q177_conversion_latency")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
