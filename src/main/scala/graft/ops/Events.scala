@@ -632,6 +632,87 @@ object Events {
             .cast("long").as("p90_sec"),
           max(col("lat")).cast("long").as("max_sec"))
         .orderBy(col("cohort_day"))
+    },
+
+    // ---- q178: exact rolling 7-day distinct actives ---------------
+    // DAU/WAU/stickiness — the engagement board every event pipeline
+    // serves. Distinct-count over a SLIDING window has no native
+    // windowed form (count(distinct) over a frame isn't supported,
+    // and sketches are approximate); the exact distributed recipe:
+    // dedup to (user, day), explode each into the 7 trailing window
+    // ends it contributes to, dedup again, and count per window end —
+    // turning a windowed distinct into two keyed distincts + one
+    // keyed count (all map-side combinable). Cost is a bounded 7x
+    // fanout of the (user, day) relation — already collapsed from
+    // raw events, orders of magnitude smaller — the standard trade
+    // for exactness at 100 TB; beyond ~30-day windows, switch to
+    // q39's HLL sketch path.
+    QueryDef(
+      "q178_rolling_active_users",
+      s"""WITH ud AS (SELECT DISTINCT user_id, $tsSecSql // 86400 AS day
+         |            FROM events),
+         |mx AS (SELECT max(day) AS dmax FROM ud),
+         |w AS (SELECT DISTINCT user_id, day + i AS wd
+         |      FROM ud, UNNEST(range(0, 7)) AS t(i)),
+         |wau AS (SELECT wd AS day, count(*) AS wau FROM w
+         |        CROSS JOIN mx WHERE wd <= dmax GROUP BY wd),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+         |SELECT w.day, COALESCE(dau, 0) AS dau, wau,
+         |  CAST(COALESCE(dau, 0) * 1000 // wau AS BIGINT)
+         |    AS stickiness_milli
+         |FROM wau w LEFT JOIN dau USING (day)
+         |ORDER BY w.day""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), expr("ts_sec DIV 86400").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("dmax"))
+      val w = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wd"))
+        .distinct()
+      val wau = w.crossJoin(broadcast(mx))
+        .filter(col("wd") <= col("dmax"))
+        .groupBy(col("wd").as("day")).agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau"),
+          expr("COALESCE(dau, 0) * 1000 DIV wau").cast("long")
+            .as("stickiness_milli"))
+        .orderBy(col("day"))
+    },
+
+    // ---- q181: transaction size histogram -------------------------
+    // Operational CDC telemetry: the ops-per-transaction distribution
+    // (power-of-2 buckets) that sizes decoder batch buffers and flags
+    // bulk-load transactions before they stall the apply loop. Frames
+    // are q38's (user, hour) envelopes; the histogram is two keyed
+    // aggs, the second over <= log2(max_tx) rows — at any scale the
+    // heavy work is the first groupBy, which is the same shuffle q38
+    // already pays.
+    QueryDef(
+      "q181_tx_size_histogram",
+      s"""WITH tx AS (SELECT user_id, date_trunc('hour', ts) AS h,
+         |            count(*) AS n_ops FROM events GROUP BY user_id, h),
+         |b AS (SELECT CASE WHEN n_ops <= 1 THEN 1 WHEN n_ops <= 2 THEN 2
+         |        WHEN n_ops <= 4 THEN 4 WHEN n_ops <= 8 THEN 8
+         |        WHEN n_ops <= 16 THEN 16 ELSE 32 END AS bucket_cap,
+         |        n_ops FROM tx)
+         |SELECT bucket_cap, count(*) AS n_txs,
+         |  CAST(sum(n_ops) AS BIGINT) AS total_ops
+         |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin) {
+      (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("hour_ts"))
+        .agg(count(lit(1)).as("n_ops"))
+        .select(
+          when(col("n_ops") <= 1, 1L).when(col("n_ops") <= 2, 2L)
+            .when(col("n_ops") <= 4, 4L).when(col("n_ops") <= 8, 8L)
+            .when(col("n_ops") <= 16, 16L).otherwise(32L).as("bucket_cap"),
+          col("n_ops"))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).as("n_txs"),
+          sum(col("n_ops")).cast("long").as("total_ops"))
+        .orderBy(col("bucket_cap"))
     }
   )
 }

@@ -600,6 +600,68 @@ object Relational {
           expr("sum(cents) DIV count(1)").cast("long")
             .as("trimmed_mean_cents"))
         .orderBy(col("flag"))
+    },
+
+    // ---- q180: receivables aging by region ------------------------
+    // The classic finance aging report (open balances bucketed by
+    // 30/60/90 days outstanding) as a scale exercise: the "as of"
+    // anchor is the dataset's own max order day (a 1-row broadcast,
+    // never a driver-side collect), ages are integer day arithmetic,
+    // money rides the cent lattice, and the three dimension hops
+    // (customer, nation, region) broadcast — the fact table is
+    // touched once with only keyed aggs after it. Buckets are CASE
+    // ladders, not a bucket-table join.
+    QueryDef(
+      "q180_receivables_aging",
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+        |      AS day
+        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |mx AS (SELECT max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+        |    o_orderdate)) AS refday FROM orders),
+        |b AS (SELECT o_custkey, cents,
+        |    CASE WHEN refday - day <= 30 THEN '00-30'
+        |         WHEN refday - day <= 60 THEN '31-60'
+        |         WHEN refday - day <= 90 THEN '61-90'
+        |         ELSE '90+' END AS bucket
+        |  FROM o CROSS JOIN mx)
+        |SELECT r_name, bucket, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS open_cents
+        |FROM b
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name, bucket ORDER BY r_name, bucket""".stripMargin) {
+      (s, d) =>
+      val epoch = lit("1995-01-01").cast("timestamp")
+      val o = orders(s, d).filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          datediff(col("o_orderdate"), epoch).as("day"))
+      val mx = orders(s, d)
+        .agg(max(datediff(col("o_orderdate"), epoch)).as("refday"))
+      // nation x region collapses to a 25-row broadcast; customer is
+      // fact-sized at scale, so it joins keyed (AQE picks the strategy)
+      val nr = nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+        .join(broadcast(region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("r_name"))
+      o.crossJoin(broadcast(mx))
+        .select(col("o_custkey"), col("cents"),
+          when(col("refday") - col("day") <= 30, "00-30")
+            .when(col("refday") - col("day") <= 60, "31-60")
+            .when(col("refday") - col("day") <= 90, "61-90")
+            .otherwise("90+").as("bucket"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("r_name"), col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("open_cents"))
+        .orderBy(col("r_name"), col("bucket"))
     }
   )
 }

@@ -871,6 +871,54 @@ object Vectors {
         .groupBy(col("qid"))
         .agg((count(col("pcid")) * 20).as("recall_pct"))
         .orderBy(col("qid"))
+    },
+
+    // ---- q179: embedding drift between dataset halves -------------
+    // The re-embedding regression check q132's single-snapshot
+    // cohesion cannot do: split the collection into two deterministic
+    // halves (vec_id parity standing in for old/new embedding runs),
+    // compute each label's centroid per half on the shared integer
+    // grid (q132's rounded-division convention), and report the
+    // squared centroid shift — a per-label drift alarm with zero
+    // float accumulation. Scale shape: one (half, label, dim) keyed
+    // agg over the exploded dims, then all downstream work on
+    // #labels x 64 rows; the centroid join is trivially broadcast.
+    QueryDef(
+      "q179_centroid_split_drift",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+        |    FROM embeddings),
+        |dims AS (SELECT vec_id % 2 AS half, label, i, q[i] AS v
+        |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |c AS (SELECT half, label, i,
+        |    (2 * sum(v) + count(*)) // (2 * count(*)) AS c,
+        |    count(*) AS n
+        |  FROM dims GROUP BY half, label, i)
+        |SELECT a.label, CAST(max(a.n) AS BIGINT) AS n_a,
+        |  CAST(max(b.n) AS BIGINT) AS n_b,
+        |  CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS drift2
+        |FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+        |WHERE a.half = 0 AND b.half = 1
+        |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+          " AS BIGINT) + 1000)").as("q"))
+      val dims = e.select((col("vec_id") % 2).as("half"), col("label"),
+          posexplode(col("q")).as(Seq("i", "v")))
+      val c = dims.groupBy(col("half"), col("label"), col("i"))
+        .agg(expr("(2 * sum(v) + count(1)) DIV (2 * count(1))").as("c"),
+          count(lit(1)).as("n"))
+      val a = c.filter(col("half") === 0)
+        .select(col("label"), col("i"), col("c").as("ca"), col("n").as("na"))
+      val b = c.filter(col("half") === 1)
+        .select(col("label"), col("i"), col("c").as("cb"), col("n").as("nb"))
+      a.join(b, Seq("label", "i"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+            .cast("long").as("drift2"))
+        .orderBy(col("label"))
     }
   )
 

@@ -85,7 +85,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q174_source_novelty",
     "q175_lsh_band_sweep",
     "q176_trimmed_mean",
-    "q177_conversion_latency")
+    "q177_conversion_latency",
+    "q178_rolling_active_users",
+    "q179_centroid_split_drift",
+    "q180_receivables_aging",
+    "q181_tx_size_histogram")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
