@@ -274,4 +274,56 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"the limit-25 must be a top-k, not a global sort:\n$p")
   }
+
+  test("q170: compaction packing never sorts globally, scan prunes columns") {
+    val p = plan("q170_compaction_bins")
+    // the pack-order window partitions by source (PlanGuard enforces
+    // non-empty partitioning); here pin that no join sneaks in and the
+    // scan reads only (doc_id, source, n_chars) — not the text blobs
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    assert(!p.toLowerCase.contains("text:string"),
+      s"the scan must prune the text column:\n$p")
+  }
+
+  test("q171: segment langmix plans a single documents scan") {
+    val p = plan("q171_segment_langmix")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"expected at most one scan (cached toks) in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the limit-25 must be a top-k:\n$p")
+  }
+
+  test("q172: both distance arms ride one collection pass + broadcast queries") {
+    val p = plan("q172_matryoshka_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 20-query set must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-5 must prune through WindowGroupLimit:\n$p")
+  }
+
+  test("q174: novelty attribution is two keyed aggs, no pair join") {
+    val p = plan("q174_source_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"expected map-side combine in:\n$p")
+  }
+
+  test("q178: rolling distinct is explode + keyed aggs, windows stay small") {
+    val p = plan("q178_rolling_active_users")
+    assert(p.contains("Generate explode"),
+      s"the 7-day fanout must be a Generate:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row max-day must broadcast:\n$p")
+  }
+
+  test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
+    val p = plan("q180_receivables_aging")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation x region x customer must broadcast-join:\n$p")
+    assert(!p.contains("o_orderpriority"),
+      s"the orders scan must prune unused columns:\n$p")
+  }
 }
