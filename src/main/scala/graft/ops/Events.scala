@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -713,6 +714,164 @@ object Events {
         .agg(count(lit(1)).as("n_txs"),
           sum(col("n_ops")).cast("long").as("total_ops"))
         .orderBy(col("bucket_cap"))
+    },
+
+    // ---- q182: anomalous-day detection (median/MAD on volumes) ----
+    // Incident detection on ingest telemetry: daily event volumes per
+    // type scored against the type's own median via MAD — the q152
+    // robust-screen recipe lifted from row values to TIME-SERIES
+    // volumes, so a traffic spike can't inflate the baseline it is
+    // judged against. All ranks partition by event_type; both median
+    // rounds run over the tiny per-type daily relation (the raw
+    // stream collapses in the first keyed count). dev_ratio uses
+    // MAD+1 so a zero-MAD (perfectly flat) series still orders
+    // deterministically instead of dividing by zero.
+    QueryDef(
+      "q182_anomaly_days",
+      s"""WITH daily AS (SELECT event_type, $tsSecSql // 86400 AS day,
+         |    count(*) AS n FROM events GROUP BY event_type, day),
+         |r AS (SELECT event_type, day, n,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY n, day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM daily),
+         |med AS (SELECT event_type,
+         |    max(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS med
+         |  FROM r GROUP BY event_type),
+         |dev AS (SELECT d.event_type, d.day, d.n, m.med,
+         |    CASE WHEN d.n >= m.med THEN d.n - m.med
+         |         ELSE m.med - d.n END AS adev
+         |  FROM daily d JOIN med m ON m.event_type = d.event_type),
+         |r2 AS (SELECT event_type, adev,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY adev, day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt FROM dev),
+         |mad AS (SELECT event_type,
+         |    max(CASE WHEN rn = (cnt + 1) // 2 THEN adev END) AS mad
+         |  FROM r2 GROUP BY event_type)
+         |SELECT v.event_type, v.day, v.n, CAST(v.med AS BIGINT) AS med,
+         |  CAST(a.mad AS BIGINT) AS mad,
+         |  CAST(v.adev * 1000 // (a.mad + 1) AS BIGINT)
+         |    AS dev_ratio_milli,
+         |  v.adev > 3 * a.mad AS flagged
+         |FROM dev v JOIN mad a USING (event_type)
+         |ORDER BY dev_ratio_milli DESC, v.event_type, v.day
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val daily = events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec DIV 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy(col("event_type"))
+      def medianOf(df: DataFrame, c: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            wt.orderBy(col(c), col("day"))).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(wt))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("rn") === expr("(cnt + 1) DIV 2"), col(c)))
+            .as(s"med_$c"))
+      val med = medianOf(daily, "n")
+        .select(col("event_type"), col("med_n").as("med"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("adev",
+          when(col("n") >= col("med"), col("n") - col("med"))
+            .otherwise(col("med") - col("n")))
+      val mad = medianOf(dev, "adev")
+        .select(col("event_type"), col("med_adev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          col("med").cast("long").as("med"),
+          col("mad").cast("long").as("mad"),
+          expr("adev * 1000 DIV (mad + 1)").cast("long")
+            .as("dev_ratio_milli"),
+          (col("adev") > col("mad") * 3).as("flagged"))
+        .orderBy(col("dev_ratio_milli").desc, col("event_type"), col("day"))
+        .limit(20)
+    },
+
+    // ---- q183: value concentration (Pareto share) -----------------
+    // The skew dashboard behind both capacity planning and q77/q96's
+    // salting decisions: how much of each event type's total value
+    // sits with the top decile of its users? Exact integer: values
+    // on the cent lattice, decile by ceil-rank over (cents DESC,
+    // user_id). The rank window partitions by event_type over the
+    // per-user aggregate — the raw stream collapses in the first
+    // keyed sum, so the sorted relation is #users x #types rows.
+    QueryDef(
+      "q183_value_concentration",
+      """WITH u AS (SELECT event_type, user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT event_type, user_id, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_users,
+        |    sum(cents) OVER (PARTITION BY event_type) AS total FROM u)
+        |SELECT event_type, CAST(max(n_users) AS BIGINT) AS n_users,
+        |  CAST(max(total) AS BIGINT) AS total_cents,
+        |  CAST(count(CASE WHEN rk <= (n_users + 9) // 10 THEN 1 END)
+        |    AS BIGINT) AS top_decile_users,
+        |  CAST(sum(CASE WHEN rk <= (n_users + 9) // 10 THEN cents
+        |           ELSE 0 END) * 1000 // max(total) AS BIGINT)
+        |    AS top_decile_share_milli
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      val u = events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val wt = Window.partitionBy(col("event_type"))
+      u.withColumn("rk", row_number().over(
+          wt.orderBy(col("cents").desc, col("user_id"))).cast("long"))
+        .withColumn("n_users", count(lit(1)).over(wt))
+        .withColumn("total", sum(col("cents")).over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_users")).cast("long").as("n_users"),
+          max(col("total")).cast("long").as("total_cents"),
+          count(when(col("rk") <= expr("(n_users + 9) DIV 10"), 1))
+            .cast("long").as("top_decile_users"),
+          expr("sum(CASE WHEN rk <= (n_users + 9) DIV 10 THEN cents " +
+            "ELSE 0L END) * 1000 DIV max(total)").cast("long")
+            .as("top_decile_share_milli"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- q184: CDC apply-order violation audit --------------------
+    // The consistency check a downstream apply loop runs on its own
+    // input: an UPDATE arriving immediately after a DELETE for the
+    // same key (no reinsert between) is unapplyable — the row it
+    // targets no longer exists. Either the publisher reordered, a
+    // partial replay skipped an insert, or filters dropped it (B7's
+    // actions option makes this easy to cause). Detection is one
+    // lag window per key (user_id — millions of small partitions)
+    // and one keyed count; first_viol_lsn gives the replay restart
+    // point per damaged key.
+    QueryDef(
+      "q184_apply_order_audit",
+      s"""WITH o AS (SELECT user_id, event_id,
+         |    CASE event_type WHEN 'signup' THEN 'insert'
+         |      WHEN 'error' THEN 'delete' ELSE 'update' END AS op,
+         |    $tsSecSql AS ts_sec FROM events),
+         |s AS (SELECT user_id, event_id, op,
+         |    lag(op) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS prev_op FROM o),
+         |v AS (SELECT user_id, event_id FROM s
+         |      WHERE op = 'update' AND prev_op = 'delete')
+         |SELECT user_id, count(*) AS n_viol,
+         |  min(event_id) AS first_viol_lsn
+         |FROM v GROUP BY user_id
+         |ORDER BY n_viol DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "signup", "insert")
+            .when(col("event_type") === "error", "delete")
+            .otherwise("update").as("op"),
+          col("ts_sec"))
+        .withColumn("prev_op", lag(col("op"), 1).over(wu))
+        .filter(col("op") === "update" && col("prev_op") === "delete")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_viol"),
+          min(col("event_id")).as("first_viol_lsn"))
+        .orderBy(col("n_viol").desc, col("user_id"))
+        .limit(20)
     }
   )
 }

@@ -89,7 +89,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q178_rolling_active_users",
     "q179_centroid_split_drift",
     "q180_receivables_aging",
-    "q181_tx_size_histogram")
+    "q181_tx_size_histogram",
+    "q182_anomaly_days",
+    "q183_value_concentration",
+    "q184_apply_order_audit")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
