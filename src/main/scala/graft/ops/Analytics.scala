@@ -1,0 +1,585 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 analytics operators: classic warehouse/retrieval shapes
+  * that were still missing from the surface — skyline (Pareto
+  * frontier), interval-overlap join (session concurrency), graph
+  * centrality (integer PageRank over the near-dup graph), CDC
+  * cascade-delete auditing (the reference's `ON DELETE CASCADE`
+  * semantics, asserted in its integration tests), time-series
+  * gap-fill with last-observation-carried-forward, a Benford
+  * first-digit audit, hybrid lexical+semantic retrieval fused with
+  * reciprocal-rank fusion, multi-touch attribution, and rolling
+  * distinct counts via mergeable HLL sketches (the sketch-union
+  * pattern that replaces q178's exact explode at planet scale).
+  *
+  * Determinism conventions as everywhere else: integer arithmetic
+  * wherever accumulation order could matter (`DIV`/`//` spelled
+  * per-engine, identical operand order), doubles only where both
+  * engines compute the identical IEEE-754 expression from identical
+  * integers, every query ends in a deterministic total order, and
+  * every computed output column is CAST to BIGINT on the oracle side
+  * (DuckDB sums promote to HUGEINT, which the driver hashes
+  * differently even when values match).
+  */
+object Analytics {
+  import Tables._
+
+  private val tsSecSql = "epoch(date_trunc('second', ts))::BIGINT"
+
+  /** events projected to (user_id, event_id, event_type, ts_sec,
+    * value_c): the whole-second timestamp and cent-fixed value every
+    * query here consumes. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts_sec"),
+      round(col("value") * 100).cast("long").as("value_c"))
+
+  /** Benford expected permille by leading digit — round(1000 *
+    * log10(1 + 1/d)) precomputed so both engines compare identical
+    * integer constants. */
+  private val benfordCase =
+    "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 " +
+      "WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 " +
+      "WHEN 8 THEN 51 ELSE 46 END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q185: Pareto frontier (skyline) --------------------------
+    // The skyline operator: customers not dominated on the
+    // (total spend, order count) plane — a BNL/D&C classic
+    // (Borzsony/Kossmann/Stocker, ICDE'01) that naive SQL writes as
+    // a quadratic NOT EXISTS self-join. Distributed shape: a point
+    // survives iff its y is (a) the max among equal x and (b)
+    // strictly above the max y over all strictly-greater x — a
+    // SUFFIX MAX over the x order. The suffix max runs two-level:
+    // fixed-width x buckets give a per-bucket max (tiny relation,
+    // broadcast theta self-join for the over-higher-buckets suffix),
+    // and a bucket-partitioned window handles the within-bucket
+    // prefix — no global window, no quadratic join, one shuffle on
+    // the aggregation key plus one on the bucket. At 100 TB the
+    // frontier of a 2-D skyline is tiny relative to the input, and
+    // every stage here is either keyed or O(#buckets).
+    QueryDef(
+      "q185_pareto_frontier",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend_cents, n_orders
+        |FROM cust c
+        |WHERE NOT EXISTS (SELECT 1 FROM cust o
+        |  WHERE o.spend_cents >= c.spend_cents
+        |    AND o.n_orders >= c.n_orders
+        |    AND (o.spend_cents > c.spend_cents
+        |         OR o.n_orders > c.n_orders))
+        |ORDER BY spend_cents DESC, o_custkey""".stripMargin) { (s, d) =>
+      // cached: the aggregate feeds both the frontier test and the
+      // final survivor join — without it each branch re-scans orders
+      val cust = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("spend_cents"), count(lit(1)).as("n_orders"))
+        .cache()
+      // best y per distinct x, with a $100k-wide data-independent
+      // spend bucket riding along (one row per x after the grouping,
+      // so the frontier test below is per-x); cached — it feeds both
+      // the per-bucket maxima and the windowed frontier filter
+      val m1 = cust
+        .withColumn("bucket", expr("spend_cents DIV 10000000"))
+        .groupBy(col("spend_cents"), col("bucket"))
+        .agg(max(col("n_orders")).as("m"))
+        .cache()
+      val bmax = m1.groupBy(col("bucket")).agg(max(col("m")).as("mb"))
+      // suffix max over strictly-higher buckets (tiny x tiny)
+      val hmax = bmax.as("b")
+        .join(broadcast(bmax.as("h")), col("h.bucket") > col("b.bucket"),
+          "left")
+        .groupBy(col("b.bucket").as("bucket"))
+        .agg(max(col("h.mb")).as("hmax"))
+      val wPrev = Window.partitionBy(col("bucket"))
+        .orderBy(col("spend_cents").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontierX = m1
+        .withColumn("pmax", max(col("m")).over(wPrev))
+        .join(broadcast(hmax), Seq("bucket"), "left")
+        .filter(col("m") >
+          coalesce(greatest(col("pmax"), col("hmax")), lit(-1L)))
+        .select(col("spend_cents"), col("m"))
+      cust.join(frontierX, Seq("spend_cents"))
+        .filter(col("n_orders") === col("m"))
+        .select(col("o_custkey"), col("spend_cents"), col("n_orders"))
+        .orderBy(col("spend_cents").desc, col("o_custkey"))
+    },
+
+    // ---- q186: interval-overlap join (session concurrency) --------
+    // Sessions (30-min inactivity gap, the q18 definition) joined to
+    // the hours they overlap — the bucketed interval join: each
+    // interval EXPLODES into the fixed-width time buckets it covers
+    // (bounded fanout: session length / bucket width), turning an
+    // interval-overlap theta join into an equi-join on the bucket
+    // key. The concurrency profile is then one keyed aggregation.
+    // At 100 TB: no cross join ever exists; fanout is bounded by
+    // interval length, the shuffle key is the hour, and skewed hot
+    // hours land on the AQE skew path like any hot group.
+    QueryDef(
+      "q186_session_concurrency",
+      s"""WITH e AS (SELECT user_id, event_id, $tsSecSql AS ts_sec
+         |           FROM events),
+         |flagged AS (SELECT user_id, ts_sec,
+         |    CASE WHEN ts_sec - lag(ts_sec) OVER w >= 1800
+         |         OR lag(ts_sec) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |                      ORDER BY ts_sec, event_id)),
+         |sess AS (SELECT user_id, ts_sec,
+         |    sum(new_session) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS sid
+         |  FROM flagged),
+         |per AS (SELECT user_id, sid, min(ts_sec) AS st,
+         |               max(ts_sec) AS en
+         |        FROM sess GROUP BY user_id, sid),
+         |hrs AS (SELECT user_id, h
+         |        FROM per, UNNEST(range(st // 3600, en // 3600 + 1))
+         |          AS t(h))
+         |SELECT h AS hour_id, count(*) AS n_sessions,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM hrs GROUP BY h
+         |ORDER BY n_sessions DESC, hour_id LIMIT 50""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"), col("event_id"))
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_sec"))
+          .withColumn("new_session",
+            when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) >= 1800 ||
+              lag(col("ts_sec"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts_sec")).as("st"), max(col("ts_sec")).as("en"))
+          .select(col("user_id"), explode(sequence(
+            expr("st DIV 3600"), expr("en DIV 3600"))).as("hour_id"))
+          .groupBy(col("hour_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_sessions").desc, col("hour_id"))
+          .limit(50)
+    },
+
+    // ---- q187: integer PageRank over the near-dup graph -----------
+    // Graph centrality on the q25 near-duplicate graph: which
+    // documents sit at the center of duplication clusters (the docs
+    // whose removal/canonicalization matters most). Three power
+    // iterations with damping 0.85, all in EXACT integer milli-units
+    // (rank starts at 1000; contribution = rank DIV degree; next =
+    // 150 + 850*inflow DIV 1000) so partition count and merge order
+    // cannot move a single bit — the same determinism recipe as the
+    // q115 integer Lloyd. Per round: one keyed join of the edge list
+    // with the rank vector plus one keyed sum — the textbook
+    // distributed PageRank shape (no adjacency broadcast, no driver
+    // state beyond the loop counter). The edge relation is cached
+    // once and reused by all three rounds. At 100 TB the near-dup
+    // edge list is the OUTPUT of LSH candidate filtering — orders
+    // smaller than the corpus — and each round is a pair of shuffles
+    // keyed on doc id.
+    QueryDef(
+      "q187_pagerank_neardup",
+      { val iter = (k: Int) =>
+          s"""i$k AS (SELECT e.dst, sum(r.pr // d.deg) AS s
+             |  FROM ed e JOIN r${k - 1} r ON r.doc_id = e.src
+             |  JOIN dg d ON d.src = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (SELECT n.doc_id,
+             |    150 + (850 * coalesce(i.s, 0)) // 1000 AS pr
+             |  FROM n0 n LEFT JOIN i$k i ON i.dst = n.doc_id)"""
+            .stripMargin
+        s"""WITH shingles AS (${Text.shinglesSql}),
+           |${Text.jaccardPairsSql},
+           |ed AS (SELECT d1 AS src, d2 AS dst FROM jpairs
+           |       UNION ALL SELECT d2, d1 FROM jpairs),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+           |n0 AS (SELECT doc_id FROM documents),
+           |r0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS pr FROM n0),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT doc_id, CAST(pr AS BIGINT) AS pr_milli FROM r3
+           |ORDER BY pr_milli DESC, doc_id LIMIT 20""".stripMargin
+      }) { (s, d) =>
+      val jp = Text.jaccardPairs(s, d)
+      val ed = jp.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(jp.select(col("d2").as("src"), col("d1").as("dst")))
+      val dg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edd = ed.join(dg, "src").cache()
+      val docs = documents(s, d).select(col("doc_id"))
+      var r = docs.select(col("doc_id"), lit(1000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val inflow = edd.join(r, edd("src") === r("doc_id"))
+          .select(col("dst"), expr("pr DIV deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        r = docs.join(inflow, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
+              .as("pr"))
+      }
+      r.orderBy(col("pr").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("pr").as("pr_milli"))
+    },
+
+    // ---- q188: CDC cascade-delete audit ---------------------------
+    // The reference schema declares `user_contents ... REFERENCES
+    // users(id) ON DELETE CASCADE` and its integration tests assert
+    // the cascaded child deletes arrive on the replication stream
+    // (reference: infra/docker-pg-logical-replication/image/
+    // docker-entrypoint-initdb.d/10-create-tables.sh). A downstream
+    // consumer materializing both tables must account for the same
+    // semantics: any child row written before its parent's LAST
+    // delete is gone, even if the parent was later re-inserted.
+    // Modeled on the events changelog (q16's op mapping: error =
+    // delete): purchases are child rows keyed by user; victims are
+    // purchases older than the user's last delete. Two keyed
+    // aggregations and one keyed join — scale-free.
+    QueryDef(
+      "q188_cascade_delete_audit",
+      s"""WITH c AS (SELECT user_id, event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events),
+         |del AS (SELECT user_id, max(event_id) AS last_del
+         |        FROM c WHERE event_type = 'error' GROUP BY user_id),
+         |victims AS (SELECT c.user_id, c.value_c
+         |  FROM c JOIN del ON del.user_id = c.user_id
+         |  WHERE c.event_type = 'purchase'
+         |    AND c.event_id < del.last_del)
+         |SELECT user_id, count(*) AS n_victims,
+         |  CAST(sum(value_c) AS BIGINT) AS victims_value_cents
+         |FROM victims GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val c = ev(s, d)
+        val del = c.filter(col("event_type") === "error")
+          .groupBy(col("user_id"))
+          .agg(max(col("event_id")).as("last_del"))
+        c.filter(col("event_type") === "purchase")
+          .join(del, Seq("user_id"))
+          .filter(col("event_id") < col("last_del"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_victims"),
+            sum(col("value_c")).as("victims_value_cents"))
+          .orderBy(col("user_id"))
+    },
+
+    // ---- q189: gap-fill + LOCF ------------------------------------
+    // Time-series regularization: hourly per-type averages (exact
+    // integer e4 units — sum of cent-fixed values, so accumulation
+    // order is irrelevant) joined onto a dense hour spine, gaps
+    // filled by last-observation-carried-forward. The spine is
+    // generated from a 1-row bounds aggregate cross-joined (broadcast)
+    // with the tiny type dimension — no driver loop, no global
+    // window: LOCF is a per-type ordered window, so the shuffle key
+    // is the series key and 10^6 series fan out across the cluster.
+    // The standard shape for feature-store regularization at scale.
+    QueryDef(
+      "q189_gap_fill_locf",
+      s"""WITH e AS (SELECT event_type, $tsSecSql AS ts_sec,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events WHERE event_type IN ('purchase', 'signup')),
+         |hourly AS (SELECT event_type, ts_sec // 3600 AS hour_id,
+         |    (sum(value_c) * 100) // count(*) AS val_e4
+         |  FROM e GROUP BY event_type, (ts_sec // 3600)),
+         |bounds AS (SELECT min(ts_sec) // 3600 AS h0,
+         |                  max(ts_sec) // 3600 AS h1 FROM e),
+         |spine AS (SELECT t.event_type, u.h AS hour_id
+         |  FROM (SELECT DISTINCT event_type FROM e) t, bounds b,
+         |       UNNEST(range(b.h0, b.h1 + 1)) AS u(h)),
+         |j AS (SELECT s.event_type, s.hour_id, h.val_e4
+         |      FROM spine s LEFT JOIN hourly h
+         |        ON h.event_type = s.event_type
+         |       AND h.hour_id = s.hour_id)
+         |SELECT event_type, hour_id,
+         |  CAST(coalesce(last_value(val_e4 IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY hour_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |    AS BIGINT) AS filled_e4,
+         |  (val_e4 IS NULL) AS is_gap
+         |FROM j ORDER BY event_type, hour_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type"), col("ts_sec"), col("value_c"))
+      val hourly = e
+        .groupBy(col("event_type"), expr("ts_sec DIV 3600").as("hour_id"))
+        .agg(expr("(sum(value_c) * 100) DIV count(1)").as("val_e4"))
+      val bounds = e.agg(expr("min(ts_sec) DIV 3600").as("h0"),
+        expr("max(ts_sec) DIV 3600").as("h1"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour_id"), "left")
+        .select(col("event_type"), col("hour_id"),
+          coalesce(last(col("val_e4"), ignoreNulls = true).over(w),
+            lit(-1L)).as("filled_e4"),
+          col("val_e4").isNull.as("is_gap"))
+        .orderBy(col("event_type"), col("hour_id"))
+    },
+
+    // ---- q190: Benford first-digit audit --------------------------
+    // Data-quality screen: the leading-digit distribution of order
+    // amounts against Benford's law (expected permille = round(1000 *
+    // log10(1 + 1/d)), precomputed as integer literals so both
+    // engines compare against the identical constants — no log in
+    // either plan). One map-side digit extraction, a 9-group
+    // aggregate, and a broadcast 1-row total: the audit reads any
+    // amount column at 100 TB for the cost of one scan.
+    QueryDef(
+      "q190_benford_audit",
+      s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+         |             AS cents FROM orders),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+         |               AS BIGINT) AS digit,
+         |             count(*) AS n
+         |      FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+         |SELECT digit, n,
+         |  CAST((n * 1000) // total AS BIGINT) AS permille_obs,
+         |  CAST($benfordCase AS BIGINT) AS permille_exp,
+         |  CAST(abs((n * 1000) // total - ($benfordCase))
+         |    AS BIGINT) AS dev_permille
+         |FROM d, t ORDER BY digit""".stripMargin) { (s, d) =>
+      val cents = orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dig = cents
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = dig.agg(sum(col("n")).as("total"))
+      dig.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000) DIV total").as("permille_obs"),
+          expr(benfordCase).as("permille_exp"),
+          expr(s"abs((n * 1000) DIV total - ($benfordCase))")
+            .as("dev_permille"))
+        .orderBy(col("digit"))
+    },
+
+    // ---- q191: hybrid retrieval with reciprocal-rank fusion -------
+    // The production RAG retrieval shape: a lexical arm (shingle
+    // Jaccard over the shared q25 shingle index — candidates only
+    // from shingle-bucket equi-joins) and a semantic arm (q29's
+    // brute-force cosine, the correctness baseline whose indexed
+    // replacement is q116) fused per query with RRF: score =
+    // sum over arms of 1e6 DIV (60 + rank) — rank fusion needs no
+    // score calibration between arms, which is exactly why RRF won
+    // in practice (Cormack et al., SIGIR'09). Integer fusion keeps
+    // the blend bit-exact. Both arms window per query id; the fuse
+    // is one full-outer keyed join on (query, candidate).
+    QueryDef(
+      "q191_hybrid_rrf",
+      s"""WITH shingles AS (${Text.shinglesSql}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles
+         |        GROUP BY doc_id),
+         |sn AS (SELECT s.doc_id, s.h, c.n FROM shingles s
+         |       JOIN cnt c ON c.doc_id = s.doc_id),
+         |lexp AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+         |    q.n AS nq, c.n AS nc, count(*) AS inter
+         |  FROM sn q JOIN sn c
+         |    ON c.h = q.h AND q.doc_id < 20 AND c.doc_id <> q.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |lexr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY inter * 1.0 / (nq + nc - inter) DESC, cid) AS rb
+         |  FROM lexp),
+         |lexT AS (SELECT qid, cid, rb FROM lexr WHERE rb <= 10),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |        AS v FROM embeddings),
+         |nn AS (SELECT vec_id, v, ${Vectors.dotSql("v", "v")} AS nrm
+         |       FROM e),
+         |qv AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nn
+         |       WHERE vec_id < 20),
+         |semp AS (SELECT qid, c.vec_id AS cid,
+         |    round(${Vectors.dotSql("qv", "c.v")} /
+         |          (sqrt(qn) * sqrt(c.nrm)), 6) AS score
+         |  FROM qv JOIN nn c ON c.vec_id <> qid),
+         |semr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, cid) AS ra FROM semp),
+         |semT AS (SELECT qid, cid, ra FROM semr WHERE ra <= 10),
+         |fused AS (SELECT coalesce(a.qid, b.qid) AS qid,
+         |    coalesce(a.cid, b.cid) AS cid,
+         |    coalesce(1000000 // (60 + a.ra), 0) +
+         |    coalesce(1000000 // (60 + b.rb), 0) AS rrf
+         |  FROM semT a FULL OUTER JOIN lexT b
+         |    ON b.qid = a.qid AND b.cid = a.cid)
+         |SELECT qid, rn, cid, CAST(rrf AS BIGINT) AS rrf
+         |FROM (SELECT qid, cid, rrf, row_number() OVER (
+         |        PARTITION BY qid ORDER BY rrf DESC, cid) AS rn
+         |      FROM fused)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val sh = Text.shingleHashes(s, d)
+      val qs = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("n").as("nq"),
+          col("h").as("qh"))
+      val cs = sh.select(col("doc_id").as("cid"), col("n").as("nc"),
+        col("h"))
+      val wLex = Window.partitionBy(col("qid")).orderBy(
+        (col("inter") * 1.0 / (col("nq") + col("nc") - col("inter"))).desc,
+        col("cid"))
+      val lexT = qs.join(cs,
+          col("qh") === col("h") && col("cid") =!= col("qid"))
+        .groupBy(col("qid"), col("cid"), col("nq"), col("nc"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("rb", row_number().over(wLex))
+        .filter(col("rb") <= 10)
+        .select(col("qid"), col("cid"), col("rb"))
+      val nn = Vectors.prepared(s, d)
+      val qv = nn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wSem = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val semT = nn.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(Vectors.dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("ra", row_number().over(wSem))
+        .filter(col("ra") <= 10)
+        .select(col("qid"), col("cid"), col("ra"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("cid"))
+      semT.as("a").join(lexT.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid"),
+          "full_outer")
+        .select(coalesce(col("a.qid"), col("b.qid")).as("qid"),
+          coalesce(col("a.cid"), col("b.cid")).as("cid"),
+          (coalesce(expr("1000000 DIV (60 + ra)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + rb)"), lit(0L))).as("rrf"))
+        .withColumn("rn", row_number().over(wF))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("cid"), col("rrf"))
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // ---- q192: multi-touch attribution ----------------------------
+    // Marketing-style credit assignment on the event stream: each
+    // purchase distributes 1000 milli-credits linearly across the
+    // user's click/view touches in the trailing 24 h; integer
+    // division's remainder goes to the LAST touch so every purchase
+    // accounts for exactly 1000 and the assignment is bit-exact.
+    // The purchase-touch pairing is an equi-join on user_id with the
+    // time bound as a residual predicate — per-user fanout is
+    // (purchases x touches) within the window, bounded by per-user
+    // activity; the credit windows partition by purchase id. At
+    // 100 TB: shuffle keys are user_id then purchase id, both
+    // high-cardinality; a hot user is AQE-skew-split like any hot
+    // join key.
+    QueryDef(
+      "q192_multitouch_attribution",
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    $tsSecSql AS ts_sec FROM events),
+         |p AS (SELECT event_id AS pid, user_id, ts_sec AS pts
+         |      FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id AS tid, user_id,
+         |        event_type AS touch_type, ts_sec AS tts
+         |      FROM e WHERE event_type IN ('click', 'view')),
+         |j AS (SELECT p.pid, t.tid, t.touch_type, t.tts
+         |      FROM p JOIN t ON t.user_id = p.user_id
+         |       AND t.tts >= p.pts - 86400 AND t.tts < p.pts),
+         |w1 AS (SELECT pid, tid, touch_type,
+         |        count(*) OVER (PARTITION BY pid) AS n,
+         |        row_number() OVER (PARTITION BY pid
+         |          ORDER BY tts DESC, tid DESC) AS rn
+         |       FROM j),
+         |cr AS (SELECT pid, touch_type,
+         |        1000 // n + CASE WHEN rn = 1
+         |          THEN 1000 - n * (1000 // n) ELSE 0 END AS credit
+         |       FROM w1)
+         |SELECT touch_type, CAST(sum(credit) AS BIGINT) AS credit_milli,
+         |  count(*) AS n_touches, count(DISTINCT pid) AS n_purchases
+         |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin) {
+      (s, d) =>
+        val e = ev(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts_sec").as("pts"))
+        val t = e.filter(col("event_type").isin("click", "view"))
+          .select(col("event_id").as("tid"), col("user_id"),
+            col("event_type").as("touch_type"), col("ts_sec").as("tts"))
+        val wN = Window.partitionBy(col("pid"))
+        val wR = Window.partitionBy(col("pid"))
+          .orderBy(col("tts").desc, col("tid").desc)
+        p.join(t, Seq("user_id"))
+          .filter(col("tts") >= col("pts") - 86400 &&
+            col("tts") < col("pts"))
+          .select(col("pid"), col("tid"), col("touch_type"), col("tts"))
+          .withColumn("n", count(lit(1)).over(wN))
+          .withColumn("rn", row_number().over(wR))
+          .select(col("pid"), col("touch_type"), expr(
+            "1000 DIV n + IF(rn = 1, 1000 - n * (1000 DIV n), 0)")
+            .as("credit"))
+          .groupBy(col("touch_type"))
+          .agg(sum(col("credit")).as("credit_milli"),
+            count(lit(1)).as("n_touches"),
+            countDistinct(col("pid")).as("n_purchases"))
+          .orderBy(col("touch_type"))
+    },
+
+    // ---- q193: rolling distinct users via mergeable HLL union -----
+    // q178 computes rolling 7-day actives EXACTLY by exploding each
+    // (user, day) into the 7 windows it serves — exact but the state
+    // is the distinct pair set. This is the sketch-merge variant
+    // that survives when per-window distinct state no longer fits:
+    // one HLL sketch per day (order-independent inserts), each day's
+    // sketch exploded to its 7 windows, then hll_union_agg — the
+    // union of HLL registers is associative/commutative, so the
+    // rolling distinct becomes a tiny keyed merge of 4 KB sketches
+    // instead of a shuffle of user ids. The oracle pins the sketch's
+    // accuracy contract as a hash-matched boolean (the q39/q101
+    // recipe): at lgK=12 the estimate must sit within 10% of the
+    // exact count (n=150 users is far inside the sparse-exact
+    // regime; the envelope holds with immense margin at any SF).
+    QueryDef(
+      "q193_rolling_hll_union",
+      s"""WITH days AS (SELECT DISTINCT user_id,
+         |    ($tsSecSql // 86400) AS day FROM events),
+         |wd AS (SELECT user_id, w FROM days,
+         |       UNNEST(range(day, day + 7)) AS t(w)),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+         |ex AS (SELECT w AS wday, count(DISTINCT user_id)
+         |         AS exact_actives FROM wd GROUP BY w)
+         |SELECT wday, exact_actives, TRUE AS within_10pct
+         |FROM ex, b WHERE wday BETWEEN b.d0 + 6 AND b.d1
+         |ORDER BY wday""".stripMargin) { (s, d) =>
+      val days = ev(s, d)
+        .select(col("user_id"), expr("ts_sec DIV 86400").as("day"))
+        .distinct()
+      val sk = days.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(explode(sequence(col("day"), col("day") + 6)).as("wday"),
+          col("sk"))
+        .groupBy(col("wday"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = days
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .distinct()
+        .groupBy(col("wday"))
+        .agg(count(lit(1)).as("exact_actives"))
+      val bounds = days.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      exact.join(sk, Seq("wday"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wday").between(col("d0") + 6, col("d1")))
+        .select(col("wday"), col("exact_actives"),
+          (abs(col("est") - col("exact_actives")) * 10 <=
+            col("exact_actives")).as("within_10pct"))
+        .orderBy(col("wday"))
+    })
+}

@@ -30,7 +30,7 @@ object Vectors {
     * evaluated by the native codegen kernel).
     * fanOut first: the test collection is ONE parquet split, which
     * would run every downstream per-vector fold single-threaded. */
-  private def prepared(s: SparkSession, d: String): DataFrame = {
+  private[ops] def prepared(s: SparkSession, d: String): DataFrame = {
     graft.cdc.GraftFunctions.register(s)
     fanOut(embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -42,10 +42,10 @@ object Vectors {
     * oracle's `list_reduce` runs, but inside whole-stage codegen with
     * no intermediate zipped array (`aggregate(zip_with(...))` falls
     * out of codegen into the interpreted higher-order path). */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     graft.cdc.GraftFunctions.vec_dot(a, b)
 
-  private val dotSql = (a: String, b: String) =>
+  private[ops] val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
   /** Shared oracle CTE chain mirroring [[kmeansAssignments]]: the

@@ -92,7 +92,16 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q181_tx_size_histogram",
     "q182_anomaly_days",
     "q183_value_concentration",
-    "q184_apply_order_audit")
+    "q184_apply_order_audit",
+    "q185_pareto_frontier",
+    "q186_session_concurrency",
+    "q187_pagerank_neardup",
+    "q188_cascade_delete_audit",
+    "q189_gap_fill_locf",
+    "q190_benford_audit",
+    "q191_hybrid_rrf",
+    "q192_multitouch_attribution",
+    "q193_rolling_hll_union")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

@@ -319,6 +319,58 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the 1-row max-day must broadcast:\n$p")
   }
 
+  test("q185: skyline plans keyed aggs + bucket window, no quadratic join") {
+    val p = plan("q185_pareto_frontier")
+    // the NOT-EXISTS oracle is quadratic; the engine plan must not be:
+    // no nested-loop over the full customer relation — the only BNL
+    // allowed is the tiny bucket-summary suffix-max self-join
+    assert(p.contains("InMemoryTableScan"),
+      s"the customer aggregate must be cached, not recomputed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q186: interval overlap is explode-to-bucket + keyed agg + top-k") {
+    val p = plan("q186_session_concurrency")
+    assert(p.contains("Generate explode"),
+      s"the hour fanout must be a Generate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the busiest-50 must be a top-k, not a full sort:\n$p")
+  }
+
+  test("q187: each pagerank round is keyed join + agg; edges cached") {
+    val p = plan("q187_pagerank_neardup")
+    assert(p.contains("InMemoryTableScan"),
+      s"the degree-annotated edge list must be cached across rounds:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must be a top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q189: LOCF windows partition by series key; 1-row bounds broadcast") {
+    val p = plan("q189_gap_fill_locf")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the bounds row must broadcast into the spine:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q191: both retrieval arms prune through WindowGroupLimit") {
+    val p = plan("q191_hybrid_rrf")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must push the rank limit:\n$p")
+    assert(p.contains("FullOuter") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      s"the fuse must be a keyed full-outer join:\n$p")
+  }
+
+  test("q193: rolling sketch union plans ObjectHashAggregate, no user shuffle past day grain") {
+    val p = plan("q193_rolling_hll_union")
+    assert(p.contains("ObjectHashAggregate"),
+      s"hll_union_agg should plan as an object hash aggregate:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the 7-window fanout must be a Generate over day sketches:\n$p")
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
