@@ -581,5 +581,171 @@ object Analytics {
           (abs(col("est") - col("exact_actives")) * 10 <=
             col("exact_actives")).as("within_10pct"))
         .orderBy(col("wday"))
+    },
+
+    // ---- q194: sorted-neighborhood dedup (SNM) --------------------
+    // The third classic dedup BLOCKING strategy alongside LSH banding
+    // (q26) and prefix filtering (q130): sort the corpus by a
+    // semantic key (first 3 tokens) and compare each doc only with
+    // its w-1=3 successors in sort order (Hernandez/Stolfo's
+    // merge/purge). The oracle states the textbook GLOBAL-order
+    // semantics; the engine computes the identical pair set with NO
+    // global sort: docs bucket by the key's first character (a
+    // PREFIX of the sort key, so buckets are contiguous runs of the
+    // global order), within-bucket neighbors come from a
+    // bucket-partitioned window, and cross-boundary neighbors from
+    // the "edge zone" — the <= 2(w-1) rows nearest each bucket
+    // boundary. Zone equivalence: any pair within global distance
+    // w-1 that crosses a boundary has BOTH endpoints and ALL
+    // intervening rows inside the zone (an interior bucket spanned
+    // entirely would hold <= w-2 rows, all zone members), so
+    // zone-local rank distance equals global distance — the zone is
+    // O(#buckets), its rank a broadcast theta count, and nothing
+    // corpus-sized ever sorts globally. Candidates are then verified
+    // with exact shingle Jaccard off the shared q25 index.
+    QueryDef(
+      "q194_sorted_neighborhood",
+      s"""WITH t AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |           FROM documents),
+         |base AS (SELECT doc_id, array_to_string(toks[1:3], ' ')
+         |           AS key FROM t WHERE len(toks) >= 3),
+         |r AS (SELECT doc_id, key, row_number() OVER (
+         |        ORDER BY key, doc_id) AS rn FROM base),
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+         |                greatest(a.doc_id, b.doc_id) AS d2
+         |         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3),
+         |shingles AS (${Text.shinglesSql}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles
+         |        GROUP BY doc_id),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i
+         |          FROM cand c JOIN shingles s1 ON s1.doc_id = c.d1
+         |          JOIN shingles s2 ON s2.doc_id = c.d2
+         |           AND s2.h = s1.h
+         |          GROUP BY c.d1, c.d2)
+         |SELECT c.d1, c.d2,
+         |  CAST((coalesce(i.i, 0) * 1000) //
+         |       (ca.n + cb.n - coalesce(i.i, 0)) AS BIGINT) AS jpm
+         |FROM cand c JOIN cnt ca ON ca.doc_id = c.d1
+         |JOIN cnt cb ON cb.doc_id = c.d2
+         |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+         |ORDER BY jpm DESC, c.d1, c.d2 LIMIT 100""".stripMargin) { (s, d) =>
+      val base = Text.withToks(s, d)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
+        .withColumn("bucket", substring(col("key"), 1, 1))
+      // within-bucket neighbors: lead 1..3 over the bucket window
+      val wB = Window.partitionBy(col("bucket"))
+        .orderBy(col("key"), col("doc_id"))
+      val within = base
+        .withColumn("nbrs", array(
+          lead(col("doc_id"), 1).over(wB),
+          lead(col("doc_id"), 2).over(wB),
+          lead(col("doc_id"), 3).over(wB)))
+        .select(col("doc_id").as("a"), explode(col("nbrs")).as("b"))
+        .filter(col("b").isNotNull)
+      // edge zone: rows within 3 of either bucket boundary
+      val wS = Window.partitionBy(col("bucket"))
+        .orderBy(col("key"), col("doc_id"))
+      val wE = Window.partitionBy(col("bucket"))
+        .orderBy(col("key").desc, col("doc_id").desc)
+      val zone = base
+        .withColumn("rs", row_number().over(wS))
+        .withColumn("re", row_number().over(wE))
+        .filter(col("rs") <= 3 || col("re") <= 3)
+        .select(col("doc_id"), col("key"), col("bucket"))
+        .cache()
+      // zone-local rank via a broadcast theta count (zone is
+      // O(#buckets) rows, never corpus-sized)
+      val before = (bk: org.apache.spark.sql.Column,
+          bid: org.apache.spark.sql.Column) =>
+        bk < col("key") || (bk === col("key") && bid < col("doc_id"))
+      val zr = zone
+        .join(broadcast(zone.select(col("key").as("k2"),
+          col("doc_id").as("id2"))),
+          before(col("k2"), col("id2")), "left")
+        .groupBy(col("doc_id"), col("key"), col("bucket"))
+        .agg(count(col("id2")).as("zrn"))
+        .cache()
+      val cross = zr.select(col("doc_id").as("a"), col("bucket").as("ba"),
+          col("zrn").as("ra"))
+        .join(broadcast(zr.select(col("doc_id").as("b"),
+          col("bucket").as("bb"), col("zrn").as("rb"))),
+          col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= 3 &&
+            col("ba") =!= col("bb"))
+        .select(col("a"), col("b"))
+      val cand = within.unionAll(cross)
+        .select(least(col("a"), col("b")).as("d1"),
+          greatest(col("a"), col("b")).as("d2"))
+      // exact Jaccard verify off the shared shingle index
+      val sh = Text.shingleHashes(s, d)
+      val n1 = sh.select(col("doc_id"), col("n")).distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("h").as("h2")),
+          Seq("d2"))
+        .filter(col("h") === col("h2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      cand
+        .join(n1.select(col("doc_id").as("d1"), col("n").as("na")),
+          Seq("d1"))
+        .join(n1.select(col("doc_id").as("d2"), col("n").as("nb")),
+          Seq("d2"))
+        .join(inter, Seq("d1", "d2"), "left")
+        .select(col("d1"), col("d2"), expr(
+          "(coalesce(i, 0L) * 1000) DIV (na + nb - coalesce(i, 0L))")
+          .as("jpm"))
+        .orderBy(col("jpm").desc, col("d1"), col("d2"))
+        .limit(100)
+    },
+
+    // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
+    // The reference surfaces replication origins (msgOrigin, A18;
+    // filter-origins, B5 — reference: pgoutput-parser.ts origin
+    // message) precisely so consumers can merge streams from several
+    // upstream clusters. This is that consumer: two origin streams
+    // (events hash-split into 'east'/'west') merged per key by
+    // last-writer-wins — winner = lexicographic max of (ts_sec,
+    // origin priority, change id), one keyed max_by struct, no
+    // window. The audit also counts per-key contributing origins:
+    // keys with 2 origins are the conflict surface a DBA monitors
+    // after adding a bidirectional route. One aggregation per key at
+    // any scale.
+    QueryDef(
+      "q195_lww_origin_merge",
+      s"""WITH c AS (SELECT user_id, event_id,
+         |    $tsSecSql AS ts_sec,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c,
+         |    CASE WHEN event_id % 2 = 0 THEN 'east' ELSE 'west' END
+         |      AS origin
+         |  FROM events),
+         |rk AS (SELECT user_id, origin, value_c,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY
+         |      ts_sec DESC,
+         |      CASE origin WHEN 'east' THEN 1 ELSE 0 END DESC,
+         |      event_id DESC) AS rn
+         |  FROM c),
+         |org AS (SELECT user_id, count(DISTINCT origin) AS n_origins,
+         |               count(*) AS n_changes
+         |        FROM c GROUP BY user_id)
+         |SELECT r.user_id, r.origin AS win_origin,
+         |       r.value_c AS win_value_c, o.n_changes, o.n_origins
+         |FROM rk r JOIN org o ON o.user_id = r.user_id
+         |WHERE r.rn = 1 ORDER BY r.user_id""".stripMargin) { (s, d) =>
+      val c = ev(s, d).select(col("user_id"), col("event_id"),
+        col("ts_sec"), col("value_c"),
+        when(col("event_id") % 2 === 0, "east").otherwise("west")
+          .as("origin"))
+      c.groupBy(col("user_id"))
+        .agg(max_by(struct(col("origin"), col("value_c")),
+            struct(col("ts_sec"),
+              when(col("origin") === "east", 1).otherwise(0),
+              col("event_id"))).as("win"),
+          count(lit(1)).as("n_changes"),
+          countDistinct(col("origin")).as("n_origins"))
+        .select(col("user_id"), col("win.origin").as("win_origin"),
+          col("win.value_c").as("win_value_c"), col("n_changes"),
+          col("n_origins"))
+        .orderBy(col("user_id"))
     })
 }

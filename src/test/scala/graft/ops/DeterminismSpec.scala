@@ -101,7 +101,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q190_benford_audit",
     "q191_hybrid_rrf",
     "q192_multitouch_attribution",
-    "q193_rolling_hll_union")
+    "q193_rolling_hll_union",
+    "q194_sorted_neighborhood",
+    "q195_lww_origin_merge")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

@@ -371,6 +371,26 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the 7-window fanout must be a Generate over day sketches:\n$p")
   }
 
+  test("q194: SNM never sorts globally; zone relations broadcast") {
+    val p = plan("q194_sorted_neighborhood")
+    // the oracle's global row_number window must NOT appear in the
+    // engine plan: neighbor windows partition by bucket (PlanGuard
+    // asserts non-empty partitionSpec) and the edge-zone rank is a
+    // broadcast theta count over an O(#buckets) relation
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"zone rank must be a broadcast theta count:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q195: LWW merge is one keyed max_by aggregation, no window") {
+    val p = plan("q195_lww_origin_merge")
+    assert(!p.contains("Window"),
+      s"the rank-1 oracle must plan as max_by, not a window:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
