@@ -747,5 +747,249 @@ object Analytics {
           col("win.value_c").as("win_value_c"), col("n_changes"),
           col("n_origins"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- q196: integer EWMA over daily series ---------------------
+    // Exponential smoothing is RECURSIVE (e_t depends on e_{t-1}) —
+    // no window frame expresses it. The engine shape: per-series
+    // ordered array fold — collect the (bounded: one row per day)
+    // series into a sorted array and run `aggregate()` left-to-right,
+    // e_t = (200·x_t + 800·e_{t-1}) DIV 1000 in exact integers, so
+    // the fold is bit-identical to the oracle's recursive CTE. At
+    // 100 TB: state per group = series length (days), not corpus
+    // rows; 10^6 series fold in parallel after one keyed daily
+    // aggregation, and nothing recursive ever crosses a shuffle.
+    // The same fold template serves CUSUM, Kalman-style filters, and
+    // any per-key linear recurrence.
+    QueryDef(
+      "q196_ewma_daily",
+      s"""WITH RECURSIVE e AS (SELECT event_type,
+         |    $tsSecSql // 86400 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |daily AS (SELECT event_type, day,
+         |    CAST(sum(value_c) AS BIGINT) AS x
+         |  FROM e GROUP BY event_type, day),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         |spine AS (SELECT t.event_type, u.dd AS day
+         |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+         |       UNNEST(range(b.d0, b.d1 + 1)) AS u(dd)),
+         |ser AS (SELECT s.event_type, s.day, coalesce(d.x, 0) AS x,
+         |    row_number() OVER (PARTITION BY s.event_type
+         |                       ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN daily d
+         |    ON d.event_type = s.event_type AND d.day = s.day),
+         |ew AS (SELECT event_type, day, x, rn, x AS ewma
+         |       FROM ser WHERE rn = 1
+         |       UNION ALL
+         |       SELECT s.event_type, s.day, s.x, s.rn,
+         |         (200 * s.x + 800 * w.ewma) // 1000
+         |       FROM ser s JOIN ew w ON w.event_type = s.event_type
+         |        AND s.rn = w.rn + 1)
+         |SELECT event_type, day, x AS total_c,
+         |       CAST(ewma AS BIGINT) AS ewma_c
+         |FROM ew ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), expr("ts_sec DIV 86400").as("day"),
+          col("value_c"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value_c")).as("x"))
+      val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("arr"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(arr,
+            |  cast(array() as array<struct<day:bigint,x:bigint,ewma:bigint>>),
+            |  (acc, s) -> acc || array(struct(s.day AS day, s.x AS x,
+            |    IF(size(acc) = 0, s.x,
+            |       (200 * s.x + 800 * element_at(acc, -1).ewma) DIV 1000)
+            |      AS ewma)))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.x").as("total_c"), col("r.ewma").as("ewma_c"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- q197: sequential pattern mining (top event 3-paths) ------
+    // The 3-gram extension of q173's transition matrix: consecutive
+    // event triples per user path, the frequent-sequence report
+    // behind funnel discovery. Triples assemble map-side from
+    // user-partitioned lead() windows (no join against the stream),
+    // then one keyed count. Support = distinct users, frequency =
+    // occurrences — both in the same aggregation.
+    QueryDef(
+      "q197_event_paths",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    $tsSecSql AS ts_sec FROM events),
+         |w AS (SELECT user_id, event_type,
+         |    lead(event_type, 1) OVER win AS e2,
+         |    lead(event_type, 2) OVER win AS e3
+         |  FROM e WINDOW win AS (PARTITION BY user_id
+         |                        ORDER BY ts_sec, event_id)),
+         |p AS (SELECT user_id,
+         |    event_type || '>' || e2 || '>' || e3 AS path
+         |  FROM w WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+         |SELECT path, count(*) AS n, count(DISTINCT user_id) AS n_users
+         |FROM p GROUP BY path
+         |ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_sec"),
+          col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(col("user_id"), concat_ws(">", col("event_type"),
+          col("e2"), col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
+    // ---- q198: MMR diverse top-k re-ranking -----------------------
+    // Maximal Marginal Relevance (Carbonell/Goldstein, SIGIR'98):
+    // re-rank each query's top-10 cosine pool to 5 results trading
+    // relevance against redundancy — mmr = 0.7·rel − 0.3·max sim to
+    // the already-selected set, greedily for 5 rounds. Scoring is
+    // exact integer micro-units (cosines rounded to 6 places then
+    // fixed), so the greedy argmax is bit-deterministic. Scale shape:
+    // the pool is queries×10 rows and the pairwise sim relation
+    // queries×90 — BOTH bounded by the query set, not the corpus;
+    // the corpus is touched only by the arm that builds the pool
+    // (q29 brute force here; q116's trained IVF at scale). Each
+    // greedy round is a keyed anti-join + keyed max + WindowGroupLimit
+    // argmax on those tiny relations. The oracle replays the same
+    // five rounds as chained CTEs.
+    QueryDef(
+      "q198_mmr_rerank",
+      { val round = (r: Int) =>
+          s"""mx$r AS (SELECT s.qid, s.c1 AS cid, max(s.sim) AS ms
+             |  FROM sims s JOIN selu${r - 1} u
+             |    ON u.qid = s.qid AND u.cid = s.c2
+             |  GROUP BY s.qid, s.c1),
+             |rem$r AS (SELECT p.* FROM pool p LEFT JOIN selu${r - 1} u
+             |  ON u.qid = p.qid AND u.cid = p.cid WHERE u.cid IS NULL),
+             |sel$r AS (SELECT qid, cid, mmr FROM (
+             |  SELECT sc.qid, sc.cid, sc.mmr, row_number() OVER (
+             |    PARTITION BY sc.qid ORDER BY sc.mmr DESC, sc.cid) AS rn
+             |  FROM (SELECT m.qid, m.cid,
+             |      700 * m.rel - 300 * coalesce(x.ms, 0) AS mmr
+             |    FROM rem$r m LEFT JOIN mx$r x
+             |      ON x.qid = m.qid AND x.cid = m.cid) sc) WHERE rn = 1),
+             |selu$r AS (SELECT * FROM selu${r - 1}
+             |           UNION ALL SELECT qid, cid FROM sel$r)"""
+            .stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> x::DOUBLE) AS v
+           |  FROM embeddings),
+           |nn AS (SELECT vec_id, v, ${Vectors.dotSql("v", "v")} AS nrm
+           |       FROM e),
+           |qv AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nn
+           |       WHERE vec_id < 20),
+           |semp AS (SELECT qid, c.vec_id AS cid,
+           |    round(${Vectors.dotSql("qv", "c.v")} /
+           |          (sqrt(qn) * sqrt(c.nrm)), 6) AS score
+           |  FROM qv JOIN nn c ON c.vec_id <> qid),
+           |pool AS (SELECT qid, cid,
+           |    CAST(round(score * 1000000) AS BIGINT) AS rel
+           |  FROM (SELECT qid, cid, score, row_number() OVER (
+           |          PARTITION BY qid ORDER BY score DESC, cid) AS ra
+           |        FROM semp) WHERE ra <= 10),
+           |sims AS (SELECT p1.qid, p1.cid AS c1, p2.cid AS c2,
+           |    CAST(round(round(${Vectors.dotSql("v1.v", "v2.v")} /
+           |      (sqrt(v1.nrm) * sqrt(v2.nrm)), 6) * 1000000) AS BIGINT)
+           |      AS sim
+           |  FROM pool p1 JOIN pool p2
+           |    ON p2.qid = p1.qid AND p2.cid <> p1.cid
+           |  JOIN nn v1 ON v1.vec_id = p1.cid
+           |  JOIN nn v2 ON v2.vec_id = p2.cid),
+           |sel1 AS (SELECT qid, cid, 700 * rel AS mmr FROM (
+           |  SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+           |    ORDER BY 700 * rel DESC, cid) AS rn FROM pool)
+           |  WHERE rn = 1),
+           |selu1 AS (SELECT qid, cid FROM sel1),
+           |${round(2)},
+           |${round(3)},
+           |${round(4)},
+           |${round(5)}
+           |SELECT qid, rank, cid, CAST(mmr AS BIGINT) AS mmr FROM (
+           |  SELECT qid, cid, mmr, 1 AS rank FROM sel1
+           |  UNION ALL SELECT qid, cid, mmr, 2 FROM sel2
+           |  UNION ALL SELECT qid, cid, mmr, 3 FROM sel3
+           |  UNION ALL SELECT qid, cid, mmr, 4 FROM sel4
+           |  UNION ALL SELECT qid, cid, mmr, 5 FROM sel5)
+           |ORDER BY qid, rank""".stripMargin
+      }) { (s, d) =>
+      val nn = Vectors.prepared(s, d)
+      val qv = nn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wSem = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val pool = nn.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(Vectors.dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("ra", row_number().over(wSem))
+        .filter(col("ra") <= 10)
+        .select(col("qid"), col("cid"),
+          round(col("score") * 1000000).cast("long").as("rel"))
+        .cache()
+      val vecs = nn.select(col("vec_id"), col("v"), col("nrm"))
+      val sims = pool.select(col("qid"), col("cid").as("c1"))
+        .join(pool.select(col("qid"), col("cid").as("c2")), Seq("qid"))
+        .filter(col("c1") =!= col("c2"))
+        .join(vecs.select(col("vec_id").as("c1"), col("v").as("v1"),
+          col("nrm").as("n1")), Seq("c1"))
+        .join(vecs.select(col("vec_id").as("c2"), col("v").as("v2"),
+          col("nrm").as("n2")), Seq("c2"))
+        .select(col("qid"), col("c1"), col("c2"),
+          round(round(Vectors.dot(col("v1"), col("v2")) /
+            (sqrt(col("n1")) * sqrt(col("n2"))), 6) * 1000000)
+            .cast("long").as("sim"))
+        .cache()
+      val wPick = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr").desc, col("cid"))
+      var sel: DataFrame = null
+      for (r <- 1 to 5) {
+        val rem =
+          if (sel == null) pool
+          else pool.join(sel.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_anti")
+        val sc =
+          if (sel == null)
+            rem.select(col("qid"), col("cid"),
+              (col("rel") * 700).as("mmr"))
+          else {
+            val mx = sims
+              .join(sel.select(col("qid"), col("cid").as("c2")),
+                Seq("qid", "c2"))
+              .groupBy(col("qid"), col("c1").as("cid"))
+              .agg(max(col("sim")).as("ms"))
+            rem.join(mx, Seq("qid", "cid"), "left")
+              .select(col("qid"), col("cid"),
+                (col("rel") * 700 - coalesce(col("ms"), lit(0L)) * 300)
+                  .as("mmr"))
+          }
+        val pick = sc.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), col("mmr"),
+            lit(r).as("rank"))
+        sel = if (sel == null) pick else sel.unionAll(pick)
+      }
+      sel.select(col("qid"), col("rank"), col("cid"), col("mmr"))
+        .orderBy(col("qid"), col("rank"))
     })
 }

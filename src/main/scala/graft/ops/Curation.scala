@@ -35,6 +35,18 @@ object Curation {
     * happen inside the row before the explode. Guarantee under test
     * in WinnowingSpec: docs sharing a run of >= w + k - 1 = 6 tokens
     * share a fingerprint. */
+  // winnowing prints memoized per (session, sf-dir): q148, q155 and
+  // q158 all start from the same (doc_id, fp) relation — materialize
+  // it once per session like the shingle/tf indexes in Text
+  private val winnowCache = new Tables.DfMemo()
+
+  private[ops] def winnowPrints(s: SparkSession, d: String): DataFrame =
+    winnowCache.getOrElseUpdate((s, d)) {
+      graft.cdc.GraftFunctions.register(s)
+      winnowFingerprints(
+        withToks(s, d).select(col("doc_id"), col("toks"))).cache()
+    }
+
   private[ops] def winnowFingerprints(toks: DataFrame): DataFrame =
     toks.filter(size(col("toks")) >= 6)
       .select(col("doc_id"), expr(
@@ -127,8 +139,7 @@ object Curation {
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val fps = winnowFingerprints(
-        withToks(s, d).select(col("doc_id"), col("toks")))
+      val fps = winnowPrints(s, d)
       fps.groupBy(col("fp"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 20))
@@ -719,8 +730,7 @@ object Curation {
       (s, d) =>
       graft.cdc.GraftFunctions.register(s)
       val docSrc = withToks(s, d).select(col("doc_id"), col("source"))
-      val sfp = winnowFingerprints(
-          withToks(s, d).select(col("doc_id"), col("toks")))
+      val sfp = winnowPrints(s, d)
         .join(docSrc, "doc_id")
         .select(col("source"), col("fp")).distinct()
       val sz = sfp.groupBy(col("source")).agg(count(lit(1)).as("n"))

@@ -103,7 +103,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q192_multitouch_attribution",
     "q193_rolling_hll_union",
     "q194_sorted_neighborhood",
-    "q195_lww_origin_merge")
+    "q195_lww_origin_merge",
+    "q196_ewma_daily",
+    "q197_event_paths",
+    "q198_mmr_rerank")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

@@ -391,6 +391,28 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("q196: the EWMA recursion folds per series, no recursive shuffle") {
+    val p = plan("q196_ewma_daily")
+    // the recursive CTE oracle needs N joins; the engine needs one
+    // keyed collect + a codegen'd fold: exactly one aggregate over
+    // the series key feeding a Generate (the fold explode)
+    assert(p.contains("Generate explode"),
+      s"fold output must explode map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198: MMR rounds operate on query-bounded relations only") {
+    val p = plan("q198_mmr_rerank")
+    // pool and sims are cached once (queries x 10 / x 90 rows); the
+    // five greedy rounds must reuse them, not re-scan the collection
+    // (InMemoryRelation pretty-prints its full lineage, so a raw
+    // "Scan parquet" count would overcount — pin the cache reuse
+    // instead: the five rounds yield many InMemoryTableScans)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 8,
+      s"pool/sims must be cached and reused across greedy rounds:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
