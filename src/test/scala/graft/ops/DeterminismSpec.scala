@@ -106,7 +106,10 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q195_lww_origin_merge",
     "q196_ewma_daily",
     "q197_event_paths",
-    "q198_mmr_rerank")
+    "q198_mmr_rerank",
+    "q199_quantile_normalization",
+    "q200_snapshot_asof",
+    "q201_linkage_scores")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

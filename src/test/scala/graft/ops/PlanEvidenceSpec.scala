@@ -413,6 +413,25 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q199: global CDF builds without a global sort; lookup broadcasts") {
+    val p = plan("q199_quantile_normalization")
+    // the oracle's global row_number must not appear: the rank→value
+    // lookup is a broadcast interval join against the value-bounded
+    // CDF, and windows partition by source / bucket only
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the CDF interval lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q200: three snapshots ride one scan via a broadcast threshold fanout") {
+    val p = plan("q200_snapshot_asof")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"the changelog must scan at most twice (thresholds + fanout):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 3-row threshold relation must broadcast:\n$p")
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
