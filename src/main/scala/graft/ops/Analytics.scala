@@ -962,20 +962,28 @@ object Analytics {
         .cache()
       val wPick = Window.partitionBy(col("qid"))
         .orderBy(col("mmr").desc, col("cid"))
-      var sel: DataFrame = null
+      // Each greedy pick is only queries-many rows; collect it and
+      // re-inject as a literal relation (the q153/q157 driver-probe
+      // recipe) so round r's plan references a 20-row local table
+      // instead of embedding rounds 1..r-1 twice — left symbolic,
+      // the analyzed tree (and un-cached execution) doubles per
+      // round. The collected picks are exact integers, so the
+      // re-injected literals are deterministic.
+      import s.implicits._
+      var sel: Seq[(Long, Long, Long, Int)] = Nil
       for (r <- 1 to 5) {
-        val rem =
-          if (sel == null) pool
-          else pool.join(sel.select(col("qid"), col("cid")),
-            Seq("qid", "cid"), "left_anti")
+        val selDf = sel.toDF("qid", "cid", "mmr", "rank")
         val sc =
-          if (sel == null)
-            rem.select(col("qid"), col("cid"),
+          if (r == 1)
+            pool.select(col("qid"), col("cid"),
               (col("rel") * 700).as("mmr"))
           else {
+            val rem = pool.join(
+              broadcast(selDf.select(col("qid"), col("cid"))),
+              Seq("qid", "cid"), "left_anti")
             val mx = sims
-              .join(sel.select(col("qid"), col("cid").as("c2")),
-                Seq("qid", "c2"))
+              .join(broadcast(selDf.select(col("qid"),
+                col("cid").as("c2"))), Seq("qid", "c2"))
               .groupBy(col("qid"), col("c1").as("cid"))
               .agg(max(col("sim")).as("ms"))
             rem.join(mx, Seq("qid", "cid"), "left")
@@ -983,13 +991,16 @@ object Analytics {
                 (col("rel") * 700 - coalesce(col("ms"), lit(0L)) * 300)
                   .as("mmr"))
           }
-        val pick = sc.withColumn("rn", row_number().over(wPick))
+        val picked = sc.withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1)
-          .select(col("qid"), col("cid"), col("mmr"),
-            lit(r).as("rank"))
-        sel = if (sel == null) pick else sel.unionAll(pick)
+          .select(col("qid"), col("cid"), col("mmr"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), r))
+          .sortBy(t => (t._1, t._4))
+        sel = sel ++ picked
       }
-      sel.select(col("qid"), col("rank"), col("cid"), col("mmr"))
+      sel.toDF("qid", "cid", "mmr", "rank")
+        .select(col("qid"), col("rank"), col("cid"), col("mmr"))
         .orderBy(col("qid"), col("rank"))
     },
 
