@@ -1004,6 +1004,157 @@ object Analytics {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // ---- q202: deterministic hash-bootstrap confidence interval ---
+    // The Poisson bootstrap (Chamandy et al., the map-reduce
+    // bootstrap): resample weights ~ Poisson(1) per (row, resample),
+    // approximated by its inverse CDF on a 32-bit hash of (key, b) —
+    // fully deterministic, no RNG state, identical in both engines.
+    // Each row explodes to its B=100 resamples MAP-SIDE and partial
+    // aggregation collapses them before the shuffle, so the network
+    // carries partitions×B partial sums, never rows×B. The ≤100
+    // resample means rank via a broadcast theta count (no global
+    // window) to pick the 5th/95th percentile bounds. This is how
+    // you put an error bar on any 100 TB aggregate in one pass.
+    QueryDef(
+      "q202_bootstrap_ci",
+      { val h = Text.h32Sql(
+          "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+        s"""WITH c AS (SELECT o_orderkey,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders),
+           |pt AS (SELECT count(*) AS n_orders,
+           |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+           |  FROM c),
+           |re AS (SELECT c.cents, b, ($h) % 10000 AS hh
+           |  FROM c, UNNEST(range(0, 100)) AS t(b)),
+           |w AS (SELECT cents, b, CASE WHEN hh < 3679 THEN 0
+           |    WHEN hh < 7358 THEN 1 WHEN hh < 9197 THEN 2
+           |    WHEN hh < 9810 THEN 3 ELSE 4 END AS k FROM re),
+           |means AS (SELECT b,
+           |    CAST(sum(k * cents) // sum(k) AS BIGINT) AS m
+           |  FROM w GROUP BY b HAVING sum(k) > 0),
+           |ranked AS (SELECT a.b, a.m,
+           |    (SELECT count(*) FROM means o
+           |     WHERE o.m < a.m OR (o.m = a.m AND o.b < a.b)) + 1 AS rk,
+           |    (SELECT count(*) FROM means) AS nb
+           |  FROM means a)
+           |SELECT pt.n_orders, pt.mean_cents,
+           |  max(CASE WHEN rk = (5 * nb + 99) // 100 THEN m END)
+           |    AS ci_lo_cents,
+           |  max(CASE WHEN rk = (95 * nb + 99) // 100 THEN m END)
+           |    AS ci_hi_cents,
+           |  max(nb) AS n_resamples
+           |FROM ranked, pt
+           |GROUP BY pt.n_orders, pt.mean_cents""".stripMargin
+      }) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val c = orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val pt = c.agg(count(lit(1)).as("n_orders"),
+        expr("sum(cents) DIV count(1)").as("mean_cents"))
+      val means = c
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(99))).as("b"))
+        .withColumn("hh", expr(
+          "md5_h32(concat(o_orderkey, ':', b)) % 10000"))
+        .withColumn("k", expr("CASE WHEN hh < 3679 THEN 0 " +
+          "WHEN hh < 7358 THEN 1 WHEN hh < 9197 THEN 2 " +
+          "WHEN hh < 9810 THEN 3 ELSE 4 END"))
+        .groupBy(col("b"))
+        .agg(expr("sum(k * cents)").as("skc"), sum(col("k")).as("sk"))
+        .filter(col("sk") > 0)
+        .select(col("b"), expr("skc DIV sk").as("m"))
+        .cache()
+      val nb = means.agg(count(lit(1)).as("nb"))
+      val ranked = means.as("a")
+        .join(broadcast(means.as("o")),
+          col("o.m") < col("a.m") ||
+            (col("o.m") === col("a.m") && col("o.b") < col("a.b")),
+          "left")
+        .groupBy(col("a.b").as("b"), col("a.m").as("m"))
+        .agg((count(col("o.b")) + 1).as("rk"))
+        .crossJoin(broadcast(nb))
+      ranked
+        .crossJoin(broadcast(pt))
+        .groupBy(col("n_orders"), col("mean_cents"))
+        .agg(
+          max(when(col("rk") === expr("(5 * nb + 99) DIV 100"),
+            col("m"))).as("ci_lo_cents"),
+          max(when(col("rk") === expr("(95 * nb + 99) DIV 100"),
+            col("m"))).as("ci_hi_cents"),
+          max(col("nb")).as("n_resamples"))
+        .select(col("n_orders"), col("mean_cents"), col("ci_lo_cents"),
+          col("ci_hi_cents"), col("n_resamples"))
+    },
+
+    // ---- q203: data-contract expectations audit -------------------
+    // The Deequ-style contract check a pipeline gates ingestion on
+    // (q169 profiles; this ASSERTS): key uniqueness, domain bounds,
+    // null-freedom, and referential integrity, each evaluated as one
+    // keyed aggregate or anti-join and reported as (check, violations,
+    // passed) rows. All checks over one table share a single scan
+    // (conditional counts); the referential check is the only join —
+    // an anti-join on the key. The report is what lands in the data
+    // catalog next to the snapshot.
+    QueryDef(
+      "q203_expectations_audit",
+      """WITH li AS (SELECT
+        |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+        |      AS qty_dom,
+        |    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+        |      AS disc_dom,
+        |    count(*) FILTER (WHERE l_extendedprice IS NULL
+        |      OR l_orderkey IS NULL) AS li_nulls
+        |  FROM lineitem),
+        |o AS (SELECT count(*) - count(DISTINCT o_orderkey) AS key_dups,
+        |    count(*) FILTER (WHERE o_totalprice <= 0) AS price_dom
+        |  FROM orders),
+        |orph AS (SELECT count(*) AS n FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o2
+        |    WHERE o2.o_orderkey = l.l_orderkey))
+        |SELECT chk, violations, violations = 0 AS passed FROM (
+        |  SELECT 'lineitem_quantity_in_1_50' AS chk,
+        |    CAST(li.qty_dom AS BIGINT) AS violations FROM li
+        |  UNION ALL SELECT 'lineitem_discount_in_0_0.1',
+        |    CAST(li.disc_dom AS BIGINT) FROM li
+        |  UNION ALL SELECT 'lineitem_no_nulls',
+        |    CAST(li.li_nulls AS BIGINT) FROM li
+        |  UNION ALL SELECT 'orders_key_unique',
+        |    CAST(o.key_dups AS BIGINT) FROM o
+        |  UNION ALL SELECT 'orders_price_positive',
+        |    CAST(o.price_dom AS BIGINT) FROM o
+        |  UNION ALL SELECT 'lineitem_fk_orders',
+        |    CAST(orph.n AS BIGINT) FROM orph)
+        |ORDER BY chk""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_dom"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("disc_dom"),
+        sum(when(col("l_extendedprice").isNull ||
+          col("l_orderkey").isNull, 1L).otherwise(0L)).as("li_nulls"))
+      val o = orders(s, d).agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("key_dups"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("price_dom"))
+      val orph = lineitem(s, d).select(col("l_orderkey"))
+        .join(orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val rows = li.select(lit("lineitem_quantity_in_1_50").as("chk"),
+          col("qty_dom").as("violations"))
+        .unionAll(li.select(lit("lineitem_discount_in_0_0.1"),
+          col("disc_dom")))
+        .unionAll(li.select(lit("lineitem_no_nulls"), col("li_nulls")))
+        .unionAll(o.select(lit("orders_key_unique"), col("key_dups")))
+        .unionAll(o.select(lit("orders_price_positive"),
+          col("price_dom")))
+        .unionAll(orph.select(lit("lineitem_fk_orders"), col("n")))
+      rows.select(col("chk"), col("violations"),
+          (col("violations") === 0).as("passed"))
+        .orderBy(col("chk"))
+    },
+
     // ---- q199: cross-source quantile normalization ----------------
     // Mixing corpora whose length/quality distributions differ
     // skews mixture weights; quantile normalization maps each doc's

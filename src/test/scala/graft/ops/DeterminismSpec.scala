@@ -109,7 +109,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q198_mmr_rerank",
     "q199_quantile_normalization",
     "q200_snapshot_asof",
-    "q201_linkage_scores")
+    "q201_linkage_scores",
+    "q202_bootstrap_ci",
+    "q203_expectations_audit")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

@@ -432,6 +432,21 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the 3-row threshold relation must broadcast:\n$p")
   }
 
+  test("q202: bootstrap resamples collapse map-side before the shuffle") {
+    val p = plan("q202_bootstrap_ci")
+    assert(p.contains("Generate explode"),
+      s"the B-resample fanout must be a map-side Generate:\n$p")
+    assert(p.contains("partial_sum"),
+      s"partial aggregation must collapse resamples pre-shuffle:\n$p")
+  }
+
+  test("q203: contract checks share scans; referential check is an anti-join") {
+    val p = plan("q203_expectations_audit")
+    assert(p.contains("LeftAnti"),
+      s"the FK check must plan as an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
