@@ -38,6 +38,59 @@ object Analytics {
       col("event_type"), col("ts_sec"),
       round(col("value") * 100).cast("long").as("value_c"))
 
+  /** Sorted-neighborhood candidate pairs with NO global sort: given
+    * `base(doc_id, key, bucket)` where `bucket` is a PREFIX of the
+    * sort key (so buckets are contiguous runs of the global (key,
+    * doc_id) order), returns exactly the pairs within global rank
+    * distance w-1 as (d1, d2), d1 < d2 by doc id. Within-bucket
+    * neighbors come from bucket-partitioned lead() windows;
+    * cross-boundary neighbors from the edge zone (rows within w-1 of
+    * either bucket end — any qualifying pair that crosses a boundary
+    * has both endpoints AND all intervening rows in the zone, since
+    * an interior bucket it spans entirely holds <= w-2 rows, so
+    * zone-local rank distance equals global distance). The zone is
+    * O(#buckets·w); its rank is a broadcast theta count. SnmSpec
+    * proves pair-set equality against a global-order brute force on
+    * randomized key distributions, including 1-row buckets. */
+  private[ops] def snmCandidates(base: DataFrame, w: Int): DataFrame = {
+    val d = w - 1
+    val wB = Window.partitionBy(col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    val within = base
+      .withColumn("nbrs", array(
+        (1 to d).map(i => lead(col("doc_id"), i).over(wB)): _*))
+      .select(col("doc_id").as("a"), explode(col("nbrs")).as("b"))
+      .filter(col("b").isNotNull)
+    val wE = Window.partitionBy(col("bucket"))
+      .orderBy(col("key").desc, col("doc_id").desc)
+    val zone = base
+      .withColumn("rs", row_number().over(wB))
+      .withColumn("re", row_number().over(wE))
+      .filter(col("rs") <= d || col("re") <= d)
+      .select(col("doc_id"), col("key"), col("bucket"))
+      .cache()
+    val before = (bk: org.apache.spark.sql.Column,
+        bid: org.apache.spark.sql.Column) =>
+      bk < col("key") || (bk === col("key") && bid < col("doc_id"))
+    val zr = zone
+      .join(broadcast(zone.select(col("key").as("k2"),
+        col("doc_id").as("id2"))),
+        before(col("k2"), col("id2")), "left")
+      .groupBy(col("doc_id"), col("key"), col("bucket"))
+      .agg(count(col("id2")).as("zrn"))
+      .cache()
+    val cross = zr.select(col("doc_id").as("a"), col("bucket").as("ba"),
+        col("zrn").as("ra"))
+      .join(broadcast(zr.select(col("doc_id").as("b"),
+        col("bucket").as("bb"), col("zrn").as("rb"))),
+        col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= d &&
+          col("ba") =!= col("bb"))
+      .select(col("a"), col("b"))
+    within.unionAll(cross)
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"))
+  }
+
   /** Benford expected permille by leading digit — round(1000 *
     * log10(1 + 1/d)) precomputed so both engines compare identical
     * integer constants. */
@@ -634,49 +687,7 @@ object Analytics {
         .select(col("doc_id"),
           concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
         .withColumn("bucket", substring(col("key"), 1, 1))
-      // within-bucket neighbors: lead 1..3 over the bucket window
-      val wB = Window.partitionBy(col("bucket"))
-        .orderBy(col("key"), col("doc_id"))
-      val within = base
-        .withColumn("nbrs", array(
-          lead(col("doc_id"), 1).over(wB),
-          lead(col("doc_id"), 2).over(wB),
-          lead(col("doc_id"), 3).over(wB)))
-        .select(col("doc_id").as("a"), explode(col("nbrs")).as("b"))
-        .filter(col("b").isNotNull)
-      // edge zone: rows within 3 of either bucket boundary
-      val wS = Window.partitionBy(col("bucket"))
-        .orderBy(col("key"), col("doc_id"))
-      val wE = Window.partitionBy(col("bucket"))
-        .orderBy(col("key").desc, col("doc_id").desc)
-      val zone = base
-        .withColumn("rs", row_number().over(wS))
-        .withColumn("re", row_number().over(wE))
-        .filter(col("rs") <= 3 || col("re") <= 3)
-        .select(col("doc_id"), col("key"), col("bucket"))
-        .cache()
-      // zone-local rank via a broadcast theta count (zone is
-      // O(#buckets) rows, never corpus-sized)
-      val before = (bk: org.apache.spark.sql.Column,
-          bid: org.apache.spark.sql.Column) =>
-        bk < col("key") || (bk === col("key") && bid < col("doc_id"))
-      val zr = zone
-        .join(broadcast(zone.select(col("key").as("k2"),
-          col("doc_id").as("id2"))),
-          before(col("k2"), col("id2")), "left")
-        .groupBy(col("doc_id"), col("key"), col("bucket"))
-        .agg(count(col("id2")).as("zrn"))
-        .cache()
-      val cross = zr.select(col("doc_id").as("a"), col("bucket").as("ba"),
-          col("zrn").as("ra"))
-        .join(broadcast(zr.select(col("doc_id").as("b"),
-          col("bucket").as("bb"), col("zrn").as("rb"))),
-          col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= 3 &&
-            col("ba") =!= col("bb"))
-        .select(col("a"), col("b"))
-      val cand = within.unionAll(cross)
-        .select(least(col("a"), col("b")).as("d1"),
-          greatest(col("a"), col("b")).as("d2"))
+      val cand = snmCandidates(base, 4)
       // exact Jaccard verify off the shared shingle index
       val sh = Text.shingleHashes(s, d)
       val n1 = sh.select(col("doc_id"), col("n")).distinct()
