@@ -1166,6 +1166,149 @@ object Analytics {
         .orderBy(col("chk"))
     },
 
+    // ---- q204: KMV sketch set-similarity between sources ----------
+    // The k-minimum-values sketch (Bar-Yossef et al.): each source's
+    // doc-fingerprint set compresses to its k=16 smallest hashes;
+    // the Jaccard between two sources is estimated as the shared
+    // fraction of the k smallest of the UNION of their sketches.
+    // Like q193's HLL this is the MERGEABLE path — at 100 TB each
+    // ingest batch ships a 16-value sketch per source and pairwise
+    // similarity costs sketch×sketch, never set×set; unlike minhash
+    // (q140) the same sketch also serves distinct-count estimation.
+    // The estimator is hash-deterministic, so the oracle recomputes
+    // it EXACTLY (no error envelope needed) next to the exact-set
+    // Jaccard it approximates — the driver hash-pins both.
+    QueryDef(
+      "q204_kmv_source_similarity",
+      { val h = Text.h32Sql("text")
+        s"""WITH f AS (SELECT DISTINCT source, $h AS h FROM documents),
+           |km AS (SELECT source, h FROM (
+           |    SELECT source, h, row_number() OVER (
+           |      PARTITION BY source ORDER BY h) AS rn FROM f)
+           |  WHERE rn <= 16),
+           |pairs AS (SELECT a.source AS sa, b.source AS sb
+           |  FROM (SELECT DISTINCT source FROM f) a
+           |  JOIN (SELECT DISTINCT source FROM f) b
+           |    ON a.source < b.source),
+           |u AS (SELECT p.sa, p.sb, k.h,
+           |    max(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS ina,
+           |    max(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS inb
+           |  FROM pairs p JOIN km k ON k.source IN (p.sa, p.sb)
+           |  GROUP BY p.sa, p.sb, k.h),
+           |topu AS (SELECT sa, sb, ina, inb FROM (
+           |    SELECT sa, sb, h, ina, inb, row_number() OVER (
+           |      PARTITION BY sa, sb ORDER BY h) AS rn FROM u)
+           |  WHERE rn <= 16),
+           |est AS (SELECT sa, sb,
+           |    CAST(sum(ina * inb) * 1000 // count(*) AS BIGINT)
+           |      AS est_milli
+           |  FROM topu GROUP BY sa, sb),
+           |ex AS (SELECT p.sa, p.sb,
+           |    CAST(sum(CASE WHEN fa.h IS NOT NULL
+           |          AND fb.h IS NOT NULL THEN 1 ELSE 0 END) * 1000 //
+           |      count(*) AS BIGINT) AS exact_milli
+           |  FROM pairs p
+           |  JOIN (SELECT sa2.sa, sa2.sb, k.h FROM pairs sa2
+           |        JOIN f k ON k.source IN (sa2.sa, sa2.sb)
+           |        GROUP BY sa2.sa, sa2.sb, k.h) uu
+           |    ON uu.sa = p.sa AND uu.sb = p.sb
+           |  LEFT JOIN f fa ON fa.source = p.sa AND fa.h = uu.h
+           |  LEFT JOIN f fb ON fb.source = p.sb AND fb.h = uu.h
+           |  GROUP BY p.sa, p.sb)
+           |SELECT e.sa, e.sb, e.est_milli, x.exact_milli
+           |FROM est e JOIN ex x ON x.sa = e.sa AND x.sb = e.sb
+           |ORDER BY e.est_milli DESC, e.sa, e.sb
+           |LIMIT 25""".stripMargin
+      }) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val f = documents(s, d)
+        .select(col("source"), expr("md5_h32(text)").as("h"))
+        .distinct()
+      // per-source sketch AND full set as sorted arrays — the full
+      // set is the exact-audit arm only; the sketch is the product
+      val sets = f.groupBy(col("source"))
+        .agg(sort_array(collect_set(col("h"))).as("all"))
+        .select(col("source"), col("all"),
+          slice(col("all"), 1, 16).as("km"))
+        .cache()
+      sets.select(col("source").as("sa"), col("all").as("fa"),
+          col("km").as("ka"))
+        .join(broadcast(sets.select(col("source").as("sb"),
+          col("all").as("fb"), col("km").as("kb"))),
+          col("sa") < col("sb"))
+        .select(col("sa"), col("sb"),
+          expr("""CAST(aggregate(slice(array_sort(
+            |  array_union(ka, kb)), 1, 16), 0L, (acc, x) ->
+            |  acc + IF(array_contains(ka, x)
+            |           AND array_contains(kb, x), 1L, 0L)) * 1000
+            |  DIV size(slice(array_sort(array_union(ka, kb)), 1, 16))
+            |  AS BIGINT)""".stripMargin).as("est_milli"),
+          expr("""CAST(aggregate(fa, 0L, (acc, x) ->
+            |  acc + IF(array_contains(fb, x), 1L, 0L)) * 1000
+            |  DIV size(array_union(fa, fb)) AS BIGINT)"""
+            .stripMargin).as("exact_milli"))
+        .orderBy(col("est_milli").desc, col("sa"), col("sb"))
+        .limit(25)
+    },
+
+    // ---- q205: market-basket 2-itemsets (a-priori) ----------------
+    // Frequent part pairs across orders, with lift: the pair fanout
+    // is generated MAP-SIDE inside each order (combinations of the
+    // per-order item array, bounded by basket size — the same
+    // in-row expansion as q148's fingerprint buckets), so the only
+    // shuffles are the per-order collect and the pair count. The
+    // naive self-join the oracle states would shuffle the lineitem
+    // table against itself; at 100 TB the in-basket expansion is
+    // rows×(basket choose 2) map-side rows, collapsed by partial
+    // aggregation. Lift in exact milli from the part frequencies.
+    QueryDef(
+      "q205_basket_pairs",
+      """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey
+        |           FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS total FROM p),
+        |pf AS (SELECT l_partkey, count(*) AS df FROM p
+        |       GROUP BY l_partkey),
+        |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    count(*) AS support
+        |  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.p1, pr.p2, pr.support,
+        |  CAST(pr.support * n.total * 1000 // (fa.df * fb.df)
+        |    AS BIGINT) AS lift_milli
+        |FROM pr, n
+        |JOIN pf fa ON fa.l_partkey = pr.p1
+        |JOIN pf fb ON fb.l_partkey = pr.p2
+        |ORDER BY pr.support DESC, lift_milli DESC, pr.p1, pr.p2
+        |LIMIT 25""".stripMargin) { (s, d) =>
+      val p = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val total = p.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("total"))
+      val pf = p.groupBy(col("l_partkey")).agg(count(lit(1)).as("df"))
+      val pairs = p.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), y -> " +
+            "struct(x AS p1, y AS p2))))")).as("pp"))
+        .groupBy(col("pp.p1").as("p1"), col("pp.p2").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      pairs
+        .join(pf.select(col("l_partkey").as("p1"), col("df").as("dfa")),
+          Seq("p1"))
+        .join(pf.select(col("l_partkey").as("p2"), col("df").as("dfb")),
+          Seq("p2"))
+        .crossJoin(broadcast(total))
+        .select(col("p1"), col("p2"), col("support"),
+          expr("support * total * 1000 DIV (dfa * dfb)")
+            .as("lift_milli"))
+        .orderBy(col("support").desc, col("lift_milli").desc,
+          col("p1"), col("p2"))
+        .limit(25)
+    },
+
     // ---- q199: cross-source quantile normalization ----------------
     // Mixing corpora whose length/quality distributions differ
     // skews mixture weights; quantile normalization maps each doc's

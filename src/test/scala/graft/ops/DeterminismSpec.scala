@@ -111,7 +111,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q200_snapshot_asof",
     "q201_linkage_scores",
     "q202_bootstrap_ci",
-    "q203_expectations_audit")
+    "q203_expectations_audit",
+    "q204_kmv_source_similarity",
+    "q205_basket_pairs")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

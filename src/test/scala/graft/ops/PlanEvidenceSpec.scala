@@ -447,6 +447,16 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q205: basket pairs expand in-row; no lineitem self-join") {
+    val p = plan("q205_basket_pairs")
+    assert(p.contains("Generate explode"),
+      s"pair fanout must be the in-basket Generate:\n$p")
+    // the oracle's self-join shuffles lineitem against itself; the
+    // engine must join only the small pair/frequency relations
+    assert(!p.contains("SortMergeJoin Inner [l_orderkey"),
+      s"no lineitem self-join belongs in this plan:\n$p")
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
