@@ -91,6 +91,28 @@ object Analytics {
         greatest(col("a"), col("b")).as("d2"))
   }
 
+  /** q206's single SQL text — executed verbatim by spark.sql AND by
+    * the DuckDB oracle (ANSI subset: integer-cents sums, CASTs,
+    * row_number; no dialect-specific operator anywhere). */
+  private val sqlEntryText =
+    """WITH rev AS (
+      |  SELECT n.n_name, r.r_name,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  WHERE o.o_orderpriority = '1-URGENT'
+      |  GROUP BY n.n_name, r.r_name)
+      |SELECT r_name, n_name, rev_cents, rk FROM (
+      |  SELECT r_name, n_name, rev_cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+      |      ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rk
+      |  FROM rev) ranked
+      |WHERE rk <= 3 ORDER BY r_name, rk""".stripMargin
+
   /** Benford expected permille by leading digit — round(1000 *
     * log10(1 + 1/d)) precomputed so both engines compare identical
     * integer constants. */
@@ -1307,6 +1329,56 @@ object Analytics {
         .orderBy(col("support").desc, col("lift_milli").desc,
           col("p1"), col("p2"))
         .limit(25)
+    },
+
+    // ---- q206: the SQL entry point, one text for both engines -----
+    // A user of this library can stay entirely in SQL: register the
+    // tables as views and run ANSI text through spark.sql — the
+    // EXACT same string this QueryDef hands DuckDB as its oracle
+    // (one constant, zero translation; integer-cents arithmetic and
+    // CASTs keep the dialects byte-compatible). Catalyst plans it
+    // like any DataFrame query: joins broadcast, the window
+    // partitions by region, the rank prunes. Proof that the SQL
+    // surface and the DataFrame surface are the same engine.
+    QueryDef("q206_sql_entry", sqlEntryText) { (s, d) =>
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(sqlEntryText)
+    },
+
+    // ---- q207: k-anonymity audit ----------------------------------
+    // The privacy gate before a data release: quasi-identifier
+    // combinations (status, priority, order month) whose group size
+    // is below k=5 re-identify their members. One keyed count + one
+    // scalar rollup — auditing 10^11 rows costs one aggregation, and
+    // the violating-combo list (not emitted here) is the same
+    // relation pre-rollup.
+    QueryDef(
+      "q207_k_anonymity",
+      """WITH q AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |    year(o_orderdate) * 100 + month(o_orderdate) AS ym
+        |  FROM orders),
+        |g AS (SELECT st, pr, ym, count(*) AS n FROM q
+        |      GROUP BY st, pr, ym)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("ym"))
+        .groupBy(col("st"), col("pr"), col("ym"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("rows_at_risk"),
+          min(col("n")).as("min_group_size"))
     },
 
     // ---- q199: cross-source quantile normalization ----------------

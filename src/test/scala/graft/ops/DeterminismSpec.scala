@@ -113,7 +113,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q202_bootstrap_ci",
     "q203_expectations_audit",
     "q204_kmv_source_similarity",
-    "q205_basket_pairs")
+    "q205_basket_pairs",
+    "q206_sql_entry",
+    "q207_k_anonymity")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

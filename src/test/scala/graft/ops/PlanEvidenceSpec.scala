@@ -457,6 +457,14 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no lineitem self-join belongs in this plan:\n$p")
   }
 
+  test("q206: SQL-text entry plans broadcasts + rank pushdown like the DataFrame surface") {
+    val p = plan("q206_sql_entry")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dimension chain must broadcast from SQL text too:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rk <= 3 filter must push into the window:\n$p")
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
