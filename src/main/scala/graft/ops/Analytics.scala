@@ -1381,6 +1381,98 @@ object Analytics {
           min(col("n")).as("min_group_size"))
     },
 
+    // ---- q208: bitmap-index retention (roaring-style words) -------
+    // Day-over-day retention WITHOUT a distinct-pair shuffle: each
+    // day's active-user set packs into 32-bit presence words
+    // (word = user DIV 32, mask = 1 << (user % 32), one bit_or
+    // aggregation per (day, word)), and retention is popcount of the
+    // word-wise AND of consecutive days — a keyed equi-join on
+    // (word index) over relations whose size is users/32, not
+    // events. The bitmap is the mergeable artifact (bit_or is
+    // associative/commutative); at 10^9 users a day's bitmap is
+    // ~125 MB spread across word-keyed partitions, and every set
+    // operation (AND/OR/ANDNOT for churn) stays integer-exact.
+    QueryDef(
+      "q208_bitmap_retention",
+      s"""WITH a AS (SELECT DISTINCT ($tsSecSql // 86400) AS day,
+         |    user_id FROM events),
+         |w AS (SELECT day, user_id // 32 AS wi,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+         |      AS bits
+         |  FROM a GROUP BY day, (user_id // 32)),
+         |j AS (SELECT c.day, c.wi, c.bits AS cb, n.bits AS nb
+         |  FROM w c JOIN w n ON n.day = c.day + 1 AND n.wi = c.wi)
+         |SELECT c2.day,
+         |  CAST(sum(bit_count(c2.bits)) AS BIGINT) AS actives,
+         |  CAST(coalesce((SELECT sum(bit_count(j.cb & j.nb))
+         |    FROM j WHERE j.day = c2.day), 0) AS BIGINT) AS retained
+         |FROM w c2 GROUP BY c2.day ORDER BY c2.day""".stripMargin) {
+      (s, d) =>
+        val a = ev(s, d)
+          .select(expr("ts_sec DIV 86400").as("day"), col("user_id"))
+          .distinct()
+        val w = a
+          .groupBy(col("day"), expr("user_id DIV 32").as("wi"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))")
+            .as("bits"))
+          .cache()
+        val ret = w.select((col("day") - 1).as("day"), col("wi"),
+            col("bits").as("nb"))
+          .join(w.select(col("day"), col("wi"), col("bits").as("cb")),
+            Seq("day", "wi"))
+          .groupBy(col("day"))
+          .agg(sum(expr("bit_count(cb & nb)")).as("retained"))
+        w.groupBy(col("day"))
+          .agg(sum(expr("bit_count(bits)")).as("actives"))
+          .join(ret, Seq("day"), "left")
+          .select(col("day"), col("actives"),
+            coalesce(col("retained"), lit(0L)).as("retained"))
+          .orderBy(col("day"))
+    },
+
+    // ---- q209: join-size audit from frequency vectors -------------
+    // |A ⋈ B| on a key equals Σ_k cnt_A(k)·cnt_B(k) — computable
+    // from the two per-key count relations WITHOUT executing the
+    // join, the estimate a cost-based planner needs and the skew
+    // diagnosis a engineer needs (the top key's share of the join
+    // output predicts stragglers). Two keyed counts + one keyed
+    // join of count relations (key-cardinality-sized, not
+    // row-sized) + a broadcast total; the audit also verifies the
+    // prediction against the executed join's count(*).
+    QueryDef(
+      "q209_join_size_audit",
+      """WITH ca AS (SELECT o_custkey AS k, count(*) AS na
+        |            FROM orders GROUP BY o_custkey),
+        |cb AS (SELECT c_custkey AS k, count(*) AS nb
+        |       FROM customer GROUP BY c_custkey),
+        |contrib AS (SELECT ca.k, ca.na * cb.nb AS c
+        |            FROM ca JOIN cb ON cb.k = ca.k),
+        |pred AS (SELECT CAST(sum(c) AS BIGINT) AS predicted,
+        |                CAST(max(c) AS BIGINT) AS top_key
+        |         FROM contrib),
+        |act AS (SELECT count(*) AS actual FROM orders o
+        |        JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT p.predicted, a.actual, p.predicted = a.actual AS exact,
+        |  CAST(p.top_key * 1000 // p.predicted AS BIGINT)
+        |    AS top_key_permille
+        |FROM pred p, act a""".stripMargin) { (s, d) =>
+      val ca = orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val cb = customer(s, d).groupBy(col("c_custkey").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      val pred = ca.join(cb, Seq("k"))
+        .select((col("na") * col("nb")).as("c"))
+        .agg(sum(col("c")).as("predicted"), max(col("c")).as("top_key"))
+      val act = orders(s, d).select(col("o_custkey"))
+        .join(customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("actual"))
+      pred.crossJoin(broadcast(act))
+        .select(col("predicted"), col("actual"),
+          (col("predicted") === col("actual")).as("exact"),
+          expr("top_key * 1000 DIV predicted").as("top_key_permille"))
+    },
+
     // ---- q199: cross-source quantile normalization ----------------
     // Mixing corpora whose length/quality distributions differ
     // skews mixture weights; quantile normalization maps each doc's

@@ -115,7 +115,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q204_kmv_source_similarity",
     "q205_basket_pairs",
     "q206_sql_entry",
-    "q207_k_anonymity")
+    "q207_k_anonymity",
+    "q208_bitmap_retention",
+    "q209_join_size_audit")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {

@@ -465,6 +465,16 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the rk <= 3 filter must push into the window:\n$p")
   }
 
+  test("q208: retention joins word-keyed bitmap relations, not event rows") {
+    val p = plan("q208_bitmap_retention")
+    // the AND join must be keyed on (day, word) over the bit_or
+    // aggregate (cached) — never a join of the raw event stream
+    assert(p.contains("InMemoryTableScan"),
+      s"the bitmap relation must be cached and reused:\n$p")
+    assert(p.contains("bit_count") || p.contains("bit_or"),
+      s"bitmap ops must appear in the plan:\n$p")
+  }
+
   test("q180: dimension chain broadcasts; fact scan prunes to 4 columns") {
     val p = plan("q180_receivables_aging")
     assert(p.contains("BroadcastHashJoin"),
