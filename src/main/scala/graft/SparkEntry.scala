@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ CdcQueries.defs ++ Text.defs ++
       Vectors.defs ++ Multimodal.defs ++ OpsExtra.defs ++ Pipeline.defs ++
-      Scale.defs ++ Mining.defs ++ Curation.defs ++ Analytics.defs
+      Scale.defs ++ Mining.defs ++ Curation.defs ++ Analytics.defs ++
+      Signals.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * CDC snapshot materialization (latest-by-key, deletes dropped). */

@@ -1,0 +1,744 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 closing batch: graph/series/retrieval/governance operators
+  * that round out the surface — TextRank keyword extraction (the
+  * word-graph twin of q187's doc-graph PageRank), CUSUM changepoint
+  * detection (the drift-alarm sibling of q196's EWMA fold), exact
+  * phrase search over a positional inverted index (extends q71/q76
+  * term/BM25 retrieval), k-core decomposition (the degeneracy
+  * sibling of q160's triangle census), an l-diversity audit (the
+  * sensitive-attribute refinement of q207's k-anonymity gate), and
+  * Holt-Winters double-exponential smoothing (level+trend forecast
+  * on the q196 recurrence-fold template).
+  *
+  * Determinism conventions as everywhere else: exact integer
+  * arithmetic wherever accumulation order could matter, identical
+  * operand order in both engines, every computed oracle column CAST
+  * to BIGINT, and a deterministic total order on every output. Both
+  * engines truncate integer division toward zero (`DIV` / `//`),
+  * verified including negative dividends (Holt-Winters trends go
+  * negative).
+  */
+object Signals {
+  import Tables._
+
+  private val tsSecSql = "epoch(date_trunc('second', ts))::BIGINT"
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts_sec"),
+      round(col("value") * 100).cast("long").as("value_c"))
+
+  /** Integer-exact weighted PageRank over an undirected edge list
+    * `(u, v, w)` (each edge listed once): milli-ranks start at 1000,
+    * each of `iters` rounds is inflow = Σ (pr·w) DIV wdeg per
+    * neighbor then pr = 150 + 850·inflow DIV 1000 — the q187
+    * recurrence generalized to weights. Returns (tok, pr, wdeg). */
+  private[ops] def weightedPageRank(ew: DataFrame, iters: Int): DataFrame = {
+    val ed = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(ew.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+    val dg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val edd = ed.join(dg, "src").cache()
+    val nodes = ed.select(col("src").as("tok")).distinct().cache()
+    var r = nodes.select(col("tok"), lit(1000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = edd.join(r, edd("src") === r("tok"))
+        .select(col("dst"), expr("(pr * w) DIV wdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(inflow, col("tok") === col("dst"), "left")
+        .select(col("tok"),
+          (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
+            .as("pr"))
+    }
+    r.join(dg, r("tok") === dg("src"))
+      .select(col("tok"), col("pr"), col("wdeg"))
+  }
+
+  /** Fixed-round k-core peel over an undirected edge list `(a, b)`
+    * (each edge in BOTH directions): `rounds` iterations of
+    * "keep nodes whose degree among survivors ≥ k". Returns the
+    * surviving nodes with their last-round degree (n, deg). Fixed
+    * rounds — not a convergence probe — keep the plan static and
+    * both engines bit-agreed even mid-convergence. */
+  private[ops] def kcoreSurvivors(ed: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var surv = ed.select(col("a").as("n")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = ed
+        .join(surv.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("n").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+        // each round references `deg` twice (survivor filter + the
+        // next round's two semi-joins), so without truncation the
+        // lineage doubles per round — localCheckpoint keeps the plan
+        // O(1) per round, the q45/q102 iterative-graph recipe
+        .localCheckpoint(true)
+      surv = deg.filter(col("deg") >= k).select(col("n"))
+    }
+    surv.join(deg, Seq("n"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- q210: TextRank keyword extraction ------------------------
+    // Keywords as PageRank over the word co-occurrence graph
+    // (adjacent kept tokens, undirected, weight = corpus count) —
+    // Mihalcea & Tarau's TextRank, run with the same exact-integer
+    // milli-rank recurrence as q187 so the oracle is hash-identical.
+    // Scale shape: the corpus-sized work is ONE map-side bigram
+    // explode + keyed count; the iterations then run on the vocab
+    // graph, which is square-root-of-corpus small (Heaps' law) and
+    // broadcastable, so rank refinement costs vocab-edge joins, not
+    // corpus scans. Per-edge (pr·w) DIV wdeg terms make the sum
+    // order-independent.
+    QueryDef(
+      "q210_textrank_keywords",
+      { val iter = (k: Int) =>
+          s"""i$k AS (SELECT e.dst, sum((r.pr * e.w) // d.wdeg) AS s
+             |  FROM ed e JOIN r${k - 1} r ON r.tok = e.src
+             |  JOIN dg d ON d.src = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (SELECT n.tok,
+             |    150 + (850 * coalesce(i.s, 0)) // 1000 AS pr
+             |  FROM n0 n LEFT JOIN i$k i ON i.dst = n.tok)"""
+            .stripMargin
+        s"""WITH t AS (SELECT doc_id,
+           |    list_filter(${Text.toksSql}, x -> length(x) >= 4)
+           |      AS toks
+           |  FROM documents),
+           |bg AS (SELECT least(toks[i], toks[i+1]) AS u,
+           |    greatest(toks[i], toks[i+1]) AS v
+           |  FROM t, UNNEST(range(1, len(toks))) AS u0(i)
+           |  WHERE len(toks) >= 2 AND toks[i] <> toks[i+1]),
+           |ew AS (SELECT u, v, count(*) AS w FROM bg GROUP BY u, v),
+           |ed AS (SELECT u AS src, v AS dst, w FROM ew
+           |       UNION ALL SELECT v, u, w FROM ew),
+           |dg AS (SELECT src, sum(w) AS wdeg FROM ed GROUP BY src),
+           |n0 AS (SELECT DISTINCT src AS tok FROM ed),
+           |r0 AS (SELECT tok, CAST(1000 AS BIGINT) AS pr FROM n0),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT r.tok, CAST(r.pr AS BIGINT) AS pr_milli,
+           |  CAST(d.wdeg AS BIGINT) AS wdeg
+           |FROM r3 r JOIN dg d ON d.src = r.tok
+           |ORDER BY pr_milli DESC, r.tok LIMIT 15""".stripMargin
+      }) { (s, d) =>
+      val t = Text.withToks(s, d)
+        .select(expr("filter(toks, x -> length(x) >= 4)").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val ew = t
+        .select(explode(expr(
+          """transform(sequence(0, size(toks)-2),
+            |  i -> struct(toks[i] AS a, toks[i+1] AS b))"""
+            .stripMargin)).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(least(col("p.a"), col("p.b")).as("u"),
+          greatest(col("p.a"), col("p.b")).as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+      weightedPageRank(ew, 3)
+        .select(col("tok"), col("pr").as("pr_milli"), col("wdeg"))
+        .orderBy(col("pr_milli").desc, col("tok"))
+        .limit(15)
+    },
+
+    // ---- q211: CUSUM changepoint detection ------------------------
+    // One-sided CUSUM over dense daily revenue series:
+    // s_i = max(0, s_{i-1} + x_i - mu - mu/20), the standard
+    // drift alarm (Page 1954) — a per-key linear recurrence with a
+    // clamp, folded exactly like q196's EWMA: one keyed daily
+    // aggregation, a broadcast spine, then aggregate() over the
+    // BOUNDED per-key series. The oracle's recursive CTE computes
+    // the identical integer recurrence. Output: the 20 highest-drift
+    // (type, day) points. At 100 TB state is series-length per key
+    // and 10^6 series fold in parallel; nothing recursive crosses a
+    // shuffle.
+    QueryDef(
+      "q211_cusum_changepoint",
+      s"""WITH RECURSIVE e AS (SELECT event_type,
+         |    $tsSecSql // 86400 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |daily AS (SELECT event_type, day,
+         |    CAST(sum(value_c) AS BIGINT) AS x
+         |  FROM e GROUP BY event_type, day),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         |spine AS (SELECT t.event_type, u.dd AS day
+         |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+         |       UNNEST(range(b.d0, b.d1 + 1)) AS u(dd)),
+         |ser AS (SELECT s.event_type, s.day, coalesce(d.x, 0) AS x,
+         |    row_number() OVER (PARTITION BY s.event_type
+         |                       ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN daily d
+         |    ON d.event_type = s.event_type AND d.day = s.day),
+         |m AS (SELECT event_type, sum(x) // count(*) AS mu
+         |      FROM ser GROUP BY event_type),
+         |cu AS (SELECT s.event_type, s.day, s.x, s.rn,
+         |         greatest(0, s.x - m.mu - m.mu // 20) AS c
+         |       FROM ser s JOIN m ON m.event_type = s.event_type
+         |       WHERE s.rn = 1
+         |       UNION ALL
+         |       SELECT s.event_type, s.day, s.x, s.rn,
+         |         greatest(0, w.c + s.x - m.mu - m.mu // 20)
+         |       FROM ser s JOIN cu w ON w.event_type = s.event_type
+         |        AND s.rn = w.rn + 1
+         |       JOIN m ON m.event_type = s.event_type)
+         |SELECT event_type, day, x AS total_c,
+         |       CAST(c AS BIGINT) AS cusum_c
+         |FROM cu ORDER BY cusum_c DESC, event_type, day
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), expr("ts_sec DIV 86400").as("day"),
+          col("value_c"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value_c")).as("x"))
+      val bounds = e.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("arr"))
+        .withColumn("mu",
+          expr("aggregate(arr, 0L, (a, s) -> a + s.x) DIV size(arr)"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(arr,
+            |  cast(array() as array<struct<day:bigint,x:bigint,c:bigint>>),
+            |  (acc, s) -> acc || array(struct(s.day AS day, s.x AS x,
+            |    greatest(0L, IF(size(acc) = 0, 0L,
+            |        element_at(acc, -1).c) + s.x - mu - mu DIV 20)
+            |      AS c)))""".stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.x").as("total_c"), col("r.c").as("cusum_c"))
+        .orderBy(col("cusum_c").desc, col("event_type"), col("day"))
+        .limit(20)
+    },
+
+    // ---- q212: exact phrase search (positional postings) ----------
+    // Phrase queries need POSITIONS, not the bag-of-words index
+    // q71/q76 use: postings carry (term, doc, pos) and a 2-term
+    // phrase match is an equi-join on (doc, pos+1). The postings
+    // relation is filtered to the queried terms BEFORE the join (the
+    // broadcast term set prunes the explode output map-side), so at
+    // corpus scale the join touches queried-term postings only —
+    // the classic positional-inverted-index lookup, never a
+    // substring scan of the corpus. Top-3 docs per phrase via rank
+    // pushdown (WindowGroupLimit).
+    QueryDef(
+      "q212_phrase_search",
+      s"""WITH t AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |  FROM documents),
+         |po AS (SELECT doc_id, toks[i] AS tok, i AS pos
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |ph AS (SELECT * FROM (VALUES
+         |    ('stream spark', 'stream', 'spark'),
+         |    ('hash scan', 'hash', 'scan'),
+         |    ('order sort', 'order', 'sort'),
+         |    ('batch stream', 'batch', 'stream'),
+         |    ('window window', 'window', 'window'))
+         |  v(phrase, t1, t2)),
+         |m AS (SELECT ph.phrase, a.doc_id, count(*) AS n_occ
+         |  FROM ph
+         |  JOIN po a ON a.tok = ph.t1
+         |  JOIN po b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |   AND b.tok = ph.t2
+         |  GROUP BY ph.phrase, a.doc_id)
+         |SELECT phrase, rk, doc_id, n_occ FROM (
+         |  SELECT phrase, doc_id, n_occ, row_number() OVER (
+         |      PARTITION BY phrase ORDER BY n_occ DESC, doc_id) AS rk
+         |  FROM m)
+         |WHERE rk <= 3 ORDER BY phrase, rk""".stripMargin) { (s, d) =>
+      val phrases = Seq(
+        ("stream spark", "stream", "spark"),
+        ("hash scan", "hash", "scan"),
+        ("order sort", "order", "sort"),
+        ("batch stream", "batch", "stream"),
+        ("window window", "window", "window"))
+      val terms = phrases.flatMap(p => Seq(p._2, p._3)).distinct
+      import s.implicits._
+      val ph = phrases.toDF("phrase", "t1", "t2")
+      val po = Text.withToks(s, d)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin(terms: _*))
+        .cache()
+      val m = broadcast(ph)
+        .join(po.select(col("doc_id"), col("tok").as("t1"),
+          col("pos").as("p1")), Seq("t1"))
+        .join(po.select(col("doc_id"), col("tok").as("t2"),
+          col("pos").as("p2")), Seq("doc_id", "t2"))
+        .filter(col("p2") === col("p1") + 1)
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+      m.select(col("phrase"), col("doc_id"), col("n_occ"),
+          row_number().over(Window.partitionBy(col("phrase"))
+            .orderBy(col("n_occ").desc, col("doc_id"))).as("rk"))
+        .filter(col("rk") <= 3)
+        .select(col("phrase"), col("rk"), col("doc_id"), col("n_occ"))
+        .orderBy(col("phrase"), col("rk"))
+    },
+
+    // ---- q213: k-core decomposition (2-core, fixed rounds) --------
+    // The graph-degeneracy gate over the near-dup graph: repeatedly
+    // strip nodes of degree < 2 until only the 2-core remains —
+    // nodes in cycles, the dense heart the chain/star periphery
+    // hangs off (complements q160's triangle census and q135's
+    // chain audit). Both engines run EXACTLY 6 peel rounds (fixed
+    // rounds, not convergence probes, so plans are static and the
+    // engines agree even mid-convergence); each round is a keyed
+    // semi-join restriction + degree count on the current edge set
+    // — the O(peel-depth) sequence of keyed aggregations that
+    // replaces any node-at-a-time peeling at scale.
+    QueryDef(
+      "q213_kcore",
+      { // every round's CTEs are MATERIALIZED: each s/d pair is
+        // referenced twice downstream, and DuckDB's default inlining
+        // would re-evaluate the whole prefix 2^rounds times (measured:
+        // the un-hinted form never finishes even at sf0.001)
+        val iter = (k: Int) =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT e.a AS n, count(*) AS deg FROM ed e
+             |  JOIN s${k - 1} x ON x.n = e.a
+             |  JOIN s${k - 1} y ON y.n = e.b
+             |  GROUP BY e.a),
+             |s$k AS MATERIALIZED (SELECT n FROM d$k WHERE deg >= 2)"""
+            .stripMargin
+        s"""WITH shingles AS (${Text.shinglesSql}),
+           |${Text.jaccardPairsSql},
+           |eb AS MATERIALIZED (SELECT d1, d2 FROM jpairs),
+           |ed AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM eb
+           |       UNION ALL SELECT d2, d1 FROM eb),
+           |s0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM ed),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |${iter(4)},
+           |${iter(5)},
+           |${iter(6)}
+           |SELECT s.n AS doc_id, CAST(d.deg AS BIGINT) AS core_deg
+           |FROM s6 s JOIN d6 d ON d.n = s.n
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val jp = Text.jaccardPairs(s, d)
+      val ed = jp.select(col("d1").as("a"), col("d2").as("b"))
+        .unionAll(jp.select(col("d2").as("a"), col("d1").as("b")))
+        .cache()
+      kcoreSurvivors(ed, 2, 6)
+        .select(col("n").as("doc_id"), col("deg").as("core_deg"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q214: l-diversity audit ----------------------------------
+    // k-anonymity (q207) bounds group SIZE; l-diversity bounds what
+    // a group reveals: every quasi-identifier group must contain at
+    // least l distinct values of the SENSITIVE attribute, else the
+    // QI combination discloses the secret outright (Machanavajjhala
+    // et al.). QI = (nation, market segment); sensitive = account
+    // balance in thousand-currency buckets; l = 4. One keyed
+    // count-distinct — the whole audit is a single aggregation over
+    // the release candidate at any scale. Output: the 20
+    // least-diverse groups with their disclosure flag.
+    QueryDef(
+      "q214_l_diversity",
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS sv
+        |  FROM customer),
+        |g AS (SELECT nat, seg, count(*) AS n,
+        |    count(DISTINCT sv) AS ndv
+        |  FROM q GROUP BY nat, seg)
+        |SELECT nat, seg, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(ndv AS BIGINT) AS n_sensitive,
+        |  ndv >= 4 AS diverse
+        |FROM g ORDER BY ndv, nat, seg LIMIT 20""".stripMargin) {
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_nationkey").as("nat"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+              .as("sv"))
+          .groupBy(col("nat"), col("seg"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("sv")).as("n_sensitive"))
+          .select(col("nat"), col("seg"), col("n_rows"),
+            col("n_sensitive"), (col("n_sensitive") >= 4).as("diverse"))
+          .orderBy(col("n_sensitive"), col("nat"), col("seg"))
+          .limit(20)
+    },
+
+    // ---- q215: Holt-Winters double-exponential forecast -----------
+    // Level+trend smoothing (alpha=0.3, beta=0.1 in milli units):
+    // l_i = (300·x_i + 700·(l+t)) DIV 1000,
+    // t_i = (100·(l_i - l_{i-1}) + 900·t_{i-1}) DIV 1000,
+    // forecast = l + t — the per-key recurrence-fold template
+    // (q196/q211) carrying a two-field state struct. Trends go
+    // NEGATIVE on declining series, which is why the engines'
+    // truncate-toward-zero division agreement matters (verified:
+    // both `-7 DIV 2` and `-7 // 2` = -3). Same scale shape as
+    // q196: one keyed daily aggregation + bounded per-key folds.
+    QueryDef(
+      "q215_holt_forecast",
+      s"""WITH RECURSIVE e AS (SELECT event_type,
+         |    $tsSecSql // 86400 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |daily AS (SELECT event_type, day,
+         |    CAST(sum(value_c) AS BIGINT) AS x
+         |  FROM e GROUP BY event_type, day),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         |spine AS (SELECT t.event_type, u.dd AS day
+         |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+         |       UNNEST(range(b.d0, b.d1 + 1)) AS u(dd)),
+         |ser AS (SELECT s.event_type, s.day, coalesce(d.x, 0) AS x,
+         |    row_number() OVER (PARTITION BY s.event_type
+         |                       ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN daily d
+         |    ON d.event_type = s.event_type AND d.day = s.day),
+         |hw AS (SELECT event_type, day, x, rn, x AS lvl,
+         |         CAST(0 AS BIGINT) AS tr
+         |       FROM ser WHERE rn = 1
+         |       UNION ALL
+         |       SELECT s.event_type, s.day, s.x, s.rn,
+         |         (300 * s.x + 700 * (w.lvl + w.tr)) // 1000,
+         |         (100 * ((300 * s.x + 700 * (w.lvl + w.tr)) // 1000
+         |            - w.lvl) + 900 * w.tr) // 1000
+         |       FROM ser s JOIN hw w ON w.event_type = s.event_type
+         |        AND s.rn = w.rn + 1)
+         |SELECT event_type, day, x AS total_c,
+         |  CAST(lvl AS BIGINT) AS level_c, CAST(tr AS BIGINT) AS trend_c,
+         |  CAST(lvl + tr AS BIGINT) AS forecast_c
+         |FROM hw ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), expr("ts_sec DIV 86400").as("day"),
+          col("value_c"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value_c")).as("x"))
+      val bounds = e.agg(min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("arr"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(arr,
+            |  cast(array() as
+            |    array<struct<day:bigint,x:bigint,lvl:bigint,tr:bigint>>),
+            |  (acc, s) -> acc || array(IF(size(acc) = 0,
+            |    struct(s.day AS day, s.x AS x, s.x AS lvl, 0L AS tr),
+            |    struct(s.day AS day, s.x AS x,
+            |      (300 * s.x + 700 * (element_at(acc, -1).lvl
+            |        + element_at(acc, -1).tr)) DIV 1000 AS lvl,
+            |      (100 * ((300 * s.x + 700 * (element_at(acc, -1).lvl
+            |          + element_at(acc, -1).tr)) DIV 1000
+            |        - element_at(acc, -1).lvl)
+            |       + 900 * element_at(acc, -1).tr) DIV 1000 AS tr))))"""
+            .stripMargin)).as("r"))
+        .select(col("event_type"), col("r.day").as("day"),
+          col("r.x").as("total_c"), col("r.lvl").as("level_c"),
+          col("r.tr").as("trend_c"),
+          (col("r.lvl") + col("r.tr")).as("forecast_c"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- q216: curriculum ordering (decile interleave) ------------
+    // Training-order scheduling: score every doc (distinct-token
+    // ratio in milli — the cheap difficulty proxy), decile it
+    // WITHIN its language shard, then emit the round-robin
+    // interleave (one doc per decile per round) so each training
+    // window sees the shard's full difficulty distribution while
+    // the within-decile order stays easy-to-hard. Every window is
+    // PARTITIONED (lang, lang×decile) — there is no global sort
+    // anywhere, which is exactly how a 100 TB curriculum shards:
+    // schedule per partition key, concatenate shards at load time.
+    // Output: the first 6 schedule slots per language.
+    QueryDef(
+      "q216_curriculum_order",
+      s"""WITH t AS (SELECT doc_id, lang, ${Text.toksSql} AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    len(list_distinct(toks)) * 1000 // len(toks)
+         |      AS score_milli
+         |  FROM t WHERE len(toks) > 0),
+         |dec AS (SELECT doc_id, lang, score_milli,
+         |    ntile(10) OVER (PARTITION BY lang
+         |      ORDER BY score_milli, doc_id) AS decile
+         |  FROM sc),
+         |rr AS (SELECT doc_id, lang, score_milli, decile,
+         |    row_number() OVER (PARTITION BY lang, decile
+         |      ORDER BY score_milli, doc_id) AS rwd
+         |  FROM dec),
+         |sched AS (SELECT lang, doc_id, decile, score_milli,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY rwd, decile) AS pos
+         |  FROM rr)
+         |SELECT lang, CAST(pos AS BIGINT) AS pos, doc_id,
+         |  CAST(decile AS BIGINT) AS decile,
+         |  CAST(score_milli AS BIGINT) AS score_milli
+         |FROM sched WHERE pos <= 6 ORDER BY lang, pos""".stripMargin) {
+      (s, d) =>
+        val sc = Text.withToks(s, d)
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("lang"),
+            expr("size(array_distinct(toks)) * 1000 DIV size(toks)")
+              .as("score_milli"))
+        val dec = sc.withColumn("decile",
+          ntile(10).over(Window.partitionBy(col("lang"))
+            .orderBy(col("score_milli"), col("doc_id"))))
+        dec.withColumn("rwd",
+            row_number().over(
+              Window.partitionBy(col("lang"), col("decile"))
+                .orderBy(col("score_milli"), col("doc_id"))))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy(col("lang"))
+              .orderBy(col("rwd"), col("decile"))))
+          .filter(col("pos") <= 6)
+          .select(col("lang"), col("pos").cast("long").as("pos"),
+            col("doc_id"), col("decile").cast("long").as("decile"),
+            col("score_milli"))
+          .orderBy(col("lang"), col("pos"))
+    },
+
+    // ---- q217: A/B experiment readout (deterministic assignment) --
+    // Experimentation over the event stream: users are assigned to
+    // arms by a salted hash of their id (the industry-standard
+    // deterministic bucketing — no assignment table to join, any
+    // node recomputes the arm), and the readout is one keyed
+    // aggregation: exposure, conversion per-mille, revenue-per-user
+    // milli-cents. Everything integer-exact; at 10^11 events the
+    // whole readout is two aggregations (user rollup, arm rollup).
+    QueryDef(
+      "q217_ab_uplift",
+      { val h = Text.h32Sql("'exp1:' || CAST(user_id AS VARCHAR)")
+        s"""WITH r AS (SELECT user_id,
+           |    sum(CASE WHEN event_type = 'purchase'
+           |        THEN CAST(round(value * 100) AS BIGINT)
+           |        ELSE 0 END) AS rev_c,
+           |    sum(CASE WHEN event_type = 'purchase' THEN 1
+           |        ELSE 0 END) AS n_purch
+           |  FROM events GROUP BY user_id),
+           |u AS (SELECT user_id, ($h) % 2 AS arm, rev_c, n_purch
+           |      FROM r)
+           |SELECT CAST(arm AS BIGINT) AS arm,
+           |  count(*) AS n_users,
+           |  CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS converted,
+           |  CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+           |  CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) * 1000
+           |    // count(*) AS BIGINT) AS conv_permille,
+           |  CAST(sum(rev_c) * 1000 // count(*) AS BIGINT)
+           |    AS rev_per_user_milli
+           |FROM u GROUP BY arm ORDER BY arm""".stripMargin
+      }) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", col("value_c"))
+            .otherwise(0L)).as("rev_c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+        .withColumn("arm",
+          expr("md5_h32(concat('exp1:', CAST(user_id AS STRING))) % 2"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_purch") > 0, 1L).otherwise(0L))
+            .as("converted"),
+          sum(col("rev_c")).as("revenue_c"))
+        .select(col("arm"), col("n_users"), col("converted"),
+          col("revenue_c"),
+          expr("converted * 1000 DIV n_users").as("conv_permille"),
+          expr("revenue_c * 1000 DIV n_users").as("rev_per_user_milli"))
+        .orderBy(col("arm"))
+    },
+
+    // ---- q218: entity resolution end-to-end (golden records) ------
+    // The full ER pipeline composed from parts the surface already
+    // proves: candidate pairs from the blocked near-dup graph,
+    // Fellegi-Sunter-style match scores (q201's weights), scored
+    // edges >= 1500 milli, then SIX fixed rounds of min-label
+    // propagation to form entities and a canonical-record pick per
+    // entity (longest doc, ties to the smallest id). Fixed rounds —
+    // both engines run the identical recurrence, so the output is
+    // bit-agreed even if a pathological chain hasn't converged; the
+    // oracle CTEs are MATERIALIZED (each round is referenced twice,
+    // and DuckDB's default inlining would re-evaluate the prefix
+    // 2^rounds times). Only multi-member entities are emitted.
+    QueryDef(
+      "q218_entity_golden",
+      { val iter = (k: Int) =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT l.node, least(l.lbl, coalesce(m.mn, l.lbl)) AS lbl
+             |  FROM l${k - 1} l LEFT JOIN (
+             |    SELECT e.a AS node, min(x.lbl) AS mn
+             |    FROM ed e JOIN l${k - 1} x ON x.node = e.b
+             |    GROUP BY e.a) m ON m.node = l.node)""".stripMargin
+        s"""WITH shingles AS (${Text.shinglesSql}),
+           |${Text.jaccardPairsSql},
+           |attrs AS (SELECT doc_id, lang, source, n_chars
+           |          FROM documents),
+           |scored AS (SELECT p.d1, p.d2 FROM jpairs p
+           |  JOIN attrs a ON a.doc_id = p.d1
+           |  JOIN attrs b ON b.doc_id = p.d2
+           |  WHERE CASE WHEN a.lang = b.lang THEN 850 ELSE -520 END +
+           |    CASE WHEN a.source = b.source THEN 1320 ELSE -180 END +
+           |    CASE WHEN 10 * abs(a.n_chars - b.n_chars) <=
+           |         a.n_chars + b.n_chars THEN 640 ELSE -410 END +
+           |    (p.inter * 1000 // (p.na + p.nb - p.inter)) >= 1500),
+           |ed AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM scored
+           |       UNION ALL SELECT d2, d1 FROM scored),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT a AS node, a AS lbl FROM ed),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)},
+           |${iter(4)},
+           |${iter(5)},
+           |${iter(6)},
+           |g AS (SELECT l.lbl AS entity_id, l.node, a.n_chars, a.lang
+           |      FROM l6 l JOIN attrs a ON a.doc_id = l.node),
+           |pick AS (SELECT entity_id, node, n_chars,
+           |    row_number() OVER (PARTITION BY entity_id
+           |      ORDER BY n_chars DESC, node) AS rk
+           |  FROM g)
+           |SELECT g.entity_id, count(*) AS n_members,
+           |  CAST(count(DISTINCT g.lang) AS BIGINT) AS n_langs,
+           |  max(CASE WHEN p.rk = 1 THEN p.node END) AS canonical_doc,
+           |  CAST(max(CASE WHEN p.rk = 1 THEN p.n_chars END)
+           |    AS BIGINT) AS canonical_chars
+           |FROM g JOIN pick p ON p.entity_id = g.entity_id
+           | AND p.node = g.node
+           |GROUP BY g.entity_id HAVING count(*) >= 2
+           |ORDER BY g.entity_id""".stripMargin
+      }) { (s, d) =>
+      val attrs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+      val scored = Text.jaccardPairs(s, d)
+        .join(attrs.select(col("doc_id").as("d1"),
+          col("lang").as("la"), col("source").as("sa"),
+          col("n_chars").as("ca")), Seq("d1"))
+        .join(attrs.select(col("doc_id").as("d2"),
+          col("lang").as("lb"), col("source").as("sb"),
+          col("n_chars").as("cb")), Seq("d2"))
+        .filter(
+          (when(col("la") === col("lb"), 850L).otherwise(-520L) +
+            when(col("sa") === col("sb"), 1320L).otherwise(-180L) +
+            when(abs(col("ca") - col("cb")) * 10 <=
+              col("ca") + col("cb"), 640L).otherwise(-410L) +
+            expr("inter * 1000 DIV (na + nb - inter)")) >= 1500)
+        .select(col("d1"), col("d2"))
+      val ed = scored.select(col("d1").as("a"), col("d2").as("b"))
+        .unionAll(scored.select(col("d2").as("a"), col("d1").as("b")))
+        .cache()
+      var l = ed.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 6) {
+        val mn = ed.join(l.select(col("node").as("b"),
+            col("lbl").as("xl")), Seq("b"))
+          .groupBy(col("a").as("node")).agg(min(col("xl")).as("mn"))
+        l = l.join(mn, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("mn"), col("lbl")))
+              .as("lbl"))
+          .localCheckpoint(true)
+      }
+      val g = l.join(attrs, l("node") === attrs("doc_id"))
+        .select(col("lbl").as("entity_id"), col("node"),
+          col("n_chars"), col("lang"))
+      val pick = g.select(col("entity_id"), col("node"),
+          col("n_chars"),
+          row_number().over(Window.partitionBy(col("entity_id"))
+            .orderBy(col("n_chars").desc, col("node"))).as("rk"))
+      g.join(pick.select(col("entity_id"), col("node"), col("rk"),
+          col("n_chars").as("pc")), Seq("entity_id", "node"))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(when(col("rk") === 1, col("node"))).as("canonical_doc"),
+          max(when(col("rk") === 1, col("pc"))).as("canonical_chars"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("entity_id"))
+    },
+
+    // ---- q219: kNN classifier audit (5-NN majority vote) ----------
+    // The classification twin of q29's retrieval arm: held-out
+    // queries (vec_id < 40) classified by majority vote of their 5
+    // nearest training neighbors (vec_id >= 40), ties to the
+    // smallest label. The exact-audit arm broadcasts the bounded
+    // query set against the collection — the indexed IVF arms
+    // (q30/q116) are the corpus-scale path, this is the recall/
+    // quality gate run on a sample. Vote counting is one keyed
+    // aggregation over queries×5 rows.
+    QueryDef(
+      "q219_knn_classifier",
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    ${Vectors.dotSql("v", "v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+         |    nrm AS qn FROM n WHERE vec_id < 40),
+         |c AS (SELECT vec_id AS cid, label AS clabel, v, nrm
+         |      FROM n WHERE vec_id >= 40),
+         |p AS (SELECT qid, qlabel, cid, clabel,
+         |    round(${Vectors.dotSql("qv", "c.v")} /
+         |      (sqrt(qn) * sqrt(c.nrm)), 6) AS score
+         |  FROM q JOIN c ON true),
+         |top AS (SELECT qid, qlabel, clabel FROM (
+         |    SELECT qid, qlabel, clabel, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rn
+         |    FROM p) WHERE rn <= 5),
+         |votes AS (SELECT qid, qlabel, clabel, count(*) AS nv
+         |          FROM top GROUP BY qid, qlabel, clabel)
+         |SELECT qid, CAST(qlabel AS BIGINT) AS true_label,
+         |  CAST(clabel AS BIGINT) AS pred_label,
+         |  CAST(nv AS BIGINT) AS votes,
+         |  qlabel = clabel AS correct
+         |FROM (SELECT qid, qlabel, clabel, nv, row_number() OVER (
+         |    PARTITION BY qid ORDER BY nv DESC, clabel) AS rk
+         |  FROM votes)
+         |WHERE rk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val n = Vectors.prepared(s, d)
+      val q = n.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val cand = n.filter(col("vec_id") >= 40)
+        .select(col("vec_id").as("cid"), col("label").as("clabel"),
+          col("v"), col("nrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      cand.crossJoin(broadcast(q))
+        .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+          round(Vectors.dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("qid"), col("qlabel"), col("clabel"))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("nv").desc, col("clabel"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("qlabel").cast("long").as("true_label"),
+          col("clabel").cast("long").as("pred_label"), col("nv").as("votes"),
+          (col("qlabel") === col("clabel")).as("correct"))
+        .orderBy(col("qid"))
+    })
+}

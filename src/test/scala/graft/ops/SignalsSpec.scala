@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernels behind the Signals batch (q210-q215), exercised on
+  * topologies and series the corpus never produces: the weighted
+  * PageRank recurrence, the fixed-round k-core peel, the CUSUM /
+  * Holt-Winters integer folds re-derived sequentially in Scala, and
+  * phrase-count semantics for overlapping matches. */
+class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-signals-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def byName(n: String) =
+    graft.SparkEntry.queries(n)(spark, sf)
+
+  test("weighted PageRank: star center outranks leaves; " +
+    "symmetric pair ties") {
+    val s = spark; import s.implicits._
+    // star: center c joined to 4 leaves with weight 1
+    val star = Seq(("c", "l1", 1L), ("c", "l2", 1L), ("c", "l3", 1L),
+      ("c", "l4", 1L)).toDF("u", "v", "w")
+    val pr = Signals.weightedPageRank(star, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("c") > pr("l1"))
+    assert(pr("l1") == pr("l2") && pr("l2") == pr("l3"))
+    // single symmetric edge: both endpoints identical rank
+    val pair = Seq(("a", "b", 7L)).toDF("u", "v", "w")
+    val p2 = Signals.weightedPageRank(pair, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p2("a") == p2("b"))
+  }
+
+  test("k-core peel: cycle survives, pendant chain and isolated " +
+    "edge peel away") {
+    val s = spark; import s.implicits._
+    // 4-cycle 1-2-3-4 plus pendant chain 4-5-6 plus isolated edge 8-9
+    val undirected = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L,
+      4L -> 5L, 5L -> 6L, 8L -> 9L)
+    val ed = undirected.toDF("a", "b")
+      .unionAll(undirected.map(_.swap).toDF("a", "b"))
+    val core = Signals.kcoreSurvivors(ed, 2, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 2L))
+    // k=3 on the same graph: nothing survives (max degree in core is 2)
+    assert(Signals.kcoreSurvivors(ed, 3, 6).count() == 0L)
+  }
+
+  test("CUSUM fold matches a sequential Scala recurrence") {
+    val rows = byName("q211_cusum_changepoint").collect()
+    assert(rows.length == 20)
+    // recompute the full series per type from the events table and
+    // fold sequentially; every reported (type, day, cusum) must match
+    val e = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), expr("ts_sec DIV 86400").as("day"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("x"))
+      .collect()
+      .groupBy(_.getString(0))
+    val expected = e.flatMap { case (t, rs) =>
+      val m = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val days = m.keys.min to m.keys.max
+      val xs = days.map(d => d -> m.getOrElse(d, 0L))
+      val mu = xs.map(_._2).sum / xs.size
+      var c = 0L
+      xs.map { case (d, x) =>
+        c = math.max(0L, c + x - mu - mu / 20)
+        (t, d) -> (x, c)
+      }
+    }
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(expected(key) == ((r.getLong(2), r.getLong(3))),
+        s"mismatch at $key")
+    }
+  }
+
+  test("Holt-Winters fold matches a sequential Scala recurrence " +
+    "including negative trends") {
+    val rows = byName("q215_holt_forecast").collect()
+    assert(rows.nonEmpty)
+    val series = rows.groupBy(_.getString(0))
+    var sawNegativeTrend = false
+    series.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      var lvl = 0L; var tr = 0L
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2)
+        if (i == 0) { lvl = x; tr = 0L }
+        else {
+          val nl = (300 * x + 700 * (lvl + tr)) / 1000
+          tr = (100 * (nl - lvl) + 900 * tr) / 1000
+          lvl = nl
+        }
+        if (tr < 0) sawNegativeTrend = true
+        assert(r.getLong(3) == lvl && r.getLong(4) == tr &&
+          r.getLong(5) == lvl + tr,
+          s"day ${r.getLong(1)}: got (${r.getLong(3)},${r.getLong(4)})" +
+            s" want ($lvl,$tr)")
+      }
+    }
+    assert(sawNegativeTrend,
+      "series never exercised the negative-trend division path")
+  }
+
+  test("phrase search counts overlapping occurrences per doc") {
+    val out = byName("q212_phrase_search").collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val Array(t1, t2) = r.getString(0).split(" ")
+      val toks = docs(r.getLong(2)).toLowerCase
+        .split("[^a-z]+").filter(_.nonEmpty)
+      val n = toks.sliding(2).count(w =>
+        w.length == 2 && w(0) == t1 && w(1) == t2)
+      assert(n == r.getLong(3),
+        s"${r.getString(0)} doc ${r.getLong(2)}: scan=$n got=${r.getLong(3)}")
+    }
+  }
+}
