@@ -59,6 +59,28 @@ object Signals {
       .select(col("tok"), col("pr"), col("wdeg"))
   }
 
+  /** Fixed-round min-label propagation over an undirected edge list
+    * `(a, b)` (each edge in BOTH directions): every node starts
+    * labeled with its own id; each round takes the min of its label
+    * and its neighbors' labels. After `rounds` rounds components of
+    * diameter ≤ rounds carry their minimum id. Fixed rounds keep
+    * both engines bit-agreed even on unconverged chains. Returns
+    * (node, lbl). */
+  private[ops] def minLabelProp(ed: DataFrame, rounds: Int): DataFrame = {
+    var l = ed.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val mn = ed.join(l.select(col("node").as("b"),
+          col("lbl").as("xl")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("xl")).as("mn"))
+      l = l.join(mn, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    l
+  }
+
   /** Fixed-round k-core peel over an undirected edge list `(a, b)`
     * (each edge in BOTH directions): `rounds` iterations of
     * "keep nodes whose degree among survivors ≥ k". Returns the
@@ -647,18 +669,7 @@ object Signals {
       val ed = scored.select(col("d1").as("a"), col("d2").as("b"))
         .unionAll(scored.select(col("d2").as("a"), col("d1").as("b")))
         .cache()
-      var l = ed.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 6) {
-        val mn = ed.join(l.select(col("node").as("b"),
-            col("lbl").as("xl")), Seq("b"))
-          .groupBy(col("a").as("node")).agg(min(col("xl")).as("mn"))
-        l = l.join(mn, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("mn"), col("lbl")))
-              .as("lbl"))
-          .localCheckpoint(true)
-      }
+      val l = minLabelProp(ed, 6)
       val g = l.join(attrs, l("node") === attrs("doc_id"))
         .select(col("lbl").as("entity_id"), col("node"),
           col("n_chars"), col("lang"))
@@ -740,5 +751,136 @@ object Signals {
           col("clabel").cast("long").as("pred_label"), col("nv").as("votes"),
           (col("qlabel") === col("clabel")).as("correct"))
         .orderBy(col("qid"))
+    },
+
+    // ---- q220: CUPED variance-reduced experiment readout ----------
+    // The modern experimentation readout (Deng et al. 2013): each
+    // user's PRE-period revenue x is the control covariate for their
+    // POST-period revenue y; theta = cov(x,y)/var(x) estimated
+    // pooled, adjusted arm mean = mean_y - theta*(mean_x_arm -
+    // mean_x). Moments come from the q112/q70 exact-integer recipe —
+    // 128-bit sums of (x, y, xy, x²), one keyed partial+final agg,
+    // then a SINGLE identical double-op sequence, so partition order
+    // can't move the result. The period split is the midpoint of the
+    // day range (one broadcast 1-row bounds agg). At 10^11 events:
+    // one user rollup + one arm rollup + a broadcast pooled row.
+    QueryDef(
+      "q220_cuped_adjustment",
+      { val h = Text.h32Sql("'exp1:' || CAST(user_id AS VARCHAR)")
+        s"""WITH e AS (SELECT user_id, event_type,
+           |    $tsSecSql // 86400 AS day,
+           |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+           |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+           |u AS (SELECT user_id,
+           |    sum(CASE WHEN event_type = 'purchase' AND day < b.mid
+           |        THEN vc ELSE 0 END) AS x,
+           |    sum(CASE WHEN event_type = 'purchase' AND day >= b.mid
+           |        THEN vc ELSE 0 END) AS y
+           |  FROM e, b GROUP BY user_id),
+           |a AS (SELECT user_id, ($h) % 2 AS arm, x, y FROM u),
+           |p AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    sum(CAST(x AS HUGEINT)) AS sx,
+           |    sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM a),
+           |g AS (SELECT arm, count(*) AS na,
+           |    sum(CAST(x AS HUGEINT)) AS sxa,
+           |    sum(CAST(y AS HUGEINT)) AS sya FROM a GROUP BY arm)
+           |SELECT CAST(arm AS BIGINT) AS arm,
+           |  CAST(na AS BIGINT) AS n_users,
+           |  CAST(floor(1000.0 * (CAST(sya AS DOUBLE)
+           |    / CAST(na AS DOUBLE))) AS BIGINT) AS y_mean_milli,
+           |  CAST(floor(1000000.0 *
+           |    (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+           |     / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)))
+           |    AS BIGINT) AS theta_micro,
+           |  CAST(floor(1000.0 * (CAST(sya AS DOUBLE)
+           |      / CAST(na AS DOUBLE)
+           |    - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+           |       / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+           |      * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+           |         - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))))
+           |    AS BIGINT) AS adj_mean_milli
+           |FROM g, p ORDER BY arm""".stripMargin
+      }) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val d38 = "decimal(38,0)"
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        expr("ts_sec DIV 86400").as("day"), col("value_c").as("vc"))
+      val bounds = e.agg(
+        expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+      val u = e.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("day") < col("mid"), col("vc")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" &&
+            col("day") >= col("mid"), col("vc")).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          expr("md5_h32(concat('exp1:', CAST(user_id AS STRING))) % 2"))
+        .cache()
+      val p = u.agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"))
+      val g = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("na"),
+          sum(col("x").cast(d38)).as("sxa"),
+          sum(col("y").cast(d38)).as("sya"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      g.crossJoin(broadcast(p))
+        .select(col("arm"), col("na").as("n_users"),
+          floor(lit(1000.0) * (col("sya").cast("double") /
+            col("na").cast("double"))).cast("long").as("y_mean_milli"),
+          floor(lit(1000000.0) * theta).cast("long").as("theta_micro"),
+          floor(lit(1000.0) * (col("sya").cast("double") /
+              col("na").cast("double") -
+            theta * (col("sxa").cast("double") /
+                col("na").cast("double") -
+              col("sx").cast("double") / col("n").cast("double"))))
+            .cast("long").as("adj_mean_milli"))
+        .orderBy(col("arm"))
+    },
+
+    // ---- q221: sample-ratio-mismatch guardrail --------------------
+    // The experimentation trust gate: if daily active users split
+    // away from 50/50, the assignment (or logging) is broken and no
+    // readout can be trusted. Per-day chi-square against the even
+    // split reduces to (n0-n1)²/(n0+n1) — exact in micro units, one
+    // distinct + one keyed aggregation at any scale. Output: the 10
+    // most suspicious days.
+    QueryDef(
+      "q221_srm_check",
+      { val h = Text.h32Sql("'exp1:' || CAST(user_id AS VARCHAR)")
+        s"""WITH e AS (SELECT DISTINCT $tsSecSql // 86400 AS day,
+           |    user_id FROM events),
+           |a AS (SELECT day, ($h) % 2 AS arm FROM e),
+           |g AS (SELECT day,
+           |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+           |  FROM a GROUP BY day)
+           |SELECT day, CAST(n0 AS BIGINT) AS n0,
+           |  CAST(n1 AS BIGINT) AS n1,
+           |  CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1)
+           |    AS BIGINT) AS chi2_micro
+           |FROM g ORDER BY chi2_micro DESC, day LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      ev(s, d)
+        .select(expr("ts_sec DIV 86400").as("day"), col("user_id"))
+        .distinct()
+        .withColumn("arm",
+          expr("md5_h32(concat('exp1:', CAST(user_id AS STRING))) % 2"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("day"), col("n0"), col("n1"),
+          expr("(n0 - n1) * (n0 - n1) * 1000000 DIV (n0 + n1)")
+            .as("chi2_micro"))
+        .orderBy(col("chi2_micro").desc, col("day"))
+        .limit(10)
     })
 }

@@ -123,6 +123,65 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "series never exercised the negative-trend division path")
   }
 
+  test("min-label propagation: fixed rounds converge within the " +
+    "round budget and stay deterministic beyond it") {
+    val s = spark; import s.implicits._
+    // chain 1-2-...-9: distance from node 9 to the min is 8 > 6
+    // rounds, so 9 must NOT yet carry label 1 (fixed-round
+    // semantics), while nodes within 6 hops must
+    val chain = (1L until 9L).map(i => i -> (i + 1))
+    val ed = chain.toDF("a", "b")
+      .unionAll(chain.map(_.swap).toDF("a", "b"))
+    val l6 = Signals.minLabelProp(ed, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(l6(_) == 1L))
+    assert(l6(9L) == 3L) // min label within 6 hops of 9 is 3, not yet 1
+    // two more rounds finish the chain
+    val l8 = Signals.minLabelProp(ed, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(l8(_) == 1L))
+    // disjoint triangles stay separate
+    val tri = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val ed2 = tri.toDF("a", "b")
+      .unionAll(tri.map(_.swap).toDF("a", "b"))
+    val lt = Signals.minLabelProp(ed2, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("CUPED readout: pooled theta is shared and the adjustment " +
+    "conserves the overall mean") {
+    val rows = byName("q220_cuped_adjustment").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L))
+    val thetas = rows.map(_.getLong(3)).toSet
+    assert(thetas.size == 1, s"theta differs per arm: $thetas")
+    // sum_arm na*(adj - raw) = -theta * sum_arm na*(mean_x_arm -
+    // mean_x) = 0 exactly before flooring; allow 1 milli per user
+    // of floor slack
+    val drift = rows.map(r =>
+      r.getLong(1) * (r.getLong(4) - r.getLong(2))).sum
+    val nTotal = rows.map(_.getLong(1)).sum
+    assert(math.abs(drift) <= nTotal,
+      s"adjustment moved the pooled mean: drift=$drift n=$nTotal")
+  }
+
+  test("SRM check: per-day arm counts partition the day's actives") {
+    val rows = byName("q221_srm_check").collect()
+    assert(rows.length == 10)
+    val perDay = Tables.events(spark, sf)
+      .select(expr("ts_sec DIV 86400").as("day"), col("user_id"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perDay(r.getLong(0)))
+      val (n0, n1, n) = (r.getLong(1), r.getLong(2),
+        r.getLong(1) + r.getLong(2))
+      assert(r.getLong(3) == (n0 - n1) * (n0 - n1) * 1000000L / n)
+    }
+  }
+
   test("phrase search counts overlapping occurrences per doc") {
     val out = byName("q212_phrase_search").collect()
     assert(out.nonEmpty)
