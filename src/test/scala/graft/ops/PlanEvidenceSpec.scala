@@ -482,4 +482,35 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("o_orderpriority"),
       s"the orders scan must prune unused columns:\n$p")
   }
+
+  test("q212: phrase join broadcasts the query terms; top-3 prunes " +
+    "through WindowGroupLimit") {
+    val p = plan("q212_phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row phrase relation must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-phrase top-3 must rank-push:\n$p")
+  }
+
+  test("q217/q221: experiment readouts are pure keyed aggregations " +
+    "(no join, no window)") {
+    for (q <- Seq("q217_ab_uplift", "q221_srm_check")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(p.contains("HashAggregate"), s"$q must hash-aggregate:\n$p")
+    }
+  }
+
+  test("q220: CUPED pooled-stats row broadcasts against the arm rollup") {
+    val p = plan("q220_cuped_adjustment")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row pooled moments must broadcast:\n$p")
+  }
+
+  test("q210: bigram edge weights partial-aggregate before the shuffle") {
+    val p = plan("q210_textrank_keywords")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"edge counting must map-side combine:\n$p")
+  }
 }
