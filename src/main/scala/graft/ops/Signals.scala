@@ -882,5 +882,133 @@ object Signals {
             .as("chi2_micro"))
         .orderBy(col("chi2_micro").desc, col("day"))
         .limit(10)
+    },
+
+    // ---- q222: window funnel (ordered steps, bounded span) --------
+    // The sequence-match funnel: signup → later click → later
+    // purchase, the WHOLE chain within 24 h of the signup —
+    // earliest-chain (greedy) semantics. q89/q20 count stage
+    // membership; this matches ORDER and a time bound. No recursion
+    // and no per-user window sort: each stage is "min event time
+    // strictly after the previous stage's time", i.e. one keyed
+    // conditional aggregation per stage — three user-keyed shuffles
+    // total at any scale. Greedy minimality makes the bound check
+    // exact: if the earliest qualifying chain leaves the window, no
+    // chain is inside it.
+    QueryDef(
+      "q222_window_funnel",
+      s"""WITH e AS (SELECT user_id, event_type, $tsSecSql AS ts
+         |  FROM events
+         |  WHERE event_type IN ('signup', 'click', 'purchase')),
+         |a1 AS (SELECT user_id, min(ts) AS s1 FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |a2 AS (SELECT e.user_id, a1.s1, min(e.ts) AS s2
+         |  FROM e JOIN a1 ON a1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > a1.s1
+         |  GROUP BY e.user_id, a1.s1),
+         |a3 AS (SELECT e.user_id, a2.s1, a2.s2, min(e.ts) AS s3
+         |  FROM e JOIN a2 ON a2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > a2.s2
+         |  GROUP BY e.user_id, a2.s1, a2.s2),
+         |d AS (SELECT a1.user_id,
+         |    CASE
+         |      WHEN a3.s3 IS NOT NULL AND a3.s3 - a1.s1 <= 86400
+         |        THEN 3
+         |      WHEN a2.s2 IS NOT NULL AND a2.s2 - a1.s1 <= 86400
+         |        THEN 2
+         |      ELSE 1 END AS depth,
+         |    CASE
+         |      WHEN a3.s3 IS NOT NULL AND a3.s3 - a1.s1 <= 86400
+         |        THEN a3.s3 - a1.s1
+         |      WHEN a2.s2 IS NOT NULL AND a2.s2 - a1.s1 <= 86400
+         |        THEN a2.s2 - a1.s1
+         |      ELSE 0 END AS elapsed
+         |  FROM a1 LEFT JOIN a2 ON a2.user_id = a1.user_id
+         |  LEFT JOIN a3 ON a3.user_id = a1.user_id)
+         |SELECT CAST(depth AS BIGINT) AS depth,
+         |  count(*) AS n_users,
+         |  CAST(sum(elapsed) // count(*) AS BIGINT)
+         |    AS mean_elapsed_sec
+         |FROM d GROUP BY depth ORDER BY depth""".stripMargin) {
+      (s, d) =>
+        val e = ev(s, d)
+          .filter(col("event_type").isin("signup", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            col("ts_sec").as("ts"))
+        val a1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s1"))
+        val a2 = e.filter(col("event_type") === "click")
+          .join(a1, Seq("user_id"))
+          .filter(col("ts") > col("s1"))
+          .groupBy(col("user_id"), col("s1"))
+          .agg(min(col("ts")).as("s2"))
+        val a3 = e.filter(col("event_type") === "purchase")
+          .join(a2, Seq("user_id"))
+          .filter(col("ts") > col("s2"))
+          .groupBy(col("user_id"), col("s1"), col("s2"))
+          .agg(min(col("ts")).as("s3"))
+        a1.join(a2.select(col("user_id"), col("s2")), Seq("user_id"),
+            "left")
+          .join(a3.select(col("user_id"), col("s3")), Seq("user_id"),
+            "left")
+          .select(
+            when(col("s3").isNotNull &&
+              col("s3") - col("s1") <= 86400, 3L)
+              .when(col("s2").isNotNull &&
+                col("s2") - col("s1") <= 86400, 2L)
+              .otherwise(1L).as("depth"),
+            when(col("s3").isNotNull &&
+              col("s3") - col("s1") <= 86400, col("s3") - col("s1"))
+              .when(col("s2").isNotNull &&
+                col("s2") - col("s1") <= 86400, col("s2") - col("s1"))
+              .otherwise(0L).as("elapsed"))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_users"),
+            expr("sum(elapsed) DIV count(1)").as("mean_elapsed_sec"))
+          .orderBy(col("depth"))
+    },
+
+    // ---- q223: dataset card (one-pass per-source summary) ---------
+    // The release artifact every curated corpus ships with: per
+    // source — document and token volume, language spread, exact-
+    // duplicate rate, mean difficulty score. Everything reduces in
+    // ONE source-keyed aggregation over the shared token index
+    // (count(DISTINCT) for fingerprints/langs, integer sums for the
+    // rest); at 100 TB this is the cheapest query in the suite, and
+    // the fingerprint distinct-count is the only state that grows
+    // with the corpus (swap in the q204 KMV sketch when it must not).
+    QueryDef(
+      "q223_dataset_card",
+      s"""WITH t AS (SELECT doc_id, source, lang, text,
+         |    ${Text.toksSql} AS toks FROM documents),
+         |p AS (SELECT source, lang, md5(text) AS fp, len(toks) AS n_toks,
+         |    CASE WHEN len(toks) > 0
+         |      THEN len(list_distinct(toks)) * 1000 // len(toks)
+         |      ELSE 0 END AS score
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST((count(*) - count(DISTINCT fp)) * 1000 // count(*)
+         |    AS BIGINT) AS dup_permille,
+         |  CAST(sum(score) // count(*) AS BIGINT) AS mean_score_milli
+         |FROM p GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        documents(s, d)
+          .select(col("source"), col("lang"), md5(col("text")).as("fp"),
+            Text.toksCol.as("toks"))
+          .select(col("source"), col("lang"), col("fp"),
+            size(col("toks")).as("n_toks"),
+            when(size(col("toks")) > 0,
+              expr("size(array_distinct(toks)) * 1000 DIV size(toks)"))
+              .otherwise(0L).as("score"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            expr("(count(1) - count(DISTINCT fp)) * 1000 DIV count(1)")
+              .as("dup_permille"),
+            expr("sum(score) DIV count(1)").as("mean_score_milli"))
+          .orderBy(col("source"))
     })
 }

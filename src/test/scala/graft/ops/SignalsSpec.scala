@@ -182,6 +182,36 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("window funnel matches a sequential greedy-chain scan") {
+    val rows = byName("q222_window_funnel").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val depths = events.values.flatMap { es =>
+      val s1s = es.filter(_._2 == "signup").map(_._3)
+      if (s1s.isEmpty) None
+      else {
+        val s1 = s1s.min
+        val s2 = es.filter(e => e._2 == "click" && e._3 > s1)
+          .map(_._3).minOption
+        val s3 = s2.flatMap(c => es.filter(e =>
+          e._2 == "purchase" && e._3 > c).map(_._3).minOption)
+        Some(
+          if (s3.exists(_ - s1 <= 86400)) (3L, s3.get - s1)
+          else if (s2.exists(_ - s1 <= 86400)) (2L, s2.get - s1)
+          else (1L, 0L))
+      }
+    }.toSeq
+    val expected = depths.groupBy(_._1).map { case (dep, xs) =>
+      dep -> (xs.size.toLong, xs.map(_._2).sum / xs.size)
+    }
+    assert(rows == expected)
+  }
+
   test("phrase search counts overlapping occurrences per doc") {
     val out = byName("q212_phrase_search").collect()
     assert(out.nonEmpty)
