@@ -1010,5 +1010,122 @@ object Signals {
               .as("dup_permille"),
             expr("sum(score) DIV count(1)").as("mean_score_milli"))
           .orderBy(col("source"))
+    },
+
+    // ---- q224: point-in-time SCD2 lookup join ---------------------
+    // The consumer side of q120's SCD2 build: facts (purchases) join
+    // the dimension version that was valid WHEN THE FACT HAPPENED —
+    // the point-in-time-correct feature lookup that prevents feature
+    // leakage in training data. Versions are keyed intervals
+    // [valid_from, valid_to) from the profile-change stream (signup
+    // opens, view refreshes, error deletes — a delete closes without
+    // opening, so facts in the gap match nothing and surface as
+    // dim_op 'none'). The join is user-keyed with the interval as a
+    // RESIDUAL predicate: per-user version counts bound the fan-out,
+    // intervals are disjoint so each fact matches at most one
+    // version — one keyed shuffle at any scale, never a range
+    // cross-product.
+    QueryDef(
+      "q224_pit_feature_join",
+      s"""WITH c AS (SELECT user_id, event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS value_c,
+         |    CASE event_type WHEN 'signup' THEN 'insert'
+         |      WHEN 'error' THEN 'delete' ELSE 'update' END AS op
+         |  FROM events),
+         |dim AS (SELECT user_id, op, value_c, event_id AS valid_from,
+         |    coalesce(lead(event_id) OVER (PARTITION BY user_id
+         |        ORDER BY event_id), 9223372036854775807) AS valid_to
+         |  FROM c WHERE event_type IN ('signup', 'view', 'error')),
+         |f AS (SELECT user_id, event_id, value_c FROM c
+         |      WHERE event_type = 'purchase')
+         |SELECT coalesce(d.op, 'none') AS dim_op,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(f.value_c) AS BIGINT) AS purchases_value_c,
+         |  CAST(coalesce(sum(d.value_c), 0) AS BIGINT) AS dim_value_c
+         |FROM f LEFT JOIN dim d ON d.user_id = f.user_id
+         |  AND d.valid_from < f.event_id AND f.event_id < d.valid_to
+         |  AND d.op <> 'delete'
+         |GROUP BY coalesce(d.op, 'none')
+         |ORDER BY dim_op""".stripMargin) { (s, d) =>
+      val c = ev(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value_c"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update").as("op"))
+      val dim = c
+        .filter(col("event_type").isin("signup", "view", "error"))
+        .select(col("user_id").as("du"), col("op").as("dop"),
+          col("value_c").as("dv"), col("event_id").as("valid_from"),
+          coalesce(lead(col("event_id"), 1)
+              .over(Window.partitionBy(col("user_id"))
+                .orderBy(col("event_id"))),
+            lit(Long.MaxValue)).as("valid_to"))
+        .filter(col("dop") =!= "delete")
+      c.filter(col("event_type") === "purchase")
+        .drop("op")
+        .join(dim,
+          col("du") === col("user_id") &&
+            col("valid_from") < col("event_id") &&
+            col("event_id") < col("valid_to"), "left")
+        .groupBy(coalesce(col("dop"), lit("none")).as("dim_op"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value_c")).as("purchases_value_c"),
+          coalesce(sum(col("dv")), lit(0L)).as("dim_value_c"))
+        .orderBy(col("dim_op"))
+    },
+
+    // ---- q225: one-way ANOVA from exact moments -------------------
+    // Does purchase value differ by event type more than within-type
+    // noise explains? F = (SSB/(k-1)) / (SSW/(N-k)) with every sum
+    // of squares assembled from 128-bit exact per-group moments
+    // (n, Σy, Σy²). The cross terms Σ s_g²/n_g floor per group in
+    // exact integers (deterministic regardless of group order —
+    // summing per-group DOUBLES here would make the result depend on
+    // which group merges first), and only the final F ratio runs in
+    // doubles, in one identical op sequence. One keyed agg + one
+    // scalar agg at any scale.
+    QueryDef(
+      "q225_anova_event_values",
+      s"""WITH y AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS sv,
+         |    sum(CAST(v AS HUGEINT) * v) AS ssv
+         |  FROM y GROUP BY event_type),
+         |t AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(n) AS nn,
+         |    sum(sv) AS s, sum(ssv) AS ss,
+         |    sum((sv * sv) // n) AS a
+         |  FROM g)
+         |SELECT CAST(k AS BIGINT) AS n_groups,
+         |  CAST(nn AS BIGINT) AS n_rows,
+         |  CAST(a - (s * s) // nn AS BIGINT) AS ssb_c2,
+         |  CAST(ss - a AS BIGINT) AS ssw_c2,
+         |  CAST(floor(1000.0 *
+         |    (CAST(a - (s * s) // nn AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+         |    / (CAST(ss - a AS DOUBLE) / CAST(nn - k AS DOUBLE)))
+         |    AS BIGINT) AS f_milli
+         |FROM t""".stripMargin) { (s, d) =>
+      val d38 = "decimal(38,0)"
+      ev(s, d)
+        .select(col("event_type"), col("value_c").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("v").cast(d38)).as("sv"),
+          sum(col("v").cast(d38) * col("v")).as("ssv"))
+        .agg(count(lit(1)).cast(d38).as("k"), sum(col("n")).as("nn"),
+          sum(col("sv")).as("s"), sum(col("ssv")).as("ss"),
+          sum(expr("CAST(sv * sv AS decimal(38,0)) div n")
+            .cast(d38)).as("a"))
+        .select(col("k").cast("long").as("n_groups"),
+          col("nn").cast("long").as("n_rows"),
+          (col("a") - expr("CAST(s * s AS decimal(38,0)) div nn"))
+            .cast("long").as("ssb_c2"),
+          (col("ss") - col("a")).cast("long").as("ssw_c2"),
+          floor(lit(1000.0) *
+            ((col("a") - expr("CAST(s * s AS decimal(38,0)) div nn"))
+              .cast("double") / (col("k") - 1).cast("double")) /
+            ((col("ss") - col("a")).cast("double") /
+              (col("nn") - col("k")).cast("double")))
+            .cast("long").as("f_milli"))
     })
 }

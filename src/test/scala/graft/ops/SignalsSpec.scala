@@ -212,6 +212,37 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == expected)
   }
 
+  test("PIT lookup attributes each purchase to the version open at " +
+    "its event id (brute-force scan)") {
+    val out = byName("q224_pit_feature_join").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val es = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val byUser = es.groupBy(_._1)
+    val rows = es.filter(_._3 == "purchase").map { case (u, eid, _, vc) =>
+      // the open version: latest profile event strictly before eid
+      val prof = byUser(u).filter(e =>
+        Set("signup", "view", "error")(e._3) && e._2 < eid)
+      val op = if (prof.isEmpty) "none"
+      else prof.maxBy(_._2)._3 match {
+        case "signup" => "insert"
+        case "error" => "none" // deleted: matches nothing
+        case _ => "update"
+      }
+      val dv = if (op == "none") 0L else prof.maxBy(_._2)._4
+      (op, vc, dv)
+    }
+    val expected = rows.groupBy(_._1).map { case (op, xs) =>
+      op -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    assert(out == expected)
+  }
+
   test("phrase search counts overlapping occurrences per doc") {
     val out = byName("q212_phrase_search").collect()
     assert(out.nonEmpty)
