@@ -1127,5 +1127,88 @@ object Signals {
             ((col("ss") - col("a")).cast("double") /
               (col("nn") - col("k")).cast("double")))
             .cast("long").as("f_milli"))
+    },
+
+    // ---- q226: feature hashing (the hashing trick) ----------------
+    // Fixed-width featurization with NO vocabulary table: tokens
+    // hash into 64 buckets (md5-derived, engine-identical), the
+    // feature space is CONSTANT regardless of corpus vocabulary —
+    // the property that makes the hashing trick the only
+    // vocabulary-free featurizer at 100 TB (no vocab broadcast, no
+    // OOV path). Reported per language: occupancy, collision load
+    // (distinct tokens per bucket) and the heaviest bucket — the
+    // stats that size the width choice. One keyed agg over the
+    // memoized term-frequency index.
+    QueryDef(
+      "q226_feature_hashing",
+      { val h = Text.h32Sql("tok")
+        s"""WITH tf AS (SELECT doc_id, lang, tok, count(*) AS tf
+           |  FROM (SELECT doc_id, lang, unnest(${Text.toksSql}) AS tok
+           |        FROM documents)
+           |  GROUP BY doc_id, lang, tok),
+           |b AS (SELECT lang, tok, ($h) % 64 AS bucket,
+           |    sum(tf) AS cnt
+           |  FROM tf GROUP BY lang, tok),
+           |g AS (SELECT lang, bucket, count(*) AS n_tokens,
+           |    CAST(sum(cnt) AS BIGINT) AS load
+           |  FROM b GROUP BY lang, bucket)
+           |SELECT lang, count(*) AS n_buckets_used,
+           |  CAST(max(n_tokens) AS BIGINT) AS max_tokens_per_bucket,
+           |  CAST(max(load) AS BIGINT) AS max_bucket_load,
+           |  CAST(sum(CASE WHEN n_tokens > 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_colliding_buckets
+           |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      Text.docTermFreq(s, d)
+        .groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tf")).as("cnt"))
+        .withColumn("bucket", expr("md5_h32(tok) % 64"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("load"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_buckets_used"),
+          max(col("n_tokens")).as("max_tokens_per_bucket"),
+          max(col("load")).as("max_bucket_load"),
+          sum(when(col("n_tokens") > 1, 1L).otherwise(0L))
+            .as("n_colliding_buckets"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- q227: smoothed target encoding ---------------------------
+    // Category → m-estimate-smoothed mean target (Micci-Barreca):
+    // enc = (Σ target + m·global_mean) / (n + m), m = 20 — the
+    // leakage-prone feature-engineering step done RIGHT at scale:
+    // one keyed agg per category + a broadcast 1-row global mean,
+    // exact integer milli-cents throughout (the global mean floors
+    // once, deterministically, before smoothing). Rare categories
+    // shrink toward the prior; the output is the encoder table a
+    // training pipeline broadcasts back onto the fact stream.
+    QueryDef(
+      "q227_target_encoding",
+      """WITH o AS (SELECT o_orderpriority AS cat,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS t
+        |  FROM orders),
+        |gm AS (SELECT CAST(sum(t) * 1000 // count(*) AS BIGINT)
+        |         AS gmean_milli FROM o),
+        |c AS (SELECT cat, count(*) AS n, sum(t) AS st FROM o
+        |      GROUP BY cat)
+        |SELECT c.cat, CAST(c.n AS BIGINT) AS n_orders,
+        |  CAST(c.st * 1000 // c.n AS BIGINT) AS raw_mean_milli,
+        |  CAST((c.st * 1000 + 20 * gm.gmean_milli) // (c.n + 20)
+        |    AS BIGINT) AS enc_milli
+        |FROM c, gm ORDER BY c.cat""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select(col("o_orderpriority").as("cat"),
+        round(col("o_totalprice") * 100).cast("long").as("t"))
+      val gm = o.agg(expr("sum(t) * 1000 DIV count(1)")
+        .as("gmean_milli"))
+      o.groupBy(col("cat"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("t")).as("st"))
+        .crossJoin(broadcast(gm))
+        .select(col("cat"), col("n_orders"),
+          expr("st * 1000 DIV n_orders").as("raw_mean_milli"),
+          expr("(st * 1000 + 20 * gmean_milli) DIV (n_orders + 20)")
+            .as("enc_milli"))
+        .orderBy(col("cat"))
     })
 }
