@@ -1210,5 +1210,70 @@ object Signals {
           expr("(st * 1000 + 20 * gmean_milli) DIV (n_orders + 20)")
             .as("enc_milli"))
         .orderBy(col("cat"))
+    },
+
+    // ---- q228: gains/lift table (model evaluation) ----------------
+    // Does pre-period spend predict post-period conversion? The
+    // gains table a modeler reads before shipping a score: users
+    // bucket by predictor magnitude (integer bit length — the q72
+    // trick, no float log, no global-sort deciles), and cumulative
+    // lift descends from the top bucket. The cumulative sweep is a
+    // triangle self-join over the ~20-row broadcast bucket relation
+    // (the q137 recipe) — constant work at any corpus size; the
+    // corpus pays one user rollup + one bucket rollup.
+    QueryDef(
+      "q228_gains_table",
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    $tsSecSql // 86400 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+         |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+         |u AS (SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' AND day < b.mid
+         |        THEN vc ELSE 0 END) AS x,
+         |    max(CASE WHEN event_type = 'purchase' AND day >= b.mid
+         |        THEN 1 ELSE 0 END) AS conv
+         |  FROM e, b GROUP BY user_id),
+         |g AS (SELECT CAST(length(bin(x)) AS BIGINT) AS bucket,
+         |    count(*) AS n, sum(conv) AS nc
+         |  FROM u GROUP BY bucket),
+         |t AS (SELECT sum(n) AS tn, sum(nc) AS tc FROM g),
+         |c AS (SELECT a.bucket, a.n, a.nc,
+         |    sum(b2.n) AS cum_n, sum(b2.nc) AS cum_nc
+         |  FROM g a JOIN g b2 ON b2.bucket >= a.bucket
+         |  GROUP BY a.bucket, a.n, a.nc)
+         |SELECT c.bucket, CAST(c.n AS BIGINT) AS n_users,
+         |  CAST(c.nc AS BIGINT) AS n_conv,
+         |  CAST(c.cum_n AS BIGINT) AS cum_users,
+         |  CAST(c.cum_nc AS BIGINT) AS cum_conv,
+         |  CAST(c.cum_nc * t.tn * 1000 // (c.cum_n * t.tc) AS BIGINT)
+         |    AS cum_lift_milli
+         |FROM c, t ORDER BY c.bucket DESC""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        expr("ts_sec DIV 86400").as("day"), col("value_c").as("vc"))
+      val bounds = e.agg(
+        expr("(min(day) + max(day) + 1) DIV 2").as("mid"))
+      val g = e.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("day") < col("mid"), col("vc")).otherwise(0L)).as("x"),
+          max(when(col("event_type") === "purchase" &&
+            col("day") >= col("mid"), 1L).otherwise(0L)).as("conv"))
+        .groupBy(length(bin(col("x"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+        .cache()
+      val t = g.agg(sum(col("n")).as("tn"), sum(col("nc")).as("tc"))
+      g.join(broadcast(g.select(col("bucket").as("b2"),
+          col("n").as("n2"), col("nc").as("nc2"))),
+          col("b2") >= col("bucket"))
+        .groupBy(col("bucket"), col("n"), col("nc"))
+        .agg(sum(col("n2")).as("cum_n"), sum(col("nc2")).as("cum_nc"))
+        .crossJoin(broadcast(t))
+        .select(col("bucket"), col("n").as("n_users"),
+          col("nc").as("n_conv"), col("cum_n").as("cum_users"),
+          col("cum_nc").as("cum_conv"),
+          expr("cum_nc * tn * 1000 DIV (cum_n * tc)")
+            .as("cum_lift_milli"))
+        .orderBy(col("bucket").desc)
     })
 }
