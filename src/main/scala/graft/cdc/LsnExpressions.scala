@@ -157,6 +157,16 @@ object GraftFunctions {
   def longest_repeat(c: Column): Column =
     call_function("longest_repeat", c)
 
+  /** Codegen'd Bloom-filter probe: `bf` is a binary literal holding a
+    * serialized `org.apache.spark.util.sketch.BloomFilter`, `key` a
+    * LongType column. Resolves to Spark's native
+    * `BloomFilterMightContain` (the expression its runtime bloom
+    * filter rewrite injects), so the probe stays inside whole-stage
+    * codegen — unlike a Scala UDF, which would break the codegen span
+    * on the fact-table scan it is meant to cheapen. */
+  def bloom_might_contain(bf: Column, key: Column): Column =
+    call_function("bloom_might_contain", bf, key)
+
   /** Make the functions callable from SQL: format_lsn(x), ...
     * Each function registers independently iff its name is absent, so
     * a partially-populated registry (an older build, a user override)
@@ -180,6 +190,9 @@ object GraftFunctions {
     ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
     ensure("jump_shard", exprs => JumpShardExpr(exprs(0), exprs(1)))
     ensure("longest_repeat", exprs => LongestRepeatExpr(exprs.head))
+    ensure("bloom_might_contain", exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   }
 }
 

@@ -347,11 +347,23 @@ object Mining {
       // bitmap.
       val nUrgent = math.max(urgent.count(), 1024L)
       val bf = urgent.stat.bloomFilter("o_orderkey", nUrgent, 0.01)
-      val bfBc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+      // Probe via Spark's native BloomFilterMightContain expression
+      // (binary-literal filter + doGenCode), not a Scala UDF: the
+      // probe sits on the fact-table scan, and a UDF there would
+      // split the whole-stage-codegen span the filter exists to keep
+      // cheap. The serialized bitmap (~18 KB at 1% fpp here) rides
+      // the plan as a constant, exactly like the literal Spark's own
+      // runtime-bloom-filter rewrite injects.
+      val bfBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      graft.cdc.GraftFunctions.register(s)
       lineitem(s, d).select(col("l_orderkey"), col("l_returnflag"),
           col("l_quantity"))
-        .filter(mightContain(col("l_orderkey")))
+        .filter(graft.cdc.GraftFunctions.bloom_might_contain(
+          lit(bfBytes), col("l_orderkey")))
         .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),

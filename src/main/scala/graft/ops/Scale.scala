@@ -794,8 +794,10 @@ object Scale {
         |bins AS (SELECT source, bin, count(*) AS n_files,
         |    sum(n_chars) AS bin_chars
         |  FROM b GROUP BY source, bin)
-        |SELECT source, count(*) AS n_bins, sum(n_files) AS n_files,
-        |  sum(bin_chars) AS total_chars, max(bin_chars) AS max_bin_chars,
+        |SELECT source, count(*) AS n_bins,
+        |  CAST(sum(n_files) AS BIGINT) AS n_files,
+        |  CAST(sum(bin_chars) AS BIGINT) AS total_chars,
+        |  CAST(max(bin_chars) AS BIGINT) AS max_bin_chars,
         |  CAST(sum(bin_chars) * 100 // (count(*) * 2000) AS BIGINT)
         |    AS fill_pct
         |FROM bins GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>

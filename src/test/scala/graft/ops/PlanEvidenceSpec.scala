@@ -65,6 +65,14 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"snapshot scan reads every column:\n$p")
   }
 
+  test("q87: bloom probe is the native codegen expression, not a UDF") {
+    val p = plan("q87_bloom_pruned_join")
+    assert(p.contains("might_contain"),
+      s"expected native BloomFilterMightContain probe in:\n$p")
+    // the probe must not break the codegen span on the fact scan
+    assert(!p.contains("UDF"), s"scala UDF on the probe path:\n$p")
+  }
+
   test("q01: aggregation is partial+final (map-side combine present)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
