@@ -31,12 +31,44 @@ object TypedRefinement {
     StructField("x", DoubleType),
     StructField("y", DoubleType)))
 
+  /** PG inet/cidr → (addr, masklen); inet host form has no '/mask'
+    * suffix, so masklen is null there (cidr always carries one). */
+  val InetStruct: StructType = StructType(Seq(
+    StructField("addr", StringType),
+    StructField("masklen", IntegerType)))
+
+  /** range type OID → subtype OID (pg_range catalog pairs). */
+  val RangeElemOid: Map[Int, Int] = Map(
+    3904 -> 23,   // int4range
+    3926 -> 20,   // int8range
+    3906 -> 1700, // numrange
+    3912 -> 1082, // daterange
+    3908 -> 1114, // tsrange
+    3910 -> 1184) // tstzrange
+
+  /** PG range → (lo, hi, lo_inc, hi_inc, is_empty), typed at the
+    * subtype: unbounded sides are null with their inc flag false —
+    * PG's canonical text form distinguishes all of these and the
+    * struct round-trips each one. */
+  def rangeStructFor(elemOid: Int): StructType = {
+    val t = sparkTypeFor(elemOid)
+    StructType(Seq(
+      StructField("lo", t), StructField("hi", t),
+      StructField("lo_inc", BooleanType),
+      StructField("hi_inc", BooleanType),
+      StructField("is_empty", BooleanType)))
+  }
+
   /** array OID → element OID (pg catalog pairs for the common types;
     * the reference inherits these via pg-types' postgres-array). */
   val ArrayElemOid: Map[Int, Int] = Map(
     1000 -> 16, 1005 -> 21, 1007 -> 23, 1016 -> 20, 1021 -> 700,
     1022 -> 701, 1009 -> 25, 1014 -> 1042, 1015 -> 1043, 1231 -> 1700,
-    1182 -> 1082, 1115 -> 1114, 1185 -> 1184)
+    1182 -> 1082, 1115 -> 1114, 1185 -> 1184,
+    // long-tail element families (uuid, inet/cidr, macaddr, ranges)
+    2951 -> 2950, 1041 -> 869, 651 -> 650, 1040 -> 829, 775 -> 774,
+    3905 -> 3904, 3927 -> 3926, 3907 -> 3906, 3913 -> 3912,
+    3909 -> 3908, 3911 -> 3910)
 
   /** PG type OID → Spark type (SURVEY §1.2 table). */
   def sparkTypeFor(typeOid: Int): DataType = typeOid match {
@@ -54,8 +86,17 @@ object TypedRefinement {
     case 114 | 3802 => VariantType            // json / jsonb
     case 1186 => IntervalStruct               // interval (months, days, micros)
     case 600 => PointStruct                   // point "(x,y)"
+    case 2950 => StringType                   // uuid (canonical lowercase)
+    case 829 | 774 => StringType              // macaddr / macaddr8 (lowercase)
+    case 869 | 650 => InetStruct              // inet / cidr → (addr, masklen)
+    case oid if RangeElemOid.contains(oid) =>
+      rangeStructFor(RangeElemOid(oid))       // int4/int8/num/date/ts ranges
     case oid if ArrayElemOid.contains(oid) =>
       ArrayType(sparkTypeFor(ArrayElemOid(oid)))
+    // enums, domains, composites, and any OID pg-types itself has no
+    // parser for fall through to the lossless text passthrough — the
+    // exact unknown-OID behavior of the reference's delegate-
+    // everything contract (pgoutput-parser.ts:144).
     case _ => StringType                      // text/varchar/custom
   }
 
@@ -77,11 +118,41 @@ object TypedRefinement {
       def coord(i: Int): Column =
         nullif(regexp_extract(raw, pointRe, i), lit("")).cast("double")
       struct(coord(1).as("x"), coord(2).as("y"))
+    case 2950 => lower(raw)                   // uuid: PG emits lowercase;
+    case 829 | 774 => lower(raw)              // normalize inbound text too
+    case 869 | 650 =>
+      // host part before the optional '/masklen' suffix
+      struct(
+        regexp_replace(raw, "/\\d+$", "").as("addr"),
+        nullif(regexp_extract(raw, "/(\\d+)$", 1), lit(""))
+          .cast("int").as("masklen"))
+    case oid if RangeElemOid.contains(oid) => parseRange(raw, oid)
     case oid if ArrayElemOid.contains(oid) =>
       val elemOid = ArrayElemOid(oid)
       transform(GraftFunctions.pg_array_tokens(raw),
         e => refine(e, elemOid))
     case oid => raw.cast(sparkTypeFor(oid))
+  }
+
+  /** PG range text → typed (lo, hi, lo_inc, hi_inc, is_empty).
+    * Canonical PG output is `empty` or `[|( lo , hi )|]` where each
+    * bound is absent (unbounded), bare, or double-quoted (timestamps
+    * contain a space); none of the six supported subtypes can contain
+    * a comma, so the single comma splits the bounds. */
+  private def parseRange(raw: Column, rangeOid: Int): Column = {
+    val elemOid = RangeElemOid(rangeOid)
+    val re = raw"^([\[(])(.*),(.*)([\])])$$"
+    def grp(i: Int): Column = nullif(regexp_extract(raw, re, i), lit(""))
+    def bound(i: Int): Column =
+      refine(regexp_replace(grp(i), "^\"|\"$", ""), elemOid)
+    val isEmpty = lower(raw) === "empty"
+    val lo = when(!isEmpty, bound(2))
+    val hi = when(!isEmpty, bound(3))
+    struct(
+      lo.as("lo"), hi.as("hi"),
+      (!isEmpty && grp(1) === "[" && lo.isNotNull).as("lo_inc"),
+      (!isEmpty && grp(4) === "]" && hi.isNotNull).as("hi_inc"),
+      isEmpty.as("is_empty"))
   }
 
   /** PG "postgres-style" interval text → (months, days, micros):

@@ -315,4 +315,99 @@ object StreamOps {
   /** Live rows of the stored snapshot (tombstones filtered). */
   def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
     spark.read.parquet(snapshotDir).filter(col("op") =!= "delete")
+
+  // ------------------------------------------------------------------
+  // Streaming dedup-on-ingest with index write-back
+  // ------------------------------------------------------------------
+
+  /** Map-side shingling of raw arrivals: `(doc_id, text)` → one row
+    * per DISTINCT 3-token shingle `(doc_id, h, n)` where `n` is the
+    * doc's distinct-shingle count — the same shape as the standing
+    * corpus index (`Text.shingleHashes`). Executor-local: no shuffle
+    * until the probe join keys on `h`. */
+  def shingleArrivals(arrivals: DataFrame): DataFrame =
+    arrivals
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+          .as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        .as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"),
+        size(col("hs")).cast("long").as("n"))
+
+  /** foreachBatch dedup-on-ingest with WRITE-BACK: each micro-batch of
+    * `(doc_id, text)` arrivals probes the standing shingle index
+    * (new×existing only — work scales with the batch, never corpus²),
+    * records a verdict per arrival, and appends the ACCEPTED (novel)
+    * docs' shingles back into the index — so batch N's novel document
+    * is batch N+1's duplicate. This closes the loop q131 batch-proves
+    * and StreamStaticDedupSpec streams: the index is no longer frozen
+    * state but advances with every acknowledged batch, the corpus-side
+    * analogue of the reference's ack-then-advance delivery loop
+    * (`/root/reference/src/logical-replication-service.ts:187-192`).
+    *
+    * Idempotent on `doc_id`: a re-delivered doc (at-least-once replay)
+    * is anti-joined away against the index's standing doc ids, so its
+    * shingles are never appended twice. A doc is a duplicate when its
+    * best index match shares >= `minShared` shingles; self-matches
+    * (same doc_id) don't count. Verdicts land in `verdictsDir` as
+    * `(batch_id, doc_id, best_match, shared, is_dup)`.
+    *
+    * At 100 TB the index is a bucketed-by-`h` table and the append is
+    * a MERGE into it; plain parquet append keeps the loop
+    * dependency-free here while preserving the plan shape (keyed probe
+    * join + left-anti idempotency join + append). */
+  def dedupIngestBatch(indexDir: String, verdictsDir: String,
+      minShared: Long = 3L)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    val sh = shingleArrivals(batch).cache() // probe + write-back, one pass
+    try {
+      val existing =
+        try spark.read.parquet(indexDir)
+        catch { case _: Exception => spark.emptyDataFrame }
+      val hasIndex = existing.columns.nonEmpty
+      val arrivalsIds = sh.select(col("doc_id"), col("n")).distinct()
+      val best =
+        if (!hasIndex)
+          arrivalsIds.select(col("doc_id"), lit(null).cast("long")
+            .as("best_match"), lit(0L).as("shared"))
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("shared").desc, col("corpus_doc"))
+          val m = sh
+            .join(existing.select(col("doc_id").as("corpus_doc"), col("h")),
+              "h")
+            .filter(col("doc_id") =!= col("corpus_doc"))
+            .groupBy(col("doc_id"), col("corpus_doc"))
+            .agg(count(lit(1)).as("shared"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("doc_id"), col("corpus_doc").as("best_match"),
+              col("shared"))
+          arrivalsIds.select(col("doc_id"))
+            .join(m, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("best_match"),
+              coalesce(col("shared"), lit(0L)).as("shared"))
+        }
+      val verdicts = best
+        .withColumn("is_dup", col("shared") >= minShared)
+        .withColumn("batch_id", lit(batchId))
+        .select(col("batch_id"), col("doc_id"), col("best_match"),
+          col("shared"), col("is_dup"))
+      verdicts.write.mode("append").parquet(verdictsDir)
+      var accepted =
+        sh.join(verdicts.filter(col("is_dup")).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      if (hasIndex) // idempotency: never re-append a standing doc
+        accepted = accepted.join(existing.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      accepted.select(col("doc_id"), col("h"), col("n"))
+        .write.mode("append").parquet(indexDir)
+    } finally { sh.unpersist(); () }
+  }
 }

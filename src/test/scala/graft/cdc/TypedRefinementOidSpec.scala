@@ -108,6 +108,60 @@ class TypedRefinementOidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bools == Seq(true, false))
   }
 
+  test("uuid/macaddr normalize to canonical lowercase text") {
+    assert(one(2950, "A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11").getString(0) ==
+      "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    assert(one(829, "08:00:2B:01:02:03").getString(0) == "08:00:2b:01:02:03")
+  }
+
+  test("inet/cidr -> (addr, masklen); host inet has null masklen") {
+    val cidr = one(650, "192.168.100.0/24").getStruct(0)
+    assert(cidr.getString(0) == "192.168.100.0" && cidr.getInt(1) == 24)
+    val host = one(869, "10.1.2.3").getStruct(0)
+    assert(host.getString(0) == "10.1.2.3" && host.isNullAt(1))
+    val v6 = one(869, "2001:db8::8a2e:370:7334/64").getStruct(0)
+    assert(v6.getString(0) == "2001:db8::8a2e:370:7334" && v6.getInt(1) == 64)
+  }
+
+  test("ranges -> typed (lo, hi, lo_inc, hi_inc, is_empty)") {
+    val i4 = one(3904, "[3,7)").getStruct(0)
+    assert(i4.getInt(0) == 3 && i4.getInt(1) == 7)
+    assert(i4.getBoolean(2) && !i4.getBoolean(3) && !i4.getBoolean(4))
+    val empty = one(3926, "empty").getStruct(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.getBoolean(4))
+    val unbLo = one(3904, "(,5)").getStruct(0)
+    assert(unbLo.isNullAt(0) && unbLo.getInt(1) == 5 && !unbLo.getBoolean(2))
+    val num = one(3906, "[1.50,2.75]").getStruct(0)
+    assert(num.getDecimal(0).compareTo(new java.math.BigDecimal("1.5")) == 0)
+    assert(num.getBoolean(2) && num.getBoolean(3))
+    val ts = one(3908, "[\"2024-01-01 00:00:00\",\"2024-01-02 12:00:00\")")
+      .getStruct(0)
+    assert(ts.getTimestamp(0).toInstant.toString == "2024-01-01T00:00:00Z")
+    assert(ts.getTimestamp(1).toInstant.toString == "2024-01-02T12:00:00Z")
+    val dr = one(3912, "[2024-02-01,2024-03-01)").getStruct(0)
+    assert(dr.getDate(0).toString == "2024-02-01")
+  }
+
+  test("long-tail arrays: uuid[], inet[], int4range[]") {
+    val us = one(2951, "{A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11,NULL}")
+      .getSeq[String](0)
+    assert(us == Seq("a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11", null))
+    val ins = one(1041, "{10.0.0.1,192.168.0.0/16}")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(ins(0).getString(0) == "10.0.0.1" && ins(0).isNullAt(1))
+    assert(ins(1).getString(0) == "192.168.0.0" && ins(1).getInt(1) == 16)
+    val rs = one(3905, """{"[1,4)","[10,12)"}""")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(rs(0).getInt(0) == 1 && rs(0).getInt(1) == 4)
+    assert(rs(1).getInt(0) == 10 && !rs(1).getBoolean(3))
+  }
+
+  test("enum/domain OIDs fall to lossless text passthrough") {
+    assert(TypedRefinement.sparkTypeFor(16385) ==
+      org.apache.spark.sql.types.StringType)
+    assert(one(16385, "happy").getString(0) == "happy")
+  }
+
   test("typedView end-to-end over a tuple map with the new OIDs") {
     val sp = spark; import sp.implicits._
     val rel = RelationInfo(950, "public", "typed", "default", Seq(

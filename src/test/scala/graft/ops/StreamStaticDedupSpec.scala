@@ -77,4 +77,59 @@ class StreamStaticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         "novel doc must not match the corpus at >= 3 shared shingles")
     } finally q.stop()
   }
+
+  test("write-back: batch N's novel doc is batch N+1's duplicate") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-wb").toString
+    val idxDir = s"$root/index"
+    val verDir = s"$root/verdicts"
+
+    val textA = "the quick brown fox jumps over the lazy sleeping dog " +
+      "while rain falls quietly on the old tin roof"
+    val textB = textA + " tonight" // near-copy of A
+    val textC = "completely unrelated words about polar glaciers " +
+      "melting under a midnight sun in silence"
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.StreamOps.dedupIngestBatch(
+        idxDir, verDir, minShared = 3L) _)
+      .start()
+    try {
+      input.addData((1L, textA)) // batch 0: novel, must be accepted
+      q.processAllAvailable()
+      input.addData((2L, textB), (3L, textC), (1L, textA)) // B dups A;
+      q.processAllAvailable() // C novel; 1 re-delivered (idempotency)
+      val v = spark.read.parquet(verDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+        .toMap
+      assert(v((0L, 1L)) == (None, false), "batch 0 doc must be novel")
+      assert(v((1L, 2L)) == (Some(1L), true),
+        s"near-copy must dup against batch 0's accepted doc: $v")
+      assert(v((1L, 3L))._2 == false, "unrelated doc must stay novel")
+      // idempotency: doc 1's shingles appear exactly once in the index
+      val idx = spark.read.parquet(idxDir)
+      val perDoc = idx.groupBy("doc_id", "h").count()
+        .filter(col("count") > 1).count()
+      assert(perDoc == 0L, "re-delivered doc must not re-append shingles")
+      val docs = idx.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(docs == Set(1L, 3L),
+        s"index must hold the accepted docs only, got $docs")
+    } finally {
+      q.stop()
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
 }
