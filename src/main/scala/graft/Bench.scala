@@ -28,11 +28,26 @@ object Bench {
     }
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Shared memo indexes build ONCE here, timed as their own entry:
+    // otherwise whichever query first touches a lazy memo absorbs its
+    // build cost and per-query times depend on suite composition /
+    // run order (the r8 q105-q117 attribution noise). memo_build
+    // participates in the reported total — nothing is hidden.
+    val tm0 = System.nanoTime()
+    try graft.ops.Prewarm.run(spark, sfDir)
+    catch { case _: Throwable => }
+    val memoSec = (System.nanoTime() - tm0) / 1e9
+
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop per-query transient caches so executor storage pressure
+      // (and its GC shadow on later queries) stays flat over the run
+      graft.ops.Tables.dropTransientCaches()
+      name -> sec
     }
+    val results = results0 :+ ("memo_build" -> memoSec)
     // Compact keys (qNN prefix) + 1-decimal per-query values keep the
     // JSON line inside the driver's 2000-byte stdout-tail capture
     // window as the suite grows past ~130 queries; 100 ms per-query
@@ -46,13 +61,25 @@ object Bench {
     val dup = prefixes.groupBy(identity).collect {
       case (p, vs) if vs.size > 1 => p
     }.toSet
-    def render(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
+    def render(rs: Seq[(String, Double)], fmt: Double => String = f1)
+        : String = rs.map { case (k, v) =>
       val p = k.takeWhile(_ != '_')
-      "\"" + (if (dup(p)) k else p) + "\":" + f1(v)
+      "\"" + (if (dup(p)) k else p) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def assemble(qs: String) =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Sidecar with the FULL per-query map at 3-decimal resolution
+    // under the FULL query names (the stdout line below may fold
+    // sub-0.1 s queries to fit the driver's 2000-byte capture
+    // window) — committed per round so regressions in small queries
+    // stay visible round-over-round (r8 verdict ask 8).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":""" +
+        results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }
+          .mkString("{", ",", "}") + s""","sf":"$sfDir"}""" + "\n")
+    catch { case _: Throwable => }
     // The capture window is 2000 bytes (measured: BENCH_r05.json
     // "tail" length); sbt's trailing "[success] ..." line eats ~70.
     // If the full per-query map would overflow, fold the sub-0.1 s

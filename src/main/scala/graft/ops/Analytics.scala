@@ -68,7 +68,7 @@ object Analytics {
       .withColumn("re", row_number().over(wE))
       .filter(col("rs") <= d || col("re") <= d)
       .select(col("doc_id"), col("key"), col("bucket"))
-      .cache()
+      .tcache()
     val before = (bk: org.apache.spark.sql.Column,
         bid: org.apache.spark.sql.Column) =>
       bk < col("key") || (bk === col("key") && bid < col("doc_id"))
@@ -78,7 +78,7 @@ object Analytics {
         before(col("k2"), col("id2")), "left")
       .groupBy(col("doc_id"), col("key"), col("bucket"))
       .agg(count(col("id2")).as("zrn"))
-      .cache()
+      .tcache()
     val cross = zr.select(col("doc_id").as("a"), col("bucket").as("ba"),
         col("zrn").as("ra"))
       .join(broadcast(zr.select(col("doc_id").as("b"),
@@ -160,7 +160,7 @@ object Analytics {
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
           .as("spend_cents"), count(lit(1)).as("n_orders"))
-        .cache()
+        .tcache()
       // best y per distinct x, with a $100k-wide data-independent
       // spend bucket riding along (one row per x after the grouping,
       // so the frontier test below is per-x); cached — it feeds both
@@ -169,7 +169,7 @@ object Analytics {
         .withColumn("bucket", expr("spend_cents DIV 10000000"))
         .groupBy(col("spend_cents"), col("bucket"))
         .agg(max(col("n_orders")).as("m"))
-        .cache()
+        .tcache()
       val bmax = m1.groupBy(col("bucket")).agg(max(col("m")).as("mb"))
       // suffix max over strictly-higher buckets (tiny x tiny)
       val hmax = bmax.as("b")
@@ -294,7 +294,7 @@ object Analytics {
       val ed = jp.select(col("d1").as("src"), col("d2").as("dst"))
         .unionAll(jp.select(col("d2").as("src"), col("d1").as("dst")))
       val dg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val edd = ed.join(dg, "src").cache()
+      val edd = ed.join(dg, "src").tcache()
       val docs = documents(s, d).select(col("doc_id"))
       var r = docs.select(col("doc_id"), lit(1000L).as("pr"))
       for (_ <- 1 to 3) {
@@ -979,7 +979,7 @@ object Analytics {
         .filter(col("ra") <= 10)
         .select(col("qid"), col("cid"),
           round(col("score") * 1000000).cast("long").as("rel"))
-        .cache()
+        .tcache()
       val vecs = nn.select(col("vec_id"), col("v"), col("nrm"))
       val sims = pool.select(col("qid"), col("cid").as("c1"))
         .join(pool.select(col("qid"), col("cid").as("c2")), Seq("qid"))
@@ -992,7 +992,7 @@ object Analytics {
           round(round(Vectors.dot(col("v1"), col("v2")) /
             (sqrt(col("n1")) * sqrt(col("n2"))), 6) * 1000000)
             .cast("long").as("sim"))
-        .cache()
+        .tcache()
       val wPick = Window.partitionBy(col("qid"))
         .orderBy(col("mmr").desc, col("cid"))
       // Each greedy pick is only queries-many rows; collect it and
@@ -1024,10 +1024,11 @@ object Analytics {
                 (col("rel") * 700 - coalesce(col("ms"), lit(0L)) * 300)
                   .as("mmr"))
           }
-        val picked = sc.withColumn("rn", row_number().over(wPick))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("cid"), col("mmr"))
-          .collect()
+        val picked = Tables.boundedCollect(
+          sc.withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("cid"), col("mmr")),
+          64, "q198 MMR per-round picks (one row per query)")
           .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), r))
           .sortBy(t => (t._1, t._4))
         sel = sel ++ picked
@@ -1050,13 +1051,19 @@ object Analytics {
     // you put an error bar on any 100 TB aggregate in one pass.
     QueryDef(
       "q202_bootstrap_ci",
-      { // one md5 per ORDER, then a murmur-style integer finalizer
+      { // one md5 per ORDER, then an fmix32-style integer finalizer
         // per (order, resample): the naive per-(order,b) md5 costs
-        // rows×B hash evaluations — the finalizer keeps the same
-        // deterministic independence at ~100× less CPU (measured:
+        // rows×B hash evaluations — the finalizer keeps deterministic
+        // per-resample decorrelation at ~100× less CPU (measured:
         // q202 6.6 s → the explode side drops to arithmetic only).
-        // All values stay < 2^63: h0 < 2^32, (b+1)·2654435761 < 2^38,
-        // the xor is reduced mod 2^32 before the 2^30.6 multiplier.
+        // Shape = murmur3 fmix: xor-shift, multiply, xor-shift,
+        // multiply, xor-shift — two multiplies + three folds give
+        // full-width avalanche (a single multiply mod 2^32 leaves
+        // top-bit differences of h0 linearly correlated across all b
+        // — the r8 advisor finding). Multipliers are xxhash32's
+        // PRIME32_4/PRIME32_5, both < 2^30, so every product stays
+        // < 2^62 in signed-64 arithmetic; shifts are `DIV 2^k` on
+        // non-negative values, identical in both engines.
         val h = Text.h32Sql("CAST(o_orderkey AS VARCHAR)")
         s"""WITH c AS (SELECT o_orderkey,
            |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -1065,10 +1072,18 @@ object Analytics {
            |pt AS (SELECT count(*) AS n_orders,
            |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
            |  FROM c),
-           |re AS (SELECT c.cents, b,
-           |    ((xor(c.h0, (b + 1) * 2654435761) % 4294967296)
-           |      * 1640531527) % 4294967296 % 10000 AS hh
+           |m0 AS (SELECT c.cents, b,
+           |    xor(c.h0, (b + 1) * 2654435761) % 4294967296 AS x0
            |  FROM c, UNNEST(range(0, 100)) AS t(b)),
+           |m1 AS (SELECT cents, b,
+           |    (xor(x0, x0 // 65536) * 668265263) % 4294967296 AS x2
+           |  FROM m0),
+           |m2 AS (SELECT cents, b,
+           |    (xor(x2, x2 // 8192) * 374761393) % 4294967296 AS x4
+           |  FROM m1),
+           |re AS (SELECT cents, b,
+           |    xor(x4, x4 // 65536) % 10000 AS hh
+           |  FROM m2),
            |w AS (SELECT cents, b, CASE WHEN hh < 3679 THEN 0
            |    WHEN hh < 7358 THEN 1 WHEN hh < 9197 THEN 2
            |    WHEN hh < 9810 THEN 3 ELSE 4 END AS k FROM re),
@@ -1098,9 +1113,13 @@ object Analytics {
       val means = c
         .select(col("h0"), col("cents"),
           explode(sequence(lit(0), lit(99))).as("b"))
-        .withColumn("hh", expr(
-          "(((h0 ^ ((b + 1) * 2654435761L)) % 4294967296L) " +
-            "* 1640531527L) % 4294967296L % 10000L"))
+        .withColumn("x0", expr(
+          "(h0 ^ ((b + 1) * 2654435761L)) % 4294967296L"))
+        .withColumn("x2", expr(
+          "((x0 ^ (x0 DIV 65536)) * 668265263L) % 4294967296L"))
+        .withColumn("x4", expr(
+          "((x2 ^ (x2 DIV 8192)) * 374761393L) % 4294967296L"))
+        .withColumn("hh", expr("(x4 ^ (x4 DIV 65536)) % 10000L"))
         .withColumn("k", expr("CASE WHEN hh < 3679 THEN 0 " +
           "WHEN hh < 7358 THEN 1 WHEN hh < 9197 THEN 2 " +
           "WHEN hh < 9810 THEN 3 ELSE 4 END"))
@@ -1108,7 +1127,7 @@ object Analytics {
         .agg(expr("sum(k * cents)").as("skc"), sum(col("k")).as("sk"))
         .filter(col("sk") > 0)
         .select(col("b"), expr("skc DIV sk").as("m"))
-        .cache()
+        .tcache()
       val nb = means.agg(count(lit(1)).as("nb"))
       val ranked = means.as("a")
         .join(broadcast(means.as("o")),
@@ -1263,7 +1282,7 @@ object Analytics {
         .agg(sort_array(collect_set(col("h"))).as("all"))
         .select(col("source"), col("all"),
           slice(col("all"), 1, 16).as("km"))
-        .cache()
+        .tcache()
       sets.select(col("source").as("sa"), col("all").as("fa"),
           col("km").as("ka"))
         .join(broadcast(sets.select(col("source").as("sb"),
@@ -1426,7 +1445,7 @@ object Analytics {
           .groupBy(col("day"), expr("user_id DIV 32").as("wi"))
           .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))")
             .as("bits"))
-          .cache()
+          .tcache()
         val ret = w.select((col("day") - 1).as("day"), col("wi"),
             col("bits").as("nb"))
           .join(w.select(col("day"), col("wi"), col("bits").as("cb")),

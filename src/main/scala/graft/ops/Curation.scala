@@ -76,17 +76,18 @@ object Curation {
             "concat_ws(' ', seq[i], seq[i+1]))")).as("pair"),
           col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
-    var cur = df0.cache()
+    var cur = df0.tcache()
     val picks = (1 to rounds).map { r =>
-      val best = pairCounts(cur)
-        .orderBy(col("c").desc, col("pair")).limit(1).collect()(0)
+      val best = boundedCollect(pairCounts(cur)
+        .orderBy(col("c").desc, col("pair")).limit(1),
+        1, "BPE merge argmax")(0)
       val (pair, c) = (best.getString(0), best.getLong(1))
       // merge tokens are [a-z] only (the tokenizer strips the rest),
       // so inlining them into the literal replace is injection-safe
       val pat = "|" + pair.replace(" ", "|") + "|"
       val rep = "|" + pair.replace(" ", "") + "|"
       val next = cur.withColumn("s", expr(
-        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')")).cache()
+        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')")).tcache()
       val toks = next.select(sum(col("cnt") * size(bpeSeqCol)))
         .collect()(0).getLong(0)
       cur.unpersist()
@@ -676,14 +677,14 @@ object Curation {
         val uncov =
           if (covered == null) sh
           else sh.join(covered, Seq("h"), "left_anti")
-        val best = uncov.groupBy(col("doc_id"))
+        val best = boundedCollect(uncov.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .collect()(0)
+          .orderBy(col("gain").desc, col("doc_id")).limit(1),
+          1, "q157 greedy-cover argmax")(0)
         val (doc, gain) = (best.getLong(0), best.getLong(1))
         val add = sh.filter(col("doc_id") === doc).select(col("h"))
         val next = (if (covered == null) add
-          else covered.union(add)).distinct().cache()
+          else covered.union(add)).distinct().tcache()
         val total = next.count()
         if (covered != null) covered.unpersist()
         covered = next

@@ -179,7 +179,7 @@ object Pipeline {
       // split assignment instead of re-scanning + re-hashing documents
       val bk = documents(s, d).select(col("doc_id"),
         (graft.cdc.GraftFunctions.md5_h32(col("doc_id").cast("string"))
-          % 100 < 80).as("is_train")).cache()
+          % 100 < 80).as("is_train")).tcache()
       jaccardPairs(s, d)
         .join(broadcast(bk.select(col("doc_id").as("d1"),
           col("is_train").as("t1"))), "d1")

@@ -43,8 +43,8 @@ object Signals {
       .unionAll(ew.select(col("v").as("src"), col("u").as("dst"),
         col("w")))
     val dg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val edd = ed.join(dg, "src").cache()
-    val nodes = ed.select(col("src").as("tok")).distinct().cache()
+    val edd = ed.join(dg, "src").tcache()
+    val nodes = ed.select(col("src").as("tok")).distinct().tcache()
     var r = nodes.select(col("tok"), lit(1000L).as("pr"))
     for (_ <- 1 to iters) {
       val inflow = edd.join(r, edd("src") === r("tok"))
@@ -295,7 +295,7 @@ object Signals {
       val po = Text.withToks(s, d)
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
         .filter(col("tok").isin(terms: _*))
-        .cache()
+        .tcache()
       val m = broadcast(ph)
         .join(po.select(col("doc_id"), col("tok").as("t1"),
           col("pos").as("p1")), Seq("t1"))
@@ -356,7 +356,7 @@ object Signals {
       val jp = Text.jaccardPairs(s, d)
       val ed = jp.select(col("d1").as("a"), col("d2").as("b"))
         .unionAll(jp.select(col("d2").as("a"), col("d1").as("b")))
-        .cache()
+        .tcache()
       kcoreSurvivors(ed, 2, 6)
         .select(col("n").as("doc_id"), col("deg").as("core_deg"))
         .orderBy(col("doc_id"))
@@ -668,7 +668,7 @@ object Signals {
         .select(col("d1"), col("d2"))
       val ed = scored.select(col("d1").as("a"), col("d2").as("b"))
         .unionAll(scored.select(col("d2").as("a"), col("d1").as("b")))
-        .cache()
+        .tcache()
       val l = minLabelProp(ed, 6)
       val g = l.join(attrs, l("node") === attrs("doc_id"))
         .select(col("lbl").as("entity_id"), col("node"),
@@ -818,7 +818,7 @@ object Signals {
             col("day") >= col("mid"), col("vc")).otherwise(0L)).as("y"))
         .withColumn("arm",
           expr("md5_h32(concat('exp1:', CAST(user_id AS STRING))) % 2"))
-        .cache()
+        .tcache()
       val p = u.agg(count(lit(1)).cast(d38).as("n"),
         sum(col("x").cast(d38)).as("sx"),
         sum(col("y").cast(d38)).as("sy"),
@@ -892,9 +892,12 @@ object Signals {
     // and no per-user window sort: each stage is "min event time
     // strictly after the previous stage's time", i.e. one keyed
     // conditional aggregation per stage — three user-keyed shuffles
-    // total at any scale. Greedy minimality makes the bound check
-    // exact: if the earliest qualifying chain leaves the window, no
-    // chain is inside it.
+    // total at any scale. The chain is ANCHORED at the user's
+    // earliest signup: greedy minimality is exact for that anchored
+    // chain (its earliest completion either fits the 24 h window or
+    // no completion of it does), but a later signup that would start
+    // its own in-window chain is not re-anchored — sliding-anchor
+    // semantics (ClickHouse windowFunnel) are a different operator.
     QueryDef(
       "q222_window_funnel",
       s"""WITH e AS (SELECT user_id, event_type, $tsSecSql AS ts
@@ -1261,7 +1264,7 @@ object Signals {
             col("day") >= col("mid"), 1L).otherwise(0L)).as("conv"))
         .groupBy(length(bin(col("x"))).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
-        .cache()
+        .tcache()
       val t = g.agg(sum(col("n")).as("tn"), sum(col("nc")).as("tc"))
       g.join(broadcast(g.select(col("bucket").as("b2"),
           col("n").as("n2"), col("nc").as("nc2"))),

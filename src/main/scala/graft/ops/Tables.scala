@@ -100,4 +100,54 @@ object Tables {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Per-query transient caches
+  // ------------------------------------------------------------------
+  private val transients =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** `.tcache()` = `.cache()` + register as a PER-QUERY transient for
+    * [[dropTransientCaches]]. Session-lifetime memos ([[DfMemo]]) own
+    * their eviction; every other cached frame is scoped to one query
+    * and must not accumulate in executor storage memory across a
+    * multi-hundred-query bench session (the r8 advisor finding:
+    * untracked per-query caches pile up and squeeze the shared
+    * memos). Harmless to double-drop — unpersist is idempotent. */
+  private[ops] implicit final class TransientCacheOps(
+      private val df: DataFrame) extends AnyVal {
+    def tcache(): DataFrame = { val c = df.cache(); transients.add(c); c }
+  }
+
+  /** Driver-loop guard for the iterative kernels (greedy cover,
+    * histogram bisection, MMR, per-group moments): their per-round
+    * coordination state comes to the driver via collect(), and the
+    * 100 TB contract is that this state is O(groups)/O(queries) —
+    * NEVER O(corpus). The guard enforces the contract at runtime:
+    * the plan is truncated at `max + 1` rows (so even a regressed
+    * unbounded plan cannot materialize the corpus driver-side) and
+    * anything past the budget fails loudly instead of silently
+    * becoming a driver bottleneck. ScalingSpec pins one budget per
+    * kernel. */
+  private[ops] def boundedCollect(df: DataFrame, max: Int,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"$what: driver-side collect exceeded its $max-row budget — " +
+        "per-round coordination state must stay O(groups), not O(corpus)")
+    rows
+  }
+
+  /** Unpersist every transient registered since the last call. The
+    * harness (Verify / Bench) calls this between queries, AFTER each
+    * query materializes — inside a query the transient is live (it
+    * exists because the plan consumes it more than once). */
+  def dropTransientCaches(): Unit = {
+    var d = transients.poll()
+    while (d != null) {
+      try d.unpersist(false)
+      catch { case _: Exception => () }
+      d = transients.poll()
+    }
+  }
 }

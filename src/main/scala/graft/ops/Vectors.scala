@@ -1023,4 +1023,13 @@ object Vectors {
           p => p.getField("ci")).as("c"))
       assign(c1).cache()
     }
+
+  /** Materialize this module's session memos (quantized grid, Lloyd
+    * assignments, PQ codebooks) — [[Prewarm]] hook. */
+  private[ops] def prewarmMemos(s: SparkSession, d: String): Unit = {
+    quantized(s, d).count()
+    kmeansAssignments(s, d).count()
+    pqCodebooks(s, d).count()
+    ()
+  }
 }
