@@ -36,6 +36,66 @@ object WalWire {
   }
 }
 
+/** libpq connection startup (PostgreSQL frontend/backend protocol
+  * v3.0) — the exchange `pg.Client` performs before the reference can
+  * issue anything (`logical-replication-service.ts:72-87` connects
+  * with `replication: 'database'`, which is what puts the backend in
+  * walsender mode). Startup-phase client messages are UNTAGGED —
+  * `[len:4 BE, includes itself][body]` — unlike every later message;
+  * the server's replies are tagged normally. Implements the subset a
+  * replication client needs: optional SSLRequest probe (answered 'N'
+  * — no TLS here), StartupMessage key/value params, AuthenticationOk
+  * / CleartextPassword, ParameterStatus, BackendKeyData,
+  * ReadyForQuery, ErrorResponse.
+  */
+object PgStartup {
+  val Protocol30 = 196608      // 3 << 16
+  val SslRequestCode = 80877103
+
+  def writeUntagged(out: OutputStream, body: Array[Byte]): Unit =
+    out.write(new BinaryWriter().writeInt32(body.length + 4)
+      .writeBytes(body).result())
+
+  /** None on orderly EOF before any startup bytes. */
+  def readUntagged(in: DataInputStream): Option[Array[Byte]] = {
+    val b0 = in.read()
+    if (b0 < 0) return None
+    val len = ((b0 & 0xff) << 24) | ((in.read() & 0xff) << 16) |
+      ((in.read() & 0xff) << 8) | (in.read() & 0xff)
+    require(len >= 4, s"startup message length $len < 4")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    Some(body)
+  }
+
+  def sslRequestBody: Array[Byte] =
+    new BinaryWriter().writeInt32(SslRequestCode).result()
+
+  def startupBody(params: Seq[(String, String)]): Array[Byte] = {
+    val w = new BinaryWriter().writeInt32(Protocol30)
+    params.foreach { case (k, v) => w.writeString(k).writeString(v) }
+    w.writeUint8(0).result()
+  }
+
+  /** (protocol code, params); params empty for SSLRequest. */
+  def parse(body: Array[Byte]): (Int, Map[String, String]) = {
+    val r = new BinaryReader(body)
+    val proto = r.readInt32()
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    while (r.remaining > 1) m += (r.readString() -> r.readString())
+    (proto, m.toMap)
+  }
+
+  /** ErrorResponse body: (code byte + cstring)* + terminator, with
+    * the severity/code/message fields every client reads. */
+  def errorBody(sqlState: String, message: String): Array[Byte] =
+    new BinaryWriter()
+      .writeUint8('S').writeString("ERROR")
+      .writeUint8('C').writeString(sqlState)
+      .writeUint8('M').writeString(message)
+      .writeUint8(0).result()
+}
+
 /** A walsender analogue: serves a recorded frame log over a local TCP
   * socket in CopyBoth framing, so the full live loop the reference
   * runs against PostgreSQL (`logical-replication-service.ts:126-185`)
@@ -71,13 +131,18 @@ final class LoopbackWalServer(
       * sending `frames` frames of the `tx`-th pending transaction
       * (1-based) — a cut on a message boundary INSIDE a transaction,
       * indistinguishable at the socket layer from end-of-stream. */
-    dropMidTxFrames: Option[(Int, Int)] = None) {
+    dropMidTxFrames: Option[(Int, Int)] = None,
+    /** When set, startup demands cleartext password auth (R/3) and
+      * rejects a mismatch with ErrorResponse 28P01 — the walsender
+      * side of pg.Client's password option. */
+    password: Option[String] = None) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
 
   private val statuses = ArrayBuffer.empty[Transport.StandbyStatus]
   private val starts = ArrayBuffer.empty[String]
+  private val startups = ArrayBuffer.empty[Map[String, String]]
   @volatile private var confirmed = 0L
   @volatile private var drop = dropAfterTxs
   @volatile private var midTx = dropMidTxFrames
@@ -90,6 +155,8 @@ final class LoopbackWalServer(
   def confirmedFlush: Long = confirmed
   /** START_REPLICATION commands received, one per connection. */
   def startCommands: Seq[String] = synchronized(starts.toList)
+  /** StartupMessage parameter maps received, one per connection. */
+  def startupParams: Seq[Map[String, String]] = synchronized(startups.toList)
 
   private val acceptThread = new Thread(() => {
     while (running) {
@@ -108,6 +175,51 @@ final class LoopbackWalServer(
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     try {
+      // ---- libpq startup preceding any command ---------------------
+      // (logical-replication-service.ts:72-87: pg.Client connects with
+      // replication: 'database' before plugin.start can run)
+      var su = PgStartup.readUntagged(in).getOrElse(return)
+      if (new BinaryReader(su).readInt32() == PgStartup.SslRequestCode) {
+        out.write('N'); out.flush() // no TLS in-sandbox; fall back clear
+        su = PgStartup.readUntagged(in).getOrElse(return)
+      }
+      val (proto, params) = PgStartup.parse(su)
+      require(proto == PgStartup.Protocol30, s"protocol $proto")
+      synchronized(startups += params)
+      if (!params.get("replication").contains("database")) {
+        // a walsender only accepts logical replication sessions opened
+        // with replication=database — reject anything else up front
+        WalWire.write(out, 'E', PgStartup.errorBody("55000",
+          "logical replication requires replication=database"))
+        out.flush(); return
+      }
+      password match {
+        case Some(pw) =>
+          WalWire.write(out, 'R',
+            new BinaryWriter().writeInt32(3).result()) // CleartextPassword
+          out.flush()
+          val pm = WalWire.read(in).getOrElse(return)
+          val got = new BinaryReader(pm.body).readString()
+          if (pm.tag != 'p' || got != pw) {
+            WalWire.write(out, 'E', PgStartup.errorBody("28P01",
+              s"password authentication failed for user " +
+                s""""${params.getOrElse("user", "?")}""""))
+            out.flush(); return
+          }
+        case None => ()
+      }
+      WalWire.write(out, 'R',
+        new BinaryWriter().writeInt32(0).result()) // AuthenticationOk
+      Seq("server_version" -> "16.4", "integer_datetimes" -> "on",
+        "server_encoding" -> "UTF8").foreach { case (k, v) =>
+        WalWire.write(out, 'S',
+          new BinaryWriter().writeString(k).writeString(v).result())
+      }
+      WalWire.write(out, 'K', new BinaryWriter()
+        .writeInt32(4242).writeInt32(117117).result()) // BackendKeyData
+      WalWire.write(out, 'Z', Array[Byte]('I')) // ReadyForQuery, idle
+      out.flush()
+
       // simple-query START_REPLICATION, as the reference's plugin.start
       // issues through the pg client (`pgoutput-plugin.ts:31`)
       val q = WalWire.read(in).getOrElse(return)
@@ -225,12 +337,25 @@ final class WalSocketClient(
       * sent for this long — the reference's `checkStandbyStatus` 1 s
       * timer (`logical-replication-service.ts:231-248`,
       * `acknowledge.timeoutSeconds` default 10). 0 disables. */
-    ackTimeoutSeconds: Int = 0) {
+    ackTimeoutSeconds: Int = 0,
+    /** Startup credentials — the pg.Client connection options the
+      * reference forwards (`logical-replication-service.ts:72-80`);
+      * replication=database is always sent. */
+    user: String = "postgres",
+    database: String = "postgres",
+    password: Option[String] = None) {
 
   final case class RunResult(
       txs: Seq[(Long, Seq[Array[Byte]])],
       heartbeats: Int,
       acksSent: Int)
+
+  @volatile private var srvParams = Map.empty[String, String]
+  @volatile private var backend = (0, 0)
+  /** ParameterStatus values announced during the last startup. */
+  def serverParameters: Map[String, String] = srvParams
+  /** BackendKeyData (pid, secret) from the last startup. */
+  def backendKeyData: (Int, Int) = backend
 
   private def nowMicros: Long = System.currentTimeMillis() * 1000L
 
@@ -312,6 +437,58 @@ final class WalSocketClient(
     }
 
     try {
+      // ---- libpq startup: SSL probe, StartupMessage, auth, RFQ ----
+      PgStartup.writeUntagged(out, PgStartup.sslRequestBody)
+      out.flush()
+      val sslAnswer = in.read()
+      require(sslAnswer == 'N',
+        s"unexpected SSLRequest answer '${sslAnswer.toChar}' (TLS not " +
+          "supported here; expected clear-text fallback)")
+      PgStartup.writeUntagged(out, PgStartup.startupBody(Seq(
+        "user" -> user, "database" -> database,
+        "replication" -> "database", // walsender mode — the one option
+        // that makes START_REPLICATION legal (ts:72-87)
+        "application_name" -> slotName)))
+      out.flush()
+      val paramsM = scala.collection.mutable.LinkedHashMap
+        .empty[String, String]
+      var ready = false
+      while (!ready) {
+        val m = WalWire.read(in).getOrElse(
+          throw new IOException("connection closed during startup"))
+        m.tag match {
+          case 'R' =>
+            new BinaryReader(m.body).readInt32() match {
+              case 0 => () // AuthenticationOk
+              case 3 => // CleartextPassword
+                WalWire.write(out, 'p', new BinaryWriter()
+                  .writeString(password.getOrElse("")).result())
+                out.flush()
+              case c => throw new IOException(s"unsupported auth code $c")
+            }
+          case 'S' =>
+            val r = new BinaryReader(m.body)
+            paramsM += (r.readString() -> r.readString())
+          case 'K' =>
+            val r = new BinaryReader(m.body)
+            backend = (r.readInt32(), r.readInt32())
+          case 'Z' => ready = true
+          case 'E' =>
+            // fields: (code byte + cstring)*; surface the M message
+            val r = new BinaryReader(m.body)
+            var msgTxt = "server error"
+            var c = r.readUint8()
+            while (c != 0) {
+              val s = r.readString()
+              if (c == 'M') msgTxt = s
+              c = r.readUint8()
+            }
+            throw new IOException(msgTxt)
+          case _ => () // NoticeResponse etc. — ignorable in startup
+        }
+      }
+      srvParams = paramsM.toMap
+
       WalWire.write(out, 'Q', new BinaryWriter()
         .writeString(format.startReplicationSql(slotName, Lsn.format(resume)))
         .result())

@@ -411,7 +411,8 @@ object Mining {
         val Array(quo, rem) = a.divideAndRemainder(q)
         if (rem.signum < 0) quo.subtract(BigInteger.ONE) else quo
       }
-      val bounds = mom.collect().map { r =>
+      val bounds = Tables.boundedCollect(mom, 1024,
+        "q88 per-group moments (one row per event_type)").map { r =>
         val n = r.getDecimal(1).toBigInteger
         val s1 = r.getDecimal(2).toBigInteger
         val s2 = r.getDecimal(3).toBigInteger

@@ -603,11 +603,12 @@ object Scale {
           var need = k
           while (lo < hi) {
             val width = (hi - lo) / 256L + 1L // ceil: buckets cover [lo, hi]
-            val hist = base
+            val hist = boundedCollect(base
               .filter(col("v") >= lo && col("v") <= hi)
               .groupBy(expr(s"(v - $lo) DIV $width").as("bkt"))
-              .agg(count(lit(1)).as("c"))
-              .collect().map(r => r.getLong(0) -> r.getLong(1))
+              .agg(count(lit(1)).as("c")),
+              257, "q163 bisection histogram (<=257 buckets)")
+              .map(r => r.getLong(0) -> r.getLong(1))
               .sortBy(_._1)
             var acc = 0L
             var i = 0
@@ -712,10 +713,10 @@ object Scale {
           round(col("value") * 1000).cast("long").as("v"))
         .cache()
       try {
-        val stats = base.groupBy(col("g"))
+        val stats = boundedCollect(base.groupBy(col("g"))
           .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
-            max(col("v")).as("hi"))
-          .collect()
+            max(col("v")).as("hi")),
+          1024, "q166 per-group moments (one row per event_type)")
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         // live state per (group, target-rank): group -> (lo, hi, need)
         final case class St(g: String, tgt: String, var lo: Long,
@@ -732,12 +733,12 @@ object Scale {
           val bounds = open.map(st =>
             (st.g, st.tgt, st.lo, st.hi, (st.hi - st.lo) / 256L + 1L))
             .toSeq.toDF("g", "tgt", "blo", "bhi", "w")
-          val hists = base.join(broadcast(bounds), "g")
+          val hists = boundedCollect(base.join(broadcast(bounds), "g")
             .filter(col("v") >= col("blo") && col("v") <= col("bhi"))
             .groupBy(col("g"), col("tgt"),
               expr("(v - blo) DIV w").as("bkt"))
-            .agg(count(lit(1)).as("c"))
-            .collect()
+            .agg(count(lit(1)).as("c")),
+            257 * 2048, "q166 bisection histograms (<=257 x open targets)")
             .map(r => ((r.getString(0), r.getString(1)),
               (r.getLong(2), r.getLong(3))))
             .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap

@@ -84,6 +84,46 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("libpq startup handshake precedes START_REPLICATION end-to-end") {
+    val log = (1 to 3).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, password = Some("s3cret"))
+    val dir = tmpDir("walsock-startup")
+    try {
+      val client = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_hs", dir, shard = 0,
+        user = "replicator", database = "appdb",
+        password = Some("s3cret"))
+      val r = client.run()
+      // replication happened AFTER the authenticated startup
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.confirmedFlush == 301L)
+      // the StartupMessage carried the pg.Client connection options,
+      // including the walsender-mode selector (ts:72-87)
+      val su = server.startupParams.head
+      assert(su("user") == "replicator")
+      assert(su("database") == "appdb")
+      assert(su("replication") == "database")
+      assert(su("application_name") == "slot_hs")
+      // and the server announced its parameters + backend key
+      assert(client.serverParameters("server_version") == "16.4")
+      assert(client.backendKeyData == ((4242, 117117)))
+    } finally server.close()
+  }
+
+  test("startup auth failure surfaces the server's ErrorResponse") {
+    val server = new LoopbackWalServer(Nil, password = Some("right"))
+    val dir = tmpDir("walsock-badauth")
+    try {
+      val ex = intercept[java.io.IOException] {
+        new WalSocketClient("127.0.0.1", server.port,
+          new PgoutputFormat(), "slot_bad", dir, shard = 0,
+          user = "replicator", password = Some("wrong")).run()
+      }
+      assert(ex.getMessage.contains("password authentication failed"))
+      assert(server.receivedStatuses.isEmpty) // no stream ever started
+    } finally server.close()
+  }
+
   test("keepalive shouldRespond elicits an immediate standby reply") {
     // no transactions at all: the only ack the server can receive is
     // the keepalive reply, at the keepalive's own LSN (the reference

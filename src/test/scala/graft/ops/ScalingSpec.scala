@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-loop kernels at scale (r8 verdict ask 7): the iterative
+  * kernels coordinate each round through a driver-side collect, and
+  * the 100 TB contract is that the collected state is O(groups) /
+  * O(queries) — never O(corpus). Every such collect now routes
+  * through `Tables.boundedCollect`, which truncates the plan at its
+  * budget and fails loudly past it; this spec pins the rejection path
+  * and runs every guarded kernel end-to-end so a refactor that makes
+  * a per-round collect corpus-sized fails CI instead of becoming a
+  * silent driver bottleneck. */
+class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scaling-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String): Long =
+    graft.SparkEntry.queries(name)(spark, sfDir).count()
+
+  test("boundedCollect rejects a collect past its row budget") {
+    val sp = spark; import sp.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      Tables.boundedCollect((1 to 100).toDF("x"), 5, "test kernel")
+    }
+    assert(ex.getMessage.contains("5-row budget"))
+    // and never materializes more than budget + 1 rows driver-side
+    assert(Tables.boundedCollect((1 to 3).toDF("x"), 5, "ok").length == 3)
+  }
+
+  test("q157 greedy cover: per-round argmax is 1 row") {
+    assert(run("q157_greedy_coverage") > 0)
+  }
+
+  test("q163 median bisection: per-round histogram is <= 257 rows") {
+    assert(run("q163_median_bisect") > 0)
+  }
+
+  test("q166 grouped quantiles: per-round state is O(groups)") {
+    assert(run("q166_grouped_median_bisect") > 0)
+  }
+
+  test("q198 MMR: per-round picks are one row per query") {
+    assert(run("q198_mmr_rerank") > 0)
+  }
+
+  test("q88 outliers: moment rows are one per group") {
+    assert(run("q88_zscore_outliers") > 0)
+  }
+
+  test("BPE merge loop: per-round argmax is 1 row") {
+    assert(run("q153_bpe_train") > 0)
+  }
+}
