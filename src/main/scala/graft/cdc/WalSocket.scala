@@ -132,10 +132,13 @@ final class LoopbackWalServer(
       * (1-based) — a cut on a message boundary INSIDE a transaction,
       * indistinguishable at the socket layer from end-of-stream. */
     dropMidTxFrames: Option[(Int, Int)] = None,
-    /** When set, startup demands cleartext password auth (R/3) and
-      * rejects a mismatch with ErrorResponse 28P01 — the walsender
-      * side of pg.Client's password option. */
-    password: Option[String] = None) {
+    /** When set, startup demands password auth and rejects a
+      * mismatch with ErrorResponse 28P01 — the walsender side of
+      * pg.Client's password option. */
+    password: Option[String] = None,
+    /** "cleartext" (R/3) or "scram-sha-256" (R/10..12, RFC 7677) —
+      * PG's default since v10. Only meaningful with `password`. */
+    authMethod: String = "cleartext") {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -193,19 +196,51 @@ final class LoopbackWalServer(
           "logical replication requires replication=database"))
         out.flush(); return
       }
+      def authFail(): Unit = {
+        WalWire.write(out, 'E', PgStartup.errorBody("28P01",
+          s"password authentication failed for user " +
+            s""""${params.getOrElse("user", "?")}""""))
+        out.flush()
+      }
       password match {
+        case Some(pw) if authMethod == "scram-sha-256" =>
+          // AuthenticationSASL: advertise the mechanism list
+          WalWire.write(out, 'R', new BinaryWriter().writeInt32(10)
+            .writeString(Scram.Mechanism).writeUint8(0).result())
+          out.flush()
+          val init = WalWire.read(in).getOrElse(return)
+          val ir = new BinaryReader(init.body)
+          val mech = ir.readString()
+          if (init.tag != 'p' || mech != Scram.Mechanism) {
+            authFail(); return
+          }
+          val cfLen = ir.readInt32()
+          val clientFirst = ir.readText(cfLen)
+          val salt = new Array[Byte](16)
+          new java.security.SecureRandom().nextBytes(salt)
+          val scram = new Scram.Server(pw, salt, 4096,
+            java.util.UUID.randomUUID().toString.replace("-", ""))
+          val serverFirst = scram.handleClientFirst(clientFirst)
+          WalWire.write(out, 'R', new BinaryWriter().writeInt32(11)
+            .writeBytes(serverFirst.getBytes(StandardCharsets.UTF_8))
+            .result())
+          out.flush()
+          val fin = WalWire.read(in).getOrElse(return)
+          if (fin.tag != 'p') { authFail(); return }
+          scram.handleClientFinal(
+            new String(fin.body, StandardCharsets.UTF_8)) match {
+            case Left(_) => authFail(); return
+            case Right(v) =>
+              WalWire.write(out, 'R', new BinaryWriter().writeInt32(12)
+                .writeBytes(v.getBytes(StandardCharsets.UTF_8)).result())
+          }
         case Some(pw) =>
           WalWire.write(out, 'R',
             new BinaryWriter().writeInt32(3).result()) // CleartextPassword
           out.flush()
           val pm = WalWire.read(in).getOrElse(return)
           val got = new BinaryReader(pm.body).readString()
-          if (pm.tag != 'p' || got != pw) {
-            WalWire.write(out, 'E', PgStartup.errorBody("28P01",
-              s"password authentication failed for user " +
-                s""""${params.getOrElse("user", "?")}""""))
-            out.flush(); return
-          }
+          if (pm.tag != 'p' || got != pw) { authFail(); return }
         case None => ()
       }
       WalWire.write(out, 'R',
@@ -452,18 +487,45 @@ final class WalSocketClient(
       out.flush()
       val paramsM = scala.collection.mutable.LinkedHashMap
         .empty[String, String]
+      var scram: Scram.Client = null
       var ready = false
       while (!ready) {
         val m = WalWire.read(in).getOrElse(
           throw new IOException("connection closed during startup"))
         m.tag match {
           case 'R' =>
-            new BinaryReader(m.body).readInt32() match {
+            val r = new BinaryReader(m.body)
+            r.readInt32() match {
               case 0 => () // AuthenticationOk
               case 3 => // CleartextPassword
                 WalWire.write(out, 'p', new BinaryWriter()
                   .writeString(password.getOrElse("")).result())
                 out.flush()
+              case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
+                var mechs = List.empty[String]
+                var s = r.readString()
+                while (s.nonEmpty) { mechs ::= s; s = r.readString() }
+                if (!mechs.contains(Scram.Mechanism))
+                  throw new IOException(
+                    s"no supported SASL mechanism in $mechs")
+                scram = new Scram.Client(password.getOrElse(""),
+                  java.util.UUID.randomUUID().toString.replace("-", ""))
+                val cf = scram.clientFirstMessage
+                  .getBytes(StandardCharsets.UTF_8)
+                WalWire.write(out, 'p', new BinaryWriter()
+                  .writeString(Scram.Mechanism)
+                  .writeInt32(cf.length).writeBytes(cf).result())
+                out.flush()
+              case 11 => // AuthenticationSASLContinue: server-first
+                val cfinal = scram.handleServerFirst(
+                  r.readText(r.remaining))
+                WalWire.write(out, 'p', new BinaryWriter().writeBytes(
+                  cfinal.getBytes(StandardCharsets.UTF_8)).result())
+                out.flush()
+              case 12 => // AuthenticationSASLFinal: verify v= (mutual)
+                if (!scram.verifyServerFinal(r.readText(r.remaining)))
+                  throw new IOException(
+                    "server signature verification failed")
               case c => throw new IOException(s"unsupported auth code $c")
             }
           case 'S' =>

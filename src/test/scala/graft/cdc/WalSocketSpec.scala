@@ -110,6 +110,34 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("SCRAM-SHA-256 startup authenticates and replicates end-to-end") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, password = Some("pencil"),
+      authMethod = "scram-sha-256")
+    val dir = tmpDir("walsock-scram")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_scram", dir, shard = 0,
+        user = "replicator", password = Some("pencil")).run()
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.confirmedFlush == 201L)
+    } finally server.close()
+  }
+
+  test("SCRAM wrong password is rejected with ErrorResponse") {
+    val server = new LoopbackWalServer(Nil, password = Some("pencil"),
+      authMethod = "scram-sha-256")
+    val dir = tmpDir("walsock-scram-bad")
+    try {
+      val ex = intercept[java.io.IOException] {
+        new WalSocketClient("127.0.0.1", server.port,
+          new PgoutputFormat(), "slot_scram_bad", dir, shard = 0,
+          password = Some("wrong")).run()
+      }
+      assert(ex.getMessage.contains("password authentication failed"))
+    } finally server.close()
+  }
+
   test("startup auth failure surfaces the server's ErrorResponse") {
     val server = new LoopbackWalServer(Nil, password = Some("right"))
     val dir = tmpDir("walsock-badauth")
