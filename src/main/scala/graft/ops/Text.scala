@@ -1594,6 +1594,74 @@ object Text {
             "THEN n_true_cand * 1000 DIV n_true_total END")
             .cast("long").as("recall_milli"))
         .orderBy(col("config"))
+    },
+
+    // ---- q231: train/eval n-gram contamination check --------------
+    // The benchmark-decontamination pass (GPT-3 appendix C / Lee et
+    // al.): before trusting an eval score, measure how much of each
+    // eval document's 8-gram set leaks from the training split. The
+    // corpus hash-splits 5% eval / 95% train on doc_id; each eval
+    // doc reports its distinct-8-gram count, how many of those occur
+    // ANYWHERE in train, the contamination rate in milli-units, and
+    // a >= 20% verdict (the rate GPT-3 used per-example at n = 13;
+    // 8 here fits the synthetic docs' length). Scale shape: grams
+    // dedupe map-side per doc (array_distinct before the explode),
+    // the train gram set is distinct-by-key, and the probe is one
+    // equi-join keyed on the 32-bit gram hash — eval-side work scales
+    // with the eval split, train-side with its distinct gram count;
+    // never a doc x doc comparison. The 50-row report is the audit
+    // artifact that ships with the eval run.
+    QueryDef(
+      "q231_contamination_check",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0 AS is_eval,
+         |    ${h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |tr AS (SELECT DISTINCT g FROM g8 WHERE NOT is_eval),
+         |ev AS (SELECT doc_id, g FROM g8 WHERE is_eval),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+         |ht AS (SELECT ev.doc_id, count(*) AS n_hit
+         |  FROM ev JOIN tr ON tr.g = ev.g GROUP BY ev.doc_id)
+         |SELECT pd.doc_id, CAST(pd.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(ht.n_hit, 0) * 1000 // pd.n_grams AS BIGINT)
+         |    AS contam_milli,
+         |  coalesce(ht.n_hit, 0) * 5 >= pd.n_grams AS is_contaminated
+         |FROM pd LEFT JOIN ht ON ht.doc_id = pd.doc_id
+         |ORDER BY contam_milli DESC, pd.doc_id LIMIT 50""".stripMargin) {
+      (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val base = withToks(s, d).filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          (pmod(graft.cdc.GraftFunctions.md5_h32(
+            col("doc_id").cast("string")), lit(20L)) === 0L).as("is_eval"),
+          array_distinct(expr(
+            "transform(sequence(0, size(toks) - 8), i -> " +
+              "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
+              "toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7])))"))
+            .as("gs"))
+      val grams = base.select(col("doc_id"), col("is_eval"),
+        explode(col("gs")).as("g"))
+      val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()
+      val ev = grams.filter(col("is_eval")).select(col("doc_id"), col("g"))
+      val pd = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val ht = ev.join(tr, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      pd.join(ht, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("coalesce(n_hit, 0) * 1000 DIV n_grams").cast("long")
+            .as("contam_milli"),
+          (coalesce(col("n_hit"), lit(0L)) * 5 >= col("n_grams"))
+            .as("is_contaminated"))
+        .orderBy(col("contam_milli").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }

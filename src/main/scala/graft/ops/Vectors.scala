@@ -919,6 +919,110 @@ object Vectors {
           sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
             .cast("long").as("drift2"))
         .orderBy(col("label"))
+    },
+
+    // ---- q230: retrieval ranking metrics (MRR, nDCG@10) -----------
+    // The retrieval-eval pass every RAG/embedding pipeline runs: how
+    // good is the ANN index's RANKING, not just its recall-set? Exact
+    // top-10 cosine neighbors are the graded ground truth (relevance
+    // 10..1 by exact rank); the system under test is the 8-bit
+    // sign-bucket IVF (q30's single-probe arm). Metrics in exact
+    // integers: MRR as 1000000 DIV first-hit-rank, nDCG@10 with the
+    // 1/log2(i+1) discounts as a SHARED fixed-point constant table
+    // (micro-units) so both engines sum identical longs — no
+    // transcendental at query time, the q124/q142 recipe. Scale
+    // shape: ground truth is the O(N·20) broadcast audit arm (fine as
+    // an audit; the production arm swaps in q116's trained-IVF
+    // candidates); everything downstream is 20 queries × ≤10 rows.
+    QueryDef(
+      "q230_ranking_metrics",
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, ${dotSql("v", "v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket AS qb
+         |      FROM n WHERE vec_id < 20),
+         |dm(i, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+         |  (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+         |  (8, 315465), (9, 301030), (10, 289065)),
+         |ex AS (SELECT qid, cid, rn, 11 - rn AS rel FROM (
+         |    SELECT qid, c.vec_id AS cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY
+         |        round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |          DESC, c.vec_id) AS rn
+         |    FROM q JOIN n c ON c.vec_id <> qid) WHERE rn <= 10),
+         |sys AS (SELECT qid, cid, rn FROM (
+         |    SELECT qid, c.vec_id AS cid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY
+         |        round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |          DESC, c.vec_id) AS rn
+         |    FROM q JOIN n c ON c.bucket = qb AND c.vec_id <> qid)
+         |  WHERE rn <= 10),
+         |hits AS (SELECT s.qid, s.rn AS srn, ex.rel
+         |  FROM sys s JOIN ex ON ex.qid = s.qid AND ex.cid = s.cid),
+         |agg AS (SELECT q.qid,
+         |    CAST(count(h.rel) AS BIGINT) AS n_hits,
+         |    CAST(coalesce(1000000 // min(h.srn), 0) AS BIGINT)
+         |      AS mrr_micro,
+         |    CAST(coalesce(sum(h.rel * dm.w), 0) AS BIGINT) AS dcg
+         |  FROM q LEFT JOIN hits h ON h.qid = q.qid
+         |         LEFT JOIN dm ON dm.i = h.srn
+         |  GROUP BY q.qid),
+         |ideal AS (SELECT ex.qid, sum(ex.rel * dm.w) AS idcg
+         |  FROM ex JOIN dm ON dm.i = ex.rn GROUP BY ex.qid)
+         |SELECT agg.qid, agg.n_hits, agg.mrr_micro,
+         |  CAST(agg.dcg * 1000 // ideal.idcg AS BIGINT) AS ndcg_milli
+         |FROM agg JOIN ideal ON ideal.qid = agg.qid
+         |ORDER BY agg.qid""".stripMargin) { (s, d) =>
+      val sp = s; import sp.implicits._
+      val n = prepared(s, d)
+        .withColumn("bucket",
+          (0 until 8).map(i =>
+            when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i))
+              .otherwise(lit(0))).reduce(_ + _))
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val dmTab = broadcast(Seq(1 -> 1000000L, 2 -> 630930L, 3 -> 500000L,
+        4 -> 430677L, 5 -> 386853L, 6 -> 356207L, 7 -> 333333L,
+        8 -> 315465L, 9 -> 301030L, 10 -> 289065L)
+        .toDF("i", "w"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      def rank10(cand: DataFrame): DataFrame = cand
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("cid"), col("rn"))
+      val ex = rank10(n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid")))
+        .withColumn("rel", lit(11) - col("rn"))
+      val sys = rank10(n.join(broadcast(q), col("bucket") === col("qb"))
+        .filter(col("vec_id") =!= col("qid")))
+      val hits = sys.join(ex.select(col("qid").as("eq"),
+          col("cid").as("ec"), col("rel")),
+          col("qid") === col("eq") && col("cid") === col("ec"))
+        .select(col("qid"), col("rn").as("srn"), col("rel"))
+      val agg = q.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .join(broadcast(dmTab), col("i") === col("srn"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("rel")).cast("long").as("n_hits"),
+          coalesce(expr("1000000 DIV min(srn)"), lit(0L)).cast("long")
+            .as("mrr_micro"),
+          coalesce(sum(col("rel") * col("w")), lit(0L)).cast("long")
+            .as("dcg"))
+      val ideal = ex.join(broadcast(dmTab), col("i") === col("rn"))
+        .groupBy(col("qid")).agg(sum(col("rel") * col("w")).as("idcg"))
+      agg.join(ideal, Seq("qid"))
+        .select(col("qid"), col("n_hits"), col("mrr_micro"),
+          expr("dcg * 1000 DIV idcg").cast("long").as("ndcg_milli"))
+        .orderBy(col("qid"))
     }
   )
 
