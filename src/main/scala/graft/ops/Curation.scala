@@ -682,9 +682,15 @@ object Curation {
           .orderBy(col("gain").desc, col("doc_id")).limit(1),
           1, "q157 greedy-cover argmax")(0)
         val (doc, gain) = (best.getLong(0), best.getLong(1))
+        // the picked doc's shingles are distinct within the doc, so
+        // anti-joining away the already-covered ones leaves two
+        // DISJOINT distinct sets — their union is distinct by
+        // construction, sparing the full re-distinct shuffle of the
+        // whole covered set every round (it only grows)
         val add = sh.filter(col("doc_id") === doc).select(col("h"))
-        val next = (if (covered == null) add
-          else covered.union(add)).distinct().tcache()
+        val next = (if (covered == null) add.distinct()
+          else covered.union(add.join(covered, Seq("h"), "left_anti")))
+          .tcache()
         val total = next.count()
         if (covered != null) covered.unpersist()
         covered = next

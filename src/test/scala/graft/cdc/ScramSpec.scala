@@ -62,4 +62,26 @@ class ScramSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("does not extend"))
   }
+
+  test("property: round trip succeeds iff passwords match") {
+    val rnd = new scala.util.Random(42) // deterministic seed
+    def tok(): String = rnd.alphanumeric.take(12 + rnd.nextInt(12)).mkString
+    for (_ <- 1 to 25) {
+      val pw = tok()
+      val salt = Array.fill(16)(rnd.nextInt(256).toByte)
+      val client = new Scram.Client(pw, tok())
+      val server = new Scram.Server(pw, salt, 1024, tok())
+      val cf = client.handleServerFirst(
+        server.handleClientFirst(client.clientFirstMessage))
+      val Right(v) = server.handleClientFinal(cf)
+      assert(client.verifyServerFinal(v))
+
+      val wrong = new Scram.Client(pw + "x", tok())
+      val server2 = new Scram.Server(pw, salt, 1024, tok())
+      val cf2 = wrong.handleServerFirst(
+        server2.handleClientFirst(wrong.clientFirstMessage))
+      assert(server2.handleClientFinal(cf2) ==
+        Left("password authentication failed"))
+    }
+  }
 }

@@ -73,6 +73,26 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("UDF"), s"scala UDF on the probe path:\n$p")
   }
 
+  test("q230: ranking metrics broadcast the query side, rank via group-limit") {
+    val p = plan("q230_ranking_metrics")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast against the collection scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-10 rank must prune through WindowGroupLimit:\n$p")
+  }
+
+  test("q231: contamination probe is keyed on the gram hash, no cartesian") {
+    val p = plan("q231_contamination_check")
+    assert(!p.contains("CartesianProduct"), s"probe must be keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc gram counts must combine map-side:\n$p")
+    assert("SortMergeJoin \\[g".r.findAllIn(p).nonEmpty ||
+      "ShuffledHashJoin \\[g".r.findAllIn(p).nonEmpty ||
+      "BroadcastHashJoin \\[g".r.findAllIn(p).nonEmpty,
+      s"expected the eval-x-train join keyed on the gram hash g:\n$p")
+  }
+
   test("q01: aggregation is partial+final (map-side combine present)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
