@@ -672,31 +672,30 @@ object Curation {
       }) { (s, d) =>
       import s.implicits._
       val sh = Text.shingleHashes(s, d).select(col("doc_id"), col("h"))
-      var covered: DataFrame = null
+      // The covered set is exactly the picked docs' shingles — k docs
+      // after k rounds, a BROADCASTABLE dimension at any corpus size —
+      // so it is never materialized: each round anti-joins the cached
+      // index against the picked docs' own shingles (broadcast, no
+      // shuffle of the index), and the covered TOTAL accumulates from
+      // the marginal gains, which are disjoint by construction (each
+      // gain counts only shingles no earlier pick covered).
+      var picked = List.empty[Long]
+      var total = 0L
       val rows = (1 to 5).map { r =>
         val uncov =
-          if (covered == null) sh
-          else sh.join(covered, Seq("h"), "left_anti")
+          if (picked.isEmpty) sh
+          else sh.join(broadcast(
+            sh.filter(col("doc_id").isin(picked: _*)).select(col("h"))),
+            Seq("h"), "left_anti")
         val best = boundedCollect(uncov.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1),
           1, "q157 greedy-cover argmax")(0)
         val (doc, gain) = (best.getLong(0), best.getLong(1))
-        // the picked doc's shingles are distinct within the doc, so
-        // anti-joining away the already-covered ones leaves two
-        // DISJOINT distinct sets — their union is distinct by
-        // construction, sparing the full re-distinct shuffle of the
-        // whole covered set every round (it only grows)
-        val add = sh.filter(col("doc_id") === doc).select(col("h"))
-        val next = (if (covered == null) add.distinct()
-          else covered.union(add.join(covered, Seq("h"), "left_anti")))
-          .tcache()
-        val total = next.count()
-        if (covered != null) covered.unpersist()
-        covered = next
+        picked ::= doc
+        total += gain
         (r, doc, gain, total)
       }
-      covered.unpersist()
       rows.toDF("round", "doc_id", "gain", "covered")
         .select(col("round").cast("int").as("round"), col("doc_id"),
           col("gain"), col("covered"))
