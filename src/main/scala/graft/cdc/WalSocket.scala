@@ -138,7 +138,12 @@ final class LoopbackWalServer(
     password: Option[String] = None,
     /** "cleartext" (R/3) or "scram-sha-256" (R/10..12, RFC 7677) —
       * PG's default since v10. Only meaningful with `password`. */
-    authMethod: String = "cleartext") {
+    authMethod: String = "cleartext",
+    /** Chaos: after serving this many txs (first connection only),
+      * send an ErrorResponse with this message instead of more data —
+      * the walsender kill path (slot dropped / conflict with
+      * recovery / slot stolen). */
+    errorAfterTxs: Option[(Int, String)] = None) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -148,6 +153,7 @@ final class LoopbackWalServer(
   private val startups = ArrayBuffer.empty[Map[String, String]]
   @volatile private var confirmed = 0L
   @volatile private var drop = dropAfterTxs
+  @volatile private var errAfter = errorAfterTxs
   @volatile private var midTx = dropMidTxFrames
   @volatile private var running = true
 
@@ -321,6 +327,13 @@ final class LoopbackWalServer(
         // client sees a clean EOF with exactly `sent` transactions
         // delivered-but-unconfirmed (the last one replays: no
         // following message ever evidences its completeness)
+        if (errAfter.exists(_._1 == sent)) {
+          // walsender kill: an explicit ErrorResponse, then close —
+          // unlike the silent drops above, the client must SURFACE it
+          WalWire.write(out, 'E',
+            PgStartup.errorBody("57P01", errAfter.get._2))
+          errAfter = None; out.flush(); sock.close(); return
+        }
         if (drop.contains(sent) || dropEveryTxs.contains(sent)) {
           drop = None; out.flush(); sock.close(); return
         }
@@ -560,6 +573,7 @@ final class WalSocketClient(
       require(first.tag == 'W',
         s"expected CopyBothResponse, got tag ${first.tag}")
 
+      var serverError: Option[String] = None
       try {
         var msg = WalWire.read(in)
         while (msg.isDefined) {
@@ -577,9 +591,26 @@ final class WalSocketClient(
                   if (shouldRespond) flushAndAck(lastLsn)
                 case Transport.Unknown(_) => ()
               }
-            case _ => () // non-CopyData from the server: ignore
+            case WalWire.Msg('E', body) =>
+              // walsender killed the stream (slot dropped, conflict
+              // with recovery, slot stolen by another PID...). The
+              // reference surfaces this as a client error event that
+              // tears the service down; here it terminates the run —
+              // completed txs stay logged + acked, the in-flight one
+              // replays next session (at-least-once, same as a cut).
+              val r = new BinaryReader(body)
+              var msgTxt = "server error"
+              var c = r.readUint8()
+              while (c != 0) {
+                val s = r.readString()
+                if (c == 'M') msgTxt = s
+                c = r.readUint8()
+              }
+              serverError = Some(msgTxt)
+              msg = None
+            case _ => () // CommandComplete etc.: ignore
           }
-          msg = WalWire.read(in)
+          if (serverError.isEmpty) msg = WalWire.read(in)
         }
         // clean EOF with a transaction in flight: a MESSAGE boundary is
         // not a TRANSACTION boundary — a server dying between two
@@ -598,6 +629,9 @@ final class WalSocketClient(
           curFrames = ArrayBuffer.empty
       }
       if (sinceAck > 0) flushAndAck(lastLsn)
+      // completed work is durable + acked first; then the error
+      // surfaces to the caller (the reference's error-event contract)
+      serverError.foreach(e => throw new IOException(e))
       RunResult(delivered.toSeq, heartbeats, acks)
     } finally {
       closed = true

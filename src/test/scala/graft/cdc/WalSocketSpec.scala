@@ -152,6 +152,29 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("mid-stream ErrorResponse surfaces after durable ack; resume clean") {
+    val log = (1 to 4).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log,
+      errorAfterTxs = Some((2, "terminating walsender due to conflict")))
+    val dir = tmpDir("walsock-err")
+    try {
+      val ex = intercept[java.io.IOException] {
+        new WalSocketClient("127.0.0.1", server.port,
+          new PgoutputFormat(), "slot_err", dir, shard = 0).run()
+      }
+      assert(ex.getMessage.contains("terminating walsender"))
+      // tx1 completed (evidenced by tx2's first frame) -> durable +
+      // acked; tx2 was IN FLIGHT when the error arrived — an error is
+      // not evidence of tx completeness, so it stays unconfirmed and
+      // replays (the same at-least-once rule as a silent cut)
+      assert(CdcReplaySource.lastAckedLsn(dir).contains(100L))
+      val r2 = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_err", dir, shard = 1).run()
+      assert(r2.txs.map(_._1) == Seq(200L, 300L, 400L))
+      assert(server.confirmedFlush == 401L)
+    } finally server.close()
+  }
+
   test("keepalive shouldRespond elicits an immediate standby reply") {
     // no transactions at all: the only ack the server can receive is
     // the keepalive reply, at the keepalive's own LSN (the reference
