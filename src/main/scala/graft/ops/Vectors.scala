@@ -1023,6 +1023,92 @@ object Vectors {
         .select(col("qid"), col("n_hits"), col("mrr_micro"),
           expr("dcg * 1000 DIV idcg").cast("long").as("ndcg_milli"))
         .orderBy(col("qid"))
+    },
+
+    // ---- q232: matryoshka (prefix-dim) recall audit ----------------
+    // The MRL question every embedding pipeline asks before truncating
+    // vectors to save index bytes: how much top-5 recall survives at
+    // dim 8/16/32 vs the full 64? Per dim: rank by prefix-k cosine
+    // (prefix norms, same rounded-score + id tie-break), intersect
+    // with the full-dim exact top-5, report total hits and the
+    // recall in milli-units. Audit arm (20 queries × N brute force,
+    // 3 dims); at corpus scale the production arm runs each dim
+    // through the IVF candidates instead — the metric plumbing is
+    // identical. Per-vector prefix norms compute once in the scan
+    // stage, never per pair.
+    QueryDef(
+      "q232_matryoshka_recall",
+      { def pdot(k: Int, a: String, b: String) =
+          s"list_reduce(list_transform(range(1, ${k + 1}), i -> " +
+            s"$a[i] * $b[i]), (acc, x) -> acc + x)"
+        val arms = Seq(8, 16, 32).map { k =>
+          s"""p$k AS (SELECT qid, c.vec_id AS cid,
+             |    round(${pdot(k, "qv", "c.v")} /
+             |      (sqrt(${pdot(k, "qv", "qv")}) *
+             |       sqrt(${pdot(k, "c.v", "c.v")})), 6) AS score
+             |  FROM q JOIN n c ON c.vec_id <> qid),
+             |s$k AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, cid) AS rn FROM p$k)
+             |  WHERE rn <= 5),
+             |h$k AS (SELECT count(*) AS h FROM s$k s
+             |  JOIN ex ON ex.qid = s.qid AND ex.cid = s.cid)"""
+            .stripMargin
+        }
+        val sel = Seq(8, 16, 32).map { k =>
+          s"SELECT $k AS dim, CAST(h AS BIGINT) AS n_hits, " +
+            s"CAST(h * 1000 // 100 AS BIGINT) AS recall_milli FROM h$k"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> x::DOUBLE) AS v
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM e),
+           |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+           |      WHERE vec_id < 20),
+           |ex AS (SELECT qid, cid FROM (
+           |    SELECT qid, c.vec_id AS cid, row_number() OVER (
+           |      PARTITION BY qid ORDER BY
+           |        round(${dotSql("qv", "c.v")} /
+           |          (sqrt(qn) * sqrt(c.nrm)), 6) DESC, c.vec_id) AS rn
+           |    FROM q JOIN n c ON c.vec_id <> qid) WHERE rn <= 5),
+           |${arms.mkString(",\n")}
+           |SELECT * FROM (\n$sel)\nORDER BY dim""".stripMargin
+      }) { (s, d) =>
+      val sp = s; import sp.implicits._
+      val dims = Seq(8, 16, 32)
+      // prefix vectors + prefix norms, once per vector in the scan
+      val n = dims.foldLeft(prepared(s, d)) { (df, k) =>
+        df.withColumn(s"v$k", expr(s"slice(v, 1, $k)"))
+          .withColumn(s"n$k", dot(col(s"v$k"), col(s"v$k")))
+      }
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      def top5(cand: DataFrame, score: Column): DataFrame = cand
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(score, 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"))
+      def qside(cols: Seq[String]): DataFrame =
+        n.filter(col("vec_id") < 20).select(col("vec_id").as("qid") +:
+          cols.map(c => col(c).as(s"q_$c")): _*)
+      val pairsEx = n.crossJoin(broadcast(qside(Seq("v", "nrm"))))
+        .filter(col("vec_id") =!= col("qid"))
+      val ex = top5(pairsEx,
+        dot(col("q_v"), col("v")) / (sqrt(col("q_nrm")) * sqrt(col("nrm"))))
+      val armDfs = dims.map { k =>
+        val pairs = n
+          .crossJoin(broadcast(qside(Seq(s"v$k", s"n$k"))))
+          .filter(col("vec_id") =!= col("qid"))
+        top5(pairs, dot(col(s"q_v$k"), col(s"v$k")) /
+            (sqrt(col(s"q_n$k")) * sqrt(col(s"n$k"))))
+          .join(ex.toDF("eq", "ec"),
+            col("qid") === col("eq") && col("cid") === col("ec"))
+          .agg(count(lit(1)).as("h"))
+          .select(lit(k).as("dim"), col("h").cast("long").as("n_hits"),
+            expr("h * 1000 DIV 100").cast("long").as("recall_milli"))
+      }
+      armDfs.reduce(_ unionAll _).orderBy(col("dim"))
     }
   )
 
