@@ -1662,6 +1662,119 @@ object Text {
             .as("is_contaminated"))
         .orderBy(col("contam_milli").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // ---- q233: annotator agreement (P/R/F1 + Cohen's kappa) -------
+    // The label-quality audit a curation pipeline runs when two
+    // labelers (here: the stored `lang` column vs the q23 stopword
+    // classifier) disagree: per-class precision/recall/F1 and the
+    // chance-corrected overall agreement, Cohen's kappa — all exact
+    // integers from the confusion counts. kappa = (N·agree − Σ
+    // row·col) / (N² − Σ row·col), cross-multiplied so neither
+    // engine divides until the final milli fixed-point DIV. Scale
+    // shape: ONE pass builds the k×k confusion matrix (map-side
+    // classify + keyed count); every metric then lives on k² ≤ 16
+    // rows — the 100 TB cost is the one classify-scan, as it must be.
+    QueryDef(
+      "q233_annotator_agreement",
+      s"""WITH scored AS (SELECT lang,
+         |  len(list_filter(toks, x -> list_contains(['the','a','is','of'], x))) AS s_en,
+         |  len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS s_de,
+         |  len(list_filter(toks, x -> list_contains(['le','et','les','une'], x))) AS s_fr,
+         |  len(list_filter(toks, x -> list_contains(['el','y','los','una'], x))) AS s_es
+         |  FROM (SELECT lang, $toksSql AS toks FROM documents)),
+         |conf AS (SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS guess,
+         |  count(*) AS n
+         |  FROM scored GROUP BY 1, 2),
+         |cls(c) AS (VALUES ('de'), ('en'), ('es'), ('fr')),
+         |t AS (SELECT lang AS c, sum(n) AS n_true FROM conf GROUP BY 1),
+         |p AS (SELECT guess AS c, sum(n) AS n_pred FROM conf GROUP BY 1),
+         |dg AS (SELECT lang AS c, sum(n) AS n_corr FROM conf
+         |       WHERE lang = guess GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nn,
+         |    sum(CASE WHEN lang = guess THEN n ELSE 0 END) AS agree
+         |  FROM conf),
+         |pe AS (SELECT sum(coalesce(t.n_true, 0) * coalesce(p.n_pred, 0))
+         |    AS pe_num
+         |  FROM cls LEFT JOIN t ON t.c = cls.c LEFT JOIN p ON p.c = cls.c)
+         |SELECT cls.c AS class,
+         |  CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(dg.n_corr, 0) AS BIGINT) AS n_correct,
+         |  CAST(CASE WHEN coalesce(p.n_pred, 0) > 0
+         |    THEN 1000 * coalesce(dg.n_corr, 0) // p.n_pred
+         |    ELSE 0 END AS BIGINT) AS prec_milli,
+         |  CAST(CASE WHEN coalesce(t.n_true, 0) > 0
+         |    THEN 1000 * coalesce(dg.n_corr, 0) // t.n_true
+         |    ELSE 0 END AS BIGINT) AS rec_milli,
+         |  CAST(CASE WHEN coalesce(p.n_pred, 0) + coalesce(t.n_true, 0) > 0
+         |    THEN 2000 * coalesce(dg.n_corr, 0)
+         |      // (coalesce(p.n_pred, 0) + coalesce(t.n_true, 0))
+         |    ELSE 0 END AS BIGINT) AS f1_milli,
+         |  CAST(1000 * (tot.nn * tot.agree - pe.pe_num)
+         |    // (tot.nn * tot.nn - pe.pe_num) AS BIGINT) AS kappa_milli
+         |FROM cls LEFT JOIN t ON t.c = cls.c
+         |  LEFT JOIN p ON p.c = cls.c
+         |  LEFT JOIN dg ON dg.c = cls.c, tot, pe
+         |ORDER BY class""".stripMargin) { (s, d) =>
+      val sp = s; import sp.implicits._
+      def hits(words: Seq[String]): Column =
+        size(filter(col("toks"), x => array_contains(
+          array(words.map(lit): _*), x)))
+      val conf = withToks(s, d)
+        .select(col("lang"),
+          hits(Seq("the", "a", "is", "of")).as("s_en"),
+          hits(Seq("der", "die", "das", "und")).as("s_de"),
+          hits(Seq("le", "et", "les", "une")).as("s_fr"),
+          hits(Seq("el", "y", "los", "una")).as("s_es"))
+        .withColumn("guess",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+      val cls = Seq("de", "en", "es", "fr").toDF("class")
+      val t = conf.groupBy(col("lang").as("class"))
+        .agg(sum(col("n")).as("n_true"))
+      val p = conf.groupBy(col("guess").as("class"))
+        .agg(sum(col("n")).as("n_pred"))
+      val dg = conf.filter(col("lang") === col("guess"))
+        .groupBy(col("lang").as("class")).agg(sum(col("n")).as("n_corr"))
+      val tot = conf.agg(sum(col("n")).as("nn"),
+        sum(when(col("lang") === col("guess"), col("n"))
+          .otherwise(lit(0L))).as("agree"))
+      val pe = cls.join(t, Seq("class"), "left")
+        .join(p, Seq("class"), "left")
+        .agg(sum(coalesce(col("n_true"), lit(0L)) *
+          coalesce(col("n_pred"), lit(0L))).as("pe_num"))
+      cls.join(t, Seq("class"), "left")
+        .join(p, Seq("class"), "left")
+        .join(dg, Seq("class"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(pe))
+        .select(col("class"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_corr"), lit(0L)).as("n_correct"),
+          expr("CASE WHEN coalesce(n_pred, 0) > 0 THEN " +
+            "1000 * coalesce(n_corr, 0) DIV n_pred ELSE 0 END")
+            .cast("long").as("prec_milli"),
+          expr("CASE WHEN coalesce(n_true, 0) > 0 THEN " +
+            "1000 * coalesce(n_corr, 0) DIV n_true ELSE 0 END")
+            .cast("long").as("rec_milli"),
+          expr("CASE WHEN coalesce(n_pred, 0) + coalesce(n_true, 0) > 0 " +
+            "THEN 2000 * coalesce(n_corr, 0) " +
+            "DIV (coalesce(n_pred, 0) + coalesce(n_true, 0)) " +
+            "ELSE 0 END").cast("long").as("f1_milli"),
+          expr("1000 * (nn * agree - pe_num) DIV (nn * nn - pe_num)")
+            .cast("long").as("kappa_milli"))
+        .orderBy(col("class"))
     }
   )
 }
