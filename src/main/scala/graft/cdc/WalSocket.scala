@@ -86,6 +86,20 @@ object PgStartup {
     (proto, m.toMap)
   }
 
+  /** The MD5 password response: `'md5' + md5hex(md5hex(pw || user)
+    * + salt)` — PG's pre-SCRAM scheme (protocol docs, AuthenticationMD5Password). */
+  def md5Password(password: String, user: String,
+      salt: Array[Byte]): String = {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val inner = hex(md.digest(
+      (password + user).getBytes(StandardCharsets.UTF_8)))
+    md.reset()
+    md.update(inner.getBytes(StandardCharsets.UTF_8))
+    md.update(salt)
+    "md5" + hex(md.digest())
+  }
+
   /** ErrorResponse body: (code byte + cstring)* + terminator, with
     * the severity/code/message fields every client reads. */
   def errorBody(sqlState: String, message: String): Array[Byte] =
@@ -240,6 +254,20 @@ final class LoopbackWalServer(
               WalWire.write(out, 'R', new BinaryWriter().writeInt32(12)
                 .writeBytes(v.getBytes(StandardCharsets.UTF_8)).result())
           }
+        case Some(pw) if authMethod == "md5" =>
+          // AuthenticationMD5Password: 4-byte salt; expected reply is
+          // 'md5' || md5(md5(password || user) || salt) in hex —
+          // the pre-SCRAM scheme PG still accepts (public docs §55.2)
+          val salt = new Array[Byte](4)
+          new java.security.SecureRandom().nextBytes(salt)
+          WalWire.write(out, 'R',
+            new BinaryWriter().writeInt32(5).writeBytes(salt).result())
+          out.flush()
+          val pm = WalWire.read(in).getOrElse(return)
+          val got = new BinaryReader(pm.body).readString()
+          val want = PgStartup.md5Password(pw,
+            params.getOrElse("user", ""), salt)
+          if (pm.tag != 'p' || got != want) { authFail(); return }
         case Some(pw) =>
           WalWire.write(out, 'R',
             new BinaryWriter().writeInt32(3).result()) // CleartextPassword
@@ -513,6 +541,12 @@ final class WalSocketClient(
               case 3 => // CleartextPassword
                 WalWire.write(out, 'p', new BinaryWriter()
                   .writeString(password.getOrElse("")).result())
+                out.flush()
+              case 5 => // MD5Password: salted double-md5 (docs §55.2)
+                val salt = r.read(4)
+                WalWire.write(out, 'p', new BinaryWriter()
+                  .writeString(PgStartup.md5Password(
+                    password.getOrElse(""), user, salt)).result())
                 out.flush()
               case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
                 var mechs = List.empty[String]

@@ -124,6 +124,29 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("MD5 password auth round-trips (salted double-md5)") {
+    // pinned against an independent md5 implementation:
+    // md5hex(md5hex("pencil"+"replicator") + 0x01020304)
+    assert(PgStartup.md5Password("pencil", "replicator",
+      Array[Byte](1, 2, 3, 4)) == "md55a455de8933434b2da6c77871a9ed55f")
+    val log = Seq(tx(100L, 1))
+    val server = new LoopbackWalServer(log, password = Some("pencil"),
+      authMethod = "md5")
+    val dir = tmpDir("walsock-md5")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_md5", dir, shard = 0,
+        user = "replicator", password = Some("pencil")).run()
+      assert(r.txs.map(_._1) == Seq(100L))
+      val bad = intercept[java.io.IOException] {
+        new WalSocketClient("127.0.0.1", server.port,
+          new PgoutputFormat(), "slot_md5b", tmpDir("walsock-md5b"),
+          shard = 0, user = "replicator", password = Some("nope")).run()
+      }
+      assert(bad.getMessage.contains("password authentication failed"))
+    } finally server.close()
+  }
+
   test("SCRAM wrong password is rejected with ErrorResponse") {
     val server = new LoopbackWalServer(Nil, password = Some("pencil"),
       authMethod = "scram-sha-256")
