@@ -51,11 +51,15 @@ class LiveAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         PgoutputWriter.insert(902, Seq("3", "30"))),
       tx(300L, PgoutputWriter.update(902, 'N', Nil, Seq("2", "25"))),
       tx(400L, PgoutputWriter.delete(902, 'K', Seq("1", null))))
-    val server = new LoopbackWalServer(log)
+    // SCRAM on the full stack: the startup auth precedes replication
+    // in the same composed path a real deployment runs
+    val server = new LoopbackWalServer(log, password = Some("pencil"),
+      authMethod = "scram-sha-256")
     val dir = tmpDir("live-analytics")
     try {
       val r = new WalSocketClient("127.0.0.1", server.port,
-        new PgoutputFormat(), "slot_live", dir, shard = 0).run()
+        new PgoutputFormat(), "slot_live", dir, shard = 0,
+        password = Some("pencil")).run()
       assert(r.txs.size == 4)
       assert(server.confirmedFlush == 401L)
 
