@@ -20,16 +20,25 @@ import org.apache.spark.sql.SparkSession
   * rebuilt inside a query.
   */
 object Prewarm {
-  def run(s: SparkSession, d: String): Unit = {
+  def run(s: SparkSession, d: String): Unit = { timed(s, d); () }
+
+  /** Per-memo build seconds, in build order (tools.MemoTime prints
+    * them; Bench reports only the total). */
+  def timed(s: SparkSession, d: String): Seq[(String, Double)] = {
     graft.cdc.GraftFunctions.register(s)
-    Text.withToks(s, d).count()
-    Text.docTermFreq(s, d).count()
-    Text.shingleHashes(s, d).count()
-    Text.jaccardPairs(s, d).count()
-    Text.minhashSig(s, d).count()
-    Curation.winnowPrints(s, d).count()
-    Pipeline.clusterLabels(s, d).count()
-    Vectors.prewarmMemos(s, d)
-    ()
+    def t(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      t("toks") { Text.withToks(s, d).count() },
+      t("tf") { Text.docTermFreq(s, d).count() },
+      t("shingles") { Text.shingleHashes(s, d).count() },
+      t("pairs") { Text.jaccardPairs(s, d).count() },
+      t("minhash") { Text.minhashSig(s, d).count() },
+      t("winnow") { Curation.winnowPrints(s, d).count() },
+      t("labels") { Pipeline.clusterLabels(s, d).count() },
+      t("vectors") { Vectors.prewarmMemos(s, d) })
   }
 }

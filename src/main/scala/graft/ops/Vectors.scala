@@ -1187,35 +1187,54 @@ object Vectors {
   private def kmeansAssignments(s: SparkSession, d: String): DataFrame =
     kmCache.getOrElseUpdate((s, d)) {
       val e = quantized(s, d)
-      val distExpr = expr(
-        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, " +
-          "(acc, x) -> acc + x)")
-      val wv = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("j"))
-      def assign(cent: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("j"), col("q"), distExpr.as("dist"))
-          .withColumn("rn", row_number().over(wv))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("j"))
-      val init = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("j"), col("q").as("c"))
+      // Distributed k-means in its canonical shape: the k×64 centroid
+      // matrix is DRIVER state between iterations (k·dim longs — the
+      // bounded coordination payload every real k-means ships), so
+      // each assign pass is a pure map-side argmin over centroid
+      // LITERALS — no crossJoin row expansion, no per-vector window
+      // shuffle. The argmin is array_min over (dist, j) structs:
+      // lexicographic struct ordering = min dist with lowest-j
+      // tie-break, identical to the previous rank-1 window and to the
+      // oracle's row_number ordering. Only the centroid RECOMPUTE
+      // (one keyed (cluster, dim) sum) shuffles — as it must.
+      def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+        val arms = cents.map { case (j, c) =>
+          struct(expr(
+            s"aggregate(zip_with(q, array(${c.mkString("L,")}L), " +
+              "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("dist"), lit(j).as("j"))
+        }
+        e.select(col("vec_id"),
+          array_min(array(arms: _*)).getField("j").as("j"))
+      }
+      def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+        Tables.boundedCollect(df, 8, "k-means centroid matrix (k = 8)")
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+      val init = collectCents(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("j"), col("q").as("c")))
       val a1 = assign(init)
       val n1 = a1.groupBy(col("j")).agg(count(lit(1)).as("n"))
       val s1 = a1.join(e, "vec_id")
         .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
         .groupBy(col("j"), col("i")).agg(sum(col("v")).as("s"))
-      val c1 = s1.join(n1, "j")
+      val c1 = collectCents(s1.join(n1, "j")
         .select(col("j"), col("i"),
           expr("(2 * s + n) DIV (2 * n)").as("ci"))
         .groupBy(col("j"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
-          p => p.getField("ci")).as("c"))
+          p => p.getField("ci")).as("c")))
       assign(c1).cache()
     }
 
   /** Materialize this module's session memos (quantized grid, Lloyd
     * assignments, PQ codebooks) — [[Prewarm]] hook. */
+  private[ops] def prewarmQuantized(s: SparkSession, d: String): Unit =
+    { quantized(s, d).count(); () }
+  private[ops] def prewarmKmeans(s: SparkSession, d: String): Unit =
+    { kmeansAssignments(s, d).count(); () }
+  private[ops] def prewarmPq(s: SparkSession, d: String): Unit =
+    { pqCodebooks(s, d).count(); () }
+
   private[ops] def prewarmMemos(s: SparkSession, d: String): Unit = {
     quantized(s, d).count()
     kmeansAssignments(s, d).count()
