@@ -1129,14 +1129,40 @@ object Vectors {
     "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)), 0L, " +
       "(acc, x) -> acc + x)")
 
-  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
-    val wv = Window.partitionBy(col("sub"), col("vec_id"))
-      .orderBy(col("dist"), col("j"))
-    sub.join(broadcast(cent), "sub")
-      .select(col("vec_id"), col("sub"), col("j"), col("sq"),
-        pqDistExpr.as("dist"))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") === 1)
+  /** (sub → per-symbol centroids) fetched to the driver — 8×4×8
+    * longs, the bounded codebook every PQ system broadcasts. */
+  private def collectCodebooks(df: DataFrame)
+      : Map[Int, Seq[(Long, Seq[Long])]] =
+    Tables.boundedCollect(df, 64, "PQ codebook matrix (8 sub x <=8 codes)")
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).sortBy(_._1).toSeq).toMap
+
+  /** Assign every (vector, subspace) slice to its nearest codebook
+    * centroid — centroids as LITERALS (q115's k-means recipe): a pure
+    * map-side argmin via array_min over (dist, j) structs, dispatched
+    * per subspace by a when-chain on `sub`. No 4× join expansion, no
+    * per-(sub, vec) window shuffle; lexicographic struct ordering
+    * keeps the min-dist lowest-j tie-break bit-identical to the
+    * oracle's row_number. */
+  private def pqAssign(sub: DataFrame,
+      cents: Map[Int, Seq[(Long, Seq[Long])]]): DataFrame = {
+    val picks = (0 until 8).map { s2 =>
+      val arms = cents(s2).map { case (j, c) =>
+        struct(expr(
+          s"aggregate(zip_with(sq, array(${c.mkString("L,")}L), " +
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("dist"), lit(j).as("j"))
+      }
+      (s2, array_min(array(arms: _*)))
+    }
+    val pick = picks.tail.foldLeft(
+      when(col("sub") === picks.head._1, picks.head._2)) {
+      case (acc, (s2, e2)) => acc.when(col("sub") === s2, e2)
+    }
+    sub.select(col("vec_id"), col("sub"), col("sq"), pick.as("pick"))
+      .select(col("vec_id"), col("sub"), col("sq"),
+        col("pick.j").as("j"), col("pick.dist").as("dist"))
   }
 
   /** Trained PQ codebooks (sub, j, c: 8-dim integer centroid) after
@@ -1146,8 +1172,8 @@ object Vectors {
   private def pqCodebooks(s: SparkSession, d: String): DataFrame =
     pqCbCache.getOrElseUpdate((s, d)) {
       val sub = subVectors(s, d)
-      val init = sub.filter(col("vec_id") < 4)
-        .select(col("sub"), col("vec_id").as("j"), col("sq").as("c"))
+      val init = collectCodebooks(sub.filter(col("vec_id") < 4)
+        .select(col("sub"), col("vec_id").as("j"), col("sq").as("c")))
       val a1 = pqAssign(sub, init).select(col("vec_id"), col("sub"), col("j"))
       val n1 = a1.groupBy(col("sub"), col("j")).agg(count(lit(1)).as("n"))
       val s1 = a1.join(sub, Seq("vec_id", "sub"))
@@ -1163,7 +1189,7 @@ object Vectors {
     }
 
   private def pqAssignments(s: SparkSession, d: String): DataFrame =
-    pqAssign(subVectors(s, d), pqCodebooks(s, d))
+    pqAssign(subVectors(s, d), collectCodebooks(pqCodebooks(s, d)))
       .select(col("vec_id"), col("sub"), col("j").as("symbol"),
         col("dist").as("err"))
 
