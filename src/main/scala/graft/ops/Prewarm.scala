@@ -20,7 +20,36 @@ import org.apache.spark.sql.SparkSession
   * rebuilt inside a query.
   */
 object Prewarm {
-  def run(s: SparkSession, d: String): Unit = { timed(s, d); () }
+  /** Build the memos along their dependency chains, independent
+    * chains CONCURRENTLY (local[32] has idle cores while any one
+    * build's stages serialize): tokenization is the root of every
+    * text chain and builds first; then tf, the shingle→pair→label
+    * chain, minhash, winnowing, and the vector-grid chain proceed in
+    * parallel. Safe: each DfMemo is synchronized, so racing chains
+    * block on a shared dependency instead of double-building it. */
+  def run(s: SparkSession, d: String): Unit = {
+    graft.cdc.GraftFunctions.register(s)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val vectors = Future { Vectors.prewarmMemos(s, d) }
+    Text.withToks(s, d).count()
+    val rest = Seq(
+      Future { Text.docTermFreq(s, d).count(); () },
+      Future {
+        Text.shingleHashes(s, d).count()
+        val pairsChain = Future {
+          Text.jaccardPairs(s, d).count()
+          Pipeline.clusterLabels(s, d).count()
+        }
+        Text.minhashSig(s, d).count()
+        Await.result(pairsChain, Duration.Inf)
+        ()
+      },
+      Future { Curation.winnowPrints(s, d).count(); () })
+    Await.result(Future.sequence(vectors +: rest), Duration.Inf)
+    ()
+  }
 
   /** Per-memo build seconds, in build order (tools.MemoTime prints
     * them; Bench reports only the total). */
