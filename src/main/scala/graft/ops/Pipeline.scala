@@ -1004,6 +1004,61 @@ object Pipeline {
       // keyed joins + one count; no per-node adjacency list ever
       // materializes.
       triangleCensus(jaccardPairs(s, d).select(col("d1"), col("d2")))
+    },
+
+    // ---- q235: canonical-document election per near-dup cluster ---
+    // The step AFTER clustering that every dedup pipeline runs: each
+    // near-dup cluster keeps ONE canonical document (highest q22
+    // quality score, lowest doc_id on ties) and drops the rest. The
+    // report — cluster root, size, elected doc, its quality, and the
+    // drop count — is the curation audit trail for what dedup
+    // removed. Scale shape: the memoized component labels join the
+    // quality dimension once (both keyed on doc_id), and the election
+    // is a rank-1 window per cluster (WindowGroupLimit) — no pass
+    // re-touches text or shingles. Oracle: the same recursive-closure
+    // clusters + quality CTE, so the driver hash-matching this query
+    // proves contraction labels, quality scoring, and the election
+    // rule agree end-to-end.
+    QueryDef(
+      "q235_canonical_doc_election",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |$qualityScoresSql,
+         |j AS (SELECT root.root, root.doc_id, qual.q
+         |      FROM root JOIN qual ON qual.doc_id = root.doc_id),
+         |elect AS (SELECT root, doc_id, q,
+         |    row_number() OVER (PARTITION BY root
+         |      ORDER BY q DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY root) AS sz
+         |  FROM j)
+         |SELECT root, CAST(sz AS BIGINT) AS cluster_size,
+         |  doc_id AS kept_doc, q AS kept_quality,
+         |  CAST(sz - 1 AS BIGINT) AS n_dropped
+         |FROM elect WHERE rn = 1 AND sz > 1
+         |ORDER BY root""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("root"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val sz = Window.partitionBy(col("root"))
+      clusterLabels(s, d)
+        .select(col("node").as("doc_id"), col("label").as("root"))
+        .join(qualityScores(s, d), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(sz))
+        .filter(col("rn") === 1 && col("sz") > 1)
+        .select(col("root"), col("sz").cast("long").as("cluster_size"),
+          col("doc_id").as("kept_doc"), col("q").as("kept_quality"),
+          (col("sz") - 1).cast("long").as("n_dropped"))
+        .orderBy(col("root"))
     }
   )
 

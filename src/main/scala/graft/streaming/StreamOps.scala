@@ -364,6 +364,15 @@ object StreamOps {
       minShared: Long = 3L)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // Batch-replay idempotency: foreachBatch re-runs a batch after a
+    // crash with the SAME batchId. The index append is doc_id-
+    // idempotent below; the verdict append must be batchId-idempotent
+    // here, or a replay double-counts the batch in the audit trail.
+    val alreadyDone =
+      try spark.read.parquet(verdictsDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (alreadyDone) return
     val sh = shingleArrivals(batch).cache() // probe + write-back, one pass
     try {
       val existing =

@@ -124,6 +124,26 @@ class StreamStaticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getLong(0)).toSet
       assert(docs == Set(1L, 3L),
         s"index must hold the accepted docs only, got $docs")
+      // crash-replay idempotency: re-running an already-committed
+      // batchId (foreachBatch's at-least-once contract) must be a
+      // no-op — no duplicate verdicts, no index growth
+      val nV = spark.read.parquet(verDir).count()
+      val nI = idx.count()
+      graft.streaming.StreamOps.dedupIngestBatch(idxDir, verDir, 3L)(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(2L, textB), // replayed batch 1
+            org.apache.spark.sql.Row(3L, textC),
+            org.apache.spark.sql.Row(1L, textA))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))), 1L)
+      assert(spark.read.parquet(verDir).count() == nV,
+        "replayed batch must not append verdicts again")
+      assert(spark.read.parquet(idxDir).count() == nI,
+        "replayed batch must not grow the index")
     } finally {
       q.stop()
       def del(f: java.io.File): Unit = {
