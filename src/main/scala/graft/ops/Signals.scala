@@ -47,10 +47,14 @@ object Signals {
     val nodes = ed.select(col("src").as("tok")).distinct().tcache()
     var r = nodes.select(col("tok"), lit(1000L).as("pr"))
     for (_ <- 1 to iters) {
-      val inflow = edd.join(r, edd("src") === r("tok"))
+      // the rank vector is node-count-sized — vocab-small under
+      // Heaps' law for the TextRank caller — so BOTH per-round joins
+      // broadcast it instead of re-shuffling the cached edge list:
+      // each round is one map-side join + one keyed inflow agg
+      val inflow = edd.join(broadcast(r), edd("src") === r("tok"))
         .select(col("dst"), expr("(pr * w) DIV wdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(inflow, col("tok") === col("dst"), "left")
+      r = nodes.join(broadcast(inflow), col("tok") === col("dst"), "left")
         .select(col("tok"),
           (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
             .as("pr"))
