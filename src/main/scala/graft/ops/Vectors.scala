@@ -1025,17 +1025,18 @@ object Vectors {
         .orderBy(col("qid"))
     },
 
-    // ---- q232: matryoshka (prefix-dim) recall audit ----------------
-    // The MRL question every embedding pipeline asks before truncating
-    // vectors to save index bytes: how much top-5 recall survives at
-    // dim 8/16/32 vs the full 64? Per dim: rank by prefix-k cosine
-    // (prefix norms, same rounded-score + id tie-break), intersect
-    // with the full-dim exact top-5, report total hits and the
-    // recall in milli-units. Audit arm (20 queries × N brute force,
-    // 3 dims); at corpus scale the production arm runs each dim
-    // through the IVF candidates instead — the metric plumbing is
-    // identical. Per-vector prefix norms compute once in the scan
-    // stage, never per pair.
+    // ---- q232: matryoshka truncation SWEEP (cosine, 3 dims) --------
+    // q172 audits ONE prefix width (16) per query on the L2 integer
+    // grid; this is the complementary capacity-planning sweep: the
+    // aggregate recall CURVE across dim 8/16/32 on the COSINE metric
+    // the serving index actually ranks by (prefix norms re-derived
+    // per width — cosine truncation re-normalizes, so it is not a
+    // monotone restriction of the L2 audit). Per dim: rank by
+    // prefix-k cosine (same rounded-score + id tie-break), intersect
+    // with the full-dim exact top-5, report total hits and recall in
+    // milli-units — the 3-row table a capacity review reads. Audit
+    // arm (20 queries × N brute force, 3 dims); per-vector prefix
+    // norms compute once in the scan stage, never per pair.
     QueryDef(
       "q232_matryoshka_recall",
       { def pdot(k: Int, a: String, b: String) =

@@ -117,7 +117,14 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q206_sql_entry",
     "q207_k_anonymity",
     "q208_bitmap_retention",
-    "q209_join_size_audit")
+    "q209_join_size_audit",
+    // round-9 additions with rank/tie-break or iterative shapes
+    "q229_typed_oid_tail",
+    "q230_ranking_metrics",
+    "q231_contamination_check",
+    "q232_matryoshka_recall",
+    "q233_annotator_agreement",
+    "q235_canonical_doc_election")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
