@@ -157,7 +157,11 @@ final class LoopbackWalServer(
       * send an ErrorResponse with this message instead of more data —
       * the walsender kill path (slot dropped / conflict with
       * recovery / slot stolen). */
-    errorAfterTxs: Option[(Int, String)] = None) {
+    errorAfterTxs: Option[(Int, String)] = None,
+    /** End the stream with the full CopyDone → CommandComplete →
+      * ReadyForQuery shutdown (the clean COPY-mode exit; a logical
+      * slot normally streams forever, so this is opt-in). */
+    copyDoneOnEnd: Boolean = false) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -378,6 +382,13 @@ final class LoopbackWalServer(
           System.currentTimeMillis() < deadline)
         Thread.sleep(5)
       if (holdOpenMillis > 0) Thread.sleep(holdOpenMillis)
+      if (copyDoneOnEnd) {
+        WalWire.write(out, 'c', Array.emptyByteArray) // CopyDone
+        WalWire.write(out, 'C',
+          new BinaryWriter().writeString("COPY 0").result())
+        WalWire.write(out, 'Z', Array[Byte]('I'))
+        out.flush()
+      }
     } finally sock.close()
   }
 }
@@ -608,6 +619,7 @@ final class WalSocketClient(
         s"expected CopyBothResponse, got tag ${first.tag}")
 
       var serverError: Option[String] = None
+      var copyEnded = false
       try {
         var msg = WalWire.read(in)
         while (msg.isDefined) {
@@ -625,6 +637,20 @@ final class WalSocketClient(
                   if (shouldRespond) flushAndAck(lastLsn)
                 case Transport.Unknown(_) => ()
               }
+            case WalWire.Msg('c', _) =>
+              // server CopyDone: clean end of the COPY stream — a
+              // completeness boundary (unlike a cut or an error), so
+              // the in-flight tx finishes; protocol requires the
+              // receiver to answer CopyDone before CommandComplete
+              finishTx()
+              writeLock.synchronized {
+                try {
+                  WalWire.write(out, 'c', Array.emptyByteArray)
+                  out.flush()
+                } catch { case _: IOException => () }
+              }
+            case WalWire.Msg('Z', _) =>
+              copyEnded = true // ReadyForQuery: conversation over
             case WalWire.Msg('E', body) =>
               // walsender killed the stream (slot dropped, conflict
               // with recovery, slot stolen by another PID...). The
@@ -644,7 +670,8 @@ final class WalSocketClient(
               msg = None
             case _ => () // CommandComplete etc.: ignore
           }
-          if (serverError.isEmpty) msg = WalWire.read(in)
+          if (serverError.isEmpty && !copyEnded) msg = WalWire.read(in)
+          else msg = None
         }
         // clean EOF with a transaction in flight: a MESSAGE boundary is
         // not a TRANSACTION boundary — a server dying between two

@@ -175,6 +175,20 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("CopyDone shutdown: client answers, stream ends clean and acked") {
+    val log = (1 to 3).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, copyDoneOnEnd = true)
+    val dir = tmpDir("walsock-copydone")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_cd", dir, shard = 0).run()
+      // clean COPY exit: everything delivered, nothing replays
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(CdcReplaySource.lastAckedLsn(dir).contains(300L))
+      assert(server.confirmedFlush == 301L)
+    } finally server.close()
+  }
+
   test("mid-stream ErrorResponse surfaces after durable ack; resume clean") {
     val log = (1 to 4).map(i => tx(i * 100L, i))
     val server = new LoopbackWalServer(log,

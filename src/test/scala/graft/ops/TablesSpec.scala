@@ -60,4 +60,24 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     a2.count()
     assert(a2.storageLevel.useMemory)
   }
+
+  test("tcache registers per-query transients; drop unpersists them all") {
+    import Tables.TransientCacheOps
+    Tables.dropTransientCaches() // isolate from other suites' leftovers
+    val t1 = spark.range(50).toDF("x").tcache()
+    val t2 = spark.range(60).toDF("x").tcache()
+    t1.count(); t2.count()
+    assert(t1.storageLevel.useMemory && t2.storageLevel.useMemory)
+    Tables.dropTransientCaches()
+    assert(!t1.storageLevel.useMemory && !t2.storageLevel.useMemory,
+      "dropTransientCaches must unpersist every registered transient")
+    // drop is a drain: a second call is a no-op, and new registrations
+    // after a drop are tracked independently
+    Tables.dropTransientCaches()
+    val t3 = spark.range(70).toDF("x").tcache()
+    t3.count()
+    assert(t3.storageLevel.useMemory)
+    Tables.dropTransientCaches()
+    assert(!t3.storageLevel.useMemory)
+  }
 }
