@@ -122,6 +122,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => Md5H32Expr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_l2i"), info("vec_l2i"),
+      (exprs: Seq[Expression]) => VecL2IExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("pg_array_tokens"),
       info("pg_array_tokens"),
       (exprs: Seq[Expression]) => PgArrayTokensExpr(exprs.head)))
@@ -149,6 +156,7 @@ object GraftFunctions {
   def unix_to_pg_epoch(c: Column): Column = call_function("unix_to_pg_epoch", c)
   def md5_h32(c: Column): Column = call_function("md5_h32", c)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vec_l2i(a: Column, b: Column): Column = call_function("vec_l2i", a, b)
   def pg_array_tokens(c: Column): Column = call_function("pg_array_tokens", c)
   def sliding_min(a: Column, w: Column): Column =
     call_function("sliding_min", a, w)
@@ -186,6 +194,7 @@ object GraftFunctions {
     ensure("unix_to_pg_epoch", exprs => UnixToPgEpochExpr(exprs.head))
     ensure("md5_h32", exprs => Md5H32Expr(exprs.head))
     ensure("vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)))
+    ensure("vec_l2i", exprs => VecL2IExpr(exprs(0), exprs(1)))
     ensure("pg_array_tokens", exprs => PgArrayTokensExpr(exprs.head))
     ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
     ensure("jump_shard", exprs => JumpShardExpr(exprs(0), exprs(1)))
@@ -249,6 +258,23 @@ object VecOps {
     acc
   }
 
+  /** Exact integer squared L2 — the quantized-grid distance kernel
+    * (k-means / PQ / trained-IVF). Callers guarantee equal lengths;
+    * length mismatch mirrors the zip_with fold it replaces (null-pad
+    * poisons the sum → caller returns null via [[VecL2IExpr]]). */
+  def l2i(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** A NULL element anywhere poisons the product — mirrors how the
     * `aggregate(zip_with(...))` fold (and DuckDB's `list_reduce`)
     * propagate NULL through `acc + x*y`. */
@@ -262,6 +288,45 @@ object VecOps {
     }
     false
   }
+}
+
+/** Native `vec_l2i(a, b)`: exact integer squared L2 distance between
+  * two BIGINT arrays — the quantized-grid kernel behind k-means / PQ
+  * / trained-IVF assignment and audit scans. Same motivation as
+  * [[VecDotExpr]]: the `aggregate(zip_with(...))` fold it replaces
+  * drops out of whole-stage codegen and allocates the zipped array
+  * per row; this stays codegen'd and allocation-free. Null element
+  * or length mismatch → null, mirroring the null-poisoned fold. */
+case class VecL2IExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_l2i"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements() ||
+        VecOps.hasNullElement(x) || VecOps.hasNullElement(y)) null
+    else java.lang.Long.valueOf(VecOps.l2i(x, y))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements() ||
+         |    graft.cdc.VecOps.hasNullElement($a) ||
+         |    graft.cdc.VecOps.hasNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.cdc.VecOps.l2i($a, $b);
+         |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native `vec_dot(a, b)` — unlike `aggregate(zip_with(a, b, ...))`,

@@ -500,9 +500,7 @@ object Vectors {
       val a2 = kmeansAssignments(s, d)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val dist = expr(
-        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), 0L, " +
-          "(acc, x) -> acc + x)")
+      val dist = graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q"))
       val qd = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"), dist.as("dist"))
@@ -668,9 +666,7 @@ object Vectors {
       val e = quantized(s, d)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val exDist = expr(
-        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), 0L, " +
-          "(acc, x) -> acc + x)")
+      val exDist = graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q"))
       val exact = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"), exDist.as("dist"))
@@ -846,12 +842,9 @@ object Vectors {
       val e = quantized(s, d)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val dFull = expr(
-        "aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), 0L, " +
-          "(acc, x) -> acc + x)")
-      val dPre = expr(
-        "aggregate(zip_with(slice(qq, 1, 16), slice(q, 1, 16), " +
-          "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val dFull = graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q"))
+      val dPre = graft.cdc.GraftFunctions.vec_l2i(
+        expr("slice(qq, 1, 16)"), expr("slice(q, 1, 16)"))
       val qd = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"),
@@ -1126,9 +1119,10 @@ object Vectors {
         "transform(sequence(0, 7), s -> slice(q, s * 8 + 1, 8))"))
         .as(Seq("sub", "sq")))
 
-  private val pqDistExpr = expr(
-    "aggregate(zip_with(sq, c, (a, b) -> (a - b) * (a - b)), 0L, " +
-      "(acc, x) -> acc + x)")
+  // native codegen kernel (vec_l2i) — the fold shape is pinned by
+  // VecL2ISpec against the aggregate(zip_with(...)) it replaced
+  private def pqDistExpr = graft.cdc.GraftFunctions.vec_l2i(
+    col("sq"), col("c"))
 
   /** (sub → per-symbol centroids) fetched to the driver — 8×4×8
     * longs, the bounded codebook every PQ system broadcasts. */
@@ -1150,10 +1144,9 @@ object Vectors {
       cents: Map[Int, Seq[(Long, Seq[Long])]]): DataFrame = {
     val picks = (0 until 8).map { s2 =>
       val arms = cents(s2).map { case (j, c) =>
-        struct(expr(
-          s"aggregate(zip_with(sq, array(${c.mkString("L,")}L), " +
-            "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-          .as("dist"), lit(j).as("j"))
+        struct(graft.cdc.GraftFunctions.vec_l2i(col("sq"),
+          expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+          lit(j).as("j"))
       }
       (s2, array_min(array(arms: _*)))
     }
@@ -1226,10 +1219,9 @@ object Vectors {
       // (one keyed (cluster, dim) sum) shuffles — as it must.
       def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
         val arms = cents.map { case (j, c) =>
-          struct(expr(
-            s"aggregate(zip_with(q, array(${c.mkString("L,")}L), " +
-              "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-            .as("dist"), lit(j).as("j"))
+          struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
+            expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+            lit(j).as("j"))
         }
         e.select(col("vec_id"),
           array_min(array(arms: _*)).getField("j").as("j"))
