@@ -40,6 +40,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |       pg_epoch_to_unix(0) AS u,
         |       unix_to_pg_epoch(946684800000000) AS z,
         |       vec_dot(array(2.0, 3.0), array(4.0, 5.0)) AS d,
+        |       vec_l2i(array(1L, 2L), array(3L, 5L)) AS l2,
         |       pg_array_tokens('{a,"b c",NULL}') AS arr""".stripMargin)
       .collect().head
     assert(row.getAs[String]("s") == "00000001/00000000")
@@ -48,6 +49,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("u") == PgEpoch.OffsetMicros)
     assert(row.getAs[Long]("z") == 0L)
     assert(row.getAs[Double]("d") == 23.0)
+    assert(row.getAs[Long]("l2") == 13L)
     assert(row.getSeq[String](row.fieldIndex("arr")) == Seq("a", "b c", null))
   }
 }
