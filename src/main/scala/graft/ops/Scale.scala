@@ -821,6 +821,81 @@ object Scale {
           expr("sum(bin_chars) * 100 DIV (count(1) * 2000)")
             .cast("long").as("fill_pct"))
         .orderBy(col("source"))
+    },
+
+    // ---- q236: temperature-sampled mixture weights ----------------
+    // The T5/ROOTS mixing rule: sample sources proportional to
+    // n^T (T = 1/2 here) so big sources stop dominating without
+    // dropping small ones, then apportion an integer document budget
+    // by the largest-remainder method — the deterministic allocation
+    // a sharded sampler can follow exactly. All integer: n^(1/2) is
+    // an EXACT isqrt via a self-correcting floor(sqrt) (one double
+    // sqrt ±1-ulp, then two integer comparisons pin the true floor —
+    // identical in both engines for n < 2^52), and largest-remainder
+    // is rank arithmetic on #sources rows. Scale shape: one keyed
+    // count per source, then everything lives on #sources rows —
+    // the corpus cost is the count, as it must be.
+    QueryDef(
+      "q236_temperature_mixture",
+      """WITH src AS (SELECT source, count(*) AS n FROM documents
+        |             GROUP BY source),
+        |w AS (SELECT source, n, s0
+        |    - (CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END)
+        |    + (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END)
+        |      AS w
+        |  FROM (SELECT source, n,
+        |          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+        |        FROM src)),
+        |tot AS (SELECT sum(w) AS tw FROM w),
+        |base AS (SELECT w.source, w.n, w.w,
+        |    10000 * w.w // tot.tw AS floor_alloc,
+        |    10000 * w.w % tot.tw AS rem
+        |  FROM w, tot),
+        |short AS (SELECT 10000 - sum(floor_alloc) AS k FROM base),
+        |rk AS (SELECT a.source, a.n, a.w, a.floor_alloc,
+        |    (SELECT count(*) FROM base o
+        |     WHERE o.rem > a.rem
+        |        OR (o.rem = a.rem AND o.source < a.source)) + 1 AS r
+        |  FROM base a)
+        |SELECT rk.source, CAST(rk.n AS BIGINT) AS n_docs,
+        |  CAST(rk.w AS BIGINT) AS weight,
+        |  CAST(rk.floor_alloc
+        |    + CASE WHEN rk.r <= short.k THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM rk, short ORDER BY rk.source""".stripMargin) { (s, d) =>
+      val src = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = src
+        .withColumn("s0", expr(
+          "CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w", expr(
+          "s0 - (CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END) " +
+            "+ (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END)"))
+      val tot = w.agg(sum(col("w")).as("tw"))
+      val base = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("w"),
+          expr("10000 * w DIV tw").as("floor_alloc"),
+          expr("10000 * w % tw").as("rem"))
+        .tcache() // both the rank self-join and the shortfall read it
+      val short = base.agg((lit(10000L) - sum(col("floor_alloc"))).as("k"))
+      // rank the remainders via a broadcast theta count (#sources
+      // rows) — q202's recipe; a global window would serialize on one
+      // task and trip PlanGuardSpec
+      base.as("a")
+        .join(broadcast(base.as("o")),
+          col("o.rem") > col("a.rem") ||
+            (col("o.rem") === col("a.rem") &&
+              col("o.source") < col("a.source")), "left")
+        .groupBy(col("a.source").as("source"), col("a.n").as("n"),
+          col("a.w").as("w"), col("a.floor_alloc").as("floor_alloc"))
+        .agg((count(col("o.source")) + 1).as("r"))
+        .crossJoin(broadcast(short))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("w").cast("long").as("weight"),
+          (col("floor_alloc") +
+            when(col("r") <= col("k"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy(col("source"))
     }
   )
 }
