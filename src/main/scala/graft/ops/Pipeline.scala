@@ -1059,6 +1059,88 @@ object Pipeline {
           col("doc_id").as("kept_doc"), col("q").as("kept_quality"),
           (col("sz") - 1).cast("long").as("n_dropped"))
         .orderBy(col("root"))
+    },
+
+    // ---- q237: leakage-safe split assignment ----------------------
+    // q144 MEASURES near-dup leakage across a naive per-doc hash
+    // split; this FIXES it: every doc inherits its near-dup cluster
+    // ROOT's split (cluster-coherent assignment), so no near-dup
+    // pair can ever straddle train/eval. The report proves the
+    // invariant in the oracle itself: cross_safe is hash-checked to
+    // equal 0 while cross_naive counts the pairs the naive split
+    // leaks, plus how many docs moved and the resulting train size.
+    // Scale shape: split assignment is one keyed join against the
+    // memoized component labels + map-side hash arithmetic; the
+    // leakage audit joins the pair graph to the tiny per-doc split
+    // table twice — everything keyed on doc_id, outputs one row.
+    QueryDef(
+      "q237_leakage_safe_splits",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS root
+         |        FROM documents d LEFT JOIN root r ON r.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id, root,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 10 < 8 AS naive_t,
+         |    (${h32Sql("CAST(root AS VARCHAR)")}) % 10 < 8 AS safe_t
+         |  FROM lab),
+         |px AS (SELECT a.naive_t AS na, b.naive_t AS nb,
+         |    a.safe_t AS sa, b.safe_t AS sb
+         |  FROM jpairs jp JOIN sp a ON a.doc_id = jp.d1
+         |                 JOIN sp b ON b.doc_id = jp.d2)
+         |SELECT CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS cross_naive,
+         |  CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS cross_safe,
+         |  CAST((SELECT sum(CASE WHEN naive_t <> safe_t THEN 1 ELSE 0 END)
+         |        FROM sp) AS BIGINT) AS n_moved,
+         |  CAST((SELECT sum(CASE WHEN safe_t THEN 1 ELSE 0 END) FROM sp)
+         |    AS BIGINT) AS n_train_safe
+         |FROM px""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      def trainSide(c: org.apache.spark.sql.Column) =
+        pmod(graft.cdc.GraftFunctions.md5_h32(c.cast("string")),
+          lit(10L)) < 8
+      val labels = clusterLabels(s, d)
+        .select(col("node").as("doc_id"), col("label"))
+      val sp = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("root"))
+        .select(col("doc_id"),
+          trainSide(col("doc_id")).as("naive_t"),
+          trainSide(col("root")).as("safe_t"))
+        .tcache() // pair audit reads it twice, doc audit once
+      val jp = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      val px = jp
+        .join(sp.select(col("doc_id").as("d1"), col("naive_t").as("na"),
+          col("safe_t").as("sa")), "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("naive_t").as("nb"),
+          col("safe_t").as("sb")), "d2")
+      val pairAgg = px.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+          .as("cross_naive"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as("cross_safe"))
+      val docAgg = sp.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("naive_t") =!= col("safe_t"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("safe_t"), 1L).otherwise(0L)).as("n_train_safe"))
+      pairAgg.crossJoin(broadcast(docAgg))
+        .select(col("n_docs"), col("n_pairs"), col("cross_naive"),
+          col("cross_safe"), col("n_moved"), col("n_train_safe"))
     }
   )
 
