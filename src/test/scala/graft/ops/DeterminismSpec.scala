@@ -124,7 +124,9 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q231_contamination_check",
     "q232_matryoshka_recall",
     "q233_annotator_agreement",
-    "q235_canonical_doc_election")
+    "q235_canonical_doc_election",
+    "q236_temperature_mixture",
+    "q237_leakage_safe_splits")
 
   for (q <- watched)
     test(s"$q: identical ordered output at shuffle.partitions 2 and 17") {
