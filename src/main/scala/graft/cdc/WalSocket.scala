@@ -24,12 +24,19 @@ object WalWire {
     out.write(new BinaryWriter().writeUint8(tag).writeInt32(body.length + 4)
       .writeBytes(body).result())
 
+  /** Frames above this are protocol garbage, not data — a corrupted
+    * length field must fail the read, not attempt a multi-GB alloc
+    * (PG's own wire limit for a single message is 1 GB; CopyData
+    * frames here are transaction-frame-sized). */
+  val MaxFrameBytes: Int = 64 << 20
+
   /** None on orderly EOF (peer closed between messages). */
   def read(in: DataInputStream): Option[Msg] = {
     val tag = in.read()
     if (tag < 0) return None
     val len = in.readInt()
-    require(len >= 4, s"wire message length $len < 4")
+    require(len >= 4 && len - 4 <= MaxFrameBytes,
+      s"wire message length $len outside [4, ${MaxFrameBytes + 4}]")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     Some(Msg(tag.toByte, body))
@@ -62,7 +69,8 @@ object PgStartup {
     if (b0 < 0) return None
     val len = ((b0 & 0xff) << 24) | ((in.read() & 0xff) << 16) |
       ((in.read() & 0xff) << 8) | (in.read() & 0xff)
-    require(len >= 4, s"startup message length $len < 4")
+    require(len >= 4 && len - 4 <= WalWire.MaxFrameBytes,
+      s"startup message length $len outside [4, bound]")
     val body = new Array[Byte](len - 4)
     in.readFully(body)
     Some(body)
