@@ -35,7 +35,12 @@ object Bench {
     // participates in the reported total — nothing is hidden.
     val tm0 = System.nanoTime()
     try graft.ops.Prewarm.run(spark, sfDir)
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      // visible failure: a silently-cold memo would re-smear build
+      // costs into whichever queries touch it first — exactly the
+      // attribution noise memo_build exists to eliminate
+      System.err.println(s"WARN: memo prewarm failed: $e")
+    }
     val memoSec = (System.nanoTime() - tm0) / 1e9
 
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -103,6 +103,29 @@ object Text {
   private val shCache = new Tables.DfMemo()
   private val pairCache = new Tables.DfMemo()
 
+  /** THE shingle construction — one builder for the standing corpus
+    * index (below) and the streaming ingest path
+    * (`StreamOps.dedupIngestBatch`): distinct 3-gram md5_h32
+    * shingles over a (doc_id, toks) frame, per-doc count `n` riding
+    * along map-side. Stream-vs-corpus matching is only correct while
+    * BOTH sides hash bit-identically, so neither may fork its own
+    * copy of this transform. */
+  private[graft] def shinglesOfToks(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> " +
+          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        .as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("h"))
+
+  /** [[shinglesOfToks]] over raw (doc_id, text) — tokenization
+    * included (lower, `[^a-z]+` splits), for callers outside the
+    * memoized corpus path (the streaming ingest probe). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    shinglesOfToks(docs.select(col("doc_id"), toksCol.as("toks")))
+
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate((s, d)) {
       // md5_h32 is the native digest-bytes expression — value-identical
@@ -112,14 +135,7 @@ object Text {
       // (jaccard ratio bound, q26 union sizing) never re-aggregate +
       // broadcast-join a separate per-doc count.
       graft.cdc.GraftFunctions.register(s)
-      withToks(s, d)
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, size(toks)-3), i -> " +
-            "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-          .as("hs"))
-        .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
-          explode(col("hs")).as("h"))
+      shinglesOfToks(withToks(s, d).select(col("doc_id"), col("toks")))
         .cache()
     }
 

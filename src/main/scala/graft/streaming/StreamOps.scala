@@ -321,22 +321,12 @@ object StreamOps {
   // ------------------------------------------------------------------
 
   /** Map-side shingling of raw arrivals: `(doc_id, text)` → one row
-    * per DISTINCT 3-token shingle `(doc_id, h, n)` where `n` is the
-    * doc's distinct-shingle count — the same shape as the standing
-    * corpus index (`Text.shingleHashes`). Executor-local: no shuffle
-    * until the probe join keys on `h`. */
+    * per DISTINCT 3-token shingle `(doc_id, h, n)` — THE SAME builder
+    * as the standing corpus index (`Text.shinglesOfToks` backs both),
+    * so stream and corpus can never hash-drift apart. Executor-local:
+    * no shuffle until the probe join keys on `h`. */
   def shingleArrivals(arrivals: DataFrame): DataFrame =
-    arrivals
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-          .as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> " +
-          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-        .as("hs"))
-      .select(col("doc_id"), explode(col("hs")).as("h"),
-        size(col("hs")).cast("long").as("n"))
+    graft.ops.Text.shinglesOf(arrivals)
 
   /** foreachBatch dedup-on-ingest with WRITE-BACK: each micro-batch of
     * `(doc_id, text)` arrivals probes the standing shingle index
@@ -365,19 +355,33 @@ object StreamOps {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
     // Batch-replay idempotency: foreachBatch re-runs a batch after a
-    // crash with the SAME batchId. The index append is doc_id-
-    // idempotent below; the verdict append must be batchId-idempotent
-    // here, or a replay double-counts the batch in the audit trail.
+    // crash with the SAME batchId. The verdict append is the COMMIT
+    // MARKER (written LAST, batchId-checked here); the index append
+    // is doc_id-idempotent, so replaying the half-committed window
+    // between the two writes re-runs it harmlessly. Writing the
+    // verdicts first would instead make a crash between the writes
+    // skip the index append forever on replay.
     val alreadyDone =
       try spark.read.parquet(verdictsDir)
         .filter(col("batch_id") === batchId).limit(1).count() > 0
       catch { case _: Exception => false }
     if (alreadyDone) return
-    val sh = shingleArrivals(batch).cache() // probe + write-back, one pass
+    // at-least-once delivery can replay a doc WITHIN one batch too:
+    // shingle once per distinct doc_id or shared-counts double and
+    // the index append duplicates rows
+    val sh = shingleArrivals(batch.dropDuplicates("doc_id"))
+      .cache() // probe + write-back, one pass
     try {
       val existing =
         try spark.read.parquet(indexDir)
-        catch { case _: Exception => spark.emptyDataFrame }
+        catch {
+          // ONLY a missing path means "first batch" — any other read
+          // failure (transient IO, corruption) must fail the batch so
+          // streaming retries it, not silently disable dup detection
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" =>
+            spark.emptyDataFrame
+        }
       val hasIndex = existing.columns.nonEmpty
       val arrivalsIds = sh.select(col("doc_id"), col("n")).distinct()
       val best =
@@ -403,20 +407,27 @@ object StreamOps {
             .select(col("doc_id"), col("best_match"),
               coalesce(col("shared"), lit(0L)).as("shared"))
         }
+      // cached: the probe join + rank inside `best` feeds BOTH writes;
+      // without it the dominant join would execute twice per batch
       val verdicts = best
         .withColumn("is_dup", col("shared") >= minShared)
         .withColumn("batch_id", lit(batchId))
         .select(col("batch_id"), col("doc_id"), col("best_match"),
           col("shared"), col("is_dup"))
-      verdicts.write.mode("append").parquet(verdictsDir)
-      var accepted =
-        sh.join(verdicts.filter(col("is_dup")).select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
-      if (hasIndex) // idempotency: never re-append a standing doc
-        accepted = accepted.join(existing.select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-      accepted.select(col("doc_id"), col("h"), col("n"))
-        .write.mode("append").parquet(indexDir)
+        .cache()
+      try {
+        var accepted =
+          sh.join(verdicts.filter(col("is_dup")).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        if (hasIndex) // idempotency: never re-append a standing doc
+          accepted = accepted.join(existing.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        // index first (doc-idempotent, replay-safe), verdicts last
+        // (the batch's commit marker)
+        accepted.select(col("doc_id"), col("h"), col("n"))
+          .write.mode("append").parquet(indexDir)
+        verdicts.write.mode("append").parquet(verdictsDir)
+      } finally { verdicts.unpersist(); () }
     } finally { sh.unpersist(); () }
   }
 }

@@ -102,7 +102,10 @@ class StreamStaticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         idxDir, verDir, minShared = 3L) _)
       .start()
     try {
-      input.addData((1L, textA)) // batch 0: novel, must be accepted
+      // batch 0: doc 1 delivered TWICE in one batch (an at-least-once
+      // replay boundary inside the batch) — must shingle once, not
+      // double its index rows or inflate later shared counts
+      input.addData((1L, textA), (1L, textA))
       q.processAllAvailable()
       input.addData((2L, textB), (3L, textC), (1L, textA)) // B dups A;
       q.processAllAvailable() // C novel; 1 re-delivered (idempotency)
