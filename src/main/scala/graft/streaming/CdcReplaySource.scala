@@ -116,20 +116,23 @@ object CdcReplaySource {
     * Enforces the per-shard LSN-sort format invariant (this reads
     * every line anyway, so the check is free here). */
   def lsnIndex(path: String): Seq[Long] =
-    listLogFiles(path).flatMap { f =>
-      val src = scala.io.Source.fromFile(f)
-      try {
-        val lsns = completeLines(f.toString, src.getLines())
-          .map(parseLsn).toList
-        lsns.iterator.sliding(2).foreach {
-          case Seq(a, b) if b < a => throw new IllegalStateException(
-            s"$f is not LSN-sorted ($b after $a); " +
-              "cdc-replay shards must be written in LSN order")
-          case _ => ()
-        }
-        lsns
-      } finally src.close()
-    }.sorted
+    listLogFiles(path).flatMap(lsnIndexOfFile).sorted
+
+  /** One shard file's LSNs, format-invariant-checked. */
+  private[streaming] def lsnIndexOfFile(f: String): Seq[Long] = {
+    val src = scala.io.Source.fromFile(f)
+    try {
+      val lsns = completeLines(f, src.getLines())
+        .map(parseLsn).toList
+      lsns.iterator.sliding(2).foreach {
+        case Seq(a, b) if b < a => throw new IllegalStateException(
+          s"$f is not LSN-sorted ($b after $a); " +
+            "cdc-replay shards must be written in LSN order")
+        case _ => ()
+      }
+      lsns
+    } finally src.close()
+  }
 
   private[streaming] def parseLsn(line: String): Long = {
     val i = line.indexOf("\"lsn\":") + 6
@@ -273,17 +276,39 @@ case class LsnOffset(lsn: Long) extends Offset {
 class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // full lsn index, loaded once per stream start (driver side)
-  private lazy val index: Seq[Long] =
-    CdcReplaySource.lsnIndex(path).filter(_ > startingLsn)
+  // Incremental LSN index, REFRESHED at every offset poll — the live
+  // loop decouples socket ingest from consumption, so frames keep
+  // landing while the query runs and each micro-batch must see them
+  // (the file-source listing pattern). Per-file cache keyed on file
+  // length: only shards that grew (socket append) or appeared (new
+  // client/slot) are re-read; an unchanged 100-shard log costs one
+  // directory listing + length stats per trigger, no IO.
+  private val fileCache =
+    scala.collection.mutable.Map.empty[String, (Long, Seq[Long])]
+
+  private def refreshIndex(): Seq[Long] = synchronized {
+    val all = CdcReplaySource.listLogFiles(path).flatMap { f =>
+      val len = new java.io.File(f).length()
+      fileCache.get(f) match {
+        case Some((cachedLen, lsns)) if cachedLen == len => lsns
+        case _ =>
+          val lsns = CdcReplaySource.lsnIndexOfFile(f)
+          fileCache(f) = (len, lsns)
+          lsns
+      }
+    }
+    all.filter(_ > startingLsn).sorted
+  }
 
   // Trigger.AvailableNow bound: fixed at query start
   private var availableNowEnd: Option[Long] = None
 
   override def initialOffset(): Offset = LsnOffset(startingLsn)
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(if (index.isEmpty) startingLsn else index.last)
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val idx = refreshIndex()
+    availableNowEnd = Some(if (idx.isEmpty) startingLsn else idx.last)
+  }
 
   /** Admission control (the pull-based analogue of the reference's
     * flow control, A12): each micro-batch admits at most
@@ -295,7 +320,7 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val cap = availableNowEnd.getOrElse(Long.MaxValue)
-    val pending = index.filter(l => l > s && l <= cap)
+    val pending = refreshIndex().filter(l => l > s && l <= cap)
     val taken = limit match {
       case r: ReadMaxRows =>
         pending.take(math.min(r.maxRows(), Int.MaxValue.toLong).toInt)
@@ -304,8 +329,10 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
     LsnOffset(if (taken.isEmpty) s else taken.last)
   }
 
-  override def reportLatestOffset(): Offset =
-    LsnOffset(if (index.isEmpty) startingLsn else index.last)
+  override def reportLatestOffset(): Offset = {
+    val idx = refreshIndex()
+    LsnOffset(if (idx.isEmpty) startingLsn else idx.last)
+  }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "admission-control latestOffset(start, limit) is used")

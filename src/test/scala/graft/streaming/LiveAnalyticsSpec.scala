@@ -101,4 +101,48 @@ class LiveAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       session.stop()
     } finally server.close()
   }
+
+  test("live tail: appends land while the streaming query is running") {
+    // production decoupling: socket ingest and Spark consumption run
+    // CONCURRENTLY — the source must pick up frames appended to the
+    // log BETWEEN micro-batches, not only those present at stream
+    // start (the previous tests build the whole log first)
+    val dir = tmpDir("live-tail")
+    val s1 = new LoopbackWalServer(
+      (1 to 3).map(i => tx(i * 100L, PgoutputWriter.insert(902,
+        Seq(i.toString, (i * 10).toString)))))
+    try {
+      new WalSocketClient("127.0.0.1", s1.port, new PgoutputFormat(),
+        "slot_tail", dir, shard = 0).run()
+    } finally s1.close()
+
+    val changes = StreamOps.decodedChanges(
+      new ReplicationSession(spark, dir)
+        .subscribe(new PgoutputFormat(), "slot_tail",
+          uptoLsn = Some("0/00000000")))
+    val name = s"live_tail_${System.nanoTime()}"
+    val q = changes.filter(col("op") === "insert")
+      .groupBy(col("table")).count()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("live-tail-ckpt"))
+      .outputMode("complete")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT count FROM $name").head().getLong(0) == 3L)
+
+      // second wave arrives over a NEW connection while the query runs
+      val s2 = new LoopbackWalServer(
+        (4 to 6).map(i => tx(i * 100L, PgoutputWriter.insert(902,
+          Seq(i.toString, (i * 10).toString)))))
+      try {
+        new WalSocketClient("127.0.0.1", s2.port, new PgoutputFormat(),
+          "slot_tail", dir, shard = 1).run()
+      } finally s2.close()
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT count FROM $name").head().getLong(0) == 6L,
+        "frames appended mid-stream must reach the running query")
+    } finally q.stop()
+  }
 }
