@@ -59,12 +59,22 @@ final class CdcProgressListener(maxRetained: Int = 1024)
       // descriptions carry the stream class name)
       .filter(s => Option(s.description).exists(_.contains("CdcReplayStream")))
       .foreach { s =>
-        // cdc-replay offsets serialize as the bare LSN (LsnOffset.json)
-        val end = Option(s.endOffset).map(_.trim)
-        end.filter(e => e.nonEmpty && e.forall(_.isDigit)).foreach { lsnStr =>
+        // cdc-replay offsets: per-shard ShardOffsets JSON (legacy
+        // checkpoints: the bare LSN). The heartbeat position is the
+        // GLOBAL delivered-through LSN — min across shard tails, the
+        // same horizon commit() acks.
+        val end = Option(s.endOffset).map(_.trim).filter(_.nonEmpty)
+        val lsn = end.flatMap { e =>
+          try {
+            val so = ShardOffsets.parse(e)
+            Some(if (so.shards.isEmpty) so.floor
+              else math.max(so.floor, so.shards.values.min))
+          } catch { case _: IllegalArgumentException => None }
+        }
+        lsn.foreach { l =>
           events.add(Heartbeat(
             Option(p.name).getOrElse(p.id.toString),
-            lsnStr.toLong,
+            l,
             java.time.Instant.parse(p.timestamp).toEpochMilli,
             s.numInputRows))
           if (retained.incrementAndGet() > maxRetained) {

@@ -116,21 +116,30 @@ object CdcReplaySource {
     * Enforces the per-shard LSN-sort format invariant (this reads
     * every line anyway, so the check is free here). */
   def lsnIndex(path: String): Seq[Long] =
-    listLogFiles(path).flatMap(lsnIndexOfFile).sorted
+    listLogFiles(path).flatMap(lsnIndexOfFile(_).map(_._1)).sorted
 
-  /** One shard file's LSNs, format-invariant-checked. */
-  private[streaming] def lsnIndexOfFile(f: String): Seq[Long] = {
+  /** One shard file's (lsn, byte offset of its line), format-
+    * invariant-checked. Byte offsets let a micro-batch reader SEEK to
+    * its slice instead of rescanning the head of a growing shard on
+    * every trigger (the log format is ASCII by construction — hex,
+    * digits, fixed punctuation — so bytes = chars + the newline). */
+  private[streaming] def lsnIndexOfFile(f: String): Seq[(Long, Long)] = {
     val src = scala.io.Source.fromFile(f)
     try {
-      val lsns = completeLines(f, src.getLines())
-        .map(parseLsn).toList
-      lsns.iterator.sliding(2).foreach {
-        case Seq(a, b) if b < a => throw new IllegalStateException(
+      var at = 0L
+      val entries = completeLines(f, src.getLines())
+        .map { l =>
+          val e = (parseLsn(l), at)
+          at += l.length + 1L
+          e
+        }.toList
+      entries.iterator.sliding(2).foreach {
+        case Seq((a, _), (b, _)) if b < a => throw new IllegalStateException(
           s"$f is not LSN-sorted ($b after $a); " +
             "cdc-replay shards must be written in LSN order")
         case _ => ()
       }
-      lsns
+      entries
     } finally src.close()
   }
 
@@ -268,9 +277,49 @@ class CdcReplayScanBuilder(options: CaseInsensitiveStringMap)
     if (s.contains("/")) Lsn.parse(s) else s.toLong
 }
 
-/** LSN offset: "frames with lsn <= value have been delivered". */
-case class LsnOffset(lsn: Long) extends Offset {
-  override def json(): String = lsn.toString
+/** Per-SHARD offsets — the Kafka-partition model: every shard file
+  * advances independently, so a shard whose socket lags (its next
+  * transaction carries a LOWER LSN than another shard's already-
+  * delivered tail) is never skipped by a single global watermark.
+  * `floor` is the stream's startingLsn: shards absent from the map
+  * (not yet seen, or empty at the time) start there. Keys are file
+  * NAMES, not paths, so checkpoints survive a log-directory move.
+  *
+  * Legacy checkpoints (a bare LSN — the old single-watermark offset)
+  * deserialize as floor-only: "every shard delivered through L",
+  * exactly the old semantics. */
+case class ShardOffsets(floor: Long, shards: Map[String, Long])
+    extends Offset {
+  def of(name: String): Long = math.max(floor, shards.getOrElse(name, floor))
+  override def json(): String = {
+    val items = shards.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+    s"""{"floor":$floor,"shards":{$items}}"""
+  }
+}
+
+object ShardOffsets {
+  private val Entry = "\"([^\"]+)\":(-?\\d+)".r
+
+  def parse(json: String): ShardOffsets = {
+    val t = json.trim
+    if (t.nonEmpty && t.forall(c => c.isDigit || c == '-'))
+      return ShardOffsets(t.toLong, Map.empty) // legacy single watermark
+    val floor = "\"floor\":(-?\\d+)".r.findFirstMatchIn(t)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a cdc-replay offset: $json"))
+    val shardsPart = t.substring(t.indexOf("\"shards\""))
+    val shards = Entry.findAllMatchIn(shardsPart)
+      .filter(_.group(1) != "shards")
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    ShardOffsets(floor, shards)
+  }
+
+  def from(o: Offset): ShardOffsets = o match {
+    case s: ShardOffsets => s
+    case other => parse(other.json())
+  }
 }
 
 class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
@@ -279,36 +328,44 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
   // Incremental LSN index, REFRESHED at every offset poll — the live
   // loop decouples socket ingest from consumption, so frames keep
   // landing while the query runs and each micro-batch must see them
-  // (the file-source listing pattern). Per-file cache keyed on file
-  // length: only shards that grew (socket append) or appeared (new
-  // client/slot) are re-read; an unchanged 100-shard log costs one
-  // directory listing + length stats per trigger, no IO.
-  private val fileCache =
-    scala.collection.mutable.Map.empty[String, (Long, Seq[Long])]
+  // (the file-source listing pattern). Per-file cache keyed on
+  // (length, mtime): only shards that changed (socket append) or
+  // appeared (new client/slot) are re-read; an unchanged 100-shard
+  // log costs one directory listing + stat pass per trigger, no IO.
+  // Offsets are PER SHARD (ShardOffsets): a lagging shard whose next
+  // transaction carries a lower LSN than another shard's delivered
+  // tail still gets picked up — a single global watermark would
+  // silently skip it.
+  private val fileCache = scala.collection.mutable
+    .Map.empty[String, ((Long, Long), Seq[(Long, Long)])]
 
-  private def refreshIndex(): Seq[Long] = synchronized {
-    val all = CdcReplaySource.listLogFiles(path).flatMap { f =>
-      val len = new java.io.File(f).length()
-      fileCache.get(f) match {
-        case Some((cachedLen, lsns)) if cachedLen == len => lsns
-        case _ =>
-          val lsns = CdcReplaySource.lsnIndexOfFile(f)
-          fileCache(f) = (len, lsns)
-          lsns
-      }
+  /** shard name → (path, (lsn, byteStart) entries), consistent
+    * within one poll. */
+  private def refreshIndex(): Map[String, (String, Seq[(Long, Long)])] =
+    synchronized {
+      CdcReplaySource.listLogFiles(path).map { f =>
+        val file = new java.io.File(f)
+        val key = (file.length(), file.lastModified())
+        val lsns = fileCache.get(f) match {
+          case Some((cached, ls)) if cached == key => ls
+          case _ =>
+            val ls = CdcReplaySource.lsnIndexOfFile(f)
+            fileCache(f) = (key, ls)
+            ls
+        }
+        file.getName -> (f, lsns)
+      }.toMap
     }
-    all.filter(_ > startingLsn).sorted
-  }
 
-  // Trigger.AvailableNow bound: fixed at query start
-  private var availableNowEnd: Option[Long] = None
+  // Trigger.AvailableNow bound: per-shard tails fixed at query start
+  private var availableNowEnd: Option[Map[String, Long]] = None
 
-  override def initialOffset(): Offset = LsnOffset(startingLsn)
+  override def initialOffset(): Offset = ShardOffsets(startingLsn, Map.empty)
 
-  override def prepareForTriggerAvailableNow(): Unit = {
-    val idx = refreshIndex()
-    availableNowEnd = Some(if (idx.isEmpty) startingLsn else idx.last)
-  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(refreshIndex().collect {
+      case (nm, (_, ls)) if ls.nonEmpty => nm -> ls.last._1
+    })
 
   /** Admission control (the pull-based analogue of the reference's
     * flow control, A12): each micro-batch admits at most
@@ -318,53 +375,95 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
     else ReadLimit.maxRows(maxPerTrigger)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[LsnOffset].lsn
-    val cap = availableNowEnd.getOrElse(Long.MaxValue)
-    val pending = refreshIndex().filter(l => l > s && l <= cap)
+    val so = ShardOffsets.from(start)
+    val idx = refreshIndex()
+    // pending frames in global LSN order (cross-shard fairness under
+    // admission control), each bounded below by ITS OWN shard offset
+    val pending: Seq[(Long, String)] = idx.toSeq.flatMap {
+      case (nm, (_, ls)) =>
+        val cap = availableNowEnd
+          .map(_.getOrElse(nm, Long.MinValue)).getOrElse(Long.MaxValue)
+        ls.collect { case (l, _) if l > so.of(nm) && l <= cap => (l, nm) }
+    }.sorted
     val taken = limit match {
       case r: ReadMaxRows =>
         pending.take(math.min(r.maxRows(), Int.MaxValue.toLong).toInt)
       case _ => pending
     }
-    LsnOffset(if (taken.isEmpty) s else taken.last)
+    if (taken.isEmpty) so
+    else ShardOffsets(so.floor, so.shards ++ taken.groupBy(_._2)
+      .view.mapValues(_.map(_._1).max).toMap)
   }
 
   override def reportLatestOffset(): Offset = {
     val idx = refreshIndex()
-    LsnOffset(if (idx.isEmpty) startingLsn else idx.last)
+    ShardOffsets(startingLsn, idx.collect {
+      case (nm, (_, ls)) if ls.nonEmpty => nm -> ls.last._1
+    })
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "admission-control latestOffset(start, limit) is used")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LsnOffset].lsn
-    val e = end.asInstanceOf[LsnOffset].lsn
-    CdcReplaySource.listLogFiles(path)
-      .map(f => CdcReplayPartition(f, s, e): InputPartition).toArray
+    val s = ShardOffsets.from(start)
+    val e = ShardOffsets.from(end)
+    val idx = refreshIndex()
+    // one partition per shard that ADVANCED in this batch (an entry
+    // whose range is empty reads nothing — skip the task)
+    e.shards.toSeq.sortBy(_._1)
+      .filter { case (nm, hi) => s.of(nm) < hi }
+      .flatMap { case (nm, hi) =>
+        idx.get(nm).map { case (file, entries) =>
+          // seek straight to the first line of the slice — a growing
+          // shard must not be rescanned from byte 0 on every trigger
+          val lo = s.of(nm)
+          val startByte = entries.find(_._1 > lo).map(_._2).getOrElse(
+            new java.io.File(file).length())
+          CdcReplayPartition(file, lo, hi, startByte): InputPartition
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReplayReaderFactory
 
-  override def deserializeOffset(json: String): Offset = LsnOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset =
+    ShardOffsets.parse(json)
 
-  /** The standby-status analogue: persist the acked LSN (A9/A10). */
-  override def commit(end: Offset): Unit =
-    CdcReplaySource.writeAckedLsn(path, end.asInstanceOf[LsnOffset].lsn)
+  /** The standby-status analogue: persist the acked LSN (A9/A10) —
+    * the GLOBAL delivered-through position is the minimum across the
+    * shards' delivered tails (a lagging shard holds the ack horizon
+    * back, exactly like the slowest partition holds a consumer
+    * group's committed watermark). */
+  override def commit(end: Offset): Unit = {
+    val e = ShardOffsets.from(end)
+    val acked =
+      if (e.shards.isEmpty) e.floor else math.max(e.floor, e.shards.values.min)
+    CdcReplaySource.writeAckedLsn(path, acked)
+  }
 
   override def stop(): Unit = ()
 }
 
-/** (start, end] slice of one log file. */
+/** (start, end] slice of one log file; the reader seeks to
+  * `startByte` (0 = head — the batch path has no driver index). */
 case class CdcReplayPartition(file: String, startExclusive: Long,
-    endInclusive: Long) extends InputPartition
+    endInclusive: Long, startByte: Long = 0L) extends InputPartition
 
 class CdcReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcReplayPartition]
     new PartitionReader[InternalRow] {
-      private val source = scala.io.Source.fromFile(p.file)
+      private val stream = new java.io.FileInputStream(p.file)
+      private val source = {
+        var toSkip = p.startByte
+        while (toSkip > 0) { // skip() may stop short; loop to the mark
+          val skipped = stream.skip(toSkip)
+          if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+        }
+        scala.io.Source.fromInputStream(stream)
+      }
       // log files are LSN-sorted per shard — a FORMAT INVARIANT that
       // both the streaming offsets and the pushed-down batch bounds
       // rely on. Monotonicity is checked on every line this reader

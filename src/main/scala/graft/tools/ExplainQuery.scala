@@ -9,8 +9,11 @@ object ExplainQuery {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // PLANS.md dumps want AQE off; accept natural falsy spellings
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true")) // PLANS.md: off
+        (!Set("false", "0", "off", "no").contains(
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+            .toLowerCase(java.util.Locale.ROOT))).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

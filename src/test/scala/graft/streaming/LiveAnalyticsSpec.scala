@@ -145,4 +145,46 @@ class LiveAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "frames appended mid-stream must reach the running query")
     } finally q.stop()
   }
+
+  test("lagging shard: lower LSNs landing after a higher watermark deliver") {
+    // the at-least-once killer a single global watermark hides: shard
+    // 0 races ahead (lsn 500 delivered and committed), then shard 1's
+    // slower socket flushes lsn 450 — per-shard offsets must still
+    // deliver it; a global LSN watermark would skip it silently
+    val dir = tmpDir("live-lag")
+    val s0 = new LoopbackWalServer(Seq(
+      tx(500L, PgoutputWriter.insert(902, Seq("5", "50")))))
+    try new WalSocketClient("127.0.0.1", s0.port, new PgoutputFormat(),
+      "slot_lag", dir, shard = 0).run()
+    finally s0.close()
+
+    val changes = StreamOps.decodedChanges(
+      new ReplicationSession(spark, dir)
+        .subscribe(new PgoutputFormat(), "slot_lag",
+          uptoLsn = Some("0/00000000")))
+    val name = s"live_lag_${System.nanoTime()}"
+    val q = changes.filter(col("op") === "insert")
+      .groupBy(col("table")).agg(count(lit(1)).as("n"),
+        sum(col("lsn")).as("lsum"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir("live-lag-ckpt"))
+      .outputMode("complete")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT n FROM $name").head().getLong(0) == 1L)
+
+      // the lagging shard's OLDER transaction lands afterwards (a
+      // second slot's stream, flushed late — written at the log
+      // level: the socket client would resume past it by design,
+      // but a second slot has its own confirmed position upstream)
+      CdcReplaySource.writeLogShard(dir, 1, Seq(
+        tx(450L, PgoutputWriter.insert(902, Seq("4", "40")))))
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT n FROM $name").head().getLong(0) == 2L,
+        "the lagging shard's lower-LSN transaction must still deliver")
+      assert(spark.sql(s"SELECT lsum FROM $name").head().getLong(0) == 950L)
+    } finally q.stop()
+  }
 }
