@@ -43,15 +43,49 @@ object Bench {
     }
     val memoSec = (System.nanoTime() - tm0) / 1e9
 
-    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop per-query transient caches so executor storage pressure
-      // (and its GC shadow on later queries) stays flat over the run
-      graft.ops.Tables.dropTransientCaches()
-      name -> sec
+    // Double-pass variance attribution (r9 verdict ask 1): the suite
+    // runs twice in THIS JVM in the same pinned (name-sorted) order,
+    // with per-query GC-time deltas. Pass 1 is the reported number
+    // (comparable round-over-round, nothing warmed beyond the memo
+    // prewarm above); pass 2 isolates steady-state plan cost from
+    // environmental noise (JIT, GC shadow, storage churn). A query
+    // that is slow in pass 1 but fast in pass 2 regressed
+    // environmentally; slow in both means the plan itself changed.
+    // Both passes + GC land in the BENCH_VARIANCE.json sidecar.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    def runPass(): Seq[(String, Double, Long)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val g0 = gcMs()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop per-query transient caches so executor storage pressure
+        // (and its GC shadow on later queries) stays flat over the run
+        graft.ops.Tables.dropTransientCaches()
+        (name, sec, gcMs() - g0)
+      }
+    val pass1 = runPass()
+    val passes =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").trim.toInt
+    val pass2 = if (passes >= 2) runPass() else Seq.empty
+    try {
+      def pj(p: Seq[(String, Double, Long)]) = p.sortBy(_._1).map {
+        case (k, v, g) =>
+          "\"" + k + "\":[" +
+            "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "]"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_VARIANCE.json"),
+        s"""{"unit":["sec","gc_ms"],"memo_build":${
+          "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
+        },"sf":"$sfDir","pass1":${pj(pass1)}""" +
+          (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
+    } catch { case _: Throwable => }
+    val results0 = pass1.map { case (n, sec, _) => n -> sec }
     val results = results0 :+ ("memo_build" -> memoSec)
     // Compact keys (qNN prefix) + 1-decimal per-query values keep the
     // JSON line inside the driver's 2000-byte stdout-tail capture

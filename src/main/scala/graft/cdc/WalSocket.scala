@@ -63,12 +63,19 @@ object PgStartup {
     out.write(new BinaryWriter().writeInt32(body.length + 4)
       .writeBytes(body).result())
 
-  /** None on orderly EOF before any startup bytes. */
+  /** None on orderly EOF before any startup bytes. A close AFTER the
+    * first header byte is not orderly — each remaining header read is
+    * EOF-checked, so a peer dying mid-header surfaces as a closed
+    * connection instead of -1 bytes folding into a garbage length
+    * (which would mis-report as a bounds failure). */
   def readUntagged(in: DataInputStream): Option[Array[Byte]] = {
     val b0 = in.read()
     if (b0 < 0) return None
-    val len = ((b0 & 0xff) << 24) | ((in.read() & 0xff) << 16) |
-      ((in.read() & 0xff) << 8) | (in.read() & 0xff)
+    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if ((b1 | b2 | b3) < 0) throw new java.io.EOFException(
+      "connection closed inside a startup-message length header")
+    val len = ((b0 & 0xff) << 24) | ((b1 & 0xff) << 16) |
+      ((b2 & 0xff) << 8) | (b3 & 0xff)
     require(len >= 4 && len - 4 <= WalWire.MaxFrameBytes,
       s"startup message length $len outside [4, bound]")
     val body = new Array[Byte](len - 4)
@@ -169,7 +176,12 @@ final class LoopbackWalServer(
     /** End the stream with the full CopyDone → CommandComplete →
       * ReadyForQuery shutdown (the clean COPY-mode exit; a logical
       * slot normally streams forever, so this is opt-in). */
-    copyDoneOnEnd: Boolean = false) {
+    copyDoneOnEnd: Boolean = false,
+    /** Accept the SSLRequest probe with 'S' and upgrade the
+      * connection to TLS before startup (reference: ClientConfig
+      * `ssl` passthrough, `logical-replication-service.ts:75-78`);
+      * false keeps the clear-text 'N' fallback. */
+    tls: Boolean = false) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -206,16 +218,33 @@ final class LoopbackWalServer(
 
   private def nowMicros: Long = System.currentTimeMillis() * 1000L
 
+  /** TLS sessions completed (handshake + startup over the encrypted
+    * channel) — lets specs assert the wire really was upgraded. */
+  @volatile private var tlsCount = 0
+  def tlsSessions: Int = tlsCount
+
   private def serve(sock: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     try {
       // ---- libpq startup preceding any command ---------------------
       // (logical-replication-service.ts:72-87: pg.Client connects with
       // replication: 'database' before plugin.start can run)
       var su = PgStartup.readUntagged(in).getOrElse(return)
       if (new BinaryReader(su).readInt32() == PgStartup.SslRequestCode) {
-        out.write('N'); out.flush() // no TLS in-sandbox; fall back clear
+        if (tls) {
+          // 'S': the TLS handshake starts NOW on the raw stream (the
+          // SSLRequest bytes are fully consumed); everything after —
+          // startup, auth, COPY — rides the encrypted channel
+          out.write('S'); out.flush()
+          val ssl = Tls.wrapServer(sock)
+          in = new DataInputStream(
+            new BufferedInputStream(ssl.getInputStream))
+          out = new java.io.BufferedOutputStream(ssl.getOutputStream, 1 << 16)
+          tlsCount += 1
+        } else {
+          out.write('N'); out.flush() // clear-text fallback
+        }
         su = PgStartup.readUntagged(in).getOrElse(return)
       }
       val (proto, params) = PgStartup.parse(su)
@@ -438,7 +467,12 @@ final class WalSocketClient(
       * replication=database is always sent. */
     user: String = "postgres",
     database: String = "postgres",
-    password: Option[String] = None) {
+    password: Option[String] = None,
+    /** Require TLS: send SSLRequest, demand 'S', and run startup +
+      * auth + the COPY stream over the encrypted channel (reference:
+      * ClientConfig `ssl` passthrough). false keeps the clear-text
+      * expectation ('N'). */
+    tls: Boolean = false) {
 
   final case class RunResult(
       txs: Seq[(Long, Seq[Array[Byte]])],
@@ -459,12 +493,20 @@ final class WalSocketClient(
     * sidecar (the reference's default of continuing from the
     * server-confirmed position). */
   def run(): RunResult = {
-    val resume = graft.streaming.CdcReplaySource.lastAckedLsn(logDir)
-      .getOrElse(0L)
-    val sock = new Socket(host, port)
+    // Resume from THIS SLOT's confirmed position (PG: per-slot
+    // confirmed_flush_lsn), not the global scalar: after another
+    // slot's client acked 500, this slot's undelivered frames at
+    // LSN ≤ 500 must replay. The slot — not the shard file — is the
+    // stable key, because each reconnect session appends a new
+    // part-N shard while remaining the same logical stream. Legacy
+    // dirs (no per-slot sidecars) fall back to the global scalar's
+    // documented single-slot semantics.
+    val resume = graft.streaming.CdcReplaySource
+      .lastSlotAckedLsn(logDir, slotName).getOrElse(0L)
+    var sock: Socket = new Socket(host, port)
     sock.setSoTimeout(30000)
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
     val logFile = new java.io.File(logDir, s"part-$shard.jsonl")
     logFile.getParentFile.mkdirs()
     val logOut = new java.io.PrintWriter(new java.io.BufferedWriter(
@@ -510,6 +552,12 @@ final class WalSocketClient(
     var sinceAck = 0
     def flushAndAck(lsn: Long): Unit = {
       logOut.flush()
+      // per-slot record first (the slot's confirmed_flush_lsn — what
+      // THIS stream resumes from), then the legacy global scalar for
+      // pre-upgrade readers. A slot's ack never advances another
+      // slot's resume position.
+      graft.streaming.CdcReplaySource.writeSlotAckedLsn(
+        logDir, slotName, lsn)
       graft.streaming.CdcReplaySource.writeAckedLsn(logDir, lsn)
       scheduler.delivered(lsn)
       // position 0 is the scheduler's InvalidLsn sentinel — a
@@ -536,9 +584,19 @@ final class WalSocketClient(
       PgStartup.writeUntagged(out, PgStartup.sslRequestBody)
       out.flush()
       val sslAnswer = in.read()
-      require(sslAnswer == 'N',
-        s"unexpected SSLRequest answer '${sslAnswer.toChar}' (TLS not " +
-          "supported here; expected clear-text fallback)")
+      if (tls) {
+        // libpq sslmode=require: anything but 'S' is a hard failure,
+        // and the handshake runs NOW — startup itself is encrypted
+        require(sslAnswer == 'S',
+          s"server refused TLS (answer '${sslAnswer.toChar}') but " +
+            "tls=true requires it")
+        val ssl = Tls.wrapClient(sock, host)
+        sock = ssl
+        in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
+        out = new java.io.BufferedOutputStream(ssl.getOutputStream, 1 << 16)
+      } else require(sslAnswer == 'N',
+        s"unexpected SSLRequest answer '${sslAnswer.toChar}' (tls=false " +
+          "expects the clear-text fallback)")
       PgStartup.writeUntagged(out, PgStartup.startupBody(Seq(
         "user" -> user, "database" -> database,
         "replication" -> "database", // walsender mode — the one option
@@ -646,11 +704,17 @@ final class WalSocketClient(
                 case Transport.Unknown(_) => ()
               }
             case WalWire.Msg('c', _) =>
-              // server CopyDone: clean end of the COPY stream — a
-              // completeness boundary (unlike a cut or an error), so
-              // the in-flight tx finishes; protocol requires the
-              // receiver to answer CopyDone before CommandComplete
-              finishTx()
+              // server CopyDone: clean end of the COPY stream, but NOT
+              // a transaction-completeness boundary — a real walsender
+              // can end COPY (e.g. timeline switch) on a WAL position
+              // that is mid-transaction, and nothing after CopyDone
+              // ever evidences the in-flight tx's completeness. Treat
+              // it like EOF: discard the in-flight frames — unacked,
+              // the transaction replays next session (at-least-once).
+              // Protocol still requires answering CopyDone before the
+              // server's CommandComplete.
+              curLsn = -1L
+              curFrames = ArrayBuffer.empty
               writeLock.synchronized {
                 try {
                   WalWire.write(out, 'c', Array.emptyByteArray)

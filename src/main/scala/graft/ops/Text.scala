@@ -113,9 +113,19 @@ object Text {
   private[graft] def shinglesOfToks(toks: DataFrame): DataFrame =
     toks
       .filter(size(col("toks")) >= 3)
+      // the CASE guard looks redundant next to the filter, but is
+      // LOAD-BEARING: InferFiltersFromGenerate can copy the transform
+      // into an inferred `size(...) > 0` predicate and merge it into
+      // the same Filter as the size guard, where conjunct evaluation
+      // order is not guaranteed — under ANSI mode a sub-3-token doc
+      // then throws INVALID_ARRAY_INDEX instead of filtering away.
+      // CASE WHEN evaluates its branch lazily, making the lambda
+      // total. (Same hazard + fix in gram8OfToks.)
       .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> " +
-          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        "CASE WHEN size(toks) >= 3 THEN " +
+          "transform(sequence(0, size(toks)-3), i -> " +
+          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
         .as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
         explode(col("hs")).as("h"))
@@ -125,6 +135,31 @@ object Text {
     * memoized corpus path (the streaming ingest probe). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     shinglesOfToks(docs.select(col("doc_id"), toksCol.as("toks")))
+
+  /** THE 8-gram construction — one builder for the batch
+    * contamination checks (q231/q234) and the streaming probe
+    * (`StreamOps.contaminationProbeBatch`): distinct hashed 8-grams
+    * `(doc_id, g)` over a (doc_id, toks) frame, deduped map-side
+    * inside the array before the explode. Stream-vs-train matching
+    * is only correct while both sides hash bit-identically, so
+    * neither may fork its own copy (same contract as
+    * [[shinglesOfToks]]). */
+  private[graft] def gram8OfToks(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("toks")) >= 8)
+      // CASE guard load-bearing — see shinglesOfToks
+      .select(col("doc_id"), array_distinct(expr(
+        "CASE WHEN size(toks) >= 8 THEN " +
+          "transform(sequence(0, size(toks) - 8), i -> " +
+          "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
+          "toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+        .as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+
+  /** [[gram8OfToks]] over raw (doc_id, text). */
+  private[graft] def gram8Of(docs: DataFrame): DataFrame =
+    gram8OfToks(docs.select(col("doc_id"), toksCol.as("toks")))
 
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate((s, d)) {
@@ -1653,17 +1688,9 @@ object Text {
          |ORDER BY contam_milli DESC, pd.doc_id LIMIT 50""".stripMargin) {
       (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val base = withToks(s, d).filter(size(col("toks")) >= 8)
-        .select(col("doc_id"),
-          (pmod(graft.cdc.GraftFunctions.md5_h32(
-            col("doc_id").cast("string")), lit(20L)) === 0L).as("is_eval"),
-          array_distinct(expr(
-            "transform(sequence(0, size(toks) - 8), i -> " +
-              "md5_h32(concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
-              "toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7])))"))
-            .as("gs"))
-      val grams = base.select(col("doc_id"), col("is_eval"),
-        explode(col("gs")).as("g"))
+      val grams = gram8OfToks(withToks(s, d))
+        .withColumn("is_eval", pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(20L)) === 0L)
       val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()
       val ev = grams.filter(col("is_eval")).select(col("doc_id"), col("g"))
       val pd = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
@@ -1791,6 +1818,79 @@ object Text {
           expr("1000 * (nn * agree - pe_num) DIV (nn * nn - pe_num)")
             .cast("long").as("kappa_milli"))
         .orderBy(col("class"))
+    },
+
+    // ---- q234: contamination probe, per micro-batch ---------------
+    // q231's check in its STREAMING operational shape (closing the
+    // r9 numbering gap with the probe's batch-form oracle): arriving
+    // eval docs probe the standing train-gram index in micro-batches,
+    // and each trigger emits ONE monitoring row — docs probed, grams
+    // probed, grams leaked, aggregate contamination rate, docs over
+    // the 20% verdict line. Here the eval split is assigned to 4
+    // deterministic "micro-batches" by an independent hash of doc_id
+    // (independent of the eval-selection hash, or bucket 0 would be
+    // exactly the eval docs); StreamOps.contaminationProbeBatch runs
+    // the same probe live per foreachBatch trigger against the same
+    // index (StreamStaticContamSpec pins builder identity + batch-id
+    // idempotency). Scale shape: identical to q231 — the probe is
+    // one equi-join keyed on the 32-bit gram hash, eval-side work
+    // scales with the batch, train-side with distinct gram count;
+    // the per-batch rollup adds one O(eval-docs) keyed count.
+    QueryDef(
+      "q234_contamination_probe_batches",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0 AS is_eval,
+         |    ${h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |tr AS (SELECT DISTINCT g FROM g8 WHERE NOT is_eval),
+         |ev AS (SELECT doc_id, g FROM g8 WHERE is_eval),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+         |ht AS (SELECT ev.doc_id, count(*) AS n_hit
+         |  FROM ev JOIN tr ON tr.g = ev.g GROUP BY ev.doc_id),
+         |docs AS (SELECT pd.doc_id,
+         |    (${h32Sql("'b' || CAST(pd.doc_id AS VARCHAR)")}) % 4
+         |      AS batch_id,
+         |    pd.n_grams, coalesce(ht.n_hit, 0) AS n_hit
+         |  FROM pd LEFT JOIN ht ON ht.doc_id = pd.doc_id)
+         |SELECT batch_id, count(*) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_hit) AS BIGINT) AS n_hit,
+         |  CAST(sum(n_hit) * 1000 // sum(n_grams) AS BIGINT)
+         |    AS contam_milli,
+         |  CAST(count(*) FILTER (WHERE n_hit * 5 >= n_grams) AS BIGINT)
+         |    AS n_contaminated
+         |FROM docs GROUP BY batch_id ORDER BY batch_id""".stripMargin) {
+      (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val grams = gram8OfToks(withToks(s, d))
+        .withColumn("is_eval", pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(20L)) === 0L)
+      val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()
+      val ev = grams.filter(col("is_eval")).select(col("doc_id"), col("g"))
+      val pd = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val ht = ev.join(tr, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      pd.join(ht, Seq("doc_id"), "left")
+        .select(
+          pmod(graft.cdc.GraftFunctions.md5_h32(
+            concat(lit("b"), col("doc_id").cast("string"))), lit(4L))
+            .as("batch_id"),
+          col("n_grams"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("n_grams"),
+          sum(col("n_hit")).as("n_hit"),
+          expr("sum(n_hit) * 1000 DIV sum(n_grams)").cast("long")
+            .as("contam_milli"),
+          sum(when(col("n_hit") * 5 >= col("n_grams"), 1L)
+            .otherwise(0L)).as("n_contaminated"))
+        .orderBy(col("batch_id"))
     }
   )
 }

@@ -1163,7 +1163,7 @@ object Vectors {
     * one Lloyd iteration per subspace — memoized (q117 + q118). */
   private val pqCbCache = new Tables.DfMemo()
 
-  private def pqCodebooks(s: SparkSession, d: String): DataFrame =
+  private[ops] def pqCodebooks(s: SparkSession, d: String): DataFrame =
     pqCbCache.getOrElseUpdate((s, d)) {
       val sub = subVectors(s, d)
       val init = collectCodebooks(sub.filter(col("vec_id") < 4)
@@ -1192,7 +1192,7 @@ object Vectors {
     * cached relation of vectors × 64 longs instead of four scans. */
   private val quantCache = new Tables.DfMemo()
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[ops] def quantized(s: SparkSession, d: String): DataFrame =
     quantCache.getOrElseUpdate((s, d))(
       prepared(s, d).select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
@@ -1204,7 +1204,7 @@ object Vectors {
     * and q116 (search + recall audit). */
   private val kmCache = new Tables.DfMemo()
 
-  private def kmeansAssignments(s: SparkSession, d: String): DataFrame =
+  private[ops] def kmeansAssignments(s: SparkSession, d: String): DataFrame =
     kmCache.getOrElseUpdate((s, d)) {
       val e = quantized(s, d)
       // Distributed k-means in its canonical shape: the k×64 centroid

@@ -186,6 +186,99 @@ object CdcReplaySource {
       try Some(src.mkString.trim.toLong) finally src.close()
     }
   }
+
+  /** Per-SLOT confirmed position — the socket CLIENT's resume record,
+    * mirroring PostgreSQL's own model where every replication slot
+    * carries its own `confirmed_flush_lsn`: two slots sharing one log
+    * dir must not resume from each other's acks (after slot A acks
+    * 500, lagging slot B's undelivered frames at LSN ≤ 500 must still
+    * replay). A slot spans shard FILES (each reconnect session may
+    * append a new `part-N.jsonl`), so the file-keyed [[ShardOffsets]]
+    * record cannot serve here — the slot name is the stable key. */
+  def slotAckSidecar(path: String, slot: String) = new java.io.File(path,
+    "_acked_lsn@" + java.net.URLEncoder.encode(slot, "UTF-8"))
+
+  /** Atomic, monotonic per-slot advance (same contract as
+    * [[writeAckedLsn]], scoped to one slot). */
+  def writeSlotAckedLsn(path: String, slot: String, lsn: Long): Unit =
+    synchronized {
+      if (readSlotAcked(path, slot).forall(_ < lsn)) {
+        val dir = java.nio.file.Paths.get(path)
+        val tmp = java.nio.file.Files.createTempFile(dir, "_acked_slot", ".tmp")
+        java.nio.file.Files.write(tmp,
+          lsn.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, slotAckSidecar(path, slot).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+  private def readSlotAcked(path: String, slot: String): Option[Long] = {
+    val f = slotAckSidecar(path, slot)
+    if (!f.exists) None
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try Some(src.mkString.trim.toLong) finally src.close()
+    }
+  }
+
+  /** The slot's confirmed position. Migration fallback: a log dir
+    * with NO per-slot sidecars at all is pre-upgrade state — the
+    * legacy global scalar applies (its documented single-slot
+    * semantics). Once ANY slot has its own record, an absent record
+    * means a fresh slot, which must replay from 0 rather than borrow
+    * another slot's position (the cross-session skip this record
+    * exists to prevent). */
+  def lastSlotAckedLsn(path: String, slot: String): Option[Long] =
+    readSlotAcked(path, slot).orElse {
+      val files = new java.io.File(path).listFiles()
+      val anySlot = files != null &&
+        files.exists(_.getName.startsWith("_acked_lsn@"))
+      if (anySlot) None else lastAckedLsn(path)
+    }
+
+  def ackOffsetsSidecar(path: String) = new java.io.File(path, "_acked_offsets")
+
+  /** PER-SHARD acked positions — the cross-session record the global
+    * `_acked_lsn` scalar cannot carry: after shard A acks 500, a
+    * lagging shard B's unseen frames at LSN ≤ 500 must still replay
+    * on a sidecar-based resume (no checkpoint). A running checkpointed
+    * query gets this from its own ShardOffsets; this sidecar gives the
+    * same floor to `ReplicationSession.subscribe` (no uptoLsn) and
+    * `WalSocketClient.run`. Advance is per-shard monotonic under the
+    * same lock as the scalar sidecar; a concurrent writer can only
+    * push entries forward. */
+  def writeAckedOffsets(path: String, so: ShardOffsets): Unit =
+    synchronized {
+      val prev = lastAckedOffsets(path)
+        .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
+      val mergedFloor = math.max(prev.floor, so.floor)
+      val merged = (prev.shards.keySet ++ so.shards.keySet).map { k =>
+        k -> math.max(prev.of(k), so.of(k))
+      }.toMap
+      val next = ShardOffsets(mergedFloor, merged)
+      if (next != prev) {
+        val dir = java.nio.file.Paths.get(path)
+        val tmp =
+          java.nio.file.Files.createTempFile(dir, "_acked_offsets", ".tmp")
+        java.nio.file.Files.write(tmp,
+          next.json().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, ackOffsetsSidecar(path).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+  /** The per-shard acked record; falls back to the legacy scalar
+    * sidecar as a floor-only offset ("every shard delivered through
+    * L" — the old semantics, conservative for mixed-version dirs). */
+  def lastAckedOffsets(path: String): Option[ShardOffsets] = {
+    val f = ackOffsetsSidecar(path)
+    if (f.exists) {
+      val src = scala.io.Source.fromFile(f)
+      try Some(ShardOffsets.parse(src.mkString)) finally src.close()
+    } else lastAckedLsn(path).map(ShardOffsets(_, Map.empty))
+  }
 }
 
 class CdcReplayProvider extends TableProvider {
@@ -258,11 +351,21 @@ class CdcReplayScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = CdcReplaySource.schema
-    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new CdcReplayStream(path,
-        Option(options.get("startingLsn")).map(parseStart).getOrElse(0L),
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      // `startingOffsets` (a full ShardOffsets JSON, e.g. the
+      // _acked_offsets sidecar) floors each shard at its OWN confirmed
+      // LSN — the no-checkpoint resume path; `startingLsn` is the
+      // scalar special case (floor-only). A checkpoint, when present,
+      // supersedes both (Spark only calls initialOffset without one).
+      val initial = Option(options.get("startingOffsets"))
+        .map(ShardOffsets.parse)
+        .getOrElse(ShardOffsets(
+          Option(options.get("startingLsn")).map(parseStart).getOrElse(0L),
+          Map.empty))
+      new CdcReplayStream(path, initial,
         Option(options.get("maxFramesPerTrigger")).map(_.toLong)
           .getOrElse(Long.MaxValue))
+    }
     override def toBatch: Batch = new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         CdcReplaySource.listLogFiles(path)
@@ -292,16 +395,43 @@ case class ShardOffsets(floor: Long, shards: Map[String, Long])
     extends Offset {
   def of(name: String): Long = math.max(floor, shards.getOrElse(name, floor))
   override def json(): String = {
+    // shard names are file names, but nothing stops a producer from
+    // creating one with a quote or backslash — escape, or the offset
+    // JSON (and the checkpoint it lands in) is corrupt
     val items = shards.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      .map { case (k, v) => "\"" + ShardOffsets.escape(k) + "\":" + v }
+      .mkString(",")
     s"""{"floor":$floor,"shards":{$items}}"""
   }
 }
 
 object ShardOffsets {
-  private val Entry = "\"([^\"]+)\":(-?\\d+)".r
+  // value = escaped JSON string: backslash-escapes stay paired
+  private val Entry = "\"((?:[^\"\\\\]|\\\\.)*)\":(-?\\d+)".r
 
-  def parse(json: String): ShardOffsets = {
+  private[streaming] def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { b += s.charAt(i + 1); i += 2 }
+      else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  /** Throws IllegalArgumentException on anything that is not a
+    * cdc-replay offset (progress listeners key off that exact type to
+    * skip other sources' offsets — a malformed string must not escape
+    * as StringIndexOutOfBounds/NumberFormat from inside a callback). */
+  def parse(json: String): ShardOffsets = try {
     val t = json.trim
     if (t.nonEmpty && t.forall(c => c.isDigit || c == '-'))
       return ShardOffsets(t.toLong, Map.empty) // legacy single watermark
@@ -309,11 +439,18 @@ object ShardOffsets {
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"not a cdc-replay offset: $json"))
-    val shardsPart = t.substring(t.indexOf("\"shards\""))
-    val shards = Entry.findAllMatchIn(shardsPart)
-      .filter(_.group(1) != "shards")
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    // a floor with no shards map is a valid (floor-only) offset
+    val shards = t.indexOf("\"shards\"") match {
+      case -1 => Map.empty[String, Long]
+      case i => Entry.findAllMatchIn(t.substring(i))
+        .filter(_.group(1) != "shards")
+        .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap
+    }
     ShardOffsets(floor, shards)
+  } catch {
+    case e: IllegalArgumentException => throw e
+    case e: Exception => throw new IllegalArgumentException(
+      s"not a cdc-replay offset: $json", e)
   }
 
   def from(o: Offset): ShardOffsets = o match {
@@ -322,8 +459,11 @@ object ShardOffsets {
   }
 }
 
-class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
+class CdcReplayStream(path: String, initial: ShardOffsets,
+    maxPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def startingLsn: Long = initial.floor
 
   // Incremental LSN index, REFRESHED at every offset poll — the live
   // loop decouples socket ingest from consumption, so frames keep
@@ -360,7 +500,7 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
   // Trigger.AvailableNow bound: per-shard tails fixed at query start
   private var availableNowEnd: Option[Map[String, Long]] = None
 
-  override def initialOffset(): Offset = ShardOffsets(startingLsn, Map.empty)
+  override def initialOffset(): Offset = initial
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(refreshIndex().collect {
@@ -440,6 +580,14 @@ class CdcReplayStream(path: String, startingLsn: Long, maxPerTrigger: Long)
     val e = ShardOffsets.from(end)
     val acked =
       if (e.shards.isEmpty) e.floor else math.max(e.floor, e.shards.values.min)
+    // Per-shard record FIRST: writeAckedOffsets seeds its initial
+    // state from the legacy scalar when no per-shard record exists
+    // yet, so on a fresh dir the scalar must not land before it (the
+    // seed would lift unseen shards' floor to this batch's min). The
+    // per-shard record is what a sidecar-based resume needs to floor
+    // each shard at its OWN confirmed LSN; the scalar stays the
+    // legacy global position (min across delivered shards).
+    CdcReplaySource.writeAckedOffsets(path, e)
     CdcReplaySource.writeAckedLsn(path, acked)
   }
 

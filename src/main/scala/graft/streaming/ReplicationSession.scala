@@ -81,15 +81,23 @@ final class ReplicationSession(
     if (destroyed) throw new IllegalStateException(
       "session destroyed: create a new ReplicationSession " +
         "(reference: subscribe after destroy() rejects, the client is gone)")
-    val start = uptoLsn
-      .map(Lsn.parse)
-      .orElse(CdcReplaySource.lastAckedLsn(logDir))
-      .getOrElse(0L)
+    // Explicit uptoLsn → scalar start. Default resume → the PER-SHARD
+    // acked sidecar: each shard floors at its OWN confirmed LSN, so a
+    // shard that lagged behind another's acked tail in the previous
+    // session is replayed, not skipped (the cross-session analogue of
+    // the in-stream per-shard offsets; falls back to the legacy scalar
+    // sidecar as a floor for pre-upgrade log dirs).
+    val resumed = uptoLsn match {
+      case Some(l) => ShardOffsets(Lsn.parse(l), Map.empty)
+      case None => CdcReplaySource.lastAckedOffsets(logDir)
+        .getOrElse(ShardOffsets(0L, Map.empty))
+    }
+    val start = resumed.floor
     lastStartReplicationSql =
       Some(format.startReplicationSql(slotName, Lsn.format(start)))
     val r = spark.readStream.format(CdcReplaySource.FORMAT)
       .option("path", logDir)
-      .option("startingLsn", start.toString)
+      .option("startingOffsets", resumed.json())
     val df = maxFramesPerTrigger.fold(r)(n =>
       r.option("maxFramesPerTrigger", n.toString)).load()
     // only once the subscription actually exists — a throw above must
@@ -147,6 +155,12 @@ final class ReplicationSession(
     * atomic and monotonic, so a stale scheduler tick can never regress
     * past a newer auto-ack from the source's commit hook (which itself
     * only moves forward). */
-  private def writeAck(lsn: Long): Unit =
+  private def writeAck(lsn: Long): Unit = {
+    // a manual/timer ack is a GLOBAL statement ("delivered through
+    // lsn") — it lifts the per-shard record's floor, so every shard
+    // resumes at ≥ lsn; per-shard entries above it are untouched
+    CdcReplaySource.writeAckedOffsets(logDir,
+      ShardOffsets(lsn, Map.empty))
     CdcReplaySource.writeAckedLsn(logDir, lsn)
+  }
 }

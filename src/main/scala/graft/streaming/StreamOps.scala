@@ -81,6 +81,94 @@ object StreamOps {
     decodedChanges(frameLog.filter(committed(col("frames"))))
   }
 
+  // ------------------------------------------------------------------
+  // Proto-v2 interleaved stream reassembly (keyed state per xid)
+  // ------------------------------------------------------------------
+
+  /** One frame-log line classified for reassembly: a stream SEGMENT
+    * (S..E block — changes buffered under the block's toplevel xid,
+    * each change tagged with its own per-message subxid), a
+    * stream COMMIT/ABORT decision, or a PLAIN (non-streamed)
+    * transaction whose changes pass straight through. */
+  final case class StreamBlock(xid: Long, lsn: Long, kind: String,
+      subXid: Long, changes: Seq[BufferedChange])
+  final case class BufferedChange(subXid: Long, lsn: Long, op: String,
+      schema: String, table: String, tuple: Map[String, String])
+
+  private def tupleOf(e: graft.cdc.ChangeEvent): Map[String, String] =
+    if (e.after != null) e.after
+    else if (e.before != null) e.before
+    else if (e.key != null) e.key else Map.empty[String, String]
+
+  /** (lsn, frames) → classified [[StreamBlock]]s. Each log line is
+    * self-contained for decode (relation messages ride inside the
+    * segment, as the walsender interleaves them). */
+  def streamBlocks(frameLog: DataFrame): Dataset[StreamBlock] = {
+    val spark = frameLog.sparkSession
+    import spark.implicits._
+    val isData = Set("insert", "update", "delete")
+    frameLog.select(col("lsn"), col("frames"))
+      .as[(Long, Seq[Array[Byte]])]
+      .map { case (lsn, frames) =>
+        val events = graft.cdc.CdcFunctions.decodeFrameSequence(frames)
+        val changes = events.filter(e => isData(e.tag)).map(e =>
+          BufferedChange(e.xid, lsn, e.tag, e.schema, e.table, tupleOf(e)))
+        events.find(_.tag == "stream_start") match {
+          case Some(st) => StreamBlock(st.xid, lsn, "segment", st.xid, changes)
+          case None => events.collectFirst {
+            case e if e.tag == "stream_commit" =>
+              StreamBlock(e.xid, lsn, "commit", e.xid, Nil)
+            case e if e.tag == "stream_abort" =>
+              StreamBlock(e.xid, lsn, "abort", e.subXid, Nil)
+          }.getOrElse(StreamBlock(0L, lsn, "plain", 0L, changes))
+        }
+      }
+  }
+
+  /** Proto-v2 INTERLEAVED in-progress transactions reassembled with
+    * keyed state — the streaming form of
+    * `CdcFunctions.streamCommittedChanges` (which needs the whole
+    * sequence in hand): segments of concurrently-streamed
+    * transactions arrive interleaved (within a shard and across
+    * shards/micro-batches), buffer under their toplevel xid, and are
+    * emitted — in segment-LSN order — only when that xid's
+    * stream_commit arrives. stream_abort(xid, xid) discards the
+    * whole buffer (rollback invisibility, parity with
+    * `decoder-pgoutput.spec.ts:235-274`); stream_abort(xid, subxid)
+    * drops only that subtransaction's changes (ROLLBACK TO
+    * SAVEPOINT). Plain transactions pass through unbuffered. State
+    * per in-progress xid is its undecided changes — bounded by the
+    * transaction's own size, the same bound the walsender's
+    * reorder-buffer spill already imposes upstream. */
+  def streamReassembledChanges(frameLog: DataFrame): DataFrame = {
+    val spark = frameLog.sparkSession
+    import spark.implicits._
+    streamBlocks(frameLog)
+      .groupByKey(_.xid)
+      .flatMapGroupsWithState[Seq[BufferedChange], BufferedChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (xid, blocks, state: GroupState[Seq[BufferedChange]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[BufferedChange]
+          blocks.toSeq.sortBy(_.lsn).foreach { b =>
+            b.kind match {
+              case "segment" => buf = buf ++ b.changes
+              case "plain" => out ++= b.changes
+              case "commit" =>
+                out ++= buf.sortBy(_.lsn); buf = Seq.empty
+              case "abort" =>
+                if (b.subXid == xid) buf = Seq.empty
+                else buf = buf.filterNot(_.subXid == b.subXid)
+            }
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+      .toDF()
+      .select(col("lsn"), col("op"), col("schema"), col("table"),
+        col("tuple"))
+  }
+
   final case class KeyedChange(table: String, key: String, lsn: Long,
       op: String, tuple: Map[String, String])
   final case class SnapshotRow(table: String, key: String, lsn: Long,
@@ -369,7 +457,8 @@ object StreamOps {
     // at-least-once delivery can replay a doc WITHIN one batch too:
     // shingle once per distinct doc_id or shared-counts double and
     // the index append duplicates rows
-    val sh = shingleArrivals(batch.dropDuplicates("doc_id"))
+    val uniq = batch.dropDuplicates("doc_id")
+    val sh = shingleArrivals(uniq)
       .cache() // probe + write-back, one pass
     try {
       val existing =
@@ -383,7 +472,13 @@ object StreamOps {
             spark.emptyDataFrame
         }
       val hasIndex = existing.columns.nonEmpty
-      val arrivalsIds = sh.select(col("doc_id"), col("n")).distinct()
+      // EVERY arrival gets a verdict row — derived from the deduped
+      // batch, not the shingle frame: a sub-3-token doc produces no
+      // shingles, and deriving ids from `sh` would leave it without a
+      // verdict (incomplete audit trail) and re-evaluated on every
+      // redelivery despite the doc_id-idempotency contract. Such docs
+      // probe nothing and land as shared=0 novel rows.
+      val arrivalsIds = uniq.select(col("doc_id"))
       val best =
         if (!hasIndex)
           arrivalsIds.select(col("doc_id"), lit(null).cast("long")
@@ -429,5 +524,50 @@ object StreamOps {
         verdicts.write.mode("append").parquet(verdictsDir)
       } finally { verdicts.unpersist(); () }
     } finally { sh.unpersist(); () }
+  }
+
+  /** foreachBatch contamination probe — q234's live form: each
+    * micro-batch of `(doc_id, text)` eval arrivals probes the
+    * standing train-gram index (one equi-join keyed on the 32-bit
+    * gram hash — work scales with the batch and the index's distinct
+    * grams, never doc×doc) and appends per-doc verdicts
+    * `(batch_id, doc_id, n_grams, n_hit, is_contaminated)` to
+    * `verdictsDir`. Gram extraction is `Text.gram8Of` — THE builder
+    * q231/q234 use, so stream and batch can never hash-drift apart.
+    *
+    * Same commit-marker idempotency as [[dedupIngestBatch]]: a
+    * replayed batchId is a no-op (the verdict append IS the commit
+    * marker — nothing else is written, so the check suffices alone).
+    * A doc with < 8 tokens has no grams and lands as an n_grams=0
+    * clean verdict — every arrival gets a verdict row.
+    *
+    * The index is read-only here (eval docs must never leak INTO
+    * train); maintaining it is the ingest pipeline's job
+    * ([[dedupIngestBatch]]'s write-back shape over gram8 instead of
+    * shingles). */
+  def contaminationProbeBatch(trainGramsDir: String, verdictsDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    val alreadyDone =
+      try spark.read.parquet(verdictsDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (alreadyDone) return
+    val uniq = batch.dropDuplicates("doc_id")
+    val ev = graft.ops.Text.gram8Of(uniq)
+    val tr = spark.read.parquet(trainGramsDir).select(col("g")).distinct()
+    val pd = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val ht = ev.join(tr, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    uniq.select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .join(ht, Seq("doc_id"), "left")
+      .select(lit(batchId).as("batch_id"), col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 5 >=
+          coalesce(col("n_grams"), lit(1L))).as("is_contaminated"))
+      .write.mode("append").parquet(verdictsDir)
   }
 }

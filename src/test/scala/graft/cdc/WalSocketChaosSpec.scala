@@ -94,7 +94,9 @@ class WalSocketChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       torn.init.foreach(w.println)
       w.print(torn.last); w.close()
       CdcReplaySource.ackSidecar(dir).delete()
+      CdcReplaySource.slotAckSidecar(dir, "slot_torn").delete()
       CdcReplaySource.writeAckedLsn(dir, 200L)
+      CdcReplaySource.writeSlotAckedLsn(dir, "slot_torn", 200L)
 
       // the reader must see exactly the two complete transactions
       assert(readLsns(dir) == Seq(100L, 200L))
@@ -120,6 +122,67 @@ class WalSocketChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(causes(e).exists(_.getMessage != null) &&
       causes(e).exists(c => Option(c.getMessage).exists(
         _.contains("corrupt frame-log line"))))
+  }
+
+  test("stream kill/restart with a lagging shard: idempotent sink " +
+      "shows no loss and no dup across the restart") {
+    // r9 verdict ask 5: chaos on the per-shard offset redesign. Shard
+    // 0 carries the high-LSN tail while shard 1 lags — every one of
+    // its transactions sits at a LOWER LSN than shard 0's tail. The
+    // query is killed after partial progress (small triggers force
+    // many batches; the kill lands with batches still undelivered and
+    // the last one possibly uncommitted -> at-least-once replay on
+    // restart), then restarted on the SAME checkpoint. Per-shard
+    // offsets must resume every shard at its own position — a global
+    // watermark would skip the lagging shard's low-LSN remainder —
+    // and the idempotent merge sink must absorb the replayed batch.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("walchaos-restart")
+    CdcReplaySource.writeLogShard(dir, 0,
+      (1 to 10).map(i => tx(i * 100L, i)))
+    CdcReplaySource.writeLogShard(dir, 1,
+      Seq(tx(150L, 11), tx(450L, 12), tx(750L, 13)))
+    val ckpt = tmpDir("walchaos-restart-ckpt")
+    val snapDir = tmpDir("walchaos-restart-snap") + "/snap"
+
+    def startQuery(trigger: org.apache.spark.sql.streaming.Trigger) = {
+      val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", dir)
+        .option("maxFramesPerTrigger", "2")
+        .load()
+      graft.streaming.StreamOps.decodedChanges(stream)
+        .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+          col("op"), col("tuple"))
+        .writeStream
+        .foreachBatch(graft.streaming.StreamOps.upsertBatch(snapDir) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger)
+        .start()
+    }
+
+    // phase 1: run until at least two batches committed, then KILL
+    val q1 = startQuery(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(10L))
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    q1.stop()
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "kill must land after partial progress")
+
+    // phase 2: restart on the same checkpoint and drain
+    val q2 = startQuery(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val snap = graft.streaming.StreamOps.readSnapshot(spark, snapDir)
+      .select(col("key"), col("lsn")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected =
+      ((1 to 10).map(i => i.toString -> i * 100L) ++
+        Seq("11" -> 150L, "12" -> 450L, "13" -> 750L)).toMap
+    assert(snap == expected,
+      s"snapshot must hold every tx exactly once; got $snap")
   }
 
   test("a flapping server converges to exactly-once delivery") {

@@ -36,8 +36,20 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("registry is substantial and stable in shape") {
-    assert(defs.size >= 237, s"query registry shrank to ${defs.size}")
+    assert(defs.size >= 238, s"query registry shrank to ${defs.size}")
     assert(graft.SparkEntry.queries.size == defs.size)
     assert(graft.SparkEntry.oracleSql.size == defs.size)
+  }
+
+  test("query numbering is contiguous; intended gaps are pinned here") {
+    // r9 verdict ask 7: a silent numbering hole reads as a vanished
+    // query. Any INTENTIONAL gap must be listed here with a reason;
+    // everything else in [min, max] must exist. (q234 — the one r9
+    // hole — is now the streaming contamination probe.)
+    val pinnedGaps = Set.empty[Int]
+    val nums = defs.map(_.name.drop(1).takeWhile(_.isDigit).toInt).toSet
+    val missing = (nums.min to nums.max).toSet -- nums -- pinnedGaps
+    assert(missing.isEmpty,
+      s"unpinned numbering gaps: ${missing.toSeq.sorted.mkString(", ")}")
   }
 }

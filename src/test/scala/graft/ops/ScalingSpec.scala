@@ -67,4 +67,41 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("BPE merge loop: per-round argmax is 1 row") {
     assert(run("q153_bpe_train") > 0)
   }
+
+  /** Memo governance (r9 verdict ask 8): every session-lifetime memo
+    * must be O(corpus-sketch) rows — linear in docs/tokens/vectors
+    * with a small constant, NEVER O(corpus²). memo_build is ~5% of
+    * bench and the prewarm set grows round-over-round; this pins each
+    * relation's row bound so a new memo (or a regressed build) that
+    * materializes a quadratic relation fails CI instead of becoming
+    * an unaccounted scale cost. Eviction: DfMemo is an 8-entry LRU
+    * per memo keyed by (session, sf-dir); evicting unpersists
+    * (SCALING.md "memo governance"). */
+  test("session memos are corpus-sketch-sized, never O(corpus^2)") {
+    import org.apache.spark.sql.functions._
+    graft.cdc.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val totalToks = Text.withToks(spark, sfDir)
+      .select(sum(size(col("toks")))).collect()(0).getLong(0)
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(nDocs > 0 && totalToks > nDocs && nVecs > 0)
+    // token-linear memos: one row per doc / per occurrence-bounded key
+    assert(Text.withToks(spark, sfDir).count() == nDocs)
+    assert(Text.docTermFreq(spark, sfDir).count() <= totalToks)
+    assert(Text.shingleHashes(spark, sfDir).count() <= totalToks)
+    assert(Mining.postings(spark, sfDir).count() <=
+      Text.docTermFreq(spark, sfDir).count())
+    assert(Text.minhashSig(spark, sfDir).count() <= nDocs)
+    assert(Curation.winnowPrints(spark, sfDir).count() <= totalToks)
+    assert(Pipeline.clusterLabels(spark, sfDir).count() <= nDocs)
+    // the near-dup pair graph is the one memo that COULD go quadratic;
+    // its J >= 0.6 + size-ratio bound keeps it at the corpus' dup rate
+    // (a small multiple of docs), which is the contract pinned here
+    assert(Text.jaccardPairs(spark, sfDir).count() <= 16 * nDocs)
+    // vector-linear memos + constant-size codebooks
+    assert(Vectors.quantized(spark, sfDir).count() == nVecs)
+    assert(Vectors.kmeansAssignments(spark, sfDir).count() == nVecs)
+    assert(Vectors.pqCodebooks(spark, sfDir).count() <= 1024)
+  }
 }

@@ -325,6 +325,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("key") === "99").count() == 0L)
   }
 
+  test("interleaved proto-v2 streams reassemble per xid; aborted " +
+      "stream leaves no rows in the snapshot") {
+    // r9 verdict ask 4: two in-progress transactions interleave their
+    // S..E segments within shard 0 while a third streams on shard 1;
+    // segments, commit and abort land in DIFFERENT micro-batches
+    // (maxFramesPerTrigger=2), so reassembly must hold undecided
+    // changes in keyed state across triggers. xid 10 commits (with a
+    // ROLLBACK TO SAVEPOINT dropping subxid 11's change), xid 20
+    // stream-aborts — rollback invisibility end-to-end
+    // (decoder-pgoutput.spec.ts:235-274) — and xid 30 commits on its
+    // own shard.
+    val dir = java.nio.file.Files.createTempDirectory("v2stream").toString
+    def seg(blockXid: Long, msgXid: Long, first: Boolean, id: Long,
+        name: String): Seq[Array[Byte]] = Seq(
+      PgoutputWriter.streamStart(blockXid, first),
+      PgoutputWriter.streamed(msgXid, PgoutputWriter.relation(usersRel)),
+      PgoutputWriter.streamed(msgXid,
+        PgoutputWriter.insert(777, Seq(id.toString, name))),
+      PgoutputWriter.streamStop())
+    CdcReplaySource.writeLogShard(dir, 0, Seq(
+      (100L, seg(10L, 10L, first = true, 1L, "a")),
+      (110L, seg(20L, 20L, first = true, 2L, "b")),
+      (120L, seg(10L, 10L, first = false, 3L, "c")),
+      (125L, seg(10L, 11L, first = false, 6L, "savepoint")),
+      (130L, seg(20L, 20L, first = false, 4L, "d")),
+      (135L, Seq(PgoutputWriter.streamAbort(10L, 11L))),
+      (140L, Seq(PgoutputWriter.streamCommit(10L, 140L, 141L,
+        1700000000000000L))),
+      (150L, Seq(PgoutputWriter.streamAbort(20L, 20L)))))
+    CdcReplaySource.writeLogShard(dir, 1, Seq(
+      (105L, seg(30L, 30L, first = true, 5L, "e")),
+      (115L, Seq(PgoutputWriter.streamCommit(30L, 115L, 116L,
+        1700000000000000L)))))
+
+    val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", dir)
+      .option("maxFramesPerTrigger", "2")
+      .load()
+    val changes = StreamOps.streamReassembledChanges(stream)
+      .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+        col("op"), col("tuple"))
+    val snapDir = java.nio.file.Files.createTempDirectory("v2snap").toString
+    val q = changes.writeStream
+      .foreachBatch(StreamOps.upsertBatch(snapDir) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("v2ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val live = StreamOps.readSnapshot(spark, snapDir)
+      .select("key", "tuple").collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, String](1).toMap.apply("name")).toMap
+    assert(live == Map("1" -> "a", "3" -> "c", "5" -> "e"),
+      s"committed stream changes only, got $live")
+  }
+
   test("windowed op counts with watermark over commit time") {
     val sp = spark; import sp.implicits._
     val stream = spark.readStream.format(CdcReplaySource.FORMAT)
