@@ -16,6 +16,37 @@ import org.apache.spark.sql.types._
   */
 object TypedRefinement {
 
+  /** User-supplied catalog for the OIDs only the database knows
+    * (r9 verdict ask 6): enum and domain types are CREATEd per
+    * database, so their OIDs cannot ship in a static table the way
+    * the built-in pg_type rows do — the reference inherits the same
+    * blindness and delegates them to text (`pgoutput-parser.ts:144`).
+    * A deployment that has read `pg_enum` / `pg_type` can hand the
+    * catalog here and get validated categoricals and properly-typed
+    * domain columns instead of the text passthrough.
+    *
+    *  - `enums`: enum type OID → labels IN pg_enum sort order (the
+    *    order ORDER BY on the enum column follows).
+    *  - `domains`: domain OID → base type OID (`pg_type.typbasetype`)
+    *    — refinement delegates to the base type, transitively.
+    *  - `arrays`: array OID → element OID for arrays OF catalog
+    *    types (enum[]/domain[]), `pg_type.typelem`. */
+  final case class TypeCatalog(
+      enums: Map[Int, Seq[String]] = Map.empty,
+      domains: Map[Int, Int] = Map.empty,
+      arrays: Map[Int, Int] = Map.empty)
+
+  object TypeCatalog { val empty: TypeCatalog = TypeCatalog() }
+
+  /** Enum columns refine to a validated categorical: the label text
+    * (lossless passthrough) plus its ordinal in the catalog's label
+    * order — null ord means the label is NOT a member of the enum
+    * (wire corruption or a stale catalog), kept visible rather than
+    * silently passed. */
+  val EnumStruct: StructType = StructType(Seq(
+    StructField("label", StringType),
+    StructField("ord", IntegerType)))
+
   /** PG interval's internal shape: (months, days, micros) — the three
     * independently-stored fields PG itself keeps, so no information
     * from the text form is lost (a CalendarInterval literal could not
@@ -70,6 +101,19 @@ object TypedRefinement {
     3905 -> 3904, 3927 -> 3926, 3907 -> 3906, 3913 -> 3912,
     3909 -> 3908, 3911 -> 3910)
 
+  /** PG type OID → Spark type, catalog-aware: enums become
+    * [[EnumStruct]], domains resolve through their base type,
+    * catalog arrays wrap their element type. */
+  def sparkTypeFor(typeOid: Int, catalog: TypeCatalog): DataType =
+    if (catalog.enums.contains(typeOid)) EnumStruct
+    else catalog.domains.get(typeOid) match {
+      case Some(base) => sparkTypeFor(base, catalog)
+      case None => catalog.arrays.get(typeOid) match {
+        case Some(elem) => ArrayType(sparkTypeFor(elem, catalog))
+        case None => sparkTypeFor(typeOid)
+      }
+    }
+
   /** PG type OID → Spark type (SURVEY §1.2 table). */
   def sparkTypeFor(typeOid: Int): DataType = typeOid match {
     case 16 => BooleanType                    // bool
@@ -99,6 +143,28 @@ object TypedRefinement {
     // everything contract (pgoutput-parser.ts:144).
     case _ => StringType                      // text/varchar/custom
   }
+
+  /** Catalog-aware refinement: enum → (label, ord) with membership
+    * validation (`array_position` over the label literals — one
+    * codegen'd array scan per value, label sets are small), domain →
+    * its base type's refinement, catalog array → per-element. */
+  def refine(raw: Column, typeOid: Int, catalog: TypeCatalog): Column =
+    catalog.enums.get(typeOid) match {
+      case Some(labels) =>
+        val pos = array_position(array(labels.map(lit): _*), raw)
+        // NULL stays NULL (a struct of null fields is not a null value)
+        when(raw.isNotNull, struct(raw.as("label"),
+          (nullif(pos, lit(0L)) - 1).cast("int").as("ord")))
+      case None => catalog.domains.get(typeOid) match {
+        case Some(base) => refine(raw, base, catalog)
+        case None => catalog.arrays.get(typeOid) match {
+          case Some(elem) =>
+            transform(GraftFunctions.pg_array_tokens(raw),
+              e => refine(e, elem, catalog))
+          case None => refine(raw, typeOid)
+        }
+      }
+    }
 
   /** One raw text column → its typed form. Every branch is built-in
     * (codegen'd) except the pg_array_tokens tokenizer, a native
@@ -183,15 +249,17 @@ object TypedRefinement {
   }
 
   /** tuple-map column → typed columns for every relation column. */
-  def typedColumns(tuple: Column, rel: RelationInfo): Seq[Column] =
+  def typedColumns(tuple: Column, rel: RelationInfo,
+      catalog: TypeCatalog = TypeCatalog.empty): Seq[Column] =
     rel.columns.map { c =>
-      refine(element_at(tuple, c.name), c.typeOid).as(c.name)
+      refine(element_at(tuple, c.name), c.typeOid, catalog).as(c.name)
     }
 
   /** DataFrame with a `tuple` map column → typed per-table view. */
   def typedView(df: DataFrame, tupleCol: String, rel: RelationInfo,
-      keep: Seq[String] = Seq("lsn", "op")): DataFrame =
-    df.select(keep.map(col) ++ typedColumns(col(tupleCol), rel): _*)
+      keep: Seq[String] = Seq("lsn", "op"),
+      catalog: TypeCatalog = TypeCatalog.empty): DataFrame =
+    df.select(keep.map(col) ++ typedColumns(col(tupleCol), rel, catalog): _*)
 
   /** TOAST back-fill against a materialized snapshot (SURVEY §7.5):
     * when replica identity is not FULL, an update's unchanged-TOAST

@@ -565,7 +565,14 @@ object CdcQueries {
         |    THEN CAST(1709274600 + (o_orderkey % 5) * 86400 AS BIGINT) END
         |    AS tsr_hi_unix,
         |  DATE '2024-02-01' + CAST(o_orderkey % 20 AS INTEGER) AS dr_lo,
-        |  CAST(o_orderkey % 7 + 1 AS BIGINT) AS dr_days
+        |  CAST(o_orderkey % 7 + 1 AS BIGINT) AS dr_days,
+        |  CASE WHEN o_orderkey % 1000 = 0 THEN 'mislabeled'
+        |    ELSE CASE o_orderkey % 4 WHEN 0 THEN 'pending'
+        |      WHEN 1 THEN 'active' WHEN 2 THEN 'done'
+        |      ELSE 'cancelled' END END AS status,
+        |  CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |    ELSE CAST(o_orderkey % 4 AS BIGINT) END AS status_ord,
+        |  CAST(o_orderkey % 101 AS BIGINT) AS pct
         |FROM orders ORDER BY id""".stripMargin) { (s, d) =>
       // The pg-types OID long tail (verdict r8 ask 5): uuid, inet,
       // cidr-style masks, macaddr, int8range/numrange/tsrange/
@@ -577,6 +584,12 @@ object CdcQueries {
       // oracle recomputes every value from the base columns. Like
       // q119, all refinement is per-row expression work fused into
       // the scan stage; the only shuffle is the output sort.
+      //
+      // r9 ask 6 extends the family with a user-supplied TypeCatalog:
+      // a 4-label enum (every 1000th row carries a label OUTSIDE the
+      // catalog — its ord must surface as null, the validation the
+      // text passthrough couldn't do) and a percentage domain whose
+      // OID resolves through the catalog to its int4 base type.
       GraftFunctions.register(s)
       val rel = RelationInfo(50003, "public", "typed_tail", "default",
         Seq(ColumnInfo("id", 1, 20, -1, null, null),
@@ -586,7 +599,13 @@ object CdcQueries {
           ColumnInfo("i8r", 0, 3926, -1, null, null),
           ColumnInfo("nr", 0, 3906, -1, null, null),
           ColumnInfo("tsr", 0, 3908, -1, null, null),
-          ColumnInfo("dr", 0, 3912, -1, null, null)))
+          ColumnInfo("dr", 0, 3912, -1, null, null),
+          ColumnInfo("status", 0, 50010, -1, null, null),
+          ColumnInfo("pct", 0, 50011, -1, null, null)))
+      val catalog = TypedRefinement.TypeCatalog(
+        enums = Map(50010 ->
+          Seq("pending", "active", "done", "cancelled")),
+        domains = Map(50011 -> 23))
       val o = col("o_orderkey")
       def s2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         lpad(c.cast("string"), 2, "0")
@@ -606,9 +625,14 @@ object CdcQueries {
           concat(lit("[\"2024-03-01 06:30:00\",\"2024-03-0"),
             (o % 5 + 1).cast("string"), lit(" 06:30:00\")"))),
         lit("dr"), concat(lit("[2024-02-"), s2(o % 20 + 1),
-          lit(",2024-02-"), s2(o % 20 + 1 + o % 7 + 1), lit(")"))
+          lit(",2024-02-"), s2(o % 20 + 1 + o % 7 + 1), lit(")")),
+        lit("status"), when(o % 1000 === 0, "mislabeled").otherwise(
+          when(o % 4 === 0, "pending").when(o % 4 === 1, "active")
+            .when(o % 4 === 2, "done").otherwise("cancelled")),
+        lit("pct"), (o % 101).cast("string")
       ).as("tuple"))
-      TypedRefinement.typedView(raw, "tuple", rel, keep = Nil)
+      TypedRefinement.typedView(raw, "tuple", rel, keep = Nil,
+          catalog = catalog)
         .select(
           col("id"),
           col("u").as("uuid_t"),
@@ -622,7 +646,10 @@ object CdcQueries {
           (col("nr.lo") * 100).cast("long").as("nr_lo_c"),
           col("tsr.hi").cast("long").as("tsr_hi_unix"),
           col("dr.lo").as("dr_lo"),
-          datediff(col("dr.hi"), col("dr.lo")).cast("long").as("dr_days"))
+          datediff(col("dr.hi"), col("dr.lo")).cast("long").as("dr_days"),
+          col("status.label").as("status"),
+          col("status.ord").cast("long").as("status_ord"),
+          col("pct").cast("long").as("pct"))
         .orderBy(col("id"))
     }
   )

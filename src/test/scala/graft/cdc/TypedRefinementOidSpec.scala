@@ -162,6 +162,54 @@ class TypedRefinementOidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(16385, "happy").getString(0) == "happy")
   }
 
+  test("TypeCatalog enum -> validated categorical (label, ord)") {
+    val sp = spark; import sp.implicits._
+    val cat = TypedRefinement.TypeCatalog(
+      enums = Map(16400 -> Seq("sad", "ok", "happy")))
+    assert(TypedRefinement.sparkTypeFor(16400, cat) ==
+      TypedRefinement.EnumStruct)
+    def go(text: String) = Seq(text).toDF("raw")
+      .select(TypedRefinement.refine(col("raw"), 16400, cat).as("v"))
+      .select("v.label", "v.ord").head()
+    val valid = go("happy")
+    assert(valid.getString(0) == "happy" && valid.getInt(1) == 2)
+    assert(go("sad").getInt(1) == 0) // pg_enum sort order, 0-based
+    // a label outside the catalog keeps its text (lossless) but its
+    // ord is null — the validation signal text passthrough lacked
+    val invalid = go("bogus")
+    assert(invalid.getString(0) == "bogus" && invalid.isNullAt(1))
+    // an uncataloged OID still falls through to text passthrough
+    assert(one(16401, "happy").getString(0) == "happy")
+  }
+
+  test("TypeCatalog domain resolves through its base type, " +
+      "transitively") {
+    val sp = spark; import sp.implicits._
+    val cat = TypedRefinement.TypeCatalog(
+      domains = Map(16500 -> 16501, 16501 -> 23)) // domain over domain
+    assert(TypedRefinement.sparkTypeFor(16500, cat) ==
+      org.apache.spark.sql.types.IntegerType)
+    val r = Seq("42").toDF("raw")
+      .select(TypedRefinement.refine(col("raw"), 16500, cat).as("v"))
+      .head()
+    assert(r.getInt(0) == 42)
+  }
+
+  test("TypeCatalog arrays: enum[] refines per element") {
+    val sp = spark; import sp.implicits._
+    val cat = TypedRefinement.TypeCatalog(
+      enums = Map(16400 -> Seq("sad", "ok", "happy")),
+      arrays = Map(16402 -> 16400))
+    val r = Seq("""{happy,NULL,bogus}""").toDF("raw")
+      .select(TypedRefinement.refine(col("raw"), 16402, cat).as("v"))
+      .head()
+    val elems = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(elems.size == 3)
+    assert(elems(0).getString(0) == "happy" && elems(0).getInt(1) == 2)
+    assert(elems(1) == null)
+    assert(elems(2).getString(0) == "bogus" && elems(2).isNullAt(1))
+  }
+
   test("typedView end-to-end over a tuple map with the new OIDs") {
     val sp = spark; import sp.implicits._
     val rel = RelationInfo(950, "public", "typed", "default", Seq(
