@@ -61,6 +61,19 @@ object Mining {
   private val urgentCountCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
 
+  /** q87's bloom bitmap sizing — bounded at ANY scale: the optimal
+    * bitmap for fpp=1% grows ~9.6 bits/key, which at a 100 TB
+    * dimension (~3e9 urgent keys) would be a 3.6 GB plan literal.
+    * Cap at 2^27 bits (16 MB — comfortably broadcastable) and let
+    * fpp degrade gracefully past ~14M keys instead: the trailing
+    * exact semi-join keeps the oracle contract at any fpp, the probe
+    * just prunes less. ScalingSpec pins the bound. */
+  private[ops] def bloomBits(n: Long): Long = {
+    val optimal = math.ceil(
+      -n * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    math.max(math.min(optimal, 1L << 27), 64L)
+  }
+
   /** q84's sparse TF-IDF postings, pruned to terms in ≤5% of docs —
     * memoized: a strict subset of the docTermFreq index (O(corpus
     * tokens) rows, ScalingSpec pins the bound). */
@@ -361,17 +374,8 @@ object Mining {
       val nUrgent = math.max(
         urgentCountCache.computeIfAbsent((s, d), _ => urgent.count()),
         1024L)
-      // Bitmap bounded at ANY scale: the optimal bitmap for fpp=1%
-      // grows ~9.6 bits/key, which at a 100 TB dimension (~3e9 urgent
-      // keys) would be a 3.6 GB broadcast. Cap the bitmap at 2^27 bits
-      // (16 MB — comfortably broadcastable) and let fpp degrade
-      // gracefully instead: the trailing exact semi-join keeps the
-      // oracle contract at any fpp, the probe just prunes less.
-      val optimalBits = math.ceil(
-        -nUrgent * math.log(0.01) / (math.log(2) * math.log(2))).toLong
-      val bitsCap = 1L << 27
       val bf = urgent.stat.bloomFilter("o_orderkey", nUrgent,
-        math.max(math.min(optimalBits, bitsCap), 64L))
+        bloomBits(nUrgent))
       // Probe via Spark's native BloomFilterMightContain expression
       // (binary-literal filter + doGenCode), not a Scala UDF: the
       // probe sits on the fact-table scan, and a UDF there would

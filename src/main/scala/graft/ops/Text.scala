@@ -1105,9 +1105,16 @@ object Text {
       val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      // df=1 prefix elements are join-inert (the shingle exists in ONE
+      // doc; d1 < d2 kills the self-match) — dropping them AFTER rank
+      // assignment is lossless, and in a Zipf corpus the rarest-first
+      // prefix is dominated by singletons, so the candidate self-join
+      // shuffles a fraction of the prefix stream (q84's rare-term
+      // pruning, applied to PPJoin).
       val pref = sh.join(dfh, "h")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
+        .filter(col("df") >= 2)
         .select(col("doc_id"), col("h"), col("n"))
       val pa = pref.select(col("doc_id").as("d1"), col("h"),
         col("n").as("na"))

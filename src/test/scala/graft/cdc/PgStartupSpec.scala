@@ -46,6 +46,21 @@ class PgStartupSpec extends AnyFunSuite {
     assert(params.isEmpty)
   }
 
+  test("a close inside the length header is EOF, not a garbage length") {
+    // r9 low finding: bytes 2-4 of the header used to mask read()'s
+    // -1 into 0xff and fold it into the length, mis-reporting a dead
+    // peer as a bounds violation
+    for (n <- 1 to 3) {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](n)(0)))
+      intercept[java.io.EOFException] { PgStartup.readUntagged(in) }
+    }
+    // 0 header bytes stays the orderly-EOF None
+    val empty = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray))
+    assert(PgStartup.readUntagged(empty).isEmpty)
+  }
+
   test("oversized length field fails the read, not the allocator") {
     val bos = new ByteArrayOutputStream()
     new BinaryWriter().writeInt32(Int.MaxValue).result()

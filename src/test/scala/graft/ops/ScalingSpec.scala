@@ -68,6 +68,21 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("q153_bpe_train") > 0)
   }
 
+  test("q87 bloom bitmap is bounded at any build-side cardinality") {
+    // small builds get the fpp=1% optimal size...
+    assert(Mining.bloomBits(1024) < (1L << 20))
+    assert(Mining.bloomBits(30000) ==
+      math.ceil(-30000 * math.log(0.01) /
+        (math.log(2) * math.log(2))).toLong)
+    // ...but a 100x-scale dimension (3e9 keys would want a 3.6 GB
+    // bitmap at fpp=1%) hits the 16 MB cap — the plan literal stays
+    // broadcastable and the trailing exact semi-join absorbs the
+    // degraded fpp
+    assert(Mining.bloomBits(3_000_000_000L) == (1L << 27))
+    assert(Mining.bloomBits(Long.MaxValue / 2) == (1L << 27))
+    assert(Mining.bloomBits(0) == 64L) // degenerate floor
+  }
+
   /** Memo governance (r9 verdict ask 8): every session-lifetime memo
     * must be O(corpus-sketch) rows — linear in docs/tokens/vectors
     * with a small constant, NEVER O(corpus²). memo_build is ~5% of
