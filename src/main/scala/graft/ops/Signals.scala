@@ -58,6 +58,11 @@ object Signals {
         .select(col("tok"),
           (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
             .as("pr"))
+        // truncate the per-round lineage: without this, broadcast(r)
+        // at round k re-executes rounds 1..k-1's joins from scratch
+        // (O(iters²) stages) — the minLabelProp/kcore recipe; the
+        // checkpointed relation is the vocab-sized rank vector
+        .localCheckpoint(true)
     }
     r.join(dg, r("tok") === dg("src"))
       .select(col("tok"), col("pr"), col("wdeg"))
@@ -1282,5 +1287,86 @@ object Signals {
           expr("cum_nc * tn * 1000 DIV (cum_n * tc)")
             .as("cum_lift_milli"))
         .orderBy(col("bucket").desc)
+    },
+
+    // ---- q238: value-distribution drift (total variation) --------
+    // The numeric-feature drift monitor beside q132 (embedding
+    // centroid drift) and q134 (vocab drift): per event type, bin
+    // `value` into 10 equal-width buckets over the global range,
+    // split the stream at the midpoint day, and report the total-
+    // variation distance between the early and late bucket
+    // distributions — TV = ½ Σ|p_i − q_i|, the PSI-class alarm
+    // without PSI's logarithm, so it stays EXACT integer arithmetic
+    // end-to-end: tv_milli = 1000·Σ|cE·N_late − cL·N_early| DIV
+    // (2·N_early·N_late), bit-identical across engines and partial-
+    // sum orders. drift_bin is the bucket with the largest absolute
+    // probability shift (lowest bin wins ties). Scale shape: ONE
+    // keyed (type, bin, window) count over the corpus — partial
+    // aggregation absorbs everything before the shuffle — then the
+    // TV fold runs on ≤ types×10 rows; the range/midpoint stats row
+    // is a 1-row broadcast. At 100 TB this is the per-feature
+    // monitoring query a pipeline runs per snapshot, and the corpus
+    // cost is exactly one scan.
+    QueryDef(
+      "q238_value_drift_tv",
+      s"""WITH e AS (SELECT event_type, $tsSecSql // 86400 AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1,
+         |    min(v) AS v0, max(v) AS v1 FROM e),
+         |binned AS (SELECT event_type,
+         |    day >= (d0 + d1 + 1) // 2 AS late,
+         |    ((v - v0) * 10) // (v1 - v0 + 1) AS bin
+         |  FROM e, b),
+         |c AS (SELECT event_type, bin,
+         |    sum(CASE WHEN late THEN 0 ELSE 1 END) AS ce,
+         |    sum(CASE WHEN late THEN 1 ELSE 0 END) AS cl
+         |  FROM binned GROUP BY event_type, bin),
+         |t AS (SELECT event_type, sum(ce) AS ne, sum(cl) AS nl
+         |  FROM c GROUP BY event_type),
+         |sh AS (SELECT c.event_type, bin, ne, nl,
+         |    abs(ce * nl - cl * ne) AS shift
+         |  FROM c JOIN t ON t.event_type = c.event_type
+         |  WHERE ne > 0 AND nl > 0),
+         |mx AS (SELECT event_type, max(shift) AS mshift
+         |  FROM sh GROUP BY event_type)
+         |SELECT sh.event_type,
+         |  CAST(ne AS BIGINT) AS n_early, CAST(nl AS BIGINT) AS n_late,
+         |  CAST(1000 * sum(shift) // (2 * ne * nl) AS BIGINT) AS tv_milli,
+         |  CAST(min(CASE WHEN shift = mshift THEN bin END) AS BIGINT)
+         |    AS drift_bin
+         |FROM sh JOIN mx ON mx.event_type = sh.event_type
+         |GROUP BY sh.event_type, ne, nl
+         |ORDER BY tv_milli DESC, sh.event_type""".stripMargin) { (s, d) =>
+      val e = ev(s, d).select(col("event_type"),
+        expr("ts_sec DIV 86400").as("day"), col("value_c").as("v"))
+      val b = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        min(col("v")).as("v0"), max(col("v")).as("v1"))
+      val binned = e.crossJoin(broadcast(b))
+        .select(col("event_type"),
+          (col("day") >= expr("(d0 + d1 + 1) DIV 2")).as("late"),
+          expr("((v - v0) * 10) DIV (v1 - v0 + 1)").as("bin"))
+      val c = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("late"), 0L).otherwise(1L)).as("ce"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("cl"))
+        .tcache()
+      val t = c.groupBy(col("event_type"))
+        .agg(sum(col("ce")).as("ne"), sum(col("cl")).as("nl"))
+      val shift = abs(col("ce") * col("nl") - col("cl") * col("ne"))
+      c.join(broadcast(t), "event_type")
+        .filter(col("ne") > 0 && col("nl") > 0)
+        .withColumn("shift", shift)
+        .withColumn("mx",
+          max(col("shift")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"), col("ne"), col("nl"))
+        .agg(
+          expr("CAST(1000 * sum(shift) DIV (2 * ne * nl) AS BIGINT)")
+            .as("tv_milli"),
+          min(when(col("shift") === col("mx"), col("bin")))
+            .cast("long").as("drift_bin"))
+        .select(col("event_type"),
+          col("ne").cast("long").as("n_early"),
+          col("nl").cast("long").as("n_late"),
+          col("tv_milli"), col("drift_bin"))
+        .orderBy(col("tv_milli").desc, col("event_type"))
     })
 }
