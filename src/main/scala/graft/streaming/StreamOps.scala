@@ -526,6 +526,54 @@ object StreamOps {
     } finally { sh.unpersist(); () }
   }
 
+  /** foreachBatch drift probe — q238's live form: each micro-batch
+    * of `(event_type, value_c)` arrivals is binned against a STORED
+    * reference histogram (`(event_type, bin, c_ref, v0, v1)` — the
+    * per-type bucket counts plus the binning range, denormalized so
+    * the artifact is self-describing) and one total-variation row
+    * per (batch, type) is appended: tv_milli = 1000·Σ|c_b·N_ref −
+    * c_ref·N_b| DIV (2·N_b·N_ref), the same exact-integer statistic
+    * as q238. Arrivals outside the reference range clamp into the
+    * edge bins (live data CAN leave the training range — that mass
+    * lands in bins 0/9 and drives TV up, which is the alarm
+    * working). Same batch-id commit-marker idempotency as the other
+    * probes. The reference histogram is bins×types rows — broadcast
+    * side; batch-side work is one keyed count. */
+  def driftProbeBatch(refHistDir: String, reportDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val alreadyDone =
+      try spark.read.parquet(reportDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (alreadyDone) return
+    val ref = spark.read.parquet(refHistDir)
+    val meta = ref.select(col("event_type"), col("v0"), col("v1"))
+      .distinct()
+    val cb = batch.select(col("event_type"), col("value_c"))
+      .join(broadcast(meta), "event_type") // unseen types: no reference
+      .select(col("event_type"),
+        greatest(lit(0L), least(lit(9L),
+          expr("((value_c - v0) * 10) DIV (v1 - v0 + 1)"))).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cb"))
+    val j = ref.select(col("event_type"), col("bin"), col("c_ref"))
+      .join(cb, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("c_ref"), lit(0L)).as("cr"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    j.groupBy(col("event_type"))
+      .agg(sum(col("cb")).as("nb"), sum(col("cr")).as("nr"),
+        collect_list(struct(col("cb"), col("cr"))).as("cells"))
+      .filter(col("nb") > 0 && col("nr") > 0)
+      .select(lit(batchId).as("batch_id"), col("event_type"),
+        col("nb").as("n_batch"),
+        expr("""1000 * aggregate(cells, 0L,
+                 (acc, x) -> acc + abs(x.cb * nr - x.cr * nb))
+               DIV (2 * nb * nr)""").as("tv_milli"))
+      .write.mode("append").parquet(reportDir)
+  }
+
   /** foreachBatch contamination probe — q234's live form: each
     * micro-batch of `(doc_id, text)` eval arrivals probes the
     * standing train-gram index (one equi-join keyed on the 32-bit
