@@ -123,10 +123,25 @@ object CdcReplaySource {
     * its slice instead of rescanning the head of a growing shard on
     * every trigger (the log format is ASCII by construction — hex,
     * digits, fixed punctuation — so bytes = chars + the newline). */
-  private[streaming] def lsnIndexOfFile(f: String): Seq[(Long, Long)] = {
-    val src = scala.io.Source.fromFile(f)
+  private[streaming] def lsnIndexOfFile(f: String): Seq[(Long, Long)] =
+    lsnIndexOfFileFrom(f, 0L)
+
+  /** [[lsnIndexOfFile]] resumed at `startByte` (must be a line
+    * boundary — the `parsedBytes` high-water mark of a previous
+    * parse): the incremental half of the driver index, so a GROWING
+    * shard costs O(appended bytes) per trigger, not O(file). Entries'
+    * offsets are absolute. */
+  private[streaming] def lsnIndexOfFileFrom(
+      f: String, startByte: Long): Seq[(Long, Long)] = {
+    val stream = new java.io.FileInputStream(f)
     try {
-      var at = 0L
+      var toSkip = startByte
+      while (toSkip > 0) {
+        val skipped = stream.skip(toSkip)
+        if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+      }
+      val src = scala.io.Source.fromInputStream(stream)
+      var at = startByte
       val entries = completeLines(f, src.getLines())
         .map { l =>
           val e = (parseLsn(l), at)
@@ -140,7 +155,7 @@ object CdcReplaySource {
         case _ => ()
       }
       entries
-    } finally src.close()
+    } finally stream.close()
   }
 
   private[streaming] def parseLsn(line: String): Long = {
@@ -476,26 +491,86 @@ class CdcReplayStream(path: String, initial: ShardOffsets,
   // transaction carries a lower LSN than another shard's delivered
   // tail still gets picked up — a single global watermark would
   // silently skip it.
+  /** path → (stat key, parsedBytes high-water mark, entries).
+    * `parsedBytes` is the byte offset just past the last COMPLETE
+    * line parsed — a torn tail stays unparsed and is retried from
+    * the same offset next poll. */
   private val fileCache = scala.collection.mutable
-    .Map.empty[String, ((Long, Long), Seq[(Long, Long)])]
+    .Map.empty[String, ((Long, Long), Long, Seq[(Long, Long)])]
+
+  /** Total bytes this stream has parsed into its driver index —
+    * observability hook for the incremental-append contract (an
+    * appended shard must cost O(delta), not O(file), per poll). */
+  @volatile private[streaming] var indexBytesParsed: Long = 0L
 
   /** shard name → (path, (lsn, byteStart) entries), consistent
-    * within one poll. */
+    * within one poll. Per-file cache keyed on (length, mtime); an
+    * APPEND (length grew, prefix untouched by the append-only
+    * writer) re-parses only the tail past the high-water mark — the
+    * live-tail path where a 100 GB shard must not be re-read per
+    * trigger. Anything else that changed (shrunk, or same-length
+    * different mtime: a rewrite) re-parses from byte 0. */
   private def refreshIndex(): Map[String, (String, Seq[(Long, Long)])] =
     synchronized {
       CdcReplaySource.listLogFiles(path).map { f =>
         val file = new java.io.File(f)
         val key = (file.length(), file.lastModified())
         val lsns = fileCache.get(f) match {
-          case Some((cached, ls)) if cached == key => ls
+          case Some((cached, _, ls)) if cached == key => ls
+          case Some((cached, parsed, ls))
+              if cached._1 < file.length() && ls.nonEmpty =>
+            val tail = CdcReplaySource.lsnIndexOfFileFrom(f, parsed)
+            // the sort invariant must hold across the append boundary
+            tail.headOption.foreach { case (lsn, _) =>
+              if (lsn < ls.last._1) throw new IllegalStateException(
+                s"$f is not LSN-sorted ($lsn appended after " +
+                  s"${ls.last._1}); cdc-replay shards must be " +
+                  "written in LSN order")
+            }
+            val all = ls ++ tail
+            // clamp: a final line without a trailing newline measures
+            // one byte long (the at += len + 1 convention); the mark
+            // must never pass EOF or a later append would be skipped
+            // into mid-line
+            val parsedTo = tail.lastOption
+              .map { case (_, off) =>
+                math.min(off + lineLen(f, off), file.length()) }
+              .getOrElse(parsed)
+            indexBytesParsed += parsedTo - parsed
+            fileCache(f) = (key, parsedTo, all)
+            all
           case _ =>
             val ls = CdcReplaySource.lsnIndexOfFile(f)
-            fileCache(f) = (key, ls)
+            val parsedTo = ls.lastOption
+              .map { case (_, off) =>
+                math.min(off + lineLen(f, off), file.length()) }
+              .getOrElse(0L)
+            indexBytesParsed += parsedTo
+            fileCache(f) = (key, parsedTo, ls)
             ls
         }
         file.getName -> (f, lsns)
       }.toMap
     }
+
+  /** Length (incl. newline) of the complete line starting at `off` —
+    * one small seek+scan to close the high-water mark over the final
+    * entry (the earlier entries' extents are implied by their
+    * successors). */
+  private def lineLen(f: String, off: Long): Long = {
+    val in = new java.io.FileInputStream(f)
+    try {
+      var toSkip = off
+      while (toSkip > 0) {
+        val skipped = in.skip(toSkip)
+        if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+      }
+      var n = 1L
+      var c = in.read()
+      while (c >= 0 && c != '\n') { n += 1; c = in.read() }
+      n
+    } finally in.close()
+  }
 
   // Trigger.AvailableNow bound: per-shard tails fixed at query start
   private var availableNowEnd: Option[Map[String, Long]] = None
