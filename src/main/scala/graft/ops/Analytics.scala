@@ -305,6 +305,9 @@ object Analytics {
           .select(col("doc_id"),
             (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
               .as("pr"))
+          // truncate per-round lineage — round k otherwise re-executes
+          // rounds 1..k-1 (the weightedPageRank/minLabelProp recipe)
+          .localCheckpoint(true)
       }
       r.orderBy(col("pr").desc, col("doc_id")).limit(20)
         .select(col("doc_id"), col("pr").as("pr_milli"))

@@ -365,10 +365,17 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the busiest-50 must be a top-k, not a full sort:\n$p")
   }
 
-  test("q187: each pagerank round is keyed join + agg; edges cached") {
+  test("q187: pagerank rounds truncate lineage; final pass is top-k " +
+      "over the checkpointed rank vector") {
+    // r10: the rank vector localCheckpoints per round (broadcast(r)
+    // at round k otherwise re-executes rounds 1..k-1), so the FINAL
+    // plan is a top-k over the checkpointed RDD — the cached
+    // degree-annotated edge list (InMemoryTableScan) now lives
+    // inside the per-round plans behind the checkpoint, where each
+    // round's single execution consumes it
     val p = plan("q187_pagerank_neardup")
-    assert(p.contains("InMemoryTableScan"),
-      s"the degree-annotated edge list must be cached across rounds:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"rank vector must be lineage-truncated (checkpointed):\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-20 must be a top-k:\n$p")
     assert(!p.contains("CartesianProduct"), p)
