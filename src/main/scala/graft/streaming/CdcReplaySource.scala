@@ -165,23 +165,63 @@ object CdcReplaySource {
     line.substring(i, j).toLong
   }
 
+  /** Replay-reader hot path: one index scan over the line, hex pairs
+    * decoded via a nibble table — no split/regex, no per-byte boxing
+    * (the `grouped(2)` + `Integer.parseInt` form costs ~10× in
+    * allocation on multi-MB transactions). */
   private[streaming] def parseFrames(line: String): Seq[Array[Byte]] = {
     val start = line.indexOf("\"frames\":[") + 10
     val end = line.lastIndexOf("]")
-    val body = line.substring(start, end)
-    if (body.isEmpty) Nil
-    else body.split(",").toSeq.map { q =>
-      val hex = q.trim.stripPrefix("\"").stripSuffix("\"")
-      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = start
+    while (i < end) {
+      line.charAt(i) match {
+        case '"' =>
+          var j = i + 1
+          while (j < end && line.charAt(j) != '"') j += 1
+          val n = (j - i - 1) / 2
+          val bytes = new Array[Byte](n)
+          var k = 0
+          while (k < n) {
+            val hi = Character.digit(line.charAt(i + 1 + k * 2), 16)
+            val lo = Character.digit(line.charAt(i + 2 + k * 2), 16)
+            if (hi < 0 || lo < 0) throw new IllegalStateException(
+              s"non-hex frame byte in frame log line at offset ${i + 1 + k * 2}")
+            bytes(k) = ((hi << 4) | lo).toByte
+            k += 1
+          }
+          out += bytes
+          i = j + 1
+        case _ => i += 1 // commas / whitespace between frames
+      }
     }
+    out.result()
   }
 
   def ackSidecar(path: String) = new java.io.File(path, "_acked_lsn")
 
+  /** Cross-PROCESS mutual exclusion for every sidecar
+    * read-merge-write: the JVM-level `synchronized` alone would let
+    * two socket-client processes sharing one log dir interleave
+    * read→merge→write and lose the other's advance. One OS file lock
+    * per log dir (`_acked.lock`), taken inside the JVM lock (JVM
+    * first — OverlappingFileLockException fires if one process locks
+    * the same channel region twice). */
+  private def withDirLock[A](path: String)(body: => A): A = synchronized {
+    val lockFile = new java.io.File(path, "_acked.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
   /** Atomic, MONOTONIC sidecar advance — every ack path (stream
     * commit, manual acknowledge, re-ack timer, socket client) funnels
     * here so a stale writer can never regress a newer position. */
-  def writeAckedLsn(path: String, lsn: Long): Unit = synchronized {
+  def writeAckedLsn(path: String, lsn: Long): Unit = withDirLock(path) {
     if (lastAckedLsn(path).forall(_ < lsn)) {
       val dir = java.nio.file.Paths.get(path)
       val tmp = java.nio.file.Files.createTempFile(dir, "_acked_lsn", ".tmp")
@@ -216,7 +256,7 @@ object CdcReplaySource {
   /** Atomic, monotonic per-slot advance (same contract as
     * [[writeAckedLsn]], scoped to one slot). */
   def writeSlotAckedLsn(path: String, slot: String, lsn: Long): Unit =
-    synchronized {
+    withDirLock(path) {
       if (readSlotAcked(path, slot).forall(_ < lsn)) {
         val dir = java.nio.file.Paths.get(path)
         val tmp = java.nio.file.Files.createTempFile(dir, "_acked_slot", ".tmp")
@@ -264,7 +304,7 @@ object CdcReplaySource {
     * same lock as the scalar sidecar; a concurrent writer can only
     * push entries forward. */
   def writeAckedOffsets(path: String, so: ShardOffsets): Unit =
-    synchronized {
+    withDirLock(path) {
       val prev = lastAckedOffsets(path)
         .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
       val mergedFloor = math.max(prev.floor, so.floor)
