@@ -105,14 +105,25 @@ object TypedRefinement {
     * [[EnumStruct]], domains resolve through their base type,
     * catalog arrays wrap their element type. */
   def sparkTypeFor(typeOid: Int, catalog: TypeCatalog): DataType =
+    sparkTypeFor(typeOid, catalog, depth = 0)
+
+  /** pg_type's typbasetype/typelem chains are acyclic in a healthy
+    * catalog; a hand-built TypeCatalog might not be — fail with the
+    * offending OID instead of a StackOverflow. */
+  private def sparkTypeFor(typeOid: Int, catalog: TypeCatalog,
+      depth: Int): DataType = {
+    require(depth <= 16, s"TypeCatalog resolution for OID $typeOid " +
+      "exceeds 16 hops — the domain/array chain is cyclic")
     if (catalog.enums.contains(typeOid)) EnumStruct
     else catalog.domains.get(typeOid) match {
-      case Some(base) => sparkTypeFor(base, catalog)
+      case Some(base) => sparkTypeFor(base, catalog, depth + 1)
       case None => catalog.arrays.get(typeOid) match {
-        case Some(elem) => ArrayType(sparkTypeFor(elem, catalog))
+        case Some(elem) =>
+          ArrayType(sparkTypeFor(elem, catalog, depth + 1))
         case None => sparkTypeFor(typeOid)
       }
     }
+  }
 
   /** PG type OID → Spark type (SURVEY §1.2 table). */
   def sparkTypeFor(typeOid: Int): DataType = typeOid match {
@@ -149,6 +160,12 @@ object TypedRefinement {
     * codegen'd array scan per value, label sets are small), domain →
     * its base type's refinement, catalog array → per-element. */
   def refine(raw: Column, typeOid: Int, catalog: TypeCatalog): Column =
+    refine(raw, typeOid, catalog, depth = 0)
+
+  private def refine(raw: Column, typeOid: Int, catalog: TypeCatalog,
+      depth: Int): Column = {
+    require(depth <= 16, s"TypeCatalog resolution for OID $typeOid " +
+      "exceeds 16 hops — the domain/array chain is cyclic")
     catalog.enums.get(typeOid) match {
       case Some(labels) =>
         val pos = array_position(array(labels.map(lit): _*), raw)
@@ -156,15 +173,16 @@ object TypedRefinement {
         when(raw.isNotNull, struct(raw.as("label"),
           (nullif(pos, lit(0L)) - 1).cast("int").as("ord")))
       case None => catalog.domains.get(typeOid) match {
-        case Some(base) => refine(raw, base, catalog)
+        case Some(base) => refine(raw, base, catalog, depth + 1)
         case None => catalog.arrays.get(typeOid) match {
           case Some(elem) =>
             transform(GraftFunctions.pg_array_tokens(raw),
-              e => refine(e, elem, catalog))
+              e => refine(e, elem, catalog, depth + 1))
           case None => refine(raw, typeOid)
         }
       }
     }
+  }
 
   /** One raw text column → its typed form. Every branch is built-in
     * (codegen'd) except the pg_array_tokens tokenizer, a native

@@ -182,6 +182,19 @@ class TypedRefinementOidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(16401, "happy").getString(0) == "happy")
   }
 
+  test("a cyclic TypeCatalog fails with the offending OID, not a " +
+      "StackOverflow") {
+    val cyclic = TypedRefinement.TypeCatalog(
+      domains = Map(16600 -> 16601, 16601 -> 16600))
+    val e = intercept[IllegalArgumentException] {
+      TypedRefinement.sparkTypeFor(16600, cyclic)
+    }
+    assert(e.getMessage.contains("cyclic"))
+    intercept[IllegalArgumentException] {
+      TypedRefinement.refine(col("x"), 16600, cyclic)
+    }
+  }
+
   test("TypeCatalog domain resolves through its base type, " +
       "transitively") {
     val sp = spark; import sp.implicits._

@@ -148,6 +148,30 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("TLS reconnect: cut mid-stream, resume from the acked position " +
+      "over a fresh encrypted session") {
+    val log = (1 to 4).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, dropAfterTxs = Some(3),
+      tls = true)
+    val dir = tmpDir("walsock-tls-reconnect")
+    try {
+      val r1 = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_tlsrc", dir, shard = 0,
+        tls = true).run()
+      // the cut lands after tx 300's frames; nothing evidences its
+      // completeness, so only 100/200 deliver this session
+      assert(r1.txs.map(_._1) == Seq(100L, 200L))
+      val r2 = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_tlsrc", dir, shard = 1,
+        tls = true).run()
+      assert(r2.txs.map(_._1) == Seq(300L, 400L))
+      assert(server.startCommands(1).contains(Lsn.format(200L)),
+        "second handshake must resume after the confirmed position")
+      assert(server.tlsSessions == 2, "both sessions upgraded")
+      assert(CdcReplaySource.lastAckedLsn(dir).contains(400L))
+    } finally server.close()
+  }
+
   test("TLS required but server refuses: hard failure, nothing acked") {
     val log = Seq(tx(100L, 1))
     val server = new LoopbackWalServer(log) // tls = false -> answers 'N'
