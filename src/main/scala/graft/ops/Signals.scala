@@ -38,7 +38,12 @@ object Signals {
     * each of `iters` rounds is inflow = Σ (pr·w) DIV wdeg per
     * neighbor then pr = 150 + 850·inflow DIV 1000 — the q187
     * recurrence generalized to weights. Returns (tok, pr, wdeg). */
-  private[ops] def weightedPageRank(ew: DataFrame, iters: Int): DataFrame = {
+  private[ops] def weightedPageRank(ew0: DataFrame, iters: Int): DataFrame = {
+    // the caller's edge-weight frame is usually the CORPUS-heavy
+    // aggregation (the bigram explode+count for TextRank); both edd
+    // and nodes below materialize their own caches from it, so
+    // without this cache the corpus pass runs twice
+    val ew = ew0.tcache()
     val ed = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionAll(ew.select(col("v").as("src"), col("u").as("dst"),
         col("w")))
