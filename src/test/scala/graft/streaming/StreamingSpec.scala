@@ -383,6 +383,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"committed stream changes only, got $live")
   }
 
+  test("v2 reassembly state survives a query restart: segments before " +
+      "the stop, commit after, changes deliver on resume") {
+    // the walsender can stream a transaction's segments, then the
+    // consumer restarts (deploy, crash) BEFORE stream_commit arrives.
+    // The undecided buffer lives in flatMapGroupsWithState state, so
+    // it must come back from the checkpoint — losing it would drop
+    // the whole transaction silently on commit.
+    val dir = java.nio.file.Files.createTempDirectory("v2restart").toString
+    CdcReplaySource.writeLogShard(dir, 0, Seq(
+      (100L, Seq(
+        PgoutputWriter.streamStart(40L, firstSegment = true),
+        PgoutputWriter.streamed(40L, PgoutputWriter.relation(usersRel)),
+        PgoutputWriter.streamed(40L,
+          PgoutputWriter.insert(777, Seq("9", "pending"))),
+        PgoutputWriter.streamStop()))))
+    val ckpt = java.nio.file.Files.createTempDirectory("v2rckpt").toString
+    val snapDir = java.nio.file.Files.createTempDirectory("v2rsnap")
+      .toString + "/snap"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", dir).load()
+      val q = StreamOps.streamReassembledChanges(stream)
+        .select(col("table"), col("tuple")("id").as("key"), col("lsn"),
+          col("op"), col("tuple"))
+        .writeStream
+        .foreachBatch(StreamOps.upsertBatch(snapDir) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // only the undecided segment: nothing visible
+    assert(!new java.io.File(snapDir).exists() ||
+      StreamOps.readSnapshot(spark, snapDir).count() == 0,
+      "an uncommitted stream must deliver nothing")
+    // the commit arrives while the consumer is DOWN
+    val f = new java.io.File(dir, "part-0.jsonl")
+    val w = new java.io.PrintWriter(new java.io.FileWriter(f, true))
+    w.println(s"""{"lsn":110,"frames":["${CdcReplaySource.hex(
+      PgoutputWriter.streamCommit(40L, 110L, 111L, 1700000000000000L))}"]}""")
+    w.close()
+    runOnce() // restart from the checkpoint: buffered segment commits
+    val live = StreamOps.readSnapshot(spark, snapDir)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(live == Seq("9"),
+      s"restart must recover the buffered segment from state, got $live")
+  }
+
   test("windowed op counts with watermark over commit time") {
     val sp = spark; import sp.implicits._
     val stream = spark.readStream.format(CdcReplaySource.FORMAT)
