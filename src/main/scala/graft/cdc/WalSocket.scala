@@ -559,6 +559,16 @@ final class WalSocketClient(
       graft.streaming.CdcReplaySource.writeSlotAckedLsn(
         logDir, slotName, lsn)
       graft.streaming.CdcReplaySource.writeAckedLsn(logDir, lsn)
+      // per-SHARD record too: with two slots sharing a logDir the
+      // global scalar reaches the LEADING slot's LSN, and a
+      // no-checkpoint resume that falls back to it as an all-shard
+      // floor would skip the lagging shard's frames ≤ that ack. The
+      // _acked_offsets sidecar records only THIS shard's position
+      // (floor stays MinValue), so the fallback never floors a shard
+      // it didn't ack.
+      graft.streaming.CdcReplaySource.writeAckedOffsets(logDir,
+        graft.streaming.ShardOffsets(Long.MinValue,
+          Map(s"part-$shard.jsonl" -> lsn)))
       scheduler.delivered(lsn)
       // position 0 is the scheduler's InvalidLsn sentinel — a
       // keepalive reply at the stream origin still goes on the wire

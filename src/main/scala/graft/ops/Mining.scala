@@ -57,9 +57,10 @@ object Mining {
 
   /** Session-lifetime scalar stats row for q87's bloom sizing (the
     * catalog row-count statistic a production planner would read
-    * instead of running a sizing job per query). */
-  private val urgentCountCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+    * instead of running a sizing job per query). Governed
+    * [[Tables.StatMemo]] — bounded LRU, so a multi-session service
+    * never pins sessions through this map. */
+  private val urgentCountCache = new Tables.StatMemo[java.lang.Long]()
 
   /** q87's bloom bitmap sizing — bounded at ANY scale: the optimal
     * bitmap for fpp=1% grows ~9.6 bits/key, which at a 100 TB
@@ -372,7 +373,7 @@ object Mining {
       // statistic — production reuses table stats), so the timed body
       // is the bloom build + the probe query, not a third sizing job.
       val nUrgent = math.max(
-        urgentCountCache.computeIfAbsent((s, d), _ => urgent.count()),
+        urgentCountCache.getOrElseUpdate((s, d))(urgent.count()),
         1024L)
       val bf = urgent.stat.bloomFilter("o_orderkey", nUrgent,
         bloomBits(nUrgent))

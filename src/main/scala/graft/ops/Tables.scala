@@ -101,6 +101,28 @@ object Tables {
     }
   }
 
+  /** Governed companion to [[DfMemo]] for session-keyed SCALAR stats
+    * (e.g. a dimension row count used for bloom sizing). Same keying
+    * and bound discipline — a long-lived multi-session service must
+    * not pin SparkSessions through an unbounded raw map; LRU eviction
+    * releases the session reference (nothing to unpersist). */
+  private[ops] final class StatMemo[V](max: Int = 64) {
+    private val m =
+      new java.util.LinkedHashMap[(SparkSession, String), V](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
+          size > max
+      }
+
+    def getOrElseUpdate(k: (SparkSession, String))(build: => V): V =
+      m.synchronized {
+        val hit = m.get(k)
+        if (hit != null) hit
+        else { val v = build; m.put(k, v); v }
+      }
+  }
+
   // ------------------------------------------------------------------
   // Per-query transient caches
   // ------------------------------------------------------------------

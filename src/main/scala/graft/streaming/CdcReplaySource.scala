@@ -179,6 +179,9 @@ object CdcReplaySource {
         case '"' =>
           var j = i + 1
           while (j < end && line.charAt(j) != '"') j += 1
+          if ((j - i - 1) % 2 != 0) throw new IllegalStateException(
+            s"odd-length hex frame body (${j - i - 1} chars) in frame " +
+              s"log line at offset ${i + 1} — truncated or corrupt frame")
           val n = (j - i - 1) / 2
           val bytes = new Array[Byte](n)
           var k = 0
@@ -558,7 +561,8 @@ class CdcReplayStream(path: String, initial: ShardOffsets,
         val lsns = fileCache.get(f) match {
           case Some((cached, _, ls)) if cached == key => ls
           case Some((cached, parsed, ls))
-              if cached._1 < file.length() && ls.nonEmpty =>
+              if cached._1 < file.length() && ls.nonEmpty &&
+                lastEntryIntact(f, ls.last) =>
             val tail = CdcReplaySource.lsnIndexOfFileFrom(f, parsed)
             // the sort invariant must hold across the append boundary
             tail.headOption.foreach { case (lsn, _) =>
@@ -597,6 +601,30 @@ class CdcReplayStream(path: String, initial: ShardOffsets,
     * one small seek+scan to close the high-water mark over the final
     * entry (the earlier entries' extents are implied by their
     * successors). */
+  /** Append-path guard: length growth alone does not prove the
+    * prefix is untouched — a line-boundary-aligned truncate-and-
+    * rewrite that lands LONGER would otherwise keep stale
+    * (lsn, offset) entries pointing into rewritten bytes. Re-parse
+    * the last cached entry's line and compare its LSN; a mismatch
+    * rejects the incremental path and forces a full re-parse. One
+    * seek + one line read — O(1) per poll. */
+  private def lastEntryIntact(f: String, last: (Long, Long)): Boolean =
+    try {
+      val in = new java.io.FileInputStream(f)
+      try {
+        var toSkip = last._2
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+        }
+        val sb = new java.lang.StringBuilder
+        var c = in.read()
+        while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+        val line = sb.toString
+        line.contains("\"lsn\":") && CdcReplaySource.parseLsn(line) == last._1
+      } finally in.close()
+    } catch { case _: Exception => false }
+
   private def lineLen(f: String, off: Long): Long = {
     val in = new java.io.FileInputStream(f)
     try {

@@ -143,27 +143,39 @@ object StreamOps {
   def streamReassembledChanges(frameLog: DataFrame): DataFrame = {
     val spark = frameLog.sparkSession
     import spark.implicits._
-    streamBlocks(frameLog)
+    val blocks = streamBlocks(frameLog)
+    // Plain (non-streamed) transactions need no cross-batch state —
+    // routing them THROUGH the stateful operator would funnel the
+    // entire plain volume into the single xid=0 state key (one task
+    // owns the common case). They bypass it entirely; only genuinely
+    // streamed xids reach the state store.
+    val plain = blocks.filter(_.kind == "plain").flatMap(_.changes)
+    val streamed = blocks.filter(_.kind != "plain")
       .groupByKey(_.xid)
       .flatMapGroupsWithState[Seq[BufferedChange], BufferedChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (xid, blocks, state: GroupState[Seq[BufferedChange]]) =>
+        case (xid, blks, state: GroupState[Seq[BufferedChange]]) =>
           var buf = state.getOption.getOrElse(Seq.empty)
           val out = Seq.newBuilder[BufferedChange]
-          blocks.toSeq.sortBy(_.lsn).foreach { b =>
+          blks.toSeq.sortBy(_.lsn).foreach { b =>
             b.kind match {
               case "segment" => buf = buf ++ b.changes
-              case "plain" => out ++= b.changes
               case "commit" =>
                 out ++= buf.sortBy(_.lsn); buf = Seq.empty
               case "abort" =>
                 if (b.subXid == xid) buf = Seq.empty
                 else buf = buf.filterNot(_.subXid == b.subXid)
+              case _ => () // plain blocks are routed around this op
             }
           }
-          state.update(buf)
+          // a decided xid holds no state: removing (vs updating to
+          // Seq.empty) keeps the state store at O(in-progress xids)
+          // instead of one key per streamed transaction ever seen
+          if (buf.isEmpty) { if (state.exists) state.remove() }
+          else state.update(buf)
           out.result().iterator
       }
+    streamed.union(plain)
       .toDF()
       .select(col("lsn"), col("op"), col("schema"), col("table"),
         col("tuple"))
