@@ -25,10 +25,45 @@ object Tls {
       keytool, "-genkeypair", "-alias", "wal", "-keyalg", "RSA",
       "-keysize", "2048", "-validity", "7", "-storepass",
       new String(Pass), "-keystore", f.getPath, "-storetype", "PKCS12",
-      "-dname", "CN=localhost").redirectErrorStream(true).start()
+      "-dname", "CN=localhost",
+      // SAN so sslmode=verify-full's endpoint identification accepts
+      // both the name and the loopback address
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1")
+      .redirectErrorStream(true).start()
     val log = new String(p.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     require(p.waitFor() == 0, s"keytool self-signed keypair failed: $log")
+    f.deleteOnExit()
+    f
+  }
+
+  /** Path + password of the per-JVM loopback store — the default CA
+    * material for `sslmode=verify-full` when the caller supplies no
+    * truststore (and the WRONG store for a negative test: any other
+    * self-signed keypair fails validation against it). */
+  def defaultStorePath: String = keystore.getPath
+  def defaultStorePass: Array[Char] = Pass.clone()
+
+  /** A separate self-signed keypair in a fresh PKCS12 store — an
+    * UNRELATED CA. Trusting it while the server keys with the
+    * loopback store must fail the verify-full handshake (the
+    * wrong-CA rejection path a production rollout tests first). */
+  def freshUnrelatedStore(): java.io.File = {
+    val f = java.io.File.createTempFile("graft-wal-tls-other", ".p12")
+    f.delete()
+    val keytool =
+      new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "keytool").getPath
+    val p = new ProcessBuilder(
+      keytool, "-genkeypair", "-alias", "other", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "7", "-storepass",
+      new String(Pass), "-keystore", f.getPath, "-storetype", "PKCS12",
+      "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1")
+      .redirectErrorStream(true).start()
+    val log = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(p.waitFor() == 0, s"keytool unrelated keypair failed: $log")
     f.deleteOnExit()
     f
   }
@@ -56,6 +91,74 @@ object Tls {
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(null, tmf.getTrustManagers, null)
     ctx
+  }
+
+  /** Client context trusting a caller-supplied PKCS12 CA store —
+    * `sslmode=verify-full` with user material (libpq's sslrootcert). */
+  def clientContextFor(storePath: String,
+      storePass: Array[Char]): SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(storePath)
+    try ks.load(in, storePass) finally in.close()
+    val tmf = TrustManagerFactory.getInstance(
+      TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** Encrypt-only context for `sslmode=require` — libpq parity:
+    * require encrypts the channel but does NOT validate the peer
+    * certificate (that is exactly what distinguishes it from
+    * verify-ca/verify-full; postgresql.org/docs/current/libpq-ssl
+    * .html's protection table). Scoped to that one mode; every
+    * validating path uses a real trust store. */
+  private lazy val trustAllContext: SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(
+            chain: Array[java.security.cert.X509Certificate],
+            authType: String): Unit = ()
+        override def checkServerTrusted(
+            chain: Array[java.security.cert.X509Certificate],
+            authType: String): Unit = ()
+        override def getAcceptedIssuers
+            : Array[java.security.cert.X509Certificate] = Array.empty
+      }), null)
+    ctx
+  }
+
+  /** Upgrade a connected socket per the libpq sslmode contract:
+    *  - "require": encrypt, no certificate validation
+    *  - "verify-full": validate the chain against `truststore` (the
+    *    per-JVM loopback store when None) AND check the hostname
+    *    (JDK endpoint identification — SAN dns/ip match)
+    * Completes the handshake before returning, so a rejected
+    * certificate fails HERE, before any startup byte leaves. */
+  def wrapClientMode(sock: Socket, host: String, sslmode: String,
+      truststore: Option[String],
+      storePass: Option[Array[Char]]): SSLSocket = {
+    val ctx = sslmode match {
+      case "require" => trustAllContext
+      case "verify-full" =>
+        truststore.map(p => clientContextFor(p,
+          storePass.getOrElse(Pass))).getOrElse(clientContext)
+      case m => throw new IllegalArgumentException(
+        s"sslmode '$m' cannot upgrade a socket (disable never gets here)")
+    }
+    val s = ctx.getSocketFactory
+      .createSocket(sock, host, sock.getPort, true)
+      .asInstanceOf[SSLSocket]
+    s.setUseClientMode(true)
+    if (sslmode == "verify-full") {
+      val params = s.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      s.setSSLParameters(params)
+    }
+    s.startHandshake()
+    s
   }
 
   /** Upgrade an accepted socket to server-mode TLS. The plain-text

@@ -471,8 +471,28 @@ final class WalSocketClient(
     /** Require TLS: send SSLRequest, demand 'S', and run startup +
       * auth + the COPY stream over the encrypted channel (reference:
       * ClientConfig `ssl` passthrough). false keeps the clear-text
-      * expectation ('N'). */
-    tls: Boolean = false) {
+      * expectation ('N'). Superseded by `sslmode` when that is set. */
+    tls: Boolean = false,
+    /** libpq sslmode (reference parity: pg.Client's ssl ClientConfig,
+      * `logical-replication-service.ts:75-78`):
+      *  - "disable": no SSLRequest at all — straight to startup
+      *  - "require": SSLRequest, demand 'S', encrypt WITHOUT
+      *    certificate validation (libpq's require semantics)
+      *  - "verify-full": demand 'S', validate the certificate chain
+      *    against `sslRootStore` (the built-in loopback store when
+      *    None) and the hostname via endpoint identification
+      * None keeps the legacy `tls`-flag behavior (tls=true ≈
+      * verify-full against the loopback store; tls=false sends the
+      * probe and insists on the clear-text 'N'). */
+    sslmode: Option[String] = None,
+    /** PKCS12 CA store for verify-full — libpq's sslrootcert. */
+    sslRootStore: Option[String] = None,
+    sslRootStorePass: Option[Array[Char]] = None) {
+
+  require(sslmode.forall(
+    Set("disable", "require", "verify-full").contains),
+    s"unsupported sslmode '${sslmode.get}' " +
+      "(expected disable | require | verify-full)")
 
   final case class RunResult(
       txs: Seq[(Long, Seq[Array[Byte]])],
@@ -591,22 +611,43 @@ final class WalSocketClient(
 
     try {
       // ---- libpq startup: SSL probe, StartupMessage, auth, RFQ ----
-      PgStartup.writeUntagged(out, PgStartup.sslRequestBody)
-      out.flush()
-      val sslAnswer = in.read()
-      if (tls) {
-        // libpq sslmode=require: anything but 'S' is a hard failure,
-        // and the handshake runs NOW — startup itself is encrypted
-        require(sslAnswer == 'S',
-          s"server refused TLS (answer '${sslAnswer.toChar}') but " +
-            "tls=true requires it")
-        val ssl = Tls.wrapClient(sock, host)
-        sock = ssl
-        in = new DataInputStream(new BufferedInputStream(ssl.getInputStream))
-        out = new java.io.BufferedOutputStream(ssl.getOutputStream, 1 << 16)
-      } else require(sslAnswer == 'N',
-        s"unexpected SSLRequest answer '${sslAnswer.toChar}' (tls=false " +
-          "expects the clear-text fallback)")
+      // sslmode=disable skips the probe entirely (libpq sends no
+      // SSLRequest at all); every other mode probes first
+      if (!sslmode.contains("disable")) {
+        PgStartup.writeUntagged(out, PgStartup.sslRequestBody)
+        out.flush()
+        val sslAnswer = in.read()
+        sslmode match {
+          case Some(m) => // require | verify-full: 'S' is mandatory,
+            // and the handshake (incl. verify-full's certificate +
+            // hostname validation) runs NOW — a wrong CA fails here,
+            // before any startup byte leaves
+            require(sslAnswer == 'S',
+              s"server refused TLS (answer '${sslAnswer.toChar}') but " +
+                s"sslmode=$m requires it")
+            val ssl = Tls.wrapClientMode(sock, host, m,
+              sslRootStore, sslRootStorePass)
+            sock = ssl
+            in = new DataInputStream(
+              new BufferedInputStream(ssl.getInputStream))
+            out = new java.io.BufferedOutputStream(
+              ssl.getOutputStream, 1 << 16)
+          case None if tls =>
+            // legacy flag: anything but 'S' is a hard failure
+            require(sslAnswer == 'S',
+              s"server refused TLS (answer '${sslAnswer.toChar}') but " +
+                "tls=true requires it")
+            val ssl = Tls.wrapClient(sock, host)
+            sock = ssl
+            in = new DataInputStream(
+              new BufferedInputStream(ssl.getInputStream))
+            out = new java.io.BufferedOutputStream(
+              ssl.getOutputStream, 1 << 16)
+          case None => require(sslAnswer == 'N',
+            s"unexpected SSLRequest answer '${sslAnswer.toChar}' " +
+              "(tls=false expects the clear-text fallback)")
+        }
+      }
       PgStartup.writeUntagged(out, PgStartup.startupBody(Seq(
         "user" -> user, "database" -> database,
         "replication" -> "database", // walsender mode — the one option

@@ -116,6 +116,46 @@ object Analytics {
   /** Benford expected permille by leading digit — round(1000 *
     * log10(1 + 1/d)) precomputed so both engines compare identical
     * integer constants. */
+  /** q191/q239's lexical retrieval arm: per-query shingle-Jaccard
+    * top-10 out of the shared shingle index — candidates only from
+    * shingle-bucket equi-joins. */
+  private def lexTop10(s: SparkSession, d: String): DataFrame = {
+    val sh = Text.shingleHashes(s, d)
+    val qs = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), col("n").as("nq"),
+        col("h").as("qh"))
+    val cs = sh.select(col("doc_id").as("cid"), col("n").as("nc"),
+      col("h"))
+    val wLex = Window.partitionBy(col("qid")).orderBy(
+      (col("inter") * 1.0 / (col("nq") + col("nc") - col("inter"))).desc,
+      col("cid"))
+    qs.join(cs,
+        col("qh") === col("h") && col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"), col("nq"), col("nc"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("rb", row_number().over(wLex))
+      .filter(col("rb") <= 10)
+      .select(col("qid"), col("cid"), col("rb"))
+  }
+
+  /** Reciprocal-rank fusion of a semantic arm (qid, cid, ra) and a
+    * lexical arm (qid, cid, rb): integer RRF, per-query top-5. */
+  private def rrfFuse(semT: DataFrame, lexT: DataFrame): DataFrame = {
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("cid"))
+    semT.as("a").join(lexT.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid"),
+        "full_outer")
+      .select(coalesce(col("a.qid"), col("b.qid")).as("qid"),
+        coalesce(col("a.cid"), col("b.cid")).as("cid"),
+        (coalesce(expr("1000000 DIV (60 + ra)"), lit(0L)) +
+          coalesce(expr("1000000 DIV (60 + rb)"), lit(0L))).as("rrf"))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("cid"), col("rrf"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   private val benfordCase =
     "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 " +
       "WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 " +
@@ -452,14 +492,20 @@ object Analytics {
     // ---- q191: hybrid retrieval with reciprocal-rank fusion -------
     // The production RAG retrieval shape: a lexical arm (shingle
     // Jaccard over the shared q25 shingle index — candidates only
-    // from shingle-bucket equi-joins) and a semantic arm (q29's
-    // brute-force cosine, the correctness baseline whose indexed
-    // replacement is q116) fused per query with RRF: score =
-    // sum over arms of 1e6 DIV (60 + rank) — rank fusion needs no
-    // score calibration between arms, which is exactly why RRF won
-    // in practice (Cormack et al., SIGIR'09). Integer fusion keeps
-    // the blend bit-exact. Both arms window per query id; the fuse
-    // is one full-outer keyed join on (query, candidate).
+    // from shingle-bucket equi-joins) and a semantic arm running on
+    // the TRAINED IVF INDEX (q116's machinery): probe the nearest
+    // cells per query, equi-join candidates out of the probed cells,
+    // exact-rerank by rounded-double cosine. At this SF nprobe = k
+    // (full coverage) keeps the output bit-identical to the
+    // brute-force oracle scan while the PLAN is the 100 TB shape —
+    // candidate generation is a broadcast equi-join on cell id, no
+    // corpus-side crossJoin (q239 audits the pruned-nprobe recall).
+    // Arms fuse per query with RRF: score = sum over arms of
+    // 1e6 DIV (60 + rank) — rank fusion needs no score calibration
+    // between arms, which is exactly why RRF won in practice
+    // (Cormack et al., SIGIR'09). Integer fusion keeps the blend
+    // bit-exact. Both arms window per query id; the fuse is one
+    // full-outer keyed join on (query, candidate).
     QueryDef(
       "q191_hybrid_rrf",
       s"""WITH shingles AS (${Text.shinglesSql}),
@@ -500,49 +546,105 @@ object Analytics {
          |        PARTITION BY qid ORDER BY rrf DESC, cid) AS rn
          |      FROM fused)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, d) =>
-      val sh = Text.shingleHashes(s, d)
-      val qs = sh.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("qid"), col("n").as("nq"),
-          col("h").as("qh"))
-      val cs = sh.select(col("doc_id").as("cid"), col("n").as("nc"),
-        col("h"))
-      val wLex = Window.partitionBy(col("qid")).orderBy(
-        (col("inter") * 1.0 / (col("nq") + col("nc") - col("inter"))).desc,
-        col("cid"))
-      val lexT = qs.join(cs,
-          col("qh") === col("h") && col("cid") =!= col("qid"))
-        .groupBy(col("qid"), col("cid"), col("nq"), col("nc"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("rb", row_number().over(wLex))
-        .filter(col("rb") <= 10)
-        .select(col("qid"), col("cid"), col("rb"))
-      val nn = Vectors.prepared(s, d)
-      val qv = nn.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val wSem = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("cid"))
-      val semT = nn.crossJoin(broadcast(qv))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          round(Vectors.dot(col("qv"), col("v")) /
-            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
-        .withColumn("ra", row_number().over(wSem))
-        .filter(col("ra") <= 10)
-        .select(col("qid"), col("cid"), col("ra"))
-      val wF = Window.partitionBy(col("qid"))
-        .orderBy(col("rrf").desc, col("cid"))
-      semT.as("a").join(lexT.as("b"),
-          col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid"),
-          "full_outer")
-        .select(coalesce(col("a.qid"), col("b.qid")).as("qid"),
-          coalesce(col("a.cid"), col("b.cid")).as("cid"),
-          (coalesce(expr("1000000 DIV (60 + ra)"), lit(0L)) +
-            coalesce(expr("1000000 DIV (60 + rb)"), lit(0L))).as("rrf"))
-        .withColumn("rn", row_number().over(wF))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("cid"), col("rrf"))
-        .orderBy(col("qid"), col("rn"))
+      val lexT = lexTop10(s, d)
+      // semantic arm on the trained IVF index — nprobe = 8 = k is
+      // full coverage, the exactness setting for the oracle contract
+      val semT = Vectors.ivfSemanticTop(s, d, nprobe = 8, k = 10)
+      rrfFuse(semT, lexT)
+    },
+
+    // ---- q239: hybrid-retrieval IVF recall audit ------------------
+    // The demoted brute-force arm, repurposed as q191's safety gauge
+    // (the q106/q118 recall-audit pattern): fuse the SAME lexical arm
+    // with the semantic arm at the PRODUCTION setting (nprobe = 5 of
+    // k = 8 cells — candidates from ~60% of the corpus; at this tiny
+    // k the cells are coarse, so the prune is modest — a 100 TB
+    // index trains k in the thousands and probes a few percent) and at
+    // full coverage (nprobe = 8 — exact by construction), and report
+    // per-query recall@5 of the pruned fusion against the exact one.
+    // This is the number a deployment watches when it turns the
+    // nprobe knob at 100 TB; the engine contract is recall ≥ 95% mean
+    // (pinned in VectorsIvfRecallSpec).
+    QueryDef(
+      "q239_hybrid_ivf_recall",
+      "WITH " + Vectors.lloydA2Sql + ",\n" +
+      s"""shingles AS (${Text.shinglesSql}),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles
+         |        GROUP BY doc_id),
+         |sn AS (SELECT s.doc_id, s.h, c.n FROM shingles s
+         |       JOIN cnt c ON c.doc_id = s.doc_id),
+         |lexp AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+         |    q.n AS nq, c.n AS nc, count(*) AS inter
+         |  FROM sn q JOIN sn c
+         |    ON c.h = q.h AND q.doc_id < 20 AND c.doc_id <> q.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |lexr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY inter * 1.0 / (nq + nc - inter) DESC, cid) AS rb
+         |  FROM lexp),
+         |lexT AS (SELECT qid, cid, rb FROM lexr WHERE rb <= 10),
+         |qcd AS (SELECT d.vec_id AS qid, c.j,
+         |    sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |  FROM dims d JOIN c1 c ON c.i = d.i WHERE d.vec_id < 20
+         |  GROUP BY 1, 2),
+         |probes AS (SELECT qid, j FROM (
+         |    SELECT qid, j, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist, j) AS pr FROM qcd) WHERE pr <= 5),
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |        AS v FROM embeddings),
+         |nnv AS (SELECT vec_id, v, ${Vectors.dotSql("v", "v")} AS nrm
+         |        FROM ed),
+         |qvv AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nnv
+         |        WHERE vec_id < 20),
+         |semp AS (SELECT qid, c.vec_id AS cid,
+         |    round(${Vectors.dotSql("qv", "c.v")} /
+         |          (sqrt(qn) * sqrt(c.nrm)), 6) AS score
+         |  FROM qvv JOIN nnv c ON c.vec_id <> qid),
+         |semT AS (SELECT qid, cid, ra FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, cid) AS ra FROM semp) WHERE ra <= 10),
+         |icand AS (SELECT p.qid, a.vec_id AS cid FROM probes p
+         |  JOIN a2 a ON a.j = p.j WHERE a.vec_id <> p.qid),
+         |isc AS (SELECT i.qid, i.cid,
+         |    round(${Vectors.dotSql("q.qv", "c.v")} /
+         |          (sqrt(q.qn) * sqrt(c.nrm)), 6) AS score
+         |  FROM icand i JOIN qvv q ON q.qid = i.qid
+         |  JOIN nnv c ON c.vec_id = i.cid),
+         |isemT AS (SELECT qid, cid, ra FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, cid) AS ra FROM isc) WHERE ra <= 10),
+         |fusedF AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, rrf, row_number() OVER (
+         |        PARTITION BY qid ORDER BY rrf DESC, cid) AS rn
+         |    FROM (SELECT coalesce(a.qid, b.qid) AS qid,
+         |        coalesce(a.cid, b.cid) AS cid,
+         |        coalesce(1000000 // (60 + a.ra), 0) +
+         |        coalesce(1000000 // (60 + b.rb), 0) AS rrf
+         |      FROM semT a FULL OUTER JOIN lexT b
+         |        ON b.qid = a.qid AND b.cid = a.cid)) WHERE rn <= 5),
+         |fusedP AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, rrf, row_number() OVER (
+         |        PARTITION BY qid ORDER BY rrf DESC, cid) AS rn
+         |    FROM (SELECT coalesce(a.qid, b.qid) AS qid,
+         |        coalesce(a.cid, b.cid) AS cid,
+         |        coalesce(1000000 // (60 + a.ra), 0) +
+         |        coalesce(1000000 // (60 + b.rb), 0) AS rrf
+         |      FROM isemT a FULL OUTER JOIN lexT b
+         |        ON b.qid = a.qid AND b.cid = a.cid)) WHERE rn <= 5)
+         |SELECT f.qid, count(p.cid) * 20 AS recall_pct
+         |FROM fusedF f LEFT JOIN fusedP p
+         |  ON p.qid = f.qid AND p.cid = f.cid
+         |GROUP BY f.qid ORDER BY f.qid""".stripMargin) { (s, d) =>
+      val lexT = lexTop10(s, d)
+      val full = rrfFuse(Vectors.ivfSemanticTop(s, d, nprobe = 8, k = 10),
+        lexT)
+      val pruned = rrfFuse(Vectors.ivfSemanticTop(s, d, nprobe = 5, k = 10),
+        lexT)
+      full.as("x").join(pruned.as("y"),
+          col("x.qid") === col("y.qid") && col("x.cid") === col("y.cid"),
+          "left")
+        .groupBy(col("x.qid").as("qid"))
+        .agg((count(col("y.cid")) * 20).as("recall_pct"))
+        .orderBy(col("qid"))
     },
 
     // ---- q192: multi-touch attribution ----------------------------

@@ -55,7 +55,7 @@ object Vectors {
     * q115 (summary), q116 (recall audit), and q122 (semantic dedup)
     * all consume the same chain, so the engine memo and the oracle
     * stay in lockstep by construction. */
-  private val lloydA2Sql =
+  private[ops] val lloydA2Sql =
     """e AS (SELECT vec_id, list_transform(embedding,
       |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
       |    FROM embeddings),
@@ -1203,47 +1203,102 @@ object Vectors {
     * integer Lloyd iterations — memoized, shared by q115 (summary)
     * and q116 (search + recall audit). */
   private val kmCache = new Tables.DfMemo()
+  private val kmCentCache = new Tables.StatMemo[Seq[(Long, Seq[Long])]]()
 
-  private[ops] def kmeansAssignments(s: SparkSession, d: String): DataFrame =
-    kmCache.getOrElseUpdate((s, d)) {
+  /** Map-side argmin assignment of the quantized grid against a
+    * centroid LITERAL matrix — array_min over (dist, j) structs:
+    * lexicographic struct ordering = min dist with lowest-j
+    * tie-break, identical to the oracle's row_number ordering. */
+  private def assignToCents(e: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val arms = cents.map { case (j, c) =>
+      struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
+        expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+        lit(j).as("j"))
+    }
+    e.select(col("vec_id"),
+      array_min(array(arms: _*)).getField("j").as("j"))
+  }
+
+  /** The TRAINED k×64 centroid matrix after two exact-integer Lloyd
+    * iterations — the driver-state coordination payload of the
+    * k-means (k·dim longs, bounded), memoized so the IVF probe
+    * ranking (q191's semantic arm, q239's recall audit) and the
+    * assignment memo share one training run. */
+  private[ops] def kmeansCentroids(s: SparkSession,
+      d: String): Seq[(Long, Seq[Long])] =
+    kmCentCache.getOrElseUpdate((s, d)) {
       val e = quantized(s, d)
-      // Distributed k-means in its canonical shape: the k×64 centroid
-      // matrix is DRIVER state between iterations (k·dim longs — the
-      // bounded coordination payload every real k-means ships), so
-      // each assign pass is a pure map-side argmin over centroid
-      // LITERALS — no crossJoin row expansion, no per-vector window
-      // shuffle. The argmin is array_min over (dist, j) structs:
-      // lexicographic struct ordering = min dist with lowest-j
-      // tie-break, identical to the previous rank-1 window and to the
-      // oracle's row_number ordering. Only the centroid RECOMPUTE
-      // (one keyed (cluster, dim) sum) shuffles — as it must.
-      def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
-        val arms = cents.map { case (j, c) =>
-          struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
-            expr(s"array(${c.mkString("L,")}L)")).as("dist"),
-            lit(j).as("j"))
-        }
-        e.select(col("vec_id"),
-          array_min(array(arms: _*)).getField("j").as("j"))
-      }
       def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
         Tables.boundedCollect(df, 8, "k-means centroid matrix (k = 8)")
           .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
       val init = collectCents(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("j"), col("q").as("c")))
-      val a1 = assign(init)
+      val a1 = assignToCents(e, init)
       val n1 = a1.groupBy(col("j")).agg(count(lit(1)).as("n"))
       val s1 = a1.join(e, "vec_id")
         .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
         .groupBy(col("j"), col("i")).agg(sum(col("v")).as("s"))
-      val c1 = collectCents(s1.join(n1, "j")
+      collectCents(s1.join(n1, "j")
         .select(col("j"), col("i"),
           expr("(2 * s + n) DIV (2 * n)").as("ci"))
         .groupBy(col("j"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
           p => p.getField("ci")).as("c")))
-      assign(c1).cache()
     }
+
+  private[ops] def kmeansAssignments(s: SparkSession, d: String): DataFrame =
+    kmCache.getOrElseUpdate((s, d)) {
+      // Distributed k-means in its canonical shape: the k×64 centroid
+      // matrix is DRIVER state between iterations (see
+      // [[kmeansCentroids]]), so each assign pass is a pure map-side
+      // argmin over centroid LITERALS — no crossJoin row expansion,
+      // no per-vector window shuffle. Only the centroid RECOMPUTE
+      // (one keyed (cluster, dim) sum) shuffles — as it must.
+      assignToCents(quantized(s, d), kmeansCentroids(s, d)).cache()
+    }
+
+  /** IVF-probed semantic top-k: the scale-shape retrieval arm q191
+    * fuses (and q239 audits). Probe ranking is a map-side argmin-sort
+    * over the k=8 trained centroid LITERALS (each query ranks cells
+    * by exact-integer L2 on the quantized grid, takes the nearest
+    * `nprobe`); candidates come from an equi-join of the corpus's
+    * trained cell against the 20×nprobe probe list — NO corpus-side
+    * crossJoin anywhere in the plan. Candidates are exact-reranked by
+    * true rounded-double cosine, so at nprobe = k (full coverage —
+    * this SF's exactness setting) the output is bit-identical to the
+    * brute-force scan, while production sets nprobe « k and pays
+    * only probed-cell occupancy; q239 reports the fused recall of
+    * that pruned setting against full coverage. */
+  private[ops] def ivfSemanticTop(s: SparkSession, d: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val nn = prepared(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val qv = nn.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val arms = kmeansCentroids(s, d).map { case (j, c) =>
+      struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
+        expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+        lit(j).as("j"))
+    }
+    // (qid, j) probe list: 20 × nprobe rows — driver-bounded, broadcast
+    val probes = quantized(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        explode(slice(transform(array_sort(array(arms: _*)),
+          p => p.getField("j")), 1, nprobe)).as("j"))
+    val wSem = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    nn.join(kmeansAssignments(s, d), "vec_id")
+      .join(broadcast(probes), "j")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qv"), col("v")) /
+          (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+      .withColumn("ra", row_number().over(wSem))
+      .filter(col("ra") <= k)
+      .select(col("qid"), col("cid"), col("ra"))
+  }
 
   /** Materialize this module's session memos (quantized grid, Lloyd
     * assignments, PQ codebooks) — [[Prewarm]] hook. */

@@ -224,6 +224,77 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("sslmode=disable: no SSLRequest probe, clear-text end-to-end") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log)
+    val dir = tmpDir("walsock-ssl-disable")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_ssldis", dir, shard = 0,
+        sslmode = Some("disable")).run()
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.confirmedFlush == 201L)
+      assert(server.tlsSessions == 0)
+    } finally server.close()
+  }
+
+  test("sslmode=require: encrypted channel, no certificate validation " +
+      "(libpq require semantics)") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, tls = true)
+    val dir = tmpDir("walsock-ssl-require")
+    try {
+      // require must succeed even when the only trust material the
+      // client could have is WRONG — it encrypts without validating
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_sslreq", dir, shard = 0,
+        sslmode = Some("require"),
+        sslRootStore = Some(Tls.freshUnrelatedStore().getPath)).run()
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.tlsSessions == 1)
+    } finally server.close()
+  }
+
+  test("sslmode=verify-full: validates certificate + hostname against " +
+      "the supplied CA store") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, tls = true)
+    val dir = tmpDir("walsock-ssl-vf")
+    try {
+      val r = new WalSocketClient("localhost", server.port,
+        new PgoutputFormat(), "slot_sslvf", dir, shard = 0,
+        sslmode = Some("verify-full"),
+        sslRootStore = Some(Tls.defaultStorePath),
+        sslRootStorePass = Some(Tls.defaultStorePass)).run()
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.tlsSessions == 1)
+    } finally server.close()
+  }
+
+  test("sslmode=verify-full with the WRONG CA store: handshake rejected, " +
+      "no startup byte leaves") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, tls = true)
+    val dir = tmpDir("walsock-ssl-vf-bad")
+    try {
+      val ex = intercept[Exception] {
+        new WalSocketClient("localhost", server.port,
+          new PgoutputFormat(), "slot_sslbad", dir, shard = 0,
+          sslmode = Some("verify-full"),
+          sslRootStore = Some(Tls.freshUnrelatedStore().getPath),
+          sslRootStorePass = Some(Tls.defaultStorePass)).run()
+      }
+      // the JDK surfaces chain validation failure as an SSL exception
+      assert(ex.isInstanceOf[javax.net.ssl.SSLException] ||
+        ex.getCause.isInstanceOf[javax.net.ssl.SSLException],
+        s"expected an SSL validation failure, got $ex")
+      // nothing was delivered and nothing acked
+      assert(CdcReplaySource.lastAckedLsn(dir).isEmpty)
+      assert(server.startupParams.isEmpty,
+        "startup must not have been sent on a rejected channel")
+    } finally server.close()
+  }
+
   test("startup auth failure surfaces the server's ErrorResponse") {
     val server = new LoopbackWalServer(Nil, password = Some("right"))
     val dir = tmpDir("walsock-badauth")

@@ -73,6 +73,18 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("UDF"), s"scala UDF on the probe path:\n$p")
   }
 
+  test("q191: semantic arm runs on the IVF index — no corpus-side crossJoin") {
+    // r10 verdict ask 1: the headline hybrid-retrieval query must
+    // generate semantic candidates via the trained-IVF equi-join
+    // (broadcast probe list on cell id), NEVER a corpus×queries
+    // brute-force scan. Full-coverage nprobe keeps the oracle hash;
+    // the plan shape is the thing pinned here.
+    val p = plan("q191_hybrid_rrf")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"corpus-side cross join in the q191 plan:\n$p")
+  }
+
   test("q230: ranking metrics broadcast the query side, rank via group-limit") {
     val p = plan("q230_ranking_metrics")
     assert(p.contains("BroadcastHashJoin") ||
