@@ -132,6 +132,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("pg_array_tokens"),
       info("pg_array_tokens"),
       (exprs: Seq[Expression]) => PgArrayTokensExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pg_record_tokens"),
+      info("pg_record_tokens"),
+      (exprs: Seq[Expression]) => PgRecordTokensExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("sliding_min"),
       info("sliding_min"),
       (exprs: Seq[Expression]) => SlidingMinExpr(exprs(0), exprs(1))))
@@ -158,6 +161,8 @@ object GraftFunctions {
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_l2i(a: Column, b: Column): Column = call_function("vec_l2i", a, b)
   def pg_array_tokens(c: Column): Column = call_function("pg_array_tokens", c)
+  def pg_record_tokens(c: Column): Column =
+    call_function("pg_record_tokens", c)
   def sliding_min(a: Column, w: Column): Column =
     call_function("sliding_min", a, w)
   def jump_shard(k: Column, n: Column): Column =
@@ -196,6 +201,7 @@ object GraftFunctions {
     ensure("vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)))
     ensure("vec_l2i", exprs => VecL2IExpr(exprs(0), exprs(1)))
     ensure("pg_array_tokens", exprs => PgArrayTokensExpr(exprs.head))
+    ensure("pg_record_tokens", exprs => PgRecordTokensExpr(exprs.head))
     ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
     ensure("jump_shard", exprs => JumpShardExpr(exprs(0), exprs(1)))
     ensure("longest_repeat", exprs => LongestRepeatExpr(exprs.head))

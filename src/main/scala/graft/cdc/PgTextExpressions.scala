@@ -75,6 +75,88 @@ object PgTextArray {
   }
 }
 
+/** postgres composite/record text-format tokenizer — the grammar
+  * `record_out` emits for every composite-typed column
+  * (`(f1,f2,...)`; reference contract: `pgoutput-parser.ts:144`
+  * delegates unknown OIDs to text, and a TypeCatalog-aware consumer
+  * re-parses here). Rules differ from the array grammar: fields are
+  * comma-separated inside parens, an UNQUOTED empty field is SQL
+  * NULL (there is no NULL keyword), a quoted empty field is the
+  * empty string, and inside quotes both doubling (`""`) and
+  * backslash escapes resolve. A nested composite field arrives
+  * quoted; unescaping yields its own `(...)` literal for another
+  * application. Malformed input (no parens, unterminated quote) →
+  * null. */
+object PgTextRecord {
+  def tokens(s: UTF8String): ArrayData = {
+    val str = s.toString.trim
+    if (str.length < 2 || str.charAt(0) != '(' || str.last != ')') return null
+    val body = str.substring(1, str.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var quoted = false
+    var wasQuoted = false
+    var i = 0
+    val n = body.length
+    def flush(): Unit = {
+      val t = sb.toString
+      out += (if (!wasQuoted && t.isEmpty) null else UTF8String.fromString(t))
+      sb.setLength(0)
+      wasQuoted = false
+    }
+    while (i < n) {
+      val c = body.charAt(i)
+      if (quoted) c match {
+        case '"' =>
+          if (i + 1 < n && body.charAt(i + 1) == '"') {
+            sb.append('"'); i += 1 // doubled quote inside quotes
+          } else quoted = false
+        case '\\' if i + 1 < n =>
+          sb.append(body.charAt(i + 1)); i += 1
+        case _ => sb.append(c)
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true
+        case ',' => flush()
+        case '\\' if i + 1 < n =>
+          sb.append(body.charAt(i + 1)); i += 1
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    if (quoted) return null // unterminated quote
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native `pg_record_tokens(text)` → array<string>: one token per
+  * composite field (null for NULL fields, nested composites
+  * verbatim); codegen via a static call like [[PgArrayTokensExpr]]. */
+case class PgRecordTokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"pg_record_tokens needs a string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pg_record_tokens"
+
+  override def nullSafeEval(v: Any): Any =
+    PgTextRecord.tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.cdc.PgTextRecord.tokens($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native `pg_array_tokens(text)` → array<string> (null elements for
   * SQL NULL, nested `{...}` elements verbatim for another
   * application, null result for malformed input). Splitting

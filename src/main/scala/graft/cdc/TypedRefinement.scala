@@ -34,7 +34,12 @@ object TypedRefinement {
   final case class TypeCatalog(
       enums: Map[Int, Seq[String]] = Map.empty,
       domains: Map[Int, Int] = Map.empty,
-      arrays: Map[Int, Int] = Map.empty)
+      arrays: Map[Int, Int] = Map.empty,
+      /** composite/record OID → ordered (field name, field type OID)
+        * pairs (`pg_class`+`pg_attribute` of the rowtype) — refines
+        * the `record_out` text form into a typed StructType, fields
+        * recursing through the catalog (r10 verdict ask 6). */
+      composites: Map[Int, Seq[(String, Int)]] = Map.empty)
 
   object TypeCatalog { val empty: TypeCatalog = TypeCatalog() }
 
@@ -115,15 +120,34 @@ object TypedRefinement {
     require(depth <= 16, s"TypeCatalog resolution for OID $typeOid " +
       "exceeds 16 hops — the domain/array chain is cyclic")
     if (catalog.enums.contains(typeOid)) EnumStruct
-    else catalog.domains.get(typeOid) match {
-      case Some(base) => sparkTypeFor(base, catalog, depth + 1)
-      case None => catalog.arrays.get(typeOid) match {
-        case Some(elem) =>
-          ArrayType(sparkTypeFor(elem, catalog, depth + 1))
-        case None => sparkTypeFor(typeOid)
+    else catalog.composites.get(typeOid) match {
+      case Some(fields) => StructType(fields.map { case (nm, oid) =>
+        StructField(nm, sparkTypeFor(oid, catalog, depth + 1))
+      })
+      case None => catalog.domains.get(typeOid) match {
+        case Some(base) => sparkTypeFor(base, catalog, depth + 1)
+        case None => catalog.arrays.get(typeOid) match {
+          case Some(elem) =>
+            ArrayType(sparkTypeFor(elem, catalog, depth + 1))
+          case None => sparkTypeFor(typeOid)
+        }
       }
     }
   }
+
+  /** PG numeric typmod → DecimalType(p, s): the attribute typmod the
+    * Relation message carries is `((p << 16) | s) + 4` (VARHDRSZ);
+    * -1 (or any headerless value) means unconstrained numeric, which
+    * keeps the wide default. Out-of-Spark-range precision (> 38)
+    * also falls back — wide PG numerics would otherwise overflow. */
+  def numericTypeFor(typmod: Int): DecimalType =
+    if (typmod < 4) DecimalType(38, 18)
+    else {
+      val p = ((typmod - 4) >> 16) & 0xFFFF
+      val s = (typmod - 4) & 0xFFFF
+      if (p >= 1 && p <= 38 && s <= p) DecimalType(p, s)
+      else DecimalType(38, 18)
+    }
 
   /** PG type OID → Spark type (SURVEY §1.2 table). */
   def sparkTypeFor(typeOid: Int): DataType = typeOid match {
@@ -172,13 +196,26 @@ object TypedRefinement {
         // NULL stays NULL (a struct of null fields is not a null value)
         when(raw.isNotNull, struct(raw.as("label"),
           (nullif(pos, lit(0L)) - 1).cast("int").as("ord")))
-      case None => catalog.domains.get(typeOid) match {
-        case Some(base) => refine(raw, base, catalog, depth + 1)
-        case None => catalog.arrays.get(typeOid) match {
-          case Some(elem) =>
-            transform(GraftFunctions.pg_array_tokens(raw),
-              e => refine(e, elem, catalog, depth + 1))
-          case None => refine(raw, typeOid)
+      case None => catalog.composites.get(typeOid) match {
+        case Some(fields) =>
+          // record_out text → typed struct: tokenize once, refine
+          // each field at its own OID (recursing through the catalog,
+          // so nested composites/enums/domains compose). 1-based
+          // element_at; a NULL composite value stays NULL.
+          val toks = GraftFunctions.pg_record_tokens(raw)
+          when(raw.isNotNull, struct(fields.zipWithIndex.map {
+            case ((nm, oid), i) =>
+              refine(element_at(toks, i + 1), oid, catalog, depth + 1)
+                .as(nm)
+          }: _*))
+        case None => catalog.domains.get(typeOid) match {
+          case Some(base) => refine(raw, base, catalog, depth + 1)
+          case None => catalog.arrays.get(typeOid) match {
+            case Some(elem) =>
+              transform(GraftFunctions.pg_array_tokens(raw),
+                e => refine(e, elem, catalog, depth + 1))
+            case None => refine(raw, typeOid)
+          }
         }
       }
     }
@@ -266,11 +303,19 @@ object TypedRefinement {
       micros.cast("long").as("micros"))
   }
 
-  /** tuple-map column → typed columns for every relation column. */
+  /** tuple-map column → typed columns for every relation column.
+    * numeric columns honor the Relation message's attribute typmod —
+    * `numeric(p,s)` lands as DecimalType(p, s), not the wide
+    * default (r10 verdict ask 6). */
   def typedColumns(tuple: Column, rel: RelationInfo,
       catalog: TypeCatalog = TypeCatalog.empty): Seq[Column] =
     rel.columns.map { c =>
-      refine(element_at(tuple, c.name), c.typeOid, catalog).as(c.name)
+      val raw = element_at(tuple, c.name)
+      val typed =
+        if (c.typeOid == 1700 && c.typeMod >= 4)
+          raw.cast(numericTypeFor(c.typeMod))
+        else refine(raw, c.typeOid, catalog)
+      typed.as(c.name)
     }
 
   /** DataFrame with a `tuple` map column → typed per-table view. */

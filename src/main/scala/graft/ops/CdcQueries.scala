@@ -651,6 +651,61 @@ object CdcQueries {
           col("status.ord").cast("long").as("status_ord"),
           col("pct").cast("long").as("pct"))
         .orderBy(col("id"))
+    },
+
+    QueryDef(
+      "q240_typed_composite",
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderpriority || ', x' AS item_name,
+        |  CAST(o_orderkey % 9 AS BIGINT) AS item_qty,
+        |  CASE WHEN o_orderkey % 10 <> 0
+        |    THEN CAST((o_orderkey % 50) * 100 + 25 AS BIGINT) END
+        |    AS item_price_cents
+        |FROM orders ORDER BY id""".stripMargin) { (s, d) =>
+      // r10 verdict ask 6 — the q229 family extended with the two
+      // catalog capabilities the delegate-everything contract
+      // (`pgoutput-parser.ts:144`) can't do alone:
+      //  - numeric(12,2): the Relation message's attribute typmod
+      //    lands as DecimalType(12,2) (TypedRefinementOidSpec pins
+      //    the schema; here the exact cents round-trip pins values),
+      //  - a composite column ("(name,qty,unit_price)" record text,
+      //    quoted name with a comma, NULL unit_price every 10th row)
+      //    refined through a user-supplied TypeCatalog into a typed
+      //    struct whose fields the oracle recomputes from base
+      //    columns.
+      // All refinement is per-row expression work fused into the
+      // scan; the only shuffle is the output sort.
+      GraftFunctions.register(s)
+      def tm(p: Int, sc: Int): Int = ((p << 16) | sc) + 4
+      val rel = RelationInfo(50004, "public", "typed_comp", "default",
+        Seq(ColumnInfo("id", 1, 20, -1, null, null),
+          ColumnInfo("price", 0, 1700, tm(12, 2), null, null),
+          ColumnInfo("item", 0, 50020, -1, null, null)))
+      val catalog = TypedRefinement.TypeCatalog(
+        composites = Map(50020 -> Seq(
+          "name" -> 25, "qty" -> 23, "unit_price" -> 1700)))
+      val o = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val raw = orders(s, d).select(map(
+        lit("id"), o.cast("string"),
+        lit("price"), concat((cents / 100).cast("long").cast("string"),
+          lit("."), lpad((cents % 100).cast("string"), 2, "0")),
+        lit("item"), concat(lit("(\""), col("o_orderpriority"),
+          lit(", x\","), (o % 9).cast("string"), lit(","),
+          when(o % 10 === 0, "").otherwise(
+            concat((o % 50).cast("string"), lit(".25"))), lit(")"))
+      ).as("tuple"))
+      TypedRefinement.typedView(raw, "tuple", rel, keep = Nil,
+          catalog = catalog)
+        .select(
+          col("id"),
+          (col("price") * 100).cast("long").as("price_cents"),
+          col("item.name").as("item_name"),
+          col("item.qty").cast("long").as("item_qty"),
+          (col("item.unit_price") * 100).cast("long")
+            .as("item_price_cents"))
+        .orderBy(col("id"))
     }
   )
 }

@@ -42,8 +42,10 @@ object Prewarm {
           Text.jaccardPairs(s, d).count()
           Pipeline.clusterLabels(s, d).count()
         }
+        val prefChain = Future { Text.prefixIndex(s, d).count() }
         Text.minhashSig(s, d).count()
         Await.result(pairsChain, Duration.Inf)
+        Await.result(prefChain, Duration.Inf)
         ()
       },
       Future { Curation.winnowPrints(s, d).count(); () })
@@ -65,6 +67,7 @@ object Prewarm {
       t("tf") { Text.docTermFreq(s, d).count() },
       t("shingles") { Text.shingleHashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },
+      t("prefix") { Text.prefixIndex(s, d).count() },
       t("minhash") { Text.minhashSig(s, d).count() },
       t("winnow") { Curation.winnowPrints(s, d).count() },
       t("labels") { Pipeline.clusterLabels(s, d).count() },

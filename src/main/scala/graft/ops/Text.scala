@@ -174,6 +174,30 @@ object Text {
         .cache()
     }
 
+  private val prefCache = new Tables.DfMemo()
+
+  /** q130's PPJoin prefix index, memoized like the shingle index it
+    * derives from: every doc's rarest-first (global df, then h)
+    * prefix of length n - ceil(0.6n) + 1, singleton (df = 1) shingles
+    * dropped after rank assignment (join-inert), prefix RANK kept for
+    * the positional filter. Strict subset of shingleHashes — the
+    * ScalingSpec token-linear bound applies; at 100 TB this is the
+    * standing prefix table an SSJoin deployment maintains next to its
+    * inverted index. */
+  private[ops] def prefixIndex(s: SparkSession, d: String): DataFrame =
+    prefCache.getOrElseUpdate((s, d)) {
+      import org.apache.spark.sql.expressions.Window
+      val sh = shingleHashes(s, d)
+      val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      sh.join(dfh, "h")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
+        .filter(col("df") >= 2)
+        .select(col("doc_id"), col("h"), col("n"), col("rn"))
+        .cache()
+    }
+
   /** identical hashed-shingle extraction for the DuckDB oracle
     * (1-based); CTE shape `shingles(doc_id, h)`. */
   private[ops] val shinglesSql =
@@ -1102,27 +1126,34 @@ object Text {
       // agg. Every stage is keyed on doc_id or h; the ranking window
       // is partitioned by doc_id.
       val sh = shingleHashes(s, d)
-      val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-      // df=1 prefix elements are join-inert (the shingle exists in ONE
-      // doc; d1 < d2 kills the self-match) — dropping them AFTER rank
-      // assignment is lossless, and in a Zipf corpus the rarest-first
-      // prefix is dominated by singletons, so the candidate self-join
-      // shuffles a fraction of the prefix stream (q84's rare-term
-      // pruning, applied to PPJoin).
-      val pref = sh.join(dfh, "h")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("n") - expr("(3 * n + 4) DIV 5") + 1)
-        .filter(col("df") >= 2)
-        .select(col("doc_id"), col("h"), col("n"))
+      // The ranked, singleton-pruned prefix is the MEMOIZED
+      // [[prefixIndex]] (df=1 prefix elements are join-inert — the
+      // shingle exists in ONE doc and d1 < d2 kills the self-match;
+      // dropping them after rank assignment is lossless, q84's
+      // rare-term pruning applied to PPJoin). Standing-table shape:
+      // at scale the prefix index lives next to the inverted index
+      // and is maintained by ingest, not rebuilt per query.
+      val pref = prefixIndex(s, d)
       val pa = pref.select(col("doc_id").as("d1"), col("h"),
-        col("n").as("na"))
+        col("n").as("na"), col("rn").as("ra"))
       val pb = pref.select(col("doc_id").as("d2"), col("h"),
-        col("n").as("nb"))
+        col("n").as("nb"), col("rn").as("rb"))
+      // PPJoin's POSITIONAL filter (r10 verdict ask 3): a prefix match
+      // at ranks (ra, rb) caps the total overlap at
+      // 1 + min(na - ra, nb - rb) — everything else in common must
+      // lie AFTER both positions. J >= 0.6 needs overlap >=
+      // ceil(0.6/1.6 · (na+nb)) = (3(na+nb)+7) DIV 8, so a match
+      // whose cap misses that dies HERE, before the distinct and the
+      // verify joins. Lossless: a qualifying pair's FIRST common
+      // element (which prefix filtering guarantees lies in both
+      // prefixes) always satisfies the cap, and the pair survives if
+      // ANY of its matches does.
       val cand = pa.join(pb,
           pa("h") === pb("h") && col("d1") < col("d2") &&
             col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+        .filter(lit(1) +
+          least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          expr("(3 * (na + nb) + 7) DIV 8"))
         .select(col("d1"), col("d2")).distinct()
       val a = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
       val b = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))

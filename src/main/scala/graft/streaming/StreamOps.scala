@@ -113,13 +113,24 @@ object StreamOps {
         val events = graft.cdc.CdcFunctions.decodeFrameSequence(frames)
         val changes = events.filter(e => isData(e.tag)).map(e =>
           BufferedChange(e.xid, lsn, e.tag, e.schema, e.table, tupleOf(e)))
-        events.find(_.tag == "stream_start") match {
+        // Two-phase envelopes reassemble through the SAME keyed state
+        // as proto-v2 streams: a begin_prepare..prepare segment
+        // buffers under its xid until COMMIT PREPARED (emit) or
+        // ROLLBACK PREPARED (discard) decides it — possibly many
+        // batches (or a consumer restart) later. The envelope and its
+        // decision arrive as separate wire transactions, so they are
+        // always separate log lines.
+        events.find(e =>
+            e.tag == "stream_start" || e.tag == "begin_prepare") match {
           case Some(st) => StreamBlock(st.xid, lsn, "segment", st.xid, changes)
           case None => events.collectFirst {
-            case e if e.tag == "stream_commit" =>
+            case e if e.tag == "stream_commit" ||
+                e.tag == "commit_prepared" =>
               StreamBlock(e.xid, lsn, "commit", e.xid, Nil)
             case e if e.tag == "stream_abort" =>
               StreamBlock(e.xid, lsn, "abort", e.subXid, Nil)
+            case e if e.tag == "rollback_prepared" =>
+              StreamBlock(e.xid, lsn, "abort", e.xid, Nil)
           }.getOrElse(StreamBlock(0L, lsn, "plain", 0L, changes))
         }
       }
@@ -451,7 +462,15 @@ object StreamOps {
     * dependency-free here while preserving the plan shape (keyed probe
     * join + left-anti idempotency join + append). */
   def dedupIngestBatch(indexDir: String, verdictsDir: String,
-      minShared: Long = 3L)(batch: DataFrame, batchId: Long): Unit = {
+      minShared: Long = 3L,
+      /** Compaction trigger: rewrite the index down to its live rows
+        * once superseded (stale-generation + tombstoned) rows exceed
+        * this fraction of the stored total. Bounds on-disk rows at
+        * live/(1-f) under ANY churn rate — without it a 50%-churn
+        * workload grows the index by one generation per batch,
+        * O(batches × corpus) (r10 verdict ask 5). */
+      compactStaleFraction: Double = 0.3)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
     // Batch-replay idempotency: foreachBatch re-runs a batch after a
@@ -473,7 +492,7 @@ object StreamOps {
     val sh = shingleArrivals(uniq)
       .cache() // probe + write-back, one pass
     try {
-      val existing =
+      val existingRaw =
         try spark.read.parquet(indexDir)
         catch {
           // ONLY a missing path means "first batch" — any other read
@@ -483,7 +502,24 @@ object StreamOps {
               if e.getCondition == "PATH_NOT_FOUND" =>
             spark.emptyDataFrame
         }
-      val hasIndex = existing.columns.nonEmpty
+      val hasIndex = existingRaw.columns.nonEmpty
+      // Generation-tagged rows: `gen` = the batchId that wrote them;
+      // a doc's LIVE shingles are its latest generation's (tombstone
+      // generations carry n = -1: the doc was superseded by canonical
+      // election and holds no live rows). A pre-gen index migrates as
+      // one generation -1.
+      val existing =
+        if (!hasIndex) existingRaw
+        else if (existingRaw.columns.contains("gen")) existingRaw
+        else existingRaw.withColumn("gen", lit(-1L))
+      val live =
+        if (!hasIndex) existingRaw
+        else existing
+          .join(existing.groupBy(col("doc_id"))
+            .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+          .filter(col("n") >= 0)
+          .select(col("doc_id"), col("h"), col("n"))
+          .cache()
       // EVERY arrival gets a verdict row — derived from the deduped
       // batch, not the shingle frame: a sub-3-token doc produces no
       // shingles, and deriving ids from `sh` would leave it without a
@@ -500,7 +536,7 @@ object StreamOps {
             .partitionBy(col("doc_id"))
             .orderBy(col("shared").desc, col("corpus_doc"))
           val m = sh
-            .join(existing.select(col("doc_id").as("corpus_doc"), col("h")),
+            .join(live.select(col("doc_id").as("corpus_doc"), col("h")),
               "h")
             .filter(col("doc_id") =!= col("corpus_doc"))
             .groupBy(col("doc_id"), col("corpus_doc"))
@@ -523,18 +559,87 @@ object StreamOps {
           col("shared"), col("is_dup"))
         .cache()
       try {
-        var accepted =
-          sh.join(verdicts.filter(col("is_dup")).select(col("doc_id")),
-            Seq("doc_id"), "left_anti")
-        if (hasIndex) // idempotency: never re-append a standing doc
-          accepted = accepted.join(existing.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-        // index first (doc-idempotent, replay-safe), verdicts last
-        // (the batch's commit marker)
-        accepted.select(col("doc_id"), col("h"), col("n"))
+        val dupIds = verdicts.filter(col("is_dup")).select(col("doc_id"))
+        // Churn classification for arrivals whose doc_id already
+        // stands live: UNCHANGED content (shingle set identical —
+        // the at-least-once redelivery case) appends nothing, the
+        // original idempotency contract; CHANGED content supersedes
+        // the doc's previous generation. A changed doc that now
+        // duplicates ANOTHER standing doc loses the canonical
+        // election — it gets a TOMBSTONE generation (n = -1), so its
+        // stale shingles leave the live view and the canonical copy
+        // alone represents the content.
+        val changedIds =
+          if (!hasIndex) spark.emptyDataFrame.select()
+          else {
+            val standing = live.select(col("doc_id")).distinct()
+            val shStanding = sh.join(standing, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("h"))
+            val liveOfArrived =
+              live.join(arrivalsIds, Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("h"))
+            // symmetric difference per doc: any row on exactly one
+            // side means the shingle set moved
+            shStanding.withColumn("side", lit(1))
+              .join(liveOfArrived.withColumn("side2", lit(1)),
+                Seq("doc_id", "h"), "full_outer")
+              .filter(col("side").isNull || col("side2").isNull)
+              .select(col("doc_id")).distinct()
+          }
+        val freshNovel = {
+          var a = sh.join(dupIds, Seq("doc_id"), "left_anti")
+          if (hasIndex) // standing docs handled by the churn path
+            a = a.join(live.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          a
+        }
+        val replaced =
+          if (!hasIndex) spark.emptyDataFrame
+          else sh.join(changedIds, Seq("doc_id"), "left_semi")
+            .join(dupIds, Seq("doc_id"), "left_anti")
+        val tombstones =
+          if (!hasIndex) spark.emptyDataFrame
+          else changedIds.join(dupIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), lit(0L).as("h"), lit(-1L).as("n"))
+        var appendRows = freshNovel.select(col("doc_id"), col("h"), col("n"))
+        if (hasIndex)
+          appendRows = appendRows
+            .unionByName(replaced.select(col("doc_id"), col("h"), col("n")))
+            .unionByName(tombstones)
+        // index first (generation-idempotent, replay-safe), verdicts
+        // last (the batch's commit marker)
+        appendRows.withColumn("gen", lit(batchId))
           .write.mode("append").parquet(indexDir)
         verdicts.write.mode("append").parquet(verdictsDir)
       } finally { verdicts.unpersist(); () }
+      // ---- compaction: bound on-disk rows at live/(1-f) ------------
+      // Superseded generations + tombstones accumulate under churn;
+      // once they exceed the threshold fraction, rewrite the index
+      // down to its live rows (at 100 TB: a MERGE/compaction job over
+      // the bucketed index table — same policy, different writer).
+      if (hasIndex && compactStaleFraction < 1.0) {
+        val idx = spark.read.parquet(indexDir)
+        val total = idx.count()
+        val liveNow = idx
+          .join(idx.groupBy(col("doc_id"))
+            .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+          .filter(col("n") >= 0)
+        val liveCount = liveNow.count()
+        if (total > 0 && (total - liveCount) > compactStaleFraction * total) {
+          val tmp = indexDir + "_compact_tmp"
+          liveNow.select(col("doc_id"), col("h"), col("n"), col("gen"))
+            .write.mode("overwrite").parquet(tmp)
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+          }
+          val dst = new java.io.File(indexDir)
+          del(dst)
+          if (!new java.io.File(tmp).renameTo(dst))
+            throw new java.io.IOException(
+              s"failed to publish compacted index: $tmp -> $indexDir")
+        }
+      }
+      if (hasIndex) { live.unpersist(); () }
     } finally { sh.unpersist(); () }
   }
 

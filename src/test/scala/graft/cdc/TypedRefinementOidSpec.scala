@@ -223,6 +223,87 @@ class TypedRefinementOidSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(elems(2).getString(0) == "bogus" && elems(2).isNullAt(1))
   }
 
+  test("record tokenizer: composite grammar cases") {
+    def rtoks(s: String): Seq[String] = {
+      val a = PgTextRecord.tokens(UTF8String.fromString(s))
+      if (a == null) null
+      else (0 until a.numElements()).map(i =>
+        if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+    }
+    assert(rtoks("(1,2,3)") == Seq("1", "2", "3"))
+    // unquoted empty field is SQL NULL; quoted empty is ""
+    assert(rtoks("(a,,c)") == Seq("a", null, "c"))
+    assert(rtoks("""(a,"",c)""") == Seq("a", "", "c"))
+    // quoting: commas, doubled quotes, backslash escapes
+    assert(rtoks("(x,\"a, b\",\"he said \"\"hi\"\"\")") ==
+      Seq("x", "a, b", "he said \"hi\""))
+    assert(rtoks("""("back\\slash")""") == Seq("back\\slash"))
+    // a nested composite arrives quoted; unescaping yields its own
+    // literal for another application
+    assert(rtoks("""(1,"(2,3)")""") == Seq("1", "(2,3)"))
+    assert(rtoks("""(1,"(2,3)")""").flatMap(t =>
+      Option(rtoks(t)).getOrElse(Seq(t))) == Seq("1", "2", "3"))
+    // malformed: no parens / unterminated quote
+    assert(rtoks("1,2") == null)
+    assert(rtoks("""("unterminated)""") == null)
+  }
+
+  test("TypeCatalog composite -> typed StructType, fields recursing " +
+      "through the catalog") {
+    val sp = spark; import sp.implicits._
+    val cat = TypedRefinement.TypeCatalog(
+      enums = Map(16400 -> Seq("sad", "ok", "happy")),
+      composites = Map(16700 -> Seq(
+        "name" -> 25, "qty" -> 23, "mood" -> 16400)))
+    val t = TypedRefinement.sparkTypeFor(16700, cat)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(t.fieldNames.toSeq == Seq("name", "qty", "mood"))
+    assert(t("qty").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(t("mood").dataType == TypedRefinement.EnumStruct)
+    val r = Seq("""("a, b",7,happy)""", """(plain,,sad)""").toDF("raw")
+      .select(TypedRefinement.refine(col("raw"), 16700, cat).as("v"))
+      .select("v.name", "v.qty", "v.mood.ord").collect()
+    assert(r(0).getString(0) == "a, b" && r(0).getInt(1) == 7 &&
+      r(0).getInt(2) == 2)
+    assert(r(1).getString(0) == "plain" && r(1).isNullAt(1) &&
+      r(1).getInt(2) == 0)
+    // a NULL composite value stays NULL (not a struct of nulls)
+    val n = Seq(Tuple1(null: String)).toDF("raw")
+      .select(TypedRefinement.refine(col("raw"), 16700, cat).as("v"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
+  test("a self-referential composite fails the cycle guard") {
+    val cyclic = TypedRefinement.TypeCatalog(
+      composites = Map(16800 -> Seq("self" -> 16800)))
+    val e = intercept[IllegalArgumentException] {
+      TypedRefinement.sparkTypeFor(16800, cyclic)
+    }
+    assert(e.getMessage.contains("cyclic"))
+  }
+
+  test("numeric typmod maps to DecimalType(p, s); -1 stays wide") {
+    import org.apache.spark.sql.types._
+    def tm(p: Int, s: Int): Int = ((p << 16) | s) + 4
+    assert(TypedRefinement.numericTypeFor(tm(12, 2)) == DecimalType(12, 2))
+    assert(TypedRefinement.numericTypeFor(tm(5, 0)) == DecimalType(5, 0))
+    assert(TypedRefinement.numericTypeFor(-1) == DecimalType(38, 18))
+    // PG precision beyond Spark's 38 falls back rather than overflows
+    assert(TypedRefinement.numericTypeFor(tm(50, 4)) == DecimalType(38, 18))
+    // end-to-end through typedColumns: the Relation's typmod decides
+    val sp = spark; import sp.implicits._
+    val rel = RelationInfo(960, "public", "m", "default", Seq(
+      ColumnInfo("price", 0, 1700, tm(12, 2), null, null),
+      ColumnInfo("free", 0, 1700, -1, null, null)))
+    val df = Seq(Map("price" -> "19.99", "free" -> "19.99")).toDF("tuple")
+      .select(TypedRefinement.typedColumns(col("tuple"), rel): _*)
+    assert(df.schema("price").dataType == DecimalType(12, 2))
+    assert(df.schema("free").dataType == DecimalType(38, 18))
+    val row = df.head()
+    assert(row.getDecimal(0).toPlainString == "19.99")
+  }
+
   test("typedView end-to-end over a tuple map with the new OIDs") {
     val sp = spark; import sp.implicits._
     val rel = RelationInfo(950, "public", "typed", "default", Seq(

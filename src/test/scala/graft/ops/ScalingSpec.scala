@@ -108,6 +108,9 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Mining.postings(spark, sfDir).count() <=
       Text.docTermFreq(spark, sfDir).count())
     assert(Text.minhashSig(spark, sfDir).count() <= nDocs)
+    // the PPJoin prefix index is a strict subset of the shingle index
+    assert(Text.prefixIndex(spark, sfDir).count() <=
+      Text.shingleHashes(spark, sfDir).count())
     assert(Curation.winnowPrints(spark, sfDir).count() <= totalToks)
     assert(Pipeline.clusterLabels(spark, sfDir).count() <= nDocs)
     // the near-dup pair graph is the one memo that COULD go quadratic;

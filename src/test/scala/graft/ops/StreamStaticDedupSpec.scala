@@ -78,6 +78,81 @@ class StreamStaticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("churn: index rows stay O(live corpus) under 50% updates; " +
+      "a doc superseded by canonical election leaves the live view") {
+    // r10 verdict ask 5: without retention, a churn workload grows
+    // the write-back index by one generation per batch — O(batches ×
+    // corpus). The generation/compaction policy must bound on-disk
+    // rows at live/(1 - compactStaleFraction) regardless of rounds.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-churn").toString
+    val idxDir = s"$root/index"
+    val verDir = s"$root/verdicts"
+    // letter-only tokens: the shingle tokenizer splits on [^a-z]+,
+    // so digits inside a token would dissolve it
+    def enc(n: Int): String =
+      "" + ('a' + n / 10).toChar + ('a' + n % 10).toChar
+    def text(doc: Int, rev: Int): String =
+      (0 until 16).map(t => s"w${enc(doc)}${enc(t)}").mkString(" ") +
+        s" rev${enc(rev)}"
+    def df(rows: Seq[(Long, String)]) = {
+      val ss = spark; import ss.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    val run = graft.streaming.StreamOps.dedupIngestBatch(idxDir, verDir) _
+    try {
+      // batch 0: 20 mutually unrelated docs
+      run(df((0 until 20).map(d => d.toLong -> text(d, 0))), 0L)
+      // 10 churn rounds: re-ingest HALF the corpus with revised text
+      // (same doc_id, shifted shingle set — the update case)
+      (1 to 10).foreach { r =>
+        run(df((0 until 10).map(d => d.toLong -> text(d, r))), r.toLong)
+      }
+      val idx = spark.read.parquet(idxDir)
+      val liveRows = idx
+        .join(idx.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+        .filter(col("n") >= 0)
+      val live = liveRows.count()
+      val total = idx.count()
+      // all 20 docs live, latest revisions current
+      assert(liveRows.select("doc_id").distinct().count() == 20L)
+      // the bound: compaction keeps stale <= f·total, so
+      // total <= live/(1-f); allow one uncompacted batch of slack
+      assert(total <= (live / 0.7).toLong + live / 10 + 1,
+        s"index not compacted: $total rows on disk for $live live " +
+          "(unbounded generation growth)")
+      // and specifically NOT one generation per round
+      assert(total < live * 5,
+        s"index grew with churn rounds: $total vs $live live")
+
+      // canonical election: doc 5's next revision becomes a copy of
+      // doc 12's standing text (+1 token) — a duplicate. Doc 5 must
+      // be tombstoned out of the live view; doc 12 stays canonical.
+      run(df(Seq(5L -> (text(12, 0) + " tail"))), 11L)
+      val v = spark.read.parquet(verDir)
+        .filter(col("batch_id") === 11L && col("doc_id") === 5L)
+        .select(col("best_match"), col("is_dup")).head()
+      assert(v.getLong(0) == 12L && v.getBoolean(1),
+        s"doc 5's revision must dup against canonical doc 12: $v")
+      val idx2 = spark.read.parquet(idxDir)
+      val live2 = idx2
+        .join(idx2.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+        .filter(col("n") >= 0)
+      val liveDocs = live2.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(!liveDocs.contains(5L),
+        s"superseded doc 5 must leave the live view: $liveDocs")
+      assert(liveDocs.contains(12L), "canonical doc 12 must remain")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
+
   test("write-back: batch N's novel doc is batch N+1's duplicate") {
     val ss = spark
     import ss.implicits._
