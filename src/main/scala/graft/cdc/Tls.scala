@@ -114,9 +114,8 @@ object Tls {
     * verify-ca/verify-full; postgresql.org/docs/current/libpq-ssl
     * .html's protection table). Scoped to that one mode; every
     * validating path uses a real trust store. */
-  private lazy val trustAllContext: SSLContext = {
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, Array[javax.net.ssl.TrustManager](
+  private def trustAllManagers: Array[javax.net.ssl.TrustManager] =
+    Array[javax.net.ssl.TrustManager](
       new javax.net.ssl.X509TrustManager {
         override def checkClientTrusted(
             chain: Array[java.security.cert.X509Certificate],
@@ -126,25 +125,61 @@ object Tls {
             authType: String): Unit = ()
         override def getAcceptedIssuers
             : Array[java.security.cert.X509Certificate] = Array.empty
-      }), null)
+      })
+
+  private lazy val trustAllContext: SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, trustAllManagers, null)
     ctx
   }
 
   /** Upgrade a connected socket per the libpq sslmode contract:
     *  - "require": encrypt, no certificate validation
-    *  - "verify-full": validate the chain against `truststore` (the
-    *    per-JVM loopback store when None) AND check the hostname
-    *    (JDK endpoint identification — SAN dns/ip match)
+    *  - "verify-ca": validate the chain against `truststore` (the
+    *    per-JVM loopback store when None), hostname NOT checked
+    *  - "verify-full": verify-ca PLUS the hostname (JDK endpoint
+    *    identification — SAN dns/ip match)
+    * `clientKeystore` adds CLIENT-certificate material (libpq's
+    * sslcert/sslkey — mutual TLS): the socket offers that keypair
+    * when the server requests client auth.
     * Completes the handshake before returning, so a rejected
     * certificate fails HERE, before any startup byte leaves. */
   def wrapClientMode(sock: Socket, host: String, sslmode: String,
       truststore: Option[String],
-      storePass: Option[Array[Char]]): SSLSocket = {
+      storePass: Option[Array[Char]],
+      clientKeystore: Option[String] = None,
+      clientKeystorePass: Option[Array[Char]] = None): SSLSocket = {
+    def kms: Array[javax.net.ssl.KeyManager] =
+      clientKeystore.map { p =>
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val in = new java.io.FileInputStream(p)
+        val pw = clientKeystorePass.getOrElse(Pass)
+        try ks.load(in, pw) finally in.close()
+        val kmf = KeyManagerFactory.getInstance(
+          KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, pw)
+        kmf.getKeyManagers
+      }.orNull
     val ctx = sslmode match {
-      case "require" => trustAllContext
-      case "verify-full" =>
-        truststore.map(p => clientContextFor(p,
-          storePass.getOrElse(Pass))).getOrElse(clientContext)
+      case "require" =>
+        if (clientKeystore.isEmpty) trustAllContext
+        else {
+          val c = SSLContext.getInstance("TLS")
+          c.init(kms, trustAllManagers, null)
+          c
+        }
+      case "verify-ca" | "verify-full" =>
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val (path, pw) = (truststore.getOrElse(defaultStorePath),
+          storePass.getOrElse(Pass))
+        val in = new java.io.FileInputStream(path)
+        try ks.load(in, pw) finally in.close()
+        val tmf = TrustManagerFactory.getInstance(
+          TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val c = SSLContext.getInstance("TLS")
+        c.init(kms, tmf.getTrustManagers, null)
+        c
       case m => throw new IllegalArgumentException(
         s"sslmode '$m' cannot upgrade a socket (disable never gets here)")
     }
@@ -158,6 +193,27 @@ object Tls {
       s.setSSLParameters(params)
     }
     s.startHandshake()
+    s
+  }
+
+  /** Server-mode upgrade REQUIRING a client certificate (mutual TLS):
+    * keys with the loopback store and trusts it for the client's
+    * chain — a client without a cert from that store fails the
+    * session. */
+  def wrapServerMutual(sock: Socket): SSLSocket = {
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(loadStore(), Pass)
+    val tmf = TrustManagerFactory.getInstance(
+      TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(loadStore())
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    val s = ctx.getSocketFactory
+      .createSocket(sock, null, sock.getPort, true)
+      .asInstanceOf[SSLSocket]
+    s.setUseClientMode(false)
+    s.setNeedClientAuth(true)
     s
   }
 

@@ -181,7 +181,10 @@ final class LoopbackWalServer(
       * connection to TLS before startup (reference: ClientConfig
       * `ssl` passthrough, `logical-replication-service.ts:75-78`);
       * false keeps the clear-text 'N' fallback. */
-    tls: Boolean = false) {
+    tls: Boolean = false,
+    /** With tls: demand a CLIENT certificate chained to the loopback
+      * store (mutual TLS) — a certless client fails the session. */
+    requireClientCert: Boolean = false) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -237,7 +240,9 @@ final class LoopbackWalServer(
           // SSLRequest bytes are fully consumed); everything after —
           // startup, auth, COPY — rides the encrypted channel
           out.write('S'); out.flush()
-          val ssl = Tls.wrapServer(sock)
+          val ssl =
+            if (requireClientCert) Tls.wrapServerMutual(sock)
+            else Tls.wrapServer(sock)
           in = new DataInputStream(
             new BufferedInputStream(ssl.getInputStream))
           out = new java.io.BufferedOutputStream(ssl.getOutputStream, 1 << 16)
@@ -478,21 +483,28 @@ final class WalSocketClient(
       *  - "disable": no SSLRequest at all — straight to startup
       *  - "require": SSLRequest, demand 'S', encrypt WITHOUT
       *    certificate validation (libpq's require semantics)
-      *  - "verify-full": demand 'S', validate the certificate chain
+      *  - "verify-ca": demand 'S', validate the certificate chain
       *    against `sslRootStore` (the built-in loopback store when
-      *    None) and the hostname via endpoint identification
+      *    None); hostname NOT checked
+      *  - "verify-full": verify-ca plus the hostname via endpoint
+      *    identification
       * None keeps the legacy `tls`-flag behavior (tls=true ≈
       * verify-full against the loopback store; tls=false sends the
       * probe and insists on the clear-text 'N'). */
     sslmode: Option[String] = None,
-    /** PKCS12 CA store for verify-full — libpq's sslrootcert. */
+    /** PKCS12 CA store for verify-ca/verify-full — libpq's
+      * sslrootcert. */
     sslRootStore: Option[String] = None,
-    sslRootStorePass: Option[Array[Char]] = None) {
+    sslRootStorePass: Option[Array[Char]] = None,
+    /** PKCS12 keypair offered when the server requests CLIENT
+      * authentication (mutual TLS) — libpq's sslcert/sslkey. */
+    sslClientStore: Option[String] = None,
+    sslClientStorePass: Option[Array[Char]] = None) {
 
   require(sslmode.forall(
-    Set("disable", "require", "verify-full").contains),
+    Set("disable", "require", "verify-ca", "verify-full").contains),
     s"unsupported sslmode '${sslmode.get}' " +
-      "(expected disable | require | verify-full)")
+      "(expected disable | require | verify-ca | verify-full)")
 
   final case class RunResult(
       txs: Seq[(Long, Seq[Array[Byte]])],
@@ -626,7 +638,8 @@ final class WalSocketClient(
               s"server refused TLS (answer '${sslAnswer.toChar}') but " +
                 s"sslmode=$m requires it")
             val ssl = Tls.wrapClientMode(sock, host, m,
-              sslRootStore, sslRootStorePass)
+              sslRootStore, sslRootStorePass,
+              sslClientStore, sslClientStorePass)
             sock = ssl
             in = new DataInputStream(
               new BufferedInputStream(ssl.getInputStream))

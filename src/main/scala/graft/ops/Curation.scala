@@ -419,14 +419,9 @@ object Curation {
          |FROM sp GROUP BY d1, d2
          |ORDER BY dup_toks DESC, d1, d2 LIMIT 25""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val pos = withToks(s, d).filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 7), " +
-            "i -> struct(i AS i, " +
-            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
-      val keep = pos.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // shared session memos: positional 8-gram index + its df side
+      val pos = Text.posIndex(s, d)
+      val keep = Text.posDf(s, d)
         .filter(col("df").between(2, 10))
         .select(col("h"))
       // prune to capped buckets BEFORE the pair join — the cap exists
@@ -591,15 +586,10 @@ object Curation {
       val t = withToks(s, d).filter(size(col("toks")) >= 8)
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("long").as("n"))
-      val pos = t.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 7), " +
-            "i -> struct(i AS i, " +
-            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
-      val dfh = pos.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // shared session memos: positional 8-gram index + its df side
+      val dfh = Text.posDf(s, d)
         .filter(col("df") >= 2).select(col("h"))
-      val dup = pos.join(dfh, "h")
+      val dup = Text.posIndex(s, d).join(dfh, "h")
         .select(col("doc_id").as("part"), col("i").cast("long").as("s"),
           (col("i") + 8).cast("long").as("e"))
       val rm = Text.mergeIntervals(dup)

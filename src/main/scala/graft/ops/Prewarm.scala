@@ -43,9 +43,13 @@ object Prewarm {
           Pipeline.clusterLabels(s, d).count()
         }
         val prefChain = Future { Text.prefixIndex(s, d).count() }
+        val posChain = Future { Text.posDf(s, d).count() }
+        val simChain = Future { Text.simhashSig(s, d).count() }
         Text.minhashSig(s, d).count()
         Await.result(pairsChain, Duration.Inf)
         Await.result(prefChain, Duration.Inf)
+        Await.result(posChain, Duration.Inf)
+        Await.result(simChain, Duration.Inf)
         ()
       },
       Future { Curation.winnowPrints(s, d).count(); () })
@@ -68,6 +72,8 @@ object Prewarm {
       t("shingles") { Text.shingleHashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },
       t("prefix") { Text.prefixIndex(s, d).count() },
+      t("pos8") { Text.posIndex(s, d).count(); Text.posDf(s, d).count() },
+      t("simhash") { Text.simhashSig(s, d).count() },
       t("minhash") { Text.minhashSig(s, d).count() },
       t("winnow") { Curation.winnowPrints(s, d).count() },
       t("labels") { Pipeline.clusterLabels(s, d).count() },

@@ -198,6 +198,40 @@ object Text {
         .cache()
     }
 
+  private val posIdxCache = new Tables.DfMemo()
+  private val posDfCache = new Tables.DfMemo()
+
+  /** The sliding 8-token POSITIONAL hash index `(doc_id, i, h)` —
+    * the span-attribution analogue of the shingle index, shared by
+    * the duplicated-span family (q127 in-doc spans, q125-style span
+    * removal, q155 cross-doc attribution). One row per token
+    * position (token-linear, ScalingSpec-bounded); memoized so the
+    * explode runs once per session, not once per query — at 100 TB
+    * this is the standing positional index a span-dedup deployment
+    * maintains, the suffix-array equivalent without a global sort. */
+  private[ops] def posIndex(s: SparkSession, d: String): DataFrame =
+    posIdxCache.getOrElseUpdate((s, d)) {
+      graft.cdc.GraftFunctions.register(s)
+      withToks(s, d).filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> struct(i AS i, " +
+            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
+        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+        .cache()
+    }
+
+  /** Per-hash document frequency over [[posIndex]] (`h`, `df` =
+    * distinct docs) — the rarity side every span query filters on
+    * (df >= 2 = duplicated somewhere; BETWEEN 2 AND 10 = capped
+    * non-boilerplate buckets). Distinct-count-bounded, memoized. */
+  private[ops] def posDf(s: SparkSession, d: String): DataFrame =
+    posDfCache.getOrElseUpdate((s, d)) {
+      posIndex(s, d).groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .cache()
+    }
+
   /** identical hashed-shingle extraction for the DuckDB oracle
     * (1-based); CTE shape `shingles(doc_id, h)`. */
   private[ops] val shinglesSql =
@@ -339,6 +373,34 @@ object Text {
           min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
             .as(s"h$j")) :+ max(col("n")).as("n"): _*)
         .cache())
+
+  private val simCache = new Tables.DfMemo()
+
+  /** Per-doc 32-bit SimHash signature `(doc_id, simhash)` — the
+    * fingerprint table next to [[minhashSig]]: tf-weighted ±1 bit
+    * sums over the shared term-frequency index, sign-collapsed to one
+    * long per doc. One row per doc (tiny cache), while the recompute
+    * it saves is the 32-way sum aggregation over the whole tf index
+    * — at 100 TB a standing column maintained at ingest, exactly like
+    * the MinHash signatures. */
+  private[ops] def simhashSig(s: SparkSession, d: String): DataFrame =
+    simCache.getOrElseUpdate((s, d)) {
+      graft.cdc.GraftFunctions.register(s)
+      val th = docTermFreq(s, d)
+        .select(col("doc_id"), col("tf"),
+          graft.cdc.GraftFunctions.md5_h32(col("tok")).as("h32"))
+      th.groupBy(col("doc_id")).agg(
+        expr("CAST(sum(tf * (2 * ((h32 >> 0) & 1) - 1)) AS BIGINT)")
+          .as("s0"),
+        (1 until 32).map(i =>
+          expr(s"CAST(sum(tf * (2 * ((h32 >> $i) & 1) - 1)) AS BIGINT)")
+            .as(s"s$i")): _*)
+        .select(col("doc_id"),
+          (0 until 32).map(i =>
+            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+        .cache()
+    }
 
   /** Oracle mirror of [[minhashSig]]: CTE body `sig(doc_id, h0..h15)`,
     * assuming a `shingles(doc_id, h)` CTE is in scope. */
@@ -667,18 +729,9 @@ object Text {
       // tf-grouped over the shared term-frequency index: md5 + the 32
       // bit-extractions run once per DISTINCT doc-token (each
       // occurrence's ±1 contribution just scales by tf — identical
-      // arithmetic, ~3x fewer hashes at typical tf)
-      val th = docTermFreq(s, d)
-        .select(col("doc_id"), col("tf"),
-          graft.cdc.GraftFunctions.md5_h32(col("tok")).as("h32"))
-      val sums = th.groupBy(col("doc_id")).agg(
-        expr("CAST(sum(tf * (2 * ((h32 >> 0) & 1) - 1)) AS BIGINT)").as("s0"),
-        (1 until 32).map(i =>
-          expr(s"CAST(sum(tf * (2 * ((h32 >> $i) & 1) - 1)) AS BIGINT)").as(s"s$i")): _*)
-      val sim = sums.select(col("doc_id"),
-        (0 until 32).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+      // arithmetic, ~3x fewer hashes at typical tf); the signature
+      // relation itself is the memoized [[simhashSig]] standing table
+      val sim = simhashSig(s, d)
       // one pass over sim: 4 byte-band keys exploded from an array
       val bands = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
@@ -1003,16 +1056,11 @@ object Text {
       // without a global sort.
       graft.cdc.GraftFunctions.register(s)
       val t = withToks(s, d).filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), col("toks"),
+        .select(col("doc_id"),
           size(col("toks")).cast("long").as("n"))
-      val pos = t.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 7), " +
-            "i -> struct(i AS i, " +
-            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
-      val dfh = pos.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val dup = pos.join(dfh, "h").filter(col("df") >= 2)
+      // shared session memos: positional 8-gram index + its df side
+      val dup = posIndex(s, d)
+        .join(posDf(s, d), "h").filter(col("df") >= 2)
         .select(col("doc_id").as("part"), col("i").cast("long").as("s"),
           (col("i") + 8).cast("long").as("e"))
       val sp = mergeIntervals(dup).withColumnRenamed("part", "doc_id")

@@ -271,6 +271,64 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("sslmode=verify-ca: chain validated, hostname NOT checked " +
+      "(works against the bare IP)") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, tls = true)
+    val dir = tmpDir("walsock-ssl-vca")
+    try {
+      // 127.0.0.1 with a dns-SAN-only... the loopback cert also has
+      // an ip SAN, so distinguish via the WRONG-CA case instead: the
+      // positive case here just proves the mode completes end-to-end
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_sslvca", dir, shard = 0,
+        sslmode = Some("verify-ca"),
+        sslRootStore = Some(Tls.defaultStorePath),
+        sslRootStorePass = Some(Tls.defaultStorePass)).run()
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.tlsSessions == 1)
+      // and the chain is still REQUIRED to validate: wrong CA fails
+      intercept[Exception] {
+        new WalSocketClient("127.0.0.1", server.port,
+          new PgoutputFormat(), "slot_sslvca2", tmpDir("walsock-vca2"),
+          shard = 0, sslmode = Some("verify-ca"),
+          sslRootStore = Some(Tls.freshUnrelatedStore().getPath),
+          sslRootStorePass = Some(Tls.defaultStorePass)).run()
+      }
+    } finally server.close()
+  }
+
+  test("mutual TLS: server demands a client certificate; certless " +
+      "client fails, keyed client replicates") {
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, tls = true,
+      requireClientCert = true)
+    val dir = tmpDir("walsock-mtls")
+    try {
+      // no client keystore: the server aborts the session — under
+      // TLS1.3 the failure may surface at handshake or on the first
+      // post-handshake read, so assert the RUN fails and nothing acks
+      intercept[Exception] {
+        new WalSocketClient("localhost", server.port,
+          new PgoutputFormat(), "slot_mtls_no", tmpDir("walsock-mtls-no"),
+          shard = 0, sslmode = Some("verify-full"),
+          sslRootStore = Some(Tls.defaultStorePath),
+          sslRootStorePass = Some(Tls.defaultStorePass)).run()
+      }
+      // keyed with the loopback store (libpq sslcert/sslkey): full
+      // mutual handshake, then the normal replicate/ack loop
+      val r = new WalSocketClient("localhost", server.port,
+        new PgoutputFormat(), "slot_mtls", dir, shard = 0,
+        sslmode = Some("verify-full"),
+        sslRootStore = Some(Tls.defaultStorePath),
+        sslRootStorePass = Some(Tls.defaultStorePass),
+        sslClientStore = Some(Tls.defaultStorePath),
+        sslClientStorePass = Some(Tls.defaultStorePass)).run()
+      assert(r.txs.map(_._1) == log.map(_._1))
+      assert(server.confirmedFlush == 201L)
+    } finally server.close()
+  }
+
   test("sslmode=verify-full with the WRONG CA store: handshake rejected, " +
       "no startup byte leaves") {
     val log = (1 to 2).map(i => tx(i * 100L, i))

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("registry is substantial and stable in shape") {
-    assert(defs.size >= 238, s"query registry shrank to ${defs.size}")
+    assert(defs.size >= 241, s"query registry shrank to ${defs.size}")
     assert(graft.SparkEntry.queries.size == defs.size)
     assert(graft.SparkEntry.oracleSql.size == defs.size)
   }

@@ -111,6 +111,13 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the PPJoin prefix index is a strict subset of the shingle index
     assert(Text.prefixIndex(spark, sfDir).count() <=
       Text.shingleHashes(spark, sfDir).count())
+    // positional 8-gram index: one row per token position; its df
+    // side is bounded by distinct hashes
+    assert(Text.posIndex(spark, sfDir).count() <= totalToks)
+    assert(Text.posDf(spark, sfDir).count() <=
+      Text.posIndex(spark, sfDir).count())
+    // simhash signatures: one long per doc
+    assert(Text.simhashSig(spark, sfDir).count() <= nDocs)
     assert(Curation.winnowPrints(spark, sfDir).count() <= totalToks)
     assert(Pipeline.clusterLabels(spark, sfDir).count() <= nDocs)
     // the near-dup pair graph is the one memo that COULD go quadratic;
