@@ -552,6 +552,39 @@ object StreamOps {
         }
       // cached: the probe join + rank inside `best` feeds BOTH writes;
       // without it the dominant join would execute twice per batch
+      // Churn classification for arrivals whose doc_id already
+      // stands live: UNCHANGED content (shingle set identical — the
+      // at-least-once redelivery case) appends nothing, the original
+      // idempotency contract; CHANGED content supersedes the doc's
+      // previous generation. A changed doc that now duplicates
+      // ANOTHER standing doc loses the canonical election — it gets
+      // a TOMBSTONE generation (n = -1), so its stale shingles leave
+      // the live view and the canonical copy alone represents the
+      // content. Batch-bounded frame, cached: consumed by replaced,
+      // tombstones, and the compaction gate count below.
+      val changedIds =
+        if (!hasIndex) spark.emptyDataFrame.select()
+        else {
+          val standing = live.select(col("doc_id")).distinct()
+          val shStanding = sh.join(standing, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("h"))
+          val liveOfArrived =
+            live.join(arrivalsIds, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("h"))
+          // symmetric difference per doc: any row on exactly one
+          // side means the shingle set moved
+          shStanding.withColumn("side", lit(1))
+            .join(liveOfArrived.withColumn("side2", lit(1)),
+              Seq("doc_id", "h"), "full_outer")
+            .filter(col("side").isNull || col("side2").isNull)
+            .select(col("doc_id")).distinct()
+            .cache()
+        }
+      // batch-bounded gate for the compaction check below: stale
+      // rows only grow when a standing doc's content moved, so a
+      // batch with zero churn can skip the two index-scale counts
+      // (the invariant from the previous batch's check still holds)
+      val nChanged = if (!hasIndex) 0L else changedIds.count()
       val verdicts = best
         .withColumn("is_dup", col("shared") >= minShared)
         .withColumn("batch_id", lit(batchId))
@@ -560,32 +593,6 @@ object StreamOps {
         .cache()
       try {
         val dupIds = verdicts.filter(col("is_dup")).select(col("doc_id"))
-        // Churn classification for arrivals whose doc_id already
-        // stands live: UNCHANGED content (shingle set identical —
-        // the at-least-once redelivery case) appends nothing, the
-        // original idempotency contract; CHANGED content supersedes
-        // the doc's previous generation. A changed doc that now
-        // duplicates ANOTHER standing doc loses the canonical
-        // election — it gets a TOMBSTONE generation (n = -1), so its
-        // stale shingles leave the live view and the canonical copy
-        // alone represents the content.
-        val changedIds =
-          if (!hasIndex) spark.emptyDataFrame.select()
-          else {
-            val standing = live.select(col("doc_id")).distinct()
-            val shStanding = sh.join(standing, Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("h"))
-            val liveOfArrived =
-              live.join(arrivalsIds, Seq("doc_id"), "left_semi")
-                .select(col("doc_id"), col("h"))
-            // symmetric difference per doc: any row on exactly one
-            // side means the shingle set moved
-            shStanding.withColumn("side", lit(1))
-              .join(liveOfArrived.withColumn("side2", lit(1)),
-                Seq("doc_id", "h"), "full_outer")
-              .filter(col("side").isNull || col("side2").isNull)
-              .select(col("doc_id")).distinct()
-          }
         val freshNovel = {
           var a = sh.join(dupIds, Seq("doc_id"), "left_anti")
           if (hasIndex) // standing docs handled by the churn path
@@ -617,7 +624,7 @@ object StreamOps {
       // once they exceed the threshold fraction, rewrite the index
       // down to its live rows (at 100 TB: a MERGE/compaction job over
       // the bucketed index table — same policy, different writer).
-      if (hasIndex && compactStaleFraction < 1.0) {
+      if (hasIndex && compactStaleFraction < 1.0 && nChanged > 0) {
         val idx = spark.read.parquet(indexDir)
         val total = idx.count()
         val liveNow = idx
@@ -639,7 +646,7 @@ object StreamOps {
               s"failed to publish compacted index: $tmp -> $indexDir")
         }
       }
-      if (hasIndex) { live.unpersist(); () }
+      if (hasIndex) { changedIds.unpersist(); live.unpersist(); () }
     } finally { sh.unpersist(); () }
   }
 

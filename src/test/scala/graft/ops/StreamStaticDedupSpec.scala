@@ -145,6 +145,22 @@ class StreamStaticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!liveDocs.contains(5L),
         s"superseded doc 5 must leave the live view: $liveDocs")
       assert(liveDocs.contains(12L), "canonical doc 12 must remain")
+
+      // revival: the tombstoned doc returns with genuinely novel
+      // content — its new generation outranks the tombstone and it
+      // re-enters the live view as a normal standing doc
+      run(df(Seq(5L ->
+        (0 until 16).map(t => s"z${enc(5)}${enc(t)}").mkString(" "))), 12L)
+      val idx3 = spark.read.parquet(idxDir)
+      val live3 = idx3
+        .join(idx3.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+        .filter(col("n") >= 0)
+      assert(live3.filter(col("doc_id") === 5L).count() > 0,
+        "revived doc 5 must re-enter the live view")
+      val v12 = spark.read.parquet(verDir)
+        .filter(col("batch_id") === 12L && col("doc_id") === 5L).head()
+      assert(!v12.getBoolean(4), "revived content is novel, not a dup")
     } finally {
       def del(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(del); f.delete()
