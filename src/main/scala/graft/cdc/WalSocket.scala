@@ -608,8 +608,58 @@ final class WalSocketClient(
       else sendStatus(lsn)
       sinceAck = 0
     }
+    // ---- pgoutput session schema registry ---------------------------
+    // A real walsender announces each table's Relation ('R') and any
+    // custom Type ('Y') message ONCE per decoding session (and again
+    // only after DDL invalidates the cache) — NOT once per
+    // transaction. The replay log's contract is the opposite: every
+    // line decodes standalone (`CdcFunctions.decodeFrameSequence`
+    // builds a fresh parser per line). Bridge the two here: cache the
+    // latest schema frames as they stream by and PREPEND the ones a
+    // transaction references but did not itself announce, making each
+    // logged line self-contained. The registry is O(tables) — the
+    // same bounded payload PG's own relcache invalidation model
+    // implies. pgoutput only (text formats carry no schema frames);
+    // proto-v2 streamed segments are untouched (the walsender streams
+    // a transaction's Relation messages inside its own S..E blocks).
+    val isPgoutput = format.isInstanceOf[PgoutputFormat]
+    val relRegistry =
+      scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+    val typeRegistry =
+      scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+    def int32At(f: Array[Byte], at: Int): Int =
+      ((f(at) & 0xff) << 24) | ((f(at + 1) & 0xff) << 16) |
+        ((f(at + 2) & 0xff) << 8) | (f(at + 3) & 0xff)
+    def observeSchemaFrame(payload: Array[Byte]): Unit =
+      if (isPgoutput && payload.length >= 5) payload(0) match {
+        case 'R' => relRegistry(int32At(payload, 1)) = payload
+        case 'Y' => typeRegistry(int32At(payload, 1)) = payload
+        case _ => ()
+      }
+    def referencedRels(frames: Seq[Array[Byte]]): Set[Int] =
+      frames.iterator.flatMap { f =>
+        if (f.length < 5) Iterator.empty
+        else f(0) match {
+          case 'I' | 'U' | 'D' => Iterator.single(int32At(f, 1))
+          case 'T' if f.length >= 6 + 4 * int32At(f, 1) =>
+            val n = int32At(f, 1) // Int32 nrels, Int8 options, oids
+            (0 until n).iterator.map(i => int32At(f, 6 + 4 * i))
+          case _ => Iterator.empty
+        }
+      }.toSet
+    def selfContained(frames: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+      if (!isPgoutput) return frames
+      val announced = frames.iterator
+        .filter(f => f.length >= 5 && f(0) == 'R')
+        .map(int32At(_, 1)).toSet
+      val needed = (referencedRels(frames) -- announced)
+        .toSeq.sorted.flatMap(relRegistry.get)
+      if (needed.isEmpty) frames
+      // types first (they feed relation parsing), then the relations
+      else typeRegistry.values.toSeq ++ needed ++ frames
+    }
     def finishTx(): Unit = if (curLsn >= 0) {
-      val frames = curFrames.toSeq
+      val frames = selfContained(curFrames.toSeq)
       val hex = frames.map(f =>
         "\"" + graft.streaming.CdcReplaySource.hex(f) + "\"")
       logOut.println(s"""{"lsn":$curLsn,"frames":[${hex.mkString(",")}]}""")
@@ -760,6 +810,7 @@ final class WalSocketClient(
                   if (walStart != curLsn) finishTx()
                   curLsn = walStart
                   curFrames += payload
+                  observeSchemaFrame(payload)
                 case Transport.Keepalive(serverLsn, _, shouldRespond) =>
                   finishTx() // a keepalive never splits a transaction
                   heartbeats += 1

@@ -55,6 +55,28 @@ class PgoutputParserSpec extends AnyFunSuite {
     assert(r.columns.find(_.name == "m").get.typeName == "mood")
   }
 
+  test("mid-stream relation re-announce (schema evolution) re-maps " +
+      "subsequent decode") {
+    // PostgreSQL re-sends the Relation message after an ALTER TABLE;
+    // the cache must REPLACE the entry so tuples decoded before and
+    // after the DDL each map against their own column set — the
+    // mid-stream add-column case every long-lived CDC consumer hits.
+    val p = parser()
+    val before = p.parse(PgoutputWriter.insert(16385,
+      Seq("1", "ann", "false")))
+    assert(before.after == Map("id" -> "1", "firstname" -> "ann",
+      "deleted" -> "false"))
+    val evolved = usersRel.copy(columns = usersRel.columns :+
+      ColumnInfo("email", 0, 25, -1, null, null))
+    p.parse(PgoutputWriter.relation(evolved))
+    assert(p.relationCache(16385).columns.map(_.name) ==
+      Seq("id", "firstname", "deleted", "email"))
+    val after = p.parse(PgoutputWriter.insert(16385,
+      Seq("2", "bob", "true", "bob@example.com")))
+    assert(after.after == Map("id" -> "2", "firstname" -> "bob",
+      "deleted" -> "true", "email" -> "bob@example.com"))
+  }
+
   test("insert decodes the new tuple (text + null kinds)") {
     val p = parser()
     val e = p.parse(PgoutputWriter.insert(16385, Seq("1", null, "false")))

@@ -499,6 +499,45 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("session schema registry: a tx without its Relation frame " +
+      "logs self-contained (walsender sends 'R' once per session)") {
+    // A real walsender announces each table's Relation message ONCE
+    // per decoding session; the replay log's contract is that every
+    // line decodes standalone. The client must replay the cached
+    // schema frames into transactions that reference a relation they
+    // did not announce — otherwise every line after the first fails
+    // decode with "missing relation".
+    val txs = Seq(
+      (100L, Seq(
+        PgoutputWriter.begin(100L, 1700000000000000L, 1L),
+        PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(901, Seq("1")),
+        PgoutputWriter.commit(100L, 101L, 1700000000000000L))),
+      (200L, Seq( // NO relation frame — PG's steady-state shape
+        PgoutputWriter.begin(200L, 1700000000000001L, 2L),
+        PgoutputWriter.insert(901, Seq("2")),
+        PgoutputWriter.commit(200L, 201L, 1700000000000001L))))
+    val server = new LoopbackWalServer(txs)
+    val dir = tmpDir("walsock-schemareg")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_schemareg", dir, shard = 0).run()
+      assert(r.txs.map(_._1) == Seq(100L, 200L))
+      // every LOGGED line decodes standalone — including tx 200,
+      // whose relation frame came from the session registry
+      r.txs.foreach { case (lsn, frames) =>
+        val events = CdcFunctions.decodeFrameSequence(frames)
+        assert(events.exists(_.tag == "insert"),
+          s"tx $lsn failed standalone decode")
+      }
+      val ins2 = CdcFunctions
+        .decodeFrameSequence(r.txs.find(_._1 == 200L).get._2)
+        .find(_.tag == "insert").get
+      assert(ins2.after == Map("id" -> "2"))
+      assert(ins2.table == "wire")
+    } finally server.close()
+  }
+
   test("reconnect resumes from the acked position without re-delivery") {
     val log = (1 to 6).map(i => tx(i * 100L, i))
     val server = new LoopbackWalServer(log, dropAfterTxs = Some(3))
