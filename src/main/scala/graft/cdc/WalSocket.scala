@@ -630,16 +630,32 @@ final class WalSocketClient(
     def int32At(f: Array[Byte], at: Int): Int =
       ((f(at) & 0xff) << 24) | ((f(at + 1) & 0xff) << 16) |
         ((f(at + 2) & 0xff) << 8) | (f(at + 3) & 0xff)
+    // Proto-v2 guard: frames between stream_start ('S') and
+    // stream_stop ('E') carry an xid PREFIX before the usual layout,
+    // so their byte-1 int32 is the transaction id, not a relation
+    // OID. The walsender streams a transaction's schema messages
+    // inside its own S..E blocks (in-segment, already line-local),
+    // so the registry ignores in-stream frames entirely — caching or
+    // referencing them would key garbage.
+    var inV2Stream = false
     def observeSchemaFrame(payload: Array[Byte]): Unit =
-      if (isPgoutput && payload.length >= 5) payload(0) match {
-        case 'R' => relRegistry(int32At(payload, 1)) = payload
-        case 'Y' => typeRegistry(int32At(payload, 1)) = payload
+      if (isPgoutput && payload.length >= 1) payload(0) match {
+        case 'S' => inV2Stream = true
+        case 'E' => inV2Stream = false
+        case 'R' if !inV2Stream && payload.length >= 5 =>
+          relRegistry(int32At(payload, 1)) = payload
+        case 'Y' if !inV2Stream && payload.length >= 5 =>
+          typeRegistry(int32At(payload, 1)) = payload
         case _ => ()
       }
-    def referencedRels(frames: Seq[Array[Byte]]): Set[Int] =
+    def referencedRels(frames: Seq[Array[Byte]]): Set[Int] = {
+      var inStream = false
       frames.iterator.flatMap { f =>
-        if (f.length < 5) Iterator.empty
+        if (f.isEmpty) Iterator.empty
         else f(0) match {
+          case 'S' => inStream = true; Iterator.empty
+          case 'E' => inStream = false; Iterator.empty
+          case _ if inStream || f.length < 5 => Iterator.empty
           case 'I' | 'U' | 'D' => Iterator.single(int32At(f, 1))
           case 'T' if f.length >= 6 + 4 * int32At(f, 1) =>
             val n = int32At(f, 1) // Int32 nrels, Int8 options, oids
@@ -647,11 +663,17 @@ final class WalSocketClient(
           case _ => Iterator.empty
         }
       }.toSet
+    }
     def selfContained(frames: Seq[Array[Byte]]): Seq[Array[Byte]] = {
       if (!isPgoutput) return frames
-      val announced = frames.iterator
-        .filter(f => f.length >= 5 && f(0) == 'R')
-        .map(int32At(_, 1)).toSet
+      val announced = {
+        var inStream = false
+        frames.iterator.filter { f =>
+          if (f.nonEmpty && f(0) == 'S') inStream = true
+          else if (f.nonEmpty && f(0) == 'E') inStream = false
+          !inStream && f.length >= 5 && f(0) == 'R'
+        }.map(int32At(_, 1)).toSet
+      }
       val needed = (referencedRels(frames) -- announced)
         .toSeq.sorted.flatMap(relRegistry.get)
       if (needed.isEmpty) frames

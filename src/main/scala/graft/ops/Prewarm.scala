@@ -41,6 +41,7 @@ object Prewarm {
         val pairsChain = Future {
           Text.jaccardPairs(s, d).count()
           Pipeline.clusterLabels(s, d).count()
+          Pipeline.standingComponents80(s, d).count()
         }
         val prefChain = Future { Text.prefixIndex(s, d).count() }
         val posChain = Future { Text.posDf(s, d).count() }
@@ -77,6 +78,7 @@ object Prewarm {
       t("minhash") { Text.minhashSig(s, d).count() },
       t("winnow") { Curation.winnowPrints(s, d).count() },
       t("labels") { Pipeline.clusterLabels(s, d).count() },
+      t("standing80") { Pipeline.standingComponents80(s, d).count() },
       t("vectors") { Vectors.prewarmMemos(s, d) })
   }
 }

@@ -538,6 +538,47 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("v2 streamed segments do not pollute the session schema " +
+      "registry (xid prefix is not a relation OID)") {
+    // A streamed frame's byte-1 int32 is the TRANSACTION id. Pick the
+    // stream's xid equal to the real table's OID (901): an unguarded
+    // registry would cache the xid-prefixed streamed Relation under
+    // key 901 and replay the wrong-layout frame into the later
+    // relation-less plain transaction, breaking its decode.
+    val rel2 = RelationInfo(902, "public", "other", "default",
+      Seq(ColumnInfo("id", 1, 20, -1, null, null)))
+    val txs = Seq(
+      (100L, Seq(
+        PgoutputWriter.begin(100L, 1700000000000000L, 1L),
+        PgoutputWriter.relation(rel),
+        PgoutputWriter.insert(901, Seq("1")),
+        PgoutputWriter.commit(100L, 101L, 1700000000000000L))),
+      (150L, Seq(
+        PgoutputWriter.streamStart(901L, firstSegment = true),
+        PgoutputWriter.streamed(901L, PgoutputWriter.relation(rel2)),
+        PgoutputWriter.streamed(901L,
+          PgoutputWriter.insert(902, Seq("9"))),
+        PgoutputWriter.streamStop())),
+      (160L, Seq(PgoutputWriter.streamCommit(901L, 160L, 161L,
+        1700000000000000L))),
+      (200L, Seq( // relation-less plain tx for table 901
+        PgoutputWriter.begin(200L, 1700000000000001L, 2L),
+        PgoutputWriter.insert(901, Seq("2")),
+        PgoutputWriter.commit(200L, 201L, 1700000000000001L))))
+    val server = new LoopbackWalServer(txs)
+    val dir = tmpDir("walsock-v2-nopollute")
+    try {
+      val r = new WalSocketClient("127.0.0.1", server.port,
+        new PgoutputFormat(), "slot_v2np", dir, shard = 0).run()
+      val line200 = r.txs.find(_._1 == 200L).get._2
+      val ins = CdcFunctions.decodeFrameSequence(line200)
+        .find(_.tag == "insert").get
+      assert(ins.table == "wire" && ins.after == Map("id" -> "2"),
+        s"plain tx must decode against the CORRECT cached relation: " +
+          s"${ins.table} ${ins.after}")
+    } finally server.close()
+  }
+
   test("reconnect resumes from the acked position without re-delivery") {
     val log = (1 to 6).map(i => tx(i * 100L, i))
     val server = new LoopbackWalServer(log, dropAfterTxs = Some(3))

@@ -118,6 +118,8 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Text.posIndex(spark, sfDir).count())
     // simhash signatures: one long per doc
     assert(Text.simhashSig(spark, sfDir).count() <= nDocs)
+    // standing-subgraph component labels: one row per near-dup node
+    assert(Pipeline.standingComponents80(spark, sfDir).count() <= 2 * nDocs)
     assert(Curation.winnowPrints(spark, sfDir).count() <= totalToks)
     assert(Pipeline.clusterLabels(spark, sfDir).count() <= nDocs)
     // the near-dup pair graph is the one memo that COULD go quadratic;
