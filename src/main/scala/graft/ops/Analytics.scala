@@ -1098,48 +1098,49 @@ object Analytics {
             (sqrt(col("n1")) * sqrt(col("n2"))), 6) * 1000000)
             .cast("long").as("sim"))
         .tcache()
-      val wPick = Window.partitionBy(col("qid"))
-        .orderBy(col("mmr").desc, col("cid"))
-      // Each greedy pick is only queries-many rows; collect it and
-      // re-inject as a literal relation (the q153/q157 driver-probe
-      // recipe) so round r's plan references a 20-row local table
-      // instead of embedding rounds 1..r-1 twice — left symbolic,
-      // the analyzed tree (and un-cached execution) doubles per
-      // round. The collected picks are exact integers, so the
-      // re-injected literals are deterministic.
+      // The greedy rounds run DRIVER-SIDE on the two collected
+      // relations: pool is queries×10 and sims queries×90 rows —
+      // both bounded by the QUERY SET, never the corpus, so this is
+      // the same class of driver-bounded iterative state as the
+      // q153/q157 scalar probes (boundedCollect documents the
+      // bound). The distributed work is exactly the corpus-touching
+      // pool build above; five argmaxes over ≤200 in-memory integer
+      // rows replace ~15 scheduled-but-tiny Spark jobs. All
+      // arithmetic is the oracle's exact integer recurrence, so the
+      // result is bit-identical.
       import s.implicits._
-      var sel: Seq[(Long, Long, Long, Int)] = Nil
-      for (r <- 1 to 5) {
-        val selDf = sel.toDF("qid", "cid", "mmr", "rank")
-        val sc =
-          if (r == 1)
-            pool.select(col("qid"), col("cid"),
-              (col("rel") * 700).as("mmr"))
-          else {
-            val rem = pool.join(
-              broadcast(selDf.select(col("qid"), col("cid"))),
-              Seq("qid", "cid"), "left_anti")
-            val mx = sims
-              .join(broadcast(selDf.select(col("qid"),
-                col("cid").as("c2"))), Seq("qid", "c2"))
-              .groupBy(col("qid"), col("c1").as("cid"))
-              .agg(max(col("sim")).as("ms"))
-            rem.join(mx, Seq("qid", "cid"), "left")
-              .select(col("qid"), col("cid"),
-                (col("rel") * 700 - coalesce(col("ms"), lit(0L)) * 300)
-                  .as("mmr"))
+      val poolRows = Tables.boundedCollect(pool, 4096,
+        "q198 MMR pool (queries x 10)")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val simOf = Tables.boundedCollect(sims, 65536,
+        "q198 MMR pairwise sims (queries x 90)")
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getLong(3))).toMap
+      val sel = poolRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (qid, cands) =>
+          var rem = cands.map(c => (c._2, c._3)).sortBy(_._1)
+          var picked = List.empty[Long]
+          (1 to 5).flatMap { r =>
+            if (rem.isEmpty) Nil
+            else {
+              val scored = rem.map { case (cid, rel) =>
+                // max sim to the selected set — sims may be NEGATIVE
+                // (cosine), so the max is over the real values; the
+                // 0 fallback mirrors the oracle's coalesce for the
+                // (structurally impossible) no-entry case only
+                val ms = picked.flatMap(p => simOf.get((qid, cid, p)))
+                (cid, if (picked.isEmpty) rel * 700
+                      else rel * 700 -
+                        (if (ms.isEmpty) 0L else ms.max) * 300)
+              }
+              val (cid, mmr) = scored.minBy { case (c, m) => (-m, c) }
+              picked ::= cid
+              rem = rem.filterNot(_._1 == cid)
+              Seq((qid, r, cid, mmr))
+            }
           }
-        val picked = Tables.boundedCollect(
-          sc.withColumn("rn", row_number().over(wPick))
-            .filter(col("rn") === 1)
-            .select(col("qid"), col("cid"), col("mmr")),
-          64, "q198 MMR per-round picks (one row per query)")
-          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), r))
-          .sortBy(t => (t._1, t._4))
-        sel = sel ++ picked
       }
-      sel.toDF("qid", "cid", "mmr", "rank")
-        .select(col("qid"), col("rank"), col("cid"), col("mmr"))
+      sel.toDF("qid", "rank", "cid", "mmr")
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -1438,13 +1439,21 @@ object Analytics {
         |JOIN pf fb ON fb.l_partkey = pr.p2
         |ORDER BY pr.support DESC, lift_milli DESC, pr.p1, pr.p2
         |LIMIT 25""".stripMargin) { (s, d) =>
-      val p = lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val total = p.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("total"))
-      val pf = p.groupBy(col("l_partkey")).agg(count(lit(1)).as("df"))
-      val pairs = p.groupBy(col("l_orderkey"))
+      // ONE shuffle of lineitem: the per-order item set collapses
+      // order-key-partitioned (collect_set dedups inline — no
+      // separate DISTINCT pre-shuffle), and every other relation
+      // (order count, part document frequency, in-basket pairs)
+      // derives from the cached basket table, which holds one
+      // basket-bounded row per order.
+      val items = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+        .tcache()
+      val total = items.agg(count(lit(1)).as("total"))
+      val pf = items
+        .select(explode(col("items")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("df"))
+      val pairs = items
         .select(explode(expr(
           "flatten(transform(items, (x, i) -> " +
             "transform(slice(items, i + 2, size(items)), y -> " +

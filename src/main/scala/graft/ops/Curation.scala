@@ -520,9 +520,11 @@ object Curation {
          |    CAST((SELECT toks FROM t3) AS BIGINT) FROM m3)
          |ORDER BY round""".stripMargin) { (s, d) =>
       import s.implicits._
-      val base = withToks(s, d)
-        .select(explode(col("toks")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // word counts fold out of the memoized (doc, tok, tf) term
+      // index — sum(tf) by token — instead of re-exploding the
+      // occurrence stream per query
+      val base = Text.docTermFreq(s, d)
+        .groupBy(col("tok").as("word")).agg(sum(col("tf")).as("cnt"))
         .select(concat(lit("|"),
           regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
       val (merged, rows) = bpeMergeRounds(base, 3)
@@ -623,10 +625,11 @@ object Curation {
     // (1 − 1/e)-approximation to max-coverage that data-efficient
     // training selection builds on. Feature space is the hashed
     // 3-gram shingle (the memoized q25/q26 index, NOT the 31-word
-    // unigram vocab, which two docs would saturate). Each round is
-    // one anti-join + keyed count + 1-row argmax; the covered set is
-    // feature-bounded (≤ corpus distinct shingles), a DataFrame that
-    // never touches the driver except its count. Same bounded
+    // unigram vocab, which two docs would saturate). Gains are
+    // maintained INCREMENTALLY: each round subtracts the new pick's
+    // marginal overlap from a docs-sized gain table instead of
+    // re-aggregating the remaining occurrence stream; the covered
+    // set is picked-docs-bounded (k docs' shingles). Same bounded
     // per-round scalar probes as q153/q115.
     QueryDef(
       "q157_greedy_coverage",
@@ -662,28 +665,51 @@ object Curation {
       }) { (s, d) =>
       import s.implicits._
       val sh = Text.shingleHashes(s, d).select(col("doc_id"), col("h"))
-      // The covered set is exactly the picked docs' shingles — k docs
-      // after k rounds, a BROADCASTABLE dimension at any corpus size —
-      // so it is never materialized: each round anti-joins the cached
-      // index against the picked docs' own shingles (broadcast, no
-      // shuffle of the index), and the covered TOTAL accumulates from
-      // the marginal gains, which are disjoint by construction (each
-      // gain counts only shingles no earlier pick covered).
-      var picked = List.empty[Long]
+      // INCREMENTAL gain maintenance (lazy-greedy's exact sibling):
+      // the per-doc gain table starts as the doc's full shingle
+      // count and each round subtracts only the overlap with the
+      // NEWLY covered shingles — the pick's shingles minus the
+      // already-covered set, a single-doc-bounded relation that
+      // broadcasts at any corpus size. Each round therefore costs
+      // one broadcast-filtered scan of the cached index plus a
+      // docs-sized gain update — never a full re-aggregation of the
+      // remaining occurrence stream. The covered set lives on the
+      // driver but is picked-docs-bounded (k docs' shingles), the
+      // same bound the broadcast relies on. A doc exhausted to gain
+      // 0 can never be picked (the argmax mirrors the oracle by
+      // requiring gain >= 1 — in the stated semantics a fully
+      // covered doc has no uncovered rows at all).
+      var gains = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain")).localCheckpoint(true)
+      var covered = Set.empty[Long]
       var total = 0L
       val rows = (1 to 5).map { r =>
-        val uncov =
-          if (picked.isEmpty) sh
-          else sh.join(broadcast(
-            sh.filter(col("doc_id").isin(picked: _*)).select(col("h"))),
-            Seq("h"), "left_anti")
-        val best = boundedCollect(uncov.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc_id")).limit(1),
-          1, "q157 greedy-cover argmax")(0)
-        val (doc, gain) = (best.getLong(0), best.getLong(1))
-        picked ::= doc
+        // ONE job per round: the 1-row argmax broadcast-joins back
+        // into the index so the pick AND its shingle set (single-doc
+        // bounded) come off the same collect
+        val pickRows = boundedCollect(
+          gains.filter(col("gain") >= 1)
+            .orderBy(col("gain").desc, col("doc_id")).limit(1)
+            .join(sh, Seq("doc_id"))
+            .select(col("doc_id"), col("gain"), col("h")),
+          1 << 20, "q157 pick + its shingles (single-doc-bounded)")
+        val (doc, gain) = (pickRows(0).getLong(0), pickRows(0).getLong(1))
         total += gain
+        if (r < 5) {
+          val newCov = pickRows.map(_.getLong(2))
+            .filterNot(covered).distinct.toSeq
+          covered ++= newCov
+          val delta = sh
+            .join(broadcast(newCov.toDF("h")), Seq("h"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
+          // LAZY checkpoint: the update's partitions materialize (and
+          // its lineage truncates) inside the NEXT round's argmax job
+          // instead of paying a dedicated eager pass per round
+          gains = gains.join(delta, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (col("gain") - coalesce(col("hit"), lit(0L))).as("gain"))
+            .localCheckpoint(false)
+        }
         (r, doc, gain, total)
       }
       rows.toDF("round", "doc_id", "gain", "covered")
@@ -785,9 +811,13 @@ object Curation {
            |  FROM s3)
            |GROUP BY lang ORDER BY lang""".stripMargin
       }) { (s, d) =>
-      val base = withToks(s, d)
-        .select(col("lang"), explode(col("toks")).as("word"))
-        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      // (lang, word) counts off the memoized term index — lang rides
+      // along functionally dependent on doc_id, so sum(tf) by
+      // (lang, tok) is the exact per-snapshot word count with no
+      // corpus re-explode
+      val base = Text.docTermFreq(s, d)
+        .groupBy(col("lang"), col("tok").as("word"))
+        .agg(sum(col("tf")).as("cnt"))
         .select(col("lang"), concat(lit("|"),
           regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
       // the final merged relation stays cached (vocab-bounded, tiny)

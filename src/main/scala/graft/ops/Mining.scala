@@ -323,20 +323,17 @@ object Mining {
          |  FROM c)
          |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
       // Bigram language-model counts: the first pass of any n-gram LM
-      // / tokenizer-training pipeline — adjacent-token pairs exploded
-      // map-side from the shared tokenization, one keyed partial+final
-      // count, then a per-language top-5 (rank pushdown keeps only 5
-      // rows per partition through the window). At 100 TB the bigram
-      // key space is the shuffle key and no single bigram outweighs
-      // the corpus' Zipf head, which partial aggregation absorbs
-      // before the exchange.
-      withToks(s, d)
-        .filter(size(col("toks")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(0, size(toks)-2), " +
-            "i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
-        .groupBy(col("lang"), col("bigram"))
-        .agg(count(lit(1)).as("cnt"))
+      // / tokenizer-training pipeline — occurrence counts fold off
+      // the memoized per-doc bigram-type index (sum(c), one keyed
+      // partial+final agg), then a per-language top-5 (rank pushdown
+      // keeps only 5 rows per partition through the window). At
+      // 100 TB the bigram key space is the shuffle key and no single
+      // bigram outweighs the corpus' Zipf head, which partial
+      // aggregation absorbs before the exchange.
+      Text.docBigrams(s, d)
+        .groupBy(col("lang"),
+          concat(col("t1"), lit(" "), col("t2")).as("bigram"))
+        .agg(sum(col("c")).as("cnt"))
         .select(col("lang"), col("bigram"), col("cnt"),
           row_number().over(Window.partitionBy(col("lang"))
             .orderBy(col("cnt").desc, col("bigram"))).as("rk"))
@@ -1200,23 +1197,17 @@ object Mining {
       // is its mean conditional bigram probability P(t2|t1), in ppm.
       // Everything is integer (count ratios via DIV) — no log(), whose
       // last-ulp behavior differs between engines and would poison the
-      // exact-hash gate. Scale shape: the adjacent-pair stream is a
-      // map-side transform+explode (no shuffle to build it); the model
-      // is two keyed counts over that stream; c2⋈c1 runs on the MODEL
-      // relation (bigram types, ≪ occurrences) so the single join the
-      // occurrence stream pays is one keyed equi-join against the
-      // scored bigram table — partitioned by (t1,t2), skew bounded by
-      // the Zipf head, which AQE splits. Per-doc then per-lang aggs
+      // exact-hash gate. Scale shape: both the model (c2) and the
+      // per-doc scores fold off the memoized per-doc bigram-type
+      // index — no per-query corpus explode; c2⋈c1 runs on the MODEL
+      // relation (bigram types, ≪ occurrences) and the one join the
+      // doc-type rows pay is a keyed equi-join against the scored
+      // bigram table — partitioned by (t1,t2), skew bounded by the
+      // Zipf head, which AQE splits. Per-doc then per-lang aggs
       // reduce to ≤ |langs| rows.
-      val pr = withToks(s, d)
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(0, size(toks)-2)," +
-            " i -> struct(toks[i] AS t1, toks[i+1] AS t2))")).as("p"))
-        .select(col("doc_id"), col("lang"),
-          col("p.t1").as("t1"), col("p.t2").as("t2"))
+      val pr = Text.docBigrams(s, d)
       val c2 = pr.groupBy(col("t1"), col("t2"))
-        .agg(count(lit(1)).as("c2"))
+        .agg(sum(col("c")).as("c2"))
       // c1 folds out of c2 (sum over t2) — the prefix count comes off
       // the bigram-TYPE relation instead of a second full shuffle of
       // the occurrence stream. int64 bound: c2 * 1e6 overflows only
@@ -1227,9 +1218,12 @@ object Mining {
       val bp = c2.join(c1, "t1")
         .select(col("t1"), col("t2"),
           expr("c2 * 1000000 DIV c1").as("p_ppm"))
+      // per-doc mean over OCCURRENCES folds off the per-doc TYPE
+      // rows: sum(c·p_ppm) DIV sum(c) == sum(p_ppm) DIV count(*)
+      // over the expanded stream
       pr.join(bp, Seq("t1", "t2"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(expr("sum(p_ppm) DIV count(*)").as("fl"))
+        .agg(expr("sum(c * p_ppm) DIV sum(c)").as("fl"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(fl) DIV count(*)").as("avg_fluency_ppm"),

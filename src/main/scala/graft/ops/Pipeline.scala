@@ -1140,6 +1140,112 @@ object Pipeline {
       pairAgg.crossJoin(broadcast(docAgg))
         .select(col("n_docs"), col("n_pairs"), col("cross_naive"),
           col("cross_safe"), col("n_moved"), col("n_train_safe"))
+    },
+
+    // ---- q240: concat-and-chunk sequence packing ------------------
+    // THE packing regime LLM pre-training actually uses: concatenate
+    // the corpus in a deterministic order and cut fixed
+    // C = 512-token context windows at running-offset boundaries;
+    // a doc whose [cum−n, cum) span crosses a boundary straddles
+    // chunks (its loss window sees a document break). The oracle
+    // states the textbook GLOBAL running sum; the engine never sorts
+    // or windows globally (PlanGuard): doc offsets build as the q199
+    // two-level prefix sum — doc_id-range buckets, a
+    // bucket-partitioned cumsum within, bucket totals broadcast
+    // theta-summed across — then chunk spans are pure per-row
+    // integer math and the report is one keyed agg per source.
+    // At 100 TB this is the manifest writer's audit: offsets come
+    // from a distributed prefix sum, nothing corpus-sized crosses
+    // the driver.
+    QueryDef(
+      "q241_sequence_packing",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(${Text.toksSql}) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n,
+         |    sum(n) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t WHERE n >= 1),
+         |sp AS (SELECT source, n, (cum - n) // 512 AS fc,
+         |              (cum - 1) // 512 AS lc
+         |       FROM c)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS toks,
+         |  CAST(sum(CASE WHEN lc > fc THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS split_docs,
+         |  CAST(max(lc - fc + 1) AS BIGINT) AS max_spans,
+         |  CAST(sum(CASE WHEN lc > fc THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS split_ppm
+         |FROM sp GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        val t = Text.withToks(s, d)
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n"))
+          .filter(col("n") >= 1)
+          .withColumn("bucket", expr("doc_id DIV 4096"))
+        val wB = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bt = t.groupBy(col("bucket")).agg(sum(col("n")).as("bc"))
+        val bprefix = bt.as("b")
+          .join(broadcast(bt.as("lo")),
+            col("lo.bucket") < col("b.bucket"), "left")
+          .groupBy(col("b.bucket").as("bucket"))
+          .agg(coalesce(sum(col("lo.bc")), lit(0L)).as("pfx"))
+        t.withColumn("cumIn", sum(col("n")).over(wB))
+          .join(broadcast(bprefix), Seq("bucket"))
+          .select(col("source"), col("n"),
+            (col("pfx") + col("cumIn")).as("cum"))
+          .select(col("source"), col("n"),
+            expr("(cum - n) DIV 512").as("fc"),
+            expr("(cum - 1) DIV 512").as("lc"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("toks"),
+            sum(when(col("lc") > col("fc"), 1L).otherwise(0L))
+              .as("split_docs"),
+            max(col("lc") - col("fc") + 1).as("max_spans"))
+          .select(col("source"), col("n_docs"), col("toks"),
+            col("split_docs"), col("max_spans"),
+            expr("split_docs * 1000000 DIV n_docs").as("split_ppm"))
+          .orderBy(col("source"))
+    },
+
+    // ---- q241: padding-waste audit (pad-to-multiple vs packing) ---
+    // The counterfactual that justifies q240's packing: batching
+    // UNCONCATENATED docs pads each to the next multiple of 64 (the
+    // tensor-alignment bucket), wasting pad tokens; packing wastes
+    // only the final partial chunk. Per source: real vs padded
+    // token mass and waste in ppm — the one-agg audit a pipeline
+    // publishes when choosing its batching regime. Pure map-side
+    // arithmetic + one keyed agg; exact integers end to end.
+    QueryDef(
+      "q242_padding_waste",
+      s"""WITH t AS (SELECT source, len(${Text.toksSql}) AS n
+         |  FROM documents),
+         |p AS (SELECT source, n,
+         |    ((n + 63) // 64) * 64 AS padded
+         |  FROM t WHERE n >= 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS toks,
+         |  CAST(sum(padded) AS BIGINT) AS padded_toks,
+         |  CAST((sum(padded) - sum(n)) * 1000000 // sum(padded)
+         |    AS BIGINT) AS waste_ppm
+         |FROM p GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+        Text.withToks(s, d)
+          .select(col("source"), size(col("toks")).cast("long").as("n"))
+          .filter(col("n") >= 1)
+          .select(col("source"), col("n"),
+            expr("((n + 63) DIV 64) * 64").as("padded"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("toks"),
+            sum(col("padded")).as("padded_toks"))
+          .select(col("source"), col("n_docs"), col("toks"),
+            col("padded_toks"),
+            expr("(padded_toks - toks) * 1000000 DIV padded_toks")
+              .as("waste_ppm"))
+          .orderBy(col("source"))
     }
   )
 

@@ -36,6 +36,8 @@ object Prewarm {
     Text.withToks(s, d).count()
     val rest = Seq(
       Future { Text.docTermFreq(s, d).count(); () },
+      Future { Text.docBigrams(s, d).count(); () },
+      Future { Signals.textrankPrepared(s, d).count(); () },
       Future {
         Text.shingleHashes(s, d).count()
         val pairsChain = Future {
@@ -70,6 +72,8 @@ object Prewarm {
     Seq(
       t("toks") { Text.withToks(s, d).count() },
       t("tf") { Text.docTermFreq(s, d).count() },
+      t("bigrams") { Text.docBigrams(s, d).count() },
+      t("trgraph") { Signals.textrankPrepared(s, d).count() },
       t("shingles") { Text.shingleHashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },
       t("prefix") { Text.prefixIndex(s, d).count() },

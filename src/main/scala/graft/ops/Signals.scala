@@ -33,6 +33,49 @@ object Signals {
       col("event_type"), col("ts_sec"),
       round(col("value") * 100).cast("long").as("value_c"))
 
+  /** q210's word co-occurrence graph (u, v, w): adjacent kept
+    * (length ≥ 4) tokens, undirected, weight = corpus count —
+    * memoized per (session, dataset). This is the one corpus-sized
+    * pass of TextRank; the rank iterations then run on this
+    * vocab-bounded (Heaps'-law) relation. Built concurrently in the
+    * Prewarm memo phase; ScalingSpec bounds it by distinct bigram
+    * types. */
+  private val trEdgeCache = new Tables.DfMemo()
+
+  private[ops] def textrankEdges(s: SparkSession, d: String): DataFrame =
+    trEdgeCache.getOrElseUpdate((s, d))(
+      Text.withToks(s, d)
+        .select(expr("filter(toks, x -> length(x) >= 4)").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(toks)-2),
+            |  i -> struct(toks[i] AS a, toks[i+1] AS b))"""
+            .stripMargin)).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(least(col("p.a"), col("p.b")).as("u"),
+          greatest(col("p.a"), col("p.b")).as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+        .cache())
+
+  /** q210's PageRank-ready directed view of [[textrankEdges]]
+    * (src, dst, w, wdeg) — the union-both-directions + degree join
+    * is itself two shuffles of the vocab graph, so it memoizes too;
+    * the rank rounds then touch ONLY this cached relation. Same
+    * token-linear bound as the edge list (2 rows per undirected
+    * edge). */
+  private val trEddCache = new Tables.DfMemo()
+
+  private[ops] def textrankPrepared(s: SparkSession, d: String): DataFrame =
+    trEddCache.getOrElseUpdate((s, d)) {
+      val ew = textrankEdges(s, d)
+      val ed = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(ew.select(col("v").as("src"), col("u").as("dst"),
+          col("w")))
+      ed.join(ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg")),
+        "src").cache()
+    }
+
   /** Integer-exact weighted PageRank over an undirected edge list
     * `(u, v, w)` (each edge listed once): milli-ranks start at 1000,
     * each of `iters` rounds is inflow = Σ (pr·w) DIV wdeg per
@@ -48,8 +91,19 @@ object Signals {
       .unionAll(ew.select(col("v").as("src"), col("u").as("dst"),
         col("w")))
     val dg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val edd = ed.join(dg, "src").tcache()
-    val nodes = ed.select(col("src").as("tok")).distinct().tcache()
+    weightedPageRankPrepared(ed.join(dg, "src").tcache(), iters)
+  }
+
+  /** The rank recurrence alone, over an already-prepared
+    * (src, dst, w, wdeg) relation — q210 hands it the memoized
+    * [[textrankPrepared]] graph so per-query work is exactly the
+    * `iters` rounds. */
+  private[ops] def weightedPageRankPrepared(edd: DataFrame,
+      iters: Int): DataFrame = {
+    // wdeg rides along functionally dependent on src, so the node
+    // relation doubles as the final degree lookup
+    val nodes = edd.select(col("src").as("tok"), col("wdeg"))
+      .distinct().tcache()
     var r = nodes.select(col("tok"), lit(1000L).as("pr"))
     for (_ <- 1 to iters) {
       // the rank vector is node-count-sized — vocab-small under
@@ -69,7 +123,8 @@ object Signals {
         // checkpointed relation is the vocab-sized rank vector
         .localCheckpoint(true)
     }
-    r.join(dg, r("tok") === dg("src"))
+    r.join(nodes.select(col("tok").as("tk"), col("wdeg")),
+        r("tok") === col("tk"))
       .select(col("tok"), col("pr"), col("wdeg"))
   }
 
@@ -166,20 +221,7 @@ object Signals {
            |FROM r3 r JOIN dg d ON d.src = r.tok
            |ORDER BY pr_milli DESC, r.tok LIMIT 15""".stripMargin
       }) { (s, d) =>
-      val t = Text.withToks(s, d)
-        .select(expr("filter(toks, x -> length(x) >= 4)").as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val ew = t
-        .select(explode(expr(
-          """transform(sequence(0, size(toks)-2),
-            |  i -> struct(toks[i] AS a, toks[i+1] AS b))"""
-            .stripMargin)).as("p"))
-        .filter(col("p.a") =!= col("p.b"))
-        .select(least(col("p.a"), col("p.b")).as("u"),
-          greatest(col("p.a"), col("p.b")).as("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("w"))
-      weightedPageRank(ew, 3)
+      weightedPageRankPrepared(textrankPrepared(s, d), 3)
         .select(col("tok"), col("pr").as("pr_milli"), col("wdeg"))
         .orderBy(col("pr_milli").desc, col("tok"))
         .limit(15)

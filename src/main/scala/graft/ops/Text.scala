@@ -78,6 +78,28 @@ object Text {
         .agg(count(lit(1)).as("tf"))
         .cache())
 
+  /** Per-doc adjacent-token bigram TYPE counts
+    * (doc_id, lang, t1, t2, c) — the bigram sibling of [[docTermFreq]].
+    * One map-side in-array pair expansion + one keyed agg, memoized
+    * once per (session, dataset); consumers re-aggregate
+    * (q86 per-lang bigram counts, q142 bigram-LM fluency) instead of
+    * re-exploding the occurrence stream per query. Cached rows are
+    * per-doc bigram TYPES (≤ occurrence stream, token-linear —
+    * ScalingSpec-bounded); occurrence counts fold back via `c`. */
+  private val bgCache = new Tables.DfMemo()
+
+  private[ops] def docBigrams(s: SparkSession, d: String): DataFrame =
+    bgCache.getOrElseUpdate((s, d))(
+      withToks(s, d)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2)," +
+            " i -> struct(toks[i] AS t1, toks[i+1] AS t2))")).as("p"))
+        .groupBy(col("doc_id"), col("lang"),
+          col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("c"))
+        .cache())
+
   /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
     * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
   private[ops] def h32Sql(e: String): String =

@@ -118,6 +118,14 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Text.posIndex(spark, sfDir).count())
     // simhash signatures: one long per doc
     assert(Text.simhashSig(spark, sfDir).count() <= nDocs)
+    // per-doc bigram types: at most one row per adjacent-pair
+    // occurrence (token-linear)
+    assert(Text.docBigrams(spark, sfDir).count() <= totalToks)
+    // TextRank vocab graph: undirected bigram types over kept tokens;
+    // the prepared directed view is exactly 2 rows per edge
+    assert(Signals.textrankEdges(spark, sfDir).count() <= totalToks)
+    assert(Signals.textrankPrepared(spark, sfDir).count() ==
+      2 * Signals.textrankEdges(spark, sfDir).count())
     // standing-subgraph component labels: one row per near-dup node
     assert(Pipeline.standingComponents80(spark, sfDir).count() <= 2 * nDocs)
     assert(Curation.winnowPrints(spark, sfDir).count() <= totalToks)
