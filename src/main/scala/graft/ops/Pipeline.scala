@@ -1246,6 +1246,66 @@ object Pipeline {
             expr("(padded_toks - toks) * 1000000 DIV padded_toks")
               .as("waste_ppm"))
           .orderBy(col("source"))
+    },
+
+    // ---- q243: packing-order sensitivity ablation -----------------
+    // Does sorting by length before concat-and-chunk reduce
+    // boundary-straddling? The ablation a pipeline runs before
+    // pinning its packing order: the same C = 512 chunking under
+    // (a) arrival order (doc_id) and (b) length-sorted order
+    // (n, doc_id) — short docs pack densely, so (b) usually cuts
+    // split docs at the cost of length-correlated batches. One row
+    // per strategy. Each arm is the q241 two-level prefix sum; the
+    // length arm's buckets are n-ranges (n DIV 64) — a monotone
+    // PREFIX of its (n, doc_id) sort order, so bucket order is
+    // global order and no global window exists in either arm.
+    QueryDef(
+      "q243_pack_order_ablation",
+      { def arm(name: String, ord: String) =
+          s"""SELECT '$name' AS strategy, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN (cum - 1) // 512 > (cum - n) // 512
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+             |  CAST(max((cum - 1) // 512 - (cum - n) // 512 + 1)
+             |    AS BIGINT) AS max_spans
+             |FROM (SELECT n, sum(n) OVER (ORDER BY $ord
+             |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)"""
+            .stripMargin
+        s"""WITH t AS (SELECT doc_id, len(${Text.toksSql}) AS n
+           |  FROM documents WHERE len(${Text.toksSql}) >= 1)
+           |SELECT * FROM (
+           |${arm("arrival", "doc_id")}
+           |UNION ALL
+           |${arm("length", "n, doc_id")})
+           |ORDER BY strategy""".stripMargin
+      }) { (s, d) =>
+      val t = Text.withToks(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+        .filter(col("n") >= 1)
+      def arm(name: String, bucket: Column, ord: Seq[Column]) = {
+        val b = t.withColumn("bucket", bucket)
+        val wB = Window.partitionBy(col("bucket")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bt = b.groupBy(col("bucket")).agg(sum(col("n")).as("bc"))
+        val bprefix = bt.as("b")
+          .join(broadcast(bt.as("lo")),
+            col("lo.bucket") < col("b.bucket"), "left")
+          .groupBy(col("b.bucket").as("bucket"))
+          .agg(coalesce(sum(col("lo.bc")), lit(0L)).as("pfx"))
+        b.withColumn("cumIn", sum(col("n")).over(wB))
+          .join(broadcast(bprefix), Seq("bucket"))
+          .select(col("n"), (col("pfx") + col("cumIn")).as("cum"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(expr("(cum - 1) DIV 512 > (cum - n) DIV 512"),
+              1L).otherwise(0L)).as("split_docs"),
+            max(expr("(cum - 1) DIV 512 - (cum - n) DIV 512 + 1"))
+              .as("max_spans"))
+          .select(lit(name).as("strategy"), col("n_docs"),
+            col("split_docs"), col("max_spans"))
+      }
+      arm("arrival", expr("doc_id DIV 4096"), Seq(col("doc_id")))
+        .unionAll(arm("length", expr("n DIV 64"),
+          Seq(col("n"), col("doc_id"))))
+        .orderBy(col("strategy"))
     }
   )
 

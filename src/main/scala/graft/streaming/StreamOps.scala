@@ -742,4 +742,77 @@ object StreamOps {
           coalesce(col("n_grams"), lit(1L))).as("is_contaminated"))
       .write.mode("append").parquet(verdictsDir)
   }
+
+  /** foreachBatch sequence packing — q241's live form: arriving
+    * `(doc_id, source, n_toks)` batches extend each source's
+    * concat-and-chunk stream (C = 512-token windows) and append one
+    * manifest row per doc: its global token offset within its
+    * source's stream and the first/last chunk it lands in. The
+    * packing CURSOR (each source's running token total) is not
+    * separate mutable state: it derives from the compact per-batch
+    * totals sidecar (one row per (batch, source) — O(batches×sources),
+    * never doc-sized), so a replayed or half-committed batch can
+    * always reconstruct exactly where the stream stood.
+    *
+    * Write protocol (manifest THEN totals) makes every failure mode
+    * idempotent:
+    *  - totals row present for this batchId → fully committed, no-op;
+    *  - manifest present but totals missing (crash between the two
+    *    writes) → the totals row is re-derived from the MANIFEST's
+    *    own rows, never recomputed from input, so the repair cannot
+    *    drift from what readers already saw;
+    *  - neither present → normal path.
+    *
+    * Within a batch, per-source offsets come from a source-partitioned
+    * cumsum ordered by doc_id (PlanGuard: no global window); the base
+    * offset joins in from the totals sidecar. At 100 TB each batch's
+    * work is batch-sized + one scan of the compact sidecar. */
+  def packingIngestBatch(manifestDir: String, totalsDir: String,
+      chunk: Long = 512L)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val committed =
+      try spark.read.parquet(totalsDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (committed) return
+    val manifestWritten =
+      try spark.read.parquet(manifestDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (!manifestWritten) {
+      val base =
+        try spark.read.parquet(totalsDir)
+          .filter(col("batch_id") < batchId)
+          .groupBy(col("source")).agg(sum(col("toks")).as("base"))
+        catch { case _: Exception =>
+          spark.emptyDataFrame
+            .select(lit("").as("source"), lit(0L).as("base"))
+            .limit(0) }
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      batch.select(col("doc_id"), col("source"),
+          col("n_toks").cast("long").as("n"))
+        .filter(col("n") >= 1)
+        .dropDuplicates("doc_id")
+        .withColumn("cumIn", sum(col("n")).over(wSrc))
+        .join(broadcast(base), Seq("source"), "left")
+        .select(lit(batchId).as("batch_id"), col("source"),
+          col("doc_id"), col("n"),
+          (coalesce(col("base"), lit(0L)) + col("cumIn") - col("n"))
+            .as("start_off"))
+        .select(col("batch_id"), col("source"), col("doc_id"),
+          col("n"), col("start_off"),
+          expr(s"start_off DIV $chunk").as("first_chunk"),
+          expr(s"(start_off + n - 1) DIV $chunk").as("last_chunk"))
+        .write.mode("append").parquet(manifestDir)
+    }
+    // totals derive from the manifest's committed rows — the repair
+    // path after a crash reads back EXACTLY what was written
+    spark.read.parquet(manifestDir)
+      .filter(col("batch_id") === batchId)
+      .groupBy(col("source")).agg(sum(col("n")).as("toks"))
+      .select(lit(batchId).as("batch_id"), col("source"), col("toks"))
+      .write.mode("append").parquet(totalsDir)
+  }
 }
