@@ -665,52 +665,83 @@ object Curation {
       }) { (s, d) =>
       import s.implicits._
       val sh = Text.shingleHashes(s, d).select(col("doc_id"), col("h"))
-      // INCREMENTAL gain maintenance (lazy-greedy's exact sibling):
-      // the per-doc gain table starts as the doc's full shingle
-      // count and each round subtracts only the overlap with the
-      // NEWLY covered shingles — the pick's shingles minus the
-      // already-covered set, a single-doc-bounded relation that
-      // broadcasts at any corpus size. Each round therefore costs
-      // one broadcast-filtered scan of the cached index plus a
-      // docs-sized gain update — never a full re-aggregation of the
-      // remaining occurrence stream. The covered set lives on the
-      // driver but is picked-docs-bounded (k docs' shingles), the
-      // same bound the broadcast relies on. A doc exhausted to gain
-      // 0 can never be picked (the argmax mirrors the oracle by
-      // requiring gain >= 1 — in the stated semantics a fully
-      // covered doc has no uncovered rows at all).
-      var gains = sh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("gain")).localCheckpoint(true)
-      var covered = Set.empty[Long]
-      var total = 0L
-      val rows = (1 to 5).map { r =>
-        // ONE job per round: the 1-row argmax broadcast-joins back
-        // into the index so the pick AND its shingle set (single-doc
-        // bounded) come off the same collect
-        val pickRows = boundedCollect(
-          gains.filter(col("gain") >= 1)
-            .orderBy(col("gain").desc, col("doc_id")).limit(1)
-            .join(sh, Seq("doc_id"))
-            .select(col("doc_id"), col("gain"), col("h")),
-          1 << 20, "q157 pick + its shingles (single-doc-bounded)")
-        val (doc, gain) = (pickRows(0).getLong(0), pickRows(0).getLong(1))
-        total += gain
-        if (r < 5) {
-          val newCov = pickRows.map(_.getLong(2))
-            .filterNot(covered).distinct.toSeq
-          covered ++= newCov
-          val delta = sh
-            .join(broadcast(newCov.toDF("h")), Seq("h"), "left_semi")
-            .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
-          // LAZY checkpoint: the update's partitions materialize (and
-          // its lineage truncates) inside the NEXT round's argmax job
-          // instead of paying a dedicated eager pass per round
-          gains = gains.join(delta, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              (col("gain") - coalesce(col("hit"), lit(0L))).as("gain"))
-            .localCheckpoint(false)
+      // CELF-style bounded-candidate greedy: by submodularity a doc's
+      // round-r gain never exceeds its INITIAL gain, so only docs in
+      // the initial-gain top-M can ever be picked as long as every
+      // pick's gain stays >= the (M+1)-th initial gain (the bound the
+      // (M+1)-th collected row supplies). Two distributed jobs total —
+      // the initial-gain aggregation (TakeOrderedAndProject top-M+1)
+      // and one collect of the M candidates' shingle sets (M docs ×
+      // doc-bounded shingles, a constant-bounded driver pool at any
+      // corpus size) — then all five rounds are exact in-memory set
+      // arithmetic. If the bound ever fails (pathologically uniform
+      // gains), fall back to distributed incremental-gain rounds:
+      // identical output, corpus-scan-per-round cost.
+      val M = 64
+      val gains0 = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+      val top = boundedCollect(
+        gains0.orderBy(col("gain").desc, col("doc_id")).limit(M + 1),
+        M + 1, "q157 top-M initial gains (constant-bounded)")
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val outsideBound = if (top.length > M) top(M)._2 else 0L
+      val cand = top.take(M)
+      val candSh: Map[Long, Set[Long]] = boundedCollect(
+        sh.join(broadcast(cand.map(_._1).toSeq.toDF("doc_id")),
+          Seq("doc_id")),
+        1 << 21, "q157 candidate shingle sets (M x doc-bounded)")
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def driverGreedy(): Option[Seq[(Int, Long, Long, Long)]] = {
+        var covered = Set.empty[Long]
+        var total = 0L
+        val out = Seq.newBuilder[(Int, Long, Long, Long)]
+        for (r <- 1 to 5) {
+          val live = cand.iterator
+            .map { case (id, _) => (id, (candSh(id) -- covered).size.toLong) }
+            .filter(_._2 >= 1).toSeq
+          if (live.isEmpty) return None
+          val (doc, gain) = live.minBy { case (id, g) => (-g, id) }
+          // STRICT: a pick merely TYING the (M+1)-th initial gain
+          // could lose its doc_id tiebreak to an uncollected doc
+          if (gain <= outsideBound) return None // M too small: fall back
+          covered ++= candSh(doc)
+          total += gain
+          out += ((r, doc, gain, total))
         }
-        (r, doc, gain, total)
+        Some(out.result())
+      }
+      val rows = driverGreedy().getOrElse {
+        // distributed fallback: incremental gain maintenance — each
+        // round subtracts the new pick's marginal overlap (single-doc
+        // -bounded broadcast) from a docs-sized gain table; never a
+        // full re-aggregation of the remaining occurrence stream
+        var gains = gains0.localCheckpoint(true)
+        var covered = Set.empty[Long]
+        var total = 0L
+        (1 to 5).map { r =>
+          val pickRows = boundedCollect(
+            gains.filter(col("gain") >= 1)
+              .orderBy(col("gain").desc, col("doc_id")).limit(1)
+              .join(sh, Seq("doc_id"))
+              .select(col("doc_id"), col("gain"), col("h")),
+            1 << 20, "q157 pick + its shingles (single-doc-bounded)")
+          val (doc, gain) = (pickRows(0).getLong(0), pickRows(0).getLong(1))
+          total += gain
+          if (r < 5) {
+            val newCov = pickRows.map(_.getLong(2))
+              .filterNot(covered).distinct.toSeq
+            covered ++= newCov
+            val delta = sh
+              .join(broadcast(newCov.toDF("h")), Seq("h"), "left_semi")
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("hit"))
+            gains = gains.join(delta, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                (col("gain") - coalesce(col("hit"), lit(0L))).as("gain"))
+              .localCheckpoint(false)
+          }
+          (r, doc, gain, total)
+        }
       }
       rows.toDF("round", "doc_id", "gain", "covered")
         .select(col("round").cast("int").as("round"), col("doc_id"),
