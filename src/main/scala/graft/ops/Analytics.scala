@@ -1453,14 +1453,22 @@ object Analytics {
       val pf = items
         .select(explode(col("items")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("df"))
+      // pairs ride a single packed int64 key (p1·2^32 + p2 — part
+      // keys are int32-bounded at any TPC-H scale) through the
+      // explode + count: higher-order transforms evaluate
+      // INTERPRETED, so one long per pair instead of a two-field
+      // struct halves the expansion's allocation cost, and the
+      // count groups on one word; (p1, p2) unpack after the agg
       val pairs = items
         .select(explode(expr(
           "flatten(transform(items, (x, i) -> " +
             "transform(slice(items, i + 2, size(items)), y -> " +
-            "struct(x AS p1, y AS p2))))")).as("pp"))
-        .groupBy(col("pp.p1").as("p1"), col("pp.p2").as("p2"))
+            "x * 4294967296L + y)))")).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
+        .select(expr("pk DIV 4294967296L").as("p1"),
+          expr("pk % 4294967296L").as("p2"), col("support"))
       pairs
         .join(pf.select(col("l_partkey").as("p1"), col("df").as("dfa")),
           Seq("p1"))
