@@ -87,4 +87,59 @@ object Aggregators {
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
+
+  /** One (row-hash, integer measure) observation for [[BootstrapFold]]. */
+  final case class HC(h0: Long, cents: Long)
+
+  /** Poisson-bootstrap fold (q202): each input row folds its ENTIRE
+    * B-resample weight vector into one long[2B] buffer — k·cents
+    * partial sums in slots [0,B), k counts in [B,2B) — so the
+    * shuffle for the whole bootstrap carries ONE 2B-long buffer per
+    * map partition instead of rows×B exploded partials. Resample
+    * weight k = inverse Poisson(1) CDF of an fmix32-style finalizer
+    * over (h0, b) — the exact integer recurrence the SQL oracle
+    * evaluates (xxhash32 PRIME32_4/PRIME32_5 multipliers, every
+    * product < 2^62 in signed-64 arithmetic), so the two arms stay
+    * bit-identical. This is the Chamandy et al. map-reduce bootstrap
+    * with the resample matrix never materialized as rows: at 10^11
+    * input rows the aggregation state is still 2B longs per
+    * partition. */
+  final class BootstrapFold(b: Int)
+      extends Aggregator[HC, Array[Long], Seq[(Long, Long)]] {
+    override def zero: Array[Long] = new Array[Long](2 * b)
+
+    override def reduce(buf: Array[Long], a: HC): Array[Long] = {
+      var i = 0
+      while (i < b) {
+        val x0 = (a.h0 ^ ((i + 1) * 2654435761L)) % 4294967296L
+        val x2 = ((x0 ^ (x0 / 65536)) * 668265263L) % 4294967296L
+        val x4 = ((x2 ^ (x2 / 8192)) * 374761393L) % 4294967296L
+        val hh = (x4 ^ (x4 / 65536)) % 10000L
+        val k =
+          if (hh < 3679L) 0L
+          else if (hh < 7358L) 1L
+          else if (hh < 9197L) 2L
+          else if (hh < 9810L) 3L
+          else 4L
+        if (k > 0L) { buf(i) += k * a.cents; buf(b + i) += k }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 2 * b) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def finish(r: Array[Long]): Seq[(Long, Long)] =
+      (0 until b).map(i => (r(i), r(b + i)))
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
 }

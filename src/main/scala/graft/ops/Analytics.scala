@@ -1149,9 +1149,10 @@ object Analytics {
     // bootstrap): resample weights ~ Poisson(1) per (row, resample),
     // approximated by its inverse CDF on a 32-bit hash of (key, b) —
     // fully deterministic, no RNG state, identical in both engines.
-    // Each row explodes to its B=100 resamples MAP-SIDE and partial
-    // aggregation collapses them before the shuffle, so the network
-    // carries partitions×B partial sums, never rows×B. The ≤100
+    // Each row folds its B=100 resample weights straight into a
+    // long[2B] typed-aggregator buffer (Aggregators.BootstrapFold),
+    // so the resample matrix is never materialized as rows and the
+    // network carries one 2B-long buffer per partition. The ≤100
     // resample means rank via a broadcast theta count (no global
     // window) to pick the 5th/95th percentile bounds. This is how
     // you put an error bar on any 100 TB aggregate in one pass.
@@ -1214,23 +1215,21 @@ object Analytics {
       val c = orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         expr("md5_h32(CAST(o_orderkey AS STRING))").as("h0"))
-      val pt = c.agg(count(lit(1)).as("n_orders"),
-        expr("sum(cents) DIV count(1)").as("mean_cents"))
-      val means = c
-        .select(col("h0"), col("cents"),
-          explode(sequence(lit(0), lit(99))).as("b"))
-        .withColumn("x0", expr(
-          "(h0 ^ ((b + 1) * 2654435761L)) % 4294967296L"))
-        .withColumn("x2", expr(
-          "((x0 ^ (x0 DIV 65536)) * 668265263L) % 4294967296L"))
-        .withColumn("x4", expr(
-          "((x2 ^ (x2 DIV 8192)) * 374761393L) % 4294967296L"))
-        .withColumn("hh", expr("(x4 ^ (x4 DIV 65536)) % 10000L"))
-        .withColumn("k", expr("CASE WHEN hh < 3679 THEN 0 " +
-          "WHEN hh < 7358 THEN 1 WHEN hh < 9197 THEN 2 " +
-          "WHEN hh < 9810 THEN 3 ELSE 4 END"))
-        .groupBy(col("b"))
-        .agg(expr("sum(k * cents)").as("skc"), sum(col("k")).as("sk"))
+      // the whole resample matrix folds inside [[Aggregators
+      // .BootstrapFold]] — one long[200] buffer per map partition,
+      // never rows×B exploded rows (the oracle keeps the explicit
+      // UNNEST form; the fold's fmix recurrence is bit-identical)
+      val fold = udaf(new Aggregators.BootstrapFold(100))
+      val folded = c
+        .agg(count(lit(1)).as("n_orders"),
+          expr("sum(cents) DIV count(1)").as("mean_cents"),
+          fold(col("h0"), col("cents")).as("arr"))
+        .tcache()
+      val pt = folded.select(col("n_orders"), col("mean_cents"))
+      val means = folded
+        .select(posexplode(col("arr")).as(Seq("b", "p")))
+        .select(col("b").cast("long").as("b"),
+          col("p")("_1").as("skc"), col("p")("_2").as("sk"))
         .filter(col("sk") > 0)
         .select(col("b"), expr("skc DIV sk").as("m"))
         .tcache()

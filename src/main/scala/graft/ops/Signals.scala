@@ -145,7 +145,11 @@ object Signals {
       l = l.join(mn, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        // LAZY checkpoint: the LogicalRDD conversion alone keeps the
+        // plan O(1) per round (l is referenced twice next round);
+        // deferring materialization folds all rounds into the final
+        // action's single job instead of one barrier job per round
+        .localCheckpoint(eager = false)
     }
     l
   }
@@ -167,9 +171,11 @@ object Signals {
         .groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
         // each round references `deg` twice (survivor filter + the
         // next round's two semi-joins), so without truncation the
-        // lineage doubles per round — localCheckpoint keeps the plan
-        // O(1) per round, the q45/q102 iterative-graph recipe
-        .localCheckpoint(true)
+        // lineage doubles per round — the LAZY localCheckpoint's
+        // LogicalRDD conversion keeps the plan O(1) per round while
+        // all rounds still execute inside the final action's single
+        // job (no per-round barrier), the q45/q102 recipe
+        .localCheckpoint(eager = false)
       surv = deg.filter(col("deg") >= k).select(col("n"))
     }
     surv.join(deg, Seq("n"))

@@ -479,12 +479,16 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the 3-row threshold relation must broadcast:\n$p")
   }
 
-  test("q202: bootstrap resamples collapse map-side before the shuffle") {
+  test("q202: bootstrap resamples fold inside the typed aggregator, never as rows") {
     val p = plan("q202_bootstrap_ci")
-    assert(p.contains("Generate explode"),
-      s"the B-resample fanout must be a map-side Generate:\n$p")
-    assert(p.contains("partial_sum"),
-      s"partial aggregation must collapse resamples pre-shuffle:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"the BootstrapFold typed UDAF must carry the resample matrix:\n$p")
+    assert(p.contains("bootstrapfold"),
+      s"the fold aggregator must appear in the aggregate expressions:\n$p")
+    // the old shape exploded rows x B resample rows before aggregating;
+    // the fold must leave no corpus-side Generate upstream of the agg
+    assert(!p.contains("Generate explode(sequence"),
+      s"no rows x B resample explode belongs in this plan:\n$p")
   }
 
   test("q203: contract checks share scans; referential check is an anti-join") {
