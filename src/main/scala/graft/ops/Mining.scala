@@ -1087,14 +1087,17 @@ object Mining {
       // one more keyed agg; DSIR's whole point is that this scales
       // linearly to 100 TB where perplexity-filter LMs cannot.
       graft.cdc.GraftFunctions.register(s)
-      val f = withToks(s, d).filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> md5_h32(concat_ws(' ', slice(toks, i, 2))) % 1024)"))
-          .as("b"))
+      // the occurrence stream rides the shared docBigrams memo: one
+      // hash per bigram TYPE (count-weighted back to occurrences via
+      // `c`) instead of re-exploding + re-hashing every position
+      val f = Text.docBigrams(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("md5_h32(concat_ws(' ', t1, t2)) % 1024").as("b"),
+          col("c"))
       val c = f.groupBy(col("b"))
-        .agg(count(lit(1)).as("ns"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        .agg(sum(col("c")).as("ns"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L))
+            .as("nt"))
       val buckets = c.select(col("b"),
         (col("ns") + 1L).as("cs"), (col("nt") + 1L).as("ct"))
       val tot = buckets.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tc"))
@@ -1107,8 +1110,9 @@ object Mining {
       // first(lang) aggregate would force SortAggregate + extra sorts
       f.join(broadcast(bb), "b")
         .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).cast("long").as("n_feats"),
-          sum(col("bs") - col("bt")).cast("long").as("score_bits"))
+        .agg(sum(col("c")).cast("long").as("n_feats"),
+          sum(col("c") * (col("bs") - col("bt"))).cast("long")
+            .as("score_bits"))
         .orderBy(col("score_bits").desc, col("doc_id"))
         .limit(25)
     },

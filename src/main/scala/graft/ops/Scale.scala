@@ -580,16 +580,17 @@ object Scale {
       // distributed selection algorithm a 100 TB column needs where
       // q48's window/rank formulation (a total sort, one unpartitioned
       // ordering) cannot run: histogram bisection. Each round buckets
-      // the remaining value range into 256 equal slices and counts
-      // them in ONE keyed 256-row aggregation; the driver walks the
-      // tiny prefix sum to find the slice holding the target rank and
-      // recurses into it. log_256(range) ~ 4 rounds for cents-scale
-      // domains, each a full scan (pruned to one column) + a 256-row
-      // shuffle — no sort, no window, no skew sensitivity (a hot
-      // value concentrates its COUNT, not its rows). The oracle
-      // computes the same ranks via row_number at test scale; both
-      // sides agree exactly because selection is rank-arithmetic,
-      // not interpolation.
+      // the remaining value range into 2^16 equal slices and counts
+      // them in ONE keyed aggregation (the histogram stays a bounded
+      // driver-side constant — 64Ki longs); the driver walks the tiny
+      // prefix sum to find the slice holding the target rank and
+      // recurses into it. log_65536(range) = 2 rounds for cents-scale
+      // domains, each a full scan (pruned to one column) + a
+      // bounded-width shuffle — no sort, no window, no skew
+      // sensitivity (a hot value concentrates its COUNT, not its
+      // rows). The oracle computes the same ranks via row_number at
+      // test scale; both sides agree exactly because selection is
+      // rank-arithmetic, not interpolation.
       val base = lineitem(s, d)
         .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
         .cache()
@@ -602,12 +603,12 @@ object Scale {
           var hi = mm.getLong(2)
           var need = k
           while (lo < hi) {
-            val width = (hi - lo) / 256L + 1L // ceil: buckets cover [lo, hi]
+            val width = (hi - lo) / 65536L + 1L // ceil: buckets cover [lo, hi]
             val hist = boundedCollect(base
               .filter(col("v") >= lo && col("v") <= hi)
               .groupBy(expr(s"(v - $lo) DIV $width").as("bkt"))
               .agg(count(lit(1)).as("c")),
-              257, "q163 bisection histogram (<=257 buckets)")
+              65537, "q163 bisection histogram (<=65537 buckets)")
               .map(r => r.getLong(0) -> r.getLong(1))
               .sortBy(_._1)
             var acc = 0L
@@ -702,7 +703,7 @@ object Scale {
       // and counts (group, target, bucket) in one keyed agg; the
       // driver walks each tiny histogram and narrows. All groups and
       // both targets advance in the SAME scan, so total rounds =
-      // log256(widest range), not groups × rounds. Driver state is
+      // log4096(widest range), not groups × rounds. Driver state is
       // one (lo, hi, need) triple per (group, target) — fine to
       // millions of groups; past that, the histogram walk itself
       // moves into a join (the bounds table is already a DataFrame).
@@ -731,19 +732,19 @@ object Scale {
         while (live.exists(st => st.lo < st.hi)) {
           val open = live.filter(st => st.lo < st.hi)
           val bounds = open.map(st =>
-            (st.g, st.tgt, st.lo, st.hi, (st.hi - st.lo) / 256L + 1L))
+            (st.g, st.tgt, st.lo, st.hi, (st.hi - st.lo) / 4096L + 1L))
             .toSeq.toDF("g", "tgt", "blo", "bhi", "w")
           val hists = boundedCollect(base.join(broadcast(bounds), "g")
             .filter(col("v") >= col("blo") && col("v") <= col("bhi"))
             .groupBy(col("g"), col("tgt"),
               expr("(v - blo) DIV w").as("bkt"))
             .agg(count(lit(1)).as("c")),
-            257 * 2048, "q166 bisection histograms (<=257 x open targets)")
+            4097 * 2048, "q166 bisection histograms (<=4097 x open targets)")
             .map(r => ((r.getString(0), r.getString(1)),
               (r.getLong(2), r.getLong(3))))
             .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
           open.foreach { st =>
-            val width = (st.hi - st.lo) / 256L + 1L
+            val width = (st.hi - st.lo) / 4096L + 1L
             var acc = 0L
             val hist = hists((st.g, st.tgt))
             var i = 0

@@ -994,11 +994,10 @@ object Text {
       val t = withToks(s, d).filter(size(col("toks")) >= 10)
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("long").as("n"))
-      val c2 = t.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat_ws(' ', slice(toks, i, 2)))")).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
+      // the bigram arm rides the shared docBigrams memo (adjacent-pair
+      // TYPE counts are exactly the (doc, g, c) relation the max needs;
+      // the >= 10-token filter re-applies via the final join on t)
+      val c2 = docBigrams(s, d)
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("m"))
       val c5 = t.select(col("doc_id"), explode(expr(
