@@ -55,6 +55,45 @@ object Mining {
   // index; recomputing it would explode the token stream three times.
   private val postingsCache = new Tables.DfMemo()
 
+  /** Per-doc bigram-LM fluency (doc_id, lang, fl) — the CCNet-style
+    * perplexity proxy shared by q142 (per-lang summary) and q244
+    * (tercile bucketing). fl = mean conditional bigram probability
+    * P(t2|t1) over the doc's bigram OCCURRENCES, in ppm — all
+    * integer (count ratios via DIV, no log(), whose last-ulp
+    * behavior differs between engines and would poison the
+    * exact-hash gate). Scale shape: both the model (c2⋈c1 on bigram
+    * TYPES, ≪ occurrences) and the per-doc scores fold off the
+    * memoized [[Text.docBigrams]] index — no per-query corpus
+    * explode; the one join the doc-type rows pay is keyed on
+    * (t1, t2), skew bounded by the Zipf head, which AQE splits.
+    * int64 bound: c2·1e6 overflows only past ≈9.2e12 occurrences of
+    * ONE bigram — the hottest English bigram at ~1e13 corpus tokens
+    * is ~1e10, two orders of magnitude of headroom at 100 TB.
+    * Cached rows: one per scored doc (doc-linear,
+    * ScalingSpec-bounded); governed [[Tables.DfMemo]]. */
+  private val fluencyCache = new Tables.DfMemo()
+
+  private[ops] def docFluency(s: SparkSession, d: String): DataFrame =
+    fluencyCache.getOrElseUpdate((s, d)) {
+      val pr = Text.docBigrams(s, d)
+      val c2 = pr.groupBy(col("t1"), col("t2"))
+        .agg(sum(col("c")).as("c2"))
+      // c1 folds out of c2 (sum over t2) — the prefix count comes off
+      // the bigram-TYPE relation instead of a second full shuffle of
+      // the occurrence stream.
+      val c1 = c2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
+      val bp = c2.join(c1, "t1")
+        .select(col("t1"), col("t2"),
+          expr("c2 * 1000000 DIV c1").as("p_ppm"))
+      // per-doc mean over OCCURRENCES folds off the per-doc TYPE
+      // rows: sum(c·p_ppm) DIV sum(c) == sum(p_ppm) DIV count(*)
+      // over the expanded stream
+      pr.join(bp, Seq("t1", "t2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(c * p_ppm) DIV sum(c)").as("fl"))
+        .cache()
+    }
+
   /** Session-lifetime scalar stats row for q87's bloom sizing (the
     * catalog row-count statistic a production planner would read
     * instead of running a sizing job per query). Governed
@@ -1209,30 +1248,199 @@ object Mining {
       // bigram table — partitioned by (t1,t2), skew bounded by the
       // Zipf head, which AQE splits. Per-doc then per-lang aggs
       // reduce to ≤ |langs| rows.
-      val pr = Text.docBigrams(s, d)
-      val c2 = pr.groupBy(col("t1"), col("t2"))
-        .agg(sum(col("c")).as("c2"))
-      // c1 folds out of c2 (sum over t2) — the prefix count comes off
-      // the bigram-TYPE relation instead of a second full shuffle of
-      // the occurrence stream. int64 bound: c2 * 1e6 overflows only
-      // past c2 ≈ 9.2e12 occurrences of ONE bigram — the hottest
-      // English bigram at ~1e13 corpus tokens is ~1e10, two orders of
-      // magnitude of headroom at 100 TB.
-      val c1 = c2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
-      val bp = c2.join(c1, "t1")
-        .select(col("t1"), col("t2"),
-          expr("c2 * 1000000 DIV c1").as("p_ppm"))
-      // per-doc mean over OCCURRENCES folds off the per-doc TYPE
-      // rows: sum(c·p_ppm) DIV sum(c) == sum(p_ppm) DIV count(*)
-      // over the expanded stream
-      pr.join(bp, Seq("t1", "t2"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(expr("sum(c * p_ppm) DIV sum(c)").as("fl"))
+      docFluency(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(fl) DIV count(*)").as("avg_fluency_ppm"),
           min(col("fl")).as("min_fluency_ppm"),
           max(col("fl")).as("max_fluency_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef(
+      "q244_perplexity_terciles",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |pr AS (SELECT doc_id, lang, toks[i] AS t1, toks[i+1] AS t2
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT t1, t2, count(*) AS c2 FROM pr GROUP BY t1, t2),
+         |c1 AS (SELECT t1, count(*) AS c1 FROM pr GROUP BY t1),
+         |bp AS (SELECT c2.t1, c2.t2,
+         |    CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS p_ppm
+         |  FROM c2 JOIN c1 ON c1.t1 = c2.t1),
+         |ds AS (SELECT pr.doc_id, pr.lang,
+         |    CAST(sum(bp.p_ppm) // count(*) AS BIGINT) AS fl
+         |  FROM pr JOIN bp ON bp.t1 = pr.t1 AND bp.t2 = pr.t2
+         |  GROUP BY pr.doc_id, pr.lang),
+         |sd AS (SELECT ds.doc_id, ds.lang, d.source, ds.fl
+         |  FROM ds JOIN documents d ON d.doc_id = ds.doc_id),
+         |b AS (SELECT lang, source, fl,
+         |    ntile(3) OVER (PARTITION BY lang ORDER BY fl, doc_id)
+         |      AS bucket
+         |  FROM sd)
+         |SELECT lang, source, bucket, count(*) AS n_docs,
+         |  CAST(sum(fl) // count(*) AS BIGINT) AS avg_fl_ppm
+         |FROM b GROUP BY lang, source, bucket
+         |ORDER BY lang, source, bucket""".stripMargin) { (s, d) =>
+      // The CCNet bucketing pass: score every doc with the corpus LM
+      // (the shared [[docFluency]] memo — q142's integer bigram
+      // fluency), split each language into head/middle/tail TERCILES
+      // of the score, and report the (lang, source, bucket) census a
+      // curation pipeline keeps (train on head+middle, drop tail).
+      // The tercile boundary is the exact ntile(3) cut — but computed
+      // WITHOUT the per-lang window sort the oracle states: each
+      // doc's (fl, doc_id) packs into one int64 (fl ≤ 1e6 < 2^30
+      // ppm; doc_id < 2^33 here — at larger id domains the pack
+      // widens to two bisection keys), and the per-lang k1-th/k2-th
+      // smallest packed keys come from the q166 vectorized histogram
+      // bisection: every round buckets all langs and both targets in
+      // ONE broadcast-join scan of the cached per-doc rows, driver
+      // state one (lo, hi, need) triple per (lang, target). Rank
+      // math mirrors ntile exactly: bucket sizes n DIV 3 with the
+      // first n%3 buckets taking the extra row, so rows ranked
+      // ≤ k1 are bucket 1, ≤ k2 bucket 2, else 3 — pure map-side
+      // compare against the broadcast boundary, then one keyed agg.
+      // At 100 TB: no global or per-lang sort anywhere; ~3 rounds of
+      // log_16384 bisection over the packed range, each a keyed agg.
+      val sd = docFluency(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("fl"),
+          (col("fl") * lit(1L << 33) + col("doc_id")).as("pk"))
+        .tcache()
+      val stats = boundedCollect(
+          sd.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+            min(col("pk")).as("lo"), max(col("pk")).as("hi")),
+          1024, "q244 per-lang moments (one row per lang)")
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        final case class St(lang: String, tgt: String, var lo: Long,
+          var hi: Long, var need: Long)
+        val live = scala.collection.mutable.ArrayBuffer[St]()
+        stats.foreach { case (g, n, lo, hi) =>
+          val s1 = n / 3L + (if (n % 3L >= 1L) 1L else 0L)
+          val s2 = n / 3L + (if (n % 3L >= 2L) 1L else 0L)
+          live += St(g, "k1", lo, hi, s1)
+          live += St(g, "k2", lo, hi, s1 + s2)
+        }
+        val spark = s
+        import spark.implicits._
+        while (live.exists(st => st.lo < st.hi)) {
+          val open = live.filter(st => st.lo < st.hi)
+          val bounds = open.map(st => (st.lang, st.tgt, st.lo, st.hi,
+            (st.hi - st.lo) / 16384L + 1L)).toSeq
+            .toDF("lang", "tgt", "blo", "bhi", "w")
+          val hists = boundedCollect(
+            sd.join(broadcast(bounds), "lang")
+              .filter(col("pk") >= col("blo") && col("pk") <= col("bhi"))
+              .groupBy(col("lang"), col("tgt"),
+                expr("(pk - blo) DIV w").as("bkt"))
+              .agg(count(lit(1)).as("c")),
+            16385 * 64, "q244 bisection histograms (<=16385 x open targets)")
+            .map(r => ((r.getString(0), r.getString(1)),
+              (r.getLong(2), r.getLong(3))))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+          open.foreach { st =>
+            val width = (st.hi - st.lo) / 16384L + 1L
+            var acc = 0L
+            val hist = hists((st.lang, st.tgt))
+            var i = 0
+            var found = false
+            while (i < hist.length && !found) {
+              val (bkt, c) = hist(i)
+              if (acc + c >= st.need) {
+                st.need -= acc
+                st.lo = st.lo + bkt * width
+                st.hi = math.min(st.hi, st.lo + width - 1L)
+                found = true
+              } else { acc += c; i += 1 }
+            }
+          }
+        }
+        val bd = live.groupBy(_.lang).map { case (g, sts) =>
+          (g, sts.find(_.tgt == "k1").get.lo,
+            sts.find(_.tgt == "k2").get.lo)
+        }.toSeq.toDF("lang", "b1", "b2")
+        sd.join(broadcast(bd), "lang")
+          .select(col("lang"), col("source"), col("fl"),
+            when(col("pk") <= col("b1"), 1L)
+              .when(col("pk") <= col("b2"), 2L)
+              .otherwise(3L).as("bucket"))
+          .groupBy(col("lang"), col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(fl) DIV count(*)").as("avg_fl_ppm"))
+          .orderBy(col("lang"), col("source"), col("bucket"))
+    },
+
+    QueryDef(
+      "q252_signal_rank_corr",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |pr AS (SELECT doc_id, lang, toks[i] AS t1, toks[i+1] AS t2
+         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT t1, t2, count(*) AS c2 FROM pr GROUP BY t1, t2),
+         |c1 AS (SELECT t1, count(*) AS c1 FROM pr GROUP BY t1),
+         |bp AS (SELECT c2.t1, c2.t2,
+         |    CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS p_ppm
+         |  FROM c2 JOIN c1 ON c1.t1 = c2.t1),
+         |ds AS (SELECT pr.doc_id, pr.lang,
+         |    CAST(sum(bp.p_ppm) // count(*) AS BIGINT) AS fl
+         |  FROM pr JOIN bp ON bp.t1 = pr.t1 AND bp.t2 = pr.t2
+         |  GROUP BY pr.doc_id, pr.lang),
+         |${Text.qualityScoresSql},
+         |z AS (SELECT ds.lang,
+         |    row_number() OVER (PARTITION BY ds.lang
+         |      ORDER BY qu.q, ds.doc_id) AS rq,
+         |    row_number() OVER (PARTITION BY ds.lang
+         |      ORDER BY ds.fl, ds.doc_id) AS rf
+         |  FROM ds JOIN qual qu ON qu.doc_id = ds.doc_id),
+         |g AS (SELECT lang, count(*) AS n,
+         |    sum((rq - rf) * (rq - rf)) AS sum_d2
+         |  FROM z GROUP BY lang HAVING count(*) >= 2)
+         |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(sum_d2 AS BIGINT) AS sum_d2,
+         |  CAST(((CAST(n AS HUGEINT) * n * n - n) - 3 * sum_d2) * 1000
+         |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+         |    AS spearman_agree_milli
+         |FROM g ORDER BY lang""".stripMargin) { (s, d) =>
+      // Rank correlation between two quality signals — the sanity
+      // check a curation pipeline runs before stacking filters: do
+      // the heuristic quality score (q22) and the LM fluency score
+      // (q142) agree on each language's ORDERING, or is one of them
+      // redundant/contradictory? Exact Spearman in integers: ranks
+      // are deterministic total orders ((score, doc_id) tie-break,
+      // identical in both engines), and instead of ρ ∈ [-1, 1] —
+      // whose negative numerator would split DIV (trunc) from //
+      // (floor) — we report agree_milli = (ρ+1)/2 · 1000 =
+      // (den − 3·Σd²)·1000 / den ∈ [0, 1000] (1000 = identical
+      // ranking, 0 = exact reversal, 500 = uncorrelated), with
+      // den = n³−n in DECIMAL(38,0)/HUGEINT so the cubic never
+      // overflows int64 at corpus-scale per-lang counts. Both score
+      // relations are shared memos (docFluency, qualityScores'
+      // relation) — the query adds one join, two per-lang rank
+      // windows, one keyed agg. Exact per-element ranks inherently
+      // need a per-lang total order; at 100 TB that is the classic
+      // two-pass range-partitioned sort with per-partition offset
+      // carry (no single hot task), which the lang-partitioned
+      // window states declaratively at test scale.
+      val j0 = docFluency(s, d)
+        .join(Text.qualityScores(s, d), "doc_id")
+      val wq = Window.partitionBy(col("lang"))
+        .orderBy(col("q"), col("doc_id"))
+      val wf = Window.partitionBy(col("lang"))
+        .orderBy(col("fl"), col("doc_id"))
+      j0.select(col("lang"),
+          row_number().over(wq).cast("long").as("rq"),
+          row_number().over(wf).cast("long").as("rf"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rq") - col("rf")) * (col("rq") - col("rf")))
+            .as("sum_d2"))
+        .filter(col("n") >= 2)
+        .select(col("lang"), col("n").as("n_docs"), col("sum_d2"),
+          expr("(CAST(n AS DECIMAL(38,0)) * n * n - n - 3 * sum_d2)" +
+            " * 1000 DIV (CAST(n AS DECIMAL(38,0)) * n * n - n)")
+            .as("spearman_agree_milli"))
         .orderBy(col("lang"))
     }
   )

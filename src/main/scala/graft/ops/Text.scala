@@ -1998,6 +1998,202 @@ object Text {
           sum(when(col("n_hit") * 5 >= col("n_grams"), 1L)
             .otherwise(0L)).as("n_contaminated"))
         .orderBy(col("batch_id"))
+    },
+
+    QueryDef(
+      "q247_lsh_band_sweep",
+      s"""WITH shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |$sigSql,
+         |bands AS (
+         |  ${(for (r <- Seq(2, 4, 8); b <- 0 until 16 / r) yield {
+              val key = h32Sql("concat_ws(','," +
+                s" ${(0 until r).map(i => s"h${r * b + i}").mkString(", ")})")
+              s"SELECT $r AS r, doc_id, $b AS band, $key AS bkey FROM sig"
+            }).mkString("\n  UNION ALL\n  ")}),
+         |cand AS (SELECT DISTINCT a.r, a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.r = b.r AND a.band = b.band
+         |    AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |truth AS (SELECT d1, d2 FROM jpairs),
+         |tc AS (SELECT count(*) AS n_true FROM truth),
+         |cc AS (SELECT r, count(*) AS n_cand FROM cand GROUP BY r),
+         |hits AS (SELECT c.r, count(*) AS n_hit FROM cand c
+         |  JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2 GROUP BY c.r)
+         |SELECT CAST(cc.r AS BIGINT) AS rows_per_band,
+         |  CAST(16 // cc.r AS BIGINT) AS n_bands,
+         |  cc.n_cand, coalesce(hits.n_hit, 0) AS n_hit, tc.n_true,
+         |  CAST(coalesce(hits.n_hit, 0) * 1000 // tc.n_true AS BIGINT)
+         |    AS recall_milli
+         |FROM cc LEFT JOIN hits ON hits.r = cc.r CROSS JOIN tc
+         |ORDER BY rows_per_band""".stripMargin) { (s, d) =>
+      // The LSH band-configuration TUNING TABLE — the dedup twin of
+      // q246's nprobe sweep: for rows-per-band r ∈ {2, 4, 8} over the
+      // SAME memoized 16-permutation signature q26 banded at 8×2,
+      // report the candidate-pair volume (the verify-join cost a
+      // deployment pays) and the measured recall against the exact
+      // J ≥ 0.6 ground truth (the shared q25 pair memo). r is the one
+      // knob a MinHash-LSH deployment turns: smaller r → collision
+      // P ≈ J^r rises → recall up, candidates up. Band keys for every
+      // arm ride ONE pass over the signature memo (docs × 28 key rows,
+      // md5 of the joined minhash run — engine-identical on both
+      // sides); the self-join is keyed on (r, band, bkey), so each
+      // arm's candidate space is exactly its bucket structure — never
+      // doc×doc. At 100 TB the same sweep runs on a doc SAMPLE to
+      // pick r before committing the full-corpus banding run.
+      graft.cdc.GraftFunctions.register(s)
+      val sig = minhashSig(s, d)
+      val bands = Seq(2, 4, 8).map { r =>
+        sig.select(lit(r.toLong).as("r"), col("doc_id"),
+          posexplode(array((0 until 16 / r).map(b =>
+            graft.cdc.GraftFunctions.md5_h32(
+              concat_ws(",", (0 until r).map(i =>
+                col(s"h${r * b + i}").cast("string")): _*))): _*))
+            .as(Seq("band", "bkey")))
+      }.reduce(_ unionAll _)
+      val ca = bands.select(col("r"), col("band"), col("bkey"),
+        col("doc_id").as("d1"))
+      val cb = bands.select(col("r"), col("band"), col("bkey"),
+        col("doc_id").as("d2"))
+      val cand = ca.join(cb, Seq("r", "band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select(col("r"), col("d1"), col("d2")).distinct()
+      val truth = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      val tc = truth.agg(count(lit(1)).as("n_true"))
+      val cc = cand.groupBy(col("r")).agg(count(lit(1)).as("n_cand"))
+      val hits = cand.join(truth, Seq("d1", "d2"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_hit"))
+      cc.join(hits, Seq("r"), "left").crossJoin(broadcast(tc))
+        .select(col("r").as("rows_per_band"),
+          expr("16 DIV r").as("n_bands"),
+          col("n_cand"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          col("n_true"),
+          expr("coalesce(n_hit, 0) * 1000 DIV n_true").as("recall_milli"))
+        .orderBy(col("rows_per_band"))
+    },
+
+    QueryDef(
+      "q248_vocab_growth",
+      s"""WITH mom AS (SELECT min(doc_id) AS lo,
+         |    max(doc_id) - min(doc_id) + 1 AS w FROM documents),
+         |db AS (SELECT doc_id,
+         |    least(9, (doc_id - mom.lo) * 10 // mom.w) AS bucket
+         |  FROM documents CROSS JOIN mom),
+         |tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |tb AS (SELECT tf.doc_id, db.bucket, tf.tok, tf.tf
+         |  FROM tf JOIN db ON db.doc_id = tf.doc_id),
+         |dc AS (SELECT bucket, count(*) AS n_docs FROM db GROUP BY bucket),
+         |oc AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_occ
+         |  FROM tb GROUP BY bucket),
+         |nt AS (SELECT bucket, count(*) AS new_types FROM
+         |  (SELECT tok, min(bucket) AS bucket FROM tb GROUP BY tok)
+         |  GROUP BY bucket),
+         |ntf AS (SELECT dc.bucket, coalesce(nt.new_types, 0) AS new_types
+         |  FROM dc LEFT JOIN nt ON nt.bucket = dc.bucket),
+         |cum AS (SELECT a.bucket, CAST(sum(b.new_types) AS BIGINT)
+         |    AS cum_types
+         |  FROM ntf a JOIN ntf b ON b.bucket <= a.bucket GROUP BY a.bucket)
+         |SELECT dc.bucket, dc.n_docs, coalesce(oc.n_occ, 0) AS n_occ,
+         |  ntf.new_types, cum.cum_types
+         |FROM dc LEFT JOIN oc ON oc.bucket = dc.bucket
+         |  JOIN ntf ON ntf.bucket = dc.bucket
+         |  JOIN cum ON cum.bucket = dc.bucket
+         |ORDER BY dc.bucket""".stripMargin) { (s, d) =>
+      // Vocabulary-growth (Heaps-law) audit: bucket the corpus into 10
+      // equal-width doc_id ranges (the ingest-order proxy — at 100 TB
+      // the bucket key is the snapshot/crawl-date partition the data
+      // already carries) and report, per bucket, document and token
+      // mass plus NEW token types (types whose first occurrence falls
+      // in the bucket) and the cumulative vocabulary. A flattening
+      // new-types curve is the data-scaling signal a pretraining
+      // curator reads before buying more of the same source — dedup'd
+      // corpora stop paying for themselves when novelty dries up.
+      // Scale shape: rides the memoized per-doc term-frequency index
+      // (one keyed join against the 10-bucket map — map-side after
+      // AQE broadcasts it is wrong: db is doc-count-sized, so the
+      // join is a keyed equi-join on doc_id); first-occurrence is one
+      // (tok → min bucket) agg with map-side partial min; everything
+      // after is ≤10-row relations (cumulative = broadcast triangle
+      // join, the q228 shape — no window over an unpartitioned frame).
+      val docs = documents(s, d).select(col("doc_id"))
+      val mom = docs.agg(min(col("doc_id")).as("lo"),
+        (max(col("doc_id")) - min(col("doc_id")) + lit(1L)).as("w"))
+      val db = docs.crossJoin(broadcast(mom))
+        .select(col("doc_id"),
+          least(lit(9L), expr("(doc_id - lo) * 10 DIV w")).as("bucket"))
+      val tb = docTermFreq(s, d).select(col("doc_id"), col("tok"), col("tf"))
+        .join(db, "doc_id")
+      val dc = db.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      val oc = tb.groupBy(col("bucket")).agg(sum(col("tf")).as("n_occ"))
+      val nt = tb.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      val ntf = dc.select(col("bucket")).join(nt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+      val cum = ntf.as("a").join(broadcast(ntf.as("b")),
+          col("b.bucket") <= col("a.bucket"))
+        .groupBy(col("a.bucket"))
+        .agg(sum(col("b.new_types")).as("cum_types"))
+      dc.join(oc, Seq("bucket"), "left")
+        .join(ntf, Seq("bucket")).join(cum, Seq("bucket"))
+        .select(col("bucket"), col("n_docs"),
+          coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+          col("new_types"), col("cum_types"))
+        .orderBy(col("bucket"))
+    },
+
+    QueryDef(
+      "q249_dedup_threshold_sweep",
+      s"""WITH shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |arms AS (SELECT unnest([6000, 7000, 8000, 9000]) AS tau4),
+         |ap AS (SELECT arms.tau4, jp.d1, jp.d2 FROM jpairs jp
+         |  CROSS JOIN arms
+         |  WHERE jp.inter * 10000 >= arms.tau4 * (jp.na + jp.nb - jp.inter)),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |pc AS (SELECT tau4, count(*) AS n_pairs FROM ap GROUP BY tau4),
+         |dr AS (SELECT tau4, count(DISTINCT d2) AS n_dropped
+         |  FROM ap GROUP BY tau4)
+         |SELECT CAST(arms.tau4 AS BIGINT) AS tau4,
+         |  coalesce(pc.n_pairs, 0) AS n_pairs,
+         |  coalesce(dr.n_dropped, 0) AS n_dropped,
+         |  tot.n_docs - coalesce(dr.n_dropped, 0) AS n_kept
+         |FROM arms LEFT JOIN pc ON pc.tau4 = arms.tau4
+         |  LEFT JOIN dr ON dr.tau4 = arms.tau4 CROSS JOIN tot
+         |ORDER BY tau4""".stripMargin) { (s, d) =>
+      // Dedup threshold-sensitivity sweep: how much of the corpus does
+      // the near-dup filter remove at each Jaccard cutoff τ ∈ {0.60,
+      // 0.70, 0.80, 0.90}? Every arm is a FILTER over the one memoized
+      // exact pair relation (the q25 memo, already thresholded at the
+      // loosest arm τ=0.6 — tighter arms are subsets, so one pair pass
+      // serves all four), fanned out by a broadcast 4-row arm table.
+      // "Dropped" is the greedy keep-lowest rule: a doc leaves when it
+      // has ANY near-dup partner with a smaller id (distinct d2 side)
+      // — the same rule q28/q235's canonical election applies. The
+      // curve (pairs, dropped, kept vs τ) is what a curator reads to
+      // set the dedup knob: a cliff between two arms means the corpus
+      // has a near-dup mass right at that similarity — pick the side
+      // of the cliff that matches the contamination budget. Cost at
+      // any scale: one broadcast fan-out + two keyed aggs over an
+      // already-materialized pair table; never recomputes pairs.
+      val armDf = s.range(1).select(explode(array(
+        Seq(6000L, 7000L, 8000L, 9000L).map(lit): _*)).as("tau4"))
+      val ap = jaccardPairs(s, d).crossJoin(broadcast(armDf))
+        .filter(col("inter") * lit(10000L) >=
+          col("tau4") * (col("na") + col("nb") - col("inter")))
+        .select(col("tau4"), col("d1"), col("d2"))
+      val tot = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val pc = ap.groupBy(col("tau4")).agg(count(lit(1)).as("n_pairs"))
+      val dr = ap.groupBy(col("tau4"))
+        .agg(countDistinct(col("d2")).as("n_dropped"))
+      armDf.join(pc, Seq("tau4"), "left").join(dr, Seq("tau4"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("tau4"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_docs") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_kept"))
+        .orderBy(col("tau4"))
     }
   )
 }

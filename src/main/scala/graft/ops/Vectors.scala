@@ -1103,6 +1103,309 @@ object Vectors {
             expr("h * 1000 DIV 100").cast("long").as("recall_milli"))
       }
       armDfs.reduce(_ unionAll _).orderBy(col("dim"))
+    },
+
+    QueryDef(
+      "q245_cluster_balanced_sample",
+      "WITH " + lloydA2Sql + s""",
+         |pri AS (SELECT a2.vec_id, a2.j,
+         |    ${Text.h32Sql("CAST(a2.vec_id AS VARCHAR)")} AS pri
+         |  FROM a2),
+         |r AS (SELECT j, vec_id, pri, row_number() OVER (
+         |    PARTITION BY j ORDER BY pri, vec_id) AS rk FROM pri),
+         |tot AS (SELECT j, count(*) AS n_total FROM pri GROUP BY j),
+         |kept AS (SELECT j, count(*) AS n_kept,
+         |    CAST(sum(vec_id) AS BIGINT) AS kept_id_sum,
+         |    CAST(max(pri) AS BIGINT) AS max_kept_pri
+         |  FROM r WHERE rk <= 40 GROUP BY j)
+         |SELECT tot.j AS cluster, tot.n_total, kept.n_kept,
+         |  kept.kept_id_sum, kept.max_kept_pri
+         |FROM tot JOIN kept ON kept.j = tot.j
+         |ORDER BY cluster""".stripMargin) { (s, d) =>
+      // Cluster-balanced data selection: cap every LEARNED cluster of
+      // the embedding space at the same sample budget (here 40), so
+      // the selected training set is diverse by construction instead
+      // of mirroring the corpus's cluster skew — the curation pass
+      // behind cluster-balanced pretraining subsets (and the fix for
+      // "the crawl is 60% one mode"). Groups come from the trained
+      // exact-integer Lloyd assignment (the SAME memoized a2 the IVF
+      // index q116 and SemDeDup q122 ride — one clustering, three
+      // consumers), and the per-cluster draw is q85's min-wise hash
+      // rank: deterministic, seed-free, stable under re-partitioning
+      // and incremental appends. Scale shape: the rank is a
+      // WindowGroupLimit (top-40 per cluster held per-partition — no
+      // full sort of any cluster), the census is two keyed aggs off
+      // the same memo, and the join of the two 8-row summaries is
+      // trivially broadcast. Output: per-cluster census — total mass
+      // vs kept (= min(40, n)), the kept-id checksum, and the
+      // max kept hash (the cluster's effective sampling threshold,
+      // directly comparable across re-runs).
+      graft.cdc.GraftFunctions.register(s)
+      val pri = kmeansAssignments(s, d)
+        .select(col("vec_id"), col("j"),
+          graft.cdc.GraftFunctions.md5_h32(
+            col("vec_id").cast("string")).as("pri"))
+      val r = pri.withColumn("rk",
+        row_number().over(Window.partitionBy(col("j"))
+          .orderBy(col("pri"), col("vec_id"))))
+      val tot = pri.groupBy(col("j")).agg(count(lit(1)).as("n_total"))
+      val kept = r.filter(col("rk") <= 40)
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("kept_id_sum"),
+          max(col("pri")).as("max_kept_pri"))
+      tot.join(kept, "j")
+        .select(col("j").as("cluster"), col("n_total"), col("n_kept"),
+          col("kept_id_sum"), col("max_kept_pri"))
+        .orderBy(col("cluster"))
+    },
+
+    QueryDef(
+      "q246_ivf_nprobe_sweep",
+      "WITH " + lloydA2Sql + s""",
+         |qcd AS (SELECT d.vec_id AS qid, c.j,
+         |    sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |  FROM dims d JOIN c1 c ON c.i = d.i WHERE d.vec_id < 20
+         |  GROUP BY 1, 2),
+         |pall AS (SELECT qid, j, row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist, j) AS pr FROM qcd),
+         |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+         |pc AS (SELECT n.np, p.qid, p.j FROM nps n
+         |  JOIN pall p ON p.pr <= n.np),
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+         |        AS v FROM embeddings),
+         |nnv AS (SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM ed),
+         |qvv AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nnv
+         |        WHERE vec_id < 20),
+         |icand AS (SELECT pc.np, pc.qid, a.vec_id AS cid FROM pc
+         |  JOIN a2 a ON a.j = pc.j WHERE a.vec_id <> pc.qid),
+         |isc AS (SELECT i.np, i.qid, i.cid,
+         |    round(${dotSql("q.qv", "c.v")} /
+         |          (sqrt(q.qn) * sqrt(c.nrm)), 6) AS score
+         |  FROM icand i JOIN qvv q ON q.qid = i.qid
+         |  JOIN nnv c ON c.vec_id = i.cid),
+         |iT AS (SELECT np, qid, cid FROM (
+         |    SELECT np, qid, cid, row_number() OVER (
+         |      PARTITION BY np, qid ORDER BY score DESC, cid) AS ra
+         |    FROM isc) WHERE ra <= 10),
+         |exp AS (SELECT qid, c.vec_id AS cid,
+         |    round(${dotSql("qv", "c.v")} /
+         |          (sqrt(qn) * sqrt(c.nrm)), 6) AS score
+         |  FROM qvv JOIN nnv c ON c.vec_id <> qid),
+         |exT AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, cid) AS ra FROM exp) WHERE ra <= 10),
+         |hits AS (SELECT i.np, count(*) AS n_hits FROM iT i
+         |  JOIN exT e ON e.qid = i.qid AND e.cid = i.cid GROUP BY i.np),
+         |cost AS (SELECT np, count(*) AS n_cand FROM icand GROUP BY np)
+         |SELECT CAST(cost.np AS BIGINT) AS nprobe, cost.n_cand,
+         |  hits.n_hits,
+         |  CAST(hits.n_hits * 1000 // 200 AS BIGINT) AS recall_milli
+         |FROM cost JOIN hits ON hits.np = cost.np
+         |ORDER BY nprobe""".stripMargin) { (s, d) =>
+      // The nprobe TUNING TABLE — the cost/recall curve a deployment
+      // reads before turning the one knob a trained IVF index has:
+      // for nprobe ∈ {1, 2, 4, 8 = full coverage}, the candidate
+      // volume actually scanned (the cost) and recall@10 against the
+      // exact ranking (the quality), over the 20 audit queries. The
+      // sweep shares ONE corpus pass: probe lists for every arm ride
+      // a single broadcast (qid, j, np) relation (cells ranked
+      // map-side against the 8 trained-centroid literals, the q116
+      // machinery), so the corpus-side work is one equi-join of the
+      // memoized cell assignment against a ≤ 20·15-row broadcast —
+      // each corpus row fans out only to the arms that probe its
+      // cell. Ranking windows partition by (np, qid); the exact
+      // baseline is the documented bounded-broadcast audit arm. At
+      // 100 TB the same query runs with the audit-query sample and a
+      // production nprobe grid — cost scales with probed-cell
+      // occupancy × arms, never corpus².
+      val nn = prepared(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      val qv = nn.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val arms = kmeansCentroids(s, d).map { case (j, c) =>
+        struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
+          expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+          lit(j).as("j"))
+      }
+      val pall = quantized(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"),
+          posexplode(transform(array_sort(array(arms: _*)),
+            p => p.getField("j"))).as(Seq("pos", "j")))
+        .select(col("qid"), col("j"), (col("pos") + 1).as("pr"))
+      val nps = s.range(1)
+        .select(explode(array(lit(1), lit(2), lit(4), lit(8))).as("np"))
+      val pc = pall.crossJoin(broadcast(nps))
+        .filter(col("pr") <= col("np"))
+        .select(col("np"), col("qid"), col("j"))
+      val icand = nn.join(kmeansAssignments(s, d)
+          .select(col("vec_id"), col("j")), "vec_id")
+        .join(broadcast(pc), "j")
+        .filter(col("vec_id") =!= col("qid"))
+      val isc = icand.join(broadcast(qv), "qid")
+        .select(col("np"), col("qid"), col("vec_id").as("cid"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .tcache()
+      val wNp = Window.partitionBy(col("np"), col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val iT = isc.withColumn("ra", row_number().over(wNp))
+        .filter(col("ra") <= 10)
+        .select(col("np"), col("qid"), col("cid"))
+      val wEx = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val exT = nn.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(col("qn")) * sqrt(col("nrm"))), 6).as("score"))
+        .withColumn("ra", row_number().over(wEx))
+        .filter(col("ra") <= 10)
+        .select(col("qid").as("eq"), col("cid").as("ec"))
+      val hits = iT.join(exT,
+          col("qid") === col("eq") && col("cid") === col("ec"))
+        .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
+      val cost = isc.groupBy(col("np")).agg(count(lit(1)).as("n_cand"))
+      cost.join(hits, "np")
+        .select(col("np").cast("long").as("nprobe"), col("n_cand"),
+          col("n_hits"),
+          expr("n_hits * 1000 DIV 200").as("recall_milli"))
+        .orderBy(col("nprobe"))
+    },
+
+    QueryDef(
+      "q250_bitext_margin_mining",
+      s"""WITH $lloydA2Sql,
+         |ev AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |nv AS (SELECT vec_id, v, ${dotSql("v", "v")} AS nrm FROM ev),
+         |mm AS (SELECT nv.vec_id, doc.lang, a2.j, nv.v, nv.nrm
+         |  FROM nv JOIN a2 ON a2.vec_id = nv.vec_id
+         |  JOIN documents doc ON doc.doc_id = nv.vec_id),
+         |p AS (SELECT x.vec_id AS src_id, x.lang, y.vec_id AS tgt_id,
+         |    round(${dotSql("x.v", "y.v")} / (sqrt(x.nrm) * sqrt(y.nrm)), 6)
+         |      AS score
+         |  FROM mm x JOIN mm y ON y.j = x.j
+         |  WHERE x.lang <> 'en' AND y.lang = 'en'),
+         |f AS (SELECT src_id, lang, tgt_id, score, row_number() OVER (
+         |    PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rf
+         |  FROM p),
+         |b AS (SELECT src_id, tgt_id, row_number() OVER (
+         |    PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rb
+         |  FROM p)
+         |SELECT f1.src_id, f1.lang, f1.tgt_id, f1.score,
+         |  round(f1.score - f2.score, 6) AS margin
+         |FROM f f1
+         |JOIN b ON b.src_id = f1.src_id AND b.tgt_id = f1.tgt_id
+         |      AND b.rb = 1
+         |LEFT JOIN f f2 ON f2.src_id = f1.src_id AND f2.rf = 2
+         |WHERE f1.rf = 1
+         |ORDER BY f1.src_id""".stripMargin) { (s, d) =>
+      // Bitext mining — the cross-lingual pairing pass a multilingual
+      // pretraining pipeline runs to harvest parallel text (the
+      // CCMatrix/LASER recipe): pair every non-English doc with its
+      // MUTUAL nearest English neighbor in embedding space, and report
+      // the margin to the runner-up (the confidence a miner thresholds
+      // on — a best match barely above its second-best is noise).
+      // Candidates come from the trained-IVF cell equi-join (the SAME
+      // memoized Lloyd assignment q116/q122/q245 ride): x pairs only
+      // with English docs in its own cell, so pair volume follows cell
+      // occupancy, never |non-en|×|en|. Mutuality = rank-1 in BOTH
+      // directions over the same cell-restricted pair relation (two
+      // per-doc WindowGroupLimit tops, no extra corpus pass); margin =
+      // rank-1 minus rank-2 forward score, NULL when the cell offers a
+      // single candidate. Scores are the suite's rounded-double cosine
+      // so both engines rank identically. At 100 TB: one equi-join on
+      // the cell key + per-doc windows — the exact same shape CCMatrix
+      // runs with FAISS shards standing in for the cell join.
+      val langs = documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val mm = prepared(s, d).select(col("vec_id"), col("v"), col("nrm"))
+        .join(kmeansAssignments(s, d), "vec_id")
+        .join(langs, "vec_id")
+      val xs = mm.filter(col("lang") =!= "en")
+        .select(col("vec_id").as("src_id"), col("lang"), col("j"),
+          col("v").as("xv"), col("nrm").as("xn"))
+      val ys = mm.filter(col("lang") === "en")
+        .select(col("vec_id").as("tgt_id"), col("j"),
+          col("v").as("yv"), col("nrm").as("yn"))
+      val p = xs.join(ys, "j")
+        .select(col("src_id"), col("lang"), col("tgt_id"),
+          round(dot(col("xv"), col("yv")) /
+            (sqrt(col("xn")) * sqrt(col("yn"))), 6).as("score"))
+        .tcache()
+      val wF = Window.partitionBy(col("src_id"))
+        .orderBy(col("score").desc, col("tgt_id"))
+      val wB = Window.partitionBy(col("tgt_id"))
+        .orderBy(col("score").desc, col("src_id"))
+      val f = p.withColumn("rf", row_number().over(wF))
+      val b = p.withColumn("rb", row_number().over(wB))
+        .filter(col("rb") === 1)
+        .select(col("src_id").as("bs"), col("tgt_id").as("bt"))
+      val f2 = f.filter(col("rf") === 2)
+        .select(col("src_id"), col("score").as("s2"))
+      f.filter(col("rf") === 1)
+        .join(b, col("src_id") === col("bs") &&
+          col("tgt_id") === col("bt"))
+        .join(f2, Seq("src_id"), "left")
+        .select(col("src_id"), col("lang"), col("tgt_id"), col("score"),
+          round(col("score") - col("s2"), 6).as("margin"))
+        .orderBy(col("src_id"))
+    },
+
+    QueryDef(
+      "q251_cluster_silhouette",
+      s"""WITH $lloydA2Sql,
+         |r AS (SELECT vec_id, j, dist, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d2),
+         |sil AS (SELECT o.vec_id, o.j,
+         |    CASE WHEN greatest(o.dist, t.dist) = 0 THEN 0
+         |         ELSE (t.dist - o.dist) * 1000 // greatest(o.dist, t.dist)
+         |    END AS sm
+         |  FROM r o JOIN r t ON t.vec_id = o.vec_id AND t.rn = 2
+         |  WHERE o.rn = 1)
+         |SELECT j AS cluster, count(*) AS n_vectors,
+         |  CAST(sum(sm) // count(*) AS BIGINT) AS avg_sil_milli,
+         |  CAST(min(sm) AS BIGINT) AS min_sil_milli,
+         |  CAST(max(sm) AS BIGINT) AS max_sil_milli
+         |FROM sil GROUP BY j ORDER BY cluster""".stripMargin) { (s, d) =>
+      // Clustering-quality audit — the simplified (centroid-based)
+      // silhouette a pipeline reads before trusting the trained
+      // clusters for balanced sampling (q245) or IVF search (q116):
+      // per vector, s = (d_other − d_own)·1000 / max(d_own, d_other)
+      // where d_own is the exact-integer L2 to its OWN trained
+      // centroid and d_other the nearest FOREIGN centroid. Assignment
+      // is argmin, so d_own ≤ d_other and s ∈ [0, 1000] — all-integer
+      // ratios, no sqrt, engine-identical (and DIV ≡ // on the
+      // non-negative operands). The whole audit is map-side: the 8
+      // trained centroids are LITERALS (the q115 recipe), each vector
+      // sorts its 8 (dist, j) arms in-row — first arm IS its trained
+      // assignment (same lexicographic tie-break as the Lloyd memo),
+      // second arm is the nearest rival — then one keyed rollup to 8
+      // cluster rows. At 100 TB: one scan, one tiny agg; the oracle's
+      // d2 all-pairs CTE is the same arithmetic stated relationally.
+      val arms = kmeansCentroids(s, d).map { case (j, c) =>
+        struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
+          expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+          lit(j).as("j"))
+      }
+      quantized(s, d)
+        .select(array_sort(array(arms: _*)).as("ds"))
+        .select(col("ds")(0).getField("j").as("cluster"),
+          col("ds")(0).getField("dist").as("d_own"),
+          col("ds")(1).getField("dist").as("d_oth"))
+        .select(col("cluster"),
+          when(greatest(col("d_own"), col("d_oth")) === 0, lit(0L))
+            .otherwise(expr(
+              "(d_oth - d_own) * 1000 DIV greatest(d_own, d_oth)"))
+            .as("sm"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"),
+          expr("sum(sm) DIV count(*)").as("avg_sil_milli"),
+          min(col("sm")).as("min_sil_milli"),
+          max(col("sm")).as("max_sil_milli"))
+        .orderBy(col("cluster"))
     }
   )
 

@@ -121,6 +121,8 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-doc bigram types: at most one row per adjacent-pair
     // occurrence (token-linear)
     assert(Text.docBigrams(spark, sfDir).count() <= totalToks)
+    // per-doc LM fluency (q142/q244): exactly one row per scored doc
+    assert(Mining.docFluency(spark, sfDir).count() <= nDocs)
     // TextRank vocab graph: undirected bigram types over kept tokens;
     // the prepared directed view is exactly 2 rows per edge
     assert(Signals.textrankEdges(spark, sfDir).count() <= totalToks)

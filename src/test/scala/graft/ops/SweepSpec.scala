@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-11 tuning-sweep queries at
+  * sf0.001 — the properties that make each sweep a trustworthy
+  * tuning table rather than four unrelated numbers:
+  *
+  * - q247 (LSH band sweep): collision probability ≈ J^r is monotone
+  *   DECREASING in rows-per-band r, so both the candidate volume and
+  *   the hit count must be non-increasing as r grows — and the r=2
+  *   arm's candidate set must contain every (8×2)-banded q26-style
+  *   pair (it IS the q26 banding, keyed identically).
+  * - q248 (vocab growth): cum_types is the running sum of new_types
+  *   (exactly — triangle join vs a driver-side prefix sum), the
+  *   final cumulative equals the corpus's distinct token-type count,
+  *   and doc mass sums to the corpus doc count.
+  * - q249 (threshold sweep): tighter τ keeps a superset of docs —
+  *   n_pairs and n_dropped non-increasing in τ, n_kept
+  *   non-decreasing, and the τ=0.60 arm's pair count equals the q25
+  *   exact pair relation's row count (same memo, loosest filter).
+  */
+class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sweep-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir).collect()
+
+  test("q247: cost and recall are monotone non-increasing in r") {
+    val rows = run("q247_lsh_band_sweep").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    val cand = rows.map(_.getLong(2))
+    val hit = rows.map(_.getLong(3))
+    assert(cand.zip(cand.tail).forall { case (a, b) => a >= b },
+      s"candidate volume must fall as r grows: ${cand.toSeq}")
+    assert(hit.zip(hit.tail).forall { case (a, b) => a >= b },
+      s"hits must fall as r grows: ${hit.toSeq}")
+    // every arm's hits are bounded by the ground-truth pair count
+    val nTrue = rows.head.getLong(4)
+    assert(rows.forall(r => r.getLong(3) <= nTrue))
+  }
+
+  test("q248: cumulative types is the exact running sum; totals close") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q248_vocab_growth").sortBy(_.getLong(0))
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getLong(3)
+      assert(r.getLong(4) == acc,
+        s"bucket ${r.getLong(0)}: cum_types ${r.getLong(4)} != running sum $acc")
+    }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val nTypes = Text.docTermFreq(spark, sfDir)
+      .select(col("tok")).distinct().count()
+    assert(acc == nTypes,
+      s"final cumulative $acc != corpus distinct types $nTypes")
+  }
+
+  test("q249: tighter tau drops less; loosest arm equals the q25 memo") {
+    val rows = run("q249_dedup_threshold_sweep").sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(6000L, 7000L, 8000L, 9000L))
+    val pairs = rows.map(_.getLong(1))
+    val dropped = rows.map(_.getLong(2))
+    val kept = rows.map(_.getLong(3))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(dropped.zip(dropped.tail).forall { case (a, b) => a >= b })
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+    // τ=0.60 is exactly the memoized exact-Jaccard pair relation
+    assert(pairs.head == Text.jaccardPairs(spark, sfDir).count())
+  }
+
+  test("q250: mutual pairs are unique per src, non-en only, margin >= 0") {
+    val rows = run("q250_bitext_margin_mining")
+    val srcs = rows.map(_.getLong(0))
+    assert(srcs.distinct.length == srcs.length,
+      "rank-1 forward match must yield at most one pair per source doc")
+    assert(rows.forall(_.getString(1) != "en"))
+    // margin = best − runner-up forward score: non-negative when present
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getDouble(4) >= 0.0, s"negative margin in $r")
+    }
+    // cosine of unit-ish vectors stays in [-1, 1]
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("q251: silhouette bounded in [0, 1000]; counts close over the corpus") {
+    val rows = run("q251_cluster_silhouette")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000L)
+      assert(r.getLong(3) >= 0L && r.getLong(4) <= 1000L)
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
+        s"min <= avg <= max violated in $r")
+    }
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nVec,
+      "every vector belongs to exactly one audited cluster")
+  }
+
+  test("q252: agreement bounded in [0, 1000]; sum_d2 consistent with it") {
+    val rows = run("q252_signal_rank_corr")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s2, a) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a >= 0L && a <= 1000L, s"agree_milli out of range in $r")
+      assert(n >= 2L)
+      val den = BigInt(n) * n * n - n
+      assert(BigInt(s2) * 3 <= den, "rho >= -1 bound violated")
+      assert((den - 3 * BigInt(s2)) * 1000 / den == BigInt(a),
+        "reported agreement must equal the exact rational")
+    }
+  }
+}
