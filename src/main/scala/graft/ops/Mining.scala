@@ -1442,6 +1442,156 @@ object Mining {
             " * 1000 DIV (CAST(n AS DECIMAL(38,0)) * n * n - n)")
             .as("spearman_agree_milli"))
         .orderBy(col("lang"))
+    },
+
+    QueryDef(
+      "q253_distinct_ngram_diversity",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |tots AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS t1,
+         |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS t2,
+         |    CAST(sum(greatest(len(toks) - 2, 0)) AS BIGINT) AS t3
+         |  FROM t GROUP BY source),
+         |u1 AS (SELECT source, count(*) AS d1 FROM (
+         |    SELECT DISTINCT source, tok FROM (
+         |      SELECT source, unnest(toks) AS tok FROM t)) GROUP BY source),
+         |u2 AS (SELECT source, count(*) AS d2 FROM (
+         |    SELECT DISTINCT source, toks[i] AS a, toks[i+1] AS b
+         |    FROM t, UNNEST(range(1, len(toks))) AS v(i)
+         |    WHERE len(toks) >= 2) GROUP BY source),
+         |u3 AS (SELECT source, count(*) AS d3 FROM (
+         |    SELECT DISTINCT source, toks[i] AS a, toks[i+1] AS b,
+         |      toks[i+2] AS c
+         |    FROM t, UNNEST(range(1, len(toks) - 1)) AS v(i)
+         |    WHERE len(toks) >= 3) GROUP BY source)
+         |SELECT tots.source, tots.n_docs, tots.t1 AS tot_tokens,
+         |  CAST(u1.d1 * 1000000 // nullif(tots.t1, 0) AS BIGINT)
+         |    AS uniq1_ppm,
+         |  CAST(u2.d2 * 1000000 // nullif(tots.t2, 0) AS BIGINT)
+         |    AS uniq2_ppm,
+         |  CAST(u3.d3 * 1000000 // nullif(tots.t3, 0) AS BIGINT)
+         |    AS uniq3_ppm
+         |FROM tots JOIN u1 ON u1.source = tots.source
+         |JOIN u2 ON u2.source = tots.source
+         |JOIN u3 ON u3.source = tots.source
+         |ORDER BY tots.source""".stripMargin) { (s, d) =>
+      // Distinct-n diversity census — the self-repetition metric run
+      // on scraped or model-generated corpora before admitting a
+      // source (low distinct-2/3 ratios = template spam or decoding
+      // collapse; the corpus-side cousin of Self-BLEU). Per source:
+      // distinct n-gram TYPES over n-gram OCCURRENCES for n = 1..3,
+      // in exact ppm. The unigram and bigram arms fold off the
+      // memoized [[Text.docTermFreq]]/[[Text.docBigrams]] indexes
+      // (per-doc types — re-deduped per source, never re-exploding
+      // the occurrence stream); the trigram arm dedups map-side
+      // in-array before its one exploded distinct. Totals are
+      // closed-form per doc (len, len-1, len-2), so the census adds
+      // one keyed rollup + three distinct-counts, all shuffling
+      // (source, gram) keys only. At 100 TB: distinct-count of
+      // (source, gram) is the same shuffle a groupBy pays — bounded
+      // by gram-type count, Zipf-capped, never occurrence volume.
+      val base = Text.withToks(s, d)
+      val tots = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("t1"),
+          sum(greatest(size(col("toks")) - 1, lit(0)).cast("long"))
+            .as("t2"),
+          sum(greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+            .as("t3"))
+      val srcOf = base.select(col("doc_id"), col("source"))
+      val u1 = Text.docTermFreq(s, d).join(srcOf, "doc_id")
+        .select(col("source"), col("tok")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("d1"))
+      val u2 = Text.docBigrams(s, d).join(srcOf, "doc_id")
+        .select(col("source"), col("t1"), col("t2")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("d2"))
+      val u3 = base.filter(size(col("toks")) >= 3)
+        .select(col("source"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3)," +
+            " i -> struct(toks[i] AS a, toks[i+1] AS b, toks[i+2] AS c))")))
+          .as("g"))
+        .select(col("source"), col("g.a"), col("g.b"), col("g.c"))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("d3"))
+      tots.join(u1, "source").join(u2, "source").join(u3, "source")
+        .select(col("source"), col("n_docs"), col("t1").as("tot_tokens"),
+          expr("d1 * 1000000 DIV nullif(t1, 0)").as("uniq1_ppm"),
+          expr("d2 * 1000000 DIV nullif(t2, 0)").as("uniq2_ppm"),
+          expr("d3 * 1000000 DIV nullif(t3, 0)").as("uniq3_ppm"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef(
+      "q254_epoch_budget_plan",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len($toksSql) AS nt FROM documents),
+         |${Text.qualityScoresSql},
+         |src AS (SELECT t.source, count(*) AS n_docs,
+         |    CAST(sum(t.nt) AS BIGINT) AS mass,
+         |    CAST(sum(qu.q) // count(*) AS BIGINT) AS q_avg
+         |  FROM t JOIN qual qu ON qu.doc_id = t.doc_id
+         |  GROUP BY t.source),
+         |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS m_total FROM src),
+         |pre AS (SELECT a.source, a.mass, a.q_avg,
+         |    coalesce(CAST(sum(3 * b.mass) AS BIGINT), 0) AS p_prev,
+         |    count(b.source) AS n_better
+         |  FROM src a LEFT JOIN src b
+         |    ON b.q_avg > a.q_avg
+         |    OR (b.q_avg = a.q_avg AND b.source < a.source)
+         |  GROUP BY a.source, a.mass, a.q_avg)
+         |SELECT p.source, CAST(p.n_better + 1 AS BIGINT) AS rnk,
+         |  p.q_avg AS quality_avg, p.mass AS mass_tokens,
+         |  CAST(1 + least(3 * p.mass,
+         |    greatest(0, t.m_total - p.p_prev)) // p.mass AS BIGINT)
+         |    AS epochs,
+         |  CAST(p.mass * (1 + least(3 * p.mass,
+         |    greatest(0, t.m_total - p.p_prev)) // p.mass) AS BIGINT)
+         |    AS planned_tokens
+         |FROM pre p, tot t ORDER BY p.source""".stripMargin) { (s, d) =>
+      // Data-constrained epoch planning — the repeat-budget allocation
+      // a pipeline computes when the token budget exceeds the fresh
+      // corpus (train B = 2·M tokens on M tokens of data): every
+      // source trains at least one epoch, and the extra-epoch pool
+      // (R = B − M = M) goes greedily to the highest-quality sources
+      // first, capped at 4 total epochs each (the empirical
+      // diminishing-returns knee for data repetition). The greedy is
+      // CLOSED-FORM, not a loop: rank sources by (avg q22 quality,
+      // name), prefix-sum the 3·mass extra-epoch demand above each
+      // source via the broadcast-triangle join (the q228 shape — the
+      // source relation is a corpus rollup of bounded cardinality, so
+      // the triangle is a broadcast, never a window over a global
+      // sort), and each source's grant is
+      // clamp(R − demand_above, 0, 3·mass) — whole epochs only,
+      // remainders are not reallocated (stated, deterministic).
+      // All integer; both engines state the identical arithmetic.
+      val qual = Text.qualityScores(s, d)
+      val src = Text.withToks(s, d)
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("nt"))
+        .join(qual, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("mass"),
+          expr("sum(q) DIV count(*)").as("q_avg"))
+        .tcache()
+      val tot = src.agg(sum(col("mass")).as("m_total"))
+      val better = src.select(col("source").as("bs"),
+        col("q_avg").as("bq"), col("mass").as("bm"))
+      src.join(broadcast(better),
+          col("bq") > col("q_avg") ||
+            (col("bq") === col("q_avg") && col("bs") < col("source")),
+          "left")
+        .groupBy(col("source"), col("mass"), col("q_avg"))
+        .agg(coalesce(sum(col("bm") * 3), lit(0L)).as("p_prev"),
+          count(col("bs")).as("n_better"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), (col("n_better") + 1).as("rnk"),
+          col("q_avg").as("quality_avg"), col("mass").as("mass_tokens"),
+          expr("1 + least(3 * mass, greatest(0, m_total - p_prev))" +
+            " DIV mass").as("epochs"),
+          expr("mass * (1 + least(3 * mass," +
+            " greatest(0, m_total - p_prev)) DIV mass)")
+            .as("planned_tokens"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -36,7 +36,9 @@ object Prewarm {
     Text.withToks(s, d).count()
     val rest = Seq(
       Future { Text.docTermFreq(s, d).count(); () },
-      Future { Text.docBigrams(s, d).count(); () },
+      // fluency chains off the bigram memo (q142/q244/q252 share it)
+      Future { Text.docBigrams(s, d).count()
+        Mining.docFluency(s, d).count(); () },
       Future { Signals.textrankPrepared(s, d).count(); () },
       Future {
         Text.shingleHashes(s, d).count()
@@ -73,6 +75,7 @@ object Prewarm {
       t("toks") { Text.withToks(s, d).count() },
       t("tf") { Text.docTermFreq(s, d).count() },
       t("bigrams") { Text.docBigrams(s, d).count() },
+      t("fluency") { Mining.docFluency(s, d).count() },
       t("trgraph") { Signals.textrankPrepared(s, d).count() },
       t("shingles") { Text.shingleHashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },

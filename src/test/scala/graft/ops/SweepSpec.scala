@@ -127,4 +127,40 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
         "reported agreement must equal the exact rational")
     }
   }
+
+  test("q253: ratios bounded in (0, 1e6]; doc and token totals close") {
+    val rows = run("q253_distinct_ngram_diversity")
+    rows.foreach { r =>
+      Seq(3, 4, 5).foreach { i =>
+        assert(r.getLong(i) > 0L && r.getLong(i) <= 1000000L,
+          s"distinct-n ppm out of range in $r")
+      }
+    }
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+    import org.apache.spark.sql.functions._
+    val toks = Text.withToks(spark, sfDir)
+      .agg(sum(size(col("toks")).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == toks,
+      "per-source token mass must sum to the corpus total")
+  }
+
+  test("q254: epochs in [1,4], non-increasing in rank, budget respected") {
+    val rows = run("q254_epoch_budget_plan")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 4L)
+      assert(r.getLong(5) == r.getLong(4) * r.getLong(3),
+        "planned tokens must equal epochs x mass")
+    }
+    // greedy by quality: a better-ranked source never trains fewer
+    // epochs than a worse-ranked one (one partial source at the
+    // budget frontier, 3-epoch extras above it, zero below)
+    val byRank = rows.sortBy(_.getLong(1)).map(_.getLong(4))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      s"epochs must be non-increasing in quality rank: ${byRank.toSeq}")
+    val mass = rows.map(_.getLong(3)).sum
+    val planned = rows.map(_.getLong(5)).sum
+    assert(planned >= mass && planned <= 2 * mass,
+      "plan must spend at least one epoch of everything, at most B = 2M")
+  }
 }
