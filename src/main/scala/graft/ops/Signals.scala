@@ -1421,5 +1421,91 @@ object Signals {
           col("nl").cast("long").as("n_late"),
           col("tv_milli"), col("drift_bin"))
         .orderBy(col("tv_milli").desc, col("event_type"))
+    },
+
+    // ---- q255: two-sample KS distribution-shift audit -------------
+    // The classical Kolmogorov–Smirnov statistic beside the TV-drift
+    // family (q238 bins values first; KS needs no binning choice):
+    // for each source, sup |F_source(x) − F_rest(x)| over the
+    // doc-length distribution vs the REST of the corpus — the
+    // leave-one-out screen for a source whose length profile diverges
+    // from the pool it's mixed into. Exact integers end-to-end: the
+    // sup of step-function CDFs is attained at a jump point, so
+    // evaluating on the grid of ALL distinct lengths × sources is the
+    // exact statistic, and the comparison cross-multiplies
+    // |cum_s·n_rest − cum_rest·n_s| in DECIMAL(38,0)/HUGEINT so the
+    // N² product never overflows int64 at corpus scale. Both CDFs
+    // ride ONE per-source cumulative window over the (source, len)
+    // histogram grid (corpus cum joins per len, then cumulates in the
+    // same partitioned window — no unpartitioned window anywhere).
+    // Grid size = #sources × #distinct lengths — histogram-sized,
+    // bounded by the length domain, never doc volume. 100 TB: the
+    // histogram is one keyed agg; everything after runs on it.
+    QueryDef(
+      "q255_ks_length_drift",
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(${Text.toksSql}) AS BIGINT) AS len FROM documents),
+         |h AS (SELECT source, len, count(*) AS c FROM t
+         |      GROUP BY source, len),
+         |lens AS (SELECT DISTINCT len FROM h),
+         |srcs AS (SELECT DISTINCT source FROM h),
+         |callt AS (SELECT len, CAST(sum(c) AS BIGINT) AS call FROM h
+         |          GROUP BY len),
+         |g AS (SELECT s.source, l.len, coalesce(h.c, 0) AS cs,
+         |    callt.call
+         |  FROM lens l CROSS JOIN srcs s
+         |  LEFT JOIN h ON h.source = s.source AND h.len = l.len
+         |  JOIN callt ON callt.len = l.len),
+         |cum AS (SELECT source, len,
+         |    sum(cs) OVER (PARTITION BY source ORDER BY len
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_s,
+         |    sum(call) OVER (PARTITION BY source ORDER BY len
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_all
+         |  FROM g),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM h
+         |        GROUP BY source),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM h),
+         |dd AS (SELECT c.source, t2.ns, (n.nn - t2.ns) AS nr,
+         |    abs(CAST(c.cum_s AS HUGEINT) * (n.nn - t2.ns)
+         |      - CAST(c.cum_all - c.cum_s AS HUGEINT) * t2.ns) AS diff
+         |  FROM cum c JOIN tot t2 ON t2.source = c.source, nt n
+         |  WHERE t2.ns > 0 AND n.nn > t2.ns)
+         |SELECT source, ns AS n_docs,
+         |  CAST(max(diff) * 1000000 // (CAST(ns AS HUGEINT) * nr)
+         |    AS BIGINT) AS ks_ppm
+         |FROM dd GROUP BY source, ns, nr
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val h = Text.withToks(s, d)
+        .select(col("source"), size(col("toks")).cast("long").as("len"))
+        .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+        .tcache()
+      val lens = h.select(col("len")).distinct()
+      val srcs = h.select(col("source")).distinct()
+      val call = h.groupBy(col("len")).agg(sum(col("c")).as("call"))
+      val g = lens.crossJoin(broadcast(srcs))
+        .join(h, Seq("source", "len"), "left")
+        .join(call, Seq("len"))
+        .select(col("source"), col("len"),
+          coalesce(col("c"), lit(0L)).as("cs"), col("call"))
+      val wc = Window.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g.select(col("source"), col("len"),
+        sum(col("cs")).over(wc).as("cum_s"),
+        sum(col("call")).over(wc).as("cum_all"))
+      val tot = h.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val nt = h.agg(sum(col("c")).as("nn"))
+      cum.join(broadcast(tot), "source").crossJoin(broadcast(nt))
+        .filter(col("ns") > 0 && col("nn") > col("ns"))
+        .select(col("source"), col("ns"), (col("nn") - col("ns")).as("nr"),
+          abs(expr("CAST(cum_s AS DECIMAL(38,0)) * (nn - ns)" +
+            " - CAST(cum_all - cum_s AS DECIMAL(38,0)) * ns")).as("diff"))
+        .groupBy(col("source"), col("ns"), col("nr"))
+        .agg(max(col("diff")).as("mx"))
+        .select(col("source"), col("ns").as("n_docs"),
+          expr("CAST(mx * 1000000 DIV (CAST(ns AS DECIMAL(38,0)) * nr)" +
+            " AS BIGINT)").as("ks_ppm"))
+        .orderBy(col("source"))
     })
 }

@@ -85,6 +85,18 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-side cross join in the q191 plan:\n$p")
   }
 
+  test("q250: bitext candidates come from the cell equi-join, rank group-limited") {
+    // the mining pass must pair languages through the trained-IVF
+    // cell key (equi-join), never an all-pairs scan, and both
+    // direction tops must prune through WindowGroupLimit
+    val p = plan("q250_bitext_margin_mining")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"all-pairs join in the q250 plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"mutual-NN rank must prune through WindowGroupLimit:\n$p")
+  }
+
   test("q230: ranking metrics broadcast the query side, rank via group-limit") {
     val p = plan("q230_ranking_metrics")
     assert(p.contains("BroadcastHashJoin") ||

@@ -163,4 +163,30 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned >= mass && planned <= 2 * mass,
       "plan must spend at least one epoch of everything, at most B = 2M")
   }
+
+  test("q255: KS statistic matches a driver-side brute force exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q255_ks_length_drift")
+    rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L))
+    // brute force: collect every (source, len), replay sup |F−G| in BigInt
+    val lens = Text.withToks(spark, sfDir)
+      .select(col("source"), size(col("toks")).cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = lens.map(_._2).sorted
+    val bySrc = lens.groupBy(_._1)
+    val grid = all.distinct
+    rows.foreach { r =>
+      val (src, n, got) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val mine = bySrc(src).map(_._2).sorted
+      assert(mine.length == n)
+      val nr = all.length - mine.length
+      val sup = grid.map { x =>
+        val cs = BigInt(mine.count(_ <= x))
+        val cr = BigInt(all.count(_ <= x)) - cs
+        (cs * nr - cr * mine.length).abs
+      }.max
+      assert(sup * 1000000 / (BigInt(mine.length) * nr) == BigInt(got),
+        s"KS mismatch for $src")
+    }
+  }
 }
