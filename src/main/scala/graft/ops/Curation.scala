@@ -66,7 +66,8 @@ object Curation {
   private[ops] val bpeSeqCol: Column =
     expr("filter(split(s, '\\\\|'), x -> x != '')")
 
-  private[ops] def bpeMergeRounds(df0: DataFrame, rounds: Int)
+  private[ops] def bpeMergeRounds(df0: DataFrame, rounds: Int,
+      finalTransient: Boolean = true)
       : (DataFrame, Seq[(Int, String, Long, Long)]) = {
     def pairCounts(cur: DataFrame): DataFrame =
       cur.select(bpeSeqCol.as("seq"), col("cnt"))
@@ -86,8 +87,13 @@ object Curation {
       // so inlining them into the literal replace is injection-safe
       val pat = "|" + pair.replace(" ", "|") + "|"
       val rep = "|" + pair.replace(" ", "") + "|"
-      val next = cur.withColumn("s", expr(
-        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')")).tcache()
+      val nextRaw = cur.withColumn("s", expr(
+        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
+      // the final round may be a session memo (q153 + q159 share it),
+      // which must survive the per-query transient-cache drop
+      val next =
+        if (r == rounds && !finalTransient) nextRaw.cache()
+        else nextRaw.tcache()
       val toks = next.select(sum(col("cnt") * size(bpeSeqCol)))
         .collect()(0).getLong(0)
       cur.unpersist()
@@ -96,6 +102,31 @@ object Curation {
     }
     (cur, picks)
   }
+
+  /** Lang-carrying BPE state after the 3 learned merges — ONE
+    * training run shared by q153 (reports the picks) and q159 (the
+    * per-lang fertility census). Sound because the argmax picks are
+    * corpus-GLOBAL and invariant to the lang split: pair counts
+    * aggregate over all rows either way, so the merge sequence — and
+    * q153's (pair, count, corpus_toks) rows — are identical whether
+    * the word-count relation carries lang or not (q159's long-standing
+    * premise, now the sharing contract). Memo rows: one per
+    * (lang, word) — vocab-bounded, ScalingSpec-pinned; the final
+    * relation is a SESSION cache (not a transient), so it survives
+    * the per-query cache drop that scopes ordinary query state. */
+  private val bpeCache =
+    new Tables.StatMemo[(DataFrame, Seq[(Int, String, Long, Long)])]()
+
+  private[ops] def bpeSharedMerges(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, Long, Long)]) =
+    bpeCache.getOrElseUpdate((s, d)) {
+      val base = Text.docTermFreq(s, d)
+        .groupBy(col("lang"), col("tok").as("word"))
+        .agg(sum(col("tf")).as("cnt"))
+        .select(col("lang"), concat(lit("|"),
+          regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
+      bpeMergeRounds(base, 3, finalTransient = false)
+    }
 
   private def zvalSql(div: String): String =
     (0 until 8).map(i =>
@@ -520,15 +551,12 @@ object Curation {
          |    CAST((SELECT toks FROM t3) AS BIGINT) FROM m3)
          |ORDER BY round""".stripMargin) { (s, d) =>
       import s.implicits._
-      // word counts fold out of the memoized (doc, tok, tf) term
-      // index — sum(tf) by token — instead of re-exploding the
-      // occurrence stream per query
-      val base = Text.docTermFreq(s, d)
-        .groupBy(col("tok").as("word")).agg(sum(col("tf")).as("cnt"))
-        .select(concat(lit("|"),
-          regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
-      val (merged, rows) = bpeMergeRounds(base, 3)
-      merged.unpersist()
+      // the picks come off the SHARED lang-carrying training memo
+      // (see [[bpeSharedMerges]]): pair counts and token totals
+      // aggregate over the lang split to the same global values, so
+      // these rows are bit-identical to a lang-free training run —
+      // and q159's fertility census rides the same single run
+      val (_, rows) = bpeSharedMerges(s, d)
       rows.toDF("round", "pair", "pair_count", "corpus_toks")
         .select(col("round").cast("int").as("round"), col("pair"),
           col("pair_count"), col("corpus_toks"))
@@ -842,20 +870,12 @@ object Curation {
            |  FROM s3)
            |GROUP BY lang ORDER BY lang""".stripMargin
       }) { (s, d) =>
-      // (lang, word) counts off the memoized term index — lang rides
-      // along functionally dependent on doc_id, so sum(tf) by
-      // (lang, tok) is the exact per-snapshot word count with no
-      // corpus re-explode
-      val base = Text.docTermFreq(s, d)
-        .groupBy(col("lang"), col("tok").as("word"))
-        .agg(sum(col("tf")).as("cnt"))
-        .select(col("lang"), concat(lit("|"),
-          regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
-      // the final merged relation stays cached (vocab-bounded, tiny)
-      // so the returned plan reads it directly; its lineage embeds the
-      // already-collected merge literals, so even a recompute after
-      // eviction is deterministic with no further driver probes
-      val (merged, _) = bpeMergeRounds(base, 3)
+      // the merged relation comes off the SHARED training memo
+      // ([[bpeSharedMerges]] — one run serves q153's picks and this
+      // census); its lineage embeds the already-collected merge
+      // literals, so even a recompute after eviction is deterministic
+      // with no further driver probes
+      val (merged, _) = bpeSharedMerges(s, d)
       merged.groupBy(col("lang"))
         .agg(sum(col("cnt")).as("words"),
           sum(col("cnt") * size(bpeSeqCol)).as("pieces"))

@@ -35,7 +35,9 @@ object Prewarm {
     val vectors = Future { Vectors.prewarmMemos(s, d) }
     Text.withToks(s, d).count()
     val rest = Seq(
-      Future { Text.docTermFreq(s, d).count(); () },
+      // BPE training chains off the term index (q153/q159 share it)
+      Future { Text.docTermFreq(s, d).count()
+        Curation.bpeSharedMerges(s, d)._1.count(); () },
       // fluency chains off the bigram memo (q142/q244/q252 share it)
       Future { Text.docBigrams(s, d).count()
         Mining.docFluency(s, d).count(); () },
@@ -76,6 +78,7 @@ object Prewarm {
       t("tf") { Text.docTermFreq(s, d).count() },
       t("bigrams") { Text.docBigrams(s, d).count() },
       t("fluency") { Mining.docFluency(s, d).count() },
+      t("bpe") { Curation.bpeSharedMerges(s, d)._1.count() },
       t("trgraph") { Signals.textrankPrepared(s, d).count() },
       t("shingles") { Text.shingleHashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },

@@ -123,6 +123,9 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Text.docBigrams(spark, sfDir).count() <= totalToks)
     // per-doc LM fluency (q142/q244): exactly one row per scored doc
     assert(Mining.docFluency(spark, sfDir).count() <= nDocs)
+    // shared BPE training state (q153/q159): one row per (lang, word)
+    assert(Curation.bpeSharedMerges(spark, sfDir)._1.count() <=
+      Text.docTermFreq(spark, sfDir).count())
     // TextRank vocab graph: undirected bigram types over kept tokens;
     // the prepared directed view is exactly 2 rows per edge
     assert(Signals.textrankEdges(spark, sfDir).count() <= totalToks)
