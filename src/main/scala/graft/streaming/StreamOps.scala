@@ -698,6 +698,64 @@ object StreamOps {
       .write.mode("append").parquet(reportDir)
   }
 
+  /** foreachBatch KS probe — q255's live form: each micro-batch of
+    * `(source, len)` arrivals is scored against a STORED reference
+    * length histogram (`(len, c_ref)` — e.g. the accepted corpus's
+    * doc-length profile) with the exact two-sample Kolmogorov–Smirnov
+    * statistic, one `(batch_id, source, n_batch, ks_ppm)` row per
+    * arriving source. Exactness as in q255: step CDFs attain their
+    * sup at jump points, so the union of reference and batch lengths
+    * per source is the complete evaluation grid; both CDFs cumulate
+    * in one per-source partitioned window and the cross-products
+    * |cum_b·N_ref − cum_ref·N_b| ride DECIMAL(38,0). The reference is
+    * histogram-sized (length domain), broadcast against the batch's
+    * keyed counts — per-batch work scales with batch sources ×
+    * distinct lengths, never corpus volume. Same batch-id
+    * commit-marker idempotency as the other probes. */
+  def ksProbeBatch(refHistDir: String, reportDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val alreadyDone =
+      try spark.read.parquet(reportDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (alreadyDone) return
+    val ref = spark.read.parquet(refHistDir)
+      .select(col("len"), col("c_ref"))
+    val cb = batch.select(col("source"), col("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("cs"))
+    val srcs = cb.select(col("source")).distinct()
+    val grid = cb.select(col("source"), col("len"))
+      .union(srcs.crossJoin(broadcast(ref.select(col("len")))))
+      .distinct()
+    val g = grid.join(cb, Seq("source", "len"), "left")
+      .join(broadcast(ref), Seq("len"), "left")
+      .select(col("source"), col("len"),
+        coalesce(col("cs"), lit(0L)).as("cs"),
+        coalesce(col("c_ref"), lit(0L)).as("cr"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = g.select(col("source"),
+      sum(col("cs")).over(wc).as("cum_b"),
+      sum(col("cr")).over(wc).as("cum_r"))
+    val tots = cb.groupBy(col("source")).agg(sum(col("cs")).as("nb"))
+    val nrRow = ref.agg(sum(col("c_ref")).as("nr"))
+    cum.join(broadcast(tots), "source").crossJoin(broadcast(nrRow))
+      .filter(col("nb") > 0 && col("nr") > 0)
+      .select(col("source"), col("nb"), col("nr"),
+        abs(expr("CAST(cum_b AS DECIMAL(38,0)) * nr" +
+          " - CAST(cum_r AS DECIMAL(38,0)) * nb")).as("diff"))
+      .groupBy(col("source"), col("nb"), col("nr"))
+      .agg(max(col("diff")).as("mx"))
+      .select(lit(batchId).as("batch_id"), col("source"),
+        col("nb").as("n_batch"),
+        expr("CAST(mx * 1000000 DIV (CAST(nb AS DECIMAL(38,0)) * nr)" +
+          " AS BIGINT)").as("ks_ppm"))
+      .write.mode("append").parquet(reportDir)
+  }
+
   /** foreachBatch contamination probe — q234's live form: each
     * micro-batch of `(doc_id, text)` eval arrivals probes the
     * standing train-gram index (one equi-join keyed on the 32-bit
