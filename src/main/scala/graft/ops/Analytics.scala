@@ -837,6 +837,86 @@ object Analytics {
         .limit(100)
     },
 
+    // ---- q256: blocking-method agreement audit --------------------
+    // The evaluation pass a dedup pipeline runs before picking its
+    // blocking strategy: over the exact J >= 0.6 ground-truth pair
+    // set, which pairs does each CANDIDATE GENERATOR recover — LSH
+    // banding (q26's 8×2 bands) and sorted-neighborhood (q194's w=4
+    // window)? Output is the 2×2 Venn census (in_lsh × in_snm) with
+    // per-cell share_milli: the "both" cell is the safely-blocked
+    // mass, the "neither" cell is what ONLY the quadratic baseline
+    // would find — the number that justifies (or kills) a blocking
+    // choice at 100 TB. Composes three standing memos (exact pairs,
+    // minhash signatures, token arrays) plus the q194 candidate
+    // machinery; every join is keyed on (d1, d2) after the bounded
+    // candidate generation, so the audit costs two left joins over
+    // the truth relation — never a corpus pass of its own.
+    QueryDef(
+      "q256_blocking_agreement",
+      s"""WITH shingles AS (${Text.shinglesSql}),
+         |${Text.jaccardPairsSql},
+         |${Text.sigSql},
+         |bands AS (
+         |  ${(0 until 8).map(b =>
+             s"SELECT doc_id, $b AS band, h${2 * b} * 2147483648 + h${2 * b + 1} AS bkey FROM sig")
+             .mkString("\n  UNION ALL\n  ")}),
+         |lshc AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |   AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+         |sb AS (SELECT doc_id, array_to_string(toks[1:3], ' ')
+         |         AS key FROM t WHERE len(toks) >= 3),
+         |r AS (SELECT doc_id, row_number() OVER (
+         |        ORDER BY key, doc_id) AS rn FROM sb),
+         |snmc AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+         |                greatest(a.doc_id, b.doc_id) AS d2
+         |         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3),
+         |v AS (SELECT j.d1, j.d2,
+         |    (l.d1 IS NOT NULL) AS in_lsh,
+         |    (sn.d1 IS NOT NULL) AS in_snm
+         |  FROM jpairs j
+         |  LEFT JOIN lshc l ON l.d1 = j.d1 AND l.d2 = j.d2
+         |  LEFT JOIN snmc sn ON sn.d1 = j.d1 AND sn.d2 = j.d2)
+         |SELECT in_lsh, in_snm, count(*) AS n_pairs,
+         |  CAST(count(*) * 1000 // (SELECT count(*) FROM jpairs)
+         |    AS BIGINT) AS share_milli
+         |FROM v GROUP BY in_lsh, in_snm
+         |ORDER BY in_lsh, in_snm""".stripMargin) { (s, d) =>
+      val truth = Text.jaccardPairs(s, d).select(col("d1"), col("d2"))
+        .tcache()
+      val sig = Text.minhashSig(s, d)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 8).map(b =>
+          col(s"h${2 * b}") * 2147483648L + col(s"h${2 * b + 1}")): _*))
+          .as(Seq("band", "bkey")))
+      val lshc = bands.select(col("doc_id").as("d1"), col("band"),
+          col("bkey"))
+        .join(bands.select(col("doc_id").as("d2"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      val base = Text.withToks(s, d)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
+        .withColumn("bucket", substring(col("key"), 1, 1))
+      val snmc = snmCandidates(base, 4)
+        .select(col("d1"), col("d2")).distinct()
+      val v = truth
+        .join(lshc.withColumn("il", lit(true)), Seq("d1", "d2"), "left")
+        .join(snmc.withColumn("isn", lit(true)), Seq("d1", "d2"), "left")
+        .select(coalesce(col("il"), lit(false)).as("in_lsh"),
+          coalesce(col("isn"), lit(false)).as("in_snm"))
+      val tot = truth.agg(count(lit(1)).as("tp"))
+      v.groupBy(col("in_lsh"), col("in_snm"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .select(col("in_lsh"), col("in_snm"), col("n_pairs"),
+          expr("n_pairs * 1000 DIV tp").as("share_milli"))
+        .orderBy(col("in_lsh"), col("in_snm"))
+    },
+
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
     // The reference surfaces replication origins (msgOrigin, A18;
     // filter-origins, B5 — reference: pgoutput-parser.ts origin

@@ -164,6 +164,18 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "plan must spend at least one epoch of everything, at most B = 2M")
   }
 
+  test("q256: Venn cells partition the exact pair set; shares close") {
+    val rows = run("q256_blocking_agreement")
+    val masks = rows.map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(masks.distinct.length == masks.length, "cells must be disjoint")
+    val truth = Text.jaccardPairs(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == truth,
+      "every ground-truth pair lands in exactly one Venn cell")
+    // integer-floor shares can undershoot by at most (#cells - 1)
+    val s = rows.map(_.getLong(3)).sum
+    assert(s <= 1000L && s >= 1000L - (rows.length - 1))
+  }
+
   test("q255: KS statistic matches a driver-side brute force exactly") {
     import org.apache.spark.sql.functions._
     val rows = run("q255_ks_length_drift")
