@@ -52,6 +52,29 @@ object Analytics {
     * O(#buckets·w); its rank is a broadcast theta count. SnmSpec
     * proves pair-set equality against a global-order brute force on
     * randomized key distributions, including 1-row buckets. */
+  /** The standard SNM candidate set over the corpus (w = 4 on the
+    * first-3-tokens key, first-char buckets) — memoized: q194 (the
+    * windowed dedup itself) and q256 (the blocking bake-off) consume
+    * the identical pair relation, which otherwise re-runs the window
+    * + edge-zone machinery per query. Rows ≈ (w−1)·docs + the
+    * O(#buckets·w) zone cross — doc-linear, ScalingSpec-pinned;
+    * session cache so the per-query transient drop can't evict it. */
+  private val snmCache = new Tables.DfMemo()
+
+  private[ops] def snmCandidatePairs(s: SparkSession, d: String)
+      : DataFrame =
+    snmCache.getOrElseUpdate((s, d)) {
+      val base = Text.withToks(s, d)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
+        .withColumn("bucket", substring(col("key"), 1, 1))
+      // no distinct: the construction yields each pair once (within
+      // and cross arms are bucket-disjoint; SnmSpec proves set
+      // equality), and q194's oracle states the same multiplicity
+      snmCandidates(base, 4).cache()
+    }
+
   private[ops] def snmCandidates(base: DataFrame, w: Int): DataFrame = {
     val d = w - 1
     val wB = Window.partitionBy(col("bucket"))
@@ -809,12 +832,7 @@ object Analytics {
          |JOIN cnt cb ON cb.doc_id = c.d2
          |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
          |ORDER BY jpm DESC, c.d1, c.d2 LIMIT 100""".stripMargin) { (s, d) =>
-      val base = Text.withToks(s, d)
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
-        .withColumn("bucket", substring(col("key"), 1, 1))
-      val cand = snmCandidates(base, 4)
+      val cand = snmCandidatePairs(s, d)
       // exact Jaccard verify off the shared shingle index
       val sh = Text.shingleHashes(s, d)
       val n1 = sh.select(col("doc_id"), col("n")).distinct()
@@ -896,12 +914,7 @@ object Analytics {
           col("bkey")), Seq("band", "bkey"))
         .filter(col("d1") < col("d2"))
         .select(col("d1"), col("d2")).distinct()
-      val base = Text.withToks(s, d)
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
-        .withColumn("bucket", substring(col("key"), 1, 1))
-      val snmc = snmCandidates(base, 4)
+      val snmc = snmCandidatePairs(s, d)
         .select(col("d1"), col("d2")).distinct()
       val v = truth
         .join(lshc.withColumn("il", lit(true)), Seq("d1", "d2"), "left")

@@ -59,7 +59,9 @@ object Prewarm {
         Await.result(simChain, Duration.Inf)
         ()
       },
-      Future { Curation.winnowPrints(s, d).count(); () })
+      Future { Curation.winnowPrints(s, d).count(); () },
+      // SNM candidate pairs chain off the token memo (q194 + q256)
+      Future { Analytics.snmCandidatePairs(s, d).count(); () })
     Await.result(Future.sequence(vectors +: rest), Duration.Inf)
     ()
   }
@@ -79,6 +81,7 @@ object Prewarm {
       t("bigrams") { Text.docBigrams(s, d).count() },
       t("fluency") { Mining.docFluency(s, d).count() },
       t("bpe") { Curation.bpeSharedMerges(s, d)._1.count() },
+      t("snm") { Analytics.snmCandidatePairs(s, d).count() },
       t("trgraph") { Signals.textrankPrepared(s, d).count() },
       t("shingles") { Text.shingleHashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },

@@ -126,6 +126,9 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shared BPE training state (q153/q159): one row per (lang, word)
     assert(Curation.bpeSharedMerges(spark, sfDir)._1.count() <=
       Text.docTermFreq(spark, sfDir).count())
+    // SNM candidate pairs (q194/q256): <= (w-1) per doc + the
+    // O(#buckets * w) edge-zone cross — doc-linear
+    assert(Analytics.snmCandidatePairs(spark, sfDir).count() <= 8 * nDocs)
     // TextRank vocab graph: undirected bigram types over kept tokens;
     // the prepared directed view is exactly 2 rows per edge
     assert(Signals.textrankEdges(spark, sfDir).count() <= totalToks)
