@@ -115,6 +115,62 @@ object Pipeline {
     },
 
     QueryDef(
+      "q257_cluster_size_census",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |cs AS (SELECT root, count(*) AS k FROM root GROUP BY root),
+         |hist AS (SELECT k AS cluster_size, count(*) AS n_clusters,
+         |         CAST(k * count(*) AS BIGINT) AS n_docs FROM cs GROUP BY k),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |ncl AS (SELECT count(*) AS nc FROM root),
+         |single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |  CAST(nd.nd - ncl.nc AS BIGINT) AS n_clusters,
+         |  CAST(nd.nd - ncl.nc AS BIGINT) AS n_docs FROM nd, ncl),
+         |u AS (SELECT * FROM hist UNION ALL SELECT * FROM single)
+         |SELECT cluster_size, CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_docs * 1000 // (SELECT nd FROM nd) AS BIGINT)
+         |    AS docs_milli
+         |FROM u ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      // The dup-mass profile — the cluster-SIZE distribution of the
+      // near-dup graph (how many pairs, triples, ... giant
+      // components, plus the singleton mass), per-mille of corpus
+      // docs. This is the audit that catches transitive-closure
+      // blow-up before q55 deletes by it: a healthy corpus shows a
+      // fast-decaying histogram; a fat tail (one giant component
+      // swallowing percent-level doc mass) means the J >= 0.6
+      // threshold is chaining through hubs and the dedup policy
+      // needs q135's chain audit before committing deletes. Rides
+      // the memoized component labels; the census itself is two
+      // keyed counts over label rows plus one corpus count — nothing
+      // corpus-quadratic, nothing resorted.
+      val lbl = clusterLabels(s, d)
+      val cs = lbl.groupBy(col("label")).agg(count(lit(1)).as("k"))
+      val hist = cs.groupBy(col("k")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("k").as("cluster_size"), col("n_clusters"),
+          (col("k") * col("n_clusters")).as("n_docs"))
+      val nd = documents(s, d).agg(count(lit(1)).as("nd"))
+      val ncl = lbl.agg(count(lit(1)).as("nc"))
+      val single = nd.crossJoin(ncl)
+        .select(lit(1L).as("cluster_size"),
+          (col("nd") - col("nc")).as("n_clusters"),
+          (col("nd") - col("nc")).as("n_docs"))
+      hist.unionAll(single).crossJoin(broadcast(nd))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          expr("n_docs * 1000 DIV nd").as("docs_milli"))
+        .orderBy(col("cluster_size"))
+    },
+
+    QueryDef(
       "q55_canonical_docs",
       s"""WITH RECURSIVE shingles AS ($shinglesSql),
          |$jaccardPairsSql,

@@ -176,6 +176,20 @@ class SweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s <= 1000L && s >= 1000L - (rows.length - 1))
   }
 
+  test("q257: size census partitions the corpus; mass closes exactly") {
+    val rows = run("q257_cluster_size_census")
+    // every doc lands in exactly one size bucket (incl. singletons)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1),
+        s"n_docs must equal cluster_size x n_clusters in $r")
+    }
+    // clustered mass equals the component-label relation's node count
+    val clustered = rows.filter(_.getLong(0) >= 2).map(_.getLong(2)).sum
+    assert(clustered == Pipeline.clusterLabels(spark, sfDir).count())
+  }
+
   test("q255: KS statistic matches a driver-side brute force exactly") {
     import org.apache.spark.sql.functions._
     val rows = run("q255_ks_length_drift")
