@@ -34,13 +34,15 @@ object Bench {
     // run order (the r8 q105-q117 attribution noise). memo_build
     // participates in the reported total — nothing is hidden.
     val tm0 = System.nanoTime()
-    try graft.ops.Prewarm.run(spark, sfDir)
-    catch { case e: Throwable =>
-      // visible failure: a silently-cold memo would re-smear build
-      // costs into whichever queries touch it first — exactly the
-      // attribution noise memo_build exists to eliminate
-      System.err.println(s"WARN: memo prewarm failed: $e")
-    }
+    val memoDetail: Seq[(String, Double)] =
+      try graft.ops.Prewarm.run(spark, sfDir)
+      catch { case e: Throwable =>
+        // visible failure: a silently-cold memo would re-smear build
+        // costs into whichever queries touch it first — exactly the
+        // attribution noise memo_build exists to eliminate
+        System.err.println(s"WARN: memo prewarm failed: $e")
+        Seq.empty
+      }
     val memoSec = (System.nanoTime() - tm0) / 1e9
 
     // Double-pass variance attribution (r9 verdict ask 1): the suite
@@ -57,11 +59,44 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // Host/JVM telemetry (r11 verdict ask 1c): the r11 driver run
+    // reported a 4.3×-inflated memo_build + pass2-slower-than-pass1
+    // clusters that reproduced clean on the same machine — external
+    // CPU contention. Snapshot OS load, GC and heap/storage at each
+    // phase boundary so a reader of the artifact can tell "code got
+    // slower" from "machine was busy" without a re-run.
+    def telemetry(): String = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage
+      val storage = try {
+        val m = spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, free) => max - free }.sum
+        m / (1024 * 1024)
+      } catch { case _: Throwable => -1L }
+      s"""{"loadavg":${"%.2f".formatLocal(java.util.Locale.ROOT,
+        os.getSystemLoadAverage)},"cpus":${os.getAvailableProcessors},""" +
+        s""""gc_ms":${gcMs()},"heap_mb":${heap.getUsed / (1024 * 1024)},""" +
+        s""""storage_mb":$storage}"""
+    }
+    val telemetryPoints = scala.collection.mutable.ArrayBuffer[
+      (String, String)]("after_memo" -> telemetry())
+    // Per-query error markers (r11 verdict ask 1d): a throwing query
+    // must not masquerade as a fast query. The wall time still lands
+    // in the totals (nothing hidden) but the error string is carried
+    // in BENCH_VARIANCE + an "errors" object on the stdout line.
+    val passErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     def runPass(): Seq[(String, Double, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val g0 = gcMs()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            val msg = (Option(e.getMessage).getOrElse(e.getClass.getName))
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+            passErrors.getOrElseUpdate(name, msg)
+            System.err.println(s"ERROR: bench query $name failed: $msg")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop per-query transient caches so executor storage pressure
         // (and its GC shadow on later queries) stays flat over the run
@@ -69,20 +104,31 @@ object Bench {
         (name, sec, gcMs() - g0)
       }
     val pass1 = runPass()
+    telemetryPoints += ("after_pass1" -> telemetry())
     val passes =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").trim.toInt
     val pass2 = if (passes >= 2) runPass() else Seq.empty
+    if (pass2.nonEmpty) telemetryPoints += ("after_pass2" -> telemetry())
+    def errJson = passErrors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     try {
       def pj(p: Seq[(String, Double, Long)]) = p.sortBy(_._1).map {
         case (k, v, g) =>
           "\"" + k + "\":[" +
             "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "]"
       }.mkString("{", ",", "}")
+      val memoJson = memoDetail.map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
+      val telJson = telemetryPoints.map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_VARIANCE.json"),
         s"""{"unit":["sec","gc_ms"],"memo_build":${
           "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
-        },"sf":"$sfDir","pass1":${pj(pass1)}""" +
+        },"memo_detail":$memoJson,"telemetry":$telJson""" +
+          (if (passErrors.nonEmpty) s""","errors":$errJson""" else "") +
+          s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
     } catch { case _: Throwable => }
     val results0 = pass1.map { case (n, sec, _) => n -> sec }
@@ -106,8 +152,15 @@ object Bench {
       "\"" + (if (dup(p)) k else p) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries surface on the headline line (names only — the
+    // messages live in BENCH_VARIANCE.json), right after "value" so
+    // the driver's 2000-byte tail capture can never truncate them off
+    val errPart =
+      if (passErrors.isEmpty) ""
+      else s""","errors":[${passErrors.keys.map("\"" + _ + "\"")
+        .mkString(",")}]"""
     def assemble(qs: String) =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)}$errPart,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Sidecar with the FULL per-query map at 3-decimal resolution
     // under the FULL query names (the stdout line below may fold
     // sub-0.1 s queries to fit the driver's 2000-byte capture

@@ -212,6 +212,56 @@ object CdcFunctions {
     * and push it below any repartition, re-parsing every payload twice
     * in the (possibly single-split) scan stage — measured 5x slower on
     * the 100k-row roundtrip. */
+  /** wal2json `write-in-chunks 'on'` reassembly (v1 layout): chunked
+    * mode streams each transaction as MULTIPLE XLogData frames —
+    * `{"change":[`, then one frame per change object (`,`-prefixed
+    * after the first), then `]}` — so no single frame is parseable
+    * JSON (`wal2json-plugin-options.type.ts` `writeInChunks`; the
+    * reference serializes the option but, like us pre-r12, left
+    * reassembly to the consumer). This rebuilds whole documents:
+    *
+    *   1. per-frame bracket-depth delta, computed AFTER stripping
+    *      string literals (brace characters inside column values must
+    *      not count) — pure codegen'd string functions, no UDF;
+    *   2. running depth via a window partitioned by `shard` (chunk
+    *      order is only meaningful within one slot's frame sequence —
+    *      exactly the replay log's shard key) ordered by `lsn`;
+    *   3. frames where the running depth returns to 0 close a
+    *      document; the prefix-count of closed documents keys the
+    *      group, and the group concatenates back into one payload.
+    *
+    * Scale: state is one running integer per shard (the window), and
+    * the concat groups are transaction-sized — the same per-slot
+    * sequential contract the wire protocol itself imposes. Output:
+    * `shard` + `lsn` (the document's first frame's position) +
+    * reassembled `payload`, ready for [[wal2jsonChanges]]. Frames
+    * that are already whole documents (chunking off) pass through
+    * unchanged, so the operator is safe on mixed logs. */
+  def wal2jsonReassembleChunks(df: DataFrame, shard: Column, lsn: Column,
+      payload: Column): DataFrame = {
+    val base = df.select(shard.as("shard"), lsn.as("_lsn"),
+      payload.as("_p"))
+    // strip complete string literals (handles \" escapes), then count
+    // structural brackets in what remains
+    val stripped = regexp_replace(col("_p"), "\"([^\"\\\\]|\\\\.)*\"", "")
+    def cnt(ch: String): Column =
+      length(stripped) - length(translate(stripped, ch, ""))
+    val delta = cnt("{") + cnt("[") - cnt("}") - cnt("]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_lsn"))
+    val closes = when(col("_depth") === 0, 1L).otherwise(0L)
+    base
+      .withColumn("_depth", sum(delta).over(w))
+      .withColumn("_doc", sum(closes).over(w) - closes)
+      .groupBy(col("shard"), col("_doc"))
+      .agg(
+        min(col("_lsn")).as("lsn"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_lsn"), col("_p")))),
+          x => x.getField("_p")), "").as("payload"))
+      .drop("_doc")
+  }
+
   def wal2jsonChanges(df: DataFrame, payload: Column): DataFrame = {
     val parsed = df.withColumn("_w2j", from_json(payload, wal2jsonSchema))
     parsed

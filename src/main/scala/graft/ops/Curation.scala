@@ -115,7 +115,10 @@ object Curation {
     * relation is a SESSION cache (not a transient), so it survives
     * the per-query cache drop that scopes ordinary query state. */
   private val bpeCache =
-    new Tables.StatMemo[(DataFrame, Seq[(Int, String, Long, Long)])]()
+    new Tables.StatMemo[(DataFrame, Seq[(Int, String, Long, Long)])](
+      // the value carries a session-cached relation: release its
+      // storage blocks when the LRU evicts the entry
+      onEvict = v => { v._1.unpersist(false); () })
 
   private[ops] def bpeSharedMerges(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, String, Long, Long)]) =

@@ -1327,8 +1327,16 @@ object Mining {
         import spark.implicits._
         while (live.exists(st => st.lo < st.hi)) {
           val open = live.filter(st => st.lo < st.hi)
+          // Constant driver budget regardless of language count: the
+          // per-lang stats collect admits 1024 langs (2048 targets),
+          // so a FIXED 16384-bucket width would need a 16385×2048-row
+          // collect. Instead the bucket count shrinks as more targets
+          // are open — total histogram rows stay ≤ ~2^20 and the
+          // bisection just takes more (still logarithmic) rounds when
+          // the corpus is very multilingual (r11 advisor finding).
+          val nBuckets = math.max(16L, (16384L * 64L) / open.size)
           val bounds = open.map(st => (st.lang, st.tgt, st.lo, st.hi,
-            (st.hi - st.lo) / 16384L + 1L)).toSeq
+            (st.hi - st.lo) / nBuckets + 1L)).toSeq
             .toDF("lang", "tgt", "blo", "bhi", "w")
           val hists = boundedCollect(
             sd.join(broadcast(bounds), "lang")
@@ -1336,12 +1344,13 @@ object Mining {
               .groupBy(col("lang"), col("tgt"),
                 expr("(pk - blo) DIV w").as("bkt"))
               .agg(count(lit(1)).as("c")),
-            16385 * 64, "q244 bisection histograms (<=16385 x open targets)")
+            ((nBuckets + 1L) * open.size).toInt + 16,
+            "q244 bisection histograms (<=buckets+1 x open targets)")
             .map(r => ((r.getString(0), r.getString(1)),
               (r.getLong(2), r.getLong(3))))
             .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
           open.foreach { st =>
-            val width = (st.hi - st.lo) / 16384L + 1L
+            val width = (st.hi - st.lo) / nBuckets + 1L
             var acc = 0L
             val hist = hists((st.lang, st.tgt))
             var i = 0

@@ -21,49 +21,76 @@ import org.apache.spark.sql.SparkSession
   */
 object Prewarm {
   /** Build the memos along their dependency chains, independent
-    * chains CONCURRENTLY (local[32] has idle cores while any one
-    * build's stages serialize): tokenization is the root of every
-    * text chain and builds first; then tf, the shingle→pair→label
-    * chain, minhash, winnowing, and the vector-grid chain proceed in
-    * parallel. Safe: each DfMemo is synchronized, so racing chains
-    * block on a shared dependency instead of double-building it. */
-  def run(s: SparkSession, d: String): Unit = {
+    * chains concurrently but BOUNDED to `maxChains` in flight:
+    * tokenization is the root of every text chain and builds first;
+    * then the shingle→pair→label chain, the curation chain, the
+    * vector-grid chain etc. proceed on a small fixed pool. Safe:
+    * each DfMemo is synchronized, so racing chains block on a shared
+    * dependency instead of double-building it.
+    *
+    * Why bounded (r11 verdict ask 1a): an unbounded 9-way fan-out
+    * *amplifies* external CPU contention — on a busy box the r11
+    * driver measured 69.6 s for a build that reproduces at 16.3 s on
+    * the same machine, while individual queries only degraded
+    * ~10%. Three chains keep local[32] busy (each build's stages
+    * serialize internally) without oversubscribing a contended host.
+    *
+    * Returns per-memo wall seconds in completion order so the bench
+    * can attribute the memo_build total memo-by-memo
+    * (r11 verdict ask 1b). */
+  def run(s: SparkSession, d: String, maxChains: Int = 3)
+      : Seq[(String, Double)] = {
     graft.cdc.GraftFunctions.register(s)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val vectors = Future { Vectors.prewarmMemos(s, d) }
-    Text.withToks(s, d).count()
-    val rest = Seq(
-      // BPE training chains off the term index (q153/q159 share it)
-      Future { Text.docTermFreq(s, d).count()
-        Curation.bpeSharedMerges(s, d)._1.count(); () },
-      // fluency chains off the bigram memo (q142/q244/q252 share it)
-      Future { Text.docBigrams(s, d).count()
-        Mining.docFluency(s, d).count(); () },
-      Future { Signals.textrankPrepared(s, d).count(); () },
-      Future {
-        Text.shingleHashes(s, d).count()
-        val pairsChain = Future {
-          Text.jaccardPairs(s, d).count()
-          Pipeline.clusterLabels(s, d).count()
-          Pipeline.standingComponents80(s, d).count()
-        }
-        val prefChain = Future { Text.prefixIndex(s, d).count() }
-        val posChain = Future { Text.posDf(s, d).count() }
-        val simChain = Future { Text.simhashSig(s, d).count() }
-        Text.minhashSig(s, d).count()
-        Await.result(pairsChain, Duration.Inf)
-        Await.result(prefChain, Duration.Inf)
-        Await.result(posChain, Duration.Inf)
-        Await.result(simChain, Duration.Inf)
-        ()
+    val times = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    def step(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      times.add(name -> (System.nanoTime() - t0) / 1e9); ()
+    }
+    // the root of every text chain builds alone, before the fan-out
+    step("toks") { Text.withToks(s, d).count() }
+    val chains: Seq[() => Unit] = Seq(
+      () => step("vectors") { Vectors.prewarmMemos(s, d) },
+      // shingle chain: pairs/labels/components + the signature memos
+      () => {
+        step("shingles") { Text.shingleHashes(s, d).count() }
+        step("pairs") { Text.jaccardPairs(s, d).count() }
+        step("labels") { Pipeline.clusterLabels(s, d).count() }
+        step("standing80") { Pipeline.standingComponents80(s, d).count() }
+        step("minhash") { Text.minhashSig(s, d).count() }
+        step("simhash") { Text.simhashSig(s, d).count() }
       },
-      Future { Curation.winnowPrints(s, d).count(); () },
+      // positional/prefix dedup indexes (q130 et al.)
+      () => {
+        step("prefix") { Text.prefixIndex(s, d).count() }
+        step("pos8") { Text.posDf(s, d).count() }
+      },
+      // BPE training chains off the term index (q153/q159 share it)
+      () => {
+        step("tf") { Text.docTermFreq(s, d).count() }
+        step("bpe") { Curation.bpeSharedMerges(s, d)._1.count() }
+        step("winnow") { Curation.winnowPrints(s, d).count() }
+      },
+      // fluency chains off the bigram memo (q142/q244/q252 share it)
+      () => {
+        step("bigrams") { Text.docBigrams(s, d).count() }
+        step("fluency") { Mining.docFluency(s, d).count() }
+      },
+      () => step("trgraph") { Signals.textrankPrepared(s, d).count() },
       // SNM candidate pairs chain off the token memo (q194 + q256)
-      Future { Analytics.snmCandidatePairs(s, d).count(); () })
-    Await.result(Future.sequence(vectors +: rest), Duration.Inf)
-    ()
+      () => step("snm") { Analytics.snmCandidatePairs(s, d).count() })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, maxChains))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.sequence(chains.map(c => Future(c()))),
+        Duration.Inf)
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    times.asScala.toSeq
   }
 
   /** Per-memo build seconds, in build order (tools.MemoTime prints

@@ -105,14 +105,23 @@ object Tables {
     * (e.g. a dimension row count used for bloom sizing). Same keying
     * and bound discipline — a long-lived multi-session service must
     * not pin SparkSessions through an unbounded raw map; LRU eviction
-    * releases the session reference (nothing to unpersist). */
-  private[ops] final class StatMemo[V](max: Int = 64) {
+    * releases the session reference. Values that hold cached frames
+    * (e.g. the BPE memo's session-cached merge relation) pass an
+    * `onEvict` hook so eviction also releases executor storage — a
+    * plain scalar memo leaves it at the no-op default (r11 advisor
+    * finding: evicting a cached-DataFrame value without unpersisting
+    * leaks the blocks in a long-lived multi-session service). */
+  private[ops] final class StatMemo[V](max: Int = 64,
+      onEvict: V => Unit = (_: V) => ()) {
     private val m =
       new java.util.LinkedHashMap[(SparkSession, String), V](
         16, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
-          size > max
+          if (size > max) {
+            try onEvict(e.getValue) catch { case _: Exception => () }
+            true
+          } else false
       }
 
     def getOrElseUpdate(k: (SparkSession, String))(build: => V): V =

@@ -439,6 +439,36 @@ object StreamOps {
   def shingleArrivals(arrivals: DataFrame): DataFrame =
     graft.ops.Text.shinglesOf(arrivals)
 
+  private def delTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(delTree)
+    f.delete(); ()
+  }
+
+  /** Recovery half of the crash-safe compaction publish: promotes a
+    * complete `_compact_tmp` (crash landed between demoting the live
+    * dir and promoting the compacted one — tmp is always fully
+    * written before the demote), or restores `_compact_old` (tmp
+    * already consumed), then clears leftovers. Idempotent; a no-op
+    * when the live dir is healthy. */
+  def recoverCompaction(indexDir: String): Unit = {
+    val dst = new java.io.File(indexDir)
+    val oldF = new java.io.File(indexDir + "_compact_old")
+    val tmp = new java.io.File(indexDir + "_compact_tmp")
+    if (!dst.exists && tmp.exists) {
+      if (!tmp.renameTo(dst))
+        throw new java.io.IOException(
+          s"compaction recovery failed: $tmp -> $indexDir")
+    } else if (!dst.exists && oldF.exists) {
+      if (!oldF.renameTo(dst))
+        throw new java.io.IOException(
+          s"compaction recovery failed: $oldF -> $indexDir")
+    }
+    // stale partials from a crash before the demote (or after the
+    // promote): the live dir is authoritative, drop them
+    if (dst.exists && oldF.exists) delTree(oldF)
+    if (dst.exists && tmp.exists) delTree(tmp)
+  }
+
   /** foreachBatch dedup-on-ingest with WRITE-BACK: each micro-batch of
     * `(doc_id, text)` arrivals probes the standing shingle index
     * (new×existing only — work scales with the batch, never corpus²),
@@ -473,6 +503,10 @@ object StreamOps {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // finish any compaction publish a crash interrupted BEFORE the
+    // index read below — otherwise a missing live dir would read as
+    // "first batch" and silently disable dup detection
+    recoverCompaction(indexDir)
     // Batch-replay idempotency: foreachBatch re-runs a batch after a
     // crash with the SAME batchId. The verdict append is the COMMIT
     // MARKER (written LAST, batchId-checked here); the index append
@@ -606,8 +640,22 @@ object StreamOps {
             .join(dupIds, Seq("doc_id"), "left_anti")
         val tombstones =
           if (!hasIndex) spark.emptyDataFrame
-          else changedIds.join(dupIds, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), lit(0L).as("h"), lit(-1L).as("n"))
+          else {
+            // two ways a changed doc's stale shingles must leave the
+            // live view: (a) its new content duplicates another
+            // standing doc (canonical election loss); (b) its new
+            // content produces NO shingles at all (< 3 tokens) — it
+            // has no replaced rows to supersede the old generation,
+            // so without a tombstone the previous generation would
+            // stay live forever while the doc's actual content is
+            // empty (r11 advisor finding)
+            val shingleless = changedIds
+              .join(sh.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            changedIds.join(dupIds, Seq("doc_id"), "left_semi")
+              .unionByName(shingleless).distinct()
+              .select(col("doc_id"), lit(0L).as("h"), lit(-1L).as("n"))
+          }
         var appendRows = freshNovel.select(col("doc_id"), col("h"), col("n"))
         if (hasIndex)
           appendRows = appendRows
@@ -636,14 +684,25 @@ object StreamOps {
           val tmp = indexDir + "_compact_tmp"
           liveNow.select(col("doc_id"), col("h"), col("n"), col("gen"))
             .write.mode("overwrite").parquet(tmp)
-          def del(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(del); f.delete()
-          }
+          // Crash-safe publish (r11 advisor): NEVER a moment where the
+          // live index is gone without a complete replacement on disk.
+          //   1. tmp fully written (above)   2. live -> _compact_old
+          //   3. tmp -> live                 4. delete _compact_old
+          // A crash at any point leaves either the live dir, or a
+          // complete tmp/old that `recoverCompaction` (run at every
+          // batch start) promotes/restores — the old delete-then-rename
+          // had a window where a crash lost the index and the next
+          // batch silently treated the whole corpus as novel.
           val dst = new java.io.File(indexDir)
-          del(dst)
+          val oldF = new java.io.File(indexDir + "_compact_old")
+          if (oldF.exists) delTree(oldF)
+          if (!dst.renameTo(oldF))
+            throw new java.io.IOException(
+              s"failed to demote live index: $indexDir -> $oldF")
           if (!new java.io.File(tmp).renameTo(dst))
             throw new java.io.IOException(
               s"failed to publish compacted index: $tmp -> $indexDir")
+          delTree(oldF)
         }
       }
       if (hasIndex) { changedIds.unpersist(); live.unpersist(); () }

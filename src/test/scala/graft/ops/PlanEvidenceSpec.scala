@@ -576,4 +576,55 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count") || p.contains("partial"),
       s"edge counting must map-side combine:\n$p")
   }
+
+  test("q29/q219/q198: exact-audit arms keep EVERY broadcast side " +
+    "row-bounded (the contract that legalizes their crossJoin)") {
+    // r11 verdict ask 5: the remaining corpus×queries exact arms are
+    // legal ONLY while the broadcast query-set stays tiny (they are
+    // audit gates for the IVF/LSH production paths, not the scale
+    // path). A silent growth of the query-set predicate would
+    // reintroduce a brute-force corpus scan without tripping
+    // PlanGuardSpec (the cross join IS intentional here). So: execute
+    // the actual broadcast-side subtree of each plan and pin its row
+    // count — like q191's demotion pin, but on the data bound itself.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val bound = 64L // generous vs the 20/40-row query sets; the point
+                    // is rejecting O(corpus), not pinning the sample
+    for (name <- Seq("q29_knn_bruteforce", "q219_knn_classifier")) {
+      val ep = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      val joins = ep.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(joins.nonEmpty,
+        s"$name: expected the exact-audit crossJoin(broadcast) shape")
+      joins.foreach { j =>
+        val side = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        // unwrap the exchange: executing it would build the broadcast
+        // relation; its child is the plain row-producing subtree
+        val inner = side.collectFirst {
+          case b: BroadcastExchangeExec => b.child
+        }.getOrElse(side)
+        val rows = inner.executeCollect().length
+        assert(rows <= bound,
+          s"$name: broadcast side carries $rows rows (> $bound) — the " +
+            "bounded-audit contract is broken; route this query " +
+            "through the indexed (IVF/LSH) path instead")
+      }
+    }
+    // q198's greedy rounds resolve to a literal relation, so its
+    // crossJoin isn't in the FINAL plan — its contract pin is the
+    // runtime boundedCollect on the pool (4096 rows = queries×10,
+    // Analytics.scala "q198 MMR pool"): a grown query set throws
+    // there instead of silently scanning corpus×queries every round.
+    // Assert the bound actually holds on the registered query's
+    // output shape: ≤ bound queries × exactly 5 ranks.
+    val mmr = graft.SparkEntry.queries("q198_mmr_rerank")(spark, sfDir)
+    val qids = mmr.select("qid").distinct().count()
+    assert(qids <= bound && mmr.count() == qids * 5,
+      s"q198: query set grew to $qids — re-check the pool's " +
+        "bounded-audit contract")
+  }
 }

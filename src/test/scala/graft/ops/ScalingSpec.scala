@@ -147,4 +147,45 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Vectors.kmeansAssignments(spark, sfDir).count() == nVecs)
     assert(Vectors.pqCodebooks(spark, sfDir).count() <= 1024)
   }
+
+  /** Total memo budget (r11 verdict ask 6): the per-memo row bounds
+    * above don't compose into a SESSION bound — ~17 memos each
+    * individually sketch-sized could still jointly exhaust storage
+    * memory. This pins the sum of ACTUALLY CACHED bytes across the
+    * full Prewarm set against a fraction of the storage pool and an
+    * absolute per-corpus-byte factor, so adding a memo (or fattening
+    * one) re-budgets explicitly instead of silently squeezing the
+    * shuffle/execution share. */
+  test("all Prewarm memos together fit a bounded storage budget") {
+    Prewarm.run(spark, sfDir)
+    // transient (per-query) caches are out of scope: the budget is
+    // about what LIVES across the whole session
+    Tables.dropTransientCaches()
+    val cached = spark.sparkContext.getRDDStorageInfo
+    val totalBytes = cached.map(i => i.memSize + i.diskSize).sum
+    val poolBytes = spark.sparkContext.getExecutorMemoryStatus
+      .values.map(_._1).sum
+    assert(poolBytes > 0)
+    // fraction of the pool: memos are standing dimensions, the bulk
+    // of memory must stay available to execution + shuffle
+    assert(totalBytes <= poolBytes / 2,
+      s"session memos cache ${totalBytes / 1048576} MiB of a " +
+        s"${poolBytes / 1048576} MiB storage pool (> 1/2): the memo " +
+        "set no longer fits beside query execution")
+    // corpus-relative: memos are sketches of the input, so their
+    // cached footprint must stay a small multiple of the source bytes
+    // (deserialized row overhead makes ~an order of magnitude the
+    // honest constant for MB-scale parquet; the killer this rejects
+    // is O(corpus^2), which blows any constant immediately)
+    val srcBytes = Seq("documents", "embeddings").map { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
+    }.sum
+    // + a fixed floor: ~17 memos × partition/block bookkeeping that
+    // doesn't shrink with corpus size at this tiny sf
+    assert(totalBytes <= 64L * srcBytes + 48L * 1048576,
+      s"session memos cache ${totalBytes / 1048576} MiB for " +
+        s"${srcBytes / 1048576} MiB of source parquet — the memo set " +
+        "is no longer corpus-sketch-sized")
+  }
 }

@@ -169,6 +169,122 @@ class StreamStaticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compaction publish survives a crash at every window " +
+      "(recoverCompaction promotes/restores; dup detection never lost)") {
+    // r11 advisor (medium): the old delete-then-rename publish had a
+    // window where a crash left NO live index and the next batch read
+    // PATH_NOT_FOUND as "first batch" — silently disabling dup
+    // detection against the whole prior corpus. The publish is now
+    // demote(live->_compact_old) + promote(_compact_tmp->live) with
+    // recovery at batch start; every crash state must restore a
+    // working index.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-crash").toString
+    val idxDir = s"$root/index"
+    val verDir = s"$root/verdicts"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+    }
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles.foreach(c =>
+          cp(c, new java.io.File(dst, c.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath); ()
+      }
+    }
+    def df(rows: Seq[(Long, String)]) = {
+      val ss = spark; import ss.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    val textA = "the quick brown fox jumps over the lazy sleeping dog " +
+      "while rain falls quietly on the old tin roof"
+    val run = graft.streaming.StreamOps.dedupIngestBatch(idxDir, verDir) _
+    try {
+      run(df(Seq(1L -> textA)), 0L)
+      val dst = new java.io.File(idxDir)
+      val tmp = new java.io.File(idxDir + "_compact_tmp")
+      val oldF = new java.io.File(idxDir + "_compact_old")
+      def assertDupStillDetected(batchId: Long): Unit = {
+        run(df(Seq((100L + batchId) -> (textA + " tonight"))), batchId)
+        val v = spark.read.parquet(verDir)
+          .filter(col("batch_id") === batchId).head()
+        assert(v.getBoolean(4),
+          s"batch $batchId: near-copy must still dup after recovery " +
+            "(index lost => dup detection silently disabled)")
+      }
+      // crash window 1: tmp fully written, live demoted, promote not
+      // yet done (dst missing, tmp present) -> recovery promotes tmp
+      dst.renameTo(tmp)
+      assertDupStillDetected(1L)
+      assert(!tmp.exists && dst.exists, "tmp must be promoted to live")
+      // crash window 2: live demoted to _compact_old, tmp already
+      // consumed or absent (dst missing, old present) -> restore old
+      dst.renameTo(oldF)
+      assertDupStillDetected(2L)
+      assert(!oldF.exists && dst.exists, "old must be restored to live")
+      // crash window 3: promote done, old not yet deleted (dst AND old
+      // present) -> live is authoritative, old dropped
+      cp(dst, oldF)
+      assertDupStillDetected(3L)
+      assert(!oldF.exists, "leftover _compact_old must be cleared")
+      // crash window 4: crash mid-tmp-write BEFORE the demote (dst AND
+      // a partial tmp present) -> live is authoritative, tmp dropped
+      tmp.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "part-partial.parquet").toPath, "garbage")
+      assertDupStillDetected(4L)
+      assert(!tmp.exists, "leftover partial _compact_tmp must be cleared")
+    } finally del(new java.io.File(root))
+  }
+
+  test("a changed doc whose new content has no shingles is tombstoned " +
+      "out of the live view") {
+    // r11 advisor (low): a standing doc redelivered with CHANGED but
+    // shingle-less (< 3 token) content produced no replaced rows and
+    // no tombstone, so its stale previous-generation shingles stayed
+    // live indefinitely.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-empty").toString
+    val idxDir = s"$root/index"
+    val verDir = s"$root/verdicts"
+    def df(rows: Seq[(Long, String)]) = {
+      val ss = spark; import ss.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    val run = graft.streaming.StreamOps.dedupIngestBatch(idxDir, verDir) _
+    try {
+      run(df(Seq(
+        1L -> ("the quick brown fox jumps over the lazy sleeping dog " +
+          "while rain falls quietly on the old tin roof"),
+        2L -> ("completely unrelated words about polar glaciers " +
+          "melting under a midnight sun in silence"))), 0L)
+      // doc 1's content collapses to two tokens: changed, zero shingles
+      run(df(Seq(1L -> "too short")), 1L)
+      val idx = spark.read.parquet(idxDir)
+      val live = idx
+        .join(idx.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+        .filter(col("n") >= 0)
+      val liveDocs = live.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(!liveDocs.contains(1L),
+        s"doc 1's stale shingles must leave the live view: $liveDocs")
+      assert(liveDocs.contains(2L), "unrelated doc 2 must stay live")
+      // and the tombstone is idempotent under redelivery of the same
+      // shingle-less content: UNCHANGED now (both sides empty), no-op
+      val n0 = spark.read.parquet(idxDir).count()
+      run(df(Seq(1L -> "too short")), 2L)
+      assert(spark.read.parquet(idxDir).count() == n0,
+        "redelivered unchanged shingle-less doc must append nothing")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
+
   test("write-back: batch N's novel doc is batch N+1's duplicate") {
     val ss = spark
     import ss.implicits._

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Per-query bench regression report (r11 verdict ask 7).
+
+The driver gate compares TOTALS only, so a 10x regression in one query
+hides inside a 258-query suite. This flags any query whose current
+steady-state time exceeds FACTOR x its pinned baseline.
+
+Baseline: BASELINE_QUERIES.json — {"source": ..., "unit": "sec",
+"queries": {name: sec}} — pinned from a clean-JVM pass-2 run
+(steady state; pass 1 carries per-plan JIT, see SCALING.md).
+
+Current run: a BENCH_VARIANCE.json (uses pass2, falling back to
+pass1) or a BENCH_FULL.json (flat name->sec map).
+
+Usage: python3 tools/bench_regress.py [current.json] [baseline.json]
+Defaults: BENCH_VARIANCE.json BASELINE_QUERIES.json. Exit 1 if any
+query regressed past FACTOR (new queries and sub-100ms noise skipped).
+"""
+import json
+import sys
+
+FACTOR = 3.0
+MIN_SEC = 0.15  # below this, scheduler noise dominates; not gradable
+
+
+def load_current(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "pass2" in d or "pass1" in d:
+        p = d.get("pass2") or d["pass1"]
+        return {k: (v[0] if isinstance(v, list) else v) for k, v in p.items()}
+    q = d.get("queries", d)
+    return {k: v for k, v in q.items() if isinstance(v, (int, float))}
+
+
+def main():
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_VARIANCE.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_QUERIES.json"
+    cur = load_current(cur_path)
+    with open(base_path) as f:
+        base = json.load(f)["queries"]
+    flagged, new, checked = [], [], 0
+    for name, sec in sorted(cur.items()):
+        if name == "memo_build":
+            continue
+        if name not in base:
+            new.append(name)
+            continue
+        checked += 1
+        pinned = base[name]
+        if sec >= MIN_SEC and pinned > 0 and sec > FACTOR * pinned:
+            flagged.append((name, pinned, sec, sec / pinned))
+    for name, pinned, sec, ratio in flagged:
+        print(f"REGRESSED {name}: {sec:.3f}s vs pinned {pinned:.3f}s "
+              f"({ratio:.1f}x > {FACTOR}x)")
+    if new:
+        print(f"note: {len(new)} queries have no pinned baseline yet: "
+              + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
+    print(f"== {checked} checked, {len(flagged)} regressed "
+          f"(factor {FACTOR}, floor {MIN_SEC}s) ==")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
