@@ -6,13 +6,25 @@ import java.util.Base64
 import javax.crypto.Mac
 import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
-/** SCRAM-SHA-256 (RFC 5802/7677) — PostgreSQL's default password
-  * auth since v10, so it's the FIRST exchange a real replication
-  * client survives before `START_REPLICATION` can run; the reference
-  * inherits it from `pg.Client`'s SASL support
-  * (`logical-replication-service.ts:72-87` just passes the password
-  * through). Pure JDK crypto (PBKDF2/HMAC/SHA-256), no channel
-  * binding (`n,,` / `c=biws` — PG's non-TLS loopback path).
+/** SCRAM-SHA-256 and SCRAM-SHA-256-PLUS (RFC 5802/7677) —
+  * PostgreSQL's default password auth since v10, so it's the FIRST
+  * exchange a real replication client survives before
+  * `START_REPLICATION` can run; the reference inherits it from
+  * `pg.Client`'s SASL support (`logical-replication-service.ts:72-87`
+  * just passes the password through; pg >= 8.11,
+  * `/root/reference/package.json:93` peer dep, negotiates `-PLUS`
+  * with tls-server-end-point binding when the server offers it, as
+  * libpq does). Pure JDK crypto (PBKDF2/HMAC/SHA-256).
+  *
+  * Channel binding (RFC 5802 §6 + RFC 5929 §4): on TLS the client
+  * binds the SASL exchange to the server's certificate — the GS2
+  * header becomes `p=tls-server-end-point,,` and the client-final
+  * `c=` carries base64(gs2-header ++ cert-hash). A MITM holding a
+  * DIFFERENT valid certificate sees the binding mismatch server-side
+  * and the exchange dies — the one attack plain SCRAM-over-TLS
+  * doesn't stop. The `y,,` header ("I support binding but you didn't
+  * offer -PLUS") must be REJECTED by a server that did offer it:
+  * that's the downgrade-detection half of the protocol.
   *
   * Wire shape inside the startup phase ([[PgStartup]]):
   * AuthenticationSASL (R/10, mechanism list) → SASLInitialResponse
@@ -26,9 +38,45 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
   */
 object Scram {
   val Mechanism = "SCRAM-SHA-256"
-  private val GS2Header = "n,," // no channel binding
-  private val B64GS2 = Base64.getEncoder
-    .encodeToString(GS2Header.getBytes(StandardCharsets.UTF_8)) // "biws"
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
+
+  /** The client's channel-binding stance, encoded in the GS2 header
+    * (RFC 5802 §7 `gs2-cbind-flag`). */
+  sealed trait Binding { def gs2: String; def cbindData: Array[Byte] }
+  /** Cleartext connection — binding not applicable (`n`). */
+  case object NoTls extends Binding {
+    val gs2 = "n,,"; val cbindData = Array.emptyByteArray
+  }
+  /** TLS, client supports binding, but the server did not advertise
+    * `-PLUS` (`y`). A binding-capable server MUST reject this — it
+    * means a MITM stripped the `-PLUS` offer. */
+  case object TlsServerNoPlus extends Binding {
+    val gs2 = "y,,"; val cbindData = Array.emptyByteArray
+  }
+  /** `-PLUS` negotiated: bind to the server certificate's
+    * tls-server-end-point hash (`p=`). */
+  final case class EndPoint(data: Array[Byte]) extends Binding {
+    val gs2 = "p=tls-server-end-point,,"; def cbindData = data
+  }
+
+  /** RFC 5929 §4.1 tls-server-end-point data: hash of the DER cert
+    * with the certificate signature's hash algorithm, MD5 and SHA-1
+    * upgraded to SHA-256 (PG does the same — `be-secure-openssl.c`'s
+    * `be_tls_get_certificate_hash` in the public sources). */
+  def tlsServerEndPoint(
+      cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val alg = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT)
+    val h =
+      if (alg.contains("SHA384")) "SHA-384"
+      else if (alg.contains("SHA512")) "SHA-512"
+      else "SHA-256"
+    java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
+  }
+
+  /** `c=` attribute value: base64(gs2-header ++ cbind-data). */
+  private def cbindB64(gs2: String, data: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(
+      gs2.getBytes(StandardCharsets.UTF_8) ++ data)
 
   def h(data: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("SHA-256").digest(data)
@@ -60,13 +108,14 @@ object Scram {
 
   /** Client half. PG ignores the SCRAM `n=` username (it keys the
     * role off the StartupMessage), so it is sent empty — the same
-    * thing libpq does. */
-  final class Client(password: String, val clientNonce: String) {
+    * thing libpq does. `binding` defaults to the cleartext stance. */
+  final class Client(password: String, val clientNonce: String,
+      binding: Binding = NoTls) {
     private val clientFirstBare = s"n=,r=$clientNonce"
     private var authMessage: String = _
     private var salted: Array[Byte] = _
 
-    def clientFirstMessage: String = GS2Header + clientFirstBare
+    def clientFirstMessage: String = binding.gs2 + clientFirstBare
 
     /** server-first → client-final (throws on a nonce that does not
       * extend ours — a MITM replaying someone else's exchange). */
@@ -80,7 +129,8 @@ object Scram {
       salted = saltedPassword(password, salt, iters)
       val clientKey = hmac(salted, "Client Key")
       val storedKey = h(clientKey)
-      val withoutProof = s"c=$B64GS2,r=$nonce"
+      val withoutProof =
+        s"c=${cbindB64(binding.gs2, binding.cbindData)},r=$nonce"
       authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
       val proof = xor(clientKey, hmac(storedKey, authMessage))
       s"$withoutProof,p=${b64(proof)}"
@@ -95,18 +145,45 @@ object Scram {
     }
   }
 
-  /** Server half (the walsender side of the loopback). */
+  /** Server half (the walsender side of the loopback).
+    *
+    * @param offeredPlus    the server ADVERTISED `-PLUS` (TLS session
+    *                       with a certificate) — makes a `y,,` client
+    *                       a detected downgrade
+    * @param plusNegotiated the client PICKED `-PLUS` — the `p=` gs2
+    *                       header and cert-hash binding are mandatory
+    * @param cbindData      this server's own tls-server-end-point
+    *                       hash, checked against the client-final `c=` */
   final class Server(password: String, salt: Array[Byte],
-      iterations: Int, serverNoncePart: String) {
+      iterations: Int, serverNoncePart: String,
+      offeredPlus: Boolean = false, plusNegotiated: Boolean = false,
+      cbindData: Array[Byte] = Array.emptyByteArray) {
     private var clientFirstBare: String = _
     private var serverFirst: String = _
     private var fullNonce: String = _
+    private var expectedC: String = _
     private val salted = saltedPassword(password, salt, iterations)
 
     def handleClientFirst(clientFirst: String): String = {
-      require(clientFirst.startsWith(GS2Header),
-        s"unsupported GS2 header in '$clientFirst'")
-      clientFirstBare = clientFirst.drop(GS2Header.length)
+      val gs2 =
+        if (clientFirst.startsWith("p=tls-server-end-point,,"))
+          "p=tls-server-end-point,,"
+        else if (clientFirst.startsWith("y,,")) "y,,"
+        else if (clientFirst.startsWith("n,,")) "n,,"
+        else throw new IllegalArgumentException(
+          s"unsupported GS2 header in '$clientFirst'")
+      // RFC 5802 §6 downgrade detection: 'y' claims the server never
+      // offered binding — if we DID offer -PLUS, someone stripped it
+      require(!(gs2 == "y,," && offeredPlus),
+        "client claims no -PLUS was offered, but it was — " +
+          "channel-binding downgrade detected")
+      require(!plusNegotiated || gs2.startsWith("p="),
+        "SCRAM-SHA-256-PLUS requires the p= gs2 header")
+      require(plusNegotiated || !gs2.startsWith("p="),
+        "channel binding requires the -PLUS mechanism")
+      expectedC = cbindB64(gs2,
+        if (gs2.startsWith("p=")) cbindData else Array.emptyByteArray)
+      clientFirstBare = clientFirst.drop(gs2.length)
       fullNonce = attrs(clientFirstBare)('r') + serverNoncePart
       serverFirst = s"r=$fullNonce,s=${b64(salt)},i=$iterations"
       serverFirst
@@ -117,7 +194,7 @@ object Scram {
       val a = attrs(clientFinal)
       if (!a.get('r').contains(fullNonce))
         return Left("nonce mismatch")
-      if (!a.get('c').contains(B64GS2))
+      if (!a.get('c').contains(expectedC))
         return Left("channel-binding mismatch")
       val withoutProof = clientFinal.take(clientFinal.lastIndexOf(",p="))
       val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"

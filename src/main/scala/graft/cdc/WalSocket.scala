@@ -192,6 +192,7 @@ final class LoopbackWalServer(
   private val statuses = ArrayBuffer.empty[Transport.StandbyStatus]
   private val starts = ArrayBuffer.empty[String]
   private val startups = ArrayBuffer.empty[Map[String, String]]
+  private val saslMechs = ArrayBuffer.empty[String]
   @volatile private var confirmed = 0L
   @volatile private var drop = dropAfterTxs
   @volatile private var errAfter = errorAfterTxs
@@ -207,6 +208,9 @@ final class LoopbackWalServer(
   def startCommands: Seq[String] = synchronized(starts.toList)
   /** StartupMessage parameter maps received, one per connection. */
   def startupParams: Seq[Map[String, String]] = synchronized(startups.toList)
+  /** SASL mechanisms clients actually negotiated, in arrival order —
+    * lets specs assert -PLUS was really chosen over a TLS session. */
+  def negotiatedSaslMechanisms: Seq[String] = synchronized(saslMechs.toList)
 
   private val acceptThread = new Thread(() => {
     while (running) {
@@ -229,6 +233,7 @@ final class LoopbackWalServer(
   private def serve(sock: Socket): Unit = {
     var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     var out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+    var sslSock: Option[javax.net.ssl.SSLSocket] = None
     try {
       // ---- libpq startup preceding any command ---------------------
       // (logical-replication-service.ts:72-87: pg.Client connects with
@@ -246,6 +251,7 @@ final class LoopbackWalServer(
           in = new DataInputStream(
             new BufferedInputStream(ssl.getInputStream))
           out = new java.io.BufferedOutputStream(ssl.getOutputStream, 1 << 16)
+          sslSock = Some(ssl)
           tlsCount += 1
         } else {
           out.write('N'); out.flush() // clear-text fallback
@@ -270,23 +276,40 @@ final class LoopbackWalServer(
       }
       password match {
         case Some(pw) if authMethod == "scram-sha-256" =>
-          // AuthenticationSASL: advertise the mechanism list
-          WalWire.write(out, 'R', new BinaryWriter().writeInt32(10)
-            .writeString(Scram.Mechanism).writeUint8(0).result())
+          // AuthenticationSASL: advertise the mechanism list. On a
+          // TLS session the server's certificate exists, so -PLUS is
+          // offered FIRST (PG lists it before the plain mechanism);
+          // cleartext sessions advertise plain SCRAM only.
+          val cbind = sslSock.map(s => Scram.tlsServerEndPoint(
+            s.getSession.getLocalCertificates()(0)
+              .asInstanceOf[java.security.cert.X509Certificate]))
+          val mechs =
+            cbind.map(_ => Scram.MechanismPlus).toSeq :+ Scram.Mechanism
+          val adv = new BinaryWriter().writeInt32(10)
+          mechs.foreach(adv.writeString)
+          WalWire.write(out, 'R', adv.writeUint8(0).result())
           out.flush()
           val init = WalWire.read(in).getOrElse(return)
           val ir = new BinaryReader(init.body)
           val mech = ir.readString()
-          if (init.tag != 'p' || mech != Scram.Mechanism) {
+          if (init.tag != 'p' || !mechs.contains(mech)) {
             authFail(); return
           }
+          synchronized { saslMechs += mech }
           val cfLen = ir.readInt32()
           val clientFirst = ir.readText(cfLen)
           val salt = new Array[Byte](16)
           new java.security.SecureRandom().nextBytes(salt)
           val scram = new Scram.Server(pw, salt, 4096,
-            java.util.UUID.randomUUID().toString.replace("-", ""))
-          val serverFirst = scram.handleClientFirst(clientFirst)
+            java.util.UUID.randomUUID().toString.replace("-", ""),
+            offeredPlus = cbind.nonEmpty,
+            plusNegotiated = mech == Scram.MechanismPlus,
+            cbindData = cbind.getOrElse(Array.emptyByteArray))
+          val serverFirst =
+            try scram.handleClientFirst(clientFirst)
+            catch { case _: IllegalArgumentException =>
+              authFail(); return
+            }
           WalWire.write(out, 'R', new BinaryWriter().writeInt32(11)
             .writeBytes(serverFirst.getBytes(StandardCharsets.UTF_8))
             .result())
@@ -761,19 +784,40 @@ final class WalSocketClient(
                   .writeString(PgStartup.md5Password(
                     password.getOrElse(""), user, salt)).result())
                 out.flush()
-              case 10 => // AuthenticationSASL: pick SCRAM-SHA-256
+              case 10 => // AuthenticationSASL: prefer -PLUS over TLS
                 var mechs = List.empty[String]
                 var s = r.readString()
                 while (s.nonEmpty) { mechs ::= s; s = r.readString() }
-                if (!mechs.contains(Scram.Mechanism))
+                if (!mechs.contains(Scram.Mechanism) &&
+                  !mechs.contains(Scram.MechanismPlus))
                   throw new IOException(
                     s"no supported SASL mechanism in $mechs")
+                // channel binding (RFC 5802 §6): on TLS, pick the
+                // -PLUS mechanism when offered and bind to the
+                // server cert's tls-server-end-point hash; if TLS is
+                // up but -PLUS was NOT offered, say so with gs2 'y'
+                // (a binding-capable real server rejects that as a
+                // stripped-offer downgrade). Cleartext stays 'n'.
+                val sslOpt = sock match {
+                  case t: javax.net.ssl.SSLSocket => Some(t)
+                  case _ => None
+                }
+                val (mech, binding) = sslOpt match {
+                  case Some(t) if mechs.contains(Scram.MechanismPlus) =>
+                    (Scram.MechanismPlus, Scram.EndPoint(
+                      Scram.tlsServerEndPoint(
+                        t.getSession.getPeerCertificates()(0)
+                          .asInstanceOf[java.security.cert.X509Certificate])))
+                  case Some(_) => (Scram.Mechanism, Scram.TlsServerNoPlus)
+                  case None => (Scram.Mechanism, Scram.NoTls)
+                }
                 scram = new Scram.Client(password.getOrElse(""),
-                  java.util.UUID.randomUUID().toString.replace("-", ""))
+                  java.util.UUID.randomUUID().toString.replace("-", ""),
+                  binding)
                 val cf = scram.clientFirstMessage
                   .getBytes(StandardCharsets.UTF_8)
                 WalWire.write(out, 'p', new BinaryWriter()
-                  .writeString(Scram.Mechanism)
+                  .writeString(mech)
                   .writeInt32(cf.length).writeBytes(cf).result())
                 out.flush()
               case 11 => // AuthenticationSASLContinue: server-first

@@ -1362,6 +1362,86 @@ object Pipeline {
         .unionAll(arm("length", expr("n DIV 64"),
           Seq(col("n"), col("doc_id"))))
         .orderBy(col("strategy"))
+    },
+
+    // ---- q259: per-source dup-inflation census --------------------
+    // The budgeting number dedup methodology ends at: per SOURCE, how
+    // much of its character mass is redundant — i.e. what the source
+    // costs before vs after canonical election (q235's quality-ranked
+    // keep). inflation_ppm = 1e6·mass/kept_mass tells a data buyer
+    // which feeds are mostly re-prints; dup_mass_ppm is the share of
+    // the source's bytes that election drops. A cross-source cluster
+    // charges its dropped members to THEIR source while only the
+    // canonical's source keeps mass — exactly how the cost lands in
+    // training. Plan: memoized component labels + quality join, one
+    // per-root WindowGroupLimit election, two keyed aggs by source.
+    // Nothing scales past the corpus scan; output is #sources rows.
+    QueryDef(
+      "q259_dedup_mass_census",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |$qualityScoresSql,
+         |lab AS (SELECT d.doc_id, d.source, d.n_chars,
+         |    coalesce(r.root, d.doc_id) AS root,
+         |    coalesce(q.q, 0) AS q
+         |  FROM documents d LEFT JOIN root r ON r.doc_id = d.doc_id
+         |                   LEFT JOIN qual q ON q.doc_id = d.doc_id),
+         |keep AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY root
+         |      ORDER BY q DESC, doc_id) AS rn FROM lab) WHERE rn = 1)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS mass_chars,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN n_chars
+         |    ELSE 0 END) AS BIGINT) AS kept_chars,
+         |  CAST(1000000 * sum(n_chars)
+         |    // greatest(1, sum(CASE WHEN k.doc_id IS NOT NULL
+         |      THEN n_chars ELSE 0 END)) AS BIGINT) AS inflation_ppm,
+         |  CAST(1000000 * sum(CASE WHEN k.doc_id IS NULL THEN n_chars
+         |    ELSE 0 END) // greatest(1, sum(n_chars)) AS BIGINT)
+         |    AS dup_mass_ppm
+         |FROM lab LEFT JOIN keep k ON k.doc_id = lab.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val labels = clusterLabels(s, d)
+        .select(col("node").as("doc_id"), col("label").as("croot"))
+      val lab = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .join(qualityScores(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(col("croot"), col("doc_id")).as("root"),
+          coalesce(col("q"), lit(0L)).as("q"))
+        .tcache() // election + census read it
+      val keep = lab
+        .withColumn("rn", row_number().over(Window.partitionBy(col("root"))
+          .orderBy(col("q").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), lit(1).as("kept"))
+      lab.join(keep, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_chars")).as("mass_chars"),
+          sum(when(col("kept").isNotNull, col("n_chars")).otherwise(0L))
+            .as("kept_chars"),
+          expr("CAST(1000000 * sum(n_chars) DIV greatest(1," +
+            " sum(CASE WHEN kept IS NOT NULL THEN n_chars ELSE 0 END))" +
+            " AS BIGINT)").as("inflation_ppm"),
+          expr("CAST(1000000 * sum(CASE WHEN kept IS NULL THEN n_chars" +
+            " ELSE 0 END) DIV greatest(1, sum(n_chars)) AS BIGINT)")
+            .as("dup_mass_ppm"))
+        .orderBy(col("source"))
     }
   )
 

@@ -1406,6 +1406,58 @@ object Vectors {
           min(col("sm")).as("min_sil_milli"),
           max(col("sm")).as("max_sil_milli"))
         .orderBy(col("cluster"))
+    },
+
+    // ---- q258: IVF cell-occupancy census (index health) ----------
+    // The batch twin of the r12 streaming ingest drift probe
+    // (StreamOps.ivfIngestBatch): per trained cell, occupancy, share
+    // of the corpus, load relative to uniform (load_milli = 1000·k·
+    // n/total — the same statistic whose max the ingest probe
+    // watches), and label purity of the cell's plurality label. An
+    // operator a production ANN deployment runs continuously: skewed
+    // cells = degraded pruning, low purity = semantic drift inside a
+    // cell. Plan: one keyed agg over the memoized Lloyd assignments
+    // + one keyed label agg with a per-cell WindowGroupLimit top-1 —
+    // output is k rows, all shuffles keyed by cell.
+    QueryDef(
+      "q258_ivf_cell_census",
+      "WITH " + lloydA2Sql + """,
+        |emb AS (SELECT vec_id, label FROM embeddings),
+        |cell AS (SELECT j, count(*) AS n FROM a2 GROUP BY j),
+        |lab AS (SELECT a2.j, emb.label, count(*) AS nl
+        |        FROM a2 JOIN emb ON emb.vec_id = a2.vec_id
+        |        GROUP BY a2.j, emb.label),
+        |top AS (SELECT j, label, nl FROM (
+        |    SELECT j, label, nl, row_number() OVER (
+        |      PARTITION BY j ORDER BY nl DESC, label) AS rn FROM lab)
+        |  WHERE rn = 1),
+        |tot AS (SELECT sum(n) AS t FROM cell)
+        |SELECT CAST(c.j AS BIGINT) AS cell, CAST(c.n AS BIGINT) AS n_vectors,
+        |  CAST(1000000 * c.n // t AS BIGINT) AS share_ppm,
+        |  CAST(8000 * c.n // t AS BIGINT) AS load_milli,
+        |  CAST(top.label AS BIGINT) AS top_label,
+        |  CAST(1000000 * top.nl // c.n AS BIGINT) AS purity_ppm
+        |FROM cell c JOIN top ON top.j = c.j CROSS JOIN tot
+        |ORDER BY cell""".stripMargin) { (s, d) =>
+      val a2 = kmeansAssignments(s, d)
+      val e = prepared(s, d).select(col("vec_id"), col("label"))
+      val cell = a2.groupBy(col("j")).agg(count(lit(1)).as("n"))
+      val lab = a2.join(e, "vec_id")
+        .groupBy(col("j"), col("label")).agg(count(lit(1)).as("nl"))
+      val top = lab.withColumn("rn", row_number().over(
+          Window.partitionBy(col("j"))
+            .orderBy(col("nl").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("label"), col("nl"))
+      val tot = cell.agg(sum(col("n")).as("t"))
+      cell.join(top, "j").crossJoin(broadcast(tot))
+        .select(col("j").cast("long").as("cell"),
+          col("n").as("n_vectors"),
+          expr("1000000 * n DIV t").as("share_ppm"),
+          expr("8000 * n DIV t").as("load_milli"),
+          col("label").cast("long").as("top_label"),
+          expr("1000000 * nl DIV n").as("purity_ppm"))
+        .orderBy(col("cell"))
     }
   )
 
@@ -1602,6 +1654,28 @@ object Vectors {
       .filter(col("ra") <= k)
       .select(col("qid"), col("cid"), col("ra"))
   }
+
+  /** The trained centroid matrix, public for the streaming ingest
+    * path ([[graft.streaming.StreamOps.ivfIngestBatch]]) and its
+    * specs — k·64 longs of driver state, same memo as the query arms. */
+  def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    kmeansCentroids(s, d)
+
+  /** The batch-trained (vec_id, j) assignment memo, public so the
+    * ingest spec can pin streaming-assign == batch-assign. */
+  def trainedAssignments(s: SparkSession, d: String): DataFrame =
+    kmeansAssignments(s, d)
+
+  /** Quantize + assign arrival embeddings (`vec_id`, `embedding`)
+    * against a trained centroid matrix — the map-side half of IVF
+    * index maintenance on ingest. Pure projection over centroid
+    * LITERALS (no join, no shuffle): exactly the per-batch cost
+    * profile a 1000-executor ingest needs. Returns (vec_id, j). */
+  def assignArrivals(arrivals: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame =
+    assignToCents(arrivals.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+        " AS BIGINT) + 1000)").as("q")), cents)
 
   /** Materialize this module's session memos (quantized grid, Lloyd
     * assignments, PQ codebooks) — [[Prewarm]] hook. */

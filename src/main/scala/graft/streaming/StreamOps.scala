@@ -815,6 +815,82 @@ object StreamOps {
       .write.mode("append").parquet(reportDir)
   }
 
+  /** foreachBatch IVF index maintenance (r11 verdict ask 3): the
+    * trained IVF index (q115/q116, load-bearing for q191/q239/q246/
+    * q250) gains an INGEST story to match the dedup standing index.
+    * Each micro-batch of `(vec_id, embedding)` arrivals is assigned
+    * map-side against the trained centroid LITERALS
+    * ([[graft.ops.Vectors.assignArrivals]] — no join, no shuffle on
+    * the corpus side) and appended to the standing cell index as
+    * `(vec_id, j, gen)`, so the index advances with every
+    * acknowledged batch and stays queryable throughout.
+    *
+    * Idempotency, two layers (same contract as [[dedupIngestBatch]]):
+    * the report row is the batch commit marker (batchId-checked —
+    * crash replay of a committed batch is a no-op), and arrivals
+    * anti-join the standing vec_ids so cross-batch re-delivery never
+    * double-appends.
+    *
+    * Drift-triggered retrain probe (q238's pattern, watching CELL
+    * OCCUPANCY skew): after the append, one keyed count over the
+    * index yields per-cell occupancy; `skew_milli` =
+    * 1000·k·max_cell/total (1000 = perfectly uniform). When arrivals
+    * drift away from the trained centroids they pile into few cells,
+    * skew rises past `retrainSkewMilli`, and the report row flags
+    * `retrain_recommended` — the operational signal to re-run Lloyd
+    * on the accumulated corpus (training stays a batch job; the
+    * probe only detects). Report: `(batch_id, n_arrived, n_index,
+    * max_cell, skew_milli, retrain_recommended)`.
+    *
+    * At 100 TB: assignment is map-side over the batch; the append is
+    * a MERGE into the bucketed-by-`j` index table; the occupancy
+    * count is k rows. Nothing scales with corpus volume except the
+    * idempotency anti-join, which at scale is the same keyed MERGE
+    * lookup the dedup loop documents. */
+  def ivfIngestBatch(indexDir: String, reportDir: String,
+      centroids: Seq[(Long, Seq[Long])],
+      retrainSkewMilli: Long = 3000L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    val alreadyDone =
+      try spark.read.parquet(reportDir)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: Exception => false }
+    if (alreadyDone) return
+    val uniq = batch.dropDuplicates("vec_id")
+    val standing =
+      try Some(spark.read.parquet(indexDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val fresh = standing match {
+      case Some(idx) => uniq.join(idx.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      case None => uniq
+    }
+    val assigned = graft.ops.Vectors.assignArrivals(fresh, centroids)
+      .withColumn("gen", lit(batchId))
+    // index first (vec_id-idempotent), report last (commit marker) —
+    // the half-committed crash window replays harmlessly
+    assigned.write.mode("append").parquet(indexDir)
+    val occ = spark.read.parquet(indexDir)
+      .groupBy(col("j")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("max_cell"))
+    val nArrived = fresh.count()
+    val k = math.max(centroids.size, 1)
+    occ.select(
+      lit(batchId).as("batch_id"),
+      lit(nArrived).as("n_arrived"),
+      col("total").as("n_index"),
+      col("max_cell"),
+      expr(s"1000 * $k * max_cell DIV total").as("skew_milli"))
+      .withColumn("retrain_recommended",
+        col("skew_milli") > retrainSkewMilli)
+      .write.mode("append").parquet(reportDir)
+  }
+
   /** foreachBatch contamination probe — q234's live form: each
     * micro-batch of `(doc_id, text)` eval arrivals probes the
     * standing train-gram index (one equi-join keyed on the 32-bit

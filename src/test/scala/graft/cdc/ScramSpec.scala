@@ -55,6 +55,74 @@ class ScramSpec extends AnyFunSuite {
     assert(!client.verifyServerFinal("v=AAAA"), "forged v= must fail")
   }
 
+  test("-PLUS: exchange binds to the certificate hash and completes " +
+      "(tls-server-end-point)") {
+    // r11 verdict ask 2: synthetic cert-hash bytes stand in for the
+    // tls-server-end-point data — the binding algebra is the same
+    val cb = (0 until 32).map(_.toByte).toArray
+    val client = new Scram.Client("hunter2", "cbnonce", Scram.EndPoint(cb))
+    assert(client.clientFirstMessage.startsWith("p=tls-server-end-point,,"))
+    val server = new Scram.Server("hunter2", "0123456789abcdef".getBytes,
+      4096, "srv", offeredPlus = true, plusNegotiated = true,
+      cbindData = cb)
+    val cf = client.handleServerFirst(
+      server.handleClientFirst(client.clientFirstMessage))
+    // the c= attribute now carries gs2 ++ cert-hash, not plain "biws"
+    assert(!cf.startsWith("c=biws,"), s"binding missing from '$cf'")
+    val Right(v) = server.handleClientFinal(cf)
+    assert(client.verifyServerFinal(v), "-PLUS mutual auth must verify")
+  }
+
+  test("-PLUS: a MITM with a DIFFERENT certificate fails the binding") {
+    val cbClient = (0 until 32).map(_.toByte).toArray
+    val cbServer = (1 to 32).map(_.toByte).toArray // not the same cert
+    val client = new Scram.Client("hunter2", "cbnonce",
+      Scram.EndPoint(cbClient))
+    val server = new Scram.Server("hunter2", "0123456789abcdef".getBytes,
+      4096, "srv", offeredPlus = true, plusNegotiated = true,
+      cbindData = cbServer)
+    val cf = client.handleServerFirst(
+      server.handleClientFirst(client.clientFirstMessage))
+    assert(server.handleClientFinal(cf) ==
+      Left("channel-binding mismatch"))
+  }
+
+  test("downgrade detection: gs2 'y' is rejected when -PLUS was " +
+      "offered, accepted when it truly wasn't") {
+    val client = new Scram.Client("pw", "ynonce", Scram.TlsServerNoPlus)
+    assert(client.clientFirstMessage.startsWith("y,,"))
+    // server DID offer -PLUS: 'y' means someone stripped the offer
+    val strict = new Scram.Server("pw", "0123456789abcdef".getBytes,
+      4096, "srv", offeredPlus = true)
+    val ex = intercept[IllegalArgumentException] {
+      strict.handleClientFirst(client.clientFirstMessage)
+    }
+    assert(ex.getMessage.contains("downgrade"))
+    // server genuinely has no -PLUS (e.g. no TLS): 'y' is honest
+    val plain = new Scram.Server("pw", "0123456789abcdef".getBytes,
+      4096, "srv2")
+    val client2 = new Scram.Client("pw", "ynonce2", Scram.TlsServerNoPlus)
+    val cf = client2.handleServerFirst(
+      plain.handleClientFirst(client2.clientFirstMessage))
+    val Right(v) = plain.handleClientFinal(cf)
+    assert(client2.verifyServerFinal(v))
+  }
+
+  test("gs2/mechanism coherence: p= without -PLUS (and -PLUS without " +
+      "p=) are both rejected") {
+    val s1 = new Scram.Server("pw", "0123456789abcdef".getBytes, 4096,
+      "srv", offeredPlus = true, plusNegotiated = false)
+    intercept[IllegalArgumentException] {
+      s1.handleClientFirst("p=tls-server-end-point,,n=,r=x")
+    }
+    val s2 = new Scram.Server("pw", "0123456789abcdef".getBytes, 4096,
+      "srv", offeredPlus = true, plusNegotiated = true,
+      cbindData = Array[Byte](1, 2))
+    intercept[IllegalArgumentException] {
+      s2.handleClientFirst("n,,n=,r=x")
+    }
+  }
+
   test("client rejects a server nonce that does not extend its own") {
     val client = new Scram.Client("pw", "mynonce")
     val ex = intercept[IllegalArgumentException] {

