@@ -118,6 +118,56 @@ object CdcQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- q260: write-in-chunks roundtrip --------------------------
+    // q33 with the transport split the way `write-in-chunks 'on'`
+    // actually ships it: every transaction arrives as THREE XLogData
+    // frames (header `{"change":[`, the change object, footer
+    // `],"xid":…,"nextlsn":"…"}`), none of which parses alone. The
+    // consumer-side reassembly (`wal2jsonReassembleChunks`: per-shard
+    // LSN-ordered bracket-depth) must rebuild every document before
+    // the standard decode — a wrong grouping or ordering poisons the
+    // JSON and the oracle hash. Shards = event_id % 32 model
+    // many slots fanning into one consumer and give the reassembly
+    // windows full machine parallelism; chunk LSNs are 4·event_id +
+    // k so tx blocks are contiguous within a shard, interleaved
+    // across shards. Scale: the window state is one running int per shard;
+    // groups are tx-sized.
+    QueryDef(
+      "q260_wal2json_chunked_roundtrip",
+      s"""SELECT event_id % 1000 AS xid, $opSql AS op,
+         |  'events' AS table_name, event_id, user_id,
+         |  $valueStrSql AS value_str, event_type, event_id AS lsn
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val change = concat(
+        lit("""{"kind":""""), opCol,
+        lit("""","schema":"public","table":"events","columnnames":["event_id","user_id","value_str","event_type"],"columntypes":["bigint","bigint","text","text"],"columnvalues":["""),
+        col("event_id"), lit(","), col("user_id"), lit(",\""),
+        valueStrCol, lit("\",\""), col("event_type"), lit("\"]}"))
+      val footer = concat(
+        lit("""],"xid":"""), col("event_id") % 1000,
+        lit(""","nextlsn":""""), format_lsn(col("event_id")), lit("\"}"))
+      val frames = events(s, d)
+        .select((col("event_id") % 32).as("shard"), explode(array(
+          struct((col("event_id") * 4).as("flsn"),
+            lit("""{"change":[""").as("p")),
+          struct((col("event_id") * 4 + 1).as("flsn"), change.as("p")),
+          struct((col("event_id") * 4 + 2).as("flsn"), footer.as("p"))))
+          .as("f"))
+        .select(col("shard"), col("f.flsn").as("flsn"), col("f.p").as("p"))
+      val docs = wal2jsonReassembleChunks(fanOut(frames),
+        col("shard"), col("flsn"), col("p"))
+      wal2jsonChanges(docs, col("payload"))
+        .select(
+          col("xid"), col("op"), col("table").as("table_name"),
+          col("after")("event_id").cast("long").as("event_id"),
+          col("after")("user_id").cast("long").as("user_id"),
+          col("after")("value_str").as("value_str"),
+          col("after")("event_type").as("event_type"),
+          parse_lsn(col("nextlsn")).as("lsn"))
+        .orderBy(col("event_id"))
+    },
+
     QueryDef(
       "q53_wal2json_v2_roundtrip",
       s"""SELECT event_id % 1000 AS xid, $opSql AS op,
