@@ -109,4 +109,47 @@ class IvfIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       del(new java.io.File(root))
     }
   }
+
+  test("the ingest loop runs as a real writeStream foreachBatch sink") {
+    // same maintenance loop, driven by Structured Streaming itself —
+    // the shape a production ingest deploys
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-stream").toString
+    val idxDir = s"$root/index"
+    val repDir = s"$root/reports"
+    val cents = graft.ops.Vectors.trainedCentroids(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(StreamOps.ivfIngestBatch(idxDir, repDir, cents) _)
+      .start()
+    try {
+      val (b0, b1) = emb.partition(_._1 % 2 == 0)
+      input.addData(b0.toSeq)
+      q.processAllAvailable()
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      val idx = spark.read.parquet(idxDir)
+      assert(idx.count() == emb.length.toLong)
+      assert(spark.read.parquet(repDir).count() == 2L)
+      // assignments still match the batch training
+      val batchAssign = graft.ops.Vectors.trainedAssignments(spark, sfDir)
+      assert(idx.select(col("vec_id"), col("j"))
+        .except(batchAssign.select(col("vec_id"), col("j")))
+        .count() == 0L)
+    } finally {
+      q.stop()
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
 }
