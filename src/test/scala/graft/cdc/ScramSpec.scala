@@ -123,6 +123,36 @@ class ScramSpec extends AnyFunSuite {
     }
   }
 
+  test("tls-server-end-point picks the cert-signature hash " +
+      "(SHA-1/MD5 upgraded to SHA-256) and digests the DER bytes") {
+    // the loopback store's cert is SHA256-signed: binding data must
+    // be the SHA-256 of the encoded cert, 32 bytes
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(Tls.defaultStorePath)
+    try ks.load(in, Tls.defaultStorePass) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val alias = ks.aliases().asScala.next()
+    val cert = ks.getCertificate(alias)
+      .asInstanceOf[java.security.cert.X509Certificate]
+    val got = Scram.tlsServerEndPoint(cert)
+    val want = java.security.MessageDigest.getInstance(
+      if (cert.getSigAlgName.toUpperCase.contains("SHA384")) "SHA-384"
+      else if (cert.getSigAlgName.toUpperCase.contains("SHA512")) "SHA-512"
+      else "SHA-256").digest(cert.getEncoded)
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 32 || got.length == 48 || got.length == 64)
+    // and two DIFFERENT certs never share binding data — the property
+    // the MITM defence rests on
+    val other = Tls.freshUnrelatedStore()
+    val ks2 = java.security.KeyStore.getInstance("PKCS12")
+    val in2 = new java.io.FileInputStream(other)
+    try ks2.load(in2, Tls.defaultStorePass) finally in2.close()
+    val alias2 = ks2.aliases().asScala.next()
+    val cert2 = ks2.getCertificate(alias2)
+      .asInstanceOf[java.security.cert.X509Certificate]
+    assert(Scram.tlsServerEndPoint(cert2).toSeq != got.toSeq)
+  }
+
   test("client rejects a server nonce that does not extend its own") {
     val client = new Scram.Client("pw", "mynonce")
     val ex = intercept[IllegalArgumentException] {
