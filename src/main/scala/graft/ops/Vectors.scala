@@ -1458,6 +1458,54 @@ object Vectors {
           col("label").cast("long").as("top_label"),
           expr("1000000 * nl DIV n").as("purity_ppm"))
         .orderBy(col("cell"))
+    },
+
+    // ---- q261: retrieval label-diversity audit --------------------
+    // The eval-metric family's third member after relevance (q230
+    // MRR/nDCG) and recall (q239): DIVERSITY of what the index
+    // returns. Per query, the label spread of its top-5 — distinct
+    // labels, exact-integer Simpson concentration Σnl²·1e6/k² (1e6 =
+    // all one label ⇒ collapsed retrieval), and the plurality count.
+    // Retrieval rides the TRAINED IVF arm (cell equi-join, no
+    // corpus-side crossJoin — q191's production shape); nprobe = k
+    // keeps it bit-identical to the brute-force oracle, and q239's
+    // recall gauge already prices the pruned setting. Scale: probe
+    // list is queries×k rows broadcast, candidates = probed-cell
+    // occupancy, diversity agg is queries×≤5 rows.
+    QueryDef(
+      "q261_retrieval_label_diversity",
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |    ${dotSql("v", "v")} AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id < 20),
+         |p AS (SELECT qid, c.vec_id AS cid, c.label AS clabel,
+         |    round(${dotSql("qv", "c.v")} / (sqrt(qn) * sqrt(c.nrm)), 6)
+         |      AS score
+         |  FROM q JOIN n c ON c.vec_id <> qid),
+         |top AS (SELECT qid, clabel FROM (
+         |    SELECT qid, clabel, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM p)
+         |  WHERE rn <= 5),
+         |cnt AS (SELECT qid, clabel, count(*) AS nl FROM top
+         |        GROUP BY qid, clabel)
+         |SELECT qid, CAST(count(*) AS BIGINT) AS distinct_labels,
+         |  CAST(sum(nl * nl) * 1000000 // 25 AS BIGINT) AS simpson_ppm,
+         |  CAST(max(nl) AS BIGINT) AS max_label_n
+         |FROM cnt GROUP BY qid ORDER BY qid""".stripMargin) { (s, d) =>
+      val lab = prepared(s, d)
+        .select(col("vec_id").as("cid"), col("label").as("clabel"))
+      ivfSemanticTop(s, d, nprobe = 8, k = 5)
+        .join(lab, "cid")
+        .groupBy(col("qid"), col("clabel"))
+        .agg(count(lit(1)).as("nl"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("distinct_labels"),
+          expr("sum(nl * nl) * 1000000 DIV 25").as("simpson_ppm"),
+          max(col("nl")).cast("long").as("max_label_n"))
+        .orderBy(col("qid"))
     }
   )
 
@@ -1580,27 +1628,66 @@ object Vectors {
     * k-means (k·dim longs, bounded), memoized so the IVF probe
     * ranking (q191's semantic arm, q239's recall audit) and the
     * assignment memo share one training run. */
+  /** The Lloyd training kernel behind [[kmeansCentroids]], over an
+    * arbitrary quantized relation `(vec_id, q)` from a given init:
+    * one map-side argmin assignment against the init literals, one
+    * keyed (cluster, dim) recompute with grid rounding, collect the
+    * k×dim matrix. Public via [[retrainFromEmbeddings]] so the
+    * drift-triggered retrain acts on the SAME arithmetic the batch
+    * training used — retrained and original indexes stay
+    * hash-comparable. */
+  private def lloydTrain(e: DataFrame,
+      init: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+    def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
+      Tables.boundedCollect(df, init.size.max(8),
+        s"k-means centroid matrix (k = ${init.size})")
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    val a1 = assignToCents(e, init)
+    val n1 = a1.groupBy(col("j")).agg(count(lit(1)).as("n"))
+    val s1 = a1.join(e, "vec_id")
+      .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("j"), col("i")).agg(sum(col("v")).as("s"))
+    collectCents(s1.join(n1, "j")
+      .select(col("j"), col("i"),
+        expr("(2 * s + n) DIV (2 * n)").as("ci"))
+      .groupBy(col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+        p => p.getField("ci")).as("c")))
+  }
+
   private[ops] def kmeansCentroids(s: SparkSession,
       d: String): Seq[(Long, Seq[Long])] =
     kmCentCache.getOrElseUpdate((s, d)) {
       val e = quantized(s, d)
-      def collectCents(df: DataFrame): Seq[(Long, Seq[Long])] =
-        Tables.boundedCollect(df, 8, "k-means centroid matrix (k = 8)")
-          .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
-      val init = collectCents(e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("j"), col("q").as("c")))
-      val a1 = assignToCents(e, init)
-      val n1 = a1.groupBy(col("j")).agg(count(lit(1)).as("n"))
-      val s1 = a1.join(e, "vec_id")
-        .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy(col("j"), col("i")).agg(sum(col("v")).as("s"))
-      collectCents(s1.join(n1, "j")
-        .select(col("j"), col("i"),
-          expr("(2 * s + n) DIV (2 * n)").as("ci"))
-        .groupBy(col("j"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
-          p => p.getField("ci")).as("c")))
+      val init = Tables.boundedCollect(
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("j"), col("q").as("c")),
+        8, "k-means centroid matrix (k = 8)")
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+      lloydTrain(e, init)
     }
+
+  /** Retrain the IVF centroids from a STORED vectors relation
+    * `(vec_id, embedding)` — the action the ingest drift probe's
+    * `retrain_recommended` flag calls for
+    * ([[graft.streaming.StreamOps.ivfIngestBatch]] with a `vecsDir`).
+    * Seeds are the k lowest vec_ids (deterministic under re-runs and
+    * partitioning); the kernel is the batch training's exact-integer
+    * Lloyd, so recall audits run unchanged against the new matrix.
+    * At 100 TB: one tiny seed collect + the two keyed passes the
+    * batch trainer already costs. */
+  def retrainFromEmbeddings(vecs: DataFrame, k: Int = 8)
+      : Seq[(Long, Seq[Long])] = {
+    val e = vecs.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+        " AS BIGINT) + 1000)").as("q"))
+    val init = Tables.boundedCollect(
+      e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("j"), col("q").as("c")),
+      k, s"retrain seed matrix (k = $k)")
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    lloydTrain(e, init)
+  }
 
   private[ops] def kmeansAssignments(s: SparkSession, d: String): DataFrame =
     kmCache.getOrElseUpdate((s, d)) {

@@ -849,7 +849,16 @@ object StreamOps {
     * lookup the dedup loop documents. */
   def ivfIngestBatch(indexDir: String, reportDir: String,
       centroids: Seq[(Long, Seq[Long])],
-      retrainSkewMilli: Long = 3000L)(
+      retrainSkewMilli: Long = 3000L,
+      /** Optional raw-vector store: when set, fresh arrivals'
+        * `(vec_id, embedding)` rows append here under the same
+        * idempotency contract — the relation
+        * [[graft.ops.Vectors.retrainFromEmbeddings]] retrains from
+        * when a report row flags `retrain_recommended` (at 100 TB
+        * this is the corpus's embedding table itself; the option
+        * exists so the loop is self-contained where there isn't
+        * one). */
+      vecsDir: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
@@ -865,30 +874,59 @@ object StreamOps {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => None
       }
-    val fresh = standing match {
+    val fresh = (standing match {
       case Some(idx) => uniq.join(idx.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
       case None => uniq
-    }
-    val assigned = graft.ops.Vectors.assignArrivals(fresh, centroids)
-      .withColumn("gen", lit(batchId))
-    // index first (vec_id-idempotent), report last (commit marker) —
-    // the half-committed crash window replays harmlessly
-    assigned.write.mode("append").parquet(indexDir)
-    val occ = spark.read.parquet(indexDir)
-      .groupBy(col("j")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n")).as("total"), max(col("n")).as("max_cell"))
-    val nArrived = fresh.count()
-    val k = math.max(centroids.size, 1)
-    occ.select(
-      lit(batchId).as("batch_id"),
-      lit(nArrived).as("n_arrived"),
-      col("total").as("n_index"),
-      col("max_cell"),
-      expr(s"1000 * $k * max_cell DIV total").as("skew_milli"))
-      .withColumn("retrain_recommended",
-        col("skew_milli") > retrainSkewMilli)
-      .write.mode("append").parquet(reportDir)
+    }).cache() // index append + optional vector store + arrival count
+    try {
+      // Materialize the cache BEFORE the index append: the anti-join
+      // reads indexDir lazily, so once the append lands, a
+      // re-execution of `fresh` would see the batch's own ids as
+      // standing and evaluate EMPTY — the vector-store write and the
+      // n_arrived report row would silently drop the batch. Counting
+      // first pins the pre-append snapshot in the cache.
+      val nArrived = fresh.count()
+      val assigned = graft.ops.Vectors.assignArrivals(fresh, centroids)
+        .withColumn("gen", lit(batchId))
+      // index first (vec_id-idempotent), report last (commit marker) —
+      // the half-committed crash window replays harmlessly
+      assigned.write.mode("append").parquet(indexDir)
+      // The vector store dedups against ITSELF, not the index: the
+      // index append above triggers Spark's recache-by-path on any
+      // cached plan reading indexDir (making `fresh` empty), and a
+      // crash between the two writes must not drop or double the
+      // batch's store rows on replay — self-keyed anti-join gives
+      // both properties independent of the index state.
+      vecsDir.foreach { vd =>
+        val stored =
+          try Some(spark.read.parquet(vd))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => None
+          }
+        val newVecs = stored match {
+          case Some(sv) => uniq.join(sv.select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          case None => uniq
+        }
+        newVecs.select(col("vec_id"), col("embedding"))
+          .write.mode("append").parquet(vd)
+      }
+      val occ = spark.read.parquet(indexDir)
+        .groupBy(col("j")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("total"), max(col("n")).as("max_cell"))
+      val k = math.max(centroids.size, 1)
+      occ.select(
+        lit(batchId).as("batch_id"),
+        lit(nArrived).as("n_arrived"),
+        col("total").as("n_index"),
+        col("max_cell"),
+        expr(s"1000 * $k * max_cell DIV total").as("skew_milli"))
+        .withColumn("retrain_recommended",
+          col("skew_milli") > retrainSkewMilli)
+        .write.mode("append").parquet(reportDir)
+    } finally { fresh.unpersist(); () }
   }
 
   /** foreachBatch contamination probe — q234's live form: each

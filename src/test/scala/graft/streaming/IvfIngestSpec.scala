@@ -110,6 +110,69 @@ class IvfIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retrain-from-store closes the drift loop: flagged skew -> " +
+      "retrainFromEmbeddings -> centroids adapt to the drifted mass") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-retrain").toString
+    val idxDir = s"$root/index"; val repDir = s"$root/reports"
+    val vecsDir = s"$root/vectors"
+    val cents = graft.ops.Vectors.trainedCentroids(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val run = StreamOps.ivfIngestBatch(idxDir, repDir, cents,
+      3000L, Some(vecsDir)) _
+    try {
+      run(emb, 0L)
+      // with the store holding exactly the corpus, retraining MUST
+      // reproduce the batch training bit-for-bit (same seeds 0..7,
+      // same exact-integer Lloyd kernel)
+      val again = graft.ops.Vectors
+        .retrainFromEmbeddings(spark.read.parquet(vecsDir))
+      assert(again == cents,
+        "retrain on the original corpus must reproduce the batch matrix")
+      // drift pile: 600 copies of one vector under new ids
+      val one = emb.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val ss = spark; import ss.implicits._
+      val pile = (0 until 600).map(i => (100000L + i, one))
+        .toDF("vec_id", "embedding")
+      StreamOps.ivfIngestBatch(idxDir, repDir, cents, 2000L,
+        Some(vecsDir))(pile, 1L)
+      val r1 = spark.read.parquet(repDir)
+        .filter(col("batch_id") === 1L).head()
+      assert(r1.getBoolean(5), s"drift must flag a retrain: $r1")
+      // the flagged action: retrain on the stored vectors
+      // the store now holds corpus + pile, each id exactly once
+      val store = spark.read.parquet(vecsDir)
+      assert(store.count() == 1100L &&
+        store.select("vec_id").distinct().count() == 1100L)
+      val cents2 = graft.ops.Vectors
+        .retrainFromEmbeddings(spark.read.parquet(vecsDir))
+      assert(cents2 != cents, "retrained matrix must move")
+      // and it ADAPTED: the pile's nearest new centroid is strictly
+      // closer to the pile than its nearest old centroid was (the
+      // recompute pulled a cell onto the drifted mass)
+      val q = one.map(x => math.floor(x.toDouble * 1000).toLong + 1000L)
+      def bestD(m: Seq[(Long, Seq[Long])]): Long = m.map { case (_, c) =>
+        q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.min
+      assert(bestD(cents2) < bestD(cents),
+        s"retrained centroids must approach the drifted mass: " +
+          s"${bestD(cents2)} vs ${bestD(cents)}")
+      // store idempotency: re-delivering the pile under a new batch
+      // appends nothing to the vector store either
+      val nV = spark.read.parquet(vecsDir).count()
+      StreamOps.ivfIngestBatch(idxDir, repDir, cents, 2000L,
+        Some(vecsDir))(pile, 2L)
+      assert(spark.read.parquet(vecsDir).count() == nV)
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
+
   test("the ingest loop runs as a real writeStream foreachBatch sink") {
     // same maintenance loop, driven by Structured Streaming itself —
     // the shape a production ingest deploys
