@@ -180,6 +180,82 @@ class WalSocketSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.close()
   }
 
+  test("SCRAM-SHA-256-PLUS defeats a TLS-terminating MITM holding a " +
+      "different valid certificate (channel-binding mismatch)") {
+    // The attack plain SCRAM-over-TLS cannot stop: a proxy terminates
+    // TLS with its own certificate (which the victim, on libpq
+    // require semantics, accepts) and relays the DECRYPTED bytes to
+    // the real walsender over its own TLS session. With -PLUS the
+    // client binds the SASL exchange to the PROXY's cert hash and
+    // the server checks the binding against its OWN cert — the
+    // session dies at auth, before any data flows.
+    val log = (1 to 2).map(i => tx(i * 100L, i))
+    val server = new LoopbackWalServer(log, password = Some("pencil"),
+      authMethod = "scram-sha-256", tls = true)
+    val proxyStore = Tls.freshUnrelatedStore()
+    val ps = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    def pump(a: java.io.InputStream, b: java.io.OutputStream): Thread = {
+      val t = new Thread(() => {
+        try {
+          val buf = new Array[Byte](8192)
+          var n = a.read(buf)
+          while (n >= 0) { b.write(buf, 0, n); b.flush(); n = a.read(buf) }
+        } catch { case _: Throwable => () }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val proxy = new Thread(() => {
+      try {
+        val c = ps.accept()
+        // victim's SSLRequest -> 'S', then terminate TLS with the
+        // unrelated (but locally valid, SAN-bearing) certificate
+        PgStartup.readUntagged(new java.io.DataInputStream(
+          c.getInputStream))
+        c.getOutputStream.write('S'); c.getOutputStream.flush()
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val fin = new java.io.FileInputStream(proxyStore)
+        try ks.load(fin, Tls.defaultStorePass) finally fin.close()
+        val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+          javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, Tls.defaultStorePass)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(kmf.getKeyManagers, null, null)
+        val down = ctx.getSocketFactory
+          .createSocket(c, null, c.getPort, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        down.setUseClientMode(false)
+        // upstream: a legitimate TLS session to the real walsender
+        val up = new java.net.Socket("127.0.0.1", server.port)
+        val upOut = new java.io.BufferedOutputStream(up.getOutputStream)
+        PgStartup.writeUntagged(upOut, PgStartup.sslRequestBody)
+        upOut.flush()
+        require(up.getInputStream.read() == 'S')
+        val sslUp = Tls.wrapClient(up, "127.0.0.1")
+        val t1 = pump(down.getInputStream, sslUp.getOutputStream)
+        val t2 = pump(sslUp.getInputStream, down.getOutputStream)
+        t1.join(30000); t2.join(30000)
+      } catch { case _: Throwable => () }
+    })
+    proxy.setDaemon(true); proxy.start()
+    val dir = tmpDir("walsock-mitm")
+    try {
+      val ex = intercept[java.io.IOException] {
+        new WalSocketClient("127.0.0.1", ps.getLocalPort,
+          new PgoutputFormat(), "slot_mitm", dir, shard = 0,
+          user = "replicator", password = Some("pencil"),
+          sslmode = Some("require")).run()
+      }
+      assert(ex.getMessage.contains("password authentication failed"),
+        s"the MITM'd session must die at auth: ${ex.getMessage}")
+      // the walsender really negotiated -PLUS (the binding was
+      // checked, not skipped) and nothing was replicated or acked
+      assert(server.negotiatedSaslMechanisms == Seq(Scram.MechanismPlus))
+      assert(server.confirmedFlush == 0L, "no ack may survive a MITM")
+      assert(CdcReplaySource.lastAckedLsn(dir).isEmpty)
+    } finally { server.close(); ps.close() }
+  }
+
   test("TLS required but server refuses: hard failure, nothing acked") {
     val log = Seq(tx(100L, 1))
     val server = new LoopbackWalServer(log) // tls = false -> answers 'N'
