@@ -92,8 +92,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
+            // JSON-safe: quotes/backslashes AND every control or
+            // non-ASCII byte become spaces — one stray form-feed or
+            // NUL in an exception message must not corrupt the artifact
             val msg = (Option(e.getMessage).getOrElse(e.getClass.getName))
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+              .replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ").take(120)
             passErrors.getOrElseUpdate(name, msg)
             System.err.println(s"ERROR: bench query $name failed: $msg")
         }

@@ -241,6 +241,16 @@ object CdcFunctions {
       payload: Column): DataFrame = {
     val base = df.select(shard.as("shard"), lsn.as("_lsn"),
       payload.as("_p"))
+    // Ordering contract: chunk order is NUMERIC LSN order. Textual
+    // PostgreSQL LSNs ("0/16B3748") are variable-width hex, so raw
+    // string comparison would scramble them ("0/10010" < "0/FFF8"
+    // lexicographically) — a string column is parsed through the
+    // native parse_lsn expression first; numeric columns order as-is.
+    val isStr = base.schema("_lsn").dataType ==
+      org.apache.spark.sql.types.StringType
+    if (isStr) GraftFunctions.register(df.sparkSession)
+    val ord =
+      if (isStr) GraftFunctions.parse_lsn(col("_lsn")) else col("_lsn")
     // strip complete string literals (handles \" escapes), then count
     // structural brackets in what remains
     val stripped = regexp_replace(col("_p"), "\"([^\"\\\\]|\\\\.)*\"", "")
@@ -248,16 +258,17 @@ object CdcFunctions {
       length(stripped) - length(translate(stripped, ch, ""))
     val delta = cnt("{") + cnt("[") - cnt("}") - cnt("]")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("_lsn"))
+      .partitionBy(col("shard")).orderBy(ord)
     val closes = when(col("_depth") === 0, 1L).otherwise(0L)
     base
+      .withColumn("_k", ord)
       .withColumn("_depth", sum(delta).over(w))
       .withColumn("_doc", sum(closes).over(w) - closes)
       .groupBy(col("shard"), col("_doc"))
       .agg(
-        min(col("_lsn")).as("lsn"),
+        min_by(col("_lsn"), col("_k")).as("lsn"),
         array_join(transform(
-          array_sort(collect_list(struct(col("_lsn"), col("_p")))),
+          array_sort(collect_list(struct(col("_k"), col("_p")))),
           x => x.getField("_p")), "").as("payload"))
       .drop("_doc")
   }

@@ -67,9 +67,19 @@ object Scram {
       cert: java.security.cert.X509Certificate): Array[Byte] = {
     val alg = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT)
     val h =
-      if (alg.contains("SHA384")) "SHA-384"
+      if (alg.contains("SHA224")) "SHA-224"
+      else if (alg.contains("SHA384")) "SHA-384"
       else if (alg.contains("SHA512")) "SHA-512"
-      else "SHA-256"
+      else if (alg.contains("SHA256") ||
+        alg.contains("MD5") || alg.contains("SHA1")) "SHA-256"
+      else
+        // e.g. RSASSA-PSS, where the digest hides in the parameters:
+        // refusing beats guessing — a silent SHA-256 here would fail
+        // the binding against a compliant peer with an unexplainable
+        // auth error (PG refuses these certs for binding too)
+        throw new IllegalArgumentException(
+          s"cannot derive tls-server-end-point hash from signature " +
+            s"algorithm '${cert.getSigAlgName}'")
     java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
   }
 

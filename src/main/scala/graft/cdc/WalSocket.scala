@@ -788,10 +788,17 @@ final class WalSocketClient(
                 var mechs = List.empty[String]
                 var s = r.readString()
                 while (s.nonEmpty) { mechs ::= s; s = r.readString() }
-                if (!mechs.contains(Scram.Mechanism) &&
-                  !mechs.contains(Scram.MechanismPlus))
+                val tlsUp = sock.isInstanceOf[javax.net.ssl.SSLSocket]
+                // -PLUS is only usable when TLS is actually up: on a
+                // cleartext socket the plain mechanism must itself be
+                // offered, else there is nothing we can negotiate
+                if (!(mechs.contains(Scram.Mechanism) ||
+                  (tlsUp && mechs.contains(Scram.MechanismPlus))))
                   throw new IOException(
-                    s"no supported SASL mechanism in $mechs")
+                    s"no supported SASL mechanism in $mechs" +
+                      (if (!tlsUp && mechs.contains(Scram.MechanismPlus))
+                        " (server requires channel binding; connect with TLS)"
+                      else ""))
                 // channel binding (RFC 5802 §6): on TLS, pick the
                 // -PLUS mechanism when offered and bind to the
                 // server cert's tls-server-end-point hash; if TLS is

@@ -86,8 +86,19 @@ object Prewarm {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      Await.result(Future.sequence(chains.map(c => Future(c()))),
-        Duration.Inf)
+      // each chain isolates its own failure: one broken memo must
+      // neither abandon the other chains' timings NOR leave the pool
+      // building in the background while the bench's pass 1 is
+      // already timing queries (Await would return on first failure
+      // but shutdown() lets queued chains keep running — the exact
+      // attribution race the bounded prewarm exists to prevent). The
+      // failed memo stays lazily-built and visibly absent from
+      // memo_detail.
+      Await.result(Future.sequence(chains.map(c => Future {
+        try c() catch { case e: Throwable =>
+          System.err.println(s"WARN: prewarm chain failed: $e")
+        }
+      })), Duration.Inf)
     } finally pool.shutdown()
     import scala.jdk.CollectionConverters._
     times.asScala.toSeq

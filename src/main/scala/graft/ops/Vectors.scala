@@ -893,9 +893,7 @@ object Vectors {
         |FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
         |WHERE a.half = 0 AND b.half = 1
         |GROUP BY a.label ORDER BY a.label""".stripMargin) { (s, d) =>
-      val e = embeddings(s, d).select(col("vec_id"), col("label"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
-          " AS BIGINT) + 1000)").as("q"))
+      val e = embeddings(s, d).select(col("vec_id"), col("label"), expr(quantizeSql).as("q"))
       val dims = e.select((col("vec_id") % 2).as("half"), col("label"),
           posexplode(col("q")).as(Seq("i", "v")))
       val c = dims.groupBy(col("half"), col("label"), col("i"))
@@ -1593,13 +1591,22 @@ object Vectors {
   /** Shifted non-negative integer quantization — the grid every
     * trained-index query (q115-q118) computes on. Memoized: one
     * cached relation of vectors × 64 longs instead of four scans. */
+  /** THE quantization grid, one source of truth: floor(x·1000)+1000
+    * over the embedding array — shifted non-negative so L2 distances
+    * are exact longs and centroid rounding is engine-identical. Five
+    * call sites (session memo, q31 halves, ingest assignment, retrain)
+    * MUST share it: the streaming-assign == batch-assign bit-identity
+    * that the recall audits rest on is exactly this expression being
+    * the same everywhere. */
+  private[ops] val quantizeSql =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
+      " AS BIGINT) + 1000)"
+
   private val quantCache = new Tables.DfMemo()
 
   private[ops] def quantized(s: SparkSession, d: String): DataFrame =
     quantCache.getOrElseUpdate((s, d))(
-      prepared(s, d).select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
-          " AS BIGINT) + 1000)").as("q"))
+      prepared(s, d).select(col("vec_id"), expr(quantizeSql).as("q"))
         .cache())
 
   /** (vec_id, j): every vector's trained cluster after two exact-
@@ -1678,9 +1685,7 @@ object Vectors {
     * batch trainer already costs. */
   def retrainFromEmbeddings(vecs: DataFrame, k: Int = 8)
       : Seq[(Long, Seq[Long])] = {
-    val e = vecs.select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
-        " AS BIGINT) + 1000)").as("q"))
+    val e = vecs.select(col("vec_id"), expr(quantizeSql).as("q"))
     val init = Tables.boundedCollect(
       e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("j"), col("q").as("c")),
@@ -1760,9 +1765,7 @@ object Vectors {
     * profile a 1000-executor ingest needs. Returns (vec_id, j). */
   def assignArrivals(arrivals: DataFrame,
       cents: Seq[(Long, Seq[Long])]): DataFrame =
-    assignToCents(arrivals.select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
-        " AS BIGINT) + 1000)").as("q")), cents)
+    assignToCents(arrivals.select(col("vec_id"), expr(quantizeSql).as("q")), cents)
 
   /** Materialize this module's session memos (quantized grid, Lloyd
     * assignments, PQ codebooks) — [[Prewarm]] hook. */

@@ -913,16 +913,31 @@ object StreamOps {
         newVecs.select(col("vec_id"), col("embedding"))
           .write.mode("append").parquet(vd)
       }
-      val occ = spark.read.parquet(indexDir)
+      // n_arrived from the index's OWN generation rows, not the
+      // in-memory arrivals frame: on a crash replay between the index
+      // append and this report write, the re-run's anti-join sees the
+      // batch's ids standing and the arrivals frame is legitimately
+      // empty — counting gen == batchId keeps the audit trail honest
+      // across attempts (it is whatever this batchId ever ingested)
+      val idxNow = spark.read.parquet(indexDir)
+      val nArrivedDurable = math.max(nArrived,
+        idxNow.filter(col("gen") === batchId).count())
+      // coalesce the empty-index case (a first batch with zero rows,
+      // e.g. a stream starting before data exists): total 0 → skew 0,
+      // no retrain — NOT a null that breaks report readers
+      val occ = idxNow
         .groupBy(col("j")).agg(count(lit(1)).as("n"))
-        .agg(sum(col("n")).as("total"), max(col("n")).as("max_cell"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("total"),
+          coalesce(max(col("n")), lit(0L)).as("max_cell"))
       val k = math.max(centroids.size, 1)
       occ.select(
         lit(batchId).as("batch_id"),
-        lit(nArrived).as("n_arrived"),
+        lit(nArrivedDurable).as("n_arrived"),
         col("total").as("n_index"),
         col("max_cell"),
-        expr(s"1000 * $k * max_cell DIV total").as("skew_milli"))
+        when(col("total") > 0,
+          expr(s"1000 * $k * max_cell DIV total")).otherwise(0L)
+          .as("skew_milli"))
         .withColumn("retrain_recommended",
           col("skew_milli") > retrainSkewMilli)
         .write.mode("append").parquet(reportDir)

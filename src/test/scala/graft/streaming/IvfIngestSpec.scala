@@ -110,6 +110,30 @@ class IvfIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an EMPTY first batch commits a readable zero report, not nulls") {
+    // a stream can fire batch 0 before any data exists: the report
+    // must carry skew_milli = 0 / retrain = false, not nulls that
+    // break report readers (r12 review finding)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-empty").toString
+    val cents = graft.ops.Vectors.trainedCentroids(spark, sfDir)
+    try {
+      val ss = spark; import ss.implicits._
+      val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      StreamOps.ivfIngestBatch(s"$root/index", s"$root/reports", cents)(
+        empty, 0L)
+      val r = spark.read.parquet(s"$root/reports").head()
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(4) == 0L && !r.getBoolean(5),
+        s"empty batch must report zeros: $r")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
+
   test("retrain-from-store closes the drift loop: flagged skew -> " +
       "retrainFromEmbeddings -> centroids adapt to the drifted mass") {
     val root = java.nio.file.Files

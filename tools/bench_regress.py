@@ -24,24 +24,34 @@ MIN_SEC = 0.15  # below this, scheduler noise dominates; not gradable
 
 
 def load_current(path):
+    """Returns (times, errors): a throwing query records a tiny
+    fast-fail wall time, so the gate must read Bench's errors map —
+    otherwise total breakage hides under MIN_SEC."""
     with open(path) as f:
         d = json.load(f)
+    errors = d.get("errors") or {}
+    if isinstance(errors, list):  # headline-line form: names only
+        errors = {k: "failed" for k in errors}
     if "pass2" in d or "pass1" in d:
         p = d.get("pass2") or d["pass1"]
-        return {k: (v[0] if isinstance(v, list) else v) for k, v in p.items()}
+        return ({k: (v[0] if isinstance(v, list) else v)
+                 for k, v in p.items()}, errors)
     q = d.get("queries", d)
-    return {k: v for k, v in q.items() if isinstance(v, (int, float))}
+    return ({k: v for k, v in q.items()
+             if isinstance(v, (int, float))}, errors)
 
 
 def main():
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_VARIANCE.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_QUERIES.json"
-    cur = load_current(cur_path)
+    cur, errors = load_current(cur_path)
     with open(base_path) as f:
         base = json.load(f)["queries"]
     flagged, new, checked = [], [], 0
+    for name, msg in sorted(errors.items()):
+        print(f"FAILED {name}: {msg}")
     for name, sec in sorted(cur.items()):
-        if name == "memo_build":
+        if name == "memo_build" or name in errors:
             continue
         if name not in base:
             new.append(name)
@@ -56,9 +66,9 @@ def main():
     if new:
         print(f"note: {len(new)} queries have no pinned baseline yet: "
               + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
-    print(f"== {checked} checked, {len(flagged)} regressed "
-          f"(factor {FACTOR}, floor {MIN_SEC}s) ==")
-    sys.exit(1 if flagged else 0)
+    print(f"== {checked} checked, {len(flagged)} regressed, "
+          f"{len(errors)} failed (factor {FACTOR}, floor {MIN_SEC}s) ==")
+    sys.exit(1 if (flagged or errors) else 0)
 
 
 if __name__ == "__main__":
