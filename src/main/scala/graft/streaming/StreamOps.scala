@@ -843,9 +843,13 @@ object StreamOps {
     * max_cell, skew_milli, retrain_recommended)`.
     *
     * At 100 TB: assignment is map-side over the batch; the append is
-    * a MERGE into the bucketed-by-`j` index table; the occupancy
-    * count is k rows. Nothing scales with corpus volume except the
-    * idempotency anti-join, which at scale is the same keyed MERGE
+    * a MERGE into the bucketed-by-`j` index table. Two per-batch
+    * steps here scan the index (the occupancy count and the
+    * generation-keyed arrival count) — honest cost note: in this
+    * self-contained parquet loop they are one keyed count each; at
+    * scale both come for free as MERGE outputs/metadata (rows
+    * matched/inserted per bucket), so nothing need scale with index
+    * volume. The idempotency anti-join is the same keyed MERGE
     * lookup the dedup loop documents. */
   def ivfIngestBatch(indexDir: String, reportDir: String,
       centroids: Seq[(Long, Seq[Long])],
