@@ -930,6 +930,97 @@ object Analytics {
         .orderBy(col("in_lsh"), col("in_snm"))
     },
 
+    // ---- q262: contamination-method agreement census --------------
+    // q256's question asked of DECONTAMINATION: over the eval split,
+    // which documents does each detector flag — the exact 8-gram
+    // overlap verdict (q231's ≥20% rule) vs near-dup linkage to a
+    // train doc (a J ≥ 0.6 pair straddling the split, q144's signal)?
+    // The 2×2 Venn is the measured basis for choosing a
+    // decontamination recipe: "gram-only" mass is partial leakage
+    // near-dup misses, "neardup-only" is paraphrase-level leakage the
+    // gram rule misses, "both" is safe under either. Composes the
+    // shared gram pipeline and the memoized pair graph; the census
+    // itself is two keyed left joins over the eval split — no new
+    // corpus pass.
+    QueryDef(
+      "q262_contamination_method_agreement",
+      s"""WITH toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM documents),
+         |ev0 AS (SELECT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0
+         |      AS is_eval FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id, ${Text.h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |tr AS (SELECT DISTINCT g FROM g8 JOIN ev0 USING (doc_id)
+         |       WHERE NOT is_eval),
+         |evg AS (SELECT g8.doc_id, g FROM g8 JOIN ev0 USING (doc_id)
+         |        WHERE is_eval),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM evg GROUP BY 1),
+         |ht AS (SELECT evg.doc_id, count(*) AS n_hit
+         |       FROM evg JOIN tr ON tr.g = evg.g GROUP BY 1),
+         |gramflag AS (SELECT pd.doc_id FROM pd
+         |  LEFT JOIN ht ON ht.doc_id = pd.doc_id
+         |  WHERE coalesce(ht.n_hit, 0) * 5 >= pd.n_grams),
+         |shingles AS (${Text.shinglesSql}),
+         |${Text.jaccardPairsSql},
+         |sides AS (SELECT d1 AS e, d2 AS o FROM jpairs
+         |          UNION ALL SELECT d2, d1 FROM jpairs),
+         |ndflag AS (SELECT DISTINCT p.e AS doc_id FROM sides p
+         |  JOIN ev0 a ON a.doc_id = p.e AND a.is_eval
+         |  JOIN ev0 b ON b.doc_id = p.o AND NOT b.is_eval),
+         |base AS (SELECT doc_id FROM ev0 WHERE is_eval),
+         |v AS (SELECT b.doc_id,
+         |    (g.doc_id IS NOT NULL) AS in_gram,
+         |    (n.doc_id IS NOT NULL) AS in_neardup
+         |  FROM base b
+         |  LEFT JOIN gramflag g ON g.doc_id = b.doc_id
+         |  LEFT JOIN ndflag n ON n.doc_id = b.doc_id)
+         |SELECT in_gram, in_neardup, count(*) AS n_docs,
+         |  CAST(count(*) * 1000 // (SELECT count(*) FROM base)
+         |    AS BIGINT) AS share_milli
+         |FROM v GROUP BY in_gram, in_neardup
+         |ORDER BY in_gram, in_neardup""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val evalOf = (c: org.apache.spark.sql.Column) => pmod(graft.cdc.GraftFunctions.md5_h32(
+        c.cast("string")), lit(20L)) === 0L
+      val grams = Text.gram8Hashes(s, d)
+        .withColumn("is_eval", evalOf(col("doc_id")))
+      val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()
+      val evg = grams.filter(col("is_eval"))
+        .select(col("doc_id"), col("g"))
+      val pd = evg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val ht = evg.join(tr, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val gramFlag = pd.join(ht, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_hit"), lit(0L)) * 5 >= col("n_grams"))
+        .select(col("doc_id"))
+      val jp = Text.jaccardPairs(s, d)
+      val sides = jp.select(col("d1").as("e"), col("d2").as("o"))
+        .unionAll(jp.select(col("d2").as("e"), col("d1").as("o")))
+      val ndFlag = sides
+        .filter(evalOf(col("e")) && !evalOf(col("o")))
+        .select(col("e").as("doc_id")).distinct()
+      val base = Tables.documents(s, d).select(col("doc_id"))
+        .filter(evalOf(col("doc_id")))
+      val tot = base.agg(count(lit(1)).as("ne"))
+      base
+        .join(gramFlag.withColumn("ig", lit(true)), Seq("doc_id"), "left")
+        .join(ndFlag.withColumn("ind", lit(true)), Seq("doc_id"), "left")
+        .select(coalesce(col("ig"), lit(false)).as("in_gram"),
+          coalesce(col("ind"), lit(false)).as("in_neardup"))
+        .groupBy(col("in_gram"), col("in_neardup"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("in_gram"), col("in_neardup"), col("n_docs"),
+          expr("n_docs * 1000 DIV ne").as("share_milli"))
+        .orderBy(col("in_gram"), col("in_neardup"))
+    },
+
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
     // The reference surfaces replication origins (msgOrigin, A18;
     // filter-origins, B5 — reference: pgoutput-parser.ts origin

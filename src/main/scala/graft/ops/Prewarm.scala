@@ -60,10 +60,12 @@ object Prewarm {
         step("minhash") { Text.minhashSig(s, d).count() }
         step("simhash") { Text.simhashSig(s, d).count() }
       },
-      // positional/prefix dedup indexes (q130 et al.)
+      // positional/prefix dedup indexes (q130 et al.) + the
+      // contamination gram base (q231/q262)
       () => {
         step("prefix") { Text.prefixIndex(s, d).count() }
         step("pos8") { Text.posDf(s, d).count() }
+        step("gram8") { Text.gram8Hashes(s, d).count() }
       },
       // BPE training chains off the term index (q153/q159 share it)
       () => {
@@ -122,6 +124,7 @@ object Prewarm {
       t("snm") { Analytics.snmCandidatePairs(s, d).count() },
       t("trgraph") { Signals.textrankPrepared(s, d).count() },
       t("shingles") { Text.shingleHashes(s, d).count() },
+      t("gram8") { Text.gram8Hashes(s, d).count() },
       t("pairs") { Text.jaccardPairs(s, d).count() },
       t("prefix") { Text.prefixIndex(s, d).count() },
       t("pos8") { Text.posIndex(s, d).count(); Text.posDf(s, d).count() },

@@ -183,6 +183,18 @@ object Text {
   private[graft] def gram8Of(docs: DataFrame): DataFrame =
     gram8OfToks(docs.select(col("doc_id"), toksCol.as("toks")))
 
+  private val gram8Cache = new Tables.DfMemo()
+
+  /** The corpus's distinct hashed 8-grams per doc, memoized — the
+    * shared base of the contamination family (q231 verdicts, q262
+    * method-agreement census). Token-linear (ScalingSpec-bounded);
+    * session cache like the shingle index it parallels. */
+  private[ops] def gram8Hashes(s: SparkSession, d: String): DataFrame =
+    gram8Cache.getOrElseUpdate((s, d)) {
+      graft.cdc.GraftFunctions.register(s)
+      gram8OfToks(withToks(s, d)).cache()
+    }
+
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate((s, d)) {
       // md5_h32 is the native digest-bytes expression — value-identical
@@ -1795,7 +1807,7 @@ object Text {
          |ORDER BY contam_milli DESC, pd.doc_id LIMIT 50""".stripMargin) {
       (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val grams = gram8OfToks(withToks(s, d))
+      val grams = gram8Hashes(s, d)
         .withColumn("is_eval", pmod(graft.cdc.GraftFunctions.md5_h32(
           col("doc_id").cast("string")), lit(20L)) === 0L)
       val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()
@@ -1975,7 +1987,7 @@ object Text {
          |FROM docs GROUP BY batch_id ORDER BY batch_id""".stripMargin) {
       (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val grams = gram8OfToks(withToks(s, d))
+      val grams = gram8Hashes(s, d)
         .withColumn("is_eval", pmod(graft.cdc.GraftFunctions.md5_h32(
           col("doc_id").cast("string")), lit(20L)) === 0L)
       val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()

@@ -105,6 +105,8 @@ class ScalingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Text.withToks(spark, sfDir).count() == nDocs)
     assert(Text.docTermFreq(spark, sfDir).count() <= totalToks)
     assert(Text.shingleHashes(spark, sfDir).count() <= totalToks)
+    // contamination gram base (q231/q262): distinct 8-grams per doc
+    assert(Text.gram8Hashes(spark, sfDir).count() <= totalToks)
     assert(Mining.postings(spark, sfDir).count() <=
       Text.docTermFreq(spark, sfDir).count())
     assert(Text.minhashSig(spark, sfDir).count() <= nDocs)
