@@ -597,37 +597,49 @@ object Scale {
       try {
         val mm = base.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
         val n = mm.getLong(0)
-        // k-th smallest (1-based): smallest v with count(<= v) >= k
-        def select(k: Long): Long = {
-          var lo = mm.getLong(1)
-          var hi = mm.getLong(2)
-          var need = k
-          while (lo < hi) {
-            val width = (hi - lo) / 65536L + 1L // ceil: buckets cover [lo, hi]
-            val hist = boundedCollect(base
-              .filter(col("v") >= lo && col("v") <= hi)
-              .groupBy(expr(s"(v - $lo) DIV $width").as("bkt"))
-              .agg(count(lit(1)).as("c")),
-              65537, "q163 bisection histogram (<=65537 buckets)")
-              .map(r => r.getLong(0) -> r.getLong(1))
-              .sortBy(_._1)
-            var acc = 0L
-            var i = 0
-            var found = false
-            while (i < hist.length && !found) {
-              val (bkt, c) = hist(i)
-              if (acc + c >= need) {
-                need -= acc
-                lo = lo + bkt * width
-                hi = math.min(hi, lo + width - 1)
-                found = true
-              } else { acc += c; i += 1 }
+        // k-th smallest (1-based): smallest v with count(<= v) >= k.
+        // MULTI-RANK: all requested ranks walk the bisection
+        // together, and every round builds ONE histogram per DISTINCT
+        // open (lo, hi) range — round 1 is always fully shared (both
+        // ranks start on the full range), so at 100 TB each shared
+        // round saves a complete data pass vs selecting ranks
+        // one-by-one. Per-rank arithmetic is unchanged, so results
+        // are bit-identical to independent selection.
+        final case class St(var lo: Long, var hi: Long, var need: Long)
+        def selectMany(ks: Seq[Long]): Seq[Long] = {
+          val sts = ks.map(k => St(mm.getLong(1), mm.getLong(2), k))
+          while (sts.exists(st => st.lo < st.hi)) {
+            val open = sts.filter(st => st.lo < st.hi)
+            open.groupBy(st => (st.lo, st.hi)).foreach {
+              case ((lo, hi), grp) =>
+                val width = (hi - lo) / 65536L + 1L // ceil: cover [lo, hi]
+                val hist = boundedCollect(base
+                  .filter(col("v") >= lo && col("v") <= hi)
+                  .groupBy(expr(s"(v - $lo) DIV $width").as("bkt"))
+                  .agg(count(lit(1)).as("c")),
+                  65537, "q163 bisection histogram (<=65537 buckets)")
+                  .map(r => r.getLong(0) -> r.getLong(1))
+                  .sortBy(_._1)
+                grp.foreach { st =>
+                  var acc = 0L
+                  var i = 0
+                  var found = false
+                  while (i < hist.length && !found) {
+                    val (bkt, c) = hist(i)
+                    if (acc + c >= st.need) {
+                      st.need -= acc
+                      st.lo = lo + bkt * width
+                      st.hi = math.min(hi, st.lo + width - 1)
+                      found = true
+                    } else { acc += c; i += 1 }
+                  }
+                }
             }
           }
-          lo
+          sts.map(_.lo)
         }
-        val median = select((n + 1L) / 2L)
-        val p90 = select((n * 9L + 9L) / 10L)
+        val Seq(median, p90) =
+          selectMany(Seq((n + 1L) / 2L, (n * 9L + 9L) / 10L))
         import s.implicits._
         Seq((n, median, p90)).toDF("n_rows", "median_cents", "p90_cents")
       } finally base.unpersist()
