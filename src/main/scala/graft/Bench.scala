@@ -86,7 +86,14 @@ object Bench {
     // in the totals (nothing hidden) but the error string is carried
     // in BENCH_VARIANCE + an "errors" object on the stdout line.
     val passErrors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def runPass(): Seq[(String, Double, Long)] =
+    // Per-query 1-min loadavg (r12 verdict ask 3): the three barrier
+    // snapshots cannot see a mid-pass load burst — the exact ambiguity
+    // that left r12's q116-q118 inversion unattributed. One MXBean
+    // read per query names "the machine was busy during THIS query"
+    // in the artifact itself.
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def runPass(): Seq[(String, Double, Long, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val g0 = gcMs()
         val t0 = System.nanoTime()
@@ -104,37 +111,95 @@ object Bench {
         // drop per-query transient caches so executor storage pressure
         // (and its GC shadow on later queries) stays flat over the run
         graft.ops.Tables.dropTransientCaches()
-        (name, sec, gcMs() - g0)
+        (name, sec, gcMs() - g0, loadAvg())
       }
+    // Memo cache-health probe (r12 verdict ask 1b): after each pass,
+    // walk every registered session memo and record [cached, countSec].
+    // A materialized memo re-counts in milliseconds; one that was
+    // unpersisted or invalidated mid-pass pays its REBUILD here —
+    // named, timed, and repaired before the next pass times queries
+    // against it. This is the telemetry field that turns "q117
+    // inverted 0.64 → 2.70 s" into either "lloyd/pq were dropped
+    // (health shows the rebuild)" or "the box was busy (health clean,
+    // per-query loadavg elevated)".
+    def memoHealthJson(): String =
+      graft.ops.Tables.memoHealth(spark).map {
+        case (name, _, cached, sec) =>
+          "\"" + name + "\":[" + cached + "," +
+            "%.3f".formatLocal(java.util.Locale.ROOT, sec) + "]"
+      }.mkString("{", ",", "}")
+    val memoHealthPoints =
+      scala.collection.mutable.ArrayBuffer[(String, String)]()
     val pass1 = runPass()
     telemetryPoints += ("after_pass1" -> telemetry())
+    memoHealthPoints += ("after_pass1" -> memoHealthJson())
     val passes =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").trim.toInt
     val pass2 = if (passes >= 2) runPass() else Seq.empty
-    if (pass2.nonEmpty) telemetryPoints += ("after_pass2" -> telemetry())
+    if (pass2.nonEmpty) {
+      telemetryPoints += ("after_pass2" -> telemetry())
+      memoHealthPoints += ("after_pass2" -> memoHealthJson())
+    }
     def errJson = passErrors.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // Embedded regression gate (r12 verdict ask 2): the artifact
+    // itself carries the verdict bench_regress.py would compute, so a
+    // flagged run can never be committed as "0 regressed" — a reader
+    // of BENCH_rN.json / BENCH_VARIANCE.json sees the regressed list
+    // without re-running the tool. Same rule as the tool: steady
+    // state (pass 2, falling back to pass 1) vs BASELINE_QUERIES.json
+    // pins, factor 3x, 0.15 s floor, errored queries always flagged.
+    val regressed: Seq[(String, Double, Double)] = try {
+      val pinsPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
+      if (!java.nio.file.Files.exists(pinsPath)) Seq.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(pinsPath))
+          .path("queries")
+        val steady = (if (pass2.nonEmpty) pass2 else pass1)
+          .map { case (n, sec, _, _) => n -> sec }
+        steady.collect {
+          case (n, sec)
+              if node.has(n) && !passErrors.contains(n) &&
+                sec >= 0.15 && node.get(n).asDouble() > 0 &&
+                sec > 3.0 * node.get(n).asDouble() =>
+            (n, node.get(n).asDouble(), sec)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val gatePass = regressed.isEmpty && passErrors.isEmpty
+    val regressJson = regressed.map { case (n, pin, sec) =>
+      "\"" + n + "\":[" +
+        "%.3f".formatLocal(java.util.Locale.ROOT, pin) + "," +
+        "%.3f".formatLocal(java.util.Locale.ROOT, sec) + "]"
+    }.mkString("{", ",", "}")
     try {
-      def pj(p: Seq[(String, Double, Long)]) = p.sortBy(_._1).map {
-        case (k, v, g) =>
+      def pj(p: Seq[(String, Double, Long, Double)]) = p.sortBy(_._1).map {
+        case (k, v, g, ld) =>
           "\"" + k + "\":[" +
-            "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "]"
+            "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "," +
+            "%.1f".formatLocal(java.util.Locale.ROOT, ld) + "]"
       }.mkString("{", ",", "}")
       val memoJson = memoDetail.map { case (k, v) =>
         "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
       }.mkString("{", ",", "}")
       val telJson = telemetryPoints.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val healthJson = memoHealthPoints.map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_VARIANCE.json"),
-        s"""{"unit":["sec","gc_ms"],"memo_build":${
+        s"""{"unit":["sec","gc_ms","loadavg_1m"],"memo_build":${
           "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
         },"memo_detail":$memoJson,"telemetry":$telJson""" +
+          s""","memo_health":$healthJson""" +
+          s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
+          s""","regressed":$regressJson""" +
           (if (passErrors.nonEmpty) s""","errors":$errJson""" else "") +
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
     } catch { case _: Throwable => }
-    val results0 = pass1.map { case (n, sec, _) => n -> sec }
+    val results0 = pass1.map { case (n, sec, _, _) => n -> sec }
     val results = results0 :+ ("memo_build" -> memoSec)
     // Compact keys (qNN prefix) + 1-decimal per-query values keep the
     // JSON line inside the driver's 2000-byte stdout-tail capture
@@ -162,8 +227,16 @@ object Bench {
       if (passErrors.isEmpty) ""
       else s""","errors":[${passErrors.keys.map("\"" + _ + "\"")
         .mkString(",")}]"""
+    // gate verdict rides the headline line too (right after "value",
+    // inside the driver's tail-capture window) — a committed artifact
+    // is self-describing on the regression gate (r12 verdict ask 2)
+    val gatePart =
+      s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
+        (if (regressed.isEmpty) ""
+         else s""","regressed":[${regressed.map("\"" + _._1 + "\"")
+           .mkString(",")}]""")
     def assemble(qs: String) =
-      s"""{"metric":"total","value":${f3(total)}$errPart,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)}$gatePart$errPart,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Sidecar with the FULL per-query map at 3-decimal resolution
     // under the FULL query names (the stdout line below may fold
     // sub-0.1 s queries to fit the driver's 2000-byte capture

@@ -236,11 +236,24 @@ object CdcFunctions {
     * `shard` + `lsn` (the document's first frame's position) +
     * reassembled `payload`, ready for [[wal2jsonChanges]]. Frames
     * that are already whole documents (chunking off) pass through
-    * unchanged, so the operator is safe on mixed logs. */
+    * unchanged, so the operator is safe on mixed logs.
+    *
+    * Robustness (two consumer realities of a replayed wire log):
+    * redelivered frames — the walsender resends from the confirmed
+    * LSN after a reconnect, so the same (shard, lsn) frame can appear
+    * twice; duplicates are dropped BEFORE the depth window (an
+    * equal-LSN peer inside the default RANGE frame would double its
+    * bracket delta and silently corrupt every later group in the
+    * shard). And a truncated tail — a stream cut mid-transaction
+    * leaves the shard's last group with nonzero final depth; it is
+    * emitted with `incomplete = true` (never silently concatenated
+    * into the next read's frames) so a consumer can hold it back and
+    * re-request from the group's `lsn` instead of feeding `from_json`
+    * an unparseable payload that decodes to null rows. */
   def wal2jsonReassembleChunks(df: DataFrame, shard: Column, lsn: Column,
       payload: Column): DataFrame = {
     val base = df.select(shard.as("shard"), lsn.as("_lsn"),
-      payload.as("_p"))
+      payload.as("_p")).dropDuplicates("shard", "_lsn")
     // Ordering contract: chunk order is NUMERIC LSN order. Textual
     // PostgreSQL LSNs ("0/16B3748") are variable-width hex, so raw
     // string comparison would scramble them ("0/10010" < "0/FFF8"
@@ -269,16 +282,23 @@ object CdcFunctions {
         min_by(col("_lsn"), col("_k")).as("lsn"),
         array_join(transform(
           array_sort(collect_list(struct(col("_k"), col("_p")))),
-          x => x.getField("_p")), "").as("payload"))
+          x => x.getField("_p")), "").as("payload"),
+        (max_by(col("_depth"), col("_k")) =!= 0).as("incomplete"))
       .drop("_doc")
   }
 
-  def wal2jsonChanges(df: DataFrame, payload: Column): DataFrame = {
+  def wal2jsonChanges(df: DataFrame, payload: Column): DataFrame =
+    wal2jsonChanges(df, payload, Nil)
+
+  /** As above, with `keep` pass-through columns from the input frame
+    * (the streaming chunked path keeps its shard + document LSN). */
+  def wal2jsonChanges(df: DataFrame, payload: Column,
+      keep: Seq[String]): DataFrame = {
     val parsed = df.withColumn("_w2j", from_json(payload, wal2jsonSchema))
     parsed
       .withColumn("_change", explode_outer(col("_w2j.change")))
       .filter(col("_change").isNotNull)
-      .select(
+      .select(keep.map(col) ++ Seq(
         col("_w2j.xid").as("xid"),
         col("_w2j.nextlsn").as("nextlsn"),
         col("_change.kind").as("op"),
@@ -288,6 +308,6 @@ object CdcFunctions {
           col("_change.columnvalues")).as("after"),
         when(col("_change.oldkeys").isNotNull,
           map_from_arrays(col("_change.oldkeys.keynames"),
-            col("_change.oldkeys.keyvalues"))).as("key"))
+            col("_change.oldkeys.keyvalues"))).as("key")): _*)
   }
 }

@@ -280,9 +280,18 @@ final class LoopbackWalServer(
           // TLS session the server's certificate exists, so -PLUS is
           // offered FIRST (PG lists it before the plain mechanism);
           // cleartext sessions advertise plain SCRAM only.
-          val cbind = sslSock.map(s => Scram.tlsServerEndPoint(
-            s.getSession.getLocalCertificates()(0)
-              .asInstanceOf[java.security.cert.X509Certificate]))
+          // A cert whose binding digest cannot be derived (e.g. an
+          // RSASSA-PSS signature, which RFC 5929 leaves undefined —
+          // Scram.tlsServerEndPoint refuses it) must NOT tear the
+          // connection down mid-advertise: PG's own behavior is to
+          // keep serving and simply not offer -PLUS, so the failure
+          // degrades to plain SCRAM over the still-encrypted channel
+          // (r12 advisor finding).
+          val cbind = sslSock.flatMap(s =>
+            scala.util.Try(Scram.tlsServerEndPoint(
+              s.getSession.getLocalCertificates()(0)
+                .asInstanceOf[java.security.cert.X509Certificate]))
+              .toOption)
           val mechs =
             cbind.map(_ => Scram.MechanismPlus).toSeq :+ Scram.Mechanism
           val adv = new BinaryWriter().writeInt32(10)

@@ -59,7 +59,7 @@ object Analytics {
     * + edge-zone machinery per query. Rows ≈ (w−1)·docs + the
     * O(#buckets·w) zone cross — doc-linear, ScalingSpec-pinned;
     * session cache so the per-query transient drop can't evict it. */
-  private val snmCache = new Tables.DfMemo()
+  private val snmCache = new Tables.DfMemo("snm")
 
   private[ops] def snmCandidatePairs(s: SparkSession, d: String)
       : DataFrame =
@@ -183,6 +183,27 @@ object Analytics {
     "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 " +
       "WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 " +
       "WHEN 8 THEN 51 ELSE 46 END"
+
+  // q262's Venn-cell seed texts (see the QueryDef comment): distinct
+  // "zyq"-prefixed letter runs — pure [a-z] so the tokenizer keeps
+  // them whole, and absent from the synthetic corpus so the fixture
+  // shares no shingles/grams with real docs.
+  private def fixRun(p: String, n: Int): String =
+    (0 until n).map(i => p + ('a' + i).toChar).mkString(" ")
+  private val fixA = fixRun("zyqa", 7)                      // 7 tokens
+  private val fixBt = fixRun("zyqb", 26) + " " + fixRun("zyqc", 4) // 30
+  private val fixBe = fixRun("zyqb", 8) + " " + fixRun("zyqd", 4)  // 12
+  private val fixCt = fixRun("zyqe", 20)                    // 20 tokens
+  private val fixDe = fixRun("zyqf", 10)                    // 10 tokens
+  /** (doc_id, text) fixture frame — ids pre-picked so md5_h32(id)%20
+    * lands eval for {…20, …21, …31, …140} and train for {…01 … 03}. */
+  private def fixDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((900000001L, fixA), (900000020L, fixA),
+      (900000002L, fixBt), (900000021L, fixBe),
+      (900000003L, fixCt), (900000031L, fixCt),
+      (900000140L, fixDe)).toDF("doc_id", "text")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -942,13 +963,38 @@ object Analytics {
     // shared gram pipeline and the memoized pair graph; the census
     // itself is two keyed left joins over the eval split — no new
     // corpus pass.
+    //
+    // Venn-cell seed fixture (r12 verdict ask 4): on the synthetic
+    // corpus only 2 of the 4 cells were non-empty, so a bug swapping
+    // the flags of an empty cell would still hash-match. Seven
+    // fixture docs with corpus-disjoint vocabulary ("zyq"-prefixed
+    // tokens, so they share no shingles/grams with real docs and can
+    // only pair among themselves) populate every cell BY
+    // CONSTRUCTION, at any SF:
+    //   A (neardup-only): two identical 7-token docs — J = 1.0, but
+    //     sub-8-token docs have NO 8-grams, so the gram rule is blind;
+    //   B (gram-only): a 12-token eval doc copying an 8-token run of
+    //     a 30-token train doc — exactly 1 of its 5 grams hits (20%
+    //     rule met with equality) while the 10-vs-28 shingle-count
+    //     ratio fails the J-join's 0.6 size bound;
+    //   C (both): two identical 20-token docs;
+    //   D (neither): a 10-token eval doc with no train counterpart.
+    // Fixture doc_ids land on the right side of the md5%20 eval split
+    // by choice; the texts are single-sourced between the Spark plan
+    // and the VALUES literals below so the engines cannot drift.
     QueryDef(
       "q262_contamination_method_agreement",
-      s"""WITH toks AS (SELECT doc_id, ${Text.toksSql} AS toks
-         |             FROM documents),
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (900000001, '$fixA'), (900000020, '$fixA'),
+         |    (900000002, '$fixBt'), (900000021, '$fixBe'),
+         |    (900000003, '$fixCt'), (900000031, '$fixCt'),
+         |    (900000140, '$fixDe')) f(doc_id, text)),
+         |toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM docs),
          |ev0 AS (SELECT doc_id,
          |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0
-         |      AS is_eval FROM documents),
+         |      AS is_eval FROM docs),
          |g8 AS (SELECT DISTINCT doc_id, ${Text.h32Sql("gm")} AS g
          |  FROM (SELECT doc_id,
          |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
@@ -966,7 +1012,7 @@ object Analytics {
          |gramflag AS (SELECT pd.doc_id FROM pd
          |  LEFT JOIN ht ON ht.doc_id = pd.doc_id
          |  WHERE coalesce(ht.n_hit, 0) * 5 >= pd.n_grams),
-         |shingles AS (${Text.shinglesSql}),
+         |shingles AS (${Text.shinglesSqlFrom("docs")}),
          |${Text.jaccardPairsSql},
          |sides AS (SELECT d1 AS e, d2 AS o FROM jpairs
          |          UNION ALL SELECT d2, d1 FROM jpairs),
@@ -988,7 +1034,14 @@ object Analytics {
       graft.cdc.GraftFunctions.register(s)
       val evalOf = (c: org.apache.spark.sql.Column) => pmod(graft.cdc.GraftFunctions.md5_h32(
         c.cast("string")), lit(20L)) === 0L
-      val grams = Text.gram8Hashes(s, d)
+      // Fixture docs ride the SAME builders as the corpus (gram8Of,
+      // shinglesOf + the production pair join) but are computed
+      // inline, NOT through the session memos — the fixture must not
+      // pollute the shared gram8/pair relations other queries read.
+      // Disjoint vocabulary ⇒ pairs(corpus ∪ fixture) =
+      // pairs(corpus) ∪ pairs(fixture), so the union below is exact.
+      val fix = fixDocs(s)
+      val grams = Text.gram8Hashes(s, d).unionAll(Text.gram8Of(fix))
         .withColumn("is_eval", evalOf(col("doc_id")))
       val tr = grams.filter(!col("is_eval")).select(col("g")).distinct()
       val evg = grams.filter(col("is_eval"))
@@ -999,13 +1052,16 @@ object Analytics {
       val gramFlag = pd.join(ht, Seq("doc_id"), "left")
         .filter(coalesce(col("n_hit"), lit(0L)) * 5 >= col("n_grams"))
         .select(col("doc_id"))
-      val jp = Text.jaccardPairs(s, d)
+      val jp = Text.jaccardPairs(s, d).select(col("d1"), col("d2"))
+        .unionAll(Text.jaccardPairsOfShingles(Text.shinglesOf(fix))
+          .select(col("d1"), col("d2")))
       val sides = jp.select(col("d1").as("e"), col("d2").as("o"))
         .unionAll(jp.select(col("d2").as("e"), col("d1").as("o")))
       val ndFlag = sides
         .filter(evalOf(col("e")) && !evalOf(col("o")))
         .select(col("e").as("doc_id")).distinct()
       val base = Tables.documents(s, d).select(col("doc_id"))
+        .unionAll(fix.select(col("doc_id")))
         .filter(evalOf(col("doc_id")))
       val tot = base.agg(count(lit(1)).as("ne"))
       base

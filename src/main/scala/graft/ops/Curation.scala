@@ -38,7 +38,7 @@ object Curation {
   // winnowing prints memoized per (session, sf-dir): q148, q155 and
   // q158 all start from the same (doc_id, fp) relation — materialize
   // it once per session like the shingle/tf indexes in Text
-  private val winnowCache = new Tables.DfMemo()
+  private val winnowCache = new Tables.DfMemo("winnow")
 
   private[ops] def winnowPrints(s: SparkSession, d: String): DataFrame =
     winnowCache.getOrElseUpdate((s, d)) {
@@ -115,7 +115,7 @@ object Curation {
     * relation is a SESSION cache (not a transient), so it survives
     * the per-query cache drop that scopes ordinary query state. */
   private val bpeCache =
-    new Tables.StatMemo[(DataFrame, Seq[(Int, String, Long, Long)])](
+    new Tables.StatMemo[(DataFrame, Seq[(Int, String, Long, Long)])]("bpe",
       // the value carries a session-cached relation: release its
       // storage blocks when the LRU evicts the entry
       onEvict = v => { v._1.unpersist(false); () })

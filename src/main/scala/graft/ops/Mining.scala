@@ -53,7 +53,7 @@ object Mining {
   // times per query evaluation (norms + both sides of the pair join),
   // so materialize it once per (session, dataset) like the shingle
   // index; recomputing it would explode the token stream three times.
-  private val postingsCache = new Tables.DfMemo()
+  private val postingsCache = new Tables.DfMemo("postings")
 
   /** Per-doc bigram-LM fluency (doc_id, lang, fl) — the CCNet-style
     * perplexity proxy shared by q142 (per-lang summary) and q244
@@ -71,7 +71,7 @@ object Mining {
     * is ~1e10, two orders of magnitude of headroom at 100 TB.
     * Cached rows: one per scored doc (doc-linear,
     * ScalingSpec-bounded); governed [[Tables.DfMemo]]. */
-  private val fluencyCache = new Tables.DfMemo()
+  private val fluencyCache = new Tables.DfMemo("fluency")
 
   private[ops] def docFluency(s: SparkSession, d: String): DataFrame =
     fluencyCache.getOrElseUpdate((s, d)) {
@@ -99,7 +99,7 @@ object Mining {
     * instead of running a sizing job per query). Governed
     * [[Tables.StatMemo]] — bounded LRU, so a multi-session service
     * never pins sessions through this map. */
-  private val urgentCountCache = new Tables.StatMemo[java.lang.Long]()
+  private val urgentCountCache = new Tables.StatMemo[java.lang.Long]("urgent_count")
 
   /** q87's bloom bitmap sizing — bounded at ANY scale: the optimal
     * bitmap for fpp=1% grows ~9.6 bits/key, which at a 100 TB

@@ -43,7 +43,7 @@ object Pipeline {
   /** (node, label) connected-component assignment over the Jaccard
     * near-dup graph — min-label propagation to a fixpoint, memoized
     * per (session, dataset) like the pair graph it derives from. */
-  private val labelCache = new Tables.DfMemo()
+  private val labelCache = new Tables.DfMemo("labels")
 
   private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrElseUpdate((s, d)) {
@@ -1499,7 +1499,7 @@ object Pipeline {
     starContraction(pairs)
   }
 
-  private val standingCompCache = new Tables.DfMemo()
+  private val standingCompCache = new Tables.DfMemo("standing80")
 
   /** q164's STANDING-subgraph component labels (the hash-split 80%
     * near-dup graph contracted to min-rooted stars) — memoized:

@@ -50,7 +50,16 @@ object Prewarm {
     // the root of every text chain builds alone, before the fan-out
     step("toks") { Text.withToks(s, d).count() }
     val chains: Seq[() => Unit] = Seq(
-      () => step("vectors") { Vectors.prewarmMemos(s, d) },
+      // vector-grid chain: the Lloyd/PQ family gets its OWN timed
+      // entries (r12 verdict ask 1a) so a driver artifact can tell a
+      // dropped-memo rebuild (missing/zero entry + Bench's memo_health
+      // showing cached=false) from a contended box (entries present,
+      // per-query loadavg elevated).
+      () => {
+        step("quant") { Vectors.prewarmQuantized(s, d) }
+        step("lloyd") { Vectors.prewarmKmeans(s, d) }
+        step("pq") { Vectors.prewarmPq(s, d) }
+      },
       // shingle chain: pairs/labels/components + the signature memos
       () => {
         step("shingles") { Text.shingleHashes(s, d).count() }
@@ -67,9 +76,12 @@ object Prewarm {
         step("pos8") { Text.posDf(s, d).count() }
         step("gram8") { Text.gram8Hashes(s, d).count() }
       },
-      // BPE training chains off the term index (q153/q159 share it)
+      // BPE training chains off the term index (q153/q159 share it),
+      // as do q84's TF-IDF postings (r12 ask 7: NO registered memo
+      // builds lazily outside a chain — MemoRegistrySpec enforces it)
       () => {
         step("tf") { Text.docTermFreq(s, d).count() }
+        step("postings") { Mining.postings(s, d).count() }
         step("bpe") { Curation.bpeSharedMerges(s, d)._1.count() }
         step("winnow") { Curation.winnowPrints(s, d).count() }
       },
@@ -96,8 +108,12 @@ object Prewarm {
       // attribution race the bounded prewarm exists to prevent). The
       // failed memo stays lazily-built and visibly absent from
       // memo_detail.
+      // NonFatal ONLY: an OutOfMemoryError / InterruptedException must
+      // propagate and abort the bench — downgrading a fatal throwable
+      // to a WARN line would let timing proceed on a corrupted JVM
+      // (r12 advisor finding).
       Await.result(Future.sequence(chains.map(c => Future {
-        try c() catch { case e: Throwable =>
+        try c() catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"WARN: prewarm chain failed: $e")
         }
       })), Duration.Inf)
@@ -118,6 +134,7 @@ object Prewarm {
     Seq(
       t("toks") { Text.withToks(s, d).count() },
       t("tf") { Text.docTermFreq(s, d).count() },
+      t("postings") { Mining.postings(s, d).count() },
       t("bigrams") { Text.docBigrams(s, d).count() },
       t("fluency") { Mining.docFluency(s, d).count() },
       t("bpe") { Curation.bpeSharedMerges(s, d)._1.count() },
@@ -133,6 +150,8 @@ object Prewarm {
       t("winnow") { Curation.winnowPrints(s, d).count() },
       t("labels") { Pipeline.clusterLabels(s, d).count() },
       t("standing80") { Pipeline.standingComponents80(s, d).count() },
-      t("vectors") { Vectors.prewarmMemos(s, d) })
+      t("quant") { Vectors.prewarmQuantized(s, d) },
+      t("lloyd") { Vectors.prewarmKmeans(s, d) },
+      t("pq") { Vectors.prewarmPq(s, d) })
   }
 }

@@ -40,7 +40,7 @@ object Signals {
     * vocab-bounded (Heaps'-law) relation. Built concurrently in the
     * Prewarm memo phase; ScalingSpec bounds it by distinct bigram
     * types. */
-  private val trEdgeCache = new Tables.DfMemo()
+  private val trEdgeCache = new Tables.DfMemo("tredges")
 
   private[ops] def textrankEdges(s: SparkSession, d: String): DataFrame =
     trEdgeCache.getOrElseUpdate((s, d))(
@@ -64,7 +64,7 @@ object Signals {
     * the rank rounds then touch ONLY this cached relation. Same
     * token-linear bound as the edge list (2 rows per undirected
     * edge). */
-  private val trEddCache = new Tables.DfMemo()
+  private val trEddCache = new Tables.DfMemo("trgraph")
 
   private[ops] def textrankPrepared(s: SparkSession, d: String): DataFrame =
     trEddCache.getOrElseUpdate((s, d)) {

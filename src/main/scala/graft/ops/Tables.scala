@@ -75,7 +75,8 @@ object Tables {
     * one storage entry, and evicting either unpersists both. Memo
     * keys here are (session, sf-dir) with per-key distinct plans, so
     * entries never alias (TablesSpec documents the hazard). */
-  private[ops] final class DfMemo(max: Int = 8) {
+  private[ops] final class DfMemo(val name: String, max: Int = 8) {
+    dfMemos.put(name, this)
     private val m =
       new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
         16, 0.75f, true) {
@@ -99,6 +100,66 @@ object Tables {
         v
       }
     }
+
+    /** Snapshot of this memo's entries for one session — the bench's
+      * memo-health probe walks these. */
+    private[graft] def entriesFor(s: SparkSession)
+        : Seq[(String, DataFrame)] = m.synchronized {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().asScala.toSeq.collect {
+        case e if e.getKey._1 eq s => (e.getKey._2, e.getValue)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Memo registry + health probe
+  // ------------------------------------------------------------------
+
+  /** name → instance for every [[DfMemo]] ever constructed (module
+    * constants, so registration happens at class load). Two readers:
+    * [[memoHealth]] (the bench's per-pass cache-health probe — r12
+    * verdict ask 1b: a driver artifact must NAME the mechanism behind
+    * a per-query inversion, and "the memo was dropped" is the prime
+    * suspect to confirm or rule out) and MemoRegistrySpec (r12 ask 7:
+    * every registered memo must be built by a Prewarm chain — a
+    * lazily-built memo is untimed, unbudgeted, and invisible to
+    * memo_detail). */
+  private[graft] val dfMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, DfMemo]()
+
+  /** Names of every [[StatMemo]] (scalar memos hold no health-probeable
+    * frame, but the completeness spec still enumerates them). */
+  private[graft] val statMemoNames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One health row per registered (memo, sf-dir) entry of this
+    * session: `cached` = the plan is still registered in the
+    * CacheManager (public `Dataset.storageLevel`); `countSec` = a
+    * re-count of the relation. A MATERIALIZED memo counts in
+    * milliseconds; a dropped or invalidated one (unpersisted, or
+    * lazily re-cached after a path write) pays its rebuild HERE —
+    * visible in the artifact, named by memo, and repaired before the
+    * next pass times queries against it. */
+  private[graft] def memoHealth(s: SparkSession)
+      : Seq[(String, String, Boolean, Double)] = {
+    import scala.jdk.CollectionConverters._
+    dfMemos.values.asScala.toSeq.sortBy(_.name).flatMap { memo =>
+      memo.entriesFor(s).map { case (dir, df) =>
+        // "materialized" has two healthy forms: registered in the
+        // CacheManager (Dataset.cache), or a localCheckpoint-backed
+        // plan (LogicalRDD — the iterative kernels' fixpoint result,
+        // e.g. clusterLabels, whose lineage was deliberately cut)
+        val cached =
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+            df.queryExecution.logical.find(
+              _.getClass.getSimpleName == "LogicalRDD").isDefined
+        val t0 = System.nanoTime()
+        try df.count()
+        catch { case scala.util.control.NonFatal(_) => }
+        (memo.name, dir, cached, (System.nanoTime() - t0) / 1e9)
+      }
+    }
   }
 
   /** Governed companion to [[DfMemo]] for session-keyed SCALAR stats
@@ -111,8 +172,9 @@ object Tables {
     * plain scalar memo leaves it at the no-op default (r11 advisor
     * finding: evicting a cached-DataFrame value without unpersisting
     * leaks the blocks in a long-lived multi-session service). */
-  private[ops] final class StatMemo[V](max: Int = 64,
+  private[ops] final class StatMemo[V](name: String, max: Int = 64,
       onEvict: V => Unit = (_: V) => ()) {
+    statMemoNames.add(name)
     private val m =
       new java.util.LinkedHashMap[(SparkSession, String), V](
         16, 0.75f, true) {

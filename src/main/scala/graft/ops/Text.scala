@@ -40,7 +40,7 @@ object Text {
   // tokenized documents memoized per (session, dataset): every text /
   // dedup / pipeline operator starts from the same tokenization, so
   // materialize it once per session (one entry per (session, sf-dir))
-  private val toksCache = new Tables.DfMemo()
+  private val toksCache = new Tables.DfMemo("toks")
 
   // the cache keeps only the columns downstream operators read
   // (doc_id, lang, source, toks) — persisting the raw text alongside
@@ -68,7 +68,7 @@ object Text {
     * along functionally dependent on doc_id). At 100 TB this is the
     * persisted term index a pipeline materializes once per corpus
     * snapshot. */
-  private val tfCache = new Tables.DfMemo()
+  private val tfCache = new Tables.DfMemo("tf")
 
   private[ops] def docTermFreq(s: SparkSession, d: String): DataFrame =
     tfCache.getOrElseUpdate((s, d))(
@@ -86,7 +86,7 @@ object Text {
     * re-exploding the occurrence stream per query. Cached rows are
     * per-doc bigram TYPES (≤ occurrence stream, token-linear —
     * ScalingSpec-bounded); occurrence counts fold back via `c`. */
-  private val bgCache = new Tables.DfMemo()
+  private val bgCache = new Tables.DfMemo("bigrams")
 
   private[ops] def docBigrams(s: SparkSession, d: String): DataFrame =
     bgCache.getOrElseUpdate((s, d))(
@@ -122,8 +122,8 @@ object Text {
   // operators consume (q25/q26/q45) — materialize each once per
   // session instead of once per query, like a persisted shingle index
   // would be at scale. Bounded: one entry per (session, sf-dir).
-  private val shCache = new Tables.DfMemo()
-  private val pairCache = new Tables.DfMemo()
+  private val shCache = new Tables.DfMemo("shingles")
+  private val pairCache = new Tables.DfMemo("pairs")
 
   /** THE shingle construction — one builder for the standing corpus
     * index (below) and the streaming ingest path
@@ -183,7 +183,7 @@ object Text {
   private[graft] def gram8Of(docs: DataFrame): DataFrame =
     gram8OfToks(docs.select(col("doc_id"), toksCol.as("toks")))
 
-  private val gram8Cache = new Tables.DfMemo()
+  private val gram8Cache = new Tables.DfMemo("gram8")
 
   /** The corpus's distinct hashed 8-grams per doc, memoized — the
     * shared base of the contamination family (q231 verdicts, q262
@@ -208,7 +208,7 @@ object Text {
         .cache()
     }
 
-  private val prefCache = new Tables.DfMemo()
+  private val prefCache = new Tables.DfMemo("prefix")
 
   /** q130's PPJoin prefix index, memoized like the shingle index it
     * derives from: every doc's rarest-first (global df, then h)
@@ -232,8 +232,8 @@ object Text {
         .cache()
     }
 
-  private val posIdxCache = new Tables.DfMemo()
-  private val posDfCache = new Tables.DfMemo()
+  private val posIdxCache = new Tables.DfMemo("pos8_idx")
+  private val posDfCache = new Tables.DfMemo("pos8_df")
 
   /** The sliding 8-token POSITIONAL hash index `(doc_id, i, h)` —
     * the span-attribution analogue of the shingle index, shared by
@@ -267,12 +267,16 @@ object Text {
     }
 
   /** identical hashed-shingle extraction for the DuckDB oracle
-    * (1-based); CTE shape `shingles(doc_id, h)`. */
-  private[ops] val shinglesSql =
+    * (1-based); CTE shape `shingles(doc_id, h)`. `rel` is the
+    * (doc_id, text) relation — `documents` for the corpus queries, a
+    * fixture-widened CTE for q262. */
+  private[ops] def shinglesSqlFrom(rel: String): String =
     s"""SELECT DISTINCT doc_id, ${h32Sql("sh")} AS h
        |FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM $rel),
        |           UNNEST(range(1, len(toks) - 1)) AS t(i))""".stripMargin
+
+  private[ops] val shinglesSql = shinglesSqlFrom("documents")
 
   /** Exact n-gram-Jaccard near-dup pairs (d1 < d2, J >= 0.6), with the
     * size-ratio bound pushed into the shared-shingle join — the core of
@@ -281,10 +285,16 @@ object Text {
   private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d))(buildJaccardPairs(s, d).cache())
 
-  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame =
     // per-doc shingle counts ride on the cached index (map-side from
     // the pre-explode array) — no count aggregation, no broadcast join
-    val sh = shingleHashes(s, d)
+    jaccardPairsOfShingles(shingleHashes(s, d))
+
+  /** The J ≥ 0.6 pair join over ANY (doc_id, h, n) shingle relation —
+    * one shape for the memoized corpus graph (above) and for
+    * self-contained fixture corpora (q262's Venn-cell seeds), so a
+    * fixture pair is decided by exactly the production join. */
+  private[ops] def jaccardPairsOfShingles(sh: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
     val b = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
     val jac = col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
@@ -396,7 +406,7 @@ object Text {
     * join side, and q80 a third time. One signature row per doc, so
     * the cache is tiny (docs × 18 longs) while the recompute it
     * saves is a full pass over the shingle index. */
-  private val sigCache = new Tables.DfMemo()
+  private val sigCache = new Tables.DfMemo("minhash")
 
   private[ops] def minhashSig(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d))(
@@ -408,7 +418,7 @@ object Text {
             .as(s"h$j")) :+ max(col("n")).as("n"): _*)
         .cache())
 
-  private val simCache = new Tables.DfMemo()
+  private val simCache = new Tables.DfMemo("simhash")
 
   /** Per-doc 32-bit SimHash signature `(doc_id, simhash)` — the
     * fingerprint table next to [[minhashSig]]: tf-weighted ±1 bit

@@ -1562,7 +1562,7 @@ object Vectors {
 
   /** Trained PQ codebooks (sub, j, c: 8-dim integer centroid) after
     * one Lloyd iteration per subspace — memoized (q117 + q118). */
-  private val pqCbCache = new Tables.DfMemo()
+  private val pqCbCache = new Tables.DfMemo("pq")
 
   private[ops] def pqCodebooks(s: SparkSession, d: String): DataFrame =
     pqCbCache.getOrElseUpdate((s, d)) {
@@ -1602,7 +1602,7 @@ object Vectors {
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)" +
       " AS BIGINT) + 1000)"
 
-  private val quantCache = new Tables.DfMemo()
+  private val quantCache = new Tables.DfMemo("quant")
 
   private[ops] def quantized(s: SparkSession, d: String): DataFrame =
     quantCache.getOrElseUpdate((s, d))(
@@ -1612,8 +1612,8 @@ object Vectors {
   /** (vec_id, j): every vector's trained cluster after two exact-
     * integer Lloyd iterations — memoized, shared by q115 (summary)
     * and q116 (search + recall audit). */
-  private val kmCache = new Tables.DfMemo()
-  private val kmCentCache = new Tables.StatMemo[Seq[(Long, Seq[Long])]]()
+  private val kmCache = new Tables.DfMemo("lloyd")
+  private val kmCentCache = new Tables.StatMemo[Seq[(Long, Seq[Long])]]("lloyd_cents")
 
   /** Map-side argmin assignment of the quantized grid against a
     * centroid LITERAL matrix — array_min over (dist, j) structs:
@@ -1683,15 +1683,55 @@ object Vectors {
     * Lloyd, so recall audits run unchanged against the new matrix.
     * At 100 TB: one tiny seed collect + the two keyed passes the
     * batch trainer already costs. */
-  def retrainFromEmbeddings(vecs: DataFrame, k: Int = 8)
-      : Seq[(Long, Seq[Long])] = {
+  def retrainFromEmbeddings(vecs: DataFrame, k: Int = 8,
+      adaptiveSeeds: Boolean = false): Seq[(Long, Seq[Long])] = {
     val e = vecs.select(col("vec_id"), expr(quantizeSql).as("q"))
-    val init = Tables.boundedCollect(
-      e.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").as("j"), col("q").as("c")),
-      k, s"retrain seed matrix (k = $k)")
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+    val init =
+      if (adaptiveSeeds) farthestPointSeeds(e, k)
+      else Tables.boundedCollect(
+        e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("j"), col("q").as("c")),
+        k, s"retrain seed matrix (k = $k)")
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
     lloydTrain(e, init)
+  }
+
+  /** Deterministic farthest-point (k-means++-flavored, but argmax
+    * instead of sampled — bit-reproducible) seeding over a quantized
+    * relation: seed 1 is the lowest vec_id's vector; every next seed
+    * is the vector FARTHEST from its nearest chosen seed (ties →
+    * lowest vec_id). Data-adaptive where the lowest-k-ids cold
+    * seeding is structurally blind: drifted mass always arrives
+    * under HIGH vec_ids (a new source, a new modality), so id-ordered
+    * seeds can never land on it and a retrain leaves it piled in one
+    * cell — the exact skew the ingest report flags. With
+    * farthest-point seeds the pile gets its own centroids and the
+    * NEXT occupancy report recovers (IvfIngestSpec pins the cycle).
+    * Cost: k passes, each a map-side min over ≤k literal distances +
+    * a 1-row TakeOrdered (no global sort) — planned-maintenance
+    * price, never per-query. */
+  private def farthestPointSeeds(e: DataFrame,
+      k: Int): Seq[(Long, Seq[Long])] = {
+    def pick(df: DataFrame): (Long, Seq[Long]) = {
+      val r = Tables.boundedCollect(df.limit(1), 1,
+        "farthest-point seed (1 row)").head
+      (r.getLong(0), r.getSeq[Long](1))
+    }
+    var seeds = Seq(pick(
+      e.orderBy(col("vec_id")).select(col("vec_id"), col("q"))))
+    while (seeds.size < k) {
+      val dists = seeds.map { case (_, c) =>
+        graft.cdc.GraftFunctions.vec_l2i(col("q"),
+          expr(s"array(${c.mkString("L,")}L)"))
+      }
+      val minD =
+        if (dists.size == 1) dists.head else array_min(array(dists: _*))
+      seeds = seeds :+ pick(
+        e.select(col("vec_id"), col("q"), minD.as("d"))
+          .orderBy(col("d").desc, col("vec_id"))
+          .select(col("vec_id"), col("q")))
+    }
+    seeds.sortBy(_._1)
   }
 
   private[ops] def kmeansAssignments(s: SparkSession, d: String): DataFrame =

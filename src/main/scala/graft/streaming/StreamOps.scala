@@ -21,6 +21,27 @@ import graft.cdc.CdcFunctions
   * max_by-LSN merge sink (post-agg).
   */
 object StreamOps {
+  /** Commit-marker idempotency check shared by every foreachBatch
+    * probe: true iff `markerDir` already holds a row for `batchId`.
+    * Only the two DEFINITIVE no-marker states map to "not done":
+    * PATH_NOT_FOUND (dir doesn't exist yet) and UNABLE_TO_INFER_SCHEMA
+    * (dir pre-created but holds no parquet — e.g. by a sink's own
+    * setup). Any OTHER read failure rethrows so the engine retries
+    * the batch: swallowing a transient error as "not done" would
+    * replay a COMMITTED batch and append a duplicate report row for
+    * its batch_id — the data writes stay idempotent, but
+    * head()-per-batch_id report readers would see two rows (r12
+    * advisor finding). */
+  private def batchCommitted(spark: SparkSession, markerDir: String,
+      batchId: Long): Boolean =
+    try spark.read.parquet(markerDir)
+      .filter(col("batch_id") === batchId).limit(1).count() > 0
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" => false
+    }
+
 
   /** One decoded DML change per output element; errors either rethrow
     * (fail-fast) or become a dead-letter element. */
@@ -190,6 +211,106 @@ object StreamOps {
       .toDF()
       .select(col("lsn"), col("op"), col("schema"), col("table"),
         col("tuple"))
+  }
+
+  // ------------------------------------------------------------------
+  // wal2json write-in-chunks: LIVE reassembly (keyed state per shard)
+  // ------------------------------------------------------------------
+
+  /** One chunk frame off the wire/replay log; `shard` ≈ slot. */
+  final case class ChunkFrame(shard: Long, lsn: Long, payload: String)
+  /** One reassembled wal2json document (lsn = first chunk's). */
+  final case class ChunkDoc(shard: Long, lsn: Long, payload: String)
+  /** Per-shard reassembly state: the open document's chunks + running
+    * bracket depth, and the high-water LSN for replay idempotency. */
+  final case class ChunkTail(lastLsn: Long, depth: Long,
+      lsns: Seq[Long], chunks: Seq[String])
+
+  /** The batch operator's bracket-depth delta
+    * ([[CdcFunctions.wal2jsonReassembleChunks]]) in executor-local
+    * form — SAME string-literal strip (Java regex in both: Spark's
+    * regexp_replace compiles the identical pattern), SAME structural
+    * counts, so streaming and batch reassembly agree chunk-for-chunk
+    * (Wal2JsonChunkedStreamSpec pins the equivalence). */
+  private[streaming] def chunkDepthDelta(p: String): Long = {
+    val stripped = p.replaceAll("\"([^\"\\\\]|\\\\.)*\"", "")
+    var d = 0L
+    var i = 0
+    while (i < stripped.length) {
+      val c = stripped.charAt(i)
+      if (c == '{' || c == '[') d += 1
+      else if (c == '}' || c == ']') d -= 1
+      i += 1
+    }
+    d
+  }
+
+  /** Streaming twin of [[CdcFunctions.wal2jsonReassembleChunks]] —
+    * `write-in-chunks 'on'` consumed LIVE (r12 verdict ask 5;
+    * reference surface `wal2json-plugin-options.type.ts:113`
+    * `writeInChunks`, which the reference serializes but leaves to
+    * the consumer to reassemble). The batch operator needs the whole
+    * log in hand; a micro-batch boundary can fall MID-transaction, so
+    * the streaming form holds each shard's open tail in keyed state
+    * (flatMapGroupsWithState) and emits a document only when its
+    * bracket depth returns to 0 — no document is ever torn at a
+    * trigger boundary, and a tail cut by a stop/restart waits in the
+    * checkpointed state store for its closing chunks.
+    *
+    * Idempotency: at-least-once replay after a restart re-delivers
+    * the unacked tail; only frames with `lsn > state.lastLsn` advance
+    * the depth (same-LSN redelivery collapses, mirroring the batch
+    * operator's dropDuplicates). Scale: parallelism = shard/slot
+    * count — the wire protocol's own per-slot sequential contract —
+    * and state per shard is ONE open transaction (bounded by tx size,
+    * the same bound the walsender's reorder buffer imposes upstream). */
+  def wal2jsonChunkedDocs(chunks: Dataset[ChunkFrame]): Dataset[ChunkDoc] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.shard)
+      .flatMapGroupsWithState[ChunkTail, ChunkDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (shard, frames, state: GroupState[ChunkTail]) =>
+          val st = state.getOption
+            .getOrElse(ChunkTail(Long.MinValue, 0L, Seq.empty, Seq.empty))
+          val fresh = frames.toSeq.filter(_.lsn > st.lastLsn)
+            .sortBy(_.lsn).distinctBy(_.lsn)
+          var depth = st.depth
+          var lsns = st.lsns
+          var buf = st.chunks
+          var last = st.lastLsn
+          val out = Seq.newBuilder[ChunkDoc]
+          fresh.foreach { f =>
+            depth += chunkDepthDelta(f.payload)
+            lsns = lsns :+ f.lsn
+            buf = buf :+ f.payload
+            last = f.lsn
+            if (depth == 0L) {
+              out += ChunkDoc(shard, lsns.head, buf.mkString(""))
+              lsns = Seq.empty
+              buf = Seq.empty
+            }
+          }
+          // lastLsn persists even with an empty buffer: the replay
+          // guard must survive between documents
+          state.update(ChunkTail(last, depth, lsns, buf))
+          out.result().iterator
+      }
+  }
+
+  /** Chunked frame log → decoded wal2json changes, live: each replay
+    * line carries one XLogData chunk (`frames[0]`); `shard` is the
+    * caller's slot key (single-slot sessions pass `lit(0L)`).
+    * Reassembled documents keep (shard, lsn) through the standard
+    * decode. */
+  def wal2jsonChunkedChanges(frameLog: DataFrame,
+      shard: org.apache.spark.sql.Column): DataFrame = {
+    import frameLog.sparkSession.implicits._
+    val chunks = frameLog.select(shard.cast("long").as("shard"),
+        col("lsn").cast("long").as("lsn"),
+        element_at(col("frames"), 1).cast("string").as("payload"))
+      .as[ChunkFrame]
+    CdcFunctions.wal2jsonChanges(wal2jsonChunkedDocs(chunks).toDF(),
+      col("payload"), keep = Seq("shard", "lsn"))
   }
 
   final case class KeyedChange(table: String, key: String, lsn: Long,
@@ -514,10 +635,7 @@ object StreamOps {
     // between the two writes re-runs it harmlessly. Writing the
     // verdicts first would instead make a crash between the writes
     // skip the index append forever on replay.
-    val alreadyDone =
-      try spark.read.parquet(verdictsDir)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case _: Exception => false }
+    val alreadyDone = batchCommitted(spark, verdictsDir, batchId)
     if (alreadyDone) return
     // at-least-once delivery can replay a doc WITHIN one batch too:
     // shingle once per distinct doc_id or shared-counts double and
@@ -725,10 +843,7 @@ object StreamOps {
   def driftProbeBatch(refHistDir: String, reportDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val alreadyDone =
-      try spark.read.parquet(reportDir)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case _: Exception => false }
+    val alreadyDone = batchCommitted(spark, reportDir, batchId)
     if (alreadyDone) return
     val ref = spark.read.parquet(refHistDir)
     val meta = ref.select(col("event_type"), col("v0"), col("v1"))
@@ -774,10 +889,7 @@ object StreamOps {
   def ksProbeBatch(refHistDir: String, reportDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val alreadyDone =
-      try spark.read.parquet(reportDir)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case _: Exception => false }
+    val alreadyDone = batchCommitted(spark, reportDir, batchId)
     if (alreadyDone) return
     val ref = spark.read.parquet(refHistDir)
       .select(col("len"), col("c_ref"))
@@ -866,10 +978,10 @@ object StreamOps {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
-    val alreadyDone =
-      try spark.read.parquet(reportDir)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case _: Exception => false }
+    // heal a crashed ivfReassignFromStore publish (same tmp/old
+    // protocol as the dedup index's compaction) before reading
+    recoverCompaction(indexDir)
+    val alreadyDone = batchCommitted(spark, reportDir, batchId)
     if (alreadyDone) return
     val uniq = batch.dropDuplicates("vec_id")
     val standing =
@@ -948,6 +1060,51 @@ object StreamOps {
     } finally { fresh.unpersist(); () }
   }
 
+  /** The one-shot backfill that CLOSES the drift loop operationally
+    * (r12 verdict ask 6): after a report row flags
+    * `retrain_recommended` and
+    * [[graft.ops.Vectors.retrainFromEmbeddings]] produced a new
+    * matrix, re-assign the ENTIRE standing index to the new centroids
+    * — the same map-side [[graft.ops.Vectors.assignArrivals]] kernel
+    * ingest uses, run over the raw-vector store, so the backfilled
+    * index is bit-identical to what a from-scratch ingest under the
+    * new matrix would have written (IvfIngestSpec pins it, along with
+    * the full detect → retrain → re-assign → recovered-skew cycle).
+    *
+    * Publish rides the compaction protocol: tmp fully written → live
+    * demoted to `_compact_old` → tmp promoted → old dropped;
+    * [[recoverCompaction]] (run at every ingest batch start) heals
+    * any crash window, so there is never a moment where the live
+    * index is gone without a complete replacement on disk. `gen`
+    * stamps the backfill generation — pass a value past every
+    * ingested batchId so generation stays monotonic.
+    *
+    * At 100 TB: one map-side pass over the embedding store + a
+    * partitioned rewrite of the index table — the planned-maintenance
+    * cost of ANY IVF retrain, run as a normal batch job while ingest
+    * keeps appending under the OLD matrix until the swap. */
+  def ivfReassignFromStore(spark: SparkSession, indexDir: String,
+      vecsDir: String, centroids: Seq[(Long, Seq[Long])],
+      gen: Long): Unit = {
+    recoverCompaction(indexDir)
+    val store = spark.read.parquet(vecsDir)
+      .select(col("vec_id"), col("embedding"))
+    val tmp = indexDir + "_compact_tmp"
+    graft.ops.Vectors.assignArrivals(store, centroids)
+      .withColumn("gen", lit(gen))
+      .write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(indexDir)
+    val oldF = new java.io.File(indexDir + "_compact_old")
+    if (oldF.exists) delTree(oldF)
+    if (dst.exists && !dst.renameTo(oldF))
+      throw new java.io.IOException(
+        s"failed to demote live index: $indexDir -> $oldF")
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(
+        s"failed to publish reassigned index: $tmp -> $indexDir")
+    if (oldF.exists) delTree(oldF)
+  }
+
   /** foreachBatch contamination probe — q234's live form: each
     * micro-batch of `(doc_id, text)` eval arrivals probes the
     * standing train-gram index (one equi-join keyed on the 32-bit
@@ -971,10 +1128,7 @@ object StreamOps {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
-    val alreadyDone =
-      try spark.read.parquet(verdictsDir)
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case _: Exception => false }
+    val alreadyDone = batchCommitted(spark, verdictsDir, batchId)
     if (alreadyDone) return
     val uniq = batch.dropDuplicates("doc_id")
     val ev = graft.ops.Text.gram8Of(uniq)

@@ -92,6 +92,59 @@ class Wal2JsonChunksSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"decoded rows mismatch:\n${rows.mkString("\n")}")
   }
 
+  test("redelivered frames (same shard+lsn) collapse instead of " +
+    "double-counting bracket depth") {
+    val ss = spark
+    import ss.implicits._
+    // a reconnect resends from the confirmed LSN: the header frame
+    // arrives twice. Pre-r13 the equal-LSN peer doubled the depth
+    // delta inside the RANGE window frame, corrupting every later
+    // group in the shard (r12 advisor finding).
+    val frames = Seq(
+      ("s1", 10L, """{"xid":1,"change":["""),
+      ("s1", 10L, """{"xid":1,"change":["""), // redelivery
+      ("s1", 11L, """{"kind":"insert","schema":"p","table":"t",""" +
+        """"columnnames":["a"],"columntypes":["text"],""" +
+        """"columnvalues":["v"]}"""),
+      ("s1", 12L, """]}"""),
+      ("s1", 20L, """{"xid":2,"change":[]}""")) // next tx must survive
+    val docs = CdcFunctions.wal2jsonReassembleChunks(
+      frames.toDF("shard", "lsn", "payload"),
+      col("shard"), col("lsn"), col("payload"))
+    val got = docs.orderBy(col("lsn"))
+      .select("lsn", "incomplete").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((10L, false), (20L, false)),
+      s"expected two complete documents, got $got")
+    val xids = CdcFunctions.wal2jsonChanges(docs, col("payload"))
+      .select("xid").collect().map(_.getLong(0)).toSet
+    assert(xids == Set(1L)) // tx 2 has an empty change array
+  }
+
+  test("a truncated tail transaction is flagged incomplete, not " +
+    "emitted as an unparseable payload") {
+    val ss = spark
+    import ss.implicits._
+    val frames = Seq(
+      ("s1", 10L, """{"xid":1,"change":[]}"""),
+      ("s1", 20L, """{"xid":2,"change":["""), // stream cut mid-tx
+      ("s1", 21L, """{"kind":"insert","schema":"p","table":"t",""" +
+        """"columnnames":["a"],"columntypes":["text"],""" +
+        """"columnvalues":["v"]}"""))
+    val docs = CdcFunctions.wal2jsonReassembleChunks(
+      frames.toDF("shard", "lsn", "payload"),
+      col("shard"), col("lsn"), col("payload"))
+    val got = docs.orderBy(col("lsn"))
+      .select("lsn", "incomplete").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((10L, false), (20L, true)),
+      s"the cut tail must surface with incomplete=true, got $got")
+    // consumers hold incomplete groups back; the complete one decodes
+    val ok = CdcFunctions.wal2jsonChanges(
+      docs.filter(!col("incomplete")), col("payload"))
+    assert(ok.count() == 0) // xid 1 has an empty change array
+  }
+
   test("property: random transactions, random change counts, hostile " +
     "values — reassembled documents always parse back to the inputs") {
     val ss = spark

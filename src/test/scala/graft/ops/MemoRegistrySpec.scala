@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Memo-registry completeness (r12 verdict ask 7).
+  *
+  * The gap behind r12's one open flag generalizes: a session memo
+  * ([[Tables.DfMemo]] / [[Tables.StatMemo]]) that no Prewarm chain
+  * builds is untimed (absent from `memo_detail`), unbudgeted (outside
+  * ScalingSpec's total-storage sum, which measures what Prewarm
+  * materializes), and invisible to the bench's memo-health probe until
+  * whichever query first touches it absorbs its build cost. This spec
+  * closes the gap structurally:
+  *
+  *   1. SOURCE enumeration — every `new Tables.DfMemo(`/`StatMemo`
+  *      constructor call in `src/main` must carry an explicit name
+  *      literal (the registry key memo_health and this spec key on);
+  *   2. REGISTRY enumeration — after one `Prewarm.run`, every name
+  *      extracted from source is present in the runtime registry
+  *      (no memo hides in a never-loaded object);
+  *   3. COVERAGE — every registered DfMemo entry for this session is
+  *      CACHED after Prewarm (built by a chain, directly or
+  *      transitively), and its health re-count is warm.
+  *
+  * A future memo added without a Prewarm step fails (2)/(3); one added
+  * without a name fails (1) at compile time (no default) and its
+  * constructor-call shape is also pinned here.
+  */
+class MemoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-memo-registry-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Constructor-call names extracted from main source: find each
+    * `new [Tables.]<kind>` occurrence, skip a balanced type-parameter
+    * list (nesting-aware — regex can't), then read the first argument
+    * if it is a string literal (possibly on the next line). */
+  private def sourceNames(kind: String): (Set[String], Int) = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val marker = ("""new\s+(?:Tables\.)?""" + kind + """\b""").r
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    var calls = 0
+    val names = files.flatMap { f =>
+      val txt = java.nio.file.Files.readString(f)
+      marker.findAllMatchIn(txt).flatMap { m =>
+        calls += 1
+        var i = m.end
+        def skipWs(): Unit = while (i < txt.length && txt(i).isWhitespace) i += 1
+        skipWs()
+        if (i < txt.length && txt(i) == '[') { // balanced type params
+          var depth = 0
+          while (i < txt.length && { val c = txt(i)
+            if (c == '[') depth += 1 else if (c == ']') depth -= 1
+            depth > 0 || c != ']' }) i += 1
+          i += 1
+        }
+        skipWs()
+        if (i < txt.length && txt(i) == '(') {
+          i += 1; skipWs()
+          if (i < txt.length && txt(i) == '"') {
+            val close = txt.indexOf('"', i + 1)
+            if (close > i) Some(txt.substring(i + 1, close)) else None
+          } else None
+        } else None
+      }.toSeq
+    }
+    (names.toSet, calls)
+  }
+
+  test("every DfMemo/StatMemo in main source is named, registered, " +
+      "and Prewarm-covered") {
+    val (dfNames, dfCalls) = sourceNames("DfMemo")
+    val (statNames, statCalls) = sourceNames("StatMemo")
+    // (1) every constructor call carries a name literal
+    assert(dfNames.size == dfCalls,
+      s"$dfCalls DfMemo constructor calls but only ${dfNames.size} " +
+        "distinct name literals — an unnamed or duplicate-named memo " +
+        "is invisible to memo_health")
+    assert(statNames.size == statCalls,
+      s"$statCalls StatMemo constructor calls but only " +
+        s"${statNames.size} distinct name literals")
+    assert(dfNames.nonEmpty && statNames.nonEmpty)
+
+    // (2) after one Prewarm pass, every source-named memo is in the
+    // runtime registry (its owning object loaded) ...
+    Prewarm.run(spark, sfDir)
+    import scala.jdk.CollectionConverters._
+    val registered = Tables.dfMemos.keySet().asScala.toSet
+    val missing = dfNames -- registered
+    assert(missing.isEmpty,
+      s"DfMemos named in source but never registered at runtime " +
+        s"(owning object not reached by Prewarm): $missing")
+    val statRegistered = Tables.statMemoNames.asScala.toSet
+    val statMissing = statNames -- statRegistered
+    assert(statMissing.isEmpty,
+      s"StatMemos named in source but never registered: $statMissing")
+
+    // (3) ... and every registered entry for THIS session is cached
+    // (Prewarm built it, directly or transitively) with a warm
+    // re-count. Only main-source names are held to the bar — specs
+    // may construct throwaway memos (e.g. TablesSpec's LRU probe).
+    val health = Tables.memoHealth(spark)
+      .filter { case (n, dir, _, _) => dfNames.contains(n) && dir == sfDir }
+    assert(health.map(_._1).toSet == dfNames,
+      "every source-named DfMemo must have an entry for the Prewarm " +
+        s"session; missing: ${dfNames -- health.map(_._1).toSet}")
+    val uncached = health.collect { case (n, _, cached, _) if !cached => n }
+    assert(uncached.isEmpty,
+      s"session memos NOT cached after Prewarm.run: $uncached — add " +
+        "them to a Prewarm chain (r12 verdict ask 7)")
+  }
+}

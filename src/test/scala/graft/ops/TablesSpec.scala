@@ -42,7 +42,7 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // distinct ranges per key: Spark's CacheManager dedupes cache
     // entries BY LOGICAL PLAN, so identical plans would share one
     // entry and eviction of any alias would unpersist all of them
-    val memo = new Tables.DfMemo(max = 2)
+    val memo = new Tables.DfMemo("spec_lru", max = 2)
     val a = memo.getOrElseUpdate((spark, "a"))(
       spark.range(10).toDF("x").cache())
     a.count()

@@ -197,6 +197,119 @@ class IvfIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("drift loop END TO END (r12 ask 6): flagged skew -> adaptive " +
+      "retrain -> one-shot re-assign backfill -> next report recovers " +
+      "under threshold -> recall audit green on the new index") {
+    // Deterministic geometry (reasoning verified numerically before
+    // pinning): corpus = 8 tight blobs of 50 vectors at 100·e_j,
+    // ids i*8+j so the 8 LOWEST ids are one per blob (cold seeding
+    // trains cleanly — occupancy flat, skew exactly 1000). Drift =
+    // 3 tight blobs of 100 at 140·e_{8..10}: each pile vector is
+    // EXACTLY equidistant from all 8 trained centroids, so the
+    // argmin tie-break routes all 300 into the lowest cell —
+    // max_cell 350/700, skew exactly 4000, flagged. Cold-seed
+    // retraining can never recover (drifted mass arrives under HIGH
+    // ids; id-ordered seeds never land on it) — the farthest-point
+    // seeding MUST: the 3 pile blobs are the farthest mass, get
+    // their own seeds, and the worst post-retrain cell is ≤ 4 merged
+    // corpus blobs (200/700 → skew ≤ 2285 < 3000 whatever the
+    // jitter-rounding does to tie-breaks).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-cycle").toString
+    val idxDir = s"$root/index"; val repDir = s"$root/reports"
+    val vecsDir = s"$root/vectors"
+    val ss = spark
+    import ss.implicits._
+    def blobVec(dim: Int, scale: Float, jit: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(dim) = scale
+      v(32) = jit * 0.001f // distinct vectors, structure untouched
+      v.toSeq
+    }
+    val corpus = (for { i <- 0 until 50; j <- 0 until 8 }
+      yield ((i * 8 + j).toLong, blobVec(j, 100.0f, i)))
+      .toDF("vec_id", "embedding")
+    val pile = (for { m <- 0 until 3; i <- 0 until 100 }
+      yield ((100000 + m * 100 + i).toLong, blobVec(8 + m, 140.0f, i)))
+      .toDF("vec_id", "embedding")
+    try {
+      val cents0 = graft.ops.Vectors.retrainFromEmbeddings(corpus)
+      val run0 =
+        StreamOps.ivfIngestBatch(idxDir, repDir, cents0, 3000L,
+          Some(vecsDir)) _
+      run0(corpus, 0L)
+      val r0 = spark.read.parquet(repDir)
+        .filter(col("batch_id") === 0L).head()
+      assert(r0.getAs[Long]("skew_milli") == 1000L &&
+        !r0.getAs[Boolean]("retrain_recommended"), s"healthy start: $r0")
+      // drift arrives; the occupancy report DETECTS it
+      run0(pile, 1L)
+      val r1 = spark.read.parquet(repDir)
+        .filter(col("batch_id") === 1L).head()
+      assert(r1.getAs[Long]("skew_milli") == 4000L &&
+        r1.getAs[Boolean]("retrain_recommended"), s"drift must flag: $r1")
+      // the flagged ACTION, end to end: adaptive retrain on the
+      // stored vectors, then the one-shot backfill
+      val cents2 = graft.ops.Vectors.retrainFromEmbeddings(
+        spark.read.parquet(vecsDir), 8, adaptiveSeeds = true)
+      StreamOps.ivfReassignFromStore(spark, idxDir, vecsDir, cents2, 100L)
+      // backfill ≡ from-scratch assignment under the new matrix
+      val idx2 = spark.read.parquet(idxDir)
+      val expect = graft.ops.Vectors.assignArrivals(
+        spark.read.parquet(vecsDir), cents2)
+      assert(idx2.count() == 700L)
+      assert(idx2.select(col("vec_id"), col("j"))
+        .except(expect).count() == 0L &&
+        expect.except(idx2.select(col("vec_id"), col("j")))
+          .count() == 0L,
+        "re-assigned index must be bit-identical to assignArrivals")
+      // the NEXT report row (an empty probe batch suffices — the
+      // occupancy is read from the standing index) recovers
+      StreamOps.ivfIngestBatch(idxDir, repDir, cents2, 3000L,
+        Some(vecsDir))(corpus.limit(0), 2L)
+      val r2 = spark.read.parquet(repDir)
+        .filter(col("batch_id") === 2L).head()
+      assert(r2.getAs[Long]("skew_milli") < 3000L &&
+        !r2.getAs[Boolean]("retrain_recommended"),
+        s"skew must recover after the backfill: $r2")
+      // q239-style recall audit on the NEW index: nprobe=1 top-5
+      // from the query's own cell == the exact top-5 (blob members
+      // and their 5-NN share a cell by construction)
+      val store = spark.read.parquet(vecsDir)
+      val dist = aggregate(
+        zip_with(col("qv"), col("v"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+      val nn = store.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val qs = nn.filter(col("vec_id")
+          .isin(0L, 7L, 100000L, 100100L, 100299L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+      def top5(cand: org.apache.spark.sql.DataFrame) = cand
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("d", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"))
+      val exact = top5(nn.select(col("vec_id").as("cid"), col("v"))
+        .crossJoin(broadcast(qs)))
+      val cells = idx2.select(col("vec_id"), col("j"))
+      val ivf = top5(nn.select(col("vec_id").as("cid"), col("v"))
+        .join(cells.select(col("vec_id").as("cid"), col("j")), "cid")
+        .join(broadcast(qs.join(cells.select(
+          col("vec_id").as("qid"), col("j")), "qid")), Seq("j")))
+      assert(exact.except(ivf).count() == 0L &&
+        ivf.except(exact).count() == 0L,
+        "recall@5 at nprobe=1 must be exact on the re-assigned index")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del); f.delete()
+      }
+      del(new java.io.File(root))
+    }
+  }
+
   test("the ingest loop runs as a real writeStream foreachBatch sink") {
     // same maintenance loop, driven by Structured Streaming itself —
     // the shape a production ingest deploys

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.CdcFunctions
+
+/** `write-in-chunks 'on'` consumed LIVE (r12 verdict ask 5): the
+  * replay log delivers one XLogData chunk per line, shard-interleaved,
+  * and micro-batch boundaries fall MID-transaction (maxFramesPerTrigger
+  * deliberately coprime with the 3-chunk tx size). The streaming
+  * reassembly ([[StreamOps.wal2jsonChunkedDocs]]) must never tear a
+  * document at a trigger boundary — an open tail waits in keyed state,
+  * across triggers AND across a full stop/restart from the checkpoint —
+  * and its output must equal the batch operator
+  * ([[CdcFunctions.wal2jsonReassembleChunks]]) on the same log.
+  * Reference surface: `wal2json-plugin-options.type.ts:113`
+  * (`writeInChunks` — the reference serializes the option and leaves
+  * reassembly to the consumer). */
+class Wal2JsonChunkedStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-wal2json-chunked-stream")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // tx t on shard s: 3 chunks (header / change / footer) at LSNs
+  // base, base+1, base+2 — contiguous within the shard, interleaved
+  // across shards (same model as q260). Values carry structural
+  // characters the depth counter must ignore.
+  private def txChunks(s: Int, t: Int): Seq[(Long, String)] = {
+    // +2: keep every LSN above the source's exclusive start offset
+    // (an lsn=0 line is the "replay everything" sentinel, never data)
+    val base = (t * 2 + s + 2).toLong * 4
+    val tricky = s"""v{[$t]} \\" end"""
+    Seq(
+      (base, s"""{"change":["""),
+      (base + 1,
+        s"""{"kind":"insert","schema":"public","table":"t$s",""" +
+          """"columnnames":["id","v"],"columntypes":["bigint","text"],""" +
+          s""""columnvalues":[$t,"$tricky"]}"""),
+      (base + 2, s"""],"xid":$t,"nextlsn":"0/${(base + 3).toHexString}"}"""))
+  }
+
+  private def writeShard(dir: String, s: Int, txs: Seq[Int],
+      dropFooterOf: Set[Int] = Set.empty): Unit =
+    CdcReplaySource.writeLogShard(dir, s, txs.flatMap { t =>
+      val chunks = txChunks(s, t)
+      (if (dropFooterOf(t)) chunks.dropRight(1) else chunks)
+        .map { case (lsn, p) => (lsn, Seq(p.getBytes("UTF-8"))) }
+    })
+
+  private def chunkFrames(df: DataFrame) = {
+    val ss = spark
+    import ss.implicits._
+    df.select(pmod(expr("lsn DIV 4"), lit(2L)).as("shard"),
+        col("lsn"), element_at(col("frames"), 1).cast("string")
+          .as("payload"))
+      .as[StreamOps.ChunkFrame]
+  }
+
+  test("shard-interleaved chunked log: no torn documents across " +
+      "trigger boundaries or a restart; equals batch reassembly") {
+    val dir = java.nio.file.Files.createTempDirectory("w2jchunk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("w2jckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("w2jout")
+      .toString + "/docs"
+    // phase 1: shard 0 carries txs 0..9 with the LAST tx's footer
+    // missing (a stream cut mid-transaction is always the shard's
+    // tail — per-slot frames arrive in LSN order); shard 1 complete
+    writeShard(dir, 0, 0 to 9, dropFooterOf = Set(9))
+    writeShard(dir, 1, 0 to 9)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+        .option("path", dir)
+        // 3-chunk transactions, 5 lines per trigger: every second
+        // batch boundary falls mid-transaction
+        .option("maxFramesPerTrigger", "5")
+        .load()
+      val docs = StreamOps.wal2jsonChunkedDocs(chunkFrames(stream))
+      val q = docs.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    runOnce()
+    val phase1 = spark.read.parquet(outDir)
+    // every complete tx delivered exactly once; the torn tx 9/shard 0
+    // is HELD BACK in state, not emitted as an unparseable fragment
+    val got1 = phase1.select("shard", "lsn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want1 = (for {
+      s <- 0 to 1; t <- 0 to 9 if !(s == 0 && t == 9)
+    } yield (s.toLong, (t * 2 + s + 2).toLong * 4)).sorted
+    assert(got1 == want1,
+      s"phase-1 docs mismatch:\n got $got1\nwant $want1")
+    // and every emitted payload parses: xids round-trip
+    val xids1 = CdcFunctions.wal2jsonChanges(phase1, col("payload"))
+      .select("xid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(xids1 == ((0 to 8).flatMap(t => Seq(t, t)) :+ 9)
+      .map(_.toLong).sorted,
+      s"phase-1 xids: $xids1")
+
+    // phase 2: the consumer was DOWN when the footer + two new txs
+    // arrive on shard 0 (all at increasing LSNs — the shard file
+    // keeps the wire's per-slot order)
+    val f = new java.io.File(dir, "part-0.jsonl")
+    val w = new java.io.PrintWriter(new java.io.FileWriter(f, true))
+    try {
+      val footer = txChunks(0, 9).last
+      (Seq(footer) ++ (10 to 11).flatMap(txChunks(0, _))).foreach {
+        case (lsn, p) =>
+          w.println(s"""{"lsn":$lsn,"frames":["${CdcReplaySource.hex(
+            p.getBytes("UTF-8"))}"]}""")
+      }
+    } finally w.close()
+
+    runOnce() // restart from the checkpoint: the open tail completes
+    val all = spark.read.parquet(outDir)
+    // exactly once: tx 8 appears now, nothing duplicated
+    assert(all.groupBy("shard", "lsn").count()
+      .filter(col("count") > 1).count() == 0,
+      "restart must not re-emit documents")
+    // streaming output ≡ batch reassembly of the full log (complete
+    // docs; the batch operator has the whole log in hand so nothing
+    // is incomplete now)
+    val batchDocs = CdcFunctions.wal2jsonReassembleChunks(
+      chunkFrames(spark.read.format(CdcReplaySource.FORMAT)
+        .option("path", dir).load()).toDF(),
+      col("shard"), col("lsn"), col("payload"))
+    assert(batchDocs.filter(col("incomplete")).count() == 0)
+    val sGot = all.select("shard", "lsn", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val sWant = batchDocs.select("shard", "lsn", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(sGot == sWant,
+      s"streaming != batch:\n only-stream ${sGot -- sWant}\n " +
+        s"only-batch ${sWant -- sGot}")
+  }
+
+  test("wal2jsonChunkedChanges decodes reassembled documents with " +
+      "shard and lsn kept") {
+    val dir = java.nio.file.Files.createTempDirectory("w2jchunk2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("w2jckpt2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("w2jout2")
+      .toString + "/rows"
+    writeShard(dir, 0, 0 to 3)
+    writeShard(dir, 1, 0 to 3)
+    val stream = spark.readStream.format(CdcReplaySource.FORMAT)
+      .option("path", dir).option("maxFramesPerTrigger", "4").load()
+    val rows = StreamOps.wal2jsonChunkedChanges(stream,
+      pmod(expr("lsn DIV 4"), lit(2L)))
+    val q = rows.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(outDir)
+      .select("shard", "xid", "op", "table")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val want = (for { s <- 0 to 1; t <- 0 to 3 }
+      yield (s.toLong, t.toLong, "insert", s"t$s")).toSet
+    assert(got == want, s"decoded rows mismatch: $got")
+  }
+}
