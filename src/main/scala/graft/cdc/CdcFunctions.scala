@@ -253,7 +253,7 @@ object CdcFunctions {
   def wal2jsonReassembleChunks(df: DataFrame, shard: Column, lsn: Column,
       payload: Column): DataFrame = {
     val base = df.select(shard.as("shard"), lsn.as("_lsn"),
-      payload.as("_p")).dropDuplicates("shard", "_lsn")
+      payload.as("_p"))
     // Ordering contract: chunk order is NUMERIC LSN order. Textual
     // PostgreSQL LSNs ("0/16B3748") are variable-width hex, so raw
     // string comparison would scramble them ("0/10010" < "0/FFF8"
@@ -275,6 +275,16 @@ object CdcFunctions {
     val closes = when(col("_depth") === 0, 1L).otherwise(0L)
     base
       .withColumn("_k", ord)
+      // redelivery dedup RIDES the depth window's own (shard, lsn)
+      // sort: a row whose predecessor carries the same lsn is a
+      // duplicate frame (identical payload by the wire contract) and
+      // must not re-count its bracket delta. lag costs nothing extra
+      // here, where a dropDuplicates would be a whole second shuffle
+      // of the frame stream; the filter preserves the child's
+      // ordering, so the depth window below reuses the same sort.
+      .withColumn("_pk", lag(col("_k"), 1).over(w))
+      .filter(col("_pk").isNull || col("_pk") =!= col("_k"))
+      .drop("_pk")
       .withColumn("_depth", sum(delta).over(w))
       .withColumn("_doc", sum(closes).over(w) - closes)
       .groupBy(col("shard"), col("_doc"))

@@ -168,6 +168,65 @@ object CdcQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- q264: chunk-reassembly census + resume points -------------
+    // The consumer-ops view of q260's transport: per shard, how many
+    // documents did reassembly produce, how many are COMPLETE vs cut
+    // mid-transaction (`incomplete` — the stream died before the
+    // footer), and the LSN to re-request from (the incomplete
+    // document's FIRST frame — everything before it is durably
+    // decoded, so that lsn is exactly the standby-status position a
+    // consumer should report). Fixture: q260's chunked transport with
+    // each shard's LAST transaction's footer withheld — the torn tail
+    // is always a shard's tail, per the wire's per-slot LSN order.
+    // The oracle states ground truth straight off `events`; the
+    // engine must reproduce it THROUGH the depth-tracking reassembly
+    // — merged groups, a missed tail, or a mis-ordered window all
+    // shift the counts or the resume lsn. Scale: the census is the
+    // reassembly's own per-shard aggregation plus a k-shard rollup.
+    QueryDef(
+      "q264_chunk_reassembly_census",
+      s"""SELECT event_id % 8 AS shard,
+         |  count(*) AS n_docs,
+         |  count(*) - 1 AS n_complete,
+         |  CAST(1 AS BIGINT) AS n_incomplete,
+         |  CAST(4 * max(event_id) AS BIGINT) AS resume_lsn
+         |FROM events GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val change = concat(
+        lit("""{"kind":""""), opCol,
+        lit("""","schema":"public","table":"events","columnnames":["event_id","user_id","value_str","event_type"],"columntypes":["bigint","bigint","text","text"],"columnvalues":["""),
+        col("event_id"), lit(","), col("user_id"), lit(",\""),
+        valueStrCol, lit("\",\""), col("event_type"), lit("\"]}"))
+      val footer = concat(
+        lit("""],"xid":"""), col("event_id") % 1000,
+        lit(""","nextlsn":""""), format_lsn(col("event_id")), lit("\"}"))
+      val frames = events(s, d)
+        .select((col("event_id") % 8).as("shard"), col("event_id"),
+          explode(array(
+            struct((col("event_id") * 4).as("flsn"),
+              lit("""{"change":[""").as("p")),
+            struct((col("event_id") * 4 + 1).as("flsn"), change.as("p")),
+            struct((col("event_id") * 4 + 2).as("flsn"), footer.as("p"))))
+            .as("f"))
+        .select(col("shard"), col("event_id"),
+          col("f.flsn").as("flsn"), col("f.p").as("p"))
+      // withhold each shard's final footer: the stream cut mid-tx
+      val lastTx = frames.groupBy(col("shard"))
+        .agg(max(col("event_id")).as("last_e"))
+      val cut = frames.join(broadcast(lastTx), "shard")
+        .filter(!(col("event_id") === col("last_e") &&
+          pmod(col("flsn"), lit(4L)) === 2))
+        .select(col("shard"), col("flsn"), col("p"))
+      val docs = wal2jsonReassembleChunks(fanOut(cut),
+        col("shard"), col("flsn"), col("p"))
+      docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("incomplete"), 1L).otherwise(0L)).as("n_complete"),
+          sum(when(col("incomplete"), 1L).otherwise(0L)).as("n_incomplete"),
+          min(when(col("incomplete"), col("lsn"))).as("resume_lsn"))
+        .orderBy(col("shard"))
+    },
+
     QueryDef(
       "q53_wal2json_v2_roundtrip",
       s"""SELECT event_id % 1000 AS xid, $opSql AS op,

@@ -1504,6 +1504,98 @@ object Vectors {
           expr("sum(nl * nl) * 1000000 DIV 25").as("simpson_ppm"),
           max(col("nl")).cast("long").as("max_label_n"))
         .orderBy(col("qid"))
+    },
+
+    // ---- q263: seeding-strategy quality census ---------------------
+    // The index-tuning sweep behind the r13 retrain fix, as a
+    // first-class operator: BEFORE committing a retrain, measure what
+    // each seeding strategy would give — cold (k lowest vec_ids, the
+    // reproducible default) vs farthest-point (data-adaptive, the one
+    // that can reach drifted mass) — by assigning the whole corpus to
+    // each seed matrix once and reporting cells used, worst-cell
+    // occupancy, and the exact integer SSE (sum of every vector's
+    // squared distance to its seed). All arithmetic on the shared
+    // quantization grid, so both engines agree bit-for-bit, including
+    // the farthest-point argmax tie-break (max dist, then lowest
+    // vec_id). Scale: seed selection is k passes each ending in a
+    // 1-row TakeOrdered (no global sort); each census arm is ONE
+    // map-side argmin pass + a k-row aggregation — the
+    // planned-maintenance cost profile of a retrain decision, never
+    // per-query work.
+    QueryDef(
+      "q263_seeding_quality_census",
+      "WITH e AS (SELECT vec_id, list_transform(embedding,\n" +
+        "      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q\n" +
+        "    FROM embeddings),\n" +
+        "dims AS (SELECT vec_id, i, q[i] AS v\n" +
+        "         FROM e, UNNEST(range(1, 65)) AS t(i)),\n" +
+        "fs1(vid) AS (SELECT min(vec_id) FROM e),\n" +
+        (2 to 8).map { i =>
+          s"p$i AS (SELECT d.vec_id, sum((d.v - ds.v) * (d.v - ds.v)) AS dd\n" +
+            s"  FROM dims d JOIN dims ds ON ds.i = d.i\n" +
+            s"    AND ds.vec_id IN (SELECT vid FROM fs${i - 1})\n" +
+            "  GROUP BY d.vec_id, ds.vec_id),\n" +
+            s"nx$i AS (SELECT vec_id AS vid FROM (\n" +
+            s"    SELECT vec_id, min(dd) AS md FROM p$i GROUP BY 1)\n" +
+            "  ORDER BY md DESC, vec_id LIMIT 1),\n" +
+            s"fs$i(vid) AS (SELECT vid FROM fs${i - 1}\n" +
+            s"  UNION ALL SELECT vid FROM nx$i),\n"
+        }.mkString +
+        """ad AS (SELECT d.vec_id, ds.vec_id AS j,
+          |    sum((d.v - ds.v) * (d.v - ds.v)) AS dist
+          |  FROM dims d JOIN dims ds ON ds.i = d.i
+          |    AND ds.vec_id IN (SELECT vid FROM fs8)
+          |  GROUP BY 1, 2),
+          |aa AS (SELECT vec_id, j, dist FROM (
+          |    SELECT vec_id, j, dist, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY dist, j) AS rn FROM ad)
+          |  WHERE rn = 1),
+          |aocc AS (SELECT j, count(*) AS n FROM aa GROUP BY 1),
+          |cd AS (SELECT d.vec_id, ds.vec_id AS j,
+          |    sum((d.v - ds.v) * (d.v - ds.v)) AS dist
+          |  FROM dims d JOIN dims ds ON ds.i = d.i AND ds.vec_id < 8
+          |  GROUP BY 1, 2),
+          |ca AS (SELECT vec_id, j, dist FROM (
+          |    SELECT vec_id, j, dist, row_number() OVER (
+          |      PARTITION BY vec_id ORDER BY dist, j) AS rn FROM cd)
+          |  WHERE rn = 1),
+          |cocc AS (SELECT j, count(*) AS n FROM ca GROUP BY 1)
+          |SELECT 'adaptive' AS method,
+          |  CAST((SELECT count(*) FROM aocc) AS BIGINT) AS n_cells,
+          |  CAST((SELECT max(n) FROM aocc) AS BIGINT) AS max_cell,
+          |  CAST((SELECT sum(dist) FROM aa) AS BIGINT) AS sse
+          |UNION ALL
+          |SELECT 'cold',
+          |  CAST((SELECT count(*) FROM cocc) AS BIGINT),
+          |  CAST((SELECT max(n) FROM cocc) AS BIGINT),
+          |  CAST((SELECT sum(dist) FROM ca) AS BIGINT)
+          |ORDER BY method""".stripMargin) { (s, d) =>
+      val e = quantized(s, d)
+      val cold = Tables.boundedCollect(
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("j"), col("q").as("c")),
+        8, "cold seed matrix (k = 8)")
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
+      val adaptive = farthestPointSeeds(e, 8)
+      def census(name: String, seeds: Seq[(Long, Seq[Long])]): DataFrame = {
+        val arms = seeds.map { case (j, c) =>
+          struct(graft.cdc.GraftFunctions.vec_l2i(col("q"),
+            expr(s"array(${c.mkString("L,")}L)")).as("dist"),
+            lit(j).as("j"))
+        }
+        val pick = array_min(array(arms: _*))
+        e.select(pick.getField("j").as("j"),
+            pick.getField("dist").as("dist"))
+          .groupBy(col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"))
+          .agg(count(lit(1)).as("n_cells"),
+            max(col("n")).as("max_cell"), sum(col("sd")).as("sse"))
+          .select(lit(name).as("method"), col("n_cells"),
+            col("max_cell").cast("long").as("max_cell"),
+            col("sse").cast("long").as("sse"))
+      }
+      census("adaptive", adaptive).unionAll(census("cold", cold))
+        .orderBy(col("method"))
     }
   )
 

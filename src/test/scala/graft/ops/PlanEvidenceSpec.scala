@@ -627,4 +627,52 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q198: query set grew to $qids — re-check the pool's " +
         "bounded-audit contract")
   }
+
+  test("q263: seeding census arms are pure map-side argmin passes — " +
+      "seeds ride as literals, NO join anywhere in the plan") {
+    // the retrain-decision sweep must cost two corpus passes, never a
+    // corpus×seeds join: the k×64 seed matrices are driver state
+    // folded into the argmin expressions (same contract as q115's
+    // assignment). A join appearing here means the seeds stopped
+    // being literals.
+    val p = plan("q263_seeding_quality_census")
+    assert(!p.contains("Join"),
+      s"q263 must be join-free (seed literals, map-side argmin):\n$p")
+  }
+
+  test("q264: reassembly census keeps the depth window per-shard and " +
+      "the tail-cut join broadcast") {
+    val p = plan("q264_chunk_reassembly_census")
+    // the per-shard max (8 rows) broadcasts against the frame stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"q264: tail-cut join must broadcast the 8-row per-shard max:\n$p")
+    // the running-depth window partitions by shard — an unpartitioned
+    // window here would serialize the whole frame stream through one
+    // task (PlanGuardSpec would also catch it; this pins the intent)
+    assert(p.contains("Window"), s"q264 expects the depth window:\n$p")
+  }
+
+  test("reassembly dedup rides the depth window's sort: ONE exchange " +
+      "per shard key, not a second dropDuplicates shuffle") {
+    // the lag-based redelivery filter must reuse the (shard, lsn)
+    // sort of the depth window — if someone reintroduces a
+    // dropDuplicates, an extra HashAggregate/Exchange pair appears
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ep = graft.SparkEntry
+      .queries("q264_chunk_reassembly_census")(spark, sfDir)
+      .queryExecution.executedPlan
+    val exchanges = ep.collect { case e: ShuffleExchangeExec => e }
+    // fanOut round-robin + the shard window + the final census agg —
+    // the window pipeline itself must contribute only ONE
+    // hash-partitioning exchange on the shard key
+    // intended pipeline = exactly three shard-carrying exchanges:
+    // the depth window's hashpartitioning(shard), the reassembly
+    // groupBy(shard, _doc), and the census groupBy(shard). A
+    // dropDuplicates creeping back in adds a fourth.
+    val shardParts = exchanges.count(
+      _.outputPartitioning.toString.contains("shard"))
+    assert(shardParts <= 3,
+      s"q264: ${shardParts} shard-keyed exchanges — the redelivery " +
+        "dedup must ride the depth window's sort, not shuffle again")
+  }
 }
