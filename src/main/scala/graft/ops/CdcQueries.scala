@@ -227,6 +227,71 @@ object CdcQueries {
         .orderBy(col("shard"))
     },
 
+    // ---- q265: STREAMING reassembly under the oracle gate ----------
+    // The keyed-state chunk reassembler (`StreamOps.wal2jsonChunkedDocs`
+    // — the operator that consumes `write-in-chunks 'on'` live) run in
+    // its batch mode over q264's cut fixture, emitting every COMPLETE
+    // document's full reassembled payload. The oracle rebuilds the
+    // same payloads directly off `events` with the shared op/value
+    // renderings, so this hash-pins the streaming operator's actual
+    // output bytes — the strongest batch-twin form of the
+    // streaming == batch equality Wal2JsonChunkedStreamSpec asserts
+    // structurally (in batch mode the state function sees each
+    // shard's frames once; the cut tail stays in state and is
+    // correctly withheld, mirroring a stream awaiting its footer).
+    // Footer layout drops nextlsn so both engines build the payload
+    // from plain column concats. Scale: parallelism = shard count
+    // (the wire's per-slot contract); per-shard state = one open
+    // transaction.
+    QueryDef(
+      "q265_chunked_stream_batch_parity",
+      s"""WITH lastx AS (SELECT event_id % 8 AS shard,
+         |                 max(event_id) AS last_e
+         |               FROM events GROUP BY 1)
+         |SELECT event_id % 8 AS shard,
+         |  CAST(4 * event_id AS BIGINT) AS lsn,
+         |  '{"change":[' ||
+         |  '{"kind":"' || $opSql ||
+         |  '","schema":"public","table":"events","columnnames":["event_id","user_id","value_str","event_type"],"columntypes":["bigint","bigint","text","text"],"columnvalues":[' ||
+         |  event_id || ',' || user_id || ',"' || $valueStrSql ||
+         |  '","' || event_type || '"]}' ||
+         |  '],"xid":' || (event_id % 1000) || '}' AS payload
+         |FROM events JOIN lastx ON lastx.shard = event_id % 8
+         |WHERE event_id <> lastx.last_e
+         |ORDER BY lsn""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      val change = concat(
+        lit("""{"kind":""""), opCol,
+        lit("""","schema":"public","table":"events","columnnames":["event_id","user_id","value_str","event_type"],"columntypes":["bigint","bigint","text","text"],"columnvalues":["""),
+        col("event_id"), lit(","), col("user_id"), lit(",\""),
+        valueStrCol, lit("\",\""), col("event_type"), lit("\"]}"))
+      val footer = concat(
+        lit("""],"xid":"""), col("event_id") % 1000, lit("}"))
+      val frames = events(s, d)
+        .select((col("event_id") % 8).as("shard"), col("event_id"),
+          explode(array(
+            struct((col("event_id") * 4).as("flsn"),
+              lit("""{"change":[""").as("p")),
+            struct((col("event_id") * 4 + 1).as("flsn"), change.as("p")),
+            struct((col("event_id") * 4 + 2).as("flsn"), footer.as("p"))))
+            .as("f"))
+        .select(col("shard"), col("event_id"),
+          col("f.flsn").as("flsn"), col("f.p").as("p"))
+      val lastTx = frames.groupBy(col("shard"))
+        .agg(max(col("event_id")).as("last_e"))
+      val cut = fanOut(frames.join(broadcast(lastTx), "shard")
+        .filter(!(col("event_id") === col("last_e") &&
+          pmod(col("flsn"), lit(4L)) === 2))
+        .select(col("shard"), col("flsn"), col("p")))
+      import s.implicits._
+      val chunks = cut.select(col("shard").cast("long").as("shard"),
+          col("flsn").cast("long").as("lsn"), col("p").as("payload"))
+        .as[graft.streaming.StreamOps.ChunkFrame]
+      graft.streaming.StreamOps.wal2jsonChunkedDocs(chunks).toDF()
+        .select(col("shard"), col("lsn"), col("payload"))
+        .orderBy(col("lsn"))
+    },
+
     QueryDef(
       "q53_wal2json_v2_roundtrip",
       s"""SELECT event_id % 1000 AS xid, $opSql AS op,

@@ -654,6 +654,53 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // ---- q266: PII/noise scrub census ------------------------------
+    // q65 DETECTS pattern-noise; this runs the actual SCRUB transform
+    // a training pipeline applies before tokenization — digit runs of
+    // 6+ (account numbers, phone-ish strings) masked to a fixed token
+    // — and reports the per-source acceptance accounting a data-prep
+    // run signs off on: docs touched, masks inserted, characters
+    // removed, and a residual audit proving the scrubbed text carries
+    // NO remaining matches (the transform is total, not best-effort).
+    // The regex subset ([0-9]{6,}) evaluates identically under Java
+    // regex and DuckDB RE2; Spark regexp_replace is replace-all by
+    // default, the oracle passes the 'g' flag. Scale: one map-side
+    // pass + a sources-cardinality aggregation — the census IS the
+    // transform's own output statistics, nothing extra.
+    QueryDef(
+      "q266_pii_scrub_census",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN masks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_scrubbed,
+        |  CAST(sum(masks) AS BIGINT) AS masks_inserted,
+        |  CAST(sum(len_before - len_after) AS BIGINT) AS chars_removed,
+        |  CAST(sum(CASE WHEN regexp_matches(scrubbed, '[0-9]{6,}')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS residual_docs
+        |FROM (SELECT source, length(text) AS len_before,
+        |        regexp_replace(text, '[0-9]{6,}', '<num>', 'g') AS scrubbed,
+        |        length(regexp_replace(text, '[0-9]{6,}', '<num>', 'g'))
+        |          AS len_after,
+        |        len(regexp_extract_all(text, '[0-9]{6,}')) AS masks
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val scrubbed = regexp_replace(col("text"), "[0-9]{6,}", "<num>")
+      fanOut(documents(s, d).select(col("source"), col("text")))
+        .select(col("source"),
+          length(col("text")).cast("long").as("len_before"),
+          scrubbed.as("scrubbed"),
+          length(scrubbed).cast("long").as("len_after"),
+          size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)"))
+            .cast("long").as("masks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("masks") > 0, 1L).otherwise(0L)).as("n_scrubbed"),
+          sum(col("masks")).as("masks_inserted"),
+          sum(col("len_before") - col("len_after")).as("chars_removed"),
+          sum(when(col("scrubbed").rlike("[0-9]{6,}"), 1L).otherwise(0L))
+            .as("residual_docs"))
+        .orderBy(col("source"))
+    },
+
     QueryDef(
       "q25_ngram_jaccard_pairs",
       s"""WITH shingles AS ($shinglesSql),
