@@ -1077,6 +1077,60 @@ object Analytics {
         .orderBy(col("in_gram"), col("in_neardup"))
     },
 
+    // ---- q267: train-gram index growth census ----------------------
+    // The batch twin of `StreamOps.trainGramIngestBatch` (r13): when
+    // the corpus enters training as K ordered batches, each batch
+    // appends only its FIRST-SEEN grams to the standing
+    // decontamination index — so per batch the census reports docs
+    // admitted, distinct grams carried, and genuinely-new grams
+    // appended (first-seen = min batch over the gram's docs, exactly
+    // the anti-join's cumulative semantics). The marginal-novelty
+    // curve this traces is the capacity-planning number for the gram
+    // index: it decides when the index stops growing linearly with
+    // admitted data. Rides the shared gram8 memo; three keyed aggs on
+    // gram/batch keys — no per-batch corpus rescan.
+    QueryDef(
+      "q267_train_gram_growth_census",
+      s"""WITH toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM documents),
+         |g8 AS (SELECT DISTINCT doc_id, ${Text.h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |bat AS (SELECT doc_id % 4 AS b, g FROM g8),
+         |nd AS (SELECT doc_id % 4 AS b, count(*) AS n_docs
+         |       FROM documents GROUP BY 1),
+         |ng AS (SELECT b, count(DISTINCT g) AS n_grams
+         |       FROM bat GROUP BY 1),
+         |fb AS (SELECT g, min(b) AS b FROM bat GROUP BY g),
+         |nn AS (SELECT b, count(*) AS n_new_grams FROM fb GROUP BY 1)
+         |SELECT nd.b AS batch_id, nd.n_docs,
+         |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(nn.n_new_grams, 0) AS BIGINT) AS n_new_grams
+         |FROM nd LEFT JOIN ng ON ng.b = nd.b
+         |        LEFT JOIN nn ON nn.b = nd.b
+         |ORDER BY batch_id""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val g = Text.gram8Hashes(s, d)
+        .select(pmod(col("doc_id"), lit(4L)).as("b"), col("g"))
+      val nd = Tables.documents(s, d)
+        .groupBy(pmod(col("doc_id"), lit(4L)).as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"))
+      val ng = g.distinct().groupBy(col("b").as("batch_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val nn = g.groupBy(col("g")).agg(min(col("b")).as("batch_id"))
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("n_new_grams"))
+      nd.join(ng, Seq("batch_id"), "left")
+        .join(nn, Seq("batch_id"), "left")
+        .select(col("batch_id"), col("n_docs"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+        .orderBy(col("batch_id"))
+    },
+
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
     // The reference surfaces replication origins (msgOrigin, A18;
     // filter-origins, B5 — reference: pgoutput-parser.ts origin

@@ -1121,9 +1121,67 @@ object StreamOps {
     * clean verdict — every arrival gets a verdict row.
     *
     * The index is read-only here (eval docs must never leak INTO
-    * train); maintaining it is the ingest pipeline's job
-    * ([[dedupIngestBatch]]'s write-back shape over gram8 instead of
-    * shingles). */
+    * train); [[trainGramIngestBatch]] is the maintaining half —
+    * accepted train batches append their new grams there. */
+  /** The write-back half of streaming decontamination: each
+    * micro-batch of ACCEPTED `(doc_id, text)` TRAIN docs appends its
+    * genuinely-new distinct 8-gram hashes to the standing train-gram
+    * index [[contaminationProbeBatch]] probes — so a doc that enters
+    * training in batch N contaminates eval arrivals from batch N+1
+    * on, with no periodic index rebuild. Mirrors
+    * [[dedupIngestBatch]]'s shape over gram8 instead of shingles:
+    * gram extraction is `Text.gram8Of` (THE builder — stream and
+    * batch can never hash-drift apart), novelty is one anti-join
+    * keyed on the 32-bit gram hash (work scales with the batch's
+    * grams × index lookup, never doc×doc), and idempotency is the
+    * usual two layers — a batchId commit marker in `reportDir`
+    * (written LAST) short-circuits exact replays, and the gram
+    * anti-join absorbs cross-batch redelivery under a new batchId.
+    * The `gen` column stamps each gram's arrival batch for audit.
+    * The report row carries n_new_grams counted from the index's own
+    * gen rows (durable across a half-committed crash replay, same
+    * contract as ivfIngestBatch's n_arrived). At 100 TB: the append
+    * is a MERGE into the gram-bucketed index table; the batch's cost
+    * is its own gram volume. */
+  def trainGramIngestBatch(trainGramsDir: String, reportDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    if (batchCommitted(spark, reportDir, batchId)) return
+    val uniq = batch.dropDuplicates("doc_id")
+    val grams = graft.ops.Text.gram8Of(uniq)
+      .select(col("g")).distinct()
+    // both definitive empty-index states count as "first batch":
+    // missing dir AND pre-created-but-empty dir (a harness or an
+    // object-store "folder" can exist before any parquet lands)
+    val standing =
+      try Some(spark.read.parquet(trainGramsDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    val fresh = (standing match {
+      case Some(idx) => grams.join(idx.select(col("g")).distinct(),
+        Seq("g"), "left_anti")
+      case None => grams
+    }).cache() // the append below recaches-by-path any plan reading
+               // the index dir — pin the pre-append snapshot first
+    try {
+      val nDocs = uniq.count()
+      fresh.count()
+      fresh.withColumn("gen", lit(batchId))
+        .write.mode("append").parquet(trainGramsDir)
+      val nNewDurable = spark.read.parquet(trainGramsDir)
+        .filter(col("gen") === batchId).count()
+      spark.range(1).select(
+        lit(batchId).as("batch_id"),
+        lit(nDocs).as("n_docs"),
+        lit(nNewDurable).as("n_new_grams"))
+        .write.mode("append").parquet(reportDir)
+    } finally { fresh.unpersist(); () }
+  }
+
   def contaminationProbeBatch(trainGramsDir: String, verdictsDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -102,6 +102,81 @@ class StreamStaticContamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replayed batch id must not append duplicate verdicts")
   }
 
+  test("train-gram ingest advances the index: batch N's train doc is " +
+      "batch N+1's contamination verdict; replays append nothing") {
+    val ss = spark
+    import ss.implicits._
+    val trainDir = tmpDir("ingest-train")
+    val reportDir = tmpDir("ingest-report")
+    val verdictsDir = tmpDir("ingest-verdicts")
+    val runTrain = StreamOps.trainGramIngestBatch(trainDir, reportDir) _
+    val probe = StreamOps.contaminationProbeBatch(trainDir, verdictsDir) _
+    // ten distinct 10-token docs (letter-only tokens so the
+    // tokenizer keeps them whole) — docs 0-4 arrive in train batch 0
+    def txt(k: Int): String =
+      (0 until 10).map(i => s"w${('a' + k).toChar}${('a' + i).toChar}"
+        .replace("w", "zq")).mkString(" ")
+    val docs = (0 until 10).map(k => (k.toLong, txt(k)))
+    runTrain(docs.take(5).toDF("doc_id", "text"), 0L)
+    val r0 = spark.read.parquet(reportDir)
+      .filter(col("batch_id") === 0L).head()
+    // 10 tokens -> 3 distinct 8-grams per doc, disjoint across docs
+    assert(r0.getAs[Long]("n_docs") == 5L &&
+      r0.getAs[Long]("n_new_grams") == 15L, s"batch 0 report: $r0")
+    // an eval arrival copying doc 7 (NOT yet in train) probes clean...
+    probe(Seq((9007L, txt(7))).toDF("doc_id", "text"), 0L)
+    val v0 = spark.read.parquet(verdictsDir)
+      .filter(col("doc_id") === 9007L).head()
+    assert(!v0.getAs[Boolean]("is_contaminated"),
+      s"doc 7 not in train yet: $v0")
+    // ...train batch 1 admits docs 5-9; the SAME eval text now flags
+    runTrain(docs.drop(5).toDF("doc_id", "text"), 1L)
+    probe(Seq((9107L, txt(7))).toDF("doc_id", "text"), 1L)
+    val v1 = spark.read.parquet(verdictsDir)
+      .filter(col("doc_id") === 9107L).head()
+    assert(v1.getAs[Boolean]("is_contaminated") &&
+      v1.getAs[Long]("n_hit") == 3L,
+      s"doc 7 entered train in batch 1: $v1")
+    // exact replay of a committed batchId: nothing appended anywhere
+    val (nG, nR) = (spark.read.parquet(trainDir).count(),
+      spark.read.parquet(reportDir).count())
+    runTrain(docs.take(5).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(trainDir).count() == nG &&
+      spark.read.parquet(reportDir).count() == nR)
+    // cross-batch redelivery under a NEW batchId: the gram anti-join
+    // appends zero rows, the report still commits (n_new_grams = 0)
+    runTrain(docs.take(5).toDF("doc_id", "text"), 2L)
+    assert(spark.read.parquet(trainDir).count() == nG,
+      "redelivered docs must not re-append grams")
+    val r2 = spark.read.parquet(reportDir)
+      .filter(col("batch_id") === 2L).head()
+    assert(r2.getAs[Long]("n_new_grams") == 0L)
+    // the index's gen column audits arrival batches
+    val gens = spark.read.parquet(trainDir).groupBy(col("gen"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gens == Map(0L -> 15L, 1L -> 15L), s"gen audit: $gens")
+  }
+
+  test("trainGramIngestBatch over the corpus reproduces q267's " +
+      "first-seen growth census exactly (operator == batch twin)") {
+    val trainDir = tmpDir("census-train")
+    val reportDir = tmpDir("census-report")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val run = StreamOps.trainGramIngestBatch(trainDir, reportDir) _
+    (0 until 4).foreach { b =>
+      run(docs.filter(pmod(col("doc_id"), lit(4L)) === b), b.toLong)
+    }
+    val fromOp = spark.read.parquet(trainDir).groupBy(col("gen"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromCensus = graft.SparkEntry
+      .queries("q267_train_gram_growth_census")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_new_grams")).toMap
+    assert(fromOp == fromCensus,
+      s"operator gen counts $fromOp != census $fromCensus")
+  }
+
   test("q234 batch query agrees with a direct per-doc recomputation") {
     // the oracle gates q234's values; here pin INTERNAL consistency:
     // summing the per-doc probe (the streaming shape) over the eval

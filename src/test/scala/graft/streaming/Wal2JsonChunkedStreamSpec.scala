@@ -156,6 +156,61 @@ class Wal2JsonChunkedStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"only-batch ${sWant -- sGot}")
   }
 
+  test("property: random hostile logs with duplicate frames and cut " +
+      "tails — streaming reassembly == batch reassembly's complete docs") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(4242) // deterministic
+    // hostile value alphabet: structural JSON chars inside strings,
+    // escaped quotes/backslashes — everything depth must NOT count
+    val atoms = Seq("{", "}", "[", "]", ",", "\\\"", "\\\\", "a", "Z",
+      "0", " ", ":")
+    def value(): String =
+      (0 until (1 + rnd.nextInt(10))).map(_ =>
+        atoms(rnd.nextInt(atoms.size))).mkString
+    // 80 transactions over 4 shards, 1-4 changes each; tx t's chunks
+    // at lsns t*16+0..: globally unique, per-shard ordered
+    val frames0 = (0 until 80).flatMap { t =>
+      val shard = (t % 4).toLong
+      val n = 1 + rnd.nextInt(4)
+      val header = (shard, t * 16L, s"""{"xid":$t,"change":[""")
+      val changes = (0 until n).map { i =>
+        (shard, t * 16L + i + 1,
+          (if (i == 0) "" else ",") +
+            s"""{"kind":"insert","schema":"p","table":"t",""" +
+            s""""columnnames":["x"],"columntypes":["text"],""" +
+            s""""columnvalues":["${value()}"]}""")
+      }
+      val footer = (shard, t * 16L + n + 1, "]}")
+      header +: changes :+ footer
+    }
+    // cut each shard's tail mid-transaction: drop the last 1-2 frames
+    // of the highest tx per shard (realistic stream death)
+    val byShard = frames0.groupBy(_._1)
+    val cut = byShard.values.flatMap { fs =>
+      val sorted = fs.sortBy(_._2)
+      sorted.dropRight(1 + rnd.nextInt(2))
+    }.toSeq
+    // inject redeliveries: ~20% of frames appear twice
+    val withDups = cut ++ cut.filter(_ => rnd.nextInt(5) == 0)
+    val df = withDups.toDF("shard", "lsn", "payload")
+    val streamed = StreamOps.wal2jsonChunkedDocs(
+        df.as[StreamOps.ChunkFrame]).toDF()
+      .select("shard", "lsn", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = CdcFunctions.wal2jsonReassembleChunks(df,
+        col("shard"), col("lsn"), col("payload"))
+      .filter(!col("incomplete"))
+      .select("shard", "lsn", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch,
+      s"streaming != batch on the hostile log:\n only-stream ${
+        streamed -- batch}\n only-batch ${batch -- streamed}")
+    // and the cut tails were genuinely withheld: fewer docs than txs
+    assert(streamed.size < 80 && streamed.size >= 72,
+      s"expected ~76 complete docs, got ${streamed.size}")
+  }
+
   test("wal2jsonChunkedChanges decodes reassembled documents with " +
       "shard and lsn kept") {
     val dir = java.nio.file.Files.createTempDirectory("w2jchunk2").toString
