@@ -205,6 +205,27 @@ object Analytics {
       (900000140L, fixDe)).toDF("doc_id", "text")
   }
 
+  // q268's debt-curve seed (same FIXTURES.md recipe as q262): four
+  // disjoint 12-token runs; train copy T_b enters at batch b
+  // (id % 4 == b, non-eval under md5%20), eval copy E_b (eval under
+  // md5%20) shares ALL 5 of its 8-grams with T_b and nothing else —
+  // so E_b's first threshold crossing is exactly batch b, making
+  // every n_new_contam cell non-empty at any SF by construction.
+  private[graft] val debtRuns: Seq[String] =
+    Seq("zyqg", "zyqh", "zyqi", "zyqj").map(fixRun(_, 12))
+  private[graft] val debtTrainIds =
+    Seq(910000000L, 910000001L, 910000002L, 910000003L)
+  private[graft] val debtEvalIds =
+    Seq(920000004L, 920000014L, 920000017L, 920000029L)
+  private[graft] def debtFixDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (debtTrainIds.zip(debtRuns) ++ debtEvalIds.zip(debtRuns))
+      .toDF("doc_id", "text")
+  }
+  private def debtFixValuesSql: String =
+    (debtTrainIds.zip(debtRuns) ++ debtEvalIds.zip(debtRuns))
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q185: Pareto frontier (skyline) --------------------------
@@ -1128,6 +1149,125 @@ object Analytics {
         .select(col("batch_id"), col("n_docs"),
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
           coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+        .orderBy(col("batch_id"))
+    },
+
+    // ---- q268: contamination-debt census (eval staleness curve) ----
+    // q267 traces the index's growth; this traces its CONSEQUENCE:
+    // when the train corpus enters as K ordered batches, each eval
+    // doc becomes contaminated at the first batch where its
+    // cumulative 8-gram hits cross q231's >=20% verdict line — the
+    // batch after which that doc's eval scores are stale. Per batch:
+    // train docs admitted, eval docs newly crossing, the cumulative
+    // count, and how many eval docs remain clean. THE staleness
+    // curve an eval owner reads before trusting a number measured at
+    // train step t. Scale shape: one keyed gram join (eval grams x
+    // first-seen index), then ONE eval-doc rollup with K conditional
+    // sums — the per-batch cumulative needs no second pass and no
+    // per-batch rescan; the 4-row cumulative rides a broadcast
+    // triangle join, not an unpartitioned window. Seeded (FIXTURES.md
+    // recipe): train/eval twin docs T_b/E_b with disjoint vocabulary
+    // force one crossing at EVERY batch, so no n_new_contam cell is
+    // empty at any SF and a first-crossing off-by-one cannot hide.
+    QueryDef(
+      "q268_contamination_debt_census",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $debtFixValuesSql)
+         |    f(doc_id, text)),
+         |toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM docs),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0 AS is_eval,
+         |    ${Text.h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |fb AS (SELECT g, min(doc_id % 4) AS fb FROM g8
+         |       WHERE NOT is_eval GROUP BY g),
+         |agg AS (SELECT g8.doc_id, count(*) AS n_grams,
+         |    count(*) FILTER (WHERE fb.fb <= 0) AS h0,
+         |    count(*) FILTER (WHERE fb.fb <= 1) AS h1,
+         |    count(*) FILTER (WHERE fb.fb <= 2) AS h2,
+         |    count(*) FILTER (WHERE fb.fb <= 3) AS h3
+         |  FROM g8 LEFT JOIN fb ON fb.g = g8.g
+         |  WHERE g8.is_eval GROUP BY g8.doc_id),
+         |fc AS (SELECT doc_id,
+         |    CASE WHEN 5 * h0 >= n_grams THEN 0
+         |         WHEN 5 * h1 >= n_grams THEN 1
+         |         WHEN 5 * h2 >= n_grams THEN 2
+         |         WHEN 5 * h3 >= n_grams THEN 3
+         |         ELSE -1 END AS cb
+         |  FROM agg),
+         |nc AS (SELECT cb AS b, count(*) AS n_new FROM fc
+         |       WHERE cb >= 0 GROUP BY cb),
+         |nt AS (SELECT doc_id % 4 AS b, count(*) AS n_train_docs
+         |       FROM docs
+         |       WHERE (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 <> 0
+         |       GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_eval FROM agg),
+         |bs(b) AS (VALUES (0), (1), (2), (3)),
+         |cum AS (SELECT bs.b, sum(coalesce(nc.n_new, 0)) AS n_cum
+         |        FROM bs LEFT JOIN nc ON nc.b <= bs.b GROUP BY bs.b)
+         |SELECT bs.b AS batch_id,
+         |  CAST(coalesce(nt.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+         |  CAST(coalesce(nc.n_new, 0) AS BIGINT) AS n_new_contam,
+         |  CAST(cum.n_cum AS BIGINT) AS n_contam_cum,
+         |  CAST(tot.n_eval - cum.n_cum AS BIGINT) AS n_clean_after
+         |FROM bs JOIN cum ON cum.b = bs.b
+         |  LEFT JOIN nc ON nc.b = bs.b LEFT JOIN nt ON nt.b = bs.b
+         |  CROSS JOIN tot
+         |ORDER BY batch_id""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val isEval = pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(20L)) === 0L
+      // fixture grams ride the SAME builder, computed inline — the
+      // shared gram8 memo must not be polluted (q262's contract)
+      val fix = debtFixDocs(s)
+      val g = Text.gram8Hashes(s, d).unionAll(Text.gram8Of(fix))
+        .withColumn("is_eval", isEval)
+      val fb = g.filter(!col("is_eval"))
+        .groupBy(col("g"))
+        .agg(min(pmod(col("doc_id"), lit(4L))).as("fb"))
+      val agg = g.filter(col("is_eval")).select(col("doc_id"), col("g"))
+        .join(fb, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("fb") <= 0, 1)).as("h0"),
+          count(when(col("fb") <= 1, 1)).as("h1"),
+          count(when(col("fb") <= 2, 1)).as("h2"),
+          count(when(col("fb") <= 3, 1)).as("h3"))
+      val fc = agg.select(
+        when(col("h0") * 5 >= col("n_grams"), 0L)
+          .when(col("h1") * 5 >= col("n_grams"), 1L)
+          .when(col("h2") * 5 >= col("n_grams"), 2L)
+          .when(col("h3") * 5 >= col("n_grams"), 3L)
+          .otherwise(-1L).as("cb"))
+      val nc = fc.filter(col("cb") >= 0)
+        .groupBy(col("cb").as("b")).agg(count(lit(1)).as("n_new"))
+      val nt = Tables.documents(s, d).select(col("doc_id"))
+        .unionAll(fix.select(col("doc_id")))
+        .filter(!isEval)
+        .groupBy(pmod(col("doc_id"), lit(4L)).as("b"))
+        .agg(count(lit(1)).as("n_train_docs"))
+      val tot = agg.agg(count(lit(1)).as("n_eval"))
+      val bs = s.range(4).select(col("id").as("batch_id"))
+      val cum = bs.join(broadcast(nc), col("b") <= col("batch_id"), "left")
+        .groupBy(col("batch_id"))
+        .agg(sum(coalesce(col("n_new"), lit(0L))).as("n_cum"))
+      bs.join(cum, "batch_id")
+        .join(broadcast(nc.withColumnRenamed("b", "batch_id")),
+          Seq("batch_id"), "left")
+        .join(broadcast(nt.withColumnRenamed("b", "batch_id")),
+          Seq("batch_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("batch_id"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+          coalesce(col("n_new"), lit(0L)).as("n_new_contam"),
+          col("n_cum").as("n_contam_cum"),
+          (col("n_eval") - col("n_cum")).as("n_clean_after"))
         .orderBy(col("batch_id"))
     },
 

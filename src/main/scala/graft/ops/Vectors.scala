@@ -680,6 +680,151 @@ object Vectors {
         .orderBy(col("qid"))
     },
 
+    // ---- q269: IVF + PQ-ADC + exact refine (the composed ANN read
+    // path) ------------------------------------------------------
+    // q116 proves the coarse quantizer, q117/q118 the compressed
+    // codes — this composes them into the pipeline a production ANN
+    // index actually serves (FAISS IVFADC + refine): (1) coarse:
+    // candidates = the query's own trained cell (nprobe=1); (2) scan:
+    // rank cell-mates by ASYMMETRIC distance — the query's 8 subvector
+    // distances to each subspace codebook are precomputed ONCE into a
+    // (queries x 8 x 4)-row distance TABLE and broadcast, so each
+    // candidate costs 8 lookups + adds, never 64 dims; (3) refine:
+    // the ADC top-10 are re-ranked by exact integer L2 (10 raw
+    // vectors fetched per query), top-5 kept; (4) audit: recall@5 vs
+    // the global exact scan, plus the cell's candidate volume — the
+    // two numbers that price the accuracy/cost trade end to end.
+    // Every distance is exact-integer on the shared q115 grid, so
+    // all three stages rank bit-identically in both engines. At
+    // 100 TB: dtab is queries x 32 rows broadcast, candidate gen is
+    // one equi-join keyed on the cell id, the ADC scan is keyed
+    // (cid)-side lookups against broadcast state, and refine touches
+    // R=10 raw vectors per query — each stage's cost is the textbook
+    // IVFADC bound, none rescans the corpus.
+    QueryDef(
+      "q269_ivfpq_refine_recall",
+      "WITH " + lloydA2Sql + s""",
+         |pdims AS (SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS si,
+         |            v FROM dims),
+         |pc0 AS (SELECT sub, vec_id AS j, si, v AS c FROM pdims
+         |        WHERE vec_id < 4),
+         |pd1 AS (SELECT d.vec_id, d.sub, c.j,
+         |          sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |        FROM pdims d JOIN pc0 c ON c.sub = d.sub AND c.si = d.si
+         |        GROUP BY 1, 2, 3),
+         |pa1 AS (SELECT vec_id, sub, j FROM (
+         |          SELECT vec_id, sub, j, row_number() OVER (
+         |            PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+         |          FROM pd1) WHERE rn = 1),
+         |pn1 AS (SELECT sub, j, count(*) AS n FROM pa1 GROUP BY sub, j),
+         |ps1 AS (SELECT pa1.sub, pa1.j, d.si, sum(d.v) AS s
+         |        FROM pa1 JOIN pdims d ON d.vec_id = pa1.vec_id
+         |                             AND d.sub = pa1.sub
+         |        GROUP BY 1, 2, 3),
+         |pc1 AS (SELECT ps1.sub, ps1.j, ps1.si,
+         |          (2 * ps1.s + pn1.n) // (2 * pn1.n) AS c
+         |        FROM ps1 JOIN pn1 ON pn1.sub = ps1.sub AND pn1.j = ps1.j),
+         |pd2 AS (SELECT d.vec_id, d.sub, c.j,
+         |          sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |        FROM pdims d JOIN pc1 c ON c.sub = d.sub AND c.si = d.si
+         |        GROUP BY 1, 2, 3),
+         |pa2 AS (SELECT vec_id, sub, j FROM (
+         |          SELECT vec_id, sub, j, row_number() OVER (
+         |            PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+         |          FROM pd2) WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS qid, sub, si, v FROM pdims
+         |         WHERE vec_id < 20),
+         |dtab AS (SELECT qs.qid, qs.sub, c.j,
+         |           sum((qs.v - c.c) * (qs.v - c.c)) AS d
+         |         FROM qsub qs JOIN pc1 c ON c.sub = qs.sub
+         |                                AND c.si = qs.si
+         |         GROUP BY 1, 2, 3),
+         |cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid
+         |         FROM a2 qa JOIN a2 ca ON qa.vec_id < 20
+         |                    AND ca.j = qa.j AND ca.vec_id <> qa.vec_id),
+         |adc AS (SELECT cand.qid, cand.cid, sum(dtab.d) AS dist
+         |        FROM cand JOIN pa2 ON pa2.vec_id = cand.cid
+         |             JOIN dtab ON dtab.qid = cand.qid
+         |                      AND dtab.sub = pa2.sub AND dtab.j = pa2.j
+         |        GROUP BY 1, 2),
+         |sh AS (SELECT qid, cid FROM (
+         |        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY dist, cid) AS rn FROM adc) WHERE rn <= 10),
+         |rf AS (SELECT sh.qid, sh.cid,
+         |          sum((dq.v - dc.v) * (dq.v - dc.v)) AS dist
+         |       FROM sh JOIN dims dq ON dq.vec_id = sh.qid
+         |            JOIN dims dc ON dc.vec_id = sh.cid AND dc.i = dq.i
+         |       GROUP BY 1, 2),
+         |r5 AS (SELECT qid, cid FROM (
+         |        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY dist, cid) AS rn FROM rf) WHERE rn <= 5),
+         |ncd AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid),
+         |qd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |         sum((da.v - db.v) * (da.v - db.v)) AS dist
+         |       FROM a2 a JOIN a2 b ON a.vec_id < 20
+         |                         AND b.vec_id <> a.vec_id
+         |       JOIN dims da ON da.vec_id = a.vec_id
+         |       JOIN dims db ON db.vec_id = b.vec_id AND db.i = da.i
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= 5)
+         |SELECT ex.qid,
+         |  CAST(coalesce(max(ncd.n_cand), 0) AS BIGINT) AS n_cand,
+         |  count(r5.cid) * 20 AS recall_pct
+         |FROM ex LEFT JOIN ncd ON ncd.qid = ex.qid
+         |     LEFT JOIN r5 ON r5.qid = ex.qid AND r5.cid = ex.cid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
+      val e = quantized(s, d)
+      val a2 = kmeansAssignments(s, d)
+      val qCell = a2.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("j"))
+      val cand = a2.select(col("vec_id").as("cid"), col("j"))
+        .join(broadcast(qCell), "j")
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"))
+      val cb = pqCodebooks(s, d)
+      val qs = subVectors(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val dtab = qs.join(broadcast(cb), "sub")
+        .select(col("qid"), col("sub"), col("j").as("symbol"),
+          graft.cdc.GraftFunctions.vec_l2i(col("sq"), col("c")).as("dsub"))
+      val codes = pqAssignments(s, d)
+        .select(col("vec_id").as("cid"), col("sub"), col("symbol"))
+      val adc = cand.join(codes, "cid")
+        .join(broadcast(dtab), Seq("qid", "sub", "symbol"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("dsub")).as("dist"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      val sh = adc.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10).select(col("qid"), col("cid"))
+      val qq = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val rf = sh.join(broadcast(qq), "qid")
+        .join(e.withColumnRenamed("vec_id", "cid"), "cid")
+        .select(col("qid"), col("cid"),
+          graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q")).as("dist"))
+      val r5 = rf.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5)
+        .select(col("qid").as("rqid"), col("cid").as("rcid"))
+      val ncd = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+      val qd = e.crossJoin(broadcast(qq))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q")).as("dist"))
+      val ex = qd.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      ex.join(broadcast(ncd), Seq("qid"), "left")
+        .join(r5, col("qid") === col("rqid") &&
+          col("cid") === col("rcid"), "left")
+        .groupBy(col("qid"))
+        .agg(coalesce(max(col("n_cand")), lit(0L)).cast("long")
+            .as("n_cand"),
+          (count(col("rcid")) * 20).as("recall_pct"))
+        .orderBy(col("qid"))
+    },
+
     QueryDef(
       "q122_semantic_dedup",
       "WITH " + lloydA2Sql + ",\n" +

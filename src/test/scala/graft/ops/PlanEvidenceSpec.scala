@@ -591,7 +591,11 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val bound = 64L // generous vs the 20/40-row query sets; the point
                     // is rejecting O(corpus), not pinning the sample
-    for (name <- Seq("q29_knn_bruteforce", "q219_knn_classifier")) {
+    // q269's exact-recall arm carries the same contract: its IVF/ADC/
+    // refine stages are all keyed or broadcast-bounded, and the ONLY
+    // BroadcastNestedLoopJoin in its plan may be the 20-query audit.
+    for (name <- Seq("q29_knn_bruteforce", "q219_knn_classifier",
+        "q269_ivfpq_refine_recall")) {
       val ep = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan
       val joins = ep.collect { case j: BroadcastNestedLoopJoinExec => j }

@@ -177,6 +177,44 @@ class StreamStaticContamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"operator gen counts $fromOp != census $fromCensus")
   }
 
+  test("q268 debt census == the two streaming halves composed: " +
+      "ingest train batches, probe eval after each, diff the flags") {
+    val trainDir = tmpDir("debt-train")
+    val reportDir = tmpDir("debt-report")
+    // the census's doc universe: corpus + the q268 seed fixture
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .unionAll(graft.ops.Analytics.debtFixDocs(spark))
+    val isEval = pmod(graft.cdc.GraftFunctions.md5_h32(
+      col("doc_id").cast("string")), lit(20L)) === 0L
+    val train = docs.filter(!isEval)
+    val evalDocs = docs.filter(isEval)
+    val runTrain = StreamOps.trainGramIngestBatch(trainDir, reportDir) _
+    // after each train ingest, probe the SAME eval set; a doc's debt
+    // batch is the first probe that flags it (the index only grows,
+    // so flags never retract across probes)
+    val flaggedAt = scala.collection.mutable.Map[Long, Long]()
+    (0 until 4).foreach { b =>
+      runTrain(train.filter(pmod(col("doc_id"), lit(4L)) === b), b.toLong)
+      val vDir = tmpDir(s"debt-verdicts-$b")
+      StreamOps.contaminationProbeBatch(trainDir, vDir)(evalDocs, b.toLong)
+      spark.read.parquet(vDir).filter(col("is_contaminated"))
+        .select(col("doc_id")).collect().map(_.getLong(0))
+        .foreach(d => if (!flaggedAt.contains(d)) flaggedAt(d) = b.toLong)
+    }
+    val fromOps = flaggedAt.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val census = graft.SparkEntry
+      .queries("q268_contamination_debt_census")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_new_contam"))
+      .filter(_._2 > 0).toMap
+    assert(fromOps == census,
+      s"streaming first-flag counts $fromOps != census $census")
+    // the seed guarantees at least one crossing per batch
+    assert((0L until 4L).forall(fromOps.contains), s"seeded: $fromOps")
+  }
+
   test("q234 batch query agrees with a direct per-doc recomputation") {
     // the oracle gates q234's values; here pin INTERNAL consistency:
     // summing the per-doc probe (the streaming shape) over the eval
