@@ -157,6 +157,45 @@ class StreamStaticContamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gens == Map(0L -> 15L, 1L -> 15L), s"gen audit: $gens")
   }
 
+  test("train-gram ingest crash window: grams appended but report " +
+      "missing -> replay heals to the exact committed state") {
+    val ss = spark
+    import ss.implicits._
+    val trainDir = tmpDir("crash-train")
+    val reportDir = tmpDir("crash-report")
+    val runTrain = StreamOps.trainGramIngestBatch(trainDir, reportDir) _
+    def txt(k: Int): String =
+      (0 until 10).map(i => s"zr${('a' + k).toChar}${('a' + i).toChar}")
+        .mkString(" ")
+    runTrain(Seq((0L, txt(0))).toDF("doc_id", "text"), 0L)
+    // simulate the crash: batch 1's gram append landed (PARTIALLY —
+    // only 1 of doc 1's 3 grams made it) but the report write didn't
+    graft.ops.Text.gram8Of(Seq((1L, txt(1))).toDF("doc_id", "text"))
+      .select(col("g")).limit(1).withColumn("gen", lit(1L))
+      .write.mode("append").parquet(trainDir)
+    assert(spark.read.parquet(reportDir)
+      .filter(col("batch_id") === 1L).isEmpty, "no report yet")
+    // the replay: batchCommitted=false so it re-runs; the anti-join
+    // appends only the 2 missing grams; the report's n_new_grams is
+    // counted from the index's OWN gen rows, so it reads 3 — the
+    // durable truth — not the replay's 2
+    runTrain(Seq((1L, txt(1))).toDF("doc_id", "text"), 1L)
+    val gens = spark.read.parquet(trainDir).groupBy(col("gen"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gens == Map(0L -> 3L, 1L -> 3L), s"healed gen audit: $gens")
+    val r1 = spark.read.parquet(reportDir)
+      .filter(col("batch_id") === 1L).head()
+    assert(r1.getAs[Long]("n_new_grams") == 3L,
+      s"report must count durable gen-1 rows, not the delta: $r1")
+    // and the healed state is a fixed point: a second replay of the
+    // now-committed batch changes nothing
+    val (nG, nR) = (spark.read.parquet(trainDir).count(),
+      spark.read.parquet(reportDir).count())
+    runTrain(Seq((1L, txt(1))).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(trainDir).count() == nG &&
+      spark.read.parquet(reportDir).count() == nR)
+  }
+
   test("trainGramIngestBatch over the corpus reproduces q267's " +
       "first-seen growth census exactly (operator == batch twin)") {
     val trainDir = tmpDir("census-train")
