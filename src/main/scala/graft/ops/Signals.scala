@@ -461,6 +461,74 @@ object Signals {
           .limit(20)
     },
 
+    // ---- q270: t-closeness audit ----------------------------------
+    // The third rung of the release-audit ladder: k-anonymity (q207)
+    // bounds group size, l-diversity (q214) bounds distinct sensitive
+    // values, t-closeness (Li et al.) bounds how far a group's
+    // sensitive DISTRIBUTION sits from the global one — a group can
+    // be large and diverse yet still leak via skew (e.g. one segment
+    // holding mostly top-bucket balances). Same QI/sensitive columns
+    // as q214 so the triad reads as one audit. Distance = total
+    // variation in exact milli fixed point: with S_in the sum of
+    // |n_gv·N − n_v·n_g| over buckets PRESENT in the group, the
+    // absent-bucket mass is closed-form (n_g·(N − Σ_in n_v)), so TVD
+    // needs NO group×bucket cross join — one (QI, sv) agg, one sv agg
+    // broadcast back, one keyed rollup; the audit is two passes of
+    // keyed aggregation at any scale.
+    QueryDef(
+      "q270_t_closeness",
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS sv
+        |  FROM customer),
+        |gb AS (SELECT nat, seg, sv, count(*) AS ngv
+        |       FROM q GROUP BY 1, 2, 3),
+        |gl AS (SELECT sv, count(*) AS nv FROM q GROUP BY 1),
+        |tt AS (SELECT count(*) AS nn FROM q),
+        |gr AS (SELECT nat, seg, sum(ngv) AS ng FROM gb GROUP BY 1, 2),
+        |s1 AS (SELECT gb.nat, gb.seg,
+        |    sum(abs(gb.ngv * tt.nn - gl.nv * gr.ng)) AS s_in,
+        |    sum(gl.nv) AS nv_in
+        |  FROM gb JOIN gl USING (sv) JOIN gr USING (nat, seg)
+        |  CROSS JOIN tt GROUP BY 1, 2),
+        |tv AS (SELECT gr.nat, gr.seg, gr.ng,
+        |    (500 * (s1.s_in + gr.ng * (tt.nn - s1.nv_in)))
+        |      // (gr.ng * tt.nn) AS tvd_milli
+        |  FROM gr JOIN s1 USING (nat, seg) CROSS JOIN tt)
+        |SELECT nat, seg, CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(tvd_milli AS BIGINT) AS tvd_milli,
+        |  tvd_milli <= 400 AS t_close
+        |FROM tv
+        |ORDER BY tvd_milli DESC, nat, seg LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val q = customer(s, d)
+          .select(col("c_nationkey").as("nat"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+              .as("sv"))
+        val gb = q.groupBy(col("nat"), col("seg"), col("sv"))
+          .agg(count(lit(1)).as("ngv"))
+        val gl = q.groupBy(col("sv")).agg(count(lit(1)).as("nv"))
+        val tt = q.agg(count(lit(1)).as("nn"))
+        val gr = gb.groupBy(col("nat"), col("seg"))
+          .agg(sum(col("ngv")).as("ng"))
+        val s1 = gb.join(broadcast(gl), "sv")
+          .join(gr, Seq("nat", "seg"))
+          .crossJoin(broadcast(tt))
+          .groupBy(col("nat"), col("seg"))
+          .agg(sum(abs(col("ngv") * col("nn") - col("nv") * col("ng")))
+            .as("s_in"),
+            sum(col("nv")).as("nv_in"))
+        gr.join(s1, Seq("nat", "seg"))
+          .crossJoin(broadcast(tt))
+          .select(col("nat"), col("seg"), col("ng").as("n_rows"),
+            expr("(500 * (s_in + ng * (nn - nv_in))) DIV (ng * nn)")
+              .as("tvd_milli"))
+          .select(col("nat"), col("seg"), col("n_rows"),
+            col("tvd_milli"), (col("tvd_milli") <= 400).as("t_close"))
+          .orderBy(col("tvd_milli").desc, col("nat"), col("seg"))
+          .limit(20)
+    },
+
     // ---- q215: Holt-Winters double-exponential forecast -----------
     // Level+trend smoothing (alpha=0.3, beta=0.1 in milli units):
     // l_i = (300·x_i + 700·(l+t)) DIV 1000,

@@ -825,6 +825,158 @@ object Vectors {
         .orderBy(col("qid"))
     },
 
+    // ---- q271: refine-depth tuning sweep --------------------------
+    // q269 fixes the refine depth at 10; this prices the knob the way
+    // q246 prices nprobe: recall@5 and re-rank volume at R = 5/10/20.
+    // ONE ADC ranking and ONE exact-distance pass (bounded by R_max =
+    // 20 pairs per query) feed all three arms — the arms differ only
+    // in a rank predicate against a 3-row broadcast depth relation,
+    // so sweep cost is R_max, not Σ R. With 20 queries × 5 slots the
+    // summed hit count IS the recall percentage. The tuning read-out:
+    // where recall plateaus, stop paying raw-vector fetches.
+    QueryDef(
+      "q271_refine_depth_sweep",
+      "WITH " + lloydA2Sql + s""",
+         |pdims AS (SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS si,
+         |            v FROM dims),
+         |pc0 AS (SELECT sub, vec_id AS j, si, v AS c FROM pdims
+         |        WHERE vec_id < 4),
+         |pd1 AS (SELECT d.vec_id, d.sub, c.j,
+         |          sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |        FROM pdims d JOIN pc0 c ON c.sub = d.sub AND c.si = d.si
+         |        GROUP BY 1, 2, 3),
+         |pa1 AS (SELECT vec_id, sub, j FROM (
+         |          SELECT vec_id, sub, j, row_number() OVER (
+         |            PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+         |          FROM pd1) WHERE rn = 1),
+         |pn1 AS (SELECT sub, j, count(*) AS n FROM pa1 GROUP BY sub, j),
+         |ps1 AS (SELECT pa1.sub, pa1.j, d.si, sum(d.v) AS s
+         |        FROM pa1 JOIN pdims d ON d.vec_id = pa1.vec_id
+         |                             AND d.sub = pa1.sub
+         |        GROUP BY 1, 2, 3),
+         |pc1 AS (SELECT ps1.sub, ps1.j, ps1.si,
+         |          (2 * ps1.s + pn1.n) // (2 * pn1.n) AS c
+         |        FROM ps1 JOIN pn1 ON pn1.sub = ps1.sub AND pn1.j = ps1.j),
+         |pd2 AS (SELECT d.vec_id, d.sub, c.j,
+         |          sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |        FROM pdims d JOIN pc1 c ON c.sub = d.sub AND c.si = d.si
+         |        GROUP BY 1, 2, 3),
+         |pa2 AS (SELECT vec_id, sub, j FROM (
+         |          SELECT vec_id, sub, j, row_number() OVER (
+         |            PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+         |          FROM pd2) WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS qid, sub, si, v FROM pdims
+         |         WHERE vec_id < 20),
+         |dtab AS (SELECT qs.qid, qs.sub, c.j,
+         |           sum((qs.v - c.c) * (qs.v - c.c)) AS d
+         |         FROM qsub qs JOIN pc1 c ON c.sub = qs.sub
+         |                                AND c.si = qs.si
+         |         GROUP BY 1, 2, 3),
+         |cand AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid
+         |         FROM a2 qa JOIN a2 ca ON qa.vec_id < 20
+         |                    AND ca.j = qa.j AND ca.vec_id <> qa.vec_id),
+         |adc AS (SELECT cand.qid, cand.cid, sum(dtab.d) AS dist
+         |        FROM cand JOIN pa2 ON pa2.vec_id = cand.cid
+         |             JOIN dtab ON dtab.qid = cand.qid
+         |                      AND dtab.sub = pa2.sub AND dtab.j = pa2.j
+         |        GROUP BY 1, 2),
+         |sh20 AS (SELECT qid, cid, rn FROM (
+         |        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY dist, cid) AS rn FROM adc) WHERE rn <= 20),
+         |rfd AS (SELECT s.qid, s.cid, s.rn,
+         |          sum((dq.v - dc.v) * (dq.v - dc.v)) AS dist
+         |       FROM sh20 s JOIN dims dq ON dq.vec_id = s.qid
+         |            JOIN dims dc ON dc.vec_id = s.cid AND dc.i = dq.i
+         |       GROUP BY 1, 2, 3),
+         |depths(r) AS (VALUES (5), (10), (20)),
+         |arm AS (SELECT d.r, f.qid, f.cid, row_number() OVER (
+         |          PARTITION BY d.r, f.qid ORDER BY f.dist, f.cid) AS rr
+         |        FROM depths d JOIN rfd f ON f.rn <= d.r),
+         |top5 AS (SELECT r, qid, cid FROM arm WHERE rr <= 5),
+         |nrr AS (SELECT d.r, count(*) AS n_reranked
+         |        FROM depths d JOIN sh20 s ON s.rn <= d.r GROUP BY d.r),
+         |qd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |         sum((da.v - db.v) * (da.v - db.v)) AS dist
+         |       FROM a2 a JOIN a2 b ON a.vec_id < 20
+         |                         AND b.vec_id <> a.vec_id
+         |       JOIN dims da ON da.vec_id = a.vec_id
+         |       JOIN dims db ON db.vec_id = b.vec_id AND db.i = da.i
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= 5),
+         |hits AS (SELECT t.r, count(*) AS nh FROM top5 t
+         |         JOIN ex ON ex.qid = t.qid AND ex.cid = t.cid
+         |         GROUP BY t.r)
+         |SELECT d.r AS refine_depth,
+         |  CAST(nrr.n_reranked AS BIGINT) AS n_reranked,
+         |  CAST(coalesce(h.nh, 0) AS BIGINT) AS recall_pct
+         |FROM depths d
+         |  JOIN nrr ON nrr.r = d.r
+         |  LEFT JOIN hits h ON h.r = d.r
+         |ORDER BY refine_depth""".stripMargin) { (s, d) =>
+      val e = quantized(s, d)
+      val a2 = kmeansAssignments(s, d)
+      val qCell = a2.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("j"))
+      val cand = a2.select(col("vec_id").as("cid"), col("j"))
+        .join(broadcast(qCell), "j")
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"))
+      val cb = pqCodebooks(s, d)
+      val qs = subVectors(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val dtab = qs.join(broadcast(cb), "sub")
+        .select(col("qid"), col("sub"), col("j").as("symbol"),
+          graft.cdc.GraftFunctions.vec_l2i(col("sq"), col("c")).as("dsub"))
+      val codes = pqAssignments(s, d)
+        .select(col("vec_id").as("cid"), col("sub"), col("symbol"))
+      val adc = cand.join(codes, "cid")
+        .join(broadcast(dtab), Seq("qid", "sub", "symbol"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("dsub")).as("dist"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      val sh20 = adc.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 20).select(col("qid"), col("cid"), col("rn"))
+      val qq = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val rfd = sh20.join(broadcast(qq), "qid")
+        .join(e.withColumnRenamed("vec_id", "cid"), "cid")
+        .select(col("qid"), col("cid"), col("rn"),
+          graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q")).as("dist"))
+      val depths = s.range(3)
+        .select(when(col("id") === 0, 5).when(col("id") === 1, 10)
+          .otherwise(20).cast("int").as("r"))
+      val arm = rfd.join(broadcast(depths), col("rn") <= col("r"))
+        .withColumn("rr", row_number().over(Window
+          .partitionBy(col("r"), col("qid"))
+          .orderBy(col("dist"), col("cid"))))
+      val top5 = arm.filter(col("rr") <= 5)
+        .select(col("r").as("tr"), col("qid").as("tqid"),
+          col("cid").as("tcid"))
+      val nrr = sh20.join(broadcast(depths), col("rn") <= col("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_reranked"))
+      val qd = e.crossJoin(broadcast(qq))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q")).as("dist"))
+      val ex = qd.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      // hits per depth = inner-join count (== the LEFT-JOIN non-null
+      // count, with the fixed 100-slot denominator implicit); the
+      // final stitch is an equi-join of two 3-row aggregates — no
+      // complex-subtree broadcast for the plan pin to choke on
+      val hits = top5.join(ex, col("tqid") === col("qid") &&
+          col("tcid") === col("cid"))
+        .groupBy(col("tr").as("r")).agg(count(lit(1)).as("nh"))
+      nrr.join(hits, Seq("r"), "left")
+        .select(col("r").as("refine_depth"),
+          col("n_reranked").cast("long").as("n_reranked"),
+          coalesce(col("nh"), lit(0L)).cast("long").as("recall_pct"))
+        .orderBy(col("refine_depth"))
+    },
+
     QueryDef(
       "q122_semantic_dedup",
       "WITH " + lloydA2Sql + ",\n" +

@@ -595,7 +595,7 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // refine stages are all keyed or broadcast-bounded, and the ONLY
     // BroadcastNestedLoopJoin in its plan may be the 20-query audit.
     for (name <- Seq("q29_knn_bruteforce", "q219_knn_classifier",
-        "q269_ivfpq_refine_recall")) {
+        "q269_ivfpq_refine_recall", "q271_refine_depth_sweep")) {
       val ep = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan
       val joins = ep.collect { case j: BroadcastNestedLoopJoinExec => j }
@@ -607,9 +607,18 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
           case _ => j.right
         }
         // unwrap the exchange: executing it would build the broadcast
-        // relation; its child is the plain row-producing subtree
+        // relation; its child is the plain row-producing subtree.
+        // A side shared by two joins plans as a ReusedExchange LEAF
+        // referencing the original exchange — follow the reference
+        // (q271 broadcasts its 3-row depth relation into both the
+        // re-rank and the volume arm).
         val inner = side.collectFirst {
           case b: BroadcastExchangeExec => b.child
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => r.child match {
+            case b: BroadcastExchangeExec => b.child
+            case c => c
+          }
         }.getOrElse(side)
         val rows = inner.executeCollect().length
         assert(rows <= bound,
