@@ -529,6 +529,80 @@ object Signals {
           .limit(20)
     },
 
+    // ---- q272: composed privacy release gate ----------------------
+    // The publisher's actual decision table: k-anonymity (group
+    // mass), l-diversity (sensitive-bucket count), and t-closeness
+    // (TVD to the global distribution) for every QI group, in ONE
+    // pass — the release candidate is scanned exactly once into the
+    // (QI, sv) rollup `gb`, and every rung derives from it: gl/tt by
+    // re-aggregation, k and l as gr's own aggregates, t via the q270
+    // closed-form. All downstream work is bucket-cardinality (QI
+    // groups x present buckets), so the full three-rung gate costs
+    // one corpus scan at any scale. Output: one row per group with
+    // the three metrics, three rung verdicts, and the composed
+    // `releasable` flag (k >= 5, l >= 4, t <= 0.4).
+    QueryDef(
+      "q272_privacy_release_gate",
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS sv
+        |  FROM customer),
+        |gb AS (SELECT nat, seg, sv, count(*) AS ngv
+        |       FROM q GROUP BY 1, 2, 3),
+        |gl AS (SELECT sv, sum(ngv) AS nv FROM gb GROUP BY 1),
+        |tt AS (SELECT sum(nv) AS nn FROM gl),
+        |gr AS (SELECT nat, seg, sum(ngv) AS ng, count(*) AS ndv
+        |       FROM gb GROUP BY 1, 2),
+        |s1 AS (SELECT gb.nat, gb.seg,
+        |    sum(abs(gb.ngv * tt.nn - gl.nv * gr.ng)) AS s_in,
+        |    sum(gl.nv) AS nv_in
+        |  FROM gb JOIN gl USING (sv) JOIN gr USING (nat, seg)
+        |  CROSS JOIN tt GROUP BY 1, 2),
+        |tv AS (SELECT gr.nat, gr.seg, gr.ng, gr.ndv,
+        |    (500 * (s1.s_in + gr.ng * (tt.nn - s1.nv_in)))
+        |      // (gr.ng * tt.nn) AS tvd_milli
+        |  FROM gr JOIN s1 USING (nat, seg) CROSS JOIN tt)
+        |SELECT nat, seg, CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(ndv AS BIGINT) AS n_sensitive,
+        |  CAST(tvd_milli AS BIGINT) AS tvd_milli,
+        |  ng >= 5 AS k_ok, ndv >= 4 AS l_ok, tvd_milli <= 400 AS t_ok,
+        |  (ng >= 5 AND ndv >= 4 AND tvd_milli <= 400) AS releasable
+        |FROM tv ORDER BY nat, seg""".stripMargin) { (s, d) =>
+      val q = customer(s, d)
+        .select(col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+            .as("sv"))
+      // the ONE corpus-width pass; everything below re-aggregates it
+      val gb = q.groupBy(col("nat"), col("seg"), col("sv"))
+        .agg(count(lit(1)).as("ngv")).tcache()
+      val gl = gb.groupBy(col("sv")).agg(sum(col("ngv")).as("nv"))
+      val tt = gl.agg(sum(col("nv")).as("nn"))
+      val gr = gb.groupBy(col("nat"), col("seg"))
+        .agg(sum(col("ngv")).as("ng"), count(lit(1)).as("ndv"))
+      val s1 = gb.join(broadcast(gl), "sv")
+        .join(gr.select(col("nat"), col("seg"), col("ng")),
+          Seq("nat", "seg"))
+        .crossJoin(broadcast(tt))
+        .groupBy(col("nat"), col("seg"))
+        .agg(sum(abs(col("ngv") * col("nn") - col("nv") * col("ng")))
+          .as("s_in"),
+          sum(col("nv")).as("nv_in"))
+      gr.join(s1, Seq("nat", "seg"))
+        .crossJoin(broadcast(tt))
+        .select(col("nat"), col("seg"), col("ng").as("n_rows"),
+          col("ndv").as("n_sensitive"),
+          expr("(500 * (s_in + ng * (nn - nv_in))) DIV (ng * nn)")
+            .as("tvd_milli"))
+        .select(col("nat"), col("seg"), col("n_rows"),
+          col("n_sensitive"), col("tvd_milli"),
+          (col("n_rows") >= 5).as("k_ok"),
+          (col("n_sensitive") >= 4).as("l_ok"),
+          (col("tvd_milli") <= 400).as("t_ok"),
+          (col("n_rows") >= 5 && col("n_sensitive") >= 4 &&
+            col("tvd_milli") <= 400).as("releasable"))
+        .orderBy(col("nat"), col("seg"))
+    },
+
     // ---- q215: Holt-Winters double-exponential forecast -----------
     // Level+trend smoothing (alpha=0.3, beta=0.1 in milli units):
     // l_i = (300·x_i + 700·(l+t)) DIV 1000,

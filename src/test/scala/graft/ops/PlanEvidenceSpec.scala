@@ -577,6 +577,27 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"edge counting must map-side combine:\n$p")
   }
 
+  test("q272: the three-rung privacy gate scans the release " +
+    "candidate ONCE — every rung re-aggregates the cached rollup") {
+    // count TREE nodes, not toString lines: InMemoryTableScan inlines
+    // the (single) cached plan into its string form, so the one
+    // physical scan prints once per cache consumer
+    val ep = graft.SparkEntry.queries("q272_privacy_release_gate")(
+      spark, sfDir).queryExecution.executedPlan
+    val memScans = ep.collect {
+      case m: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => m }
+    assert(memScans.size >= 3,
+      s"k/l/t rungs must all re-aggregate the cached (QI, sv) rollup," +
+        s" found ${memScans.size} cache consumers:\n$ep")
+    val fileScans = ep.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("customer") => f }
+    assert(fileScans.isEmpty,
+      s"release candidate must be scanned only inside the cached " +
+        s"rollup, found ${fileScans.size} direct scans:\n$ep")
+  }
+
   test("q29/q219/q198: exact-audit arms keep EVERY broadcast side " +
     "row-bounded (the contract that legalizes their crossJoin)") {
     // r11 verdict ask 5: the remaining corpus×queries exact arms are
