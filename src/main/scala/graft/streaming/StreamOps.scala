@@ -1143,10 +1143,23 @@ object StreamOps {
     * contract as ivfIngestBatch's n_arrived). At 100 TB: the append
     * is a MERGE into the gram-bucketed index table; the batch's cost
     * is its own gram volume. */
-  def trainGramIngestBatch(trainGramsDir: String, reportDir: String)(
+  def trainGramIngestBatch(trainGramsDir: String, reportDir: String,
+      /** File-count compaction gate: every append lands up to a
+        * shuffle-width of small part files, so an append-only index
+        * degrades probe reads by FILE COUNT (its rows are already
+        * unique — no stale generations to reclaim, unlike the dedup
+        * index). Once the dir holds more than this many parquet
+        * files, rewrite it bucketed by the gram hash under the same
+        * crash-safe tmp/old/live publish, healed by
+        * [[recoverCompaction]] at every ingest/probe start. */
+      compactFileThreshold: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // heal any publish a crash interrupted BEFORE the standing read —
+    // a missing live dir would otherwise read as "first batch" and
+    // re-admit every gram under a fresh gen
+    recoverCompaction(trainGramsDir)
     if (batchCommitted(spark, reportDir, batchId)) return
     val uniq = batch.dropDuplicates("doc_id")
     val grams = graft.ops.Text.gram8Of(uniq)
@@ -1180,12 +1193,40 @@ object StreamOps {
         lit(nNewDurable).as("n_new_grams"))
         .write.mode("append").parquet(reportDir)
     } finally { fresh.unpersist(); () }
+    // ---- compaction: bound the index's FILE count ------------------
+    // Runs after the report commit, so a crash anywhere in here
+    // replays as a committed no-op batch whose compaction retriggers.
+    // Rows are preserved exactly (g, gen both ride the rewrite); the
+    // bucketed-by-g layout is the 100 TB table shape the probe's
+    // equi-join wants.
+    val live = new java.io.File(trainGramsDir)
+    val nFiles = Option(live.listFiles).map(
+      _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    if (nFiles > compactFileThreshold) {
+      val tmp = trainGramsDir + "_compact_tmp"
+      spark.read.parquet(trainGramsDir)
+        .repartition(8, col("g"))
+        .write.mode("overwrite").parquet(tmp)
+      val oldF = new java.io.File(trainGramsDir + "_compact_old")
+      if (oldF.exists) delTree(oldF)
+      if (!live.renameTo(oldF))
+        throw new java.io.IOException(
+          s"failed to demote live gram index: $trainGramsDir -> $oldF")
+      if (!new java.io.File(tmp).renameTo(live))
+        throw new java.io.IOException(
+          s"failed to publish compacted gram index: $tmp -> $trainGramsDir")
+      delTree(oldF)
+    }
   }
 
   def contaminationProbeBatch(trainGramsDir: String, verdictsDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // the probe shares the index with the ingest side's compaction —
+    // heal a torn publish rather than failing the read (idempotent,
+    // no-op when the live dir is healthy)
+    recoverCompaction(trainGramsDir)
     val alreadyDone = batchCommitted(spark, verdictsDir, batchId)
     if (alreadyDone) return
     val uniq = batch.dropDuplicates("doc_id")

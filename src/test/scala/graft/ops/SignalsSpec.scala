@@ -31,6 +31,46 @@ class SignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def byName(n: String) =
     graft.SparkEntry.queries(n)(spark, sf)
 
+  test("q270/q272 TVD closed form == naive full bucket-spine sum " +
+    "(the absent-bucket mass term is exact)") {
+    // the shipped queries avoid the group x bucket cross join via
+    //   S = sum_in |n_gv*N - n_v*n_g| + n_g*(N - sum_in n_v);
+    // pin that shortcut against the definitionally-complete spine:
+    // every (group, bucket) pair including the group's absent ones
+    val s = spark; import s.implicits._
+    val gate = byName("q272_privacy_release_gate")
+      .select(col("nat"), col("seg"), col("tvd_milli"))
+    val q = Tables.customer(spark, sf)
+      .select(col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+          .as("sv"))
+    val gb = q.groupBy(col("nat"), col("seg"), col("sv"))
+      .agg(count(lit(1)).as("ngv"))
+    val gl = q.groupBy(col("sv")).agg(count(lit(1)).as("nv"))
+    val gr = q.groupBy(col("nat"), col("seg"))
+      .agg(count(lit(1)).as("ng"))
+    val nn = q.count()
+    val spine = gr.crossJoin(gl) // the join the PRODUCTION query must
+                                 // never do; fine in a spec at sf0.001
+      .join(gb, Seq("nat", "seg", "sv"), "left")
+      .select(col("nat"), col("seg"), col("ng"), col("nv"),
+        coalesce(col("ngv"), lit(0L)).as("ngv"))
+    val naive = spine
+      .groupBy(col("nat"), col("seg"))
+      .agg(sum(abs(col("ngv") * lit(nn) - col("nv") * col("ng")))
+        .as("s_all"), max(col("ng")).as("ng"))
+      .select(col("nat"), col("seg"),
+        expr(s"(500 * s_all) DIV (ng * ${nn}L)").as("tvd_naive"))
+    val diff = gate.join(naive, Seq("nat", "seg"))
+      .filter(col("tvd_milli") =!= col("tvd_naive"))
+    assert(diff.isEmpty,
+      s"closed form diverges from the spine sum:\n${diff.collect()
+        .mkString("\n")}")
+    assert(gate.count() == naive.count(),
+      "gate must cover every QI group the spine produces")
+  }
+
   test("weighted PageRank: star center outranks leaves; " +
     "symmetric pair ties") {
     val s = spark; import s.implicits._

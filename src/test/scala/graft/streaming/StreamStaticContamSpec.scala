@@ -196,6 +196,45 @@ class StreamStaticContamSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(reportDir).count() == nR)
   }
 
+  test("gram-index compaction bounds file count, preserves every " +
+      "(g, gen) row, and a torn publish heals at the next probe") {
+    val ss = spark
+    import ss.implicits._
+    val trainDir = tmpDir("compact-train")
+    val reportDir = tmpDir("compact-report")
+    // threshold 1: compact after every append once > 1 parquet file
+    val run = StreamOps.trainGramIngestBatch(trainDir, reportDir,
+      compactFileThreshold = 1) _
+    def txt(k: Int): String =
+      (0 until 10).map(i => s"zs${('a' + k).toChar}${('a' + i).toChar}")
+        .mkString(" ")
+    (0 until 3).foreach { b =>
+      run(Seq((b.toLong, txt(b))).toDF("doc_id", "text"), b.toLong)
+    }
+    val files = new java.io.File(trainDir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 8, // the rewrite's fixed bucket width
+      s"compaction must bound the index's file count, got $files")
+    val gens = spark.read.parquet(trainDir).groupBy(col("gen"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gens == Map(0L -> 3L, 1L -> 3L, 2L -> 3L),
+      s"every (g, gen) row must survive the rewrite: $gens")
+    // the worst crash window: live demoted, complete tmp on disk
+    val live = new java.io.File(trainDir)
+    val tmp = new java.io.File(trainDir + "_compact_tmp")
+    assert(live.renameTo(tmp), "simulate crash between demote and publish")
+    // the read side heals it (promote tmp -> live) and probes the
+    // FULL index — no window where the standing grams vanish
+    val vDir = tmpDir("compact-verdicts")
+    StreamOps.contaminationProbeBatch(trainDir, vDir)(
+      Seq((900L, txt(1))).toDF("doc_id", "text"), 0L)
+    val v = spark.read.parquet(vDir).head()
+    assert(v.getAs[Boolean]("is_contaminated") &&
+      v.getAs[Long]("n_hit") == 3L, s"healed probe verdict: $v")
+    assert(live.exists && !tmp.exists,
+      "probe start must promote the complete tmp to live")
+  }
+
   test("trainGramIngestBatch over the corpus reproduces q267's " +
       "first-seen growth census exactly (operator == batch twin)") {
     val trainDir = tmpDir("census-train")
