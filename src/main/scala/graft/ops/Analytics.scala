@@ -226,6 +226,32 @@ object Analytics {
     (debtTrainIds.zip(debtRuns) ++ debtEvalIds.zip(debtRuns))
       .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
 
+  // q273's seed: a BOILERPLATE 12-token run planted in 12 train docs
+  // (every gram's train-DF = 12 > the cap) + 1 eval copy → raw
+  // verdict fires, refined must not; and a RARE dup pair (DF = 1) →
+  // both fire. Ids picked for the md5%20 split like the debt fixture;
+  // (raw=false, refined=true) is structurally impossible (refined
+  // hits ⊆ raw hits over the same denominator), so the census has
+  // exactly 3 reachable cells — documented, not an empty-cell risk.
+  private val boilRun = fixRun("ztb", 12)
+  private val rareRun = fixRun("ztr", 12)
+  private[graft] def boilFixDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val boilTrain = Seq(930000000L, 930000001L, 930000002L, 930000003L,
+      930000005L, 930000006L, 930000007L, 930000008L, 930000011L,
+      930000012L, 930000013L, 930000014L).map(_ -> boilRun)
+    val rest = Seq(930000015L -> rareRun,
+      940000016L -> boilRun, 940000021L -> rareRun)
+    (boilTrain ++ rest).toDF("doc_id", "text")
+  }
+  private def boilFixValuesSql: String =
+    (Seq(930000000L, 930000001L, 930000002L, 930000003L, 930000005L,
+      930000006L, 930000007L, 930000008L, 930000011L, 930000012L,
+      930000013L, 930000014L).map(_ -> boilRun) ++
+      Seq(930000015L -> rareRun, 940000016L -> boilRun,
+        940000021L -> rareRun))
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q185: Pareto frontier (skyline) --------------------------
@@ -1269,6 +1295,76 @@ object Analytics {
           col("n_cum").as("n_contam_cum"),
           (col("n_eval") - col("n_cum")).as("n_clean_after"))
         .orderBy(col("batch_id"))
+    },
+
+    // ---- q273: boilerplate-aware decontamination census -----------
+    // GPT-3's appendix-C refinement made first-class: super-common
+    // 8-grams (license headers, navigation chrome, templates) hit
+    // every eval doc without indicating copying, so the match should
+    // count only INFORMATIVE grams — train document-frequency at or
+    // under a cap (10 here). Per eval doc both verdicts compute from
+    // one DF-carrying probe join (raw = any hit, refined = hit with
+    // df <= cap, same >= 20% line), and the census is the
+    // (raw, refined) agreement table — the (true, false) mass is
+    // exactly the false-positive load boilerplate puts on the naive
+    // rule. Scale: the DF index replaces q231's distinct-gram set at
+    // identical cost (one keyed count), the probe stays ONE equi-join
+    // on the gram hash, and the census is an eval-doc rollup.
+    // Seeded (FIXTURES.md): a 12-train-doc boilerplate run + 1 eval
+    // copy forces (T, F); a DF=1 dup pair forces (T, T); the corpus
+    // supplies (F, F); (F, T) is structurally impossible.
+    QueryDef(
+      "q273_boilerplate_aware_decontamination",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $boilFixValuesSql)
+         |    f(doc_id, text)),
+         |toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM docs),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0 AS is_eval,
+         |    ${Text.h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |tr AS (SELECT g, count(*) AS df FROM g8
+         |       WHERE NOT is_eval GROUP BY g),
+         |j AS (SELECT g8.doc_id, tr.df FROM g8
+         |      LEFT JOIN tr ON tr.g = g8.g WHERE g8.is_eval),
+         |pd AS (SELECT doc_id, count(*) AS n_grams,
+         |    count(df) AS n_hit_raw,
+         |    count(*) FILTER (WHERE df <= 10) AS n_hit_inf
+         |  FROM j GROUP BY doc_id),
+         |v AS (SELECT doc_id,
+         |    n_hit_raw * 5 >= n_grams AS raw_flag,
+         |    n_hit_inf * 5 >= n_grams AS refined_flag FROM pd)
+         |SELECT raw_flag, refined_flag,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM v GROUP BY raw_flag, refined_flag
+         |ORDER BY raw_flag, refined_flag""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val isEval = pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(20L)) === 0L
+      // fixture rides the shared builder inline, never the memo
+      val g = Text.gram8Hashes(s, d)
+        .unionAll(Text.gram8Of(boilFixDocs(s)))
+        .withColumn("is_eval", isEval)
+      val tr = g.filter(!col("is_eval"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val pd = g.filter(col("is_eval")).select(col("doc_id"), col("g"))
+        .join(tr, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("df")).as("n_hit_raw"),
+          count(when(col("df") <= 10, 1)).as("n_hit_inf"))
+      pd.select(
+          (col("n_hit_raw") * 5 >= col("n_grams")).as("raw_flag"),
+          (col("n_hit_inf") * 5 >= col("n_grams")).as("refined_flag"))
+        .groupBy(col("raw_flag"), col("refined_flag"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("raw_flag"), col("refined_flag"))
     },
 
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
