@@ -1246,6 +1246,73 @@ object StreamOps {
       .write.mode("append").parquet(verdictsDir)
   }
 
+  /** DF sidecar for the train-gram index — what q273's refined rule
+    * needs live: each accepted train batch appends one
+    * `(g, df, gen)` row per distinct gram it contains, where df =
+    * the batch's distinct-doc count for that gram. A gram's total
+    * train document frequency is then `sum(df)` across gens, and
+    * because train docs are partitioned across batches, that sum
+    * equals the batch census's global distinct-doc DF exactly (the
+    * parity StreamStaticContamSpec pins). Append cost is the batch's
+    * own gram-type volume; at 100 TB this is the MERGE-incremented
+    * df column on the bucketed index table. Idempotency is the
+    * batchId marker in `reportDir` alone — the sidecar is
+    * append-per-batch, so an exact replay is a no-op, while a
+    * DOC-level redelivery under a new batchId over-counts df by
+    * design (documented bound: DF only grows, so the cap rule
+    * degrades conservatively — a redelivered gram can only move
+    * toward 'boilerplate', never fake-informative). */
+  def trainGramDfIngestBatch(dfDir: String, reportDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    if (batchCommitted(spark, reportDir, batchId)) return
+    val uniq = batch.dropDuplicates("doc_id")
+    val df = graft.ops.Text.gram8Of(uniq)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("gen", lit(batchId))
+    df.write.mode("append").parquet(dfDir)
+    val nTypes = spark.read.parquet(dfDir)
+      .filter(col("gen") === batchId).count()
+    spark.range(1).select(
+      lit(batchId).as("batch_id"),
+      lit(nTypes).as("n_gram_types"))
+      .write.mode("append").parquet(reportDir)
+  }
+
+  /** q273's live half: eval arrivals probe the DF sidecar and get
+    * BOTH verdicts per doc — raw (any train hit, q231's rule) and
+    * refined (hits counted only on informative grams, total train
+    * DF <= `dfCap`). One equi-join keyed on the gram hash against
+    * the per-gram DF rollup; verdict append is the commit marker,
+    * batchId-idempotent like [[contaminationProbeBatch]]. */
+  def contaminationProbeRefinedBatch(dfDir: String, verdictsDir: String,
+      dfCap: Long = 10L)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    if (batchCommitted(spark, verdictsDir, batchId)) return
+    val uniq = batch.dropDuplicates("doc_id")
+    val ev = graft.ops.Text.gram8Of(uniq)
+    val tr = spark.read.parquet(dfDir)
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+    val pd = ev.join(tr, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("df")).as("n_hit_raw"),
+        count(when(col("df") <= dfCap, 1)).as("n_hit_inf"))
+    uniq.select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(lit(batchId).as("batch_id"), col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit_raw"), lit(0L)).as("n_hit_raw"),
+        coalesce(col("n_hit_inf"), lit(0L)).as("n_hit_inf"),
+        (coalesce(col("n_hit_raw"), lit(0L)) * 5 >=
+          coalesce(col("n_grams"), lit(1L))).as("raw_flag"),
+        (coalesce(col("n_hit_inf"), lit(0L)) * 5 >=
+          coalesce(col("n_grams"), lit(1L))).as("refined_flag"))
+      .write.mode("append").parquet(verdictsDir)
+  }
+
   /** foreachBatch sequence packing — q241's live form: arriving
     * `(doc_id, source, n_toks)` batches extend each source's
     * concat-and-chunk stream (C = 512-token windows) and append one

@@ -293,6 +293,43 @@ class StreamStaticContamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 4L).forall(fromOps.contains), s"seeded: $fromOps")
   }
 
+  test("q273 census == DF-sidecar ingest + refined probe composed " +
+      "(batch-summed DF equals global DF when docs split by batch)") {
+    val dfDir = tmpDir("df-sidecar")
+    val reportDir = tmpDir("df-report")
+    val vDir = tmpDir("df-verdicts")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .unionAll(graft.ops.Analytics.boilFixDocs(spark))
+    val isEval = pmod(graft.cdc.GraftFunctions.md5_h32(
+      col("doc_id").cast("string")), lit(20L)) === 0L
+    val runDf = StreamOps.trainGramDfIngestBatch(dfDir, reportDir) _
+    (0 until 4).foreach { b =>
+      runDf(docs.filter(!isEval)
+        .filter(pmod(col("doc_id"), lit(4L)) === b), b.toLong)
+    }
+    StreamOps.contaminationProbeRefinedBatch(dfDir, vDir)(
+      docs.filter(isEval), 0L)
+    // gram-less arrivals get (false, false) verdicts but are outside
+    // the census's per-gram rollup — compare over docs WITH grams
+    val fromOps = spark.read.parquet(vDir)
+      .filter(col("n_grams") > 0)
+      .groupBy(col("raw_flag"), col("refined_flag"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2))
+      .toMap
+    val census = graft.SparkEntry
+      .queries("q273_boilerplate_aware_decontamination")(spark, sfDir)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(fromOps == census,
+      s"streaming census $fromOps != batch census $census")
+    assert(fromOps.contains((true, false)),
+      "the seeded boilerplate false-positive cell must be live")
+  }
+
   test("q234 batch query agrees with a direct per-doc recomputation") {
     // the oracle gates q234's values; here pin INTERNAL consistency:
     // summing the per-doc probe (the streaming shape) over the eval
