@@ -1367,6 +1367,81 @@ object Analytics {
         .orderBy(col("raw_flag"), col("refined_flag"))
     },
 
+    // ---- q274: DF-cap tuning sweep for the refined rule -----------
+    // q273 fixes the informative-gram cap at 10; this prices the
+    // knob (the q246/q249/q271 sweep pattern): flagged-doc count and
+    // total informative hits at cap = 1 / 10 / 100. The shape the
+    // table reads: cap 1 = only verbatim-unique copying counts
+    // (misses legitimate leakage shared by a few train docs),
+    // cap 100 = boilerplate bleeds back in (the seeded 12-doc run
+    // flags its eval copy again). Plan: the caps are LITERALS, so
+    // the sweep is ONE eval-doc rollup with three conditional
+    // counts unioned into rows — no gram x caps expansion, cost
+    // identical to q273 regardless of arm count.
+    QueryDef(
+      "q274_df_cap_sweep",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $boilFixValuesSql)
+         |    f(doc_id, text)),
+         |toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM docs),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0 AS is_eval,
+         |    ${Text.h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |tr AS (SELECT g, count(*) AS df FROM g8
+         |       WHERE NOT is_eval GROUP BY g),
+         |pd AS (SELECT g8.doc_id, count(*) AS n_grams,
+         |    count(*) FILTER (WHERE tr.df <= 1) AS h1,
+         |    count(*) FILTER (WHERE tr.df <= 10) AS h10,
+         |    count(*) FILTER (WHERE tr.df <= 100) AS h100
+         |  FROM g8 LEFT JOIN tr ON tr.g = g8.g
+         |  WHERE g8.is_eval GROUP BY g8.doc_id)
+         |SELECT 1 AS df_cap,
+         |  CAST(sum(CASE WHEN h1 * 5 >= n_grams THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(sum(h1) AS BIGINT) AS n_informative_hits
+         |FROM pd
+         |UNION ALL SELECT 10,
+         |  CAST(sum(CASE WHEN h10 * 5 >= n_grams THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(sum(h10) AS BIGINT) FROM pd
+         |UNION ALL SELECT 100,
+         |  CAST(sum(CASE WHEN h100 * 5 >= n_grams THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(sum(h100) AS BIGINT) FROM pd
+         |ORDER BY df_cap""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val isEval = pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(20L)) === 0L
+      val g = Text.gram8Hashes(s, d)
+        .unionAll(Text.gram8Of(boilFixDocs(s)))
+        .withColumn("is_eval", isEval)
+      val tr = g.filter(!col("is_eval"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val pd = g.filter(col("is_eval")).select(col("doc_id"), col("g"))
+        .join(tr, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") <= 1, 1)).as("h1"),
+          count(when(col("df") <= 10, 1)).as("h10"),
+          count(when(col("df") <= 100, 1)).as("h100"))
+        .tcache()
+      def arm(cap: Int, h: String) = pd.agg(
+          sum(when(col(h) * 5 >= col("n_grams"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col(h)).as("n_informative_hits"))
+        .select(lit(cap).as("df_cap"), col("n_flagged"),
+          col("n_informative_hits"))
+      arm(1, "h1").unionAll(arm(10, "h10")).unionAll(arm(100, "h100"))
+        .orderBy(col("df_cap"))
+    },
+
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
     // The reference surfaces replication origins (msgOrigin, A18;
     // filter-origins, B5 — reference: pgoutput-parser.ts origin
