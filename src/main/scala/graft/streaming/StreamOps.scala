@@ -1255,23 +1255,42 @@ object StreamOps {
     * equals the batch census's global distinct-doc DF exactly (the
     * parity StreamStaticContamSpec pins). Append cost is the batch's
     * own gram-type volume; at 100 TB this is the MERGE-incremented
-    * df column on the bucketed index table. Idempotency is the
-    * batchId marker in `reportDir` alone — the sidecar is
-    * append-per-batch, so an exact replay is a no-op, while a
-    * DOC-level redelivery under a new batchId over-counts df by
-    * design (documented bound: DF only grows, so the cap rule
-    * degrades conservatively — a redelivered gram can only move
-    * toward 'boilerplate', never fake-informative). */
+    * df column on the bucketed index table. Idempotency is two
+    * layers: the batchId marker in `reportDir` short-circuits exact
+    * replays, and the half-committed window (df rows landed, report
+    * didn't) is closed by the sidecar's own gen rows — the append is
+    * skipped when gen == batchId already exists, and the report
+    * counts those durable rows. A DOC-level redelivery under a NEW
+    * batchId still over-counts df by design (documented bound: DF
+    * only grows, so the cap rule degrades conservatively — a
+    * redelivered gram can only move toward 'boilerplate', never
+    * fake-informative). */
   def trainGramDfIngestBatch(dfDir: String, reportDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
     if (batchCommitted(spark, reportDir, batchId)) return
-    val uniq = batch.dropDuplicates("doc_id")
-    val df = graft.ops.Text.gram8Of(uniq)
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .withColumn("gen", lit(batchId))
-    df.write.mode("append").parquet(dfDir)
+    // half-committed crash window (df rows landed, report didn't):
+    // unlike the gram index there is no anti-join to absorb a replay
+    // — a blind re-append would double every df for this gen. The
+    // sidecar's own gen rows are the durable truth: skip the append
+    // when they already exist, then report from them (the
+    // ivfIngestBatch n_arrived contract).
+    val genDone =
+      try !spark.read.parquet(dfDir)
+        .filter(col("gen") === batchId).isEmpty
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => false
+      }
+    if (!genDone) {
+      val uniq = batch.dropDuplicates("doc_id")
+      graft.ops.Text.gram8Of(uniq)
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .withColumn("gen", lit(batchId))
+        .write.mode("append").parquet(dfDir)
+    }
     val nTypes = spark.read.parquet(dfDir)
       .filter(col("gen") === batchId).count()
     spark.range(1).select(

@@ -330,6 +330,54 @@ class StreamStaticContamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the seeded boilerplate false-positive cell must be live")
   }
 
+  test("DF-sidecar crash window: df rows landed but report missing " +
+      "-> replay appends NOTHING and reports the durable gen rows") {
+    val ss = spark
+    import ss.implicits._
+    val dfDir = tmpDir("dfcrash-sidecar")
+    val reportDir = tmpDir("dfcrash-report")
+    val runDf = StreamOps.trainGramDfIngestBatch(dfDir, reportDir) _
+    def txt(k: Int): String =
+      (0 until 10).map(i => s"zu${('a' + k).toChar}${('a' + i).toChar}")
+        .mkString(" ")
+    runDf(Seq((0L, txt(0))).toDF("doc_id", "text"), 0L)
+    // simulate the crash: batch 1's df rows fully landed, no report
+    graft.ops.Text.gram8Of(Seq((1L, txt(1))).toDF("doc_id", "text"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("gen", lit(1L))
+      .write.mode("append").parquet(dfDir)
+    // the replay must NOT double the gen-1 dfs (sum(df) is the
+    // refined probe's denominator semantics — doubling flips grams
+    // toward 'boilerplate' and silently weakens the verdict)
+    runDf(Seq((1L, txt(1))).toDF("doc_id", "text"), 1L)
+    val g1 = spark.read.parquet(dfDir).filter(col("gen") === 1L)
+    assert(g1.count() == 3L && g1.agg(max(col("df"))).head().getLong(0) == 1L,
+      s"gen-1 rows must stay exactly the durable set")
+    val r1 = spark.read.parquet(reportDir)
+      .filter(col("batch_id") === 1L).head()
+    assert(r1.getAs[Long]("n_gram_types") == 3L, s"report: $r1")
+    // and a fully-committed replay is a no-op end to end
+    val (nS, nR) = (spark.read.parquet(dfDir).count(),
+      spark.read.parquet(reportDir).count())
+    runDf(Seq((1L, txt(1))).toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(dfDir).count() == nS &&
+      spark.read.parquet(reportDir).count() == nR)
+  }
+
+  test("q274 sweep is monotone in the cap: flagged docs and " +
+      "informative hits never decrease as the cap loosens") {
+    val rows = graft.SparkEntry.queries("q274_df_cap_sweep")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    val flagged = rows.map(_.getAs[Long]("n_flagged"))
+    val hits = rows.map(_.getAs[Long]("n_informative_hits"))
+    assert(flagged.sliding(2).forall(p => p(0) <= p(1)), flagged.toSeq)
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)), hits.toSeq)
+    // the seeded boilerplate makes the last step strict
+    assert(flagged(2) > flagged(1),
+      s"cap 100 must re-admit the planted boilerplate: ${flagged.toSeq}")
+  }
+
   test("q234 batch query agrees with a direct per-doc recomputation") {
     // the oracle gates q234's values; here pin INTERNAL consistency:
     // summing the per-doc probe (the streaming shape) over the eval
