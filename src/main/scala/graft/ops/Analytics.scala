@@ -1442,6 +1442,87 @@ object Analytics {
         .orderBy(col("df_cap"))
     },
 
+    // ---- q275: contamination attribution --------------------------
+    // The verdict's follow-up question: WHICH train document leaked
+    // into each flagged eval doc — the row an operator acts on
+    // (delete/fix that train doc, re-run the probe). Attribution
+    // joins eval hit-grams back to doc-level train postings, and
+    // q273's informative-gram cap is what makes that TRACTABLE: a
+    // boilerplate gram (df > 10) would fan every eval doc out to
+    // thousands of train docs, so restricting postings to df <= cap
+    // bounds the (eval, train) pair volume by rare-gram mass — the
+    // planted 12-doc boilerplate run contributes ZERO pairs here.
+    // Per eval doc the best source = argmax shared informative grams
+    // (lowest-doc_id tie-break); top-20 report with the share in
+    // milli of the doc's total grams. Shuffles keyed on gram then
+    // (eval, train); the window partitions per eval doc.
+    QueryDef(
+      "q275_contamination_attribution",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $boilFixValuesSql)
+         |    f(doc_id, text)),
+         |toks AS (SELECT doc_id, ${Text.toksSql} AS toks
+         |             FROM docs),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0 AS is_eval,
+         |    ${Text.h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |tr AS (SELECT g, count(*) AS df FROM g8
+         |       WHERE NOT is_eval GROUP BY g),
+         |post AS (SELECT g8.g, g8.doc_id AS tdoc FROM g8
+         |         JOIN tr ON tr.g = g8.g
+         |         WHERE NOT g8.is_eval AND tr.df <= 10),
+         |ev AS (SELECT doc_id, g FROM g8 WHERE is_eval),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+         |pairs AS (SELECT ev.doc_id AS edoc, p.tdoc,
+         |            count(*) AS n_shared
+         |          FROM ev JOIN post p ON p.g = ev.g GROUP BY 1, 2),
+         |best AS (SELECT edoc, tdoc, n_shared FROM (
+         |           SELECT edoc, tdoc, n_shared, row_number() OVER (
+         |             PARTITION BY edoc
+         |             ORDER BY n_shared DESC, tdoc) AS rn
+         |           FROM pairs) WHERE rn = 1)
+         |SELECT b.edoc AS eval_doc, b.tdoc AS src_doc,
+         |  CAST(b.n_shared AS BIGINT) AS n_shared,
+         |  CAST(b.n_shared * 1000 // pd.n_grams AS BIGINT)
+         |    AS share_milli
+         |FROM best b JOIN pd ON pd.doc_id = b.edoc
+         |ORDER BY n_shared DESC, eval_doc, src_doc
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val isEval = pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(20L)) === 0L
+      val g = Text.gram8Hashes(s, d)
+        .unionAll(Text.gram8Of(boilFixDocs(s)))
+        .withColumn("is_eval", isEval)
+      val trainG = g.filter(!col("is_eval")).select(col("doc_id"), col("g"))
+      val tr = trainG.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val post = trainG.join(tr.filter(col("df") <= 10).select(col("g")),
+          Seq("g"))
+        .select(col("g"), col("doc_id").as("tdoc"))
+      val ev = g.filter(col("is_eval")).select(col("doc_id"), col("g"))
+      val pd = ev.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val pairs = ev.join(post, Seq("g"))
+        .groupBy(col("doc_id").as("edoc"), col("tdoc"))
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy(col("edoc"))
+        .orderBy(col("n_shared").desc, col("tdoc"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(pd.withColumnRenamed("doc_id", "edoc"), Seq("edoc"))
+        .select(col("edoc").as("eval_doc"), col("tdoc").as("src_doc"),
+          col("n_shared"),
+          expr("n_shared * 1000 DIV n_grams").cast("long")
+            .as("share_milli"))
+        .orderBy(col("n_shared").desc, col("eval_doc"), col("src_doc"))
+        .limit(20)
+    },
+
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
     // The reference surfaces replication origins (msgOrigin, A18;
     // filter-origins, B5 — reference: pgoutput-parser.ts origin
