@@ -1523,6 +1523,76 @@ object Analytics {
         .limit(20)
     },
 
+    // ---- q276: near-dup contamination attribution -----------------
+    // q275's question asked of the OTHER detector: for each eval doc
+    // with a J >= 0.6 train partner (q262's neardup arm), which train
+    // doc is the strongest match — the exact-integer Jaccard in milli
+    // plus the shared-shingle count, argmax per eval doc (J, then
+    // inter, then lowest doc id). Together with q275 every flagged
+    // eval doc now carries an ACTIONABLE source under both detection
+    // regimes. Rides the memoized pair graph — attribution adds one
+    // split-straddle filter and a per-eval-doc window to work q25
+    // already did; no new corpus pass. Includes q262's seed fixture,
+    // so the J = 1.0 exemplar pair exists at any SF.
+    QueryDef(
+      "q276_neardup_contamination_attribution",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (900000001, '$fixA'), (900000020, '$fixA'),
+         |    (900000002, '$fixBt'), (900000021, '$fixBe'),
+         |    (900000003, '$fixCt'), (900000031, '$fixCt'),
+         |    (900000140, '$fixDe')) f(doc_id, text)),
+         |ev0 AS (SELECT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 20 = 0
+         |      AS is_eval FROM docs),
+         |shingles AS (${Text.shinglesSqlFrom("docs")}),
+         |${Text.jaccardPairsSql},
+         |sides AS (SELECT d1 AS e, d2 AS o, na, nb, inter FROM jpairs
+         |          UNION ALL SELECT d2, d1, na, nb, inter FROM jpairs),
+         |str AS (SELECT p.e AS edoc, p.o AS tdoc, p.inter,
+         |          p.inter * 1000 // (p.na + p.nb - p.inter) AS j_milli
+         |        FROM sides p
+         |        JOIN ev0 a ON a.doc_id = p.e AND a.is_eval
+         |        JOIN ev0 b ON b.doc_id = p.o AND NOT b.is_eval),
+         |best AS (SELECT edoc, tdoc, inter, j_milli FROM (
+         |           SELECT edoc, tdoc, inter, j_milli, row_number()
+         |             OVER (PARTITION BY edoc
+         |               ORDER BY j_milli DESC, inter DESC, tdoc) AS rn
+         |           FROM str) WHERE rn = 1)
+         |SELECT edoc AS eval_doc, tdoc AS src_doc,
+         |  CAST(inter AS BIGINT) AS n_shared_shingles,
+         |  CAST(j_milli AS BIGINT) AS j_milli
+         |FROM best
+         |ORDER BY j_milli DESC, eval_doc, src_doc
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val evalOf = (c: org.apache.spark.sql.Column) =>
+        pmod(graft.cdc.GraftFunctions.md5_h32(c.cast("string")),
+          lit(20L)) === 0L
+      val fix = fixDocs(s)
+      val jp = Text.jaccardPairs(s, d)
+        .select(col("d1"), col("d2"), col("na"), col("nb"), col("inter"))
+        .unionAll(Text.jaccardPairsOfShingles(Text.shinglesOf(fix))
+          .select(col("d1"), col("d2"), col("na"), col("nb"),
+            col("inter")))
+      val sides = jp.select(col("d1").as("e"), col("d2").as("o"),
+          col("na"), col("nb"), col("inter"))
+        .unionAll(jp.select(col("d2").as("e"), col("d1").as("o"),
+          col("na"), col("nb"), col("inter")))
+      val str = sides.filter(evalOf(col("e")) && !evalOf(col("o")))
+        .select(col("e").as("edoc"), col("o").as("tdoc"), col("inter"),
+          expr("inter * 1000 DIV (na + nb - inter)").as("j_milli"))
+      val w = Window.partitionBy(col("edoc"))
+        .orderBy(col("j_milli").desc, col("inter").desc, col("tdoc"))
+      str.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("edoc").as("eval_doc"), col("tdoc").as("src_doc"),
+          col("inter").cast("long").as("n_shared_shingles"),
+          col("j_milli").cast("long").as("j_milli"))
+        .orderBy(col("j_milli").desc, col("eval_doc"), col("src_doc"))
+        .limit(20)
+    },
+
     // ---- q195: multi-origin CDC merge (last-writer-wins) ----------
     // The reference surfaces replication origins (msgOrigin, A18;
     // filter-origins, B5 — reference: pgoutput-parser.ts origin
