@@ -137,6 +137,35 @@ object Curation {
         s" + ((yb $div ${1 << i}) % 2) * ${1L << (2 * i + 1)}")
       .mkString(" + ")
 
+  // ---- q277's forget-cascade seed (FIXTURES.md §4; fresh prefix
+  // zf*). The synthetic corpus has NO orphaned exact-dup group at
+  // either SF (checked offline: sf0.01 has zero dup groups at all),
+  // so without a seed the census's n_orphaned_dups column would be
+  // all-zero and a bug in the canonical-forgotten test would still
+  // hash-match. Ids pre-picked offline for the md5_h32(id) % 17 == 3
+  // forget split: 950000058 / 950000068 are forgotten, 59/60/61
+  // survive. Group A (zfa): forgotten CANONICAL 58 + survivor 59 —
+  // the orphaned cell, and 58's grams all survive through 59 (the
+  // zero-exclusivity cell). Group B (zfb): 60+61 both survive — an
+  // intact dup group the orphan test must NOT count. Lone 68 (zfc):
+  // forgotten unique doc — every gram exclusive (5 of them).
+  private def zfRun(p: String, n: Int): String =
+    (0 until n).map(i => p + ('a' + i).toChar).mkString(" ")
+  private val zfA = zfRun("zfa", 12)
+  private val zfB = zfRun("zfb", 12)
+  private val zfC = zfRun("zfc", 12)
+  private[graft] val forgetFixRows: Seq[(Long, String, String)] = Seq(
+    (950000058L, zfA, "zfix"), (950000059L, zfA, "zfix"),
+    (950000060L, zfB, "zfix"), (950000061L, zfB, "zfix"),
+    (950000068L, zfC, "zfix"))
+  private[graft] def forgetFixDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    forgetFixRows.toDF("doc_id", "text", "source")
+  }
+  private def forgetFixValuesSql: String =
+    forgetFixRows.map { case (id, t, src) => s"($id, '$t', '$src')" }
+      .mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q148: winnowing fingerprints (MOSS) ----------------------
@@ -885,6 +914,118 @@ object Curation {
         .select(col("lang"), col("words"), col("pieces"),
           expr("pieces * 1000 DIV words").as("fertility_milli"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q277: right-to-be-forgotten impact census -----------------
+    // The batch twin of `StreamOps.forgetBatch` (r13): before a
+    // deletion request (GDPR erasure, takedown, opt-out sweep)
+    // propagates through the maintained stores, price its blast
+    // radius per source — how many docs leave, how many embedding
+    // vectors the ANN index loses, how many decontamination 8-grams
+    // were EXCLUSIVE to the forget set (they leave the train-gram
+    // index: no surviving doc carries them), and how many surviving
+    // exact-duplicates are ORPHANED because their canonical
+    // (min-doc_id group representative, q55/q235's election rule)
+    // is being forgotten — each orphan needs a re-election before
+    // the dedup index stays authoritative. The relational analogue
+    // of the reference's ON DELETE CASCADE contract
+    // (`infra/docker-pg-logical-replication/image/docker-entrypoint-initdb.d/10-create-tables.sh`,
+    // asserted by its cascade-delete tests): a delete is not one row,
+    // it is the row plus everything derived from it.
+    // Scale shape: forget flags are a map-side hash of doc_id; the
+    // gram-exclusivity test is ONE anti-join keyed on the 32-bit gram
+    // hash against the surviving gram set (the exact join every
+    // contamination probe already runs); orphan detection rides the
+    // corpus fingerprint groupBy (one keyed pass, q28's relation);
+    // vectors are one keyed equi-join. Never doc × doc; corpus grams
+    // ride the shared gram8 memo, the seed fixture is computed inline
+    // (never through session memos — FIXTURES.md §4).
+    QueryDef(
+      "q277_forget_impact_census",
+      s"""WITH docs AS (SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $forgetFixValuesSql) fx(doc_id, text, source)),
+         |f AS (SELECT doc_id, source,
+         |    (${h32Sql("CAST(doc_id AS VARCHAR)")}) % 17 = 3 AS forget
+         |  FROM docs),
+         |toks AS (SELECT doc_id, $toksSql AS toks FROM docs),
+         |g8 AS (SELECT DISTINCT doc_id, ${h32Sql("gm")} AS g
+         |  FROM (SELECT doc_id,
+         |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |      toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         |      toks[i+6] || ' ' || toks[i+7] AS gm
+         |    FROM toks, UNNEST(range(1, len(toks) - 6)) AS t(i)
+         |    WHERE len(toks) >= 8)),
+         |fg AS (SELECT f.source, g FROM g8 JOIN f USING (doc_id)
+         |       WHERE forget),
+         |sg AS (SELECT DISTINCT g FROM g8 JOIN f USING (doc_id)
+         |       WHERE NOT forget),
+         |eg AS (SELECT source, count(DISTINCT fg.g) AS n_excl FROM fg
+         |  LEFT JOIN sg ON sg.g = fg.g WHERE sg.g IS NULL GROUP BY 1),
+         |fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+         |        FROM toks),
+         |canon AS (SELECT fp, min(doc_id) AS cid FROM fps GROUP BY 1),
+         |orph AS (SELECT s.source, count(*) AS n_orph
+         |  FROM fps p JOIN f s ON s.doc_id = p.doc_id AND NOT s.forget
+         |  JOIN canon c ON c.fp = p.fp AND c.cid <> p.doc_id
+         |  JOIN f cf ON cf.doc_id = c.cid AND cf.forget
+         |  GROUP BY 1),
+         |vec AS (SELECT f.source, count(*) AS n_vec FROM embeddings e
+         |  JOIN f ON f.doc_id = e.vec_id WHERE f.forget GROUP BY 1),
+         |base AS (SELECT source,
+         |    CAST(sum(CASE WHEN forget THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_forgotten,
+         |    CAST(sum(CASE WHEN forget THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_surviving
+         |  FROM f GROUP BY 1)
+         |SELECT base.source, n_forgotten, n_surviving,
+         |  CAST(coalesce(n_vec, 0) AS BIGINT) AS n_vectors,
+         |  CAST(coalesce(n_excl, 0) AS BIGINT) AS n_exclusive_grams,
+         |  CAST(coalesce(n_orph, 0) AS BIGINT) AS n_orphaned_dups
+         |FROM base LEFT JOIN vec USING (source)
+         |  LEFT JOIN eg USING (source) LEFT JOIN orph USING (source)
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val forgetOf = (c: Column) => pmod(
+        graft.cdc.GraftFunctions.md5_h32(c.cast("string")), lit(17L)) === 3L
+      val fix = forgetFixDocs(s)
+      // (doc_id, source, forget) flags — four branches read it
+      val flags = documents(s, d).select(col("doc_id"), col("source"))
+        .unionByName(fix.select(col("doc_id"), col("source")))
+        .withColumn("forget", forgetOf(col("doc_id")))
+        .tcache()
+      val base = flags.groupBy(col("source"))
+        .agg(sum(when(col("forget"), 1L).otherwise(0L)).as("n_forgotten"),
+          sum(when(col("forget"), 0L).otherwise(1L)).as("n_surviving"))
+      val vec = embeddings(s, d).select(col("vec_id").as("doc_id"))
+        .join(flags.filter(col("forget")), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_vec"))
+      val grams = Text.gram8Hashes(s, d).select(col("doc_id"), col("g"))
+        .unionAll(Text.gram8Of(fix).select(col("doc_id"), col("g")))
+        .join(flags, "doc_id")
+      val sg = grams.filter(!col("forget")).select(col("g")).distinct()
+      val eg = grams.filter(col("forget")).select(col("source"), col("g"))
+        .join(sg, Seq("g"), "left_anti")
+        .groupBy(col("source")).agg(countDistinct(col("g")).as("n_excl"))
+      val fps = withToks(s, d)
+        .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp"))
+        .unionAll(fix.select(col("doc_id"),
+          md5(array_join(Text.toksCol, " ")).as("fp")))
+      val canon = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("cid"))
+      val orph = fps.join(flags, "doc_id").filter(!col("forget"))
+        .join(canon, "fp").filter(col("cid") =!= col("doc_id"))
+        .join(flags.select(col("doc_id").as("cid"),
+          col("forget").as("cf")), "cid")
+        .filter(col("cf"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_orph"))
+      base.join(vec, Seq("source"), "left")
+        .join(eg, Seq("source"), "left")
+        .join(orph, Seq("source"), "left")
+        .select(col("source"), col("n_forgotten"), col("n_surviving"),
+          coalesce(col("n_vec"), lit(0L)).as("n_vectors"),
+          coalesce(col("n_excl"), lit(0L)).as("n_exclusive_grams"),
+          coalesce(col("n_orph"), lit(0L)).as("n_orphaned_dups"))
+        .orderBy(col("source"))
     }
   )
 }
