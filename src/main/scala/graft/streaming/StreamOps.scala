@@ -1332,6 +1332,181 @@ object StreamOps {
       .write.mode("append").parquet(verdictsDir)
   }
 
+  /** foreachBatch right-to-be-forgotten cascade — q277's live half:
+    * each micro-batch of `(doc_id, text)` erasure requests (GDPR
+    * delete, takedown, opt-out sweep) propagates through EVERY
+    * maintained store in one idempotent step, the relational
+    * analogue of the reference's ON DELETE CASCADE contract
+    * (`infra/docker-pg-logical-replication/image/docker-entrypoint-initdb.d/10-create-tables.sh`):
+    *
+    *  - **dedup shingle index**: forgotten docs that stand LIVE get a
+    *    tombstone generation (`n = -1`, gen = max(gen)+1), the same
+    *    supersede path content churn uses — their shingles leave the
+    *    live view, so re-ingesting the SAME content under a new
+    *    doc_id is NOVEL again (erasure removes influence, not just
+    *    rows; ForgetSpec pins it). Stale rows reclaim through the
+    *    existing compaction.
+    *  - **IVF index + raw-vector store**: rewritten minus the
+    *    forgotten vec_ids (vec_id = doc_id here; at 100 TB the
+    *    erasure request carries the mapping) under the crash-safe
+    *    tmp/old/live publish healed by [[recoverCompaction]]. At
+    *    100 TB this is a MERGE DELETE touching only the buckets
+    *    holding forgotten ids — the bucketed-by-cell layout the
+    *    compaction already maintains.
+    *  - **train-gram index + DF sidecar**: the sidecar (required
+    *    whenever `trainGramsDir` is set — without per-gram DF the
+    *    exclusivity test is unknowable) gets NEGATIVE df delta rows
+    *    for the forgotten docs' grams, the MERGE-decrement analogue
+    *    of ingest's increment; grams whose total df reaches 0 leave
+    *    the gram index (rewrite under the same publish protocol), so
+    *    a contamination probe backed ONLY by forgotten docs reads
+    *    clean while shared grams keep their surviving df. Forget
+    *    delta rows use a NEGATIVE gen namespace (-batchId-1) so a
+    *    forget stream's batchIds can never collide with an ingest
+    *    stream's gen rows in the replay check.
+    *
+    * Idempotency: the report row is the commit marker (batchId-
+    * checked, written LAST); every mutation is individually
+    * replay-safe (tombstones only for still-live docs, anti-join
+    * rewrites, gen-guarded df deltas), so the half-committed crash
+    * window re-runs to the identical store state. A crash-replayed
+    * batch reports the RESIDUAL delta its attempt observed (possibly
+    * zeros); store state, not the report, is the audit truth —
+    * ForgetSpec pins replayed state == uninterrupted state.
+    *
+    * DF decrement honesty bound: ingest documents that doc-level
+    * redelivery under a new batchId can over-count df; forget
+    * decrements by the exact distinct-doc count once, so any such
+    * residue keeps grams conservatively alive (toward "still in
+    * train"), never falsely erased. */
+  def forgetBatch(
+      reportDir: String,
+      dedupIndexDir: Option[String] = None,
+      ivfIndexDir: Option[String] = None,
+      vecStoreDir: Option[String] = None,
+      trainGramsDir: Option[String] = None,
+      dfDir: Option[String] = None)(batch: DataFrame, batchId: Long): Unit = {
+    require(trainGramsDir.isEmpty || dfDir.nonEmpty,
+      "trainGramsDir requires dfDir: gram erasure needs per-gram DF " +
+        "to know which grams were exclusive to the forgotten docs")
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    (dedupIndexDir ++ ivfIndexDir ++ vecStoreDir ++ trainGramsDir)
+      .foreach(recoverCompaction)
+    if (batchCommitted(spark, reportDir, batchId)) return
+    val uniq = batch.dropDuplicates("doc_id").cache()
+    try {
+      val ids = uniq.select(col("doc_id"))
+      val nDocs = uniq.count()
+      def readOpt(dir: String): Option[DataFrame] =
+        try Some(spark.read.parquet(dir))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+      // anti-join rewrite under the crash-safe publish; returns rows
+      // removed by THIS attempt (0 on a replay that already removed)
+      def rewriteMinus(dir: String, key: String): Long =
+        readOpt(dir).map { df0 =>
+          val hit = df0.join(ids.select(col("doc_id").as(key)), key,
+            "left_semi").count()
+          if (hit > 0) {
+            val tmp = dir + "_compact_tmp"
+            df0.join(ids.select(col("doc_id").as(key)), Seq(key),
+              "left_anti").write.mode("overwrite").parquet(tmp)
+            val dst = new java.io.File(dir)
+            val oldF = new java.io.File(dir + "_compact_old")
+            if (oldF.exists) delTree(oldF)
+            if (!dst.renameTo(oldF))
+              throw new java.io.IOException(
+                s"failed to demote live store: $dir -> $oldF")
+            if (!new java.io.File(tmp).renameTo(dst))
+              throw new java.io.IOException(
+                s"failed to publish forgotten store: $tmp -> $dir")
+            delTree(oldF)
+          }
+          hit
+        }.getOrElse(0L)
+      // ---- dedup shingle index: tombstone still-live forgotten docs
+      val nDedup = dedupIndexDir.flatMap(readOpt).map { idx0 =>
+        val idx = if (idx0.columns.contains("gen")) idx0
+          else idx0.withColumn("gen", lit(-1L))
+        val liveForgot = idx
+          .join(idx.groupBy(col("doc_id"))
+            .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+          .filter(col("n") >= 0)
+          .join(ids, Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val n = liveForgot.count()
+        if (n > 0) {
+          val maxGen = idx.agg(max(col("gen"))).head.getLong(0)
+          liveForgot
+            .select(col("doc_id"), lit(0L).as("h"), lit(-1L).as("n"),
+              lit(maxGen + 1).as("gen"))
+            .write.mode("append").parquet(dedupIndexDir.get)
+        }
+        n
+      }.getOrElse(0L)
+      // ---- IVF index + raw-vector store: anti-join rewrites --------
+      val nIvf = ivfIndexDir.map(rewriteMinus(_, "vec_id")).getOrElse(0L)
+      val nStore = vecStoreDir.map(rewriteMinus(_, "vec_id")).getOrElse(0L)
+      // ---- train-gram index via the DF sidecar ---------------------
+      val nGrams = trainGramsDir.flatMap { tgDir =>
+        dfDir.map { dd =>
+          val negGen = -batchId - 1
+          val sidecar0 = readOpt(dd)
+          val genDone = sidecar0.exists(
+            !_.filter(col("gen") === negGen).isEmpty)
+          if (!genDone && sidecar0.nonEmpty) {
+            // decrement only grams the sidecar actually carries: a
+            // never-ingested forgotten doc must not plant negative
+            // rows for grams train never held
+            graft.ops.Text.gram8Of(uniq)
+              .groupBy(col("g")).agg((-count(lit(1))).as("df"))
+              .join(sidecar0.get.select(col("g")).distinct(), "g")
+              .withColumn("gen", lit(negGen))
+              .write.mode("append").parquet(dd)
+          }
+          // zeroed grams leave the index — recomputed from the
+          // sidecar's durable totals, so a crash replay re-derives
+          // the SAME zero set and the rewrite is idempotent
+          val zeroed = spark.read.parquet(dd)
+            .groupBy(col("g")).agg(sum(col("df")).as("df"))
+            .filter(col("df") <= 0).select(col("g"))
+          readOpt(tgDir).map { tg =>
+            val hit = tg.join(zeroed, "g").count()
+            if (hit > 0) {
+              val tmp = tgDir + "_compact_tmp"
+              tg.join(zeroed, Seq("g"), "left_anti")
+                .write.mode("overwrite").parquet(tmp)
+              val dst = new java.io.File(tgDir)
+              val oldF = new java.io.File(tgDir + "_compact_old")
+              if (oldF.exists) delTree(oldF)
+              if (!dst.renameTo(oldF))
+                throw new java.io.IOException(
+                  s"failed to demote live gram index: $tgDir -> $oldF")
+              if (!new java.io.File(tmp).renameTo(dst))
+                throw new java.io.IOException(
+                  s"failed to publish forgotten gram index: $tmp -> $tgDir")
+              delTree(oldF)
+            }
+            hit
+          }.getOrElse(0L)
+        }
+      }.getOrElse(0L)
+      // report LAST — the commit marker
+      spark.range(1).select(
+        lit(batchId).as("batch_id"),
+        lit(nDocs).as("n_docs"),
+        lit(nDedup).as("n_dedup_tombstoned"),
+        lit(nIvf).as("n_vecs_removed"),
+        lit(nStore).as("n_store_removed"),
+        lit(nGrams).as("n_grams_removed"))
+        .write.mode("append").parquet(reportDir)
+    } finally { uniq.unpersist(); () }
+  }
+
   /** foreachBatch sequence packing — q241's live form: arriving
     * `(doc_id, source, n_toks)` batches extend each source's
     * concat-and-chunk stream (C = 512-token windows) and append one

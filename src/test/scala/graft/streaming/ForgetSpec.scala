@@ -1,0 +1,204 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Right-to-be-forgotten cascade (q277's live half): one erasure
+  * batch must propagate through EVERY maintained store — dedup
+  * shingle index (tombstone the live generations), IVF index + raw
+  * vector store (anti-join rewrite under the crash-safe publish),
+  * and the train-gram decontamination index via its DF sidecar
+  * (decrement, drop zeroed grams). The litmus invariants:
+  *  - erasure removes INFLUENCE, not just rows — re-ingesting the
+  *    forgotten content under a new doc_id is NOVEL again;
+  *  - shared grams survive (a contamination probe backed by a
+  *    surviving doc stays contaminated), exclusive grams die (a
+  *    probe backed only by forgotten docs reads clean);
+  *  - a crash replay converges to the identical store state (no
+  *    double-decrement, no double-tombstone). */
+class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-forget")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.cdc.GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // content X appears twice (1 canonical, 2 its rejected dup), Y and
+  // Z are unique; Y and Z are also the two train docs of the gram
+  // store, and eval copies of each probe the contamination index
+  private val textX =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val textY =
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val textZ =
+    "one two three four five six seven eight nine ten"
+
+  test("forget cascades through dedup, IVF, vector store, and gram " +
+      "index; influence is removed; replay converges") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget").toString
+    val dedupIdx = s"$root/dedup";   val dedupVerd = s"$root/dverd"
+    val ivfIdx = s"$root/ivf";       val vecs = s"$root/vecs"
+    val ivfRep = s"$root/ivfrep"
+    val tg = s"$root/grams";         val tgRep = s"$root/tgrep"
+    val dfSide = s"$root/df";        val dfRep = s"$root/dfrep"
+    val probeVerd = s"$root/pverd";  val forgetRep = s"$root/frep"
+
+    // ---- build the stores -----------------------------------------
+    val dedupRun = StreamOps.dedupIngestBatch(dedupIdx, dedupVerd) _
+    dedupRun(docs(1L -> textX, 3L -> textY, 4L -> textZ), 0L)
+    dedupRun(docs(2L -> textX), 1L) // rejected duplicate of 1
+    val v2 = spark.read.parquet(dedupVerd)
+      .filter(col("doc_id") === 2L).head
+    assert(v2.getAs[Boolean]("is_dup") && v2.getAs[Long]("best_match") == 1L)
+
+    StreamOps.trainGramIngestBatch(tg, tgRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+    StreamOps.trainGramDfIngestBatch(dfSide, dfRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+
+    val cents = graft.ops.Vectors.trainedCentroids(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    StreamOps.ivfIngestBatch(ivfIdx, ivfRep, cents,
+      vecsDir = Some(vecs))(emb, 0L)
+    val nVecs = emb.count()
+
+    // pre-forget contamination: eval copies of BOTH train docs hit
+    StreamOps.contaminationProbeBatch(tg, probeVerd)(
+      docs(100L -> textY, 101L -> textZ), 0L)
+    val pre = spark.read.parquet(probeVerd)
+      .filter(col("batch_id") === 0L)
+      .select(col("doc_id"), col("is_contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pre(100L) && pre(101L))
+
+    // ---- forget {1 (canonical of X), 3 (train doc Y)} ---------------
+    val forget = StreamOps.forgetBatch(forgetRep,
+      dedupIndexDir = Some(dedupIdx), ivfIndexDir = Some(ivfIdx),
+      vecStoreDir = Some(vecs), trainGramsDir = Some(tg),
+      dfDir = Some(dfSide)) _
+    forget(docs(1L -> textX, 3L -> textY), 0L)
+
+    val rep = spark.read.parquet(forgetRep)
+      .filter(col("batch_id") === 0L).head
+    assert(rep.getAs[Long]("n_docs") == 2L)
+    assert(rep.getAs[Long]("n_dedup_tombstoned") == 2L)
+    assert(rep.getAs[Long]("n_vecs_removed") == 2L)
+    assert(rep.getAs[Long]("n_store_removed") == 2L)
+    // textY has 10 tokens -> 3 8-grams, all exclusive to doc 3
+    assert(rep.getAs[Long]("n_grams_removed") == 3L)
+
+    // dedup live view: 1 and 3 gone, 4 still live
+    def liveDocs(): Set[Long] = {
+      val idx = spark.read.parquet(dedupIdx)
+      idx.join(idx.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+        .filter(col("n") >= 0)
+        .select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(liveDocs() == Set(4L))
+
+    // influence removed: content X under a NEW doc_id is novel again
+    dedupRun(docs(5L -> textX), 2L)
+    val v5 = spark.read.parquet(dedupVerd)
+      .filter(col("doc_id") === 5L).head
+    assert(!v5.getAs[Boolean]("is_dup"),
+      "forgotten content must be re-admittable as novel")
+
+    // IVF index and store: forgotten ids gone, survivors intact, and
+    // the index equals a from-scratch assignment of the survivors
+    val idxNow = spark.read.parquet(ivfIdx)
+    val storeNow = spark.read.parquet(vecs)
+    assert(idxNow.count() == nVecs - 2 && storeNow.count() == nVecs - 2)
+    assert(idxNow.filter(col("vec_id").isin(1L, 3L)).isEmpty)
+    assert(storeNow.filter(col("vec_id").isin(1L, 3L)).isEmpty)
+    val fromScratch = graft.ops.Vectors.assignArrivals(
+      storeNow.select(col("vec_id"), col("embedding")), cents)
+    assert(idxNow.select(col("vec_id"), col("j"))
+      .except(fromScratch.select(col("vec_id"), col("j"))).isEmpty)
+    assert(fromScratch.select(col("vec_id"), col("j"))
+      .except(idxNow.select(col("vec_id"), col("j"))).isEmpty)
+
+    // gram index: Y's probe reads clean, Z's still contaminated
+    StreamOps.contaminationProbeBatch(tg, probeVerd)(
+      docs(100L -> textY, 101L -> textZ), 1L)
+    val post = spark.read.parquet(probeVerd)
+      .filter(col("batch_id") === 1L)
+      .select(col("doc_id"), col("is_contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!post(100L), "grams exclusive to the forgotten doc must die")
+    assert(post(101L), "grams of surviving docs must stay")
+    // sidecar totals: Y's grams zeroed, Z's at 1
+    val totals = spark.read.parquet(dfSide)
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+    assert(totals.filter(col("df") < 0).isEmpty)
+    assert(totals.filter(col("df") === 0).count() == 3L)
+    assert(totals.filter(col("df") === 1).count() == 3L)
+
+    // ---- committed replay: exact no-op ------------------------------
+    val snapIdx = idxNow.count(); val snapRep =
+      spark.read.parquet(forgetRep).count()
+    forget(docs(1L -> textX, 3L -> textY), 0L)
+    assert(spark.read.parquet(ivfIdx).count() == snapIdx)
+    assert(spark.read.parquet(forgetRep).count() == snapRep)
+
+    // ---- crash window: marker lost, replay converges ----------------
+    // forget doc 4 (content Z); then simulate a crash that lost the
+    // report marker and replay — stores must equal the uninterrupted
+    // state: no double df-decrement (negGen guard), no new tombstone
+    // (doc already non-live), rewrites already-applied
+    forget(docs(4L -> textZ), 1L)
+    val s1 = (liveDocs(), spark.read.parquet(dfSide).count(),
+      spark.read.parquet(tg).count(),
+      spark.read.parquet(dedupIdx).count())
+    def delTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(delTree))
+      f.delete(); ()
+    }
+    delTree(new java.io.File(forgetRep))
+    forget(docs(4L -> textZ), 1L)
+    val s2 = (liveDocs(), spark.read.parquet(dfSide).count(),
+      spark.read.parquet(tg).count(),
+      spark.read.parquet(dedupIdx).count())
+    assert(s1 == s2, "crash replay must converge to the same state")
+    val totals2 = spark.read.parquet(dfSide)
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+    assert(totals2.filter(col("df") < 0).isEmpty,
+      "replay must not double-decrement the DF sidecar")
+    // content X was re-admitted as doc 5 AFTER the forget, so the
+    // dedup index still holds one live doc (5); grams fully erased
+    assert(liveDocs() == Set(5L))
+    assert(spark.read.parquet(tg).isEmpty)
+  }
+
+  test("trainGramsDir without dfDir is rejected") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-req").toString
+    intercept[IllegalArgumentException] {
+      StreamOps.forgetBatch(s"$root/rep",
+        trainGramsDir = Some(s"$root/tg"))(docs(1L -> textX), 0L)
+    }
+    ()
+  }
+}
