@@ -1649,5 +1649,123 @@ object Signals {
           expr("CAST(mx * 1000000 DIV (CAST(ns AS DECIMAL(38,0)) * nr)" +
             " AS BIGINT)").as("ks_ppm"))
         .orderBy(col("source"))
+    },
+
+    // ---- q278: label propagation over the near-dup graph -----------
+    // Semi-supervised weak labeling (Zhu & Ghahramani 2002): only the
+    // docs in a 20% hash split carry a trusted label (from the
+    // embeddings table — at sf0.1 that table covers 2000 of 5000
+    // docs, so seeds are the split ∩ coverage inner join); everyone
+    // else inherits, per round, the MAJORITY label among its
+    // currently-labeled near-dup neighbors (q25's exact Jaccard ≥
+    // 0.6 pair graph, ridden from the shared memo), ties broken by
+    // smallest label. Two unrolled rounds; the census reports the
+    // per-label histogram of seeds (round 0) and of each round's
+    // newly-labeled docs — the audit a labeling pipeline ships:
+    // how much annotation the dup structure amortizes, and whether
+    // propagation skews the class balance. Scale shape: each round
+    // is one keyed join of the edge list against the current label
+    // relation + one keyed majority (window partitioned by node);
+    // the graph comes from banded candidate generation, never
+    // doc × doc, and rounds are fixed (2), not data-dependent.
+    // The zlp* chain fixture (FIXTURES.md §4) A—B—C with only A
+    // seeded makes round 2 non-empty by construction (organically
+    // empty at sf0.01): B inherits in round 1, C only in round 2,
+    // and J(A,C) < 0.6 keeps the chain honest.
+    QueryDef(
+      "q278_label_propagation",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (960000003, '$lpA'), (960000000, '$lpB'),
+         |    (960000001, '$lpC')) fx(doc_id, text)),
+         |shingles AS (${Text.shinglesSqlFrom("docs")}),
+         |${Text.jaccardPairsSql},
+         |ed AS (SELECT d1 AS e, d2 AS o FROM jpairs
+         |       UNION ALL SELECT d2, d1 FROM jpairs),
+         |emb AS (SELECT vec_id, label FROM embeddings
+         |        UNION ALL SELECT 960000003, 7),
+         |l0 AS (SELECT d.doc_id, CAST(e.label AS BIGINT) AS label
+         |  FROM docs d JOIN emb e ON e.vec_id = d.doc_id
+         |  WHERE (${Text.h32Sql("CAST(d.doc_id AS VARCHAR)")}) % 5 = 0),
+         |v1 AS (SELECT ed.e AS doc_id, l.label, count(*) AS c
+         |  FROM ed JOIN l0 l ON l.doc_id = ed.o
+         |  WHERE ed.e NOT IN (SELECT doc_id FROM l0)
+         |  GROUP BY 1, 2),
+         |n1 AS (SELECT doc_id, label FROM (SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+         |v2 AS (SELECT ed.e AS doc_id, l.label, count(*) AS c
+         |  FROM ed JOIN l1 l ON l.doc_id = ed.o
+         |  WHERE ed.e NOT IN (SELECT doc_id FROM l1)
+         |  GROUP BY 1, 2),
+         |n2 AS (SELECT doc_id, label FROM (SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM v2) WHERE rn = 1)
+         |SELECT CAST(r AS BIGINT) AS round, label, CAST(n AS BIGINT) AS n
+         |FROM (SELECT 0 AS r, label, count(*) AS n FROM l0 GROUP BY 2
+         |  UNION ALL SELECT 1, label, count(*) FROM n1 GROUP BY 2
+         |  UNION ALL SELECT 2, label, count(*) FROM n2 GROUP BY 2)
+         |ORDER BY round, label""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val splitOf = (c: org.apache.spark.sql.Column) => pmod(
+        graft.cdc.GraftFunctions.md5_h32(c.cast("string")), lit(5L)) === 0L
+      val fix = lpFixDocs(s)
+      // fixture pairs computed inline, never through the session memo
+      // (disjoint zlp* vocabulary => the union is exact)
+      val jp = Text.jaccardPairs(s, d).select(col("d1"), col("d2"))
+        .unionAll(Text.jaccardPairsOfShingles(Text.shinglesOf(fix))
+          .select(col("d1"), col("d2")))
+      val sides = jp.select(col("d1").as("e"), col("d2").as("o"))
+        .unionAll(jp.select(col("d2").as("e"), col("d1").as("o")))
+        .tcache()
+      val embAll = embeddings(s, d).select(col("vec_id"), col("label"))
+        .unionByName(lpFixLabels(s))
+      val l0 = documents(s, d).select(col("doc_id"))
+        .unionAll(fix.select(col("doc_id")))
+        .filter(splitOf(col("doc_id")))
+        .join(embAll.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(col("doc_id"), col("label").cast("long").as("label"))
+        .tcache()
+      def propagate(lab: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("e"))
+          .orderBy(col("c").desc, col("label"))
+        sides
+          .join(lab.select(col("doc_id").as("o"), col("label")), "o")
+          .join(lab.select(col("doc_id").as("e")), Seq("e"), "left_anti")
+          .groupBy(col("e"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("e").as("doc_id"), col("label"))
+      }
+      val n1 = propagate(l0).tcache()
+      val n2 = propagate(l0.unionAll(n1))
+      def hist(r: Long, df: DataFrame): DataFrame =
+        df.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .select(lit(r).as("round"), col("label"), col("n"))
+      hist(0L, l0).unionAll(hist(1L, n1)).unionAll(hist(2L, n2))
+        .orderBy(col("round"), col("label"))
     })
+
+  // ---- q278's chain fixture (FIXTURES.md §4; fresh prefix zlp*) ----
+  // 16 disjoint tokens; A = [0,12), B = [2,14), C = [4,16) gives
+  // J(A,B) = J(B,C) = 8/12 >= 0.6 but J(A,C) = 6/14 < 0.6 on 3-gram
+  // shingles — a genuine 2-hop chain. Ids picked offline for the
+  // md5_h32(id) % 5 seed split: 960000003 seeds (residue 0, labeled
+  // 7 via the fixture label row), 960000000/960000001 do not.
+  private val lpToks = (0 until 16).map(i => "zlp" + ('a' + i).toChar)
+  private val lpA = lpToks.slice(0, 12).mkString(" ")
+  private val lpB = lpToks.slice(2, 14).mkString(" ")
+  private val lpC = lpToks.slice(4, 16).mkString(" ")
+  private def lpFixDocs(s: SparkSession): DataFrame = {
+    val ss = s; import ss.implicits._
+    Seq((960000003L, lpA), (960000000L, lpB), (960000001L, lpC))
+      .toDF("doc_id", "text")
+  }
+  private def lpFixLabels(s: SparkSession): DataFrame = {
+    val ss = s; import ss.implicits._
+    Seq((960000003L, 7)).toDF("vec_id", "label")
+  }
 }
