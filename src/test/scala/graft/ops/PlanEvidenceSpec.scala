@@ -709,4 +709,36 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q264: ${shardParts} shard-keyed exchanges — the redelivery " +
         "dedup must ride the depth window's sort, not shuffle again")
   }
+
+  test("q277: gram exclusivity is an anti-join keyed on the gram " +
+    "hash; no unbounded join anywhere in the erasure census") {
+    val p = plan("q277_forget_impact_census")
+    assert(
+      "Join \\[g#\\d+L?\\], \\[g#\\d+L?\\], LeftAnti".r
+        .findFirstIn(p).nonEmpty,
+      s"q277: expected the survivors anti-join keyed on g:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"q277: erasure census must stay keyed end-to-end:\n$p")
+  }
+
+  test("q278: each propagation round's majority vote prunes through " +
+    "WindowGroupLimit partitioned by node") {
+    val p = plan("q278_label_propagation")
+    // two rounds, each with a Final rank group-limit — the cached
+    // round-1 subtree prints inline at every reference (hist + the
+    // round-2 label source + the round-2 anti-join), so the textual
+    // count exceeds 2; the pin is that the pushdown EXISTS per round,
+    // i.e. at least two Finals, not a full Window sort per vote
+    val finals = p.sliding(", row_number(), 1, Final".length)
+      .count(_ == ", row_number(), 1, Final")
+    assert(finals >= 2,
+      s"q278: expected >= 2 Final WindowGroupLimits (one per round), " +
+        s"got $finals:\n$p")
+    assert("WindowGroupLimit \\[e#".r.findFirstIn(p).nonEmpty,
+      s"q278: the rank group-limit must partition by the node key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"q278: propagation must stay keyed end-to-end:\n$p")
+  }
 }
