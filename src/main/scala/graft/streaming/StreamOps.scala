@@ -1284,12 +1284,30 @@ object StreamOps {
             if e.getCondition == "PATH_NOT_FOUND" ||
               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => false
       }
+    val uniq = batch.dropDuplicates("doc_id")
     if (!genDone) {
-      val uniq = batch.dropDuplicates("doc_id")
       graft.ops.Text.gram8Of(uniq)
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
         .withColumn("gen", lit(batchId))
         .write.mode("append").parquet(dfDir)
+    }
+    // Ingest ROSTER sidecar (dfDir + "_docs"): which doc_ids'
+    // increments the df rows carry. forgetBatch decrements ONLY for
+    // roster docs — without it, erasing a doc whose content matches
+    // ingested grams (a rejected duplicate) would subtract evidence
+    // a SURVIVING doc contributed. Same gen-guard idempotency as the
+    // df rows themselves.
+    val rosterDone =
+      try !spark.read.parquet(dfDir + "_docs")
+        .filter(col("gen") === batchId).isEmpty
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => false
+      }
+    if (!rosterDone) {
+      uniq.select(col("doc_id")).withColumn("gen", lit(batchId))
+        .write.mode("append").parquet(dfDir + "_docs")
     }
     val nTypes = spark.read.parquet(dfDir)
       .filter(col("gen") === batchId).count()
@@ -1312,8 +1330,15 @@ object StreamOps {
     if (batchCommitted(spark, verdictsDir, batchId)) return
     val uniq = batch.dropDuplicates("doc_id")
     val ev = graft.ops.Text.gram8Of(uniq)
+    // df > 0: a gram fully erased by forgetBatch leaves zero-total
+    // rows behind (increments + negative deltas); it is no longer in
+    // train and must not count as a hit — without the filter the
+    // refined path would flag content the exact-gram probe correctly
+    // reads clean (review finding). Never-forgotten corpora are
+    // unaffected (df >= 1 always).
     val tr = spark.read.parquet(dfDir)
       .groupBy(col("g")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
     val pd = ev.join(tr, Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -1360,10 +1385,16 @@ object StreamOps {
     *    of ingest's increment; grams whose total df reaches 0 leave
     *    the gram index (rewrite under the same publish protocol), so
     *    a contamination probe backed ONLY by forgotten docs reads
-    *    clean while shared grams keep their surviving df. Forget
-    *    delta rows use a NEGATIVE gen namespace (-batchId-1) so a
-    *    forget stream's batchIds can never collide with an ingest
-    *    stream's gen rows in the replay check.
+    *    clean while shared grams keep their surviving df. Decrements
+    *    are gated on the ingest ROSTER (`dfDir + "_docs"`, written by
+    *    [[trainGramDfIngestBatch]]): a forgotten doc that never
+    *    contributed increments — a rejected duplicate whose content
+    *    matches ingested grams, or a doc never train-admitted —
+    *    subtracts nothing, and the roster removal makes a repeat
+    *    erasure request under a NEW batchId a no-op. Forget delta
+    *    rows use a NEGATIVE gen namespace (-batchId-1) so a forget
+    *    stream's batchIds can never collide with an ingest stream's
+    *    gen rows in the replay check.
     *
     * Idempotency: the report row is the commit marker (batchId-
     * checked, written LAST); every mutation is individually
@@ -1406,15 +1437,15 @@ object StreamOps {
                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
         }
       // anti-join rewrite under the crash-safe publish; returns rows
-      // removed by THIS attempt (0 on a replay that already removed)
-      def rewriteMinus(dir: String, key: String): Long =
+      // removed by THIS attempt (0 on a replay that already removed).
+      // `keys` must carry exactly the column `key`.
+      def rewriteMinus(dir: String, key: String, keys: DataFrame): Long =
         readOpt(dir).map { df0 =>
-          val hit = df0.join(ids.select(col("doc_id").as(key)), key,
-            "left_semi").count()
+          val hit = df0.join(keys, Seq(key), "left_semi").count()
           if (hit > 0) {
             val tmp = dir + "_compact_tmp"
-            df0.join(ids.select(col("doc_id").as(key)), Seq(key),
-              "left_anti").write.mode("overwrite").parquet(tmp)
+            df0.join(keys, Seq(key), "left_anti")
+              .write.mode("overwrite").parquet(tmp)
             val dst = new java.io.File(dir)
             val oldF = new java.io.File(dir + "_compact_old")
             if (oldF.exists) delTree(oldF)
@@ -1429,6 +1460,14 @@ object StreamOps {
           hit
         }.getOrElse(0L)
       // ---- dedup shingle index: tombstone still-live forgotten docs
+      // Tombstone gen = the DOC'S max(gen) + 1 — the tightest value
+      // that supersedes, chosen over a global max+1 so the tombstone
+      // can never outrun the ingest stream's batchId namespace by
+      // more than one step. If a later ingest batch re-admits the
+      // doc at exactly the tombstone's gen (the one reachable tie),
+      // the live view's n >= 0 filter resolves the tie in favor of
+      // the new content — revival wins, which is the correct
+      // semantics for a fresh submission after erasure.
       val nDedup = dedupIndexDir.flatMap(readOpt).map { idx0 =>
         val idx = if (idx0.columns.contains("gen")) idx0
           else idx0.withColumn("gen", lit(-1L))
@@ -1437,61 +1476,66 @@ object StreamOps {
             .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
           .filter(col("n") >= 0)
           .join(ids, Seq("doc_id"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val n = liveForgot.count()
-        if (n > 0) {
-          val maxGen = idx.agg(max(col("gen"))).head.getLong(0)
-          liveForgot
-            .select(col("doc_id"), lit(0L).as("h"), lit(-1L).as("n"),
-              lit(maxGen + 1).as("gen"))
-            .write.mode("append").parquet(dedupIndexDir.get)
-        }
-        n
+          .groupBy(col("doc_id")).agg(max(col("gen")).as("docgen"))
+          .cache() // count + tombstone append share the index scan
+        try {
+          val n = liveForgot.count()
+          if (n > 0)
+            liveForgot
+              .select(col("doc_id"), lit(0L).as("h"), lit(-1L).as("n"),
+                (col("docgen") + 1).as("gen"))
+              .write.mode("append").parquet(dedupIndexDir.get)
+          n
+        } finally { liveForgot.unpersist(); () }
       }.getOrElse(0L)
       // ---- IVF index + raw-vector store: anti-join rewrites --------
-      val nIvf = ivfIndexDir.map(rewriteMinus(_, "vec_id")).getOrElse(0L)
-      val nStore = vecStoreDir.map(rewriteMinus(_, "vec_id")).getOrElse(0L)
+      val vecIds = ids.select(col("doc_id").as("vec_id"))
+      val nIvf = ivfIndexDir.map(rewriteMinus(_, "vec_id", vecIds))
+        .getOrElse(0L)
+      val nStore = vecStoreDir.map(rewriteMinus(_, "vec_id", vecIds))
+        .getOrElse(0L)
       // ---- train-gram index via the DF sidecar ---------------------
       val nGrams = trainGramsDir.flatMap { tgDir =>
         dfDir.map { dd =>
           val negGen = -batchId - 1
           val sidecar0 = readOpt(dd)
+          // Only docs on the ingest ROSTER (dfDir + "_docs", written
+          // by trainGramDfIngestBatch) may decrement: a forgotten doc
+          // whose content merely MATCHES ingested grams — a rejected
+          // duplicate, or a doc never train-admitted — must not erase
+          // a surviving doc's evidence. The roster is also the
+          // cross-batch double-forget guard: the first erasure batch
+          // removes the doc from it, so a SECOND request under a new
+          // batchId finds no eligible doc and decrements nothing.
+          val eligible = readOpt(dd + "_docs").map(r =>
+            uniq.join(r.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi"))
           val genDone = sidecar0.exists(
             !_.filter(col("gen") === negGen).isEmpty)
-          if (!genDone && sidecar0.nonEmpty) {
-            // decrement only grams the sidecar actually carries: a
-            // never-ingested forgotten doc must not plant negative
-            // rows for grams train never held
-            graft.ops.Text.gram8Of(uniq)
+          if (!genDone && sidecar0.nonEmpty && eligible.nonEmpty) {
+            // the gram join guards content drift: if the erasure
+            // request's text gained grams after ingest, only grams
+            // the sidecar actually carries get negative rows
+            graft.ops.Text.gram8Of(eligible.get)
               .groupBy(col("g")).agg((-count(lit(1))).as("df"))
               .join(sidecar0.get.select(col("g")).distinct(), "g")
               .withColumn("gen", lit(negGen))
               .write.mode("append").parquet(dd)
           }
+          // roster removal AFTER the decrement: a crash replay skips
+          // the decrement via negGen and re-runs this idempotent
+          // rewrite
+          rewriteMinus(dd + "_docs", "doc_id", ids)
           // zeroed grams leave the index — recomputed from the
           // sidecar's durable totals, so a crash replay re-derives
-          // the SAME zero set and the rewrite is idempotent
-          val zeroed = spark.read.parquet(dd)
-            .groupBy(col("g")).agg(sum(col("df")).as("df"))
-            .filter(col("df") <= 0).select(col("g"))
-          readOpt(tgDir).map { tg =>
-            val hit = tg.join(zeroed, "g").count()
-            if (hit > 0) {
-              val tmp = tgDir + "_compact_tmp"
-              tg.join(zeroed, Seq("g"), "left_anti")
-                .write.mode("overwrite").parquet(tmp)
-              val dst = new java.io.File(tgDir)
-              val oldF = new java.io.File(tgDir + "_compact_old")
-              if (oldF.exists) delTree(oldF)
-              if (!dst.renameTo(oldF))
-                throw new java.io.IOException(
-                  s"failed to demote live gram index: $tgDir -> $oldF")
-              if (!new java.io.File(tmp).renameTo(dst))
-                throw new java.io.IOException(
-                  s"failed to publish forgotten gram index: $tmp -> $tgDir")
-              delTree(oldF)
-            }
-            hit
+          // the SAME zero set and the rewrite is idempotent; a
+          // missing sidecar means nothing was ever ingested, so
+          // nothing can zero
+          readOpt(dd).map { sc =>
+            val zeroed = sc.groupBy(col("g"))
+              .agg(sum(col("df")).as("df"))
+              .filter(col("df") <= 0).select(col("g"))
+            rewriteMinus(tgDir, "g", zeroed)
           }.getOrElse(0L)
         }
       }.getOrElse(0L)

@@ -163,12 +163,29 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(ivfIdx).count() == snapIdx)
     assert(spark.read.parquet(forgetRep).count() == snapRep)
 
+    // ---- non-roster doc: content match must not decrement -----------
+    // doc 7 never train-ingested, but its content equals doc 4's
+    // (which IS on the roster): erasing it must subtract NOTHING —
+    // otherwise a rejected duplicate's erasure destroys a surviving
+    // doc's evidence
+    forget(docs(7L -> textZ), 1L)
+    def dfTotals(): Map[Long, Long] = spark.read.parquet(dfSide)
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfTotals().values.count(_ == 1L) == 3L,
+      "a non-roster doc's erasure must leave the surviving doc's DF intact")
+    StreamOps.contaminationProbeBatch(tg, probeVerd)(
+      docs(102L -> textZ), 2L)
+    assert(spark.read.parquet(probeVerd)
+      .filter(col("batch_id") === 2L).head.getAs[Boolean]("is_contaminated"),
+      "content backed by a surviving roster doc must stay contaminated")
+
     // ---- crash window: marker lost, replay converges ----------------
     // forget doc 4 (content Z); then simulate a crash that lost the
     // report marker and replay — stores must equal the uninterrupted
     // state: no double df-decrement (negGen guard), no new tombstone
     // (doc already non-live), rewrites already-applied
-    forget(docs(4L -> textZ), 1L)
+    forget(docs(4L -> textZ), 2L)
     val s1 = (liveDocs(), spark.read.parquet(dfSide).count(),
       spark.read.parquet(tg).count(),
       spark.read.parquet(dedupIdx).count())
@@ -177,19 +194,61 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.delete(); ()
     }
     delTree(new java.io.File(forgetRep))
-    forget(docs(4L -> textZ), 1L)
+    forget(docs(4L -> textZ), 2L)
     val s2 = (liveDocs(), spark.read.parquet(dfSide).count(),
       spark.read.parquet(tg).count(),
       spark.read.parquet(dedupIdx).count())
     assert(s1 == s2, "crash replay must converge to the same state")
-    val totals2 = spark.read.parquet(dfSide)
-      .groupBy(col("g")).agg(sum(col("df")).as("df"))
-    assert(totals2.filter(col("df") < 0).isEmpty,
+    assert(dfTotals().values.forall(_ >= 0L),
       "replay must not double-decrement the DF sidecar")
     // content X was re-admitted as doc 5 AFTER the forget, so the
     // dedup index still holds one live doc (5); grams fully erased
     assert(liveDocs() == Set(5L))
     assert(spark.read.parquet(tg).isEmpty)
+
+    // ---- repeat erasure under a NEW batchId: roster guard ------------
+    // doc 4 is already forgotten and off the roster; a fresh request
+    // must not decrement again (totals would go negative) and must
+    // remove nothing further
+    forget(docs(4L -> textZ), 3L)
+    assert(dfTotals().values.forall(_ >= 0L),
+      "a repeat erasure in a new batch must not double-decrement")
+    assert(spark.read.parquet(forgetRep)
+      .filter(col("batch_id") === 3L).head
+      .getAs[Long]("n_grams_removed") == 0L)
+  }
+
+  test("erasure before any train ingest is a clean no-op (missing " +
+      "sidecar must not fail the batch)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-boot").toString
+    StreamOps.forgetBatch(s"$root/rep",
+      trainGramsDir = Some(s"$root/tg"), dfDir = Some(s"$root/df"))(
+      docs(1L -> textX), 0L)
+    val rep = spark.read.parquet(s"$root/rep").head
+    assert(rep.getAs[Long]("n_grams_removed") == 0L)
+  }
+
+  test("re-ingest at the tombstone's exact gen revives the doc (tie " +
+      "resolves in favor of new content)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-tie").toString
+    val idxDir = s"$root/dedup"; val verd = s"$root/verd"
+    val run = StreamOps.dedupIngestBatch(idxDir, verd) _
+    run(docs(1L -> textX), 0L) // doc 1 lands at gen 0
+    StreamOps.forgetBatch(s"$root/rep",
+      dedupIndexDir = Some(idxDir))(docs(1L -> textX), 0L)
+    // tombstone sits at gen 1 = the doc's max gen + 1; the next
+    // ingest batch (batchId 1) re-admits the SAME doc_id at gen 1 —
+    // the one reachable tie — and the live view must show it
+    run(docs(1L -> textY), 1L)
+    val idx = spark.read.parquet(idxDir)
+    val live = idx.join(idx.groupBy(col("doc_id"))
+        .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+      .filter(col("n") >= 0)
+    assert(live.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "revival at the tie gen must win over the tombstone")
   }
 
   test("trainGramsDir without dfDir is rejected") {
