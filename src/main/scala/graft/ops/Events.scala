@@ -872,6 +872,79 @@ object Events {
           min(col("event_id")).as("first_viol_lsn"))
         .orderBy(col("n_viol").desc, col("user_id"))
         .limit(20)
+    },
+
+    // ---- q280: slot retention accounting + disk-fill forecast ------
+    // The operational hazard every logical-replication deployment
+    // monitors: an unacked slot pins WAL on the server (the reference
+    // ack path — `logical-replication-service.ts:274-294` — exists
+    // precisely to advance `restart_lsn`), and a lagging consumer
+    // fills the disk. This census treats the event log as the wire's
+    // frame stream (q264's conventions: slot = event_id % 8, lsn =
+    // event_id·4, frame bytes = 25-byte XLogData header + payload),
+    // simulates per-slot ack floors that lag the head by
+    // (slot+1)·25 frames, and reports per slot: the acked floor, the
+    // retained frame count and bytes past it, the slot's observed
+    // byte rate per hour, and the integer hours until a 1 MiB
+    // retention cap — the pg_replication_slots dashboard as one
+    // keyed aggregation. Scale shape: two keyed aggs over the frame
+    // log (floor derivation, then retained rollup) + an 8-row
+    // broadcast join; nothing holds more than k = #slots rows after
+    // the scans.
+    QueryDef(
+      "q280_slot_retention_forecast",
+      s"""WITH f AS (SELECT event_id, event_id % 8 AS shard,
+         |    event_id * 4 AS lsn,
+         |    25 + len(props) AS bytes, $tsSecSql AS ts_sec
+         |  FROM events),
+         |fl AS (SELECT shard,
+         |    4 * (max(event_id) - 8 * (shard + 1) * 25) AS floor_lsn,
+         |    CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |    greatest(1, max(ts_sec) - min(ts_sec)) AS span_sec
+         |  FROM f GROUP BY shard),
+         |ret AS (SELECT f.shard, count(*) AS n_retained,
+         |    CAST(sum(f.bytes) AS BIGINT) AS retained_bytes
+         |  FROM f JOIN fl ON fl.shard = f.shard
+         |  WHERE f.lsn > fl.floor_lsn GROUP BY f.shard)
+         |SELECT fl.shard, CAST(fl.floor_lsn AS BIGINT) AS floor_lsn,
+         |  CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained,
+         |  CAST(coalesce(ret.retained_bytes, 0) AS BIGINT)
+         |    AS retained_bytes,
+         |  CAST(fl.total_bytes * 3600 // fl.span_sec AS BIGINT)
+         |    AS rate_bph,
+         |  CAST(greatest(0, (1048576 - coalesce(ret.retained_bytes, 0))
+         |    * fl.span_sec // (fl.total_bytes * 3600)) AS BIGINT)
+         |    AS hours_to_cap
+         |FROM fl LEFT JOIN ret ON ret.shard = fl.shard
+         |ORDER BY fl.shard""".stripMargin) { (s, d) =>
+      val f = events(s, d)
+        .select((col("event_id") % 8).as("shard"),
+          (col("event_id") * 4).as("lsn"),
+          (lit(25) + length(col("props"))).cast("long").as("bytes"),
+          col("ts_sec"), col("event_id"))
+        .tcache() // floor derivation + retained rollup share the scan
+      val fl = f.groupBy(col("shard"))
+        .agg(((max(col("event_id")) - (col("shard") + 1) * lit(8) * 25) * 4)
+            .as("floor_lsn"),
+          sum(col("bytes")).as("total_bytes"),
+          greatest(lit(1L), max(col("ts_sec")) - min(col("ts_sec")))
+            .as("span_sec"))
+      val ret = f.join(broadcast(fl.select(col("shard"),
+            col("floor_lsn"))), Seq("shard"))
+        .filter(col("lsn") > col("floor_lsn"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_retained"),
+          sum(col("bytes")).as("retained_bytes"))
+      fl.join(ret, Seq("shard"), "left")
+        .select(col("shard"), col("floor_lsn").cast("long").as("floor_lsn"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("retained_bytes"), lit(0L)).as("retained_bytes"),
+          expr("total_bytes * 3600 DIV span_sec").cast("long")
+            .as("rate_bph"),
+          expr("greatest(0, (1048576 - coalesce(retained_bytes, 0))" +
+            " * span_sec DIV (total_bytes * 3600))").cast("long")
+            .as("hours_to_cap"))
+        .orderBy(col("shard"))
     }
   )
 }

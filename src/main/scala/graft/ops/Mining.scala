@@ -1601,6 +1601,105 @@ object Mining {
             " greatest(0, m_total - p_prev)) DIV mass)")
             .as("planned_tokens"))
         .orderBy(col("source"))
+    },
+
+    // ---- q279: post-erasure epoch-budget re-plan --------------------
+    // The composition the erasure cascade forces: after a forget
+    // sweep (q277's md5 % 17 == 3 split) removes token mass unevenly
+    // across sources, the q254 repeat-budget allocation must be
+    // re-derived on the SURVIVING corpus — the budget itself shrinks
+    // (B = 2·M tracks the corpus), quality ranks can flip (erased
+    // docs move a source's average), and the greedy extra-epoch
+    // pool redistributes. One query runs the identical closed-form
+    // allocation twice (full corpus / survivors) and reports the
+    // per-source delta — the number a training run needs before it
+    // can honor an erasure SLA without silently shrinking its token
+    // budget. Scale shape: both plans are corpus rollups (bounded
+    // source cardinality) + the broadcast-triangle prefix sum; the
+    // only corpus-scale work is the one token/quality scan both
+    // plans share.
+    QueryDef(
+      "q279_post_erasure_budget_replan",
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS nt,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 17 = 3
+         |      AS forget
+         |  FROM documents),
+         |${Text.qualityScoresSql},
+         |base AS (SELECT t.source, t.nt, t.forget, qu.q
+         |  FROM t JOIN qual qu ON qu.doc_id = t.doc_id),
+         |${replanChainSql("a", "")},
+         |${replanChainSql("b", "WHERE NOT forget")}
+         |SELECT pa.source,
+         |  pa.mass AS mass_before, pb.mass AS mass_after,
+         |  pa.epochs AS epochs_before, pb.epochs AS epochs_after,
+         |  CAST(pb.planned - pa.planned AS BIGINT) AS planned_delta
+         |FROM plana pa JOIN planb pb ON pb.source = pa.source
+         |ORDER BY pa.source""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val forgetOf = pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(17L)) === 3L
+      // one corpus scan feeds both plans
+      val base = Text.withToks(s, d)
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("nt"),
+          forgetOf.as("forget"))
+        .join(Text.qualityScores(s, d), "doc_id")
+        .select(col("source"), col("nt"), col("forget"), col("q"))
+        .tcache()
+      def planOf(docs: DataFrame): DataFrame = {
+        val src = docs.groupBy(col("source"))
+          .agg(sum(col("nt")).as("mass"),
+            expr("sum(q) DIV count(*)").as("q_avg"))
+          .tcache()
+        val tot = src.agg(sum(col("mass")).as("m_total"))
+        val better = src.select(col("source").as("bs"),
+          col("q_avg").as("bq"), col("mass").as("bm"))
+        src.join(broadcast(better),
+            col("bq") > col("q_avg") ||
+              (col("bq") === col("q_avg") && col("bs") < col("source")),
+            "left")
+          .groupBy(col("source"), col("mass"), col("q_avg"))
+          .agg(coalesce(sum(col("bm") * 3), lit(0L)).as("p_prev"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("mass"),
+            expr("1 + least(3 * mass, greatest(0, m_total - p_prev))" +
+              " DIV mass").as("epochs"),
+            expr("mass * (1 + least(3 * mass," +
+              " greatest(0, m_total - p_prev)) DIV mass)").as("planned"))
+      }
+      val pa = planOf(base)
+      val pb = planOf(base.filter(!col("forget")))
+      pa.as("a").join(pb.as("b"), Seq("source"))
+        .select(col("source"),
+          col("a.mass").as("mass_before"), col("b.mass").as("mass_after"),
+          col("a.epochs").as("epochs_before"),
+          col("b.epochs").as("epochs_after"),
+          (col("b.planned") - col("a.planned")).as("planned_delta"))
+        .orderBy(col("source"))
     }
   )
+
+  /** One arm of q279's doubled q254 chain: rollup → total → triangle
+    * prefix sum → plan, suffixed so the pre/post arms coexist in one
+    * WITH clause. `where` filters the shared `base` relation. */
+  private def replanChainSql(sfx: String, where: String): String =
+    s"""src$sfx AS (SELECT source, CAST(sum(nt) AS BIGINT) AS mass,
+       |    CAST(sum(q) // count(*) AS BIGINT) AS q_avg
+       |  FROM base $where GROUP BY source),
+       |tot$sfx AS (SELECT CAST(sum(mass) AS BIGINT) AS m_total
+       |  FROM src$sfx),
+       |pre$sfx AS (SELECT a.source, a.mass, a.q_avg,
+       |    coalesce(CAST(sum(3 * b.mass) AS BIGINT), 0) AS p_prev
+       |  FROM src$sfx a LEFT JOIN src$sfx b
+       |    ON b.q_avg > a.q_avg
+       |    OR (b.q_avg = a.q_avg AND b.source < a.source)
+       |  GROUP BY a.source, a.mass, a.q_avg),
+       |plan$sfx AS (SELECT p.source, p.mass,
+       |    CAST(1 + least(3 * p.mass,
+       |      greatest(0, t.m_total - p.p_prev)) // p.mass AS BIGINT)
+       |      AS epochs,
+       |    CAST(p.mass * (1 + least(3 * p.mass,
+       |      greatest(0, t.m_total - p.p_prev)) // p.mass) AS BIGINT)
+       |      AS planned
+       |  FROM pre$sfx p, tot$sfx t)""".stripMargin
 }
