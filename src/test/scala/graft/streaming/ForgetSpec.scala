@@ -251,6 +251,46 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       "revival at the tie gen must win over the tombstone")
   }
 
+  test("forgetBatch wires as a foreachBatch sink: erasure requests " +
+      "stream in, each trigger cascades and commits") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-stream").toString
+    val idxDir = s"$root/dedup"; val verd = s"$root/verd"
+    val repDir = s"$root/rep"
+    StreamOps.dedupIngestBatch(idxDir, verd)(
+      docs(1L -> textX, 2L -> textY, 3L -> textZ), 0L)
+    def liveDocs(): Set[Long] = {
+      val idx = spark.read.parquet(idxDir)
+      idx.join(idx.groupBy(col("doc_id"))
+          .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+        .filter(col("n") >= 0)
+        .select(col("doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(liveDocs() == Set(1L, 2L, 3L))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.forgetBatch(repDir, dedupIndexDir = Some(idxDir))(b, id))
+      .start()
+    try {
+      input.addData((1L, textX))
+      q.processAllAvailable()
+      assert(liveDocs() == Set(2L, 3L))
+      input.addData((3L, textZ))
+      q.processAllAvailable()
+      assert(liveDocs() == Set(2L))
+      val reps = spark.read.parquet(repDir)
+        .select(col("batch_id")).collect().map(_.getLong(0)).toSet
+      assert(reps == Set(0L, 1L),
+        "one committed report row per trigger")
+    } finally q.stop()
+  }
+
   test("trainGramsDir without dfDir is rejected") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-forget-req").toString
