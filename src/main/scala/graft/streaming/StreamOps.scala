@@ -1551,6 +1551,50 @@ object StreamOps {
     } finally { uniq.unpersist(); () }
   }
 
+  /** Slot/WAL retention report over a replay frame-log directory —
+    * q280's census computed from the store's OWN ack state instead of
+    * a simulated lag: per shard file (≈ slot/publication), the acked
+    * floor from the `_acked_offsets` / `_acked_lsn` sidecars
+    * ([[CdcReplaySource.lastAckedOffsets]], the A9/A10 bookkeeping),
+    * the head LSN, the transactions/bytes retained past the floor
+    * (wire size: 25-byte XLogData header + payload per frame), and
+    * the retained fraction of `capBytes` in milli — the
+    * pg_replication_slots dashboard against the engine's own log.
+    * A dir with no sidecars reports everything retained (floor =
+    * Long.MinValue): the honest state of a slot nobody has acked.
+    * Scale shape: one pass over the log (per-file parallelism, the
+    * source's own partitioning) + a broadcast of the k-row floor
+    * relation. */
+  def slotRetentionReport(spark: SparkSession, logDir: String,
+      capBytes: Long = 1L << 20): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    val so = CdcReplaySource.lastAckedOffsets(logDir)
+      .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
+    val floors = CdcReplaySource.listLogFiles(logDir)
+      .map { p => val nm = new java.io.File(p).getName; (nm, so.of(nm)) }
+      .toDF("shard", "floor_lsn")
+    val sch = "lsn BIGINT, frames ARRAY<STRING>"
+    val tx = spark.read.textFile(
+        CdcReplaySource.listLogFiles(logDir): _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("shard"),
+        from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL(sch)).as("j"))
+      .select(col("shard"), col("j.lsn").as("lsn"),
+        expr("aggregate(j.frames, 0L," +
+          " (acc, x) -> acc + 25 + length(x) DIV 2)").as("bytes"))
+    tx.join(broadcast(floors), Seq("shard"))
+      .groupBy(col("shard"), col("floor_lsn"))
+      .agg(max(col("lsn")).as("head_lsn"),
+        count(lit(1)).as("n_tx"),
+        count(when(col("lsn") > col("floor_lsn"), 1)).as("n_retained"),
+        coalesce(sum(when(col("lsn") > col("floor_lsn"), col("bytes"))),
+          lit(0L)).as("retained_bytes"))
+      .withColumn("cap_milli",
+        expr(s"retained_bytes * 1000 DIV ${capBytes}L"))
+      .orderBy(col("shard"))
+  }
+
   /** foreachBatch sequence packing — q241's live form: arriving
     * `(doc_id, source, n_toks)` batches extend each source's
     * concat-and-chunk stream (C = 512-token windows) and append one

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Slot/WAL retention accounting against the replay store's OWN ack
+  * sidecars (q280's live counterpart): retained work per shard must
+  * track exactly what the A9/A10 bookkeeping says is unconfirmed —
+  * shrink as acks advance, and report EVERYTHING retained for a slot
+  * nobody has acked (the disk-filling failure mode the census
+  * exists to catch). */
+class SlotRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-slot-retention")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // one 5-byte frame per tx → wire size 25 + 5 = 30 bytes per tx
+  private def tx(lsn: Long) = lsn -> Seq(Array.fill[Byte](5)(0x2a))
+
+  test("retained work tracks the acked floors and shrinks as acks " +
+      "advance; an unacked dir retains everything") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-slot-ret").toString
+    CdcReplaySource.writeLogShard(root, 0,
+      Seq(tx(100L), tx(200L), tx(300L), tx(400L)))
+    CdcReplaySource.writeLogShard(root, 1, Seq(tx(150L), tx(250L)))
+
+    // no sidecar yet: everything on both shards is unconfirmed
+    val r0 = StreamOps.slotRetentionReport(spark, root)
+      .collect().map(r => r.getAs[String]("shard") ->
+        (r.getAs[Long]("n_retained"), r.getAs[Long]("retained_bytes")))
+      .toMap
+    assert(r0("part-0.jsonl") == ((4L, 120L)))
+    assert(r0("part-1.jsonl") == ((2L, 60L)))
+
+    // shard 0 acked through 200, shard 1 through 250
+    CdcReplaySource.writeAckedOffsets(root, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 200L, "part-1.jsonl" -> 250L)))
+    val r1 = StreamOps.slotRetentionReport(spark, root)
+      .collect().map(r => r.getAs[String]("shard") ->
+        (r.getAs[Long]("floor_lsn"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("retained_bytes"), r.getAs[Long]("head_lsn")))
+      .toMap
+    assert(r1("part-0.jsonl") == ((200L, 2L, 60L, 400L)))
+    assert(r1("part-1.jsonl") == ((250L, 0L, 0L, 250L)))
+
+    // acks only advance (the sidecar contract): catching shard 0 up
+    // to head drains its retention to zero
+    CdcReplaySource.writeAckedOffsets(root, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 400L)))
+    val r2 = StreamOps.slotRetentionReport(spark, root)
+      .filter(r => r.getAs[String]("shard") == "part-0.jsonl")
+      .head()
+    assert(r2.getAs[Long]("n_retained") == 0L &&
+      r2.getAs[Long]("retained_bytes") == 0L)
+    // cap fraction: 60 bytes of 1 MiB default rounds to 0 milli; a
+    // 100-byte cap makes the 120-byte backlog overflow past 1000
+    val tight = StreamOps.slotRetentionReport(spark, root, capBytes = 100L)
+      .filter(r => r.getAs[String]("shard") == "part-1.jsonl").head()
+    assert(tight.getAs[Long]("cap_milli") == 0L)
+  }
+}
