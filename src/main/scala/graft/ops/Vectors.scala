@@ -1893,6 +1893,167 @@ object Vectors {
       }
       census("adaptive", adaptive).unionAll(census("cold", cold))
         .orderBy(col("method"))
+    },
+
+    // ---- q281: exact sign test between two ANN arms -----------------
+    // The statistical-rigor gate the tuning sweeps (q246/q271) stop
+    // short of: before declaring one index arm "better", test whether
+    // its per-query recall wins could be chance. Per probe query, the
+    // trained-IVF arm (q116: nprobe=1 cell-mates, exact integer
+    // ranking) and the PQ-ADC arm (q118: asymmetric compressed-domain
+    // scan) each score recall@5 against the exact scan; the paired
+    // SIGN TEST over the non-tie queries gives an EXACT one-sided
+    // binomial p-value — C(n,k) built multiplicatively (each partial
+    // product is itself a binomial coefficient, so the integer
+    // division is exact at every step), tail summed over a k-spine,
+    // in milli against 2^n. No normal approximation, no floats:
+    // the p-value is bit-identical in both engines. Scale shape:
+    // both arms ride the memoized grid/assignment/codebook relations
+    // and the 20-query broadcast; the sign-test itself lives on a
+    // ≤ 21-row spine.
+    QueryDef(
+      "q281_arm_sign_test",
+      "WITH " + lloydA2Sql + ",\n" +
+      s"""pdims AS (SELECT vec_id, (i - 1) // 8 AS sub, (i - 1) % 8 AS si,
+         |            v FROM dims),
+         |pc0 AS (SELECT sub, vec_id AS j, si, v AS c FROM pdims
+         |        WHERE vec_id < 4),
+         |pd1 AS (SELECT d.vec_id, d.sub, c.j,
+         |          sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |        FROM pdims d JOIN pc0 c ON c.sub = d.sub AND c.si = d.si
+         |        GROUP BY 1, 2, 3),
+         |pa1 AS (SELECT vec_id, sub, j FROM (
+         |          SELECT vec_id, sub, j, row_number() OVER (
+         |            PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+         |          FROM pd1) WHERE rn = 1),
+         |pn1 AS (SELECT sub, j, count(*) AS n FROM pa1 GROUP BY sub, j),
+         |ps1 AS (SELECT pa1.sub, pa1.j, d.si, sum(d.v) AS s
+         |        FROM pa1 JOIN pdims d ON d.vec_id = pa1.vec_id
+         |                             AND d.sub = pa1.sub
+         |        GROUP BY 1, 2, 3),
+         |pc1 AS (SELECT ps1.sub, ps1.j, ps1.si,
+         |          (2 * ps1.s + pn1.n) // (2 * pn1.n) AS c
+         |        FROM ps1 JOIN pn1 ON pn1.sub = ps1.sub AND pn1.j = ps1.j),
+         |pd2 AS (SELECT d.vec_id, d.sub, c.j,
+         |          sum((d.v - c.c) * (d.v - c.c)) AS dist
+         |        FROM pdims d JOIN pc1 c ON c.sub = d.sub AND c.si = d.si
+         |        GROUP BY 1, 2, 3),
+         |pa2 AS (SELECT vec_id, sub, j FROM (
+         |          SELECT vec_id, sub, j, row_number() OVER (
+         |            PARTITION BY sub, vec_id ORDER BY dist, j) AS rn
+         |          FROM pd2) WHERE rn = 1),
+         |ed AS (SELECT dq.vec_id AS qid, dc.vec_id AS cid,
+         |         sum((dq.v - dc.v) * (dq.v - dc.v)) AS dist
+         |       FROM dims dq JOIN dims dc ON dc.i = dq.i
+         |                                AND dc.vec_id <> dq.vec_id
+         |       WHERE dq.vec_id < 20 GROUP BY 1, 2),
+         |ex AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, cid) AS rn FROM ed) WHERE rn <= 5),
+         |iv AS (SELECT qid, cid FROM (
+         |         SELECT ed.qid, ed.cid, row_number() OVER (
+         |             PARTITION BY ed.qid ORDER BY ed.dist, ed.cid) AS rn
+         |           FROM ed
+         |           JOIN a2 qa ON qa.vec_id = ed.qid
+         |           JOIN a2 ca ON ca.vec_id = ed.cid AND ca.j = qa.j)
+         |       WHERE rn <= 5),
+         |qsub AS (SELECT vec_id AS qid, sub, si, v FROM pdims
+         |         WHERE vec_id < 20),
+         |adc AS (SELECT qs.qid, pa2.vec_id AS cid,
+         |          sum((qs.v - pc1.c) * (qs.v - pc1.c)) AS dist
+         |        FROM qsub qs
+         |        JOIN pa2 ON pa2.sub = qs.sub AND pa2.vec_id <> qs.qid
+         |        JOIN pc1 ON pc1.sub = qs.sub AND pc1.j = pa2.j
+         |               AND pc1.si = qs.si
+         |        GROUP BY 1, 2),
+         |pq5 AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, cid) AS rn FROM adc) WHERE rn <= 5),
+         |ri AS (SELECT ex.qid, count(iv.cid) AS hi FROM ex
+         |       LEFT JOIN iv ON iv.qid = ex.qid AND iv.cid = ex.cid
+         |       GROUP BY ex.qid),
+         |rp AS (SELECT ex.qid, count(pq5.cid) AS hp FROM ex
+         |       LEFT JOIN pq5 ON pq5.qid = ex.qid AND pq5.cid = ex.cid
+         |       GROUP BY ex.qid),
+         |w AS (SELECT ri.qid, hi, hp FROM ri JOIN rp ON rp.qid = ri.qid),
+         |cnt AS (SELECT count(*) AS nq,
+         |    sum(CASE WHEN hi > hp THEN 1 ELSE 0 END) AS wi,
+         |    sum(CASE WHEN hp > hi THEN 1 ELSE 0 END) AS wp
+         |  FROM w),
+         |spine AS (SELECT nq, wi, wp, wi + wp AS n, t.k
+         |  FROM cnt, UNNEST(range(CAST(wi AS BIGINT),
+         |    CAST(wi + wp + 1 AS BIGINT))) AS t(k)),
+         |tails AS (SELECT nq, wi, wp, n,
+         |    sum(list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(range(1, CAST(k + 1 AS BIGINT)),
+         |        i -> CAST(i AS BIGINT))),
+         |      (acc, i) -> acc * (n - i + 1) // i)) AS tail
+         |  FROM spine GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(nq AS BIGINT) AS n_queries,
+         |  CAST(wi AS BIGINT) AS wins_ivf,
+         |  CAST(wp AS BIGINT) AS wins_pq,
+         |  CAST(nq - n AS BIGINT) AS n_ties,
+         |  CAST(tail * 1000 // (CAST(1 AS BIGINT) << CAST(n AS INT))
+         |    AS BIGINT) AS p_milli
+         |FROM tails""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      // exact pair distances feed BOTH the ground truth and the IVF
+      // arm's within-cell ranking
+      val ed = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q")).as("dist"))
+        .tcache()
+      val ex = ed.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+        .tcache() // consumed by both arms' hit counts
+      val a2 = kmeansAssignments(s, d)
+      val iv = ed
+        .join(a2.select(col("vec_id").as("qid"), col("j").as("qj")), "qid")
+        .join(a2.select(col("vec_id").as("cid"), col("j").as("cj")), "cid")
+        .filter(col("qj") === col("cj"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      val cb = pqCodebooks(s, d).withColumnRenamed("j", "symbol")
+      val codes = pqAssignments(s, d)
+        .select(col("vec_id").as("cid"), col("sub"), col("symbol"))
+      val qsubs = subVectors(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val adc = qsubs.join(codes, "sub")
+        .filter(col("cid") =!= col("qid"))
+        .join(broadcast(cb), Seq("sub", "symbol"))
+        .select(col("qid"), col("cid"), pqDistExpr.as("pd"))
+        .groupBy(col("qid"), col("cid")).agg(sum(col("pd")).as("dist"))
+      val pq5 = adc.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      def hitsOf(arm: DataFrame, nm: String): DataFrame =
+        ex.join(arm.select(col("qid").as("aq"), col("cid").as("ac"))
+            .withColumn("m", lit(1)),
+          col("qid") === col("aq") && col("cid") === col("ac"), "left")
+          .groupBy(col("qid")).agg(count(col("m")).as(nm))
+      val w = hitsOf(iv, "hi").join(hitsOf(pq5, "hp"), "qid")
+      val cnt = w.agg(count(lit(1)).as("nq"),
+          sum(when(col("hi") > col("hp"), 1L).otherwise(0L)).as("wi"),
+          sum(when(col("hp") > col("hi"), 1L).otherwise(0L)).as("wp"))
+        .withColumn("n", col("wi") + col("wp"))
+      cnt.select(col("nq"), col("wi"), col("wp"), col("n"),
+          explode(sequence(col("wi"), col("n"))).as("k"))
+        .withColumn("c", when(col("k") === 0, lit(1L)).otherwise(
+          // each partial product is C(n, i), so DIV is exact; the
+          // k = 0 branch dodges Spark's descending sequence(1, 0)
+          expr("aggregate(sequence(CAST(1 AS BIGINT), k)," +
+            " CAST(1 AS BIGINT), (acc, i) -> acc * (n - i + 1) DIV i)")))
+        .groupBy(col("nq"), col("wi"), col("wp"), col("n"))
+        .agg(sum(col("c")).as("tail"))
+        .select(col("nq").as("n_queries"), col("wi").as("wins_ivf"),
+          col("wp").as("wins_pq"), (col("nq") - col("n")).as("n_ties"),
+          expr("tail * 1000 DIV shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(n AS INT))").as("p_milli"))
     }
   )
 

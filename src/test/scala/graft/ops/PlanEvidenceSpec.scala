@@ -615,11 +615,21 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q269's exact-recall arm carries the same contract: its IVF/ADC/
     // refine stages are all keyed or broadcast-bounded, and the ONLY
     // BroadcastNestedLoopJoin in its plan may be the 20-query audit.
+    // q281 caches its exact-distance frame, so its BNLJ sits INSIDE an
+    // InMemoryRelation — descend through cache boundaries or the
+    // contract check would silently see an empty plan
+    def collectJoins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BroadcastNestedLoopJoinExec] =
+      p.collect { case j: BroadcastNestedLoopJoinExec => j } ++
+        p.collect { case m: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => m.relation.cachedPlan }
+          .flatMap(collectJoins)
     for (name <- Seq("q29_knn_bruteforce", "q219_knn_classifier",
-        "q269_ivfpq_refine_recall", "q271_refine_depth_sweep")) {
+        "q269_ivfpq_refine_recall", "q271_refine_depth_sweep",
+        "q281_arm_sign_test")) {
       val ep = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan
-      val joins = ep.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val joins = collectJoins(ep)
       assert(joins.nonEmpty,
         s"$name: expected the exact-audit crossJoin(broadcast) shape")
       joins.foreach { j =>
