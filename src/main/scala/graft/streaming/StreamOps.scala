@@ -1551,6 +1551,118 @@ object StreamOps {
     } finally { uniq.unpersist(); () }
   }
 
+  /** foreachBatch label inheritance — q278's live half: each
+    * micro-batch of `(doc_id, text, label)` arrivals (label nullable)
+    * writes TRUSTED labels through and lets unlabeled docs inherit
+    * from their best near-dup match among already-labeled docs, via
+    * ONE keyed probe of the standing shingle index (the same
+    * new×existing join [[dedupIngestBatch]] runs — work scales with
+    * the batch, never corpus²). Because each batch's inherited labels
+    * land in the store before the next batch probes, labels
+    * propagate TRANSITIVELY across arrival time — the streaming form
+    * of q278's unrolled rounds (batch N inherits from batch N-1's
+    * inheritance; LabelIngestSpec pins the 2-hop chain). Pair with a
+    * dedup threshold stricter than `minShared` so near-dup arrivals
+    * still enter the index and can anchor later inheritance.
+    *
+    * One verdict row per arrival — `(batch_id, doc_id, label, src,
+    * match_doc, shared)` with src ∈ trusted|inherited|none — appended
+    * to `labelsDir`, which doubles as the batchId commit marker;
+    * cross-batch redelivery anti-joins the store's doc_ids (one
+    * verdict per doc_id, the ingest contract: relabeling a `none`
+    * doc after better anchors arrive is q278's batch backfill, not
+    * this path). Ties break by (shared desc, label asc, match_doc
+    * asc) — deterministic like q278's majority vote. */
+  def labelOnIngestBatch(indexDir: String, labelsDir: String,
+      minShared: Long = 3L)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    recoverCompaction(indexDir)
+    if (batchCommitted(spark, labelsDir, batchId)) return
+    val uniq0 = batch.dropDuplicates("doc_id")
+    val standing =
+      try Some(spark.read.parquet(labelsDir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    val uniq = (standing match {
+      case Some(lb) => uniq0.join(lb.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      case None => uniq0
+    }).cache()
+    try {
+      // anchors: labeled docs standing in the store (trusted OR
+      // previously inherited — that is what makes propagation
+      // transitive across batches)
+      val anchors = standing.map(_
+          .filter(col("label").isNotNull)
+          .select(col("doc_id").as("corpus_doc"), col("label").as("clabel"))
+          .dropDuplicates("corpus_doc"))
+        .getOrElse(spark.emptyDataFrame
+          .withColumn("corpus_doc", lit(0L))
+          .withColumn("clabel", lit(0L))
+          .limit(0))
+      val trusted = uniq.filter(col("label").isNotNull)
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          lit("trusted").as("src"),
+          lit(null).cast("long").as("match_doc"),
+          lit(0L).as("shared"))
+      val unl = uniq.filter(col("label").isNull)
+      val idx =
+        try spark.read.parquet(indexDir)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+            spark.emptyDataFrame
+        }
+      val inherited =
+        if (idx.columns.isEmpty) unl.select(col("doc_id")).limit(0)
+          .withColumn("label", lit(0L))
+          .withColumn("match_doc", lit(0L))
+          .withColumn("shared", lit(0L))
+        else {
+          val withGen = if (idx.columns.contains("gen")) idx
+            else idx.withColumn("gen", lit(-1L))
+          val live = withGen
+            .join(withGen.groupBy(col("doc_id"))
+              .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+            .filter(col("n") >= 0)
+            .select(col("doc_id").as("corpus_doc"), col("h"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("shared").desc, col("clabel"), col("corpus_doc"))
+          shingleArrivals(unl)
+            .join(live, "h")
+            .filter(col("doc_id") =!= col("corpus_doc"))
+            .join(anchors, "corpus_doc")
+            .groupBy(col("doc_id"), col("corpus_doc"), col("clabel"))
+            .agg(count(lit(1)).as("shared"))
+            .filter(col("shared") >= minShared)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("doc_id"), col("clabel").as("label"),
+              col("corpus_doc").as("match_doc"), col("shared"))
+        }
+      val verdicts = uniq.select(col("doc_id"))
+        .join(trusted.select(col("doc_id")).withColumn("t", lit(1)),
+          Seq("doc_id"), "left")
+        .filter(col("t").isNull).drop("t")
+        .join(inherited, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          when(col("label").isNotNull, lit("inherited"))
+            .otherwise(lit("none")).as("src"),
+          col("match_doc"), coalesce(col("shared"), lit(0L)).as("shared"))
+        .unionByName(trusted)
+        .withColumn("batch_id", lit(batchId))
+        .select(col("batch_id"), col("doc_id"), col("label"),
+          col("src"), col("match_doc"), col("shared"))
+      verdicts.write.mode("append").parquet(labelsDir)
+    } finally { uniq.unpersist(); () }
+  }
+
   /** Slot/WAL retention report over a replay frame-log directory —
     * q280's census computed from the store's OWN ack state instead of
     * a simulated lag: per shard file (≈ slot/publication), the acked
