@@ -1551,6 +1551,84 @@ object StreamOps {
     } finally { uniq.unpersist(); () }
   }
 
+  /** One-pane health report across every maintained store — the
+    * vacuum-scheduling dashboard a 100 TB deployment runs between
+    * batches: per store, parquet file count, total rows, LIVE rows
+    * under that store's own liveness rule, stale rows, staleness in
+    * milli, and whether the store's compaction policy would fire.
+    * Liveness rules mirror the owners: the dedup shingle index keeps
+    * max-gen n ≥ 0 rows ([[dedupIngestBatch]]); the DF sidecar keeps
+    * grams with positive total ([[forgetBatch]]'s decrements leave
+    * zero-total rows behind as reclaimable mass); gram/IVF/vector/
+    * label stores are rewrite-maintained, so their live = rows and
+    * only the FILE count ages ([[trainGramIngestBatch]]'s gate).
+    * Missing stores report zero rows rather than failing — the
+    * dashboard must render during bootstrap. Cost: one keyed
+    * aggregation per store; at 100 TB each is table metadata. */
+  def storeHealthReport(spark: SparkSession,
+      dedupIndexDir: Option[String] = None,
+      trainGramsDir: Option[String] = None,
+      dfDir: Option[String] = None,
+      ivfIndexDir: Option[String] = None,
+      vecStoreDir: Option[String] = None,
+      labelsDir: Option[String] = None,
+      compactFileThreshold: Int = 64,
+      compactStaleFraction: Double = 0.3): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    def readOpt(dir: String): Option[DataFrame] =
+      try Some(spark.read.parquet(dir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    def nFiles(dir: String): Long =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+    def row(store: String, dir: String, total: Long, live: Long)
+        : (String, Long, Long, Long, Long, Long, Boolean) = {
+      val stale = total - live
+      val staleMilli = if (total > 0) stale * 1000 / total else 0L
+      val byStale = total > 0 && stale > compactStaleFraction * total
+      val byFiles = nFiles(dir) > compactFileThreshold
+      (store, nFiles(dir), total, live, stale, staleMilli,
+        byStale || byFiles)
+    }
+    val rows = Seq.newBuilder[(String, Long, Long, Long, Long, Long, Boolean)]
+    dedupIndexDir.foreach { dir =>
+      val (total, live) = readOpt(dir).map { idx0 =>
+        val idx = if (idx0.columns.contains("gen")) idx0
+          else idx0.withColumn("gen", lit(-1L))
+        val liveN = idx
+          .join(idx.groupBy(col("doc_id"))
+            .agg(max(col("gen")).as("gen")), Seq("doc_id", "gen"))
+          .filter(col("n") >= 0).count()
+        (idx.count(), liveN)
+      }.getOrElse((0L, 0L))
+      rows += row("dedup_index", dir, total, live)
+    }
+    dfDir.foreach { dir =>
+      val (total, live) = readOpt(dir).map { sc =>
+        val liveN = sc.groupBy(col("g")).agg(sum(col("df")).as("df"))
+          .filter(col("df") > 0).count()
+        (sc.select(col("g")).distinct().count(), liveN)
+      }.getOrElse((0L, 0L))
+      rows += row("df_sidecar", dir, total, live)
+    }
+    Seq("train_grams" -> trainGramsDir, "ivf_index" -> ivfIndexDir,
+      "vector_store" -> vecStoreDir, "labels" -> labelsDir)
+      .foreach { case (nm, od) =>
+        od.foreach { dir =>
+          val total = readOpt(dir).map(_.count()).getOrElse(0L)
+          rows += row(nm, dir, total, total)
+        }
+      }
+    rows.result().toDF("store", "n_files", "n_rows", "n_live",
+      "n_stale", "stale_milli", "compact_recommended")
+      .orderBy(col("store"))
+  }
+
   /** foreachBatch label inheritance — q278's live half: each
     * micro-batch of `(doc_id, text, label)` arrivals (label nullable)
     * writes TRUSTED labels through and lets unlabeled docs inherit
