@@ -1710,44 +1710,134 @@ object Signals {
          |  UNION ALL SELECT 2, label, count(*) FROM n2 GROUP BY 2)
          |ORDER BY round, label""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
-      val splitOf = (c: org.apache.spark.sql.Column) => pmod(
-        graft.cdc.GraftFunctions.md5_h32(c.cast("string")), lit(5L)) === 0L
-      val fix = lpFixDocs(s)
-      // fixture pairs computed inline, never through the session memo
-      // (disjoint zlp* vocabulary => the union is exact)
-      val jp = Text.jaccardPairs(s, d).select(col("d1"), col("d2"))
-        .unionAll(Text.jaccardPairsOfShingles(Text.shinglesOf(fix))
-          .select(col("d1"), col("d2")))
-      val sides = jp.select(col("d1").as("e"), col("d2").as("o"))
-        .unionAll(jp.select(col("d2").as("e"), col("d1").as("o")))
-        .tcache()
-      val embAll = embeddings(s, d).select(col("vec_id"), col("label"))
-        .unionByName(lpFixLabels(s))
-      val l0 = documents(s, d).select(col("doc_id"))
-        .unionAll(fix.select(col("doc_id")))
-        .filter(splitOf(col("doc_id")))
-        .join(embAll.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-        .select(col("doc_id"), col("label").cast("long").as("label"))
-        .tcache()
-      def propagate(lab: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("e"))
-          .orderBy(col("c").desc, col("label"))
-        sides
-          .join(lab.select(col("doc_id").as("o"), col("label")), "o")
-          .join(lab.select(col("doc_id").as("e")), Seq("e"), "left_anti")
-          .groupBy(col("e"), col("label")).agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("e").as("doc_id"), col("label"))
-      }
-      val n1 = propagate(l0).tcache()
-      val n2 = propagate(l0.unionAll(n1))
+      val (l0, n1, n2) = lpRounds(s, d)
       def hist(r: Long, df: DataFrame): DataFrame =
         df.groupBy(col("label")).agg(count(lit(1)).as("n"))
           .select(lit(r).as("round"), col("label"), col("n"))
       hist(0L, l0).unionAll(hist(1L, n1)).unionAll(hist(2L, n2))
         .orderBy(col("round"), col("label"))
+    },
+
+    // ---- q282: propagation quality audit ---------------------------
+    // Weak supervision is only useful if the inherited labels are
+    // RIGHT — score each round's newly-propagated labels against
+    // ground truth (the embeddings table's label column; the zlp*
+    // chain's truth rows ride a fixture relation so the round-2 cell
+    // is scorable at any SF). Per round: docs newly labeled, docs
+    // with known truth, exact matches, and accuracy in milli — the
+    // audit that decides whether near-dup inheritance is trustworthy
+    // enough to train on. Same shapes as q278 plus one keyed truth
+    // join; the rounds themselves are shared builders.
+    QueryDef(
+      "q282_propagation_quality_audit",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (960000003, '$lpA'), (960000000, '$lpB'),
+         |    (960000001, '$lpC')) fx(doc_id, text)),
+         |shingles AS (${Text.shinglesSqlFrom("docs")}),
+         |${Text.jaccardPairsSql},
+         |ed AS (SELECT d1 AS e, d2 AS o FROM jpairs
+         |       UNION ALL SELECT d2, d1 FROM jpairs),
+         |emb AS (SELECT vec_id, label FROM embeddings
+         |        UNION ALL SELECT 960000003, 7),
+         |l0 AS (SELECT d.doc_id, CAST(e.label AS BIGINT) AS label
+         |  FROM docs d JOIN emb e ON e.vec_id = d.doc_id
+         |  WHERE (${Text.h32Sql("CAST(d.doc_id AS VARCHAR)")}) % 5 = 0),
+         |v1 AS (SELECT ed.e AS doc_id, l.label, count(*) AS c
+         |  FROM ed JOIN l0 l ON l.doc_id = ed.o
+         |  WHERE ed.e NOT IN (SELECT doc_id FROM l0)
+         |  GROUP BY 1, 2),
+         |n1 AS (SELECT doc_id, label FROM (SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+         |v2 AS (SELECT ed.e AS doc_id, l.label, count(*) AS c
+         |  FROM ed JOIN l1 l ON l.doc_id = ed.o
+         |  WHERE ed.e NOT IN (SELECT doc_id FROM l1)
+         |  GROUP BY 1, 2),
+         |n2 AS (SELECT doc_id, label FROM (SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, label) AS rn
+         |  FROM v2) WHERE rn = 1),
+         |truth AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS tl
+         |  FROM embeddings
+         |  UNION ALL SELECT * FROM (VALUES (960000000, CAST(7 AS BIGINT)),
+         |    (960000001, CAST(7 AS BIGINT))) ft(doc_id, tl))
+         |SELECT r AS round, CAST(n_new AS BIGINT) AS n_new,
+         |  CAST(n_scored AS BIGINT) AS n_scored,
+         |  CAST(n_correct AS BIGINT) AS n_correct,
+         |  CAST(n_correct * 1000 // greatest(1, n_scored) AS BIGINT)
+         |    AS acc_milli
+         |FROM (
+         |  SELECT 1 AS r, count(*) AS n_new, count(t.tl) AS n_scored,
+         |    sum(CASE WHEN n1.label = t.tl THEN 1 ELSE 0 END) AS n_correct
+         |  FROM n1 LEFT JOIN truth t ON t.doc_id = n1.doc_id
+         |  UNION ALL
+         |  SELECT 2, count(*), count(t.tl),
+         |    sum(CASE WHEN n2.label = t.tl THEN 1 ELSE 0 END)
+         |  FROM n2 LEFT JOIN truth t ON t.doc_id = n2.doc_id)
+         |ORDER BY round""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val (_, n1, n2) = lpRounds(s, d)
+      val truth = {
+        val ss = s; import ss.implicits._
+        embeddings(s, d)
+          .select(col("vec_id").as("doc_id"),
+            col("label").cast("long").as("tl"))
+          .unionByName(Seq((960000000L, 7L), (960000001L, 7L))
+            .toDF("doc_id", "tl"))
+      }
+      def score(r: Long, df: DataFrame): DataFrame =
+        df.join(truth, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_new"), count(col("tl")).as("n_scored"),
+            coalesce(sum(when(col("label") === col("tl"), 1L)
+              .otherwise(0L)), lit(0L)).as("n_correct"))
+          .select(lit(r).as("round"), col("n_new"), col("n_scored"),
+            col("n_correct"),
+            expr("n_correct * 1000 DIV greatest(1, n_scored)")
+              .as("acc_milli"))
+      score(1L, n1).unionAll(score(2L, n2)).orderBy(col("round"))
     })
+
+  /** q278/q282's shared rounds: (seeds, round-1 newly labeled,
+    * round-2 newly labeled). Fixture pairs computed inline, never
+    * through the session memo (disjoint zlp* vocabulary => the union
+    * is exact); intermediate frames are per-query transients. */
+  private def lpRounds(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val splitOf = (c: org.apache.spark.sql.Column) => pmod(
+      graft.cdc.GraftFunctions.md5_h32(c.cast("string")), lit(5L)) === 0L
+    val fix = lpFixDocs(s)
+    val jp = Text.jaccardPairs(s, d).select(col("d1"), col("d2"))
+      .unionAll(Text.jaccardPairsOfShingles(Text.shinglesOf(fix))
+        .select(col("d1"), col("d2")))
+    val sides = jp.select(col("d1").as("e"), col("d2").as("o"))
+      .unionAll(jp.select(col("d2").as("e"), col("d1").as("o")))
+      .tcache()
+    val embAll = embeddings(s, d).select(col("vec_id"), col("label"))
+      .unionByName(lpFixLabels(s))
+    val l0 = documents(s, d).select(col("doc_id"))
+      .unionAll(fix.select(col("doc_id")))
+      .filter(splitOf(col("doc_id")))
+      .join(embAll.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select(col("doc_id"), col("label").cast("long").as("label"))
+      .tcache()
+    def propagate(lab: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("e"))
+        .orderBy(col("c").desc, col("label"))
+      sides
+        .join(lab.select(col("doc_id").as("o"), col("label")), "o")
+        .join(lab.select(col("doc_id").as("e")), Seq("e"), "left_anti")
+        .groupBy(col("e"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("e").as("doc_id"), col("label"))
+    }
+    val n1 = propagate(l0).tcache()
+    val n2 = propagate(l0.unionAll(n1))
+    (l0, n1, n2)
+  }
 
   // ---- q278's chain fixture (FIXTURES.md §4; fresh prefix zlp*) ----
   // 16 disjoint tokens; A = [0,12), B = [2,14), C = [4,16) gives
