@@ -1895,6 +1895,74 @@ object Vectors {
         .orderBy(col("method"))
     },
 
+    // ---- q283: ANN hubness census ------------------------------------
+    // High-dimensional nearest-neighbor lists concentrate on HUB
+    // points (Radovanović et al., JMLR'10): a few vectors appear in
+    // many queries' top-k while most appear in none — skew that
+    // degrades recall and poisons kNN labels (q219). The census: the
+    // k-occurrence distribution N_5(x) over the probe panel's exact
+    // top-5 lists, INCLUDING the zero-occurrence mass (anti-hubs),
+    // plus each bucket's share in milli. Scale shape: the exact arm
+    // is the bounded 20-query broadcast audit (PlanEvidence contract);
+    // the census itself is two keyed counts over ≤ panel×5 rows.
+    QueryDef(
+      "q283_ann_hubness",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT) + 1000) AS q
+         |    FROM embeddings),
+         |dims AS (SELECT vec_id, i, q[i] AS v
+         |         FROM e, UNNEST(range(1, 65)) AS t(i)),
+         |ed AS (SELECT dq.vec_id AS qid, dc.vec_id AS cid,
+         |         sum((dq.v - dc.v) * (dq.v - dc.v)) AS dist
+         |       FROM dims dq JOIN dims dc ON dc.i = dq.i
+         |                                AND dc.vec_id <> dq.vec_id
+         |       WHERE dq.vec_id < 20 GROUP BY 1, 2),
+         |ex AS (SELECT qid, cid FROM (
+         |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dist, cid) AS rn FROM ed) WHERE rn <= 5),
+         |occ AS (SELECT cid, count(*) AS k_occurrence FROM ex GROUP BY cid),
+         |hist AS (SELECT k_occurrence, count(*) AS n_vectors
+         |         FROM occ GROUP BY k_occurrence),
+         |nv AS (SELECT count(*) AS n FROM e),
+         |hit AS (SELECT count(*) AS h FROM occ),
+         |full_hist AS (
+         |  SELECT CAST(0 AS BIGINT) AS k_occurrence,
+         |    CAST(nv.n - hit.h AS BIGINT) AS n_vectors FROM nv, hit
+         |  UNION ALL
+         |  SELECT CAST(k_occurrence AS BIGINT),
+         |    CAST(n_vectors AS BIGINT) FROM hist)
+         |SELECT k_occurrence, n_vectors,
+         |  CAST(n_vectors * 1000 // (SELECT n FROM nv) AS BIGINT)
+         |    AS share_milli
+         |FROM full_hist ORDER BY k_occurrence""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("cid"))
+      val ex = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          graft.cdc.GraftFunctions.vec_l2i(col("qq"), col("q")).as("dist"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+      val occ = ex.groupBy(col("cid")).agg(count(lit(1)).as("k_occurrence"))
+        .tcache() // histogram + hit count share it
+      val hist = occ.groupBy(col("k_occurrence"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val nv = e.agg(count(lit(1)).as("n"))
+      val zero = nv.crossJoin(broadcast(
+          occ.agg(count(lit(1)).as("h"))))
+        .select(lit(0L).as("k_occurrence"), (col("n") - col("h"))
+          .as("n_vectors"))
+      zero.unionByName(hist)
+        .crossJoin(broadcast(nv))
+        .select(col("k_occurrence"), col("n_vectors"),
+          expr("n_vectors * 1000 DIV n").as("share_milli"))
+        .orderBy(col("k_occurrence"))
+    },
+
     // ---- q281: exact sign test between two ANN arms -----------------
     // The statistical-rigor gate the tuning sweeps (q246/q271) stop
     // short of: before declaring one index arm "better", test whether

@@ -626,7 +626,7 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
           .flatMap(collectJoins)
     for (name <- Seq("q29_knn_bruteforce", "q219_knn_classifier",
         "q269_ivfpq_refine_recall", "q271_refine_depth_sweep",
-        "q281_arm_sign_test")) {
+        "q281_arm_sign_test", "q283_ann_hubness")) {
       val ep = graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan
       val joins = collectJoins(ep)
