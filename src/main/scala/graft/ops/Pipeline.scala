@@ -1442,6 +1442,80 @@ object Pipeline {
             " ELSE 0 END) DIV greatest(1, sum(n_chars)) AS BIGINT)")
             .as("dup_mass_ppm"))
         .orderBy(col("source"))
+    },
+
+    // ---- q284: dup-cluster label consistency census -----------------
+    // The batch rationale behind q282's propagation audit: label
+    // inheritance over near-dup clusters is only as good as the
+    // clusters' internal label agreement. Per cluster SIZE: how many
+    // clusters, how many are scorable (>= 2 members carry a trusted
+    // label — at sf0.1 the embeddings table covers 2000 of 5000
+    // docs), how many scorable clusters are label-UNANIMOUS, and the
+    // average majority share in milli (majority count over labeled
+    // members, summed then divided — exact integers). Rides the
+    // memoized component labels; everything after is keyed counts on
+    // cluster-sized relations, never a corpus rescan.
+    QueryDef(
+      "q284_cluster_label_consistency",
+      s"""WITH RECURSIVE shingles AS ($shinglesSql),
+         |$jaccardPairsSql,
+         |edges AS (SELECT d1 AS a, d2 AS b FROM jpairs
+         |          UNION SELECT d2, d1 FROM jpairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM edges),
+         |reach AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+         |),
+         |root AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+         |cs AS (SELECT root, count(*) AS k FROM root GROUP BY root),
+         |lbl AS (SELECT r.root, e.label, count(*) AS c
+         |  FROM root r JOIN embeddings e ON e.vec_id = r.doc_id
+         |  GROUP BY r.root, e.label),
+         |agg AS (SELECT root, sum(c) AS n_l, count(*) AS k_labels,
+         |          max(c) AS m
+         |        FROM lbl GROUP BY root),
+         |j AS (SELECT cs.root, cs.k, coalesce(agg.n_l, 0) AS n_l,
+         |        coalesce(agg.k_labels, 0) AS k_labels,
+         |        coalesce(agg.m, 0) AS m
+         |      FROM cs LEFT JOIN agg ON agg.root = cs.root)
+         |SELECT CAST(k AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(CASE WHEN n_l >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_scorable,
+         |  CAST(sum(CASE WHEN n_l >= 2 AND k_labels = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unanimous,
+         |  CAST(sum(CASE WHEN n_l >= 2 THEN m * 1000 // n_l ELSE 0 END)
+         |    // greatest(1, sum(CASE WHEN n_l >= 2 THEN 1 ELSE 0 END))
+         |    AS BIGINT) AS maj_milli_avg
+         |FROM j GROUP BY k ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val lbl = clusterLabels(s, d)
+        .select(col("node").as("doc_id"), col("label").as("root"))
+        .tcache() // sizes + label rollup share it
+      val cs = lbl.groupBy(col("root")).agg(count(lit(1)).as("k"))
+      val byLabel = lbl
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+        .groupBy(col("root"), col("label")).agg(count(lit(1)).as("c"))
+      val agg = byLabel.groupBy(col("root"))
+        .agg(sum(col("c")).as("n_l"), count(lit(1)).as("k_labels"),
+          max(col("c")).as("m"))
+      cs.join(agg, Seq("root"), "left")
+        .select(col("k"),
+          coalesce(col("n_l"), lit(0L)).as("n_l"),
+          coalesce(col("k_labels"), lit(0L)).as("k_labels"),
+          coalesce(col("m"), lit(0L)).as("m"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("n_l") >= 2, 1L).otherwise(0L)).as("n_scorable"),
+          sum(when(col("n_l") >= 2 && col("k_labels") === 1, 1L)
+            .otherwise(0L)).as("n_unanimous"),
+          expr("CAST(sum(CASE WHEN n_l >= 2 THEN m * 1000 DIV n_l" +
+            " ELSE 0 END) DIV greatest(1, sum(CASE WHEN n_l >= 2" +
+            " THEN 1 ELSE 0 END)) AS BIGINT)").as("maj_milli_avg"))
+        .select(col("k").as("cluster_size"), col("n_clusters"),
+          col("n_scorable"), col("n_unanimous"), col("maj_milli_avg"))
+        .orderBy(col("cluster_size"))
     }
   )
 
