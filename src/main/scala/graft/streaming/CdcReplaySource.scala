@@ -295,6 +295,52 @@ object CdcReplaySource {
       if (anySlot) None else lastAckedLsn(path)
     }
 
+  /** WAL recycling for the replay log — the ENFORCEMENT half of the
+    * retention story [[graft.streaming.StreamOps.slotRetentionReport]]
+    * observes: drop every transaction at or below its shard's acked
+    * floor (`_acked_offsets` / legacy scalar), exactly what PostgreSQL
+    * does to WAL segments once `confirmed_flush_lsn` passes them.
+    * Per-file tmp-write + ATOMIC_MOVE: a crash leaves each shard file
+    * either whole or fully truncated (no multi-file invariant — shards
+    * are independent), and a rerun is idempotent. A torn final line
+    * (crash artifact, never acked by the durable-then-ack contract)
+    * is preserved as-is for the reader's own torn-tail handling.
+    * Floors are LSNs, so resume positions are untouched: a consumer
+    * resuming from its acked floor sees the identical frame sequence
+    * before and after truncation. Runs under the directory lock —
+    * callers truncate between sessions, not under a live appender.
+    * Returns per-file dropped-transaction counts. */
+  def truncateFrameLog(path: String): Map[String, Long] =
+    withDirLock(path) {
+      val so = lastAckedOffsets(path)
+        .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
+      listLogFiles(path).map { p =>
+        val f = new java.io.File(p)
+        val nm = f.getName
+        val floor = so.of(nm)
+        if (floor == Long.MinValue) nm -> 0L
+        else {
+          val src = scala.io.Source.fromFile(f)
+          val lines = try src.getLines().toVector finally src.close()
+          val kept = lines.filter(l => !isComplete(l) || parseLsn(l) > floor)
+          val dropped = (lines.size - kept.size).toLong
+          if (dropped > 0) {
+            val tmp = java.nio.file.Files.createTempFile(
+              f.getParentFile.toPath, nm, ".trunc")
+            val body =
+              if (kept.isEmpty) ""
+              else kept.mkString("", "\n", "\n")
+            java.nio.file.Files.write(tmp,
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(tmp, f.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          nm -> dropped
+        }
+      }.toMap
+    }
+
   def ackOffsetsSidecar(path: String) = new java.io.File(path, "_acked_offsets")
 
   /** PER-SHARD acked positions — the cross-session record the global

@@ -72,4 +72,44 @@ class SlotRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(r => r.getAs[String]("shard") == "part-1.jsonl").head()
     assert(tight.getAs[Long]("cap_milli") == 0L)
   }
+
+  test("truncateFrameLog drops exactly the acked prefix, preserves a " +
+      "torn tail, leaves unacked shards alone, and the reader's view " +
+      "of unconfirmed work is unchanged") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-slot-trunc").toString
+    CdcReplaySource.writeLogShard(root, 0,
+      Seq(tx(100L), tx(200L), tx(300L), tx(400L)))
+    CdcReplaySource.writeLogShard(root, 1, Seq(tx(150L), tx(250L)))
+    CdcReplaySource.writeLogShard(root, 2, Seq(tx(500L)))
+    // crash artifact: a torn (incomplete) FINAL line on shard 1 —
+    // never acked by the durable-then-ack contract, must survive
+    // truncation untouched for the reader's own torn-tail handling
+    val f1 = new java.io.FileWriter(s"$root/part-1.jsonl", true)
+    try f1.write("{\"lsn\":999,\"frames\":[\"2a") finally f1.close()
+    CdcReplaySource.writeAckedOffsets(root, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 200L, "part-1.jsonl" -> 250L)))
+
+    def readLsns(): Set[Long] =
+      spark.read.format(CdcReplaySource.FORMAT).option("path", root)
+        .load().select(col("lsn")).collect().map(_.getLong(0)).toSet
+    assert(readLsns() ==
+      Set(100L, 200L, 300L, 400L, 150L, 250L, 500L))
+    val dropped = CdcReplaySource.truncateFrameLog(root)
+    assert(dropped == Map("part-0.jsonl" -> 2L, "part-1.jsonl" -> 2L,
+      "part-2.jsonl" -> 0L), s"dropped: $dropped")
+    // the reader now sees exactly the per-shard unconfirmed work
+    assert(readLsns() == Set(300L, 400L, 500L))
+    // torn tail still physically present
+    val src = scala.io.Source.fromFile(s"$root/part-1.jsonl")
+    val lines = try src.getLines().toVector finally src.close()
+    assert(lines == Vector("{\"lsn\":999,\"frames\":[\"2a"))
+    // idempotent rerun
+    assert(CdcReplaySource.truncateFrameLog(root).values.sum == 0L)
+    // retention report and the physical log agree after enforcement
+    val rep = StreamOps.slotRetentionReport(spark, root)
+      .collect().map(r => r.getAs[String]("shard") ->
+        r.getAs[Long]("n_retained")).toMap
+    assert(rep("part-0.jsonl") == 2L && rep("part-2.jsonl") == 1L)
+  }
 }
