@@ -2263,6 +2263,57 @@ object Text {
           (col("n_docs") - coalesce(col("n_dropped"), lit(0L)))
             .as("n_kept"))
         .orderBy(col("tau4"))
+    },
+
+    // ---- q285: Zipf rank-band census --------------------------------
+    // Natural language's rank-frequency curve is close to Zipfian;
+    // machine-generated, boilerplate-heavy, or garbled text deviates
+    // — so the DYADIC RANK BAND profile (frequency mass in ranks
+    // [2^b, 2^(b+1))) per language is a cheap corpus-naturalness
+    // fingerprint (the integer-exact stand-in for a fitted Zipf
+    // slope: under s = 1 every band carries roughly equal mass, and
+    // the band-over-band decay reads the slope directly). Band =
+    // length(bin(rank)) - 1 — a pure integer/string computation,
+    // bit-identical in both engines, no log2 libm at band
+    // boundaries. Scale shape: corpus term frequencies ride the
+    // memoized per-doc tf relation re-aggregated by (lang, tok); the
+    // rank window partitions by lang over the VOCABULARY (Heaps'-law
+    // bounded, never corpus rows); the census is one keyed count per
+    // band.
+    QueryDef(
+      "q285_zipf_band_census",
+      s"""WITH tf AS (SELECT lang, tok, count(*) AS freq
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY lang, tok),
+         |r AS (SELECT lang, tok, freq, row_number() OVER (
+         |    PARTITION BY lang ORDER BY freq DESC, tok) AS rank
+         |  FROM tf),
+         |b AS (SELECT lang, length(bin(rank)) - 1 AS band,
+         |    count(*) AS n_types, CAST(sum(freq) AS BIGINT) AS mass
+         |  FROM r GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(mass) AS BIGINT) AS m FROM b
+         |        GROUP BY lang)
+         |SELECT b.lang, CAST(band AS BIGINT) AS band,
+         |  CAST(n_types AS BIGINT) AS n_types, mass,
+         |  CAST(mass * 1000 // tot.m AS BIGINT) AS mass_milli
+         |FROM b JOIN tot ON tot.lang = b.lang
+         |ORDER BY b.lang, band""".stripMargin) { (s, d) =>
+      val tf = docTermFreq(s, d)
+        .groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tf")).as("freq"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("freq").desc, col("tok"))
+      val bands = tf.withColumn("rank", row_number().over(wr))
+        .withColumn("band", (length(bin(col("rank"))) - 1).cast("long"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("mass"))
+        .tcache() // band rows + per-lang totals share it
+      val tot = bands.groupBy(col("lang")).agg(sum(col("mass")).as("m"))
+      bands.join(tot, "lang")
+        .select(col("lang"), col("band"), col("n_types"), col("mass"),
+          expr("mass * 1000 DIV m").as("mass_milli"))
+        .orderBy(col("lang"), col("band"))
     }
   )
 }
