@@ -1395,6 +1395,9 @@ object StreamOps {
     *    rows use a NEGATIVE gen namespace (-batchId-1) so a forget
     *    stream's batchIds can never collide with an ingest stream's
     *    gen rows in the replay check.
+    *  - **label store**: the forgotten docs' own rows leave so they
+    *    stop ANCHORING future inheritance; rows that inherited FROM
+    *    them keep their labels (see the `labelsDir` param note).
     *
     * Idempotency: the report row is the commit marker (batchId-
     * checked, written LAST); every mutation is individually
@@ -1416,14 +1419,25 @@ object StreamOps {
       ivfIndexDir: Option[String] = None,
       vecStoreDir: Option[String] = None,
       trainGramsDir: Option[String] = None,
-      dfDir: Option[String] = None)(batch: DataFrame, batchId: Long): Unit = {
+      dfDir: Option[String] = None,
+      /** Label store maintained by [[labelOnIngestBatch]]: forgotten
+        * docs' OWN rows leave (they must stop anchoring inheritance —
+        * influence removal, same contract as the dedup tombstones);
+        * rows that merely INHERITED FROM a forgotten doc keep their
+        * labels (the label was learned while the source was
+        * legitimately present — erasing it would cascade deletion
+        * through derived knowledge, which is a policy choice, not a
+        * default; the census to price that is q278/q282's batch
+        * re-run). */
+      labelsDir: Option[String] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
     require(trainGramsDir.isEmpty || dfDir.nonEmpty,
       "trainGramsDir requires dfDir: gram erasure needs per-gram DF " +
         "to know which grams were exclusive to the forgotten docs")
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
-    (dedupIndexDir ++ ivfIndexDir ++ vecStoreDir ++ trainGramsDir)
-      .foreach(recoverCompaction)
+    (dedupIndexDir ++ ivfIndexDir ++ vecStoreDir ++ trainGramsDir ++
+      labelsDir).foreach(recoverCompaction)
     if (batchCommitted(spark, reportDir, batchId)) return
     val uniq = batch.dropDuplicates("doc_id").cache()
     try {
@@ -1539,6 +1553,9 @@ object StreamOps {
           }.getOrElse(0L)
         }
       }.getOrElse(0L)
+      // ---- label store: the forgotten doc stops anchoring ----------
+      val nLabels = labelsDir.map(rewriteMinus(_, "doc_id", ids))
+        .getOrElse(0L)
       // report LAST — the commit marker
       spark.range(1).select(
         lit(batchId).as("batch_id"),
@@ -1546,7 +1563,8 @@ object StreamOps {
         lit(nDedup).as("n_dedup_tombstoned"),
         lit(nIvf).as("n_vecs_removed"),
         lit(nStore).as("n_store_removed"),
-        lit(nGrams).as("n_grams_removed"))
+        lit(nGrams).as("n_grams_removed"),
+        lit(nLabels).as("n_labels_removed"))
         .write.mode("append").parquet(reportDir)
     } finally { uniq.unpersist(); () }
   }

@@ -101,4 +101,42 @@ class LabelIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(labels)
       .filter(col("doc_id") === 3L).count() == 1L)
   }
+
+  test("erasing a doc removes its anchoring power but not the labels " +
+      "others learned from it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-label-forget").toString
+    val idx = s"$root/index"; val dverd = s"$root/dverd"
+    val labels = s"$root/labels"; val fRep = s"$root/frep"
+    val dedup = StreamOps.dedupIngestBatch(idx, dverd, minShared = 999L) _
+    val label = StreamOps.labelOnIngestBatch(idx, labels, minShared = 3L) _
+    dedup(labeled((1L, tA, 7L)).select(col("doc_id"), col("text")), 0L)
+    label(labeled((1L, tA, 7L)), 0L)
+    dedup(unlabeled(2L -> tB).select(col("doc_id"), col("text")), 1L)
+    label(unlabeled(2L -> tB), 1L)
+    dedup(unlabeled(3L -> tC).select(col("doc_id"), col("text")), 2L)
+    label(unlabeled(3L -> tC), 2L)
+
+    // forget A and B: both their dedup shingles and their label rows
+    StreamOps.forgetBatch(fRep, dedupIndexDir = Some(idx),
+      labelsDir = Some(labels))(
+      unlabeled(1L -> tA, 2L -> tB).select(col("doc_id"), col("text")), 0L)
+    assert(spark.read.parquet(fRep).head
+      .getAs[Long]("n_labels_removed") == 2L)
+    val left = spark.read.parquet(labels)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("label"))).toMap
+    assert(left.keySet == Set(3L), s"labels left: $left")
+    assert(left(3L) == Some(7L),
+      "a label learned while the source was present must survive")
+
+    // the forgotten docs must no longer anchor: a fresh near-copy of
+    // tA matches nothing live (C shares only 2 shingles with it)
+    dedup(unlabeled(10L -> tA).select(col("doc_id"), col("text")), 3L)
+    label(unlabeled(10L -> tA), 3L)
+    val v = spark.read.parquet(labels)
+      .filter(col("doc_id") === 10L).head
+    assert(v.getAs[String]("src") == "none",
+      s"forgotten docs must stop anchoring inheritance, got $v")
+  }
 }
