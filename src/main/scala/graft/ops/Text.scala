@@ -2314,6 +2314,57 @@ object Text {
         .select(col("lang"), col("band"), col("n_types"), col("mass"),
           expr("mass * 1000 DIV m").as("mass_milli"))
         .orderBy(col("lang"), col("band"))
+    },
+
+    // ---- q286: positional vocabulary-novelty profile ----------------
+    // How fast does a document stop introducing new words? Natural
+    // prose front-loads vocabulary and decays smoothly; templated or
+    // loop-generated text goes flat (everything new arrives in the
+    // first slots) or spikes (boilerplate blocks). Per (lang, decile
+    // of position within the doc): tokens seen, tokens that are their
+    // doc's FIRST occurrence of that type, and the first-occurrence
+    // rate in milli. Scale shape: novelty is computed RELATIONALLY —
+    // one (doc_id, tok) keyed min-position aggregation joined back to
+    // the position stream — linear in tokens, never the O(len²)
+    // per-token prefix scan the naive array formulation costs; the
+    // census is one keyed count over (lang, decile).
+    QueryDef(
+      "q286_positional_novelty",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, lang, len(toks) AS n, i, toks[i] AS tok
+         |      FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+         |      WHERE len(toks) > 0),
+         |f AS (SELECT doc_id, tok, min(i) AS mp FROM p
+         |      GROUP BY doc_id, tok),
+         |g AS (SELECT p.lang, CAST((p.i - 1) * 10 // p.n AS BIGINT)
+         |        AS decile,
+         |        CASE WHEN p.i = f.mp THEN 1 ELSE 0 END AS novel
+         |      FROM p JOIN f ON f.doc_id = p.doc_id AND f.tok = p.tok)
+         |SELECT lang, decile, count(*) AS n_tokens,
+         |  CAST(sum(novel) AS BIGINT) AS n_first,
+         |  CAST(sum(novel) * 1000 // count(*) AS BIGINT) AS first_milli
+         |FROM g GROUP BY lang, decile ORDER BY lang, decile""".stripMargin) {
+      (s, d) =>
+      val p = withToks(s, d)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("lang"), size(col("toks")).as("n"),
+          posexplode(col("toks")).as(Seq("i0", "tok")))
+        .select(col("doc_id"), col("lang"), col("n"),
+          (col("i0") + 1).as("i"), col("tok"))
+        .tcache() // first-occurrence agg + position stream share it
+      val f = p.groupBy(col("doc_id"), col("tok"))
+        .agg(min(col("i")).as("mp"))
+      p.join(f, Seq("doc_id", "tok"))
+        .select(col("lang"),
+          expr("(i - 1) * 10 DIV n").cast("long").as("decile"),
+          when(col("i") === col("mp"), 1L).otherwise(0L).as("novel"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("novel")).as("n_first"))
+        .select(col("lang"), col("decile"), col("n_tokens"),
+          col("n_first"),
+          expr("n_first * 1000 DIV n_tokens").as("first_milli"))
+        .orderBy(col("lang"), col("decile"))
     }
   )
 }
