@@ -2365,6 +2365,62 @@ object Text {
           col("n_first"),
           expr("n_first * 1000 DIV n_tokens").as("first_milli"))
         .orderBy(col("lang"), col("decile"))
+    },
+
+    // ---- q287: term burstiness census --------------------------------
+    // Church & Gale: content words are BURSTY (a doc that mentions a
+    // term once tends to repeat it), function words approach Poisson
+    // — so the variance-to-mean ratio (Fano factor) of per-doc term
+    // frequency separates them, and a corpus whose "content" terms
+    // are NOT bursty is a machine-generation tell. Per language, over
+    // terms with corpus frequency >= 8: the term count, the average
+    // and maximum per-term VMR in milli, and how many terms are
+    // bursty (VMR > 2x Poisson). Exact integers throughout: VMR =
+    // (n_d·Σtf² − (Σtf)²) / (n_d·Σtf) with zero-docs included via
+    // the n_d factor — in milli as 1000·(n_d·Q − S²) DIV (n_d·S).
+    // Scale shape: per-term S and Q come off the memoized per-doc tf
+    // relation in one keyed agg; per-lang doc counts are a k-row
+    // broadcast; the census is one more keyed agg on the vocabulary.
+    QueryDef(
+      "q287_term_burstiness",
+      s"""WITH tf AS (SELECT doc_id, lang, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
+         |        FROM documents)
+         |  GROUP BY doc_id, lang, tok),
+         |nd AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+         |term AS (SELECT lang, tok, CAST(sum(tf) AS BIGINT) AS s,
+         |    CAST(sum(tf * tf) AS BIGINT) AS q
+         |  FROM tf GROUP BY lang, tok),
+         |v AS (SELECT t.lang, t.tok,
+         |    CAST(1000 * (nd.n_d * t.q - t.s * t.s)
+         |      // (nd.n_d * t.s) AS BIGINT) AS vmr_milli
+         |  FROM term t JOIN nd ON nd.lang = t.lang
+         |  WHERE t.s >= 8)
+         |SELECT lang, count(*) AS n_terms,
+         |  CAST(sum(vmr_milli) // count(*) AS BIGINT) AS vmr_milli_avg,
+         |  CAST(max(vmr_milli) AS BIGINT) AS vmr_milli_max,
+         |  CAST(sum(CASE WHEN vmr_milli > 2000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bursty
+         |FROM v GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val nd = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_d"))
+      val term = docTermFreq(s, d)
+        .groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tf")).as("s"),
+          sum(col("tf") * col("tf")).as("q"))
+        .filter(col("s") >= 8)
+      term.join(broadcast(nd), "lang")
+        .select(col("lang"),
+          expr("1000 * (n_d * q - s * s) DIV (n_d * s)").cast("long")
+            .as("vmr_milli"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_terms"),
+          expr("sum(vmr_milli) DIV count(*)").cast("long")
+            .as("vmr_milli_avg"),
+          max(col("vmr_milli")).as("vmr_milli_max"),
+          sum(when(col("vmr_milli") > 2000, 1L).otherwise(0L))
+            .as("n_bursty"))
+        .orderBy(col("lang"))
     }
   )
 }
