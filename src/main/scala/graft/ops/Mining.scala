@@ -1630,10 +1630,13 @@ object Mining {
          |${replanChainSql("a", "")},
          |${replanChainSql("b", "WHERE NOT forget")}
          |SELECT pa.source,
-         |  pa.mass AS mass_before, pb.mass AS mass_after,
-         |  pa.epochs AS epochs_before, pb.epochs AS epochs_after,
-         |  CAST(pb.planned - pa.planned AS BIGINT) AS planned_delta
-         |FROM plana pa JOIN planb pb ON pb.source = pa.source
+         |  pa.mass AS mass_before,
+         |  CAST(coalesce(pb.mass, 0) AS BIGINT) AS mass_after,
+         |  pa.epochs AS epochs_before,
+         |  CAST(coalesce(pb.epochs, 0) AS BIGINT) AS epochs_after,
+         |  CAST(coalesce(pb.planned, 0) - pa.planned AS BIGINT)
+         |    AS planned_delta
+         |FROM plana pa LEFT JOIN planb pb ON pb.source = pa.source
          |ORDER BY pa.source""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
       val forgetOf = pmod(graft.cdc.GraftFunctions.md5_h32(
@@ -1669,12 +1672,18 @@ object Mining {
       }
       val pa = planOf(base)
       val pb = planOf(base.filter(!col("forget")))
-      pa.as("a").join(pb.as("b"), Seq("source"))
+      // LEFT join: a source whose docs are ALL in the forget split
+      // must render with mass_after = 0 and a fully-negative delta —
+      // vanishing from the report would hide exactly the worst case
+      // the re-plan exists to surface (review finding)
+      pa.as("a").join(pb.as("b"), Seq("source"), "left")
         .select(col("source"),
-          col("a.mass").as("mass_before"), col("b.mass").as("mass_after"),
+          col("a.mass").as("mass_before"),
+          coalesce(col("b.mass"), lit(0L)).as("mass_after"),
           col("a.epochs").as("epochs_before"),
-          col("b.epochs").as("epochs_after"),
-          (col("b.planned") - col("a.planned")).as("planned_delta"))
+          coalesce(col("b.epochs"), lit(0L)).as("epochs_after"),
+          (coalesce(col("b.planned"), lit(0L)) - col("a.planned"))
+            .as("planned_delta"))
         .orderBy(col("source"))
     }
   )

@@ -297,9 +297,11 @@ object CdcReplaySource {
 
   /** WAL recycling for the replay log — the ENFORCEMENT half of the
     * retention story [[graft.streaming.StreamOps.slotRetentionReport]]
-    * observes: drop every transaction at or below its shard's acked
-    * floor (`_acked_offsets` / legacy scalar), exactly what PostgreSQL
-    * does to WAL segments once `confirmed_flush_lsn` passes them.
+    * observes: drop every transaction at or below the MINIMUM of its
+    * shard's acked floor (`_acked_offsets`), every per-slot
+    * `_acked_lsn@<slot>` sidecar, and the legacy scalar — exactly
+    * what PostgreSQL does to WAL segments once EVERY slot's
+    * `confirmed_flush_lsn` passes them.
     * Per-file tmp-write + ATOMIC_MOVE: a crash leaves each shard file
     * either whole or fully truncated (no multi-file invariant — shards
     * are independent), and a rerun is idempotent. A torn final line
@@ -314,28 +316,46 @@ object CdcReplaySource {
     withDirLock(path) {
       val so = lastAckedOffsets(path)
         .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
+      // PostgreSQL recycles WAL at the MIN over ALL slots' confirmed
+      // positions — a frame is droppable only once EVERY consumer has
+      // passed it. Fold in every per-slot `_acked_lsn@<slot>` sidecar
+      // and the legacy global scalar alongside the per-shard offsets:
+      // a slot lagging at 100 pins frames 100..500 even after the
+      // checkpointed query acked 500 (the exact lagging-consumer case
+      // lastSlotAckedLsn's replay contract protects).
+      val slotFloors: Seq[Long] = {
+        val files = Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty)
+        files.toSeq.collect {
+          case f if f.getName.startsWith("_acked_lsn@") =>
+            val src = scala.io.Source.fromFile(f)
+            try src.mkString.trim.toLong finally src.close()
+        } ++ lastAckedLsn(path).toSeq
+      }
       listLogFiles(path).map { p =>
         val f = new java.io.File(p)
         val nm = f.getName
-        val floor = so.of(nm)
+        val floor = (so.of(nm) +: slotFloors).min
         if (floor == Long.MinValue) nm -> 0L
         else {
+          // single streaming pass: filter into the tmp file while
+          // counting — never the whole shard in memory (the logs this
+          // exists for are the ones too big to keep)
+          val tmp = java.nio.file.Files.createTempFile(
+            f.getParentFile.toPath, nm, ".trunc")
+          var dropped = 0L
           val src = scala.io.Source.fromFile(f)
-          val lines = try src.getLines().toVector finally src.close()
-          val kept = lines.filter(l => !isComplete(l) || parseLsn(l) > floor)
-          val dropped = (lines.size - kept.size).toLong
-          if (dropped > 0) {
-            val tmp = java.nio.file.Files.createTempFile(
-              f.getParentFile.toPath, nm, ".trunc")
-            val body =
-              if (kept.isEmpty) ""
-              else kept.mkString("", "\n", "\n")
-            java.nio.file.Files.write(tmp,
-              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = java.nio.file.Files.newBufferedWriter(tmp,
+            java.nio.charset.StandardCharsets.UTF_8)
+          try src.getLines().foreach { l =>
+            if (isComplete(l) && parseLsn(l) <= floor) dropped += 1
+            else { out.write(l); out.write("\n") }
+          } finally { out.close(); src.close() }
+          if (dropped > 0)
             java.nio.file.Files.move(tmp, f.toPath,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          }
+          else java.nio.file.Files.delete(tmp)
           nm -> dropped
         }
       }.toMap

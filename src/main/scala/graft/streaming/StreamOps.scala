@@ -32,6 +32,19 @@ object StreamOps {
     * its batch_id — the data writes stay idempotent, but
     * head()-per-batch_id report readers would see two rows (r12
     * advisor finding). */
+  /** Optional parquet read shared by every store consumer: None for
+    * the two DEFINITIVE empty states (missing dir, dir without
+    * parquet); any other failure rethrows so callers retry instead of
+    * mistaking a transient error for an empty store. */
+  private[streaming] def readParquetOpt(spark: SparkSession,
+      dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
+
   private def batchCommitted(spark: SparkSession, markerDir: String,
       batchId: Long): Boolean =
     try spark.read.parquet(markerDir)
@@ -1395,9 +1408,11 @@ object StreamOps {
     *    rows use a NEGATIVE gen namespace (-batchId-1) so a forget
     *    stream's batchIds can never collide with an ingest stream's
     *    gen rows in the replay check.
-    *  - **label store**: the forgotten docs' own rows leave so they
-    *    stop ANCHORING future inheritance; rows that inherited FROM
-    *    them keep their labels (see the `labelsDir` param note).
+    *  - **label store**: the forgotten docs' own rows are erased in
+    *    place (src='erased') so they stop ANCHORING future
+    *    inheritance without destroying the ingest stream's commit
+    *    markers; rows that inherited FROM them keep their labels
+    *    (see the `labelsDir` param note).
     *
     * Idempotency: the report row is the commit marker (batchId-
     * checked, written LAST); every mutation is individually
@@ -1421,14 +1436,16 @@ object StreamOps {
       trainGramsDir: Option[String] = None,
       dfDir: Option[String] = None,
       /** Label store maintained by [[labelOnIngestBatch]]: forgotten
-        * docs' OWN rows leave (they must stop anchoring inheritance —
-        * influence removal, same contract as the dedup tombstones);
-        * rows that merely INHERITED FROM a forgotten doc keep their
-        * labels (the label was learned while the source was
-        * legitimately present — erasing it would cascade deletion
-        * through derived knowledge, which is a policy choice, not a
-        * default; the census to price that is q278/q282's batch
-        * re-run). */
+        * docs' OWN rows are erased IN PLACE (label nulled,
+        * src='erased') so they stop anchoring inheritance — influence
+        * removal, same contract as the dedup tombstones — while the
+        * rows keep serving as the ingest stream's commit markers and
+        * redelivery guards. Rows that merely INHERITED FROM a
+        * forgotten doc keep their labels (the label was learned while
+        * the source was legitimately present — erasing it would
+        * cascade deletion through derived knowledge, which is a
+        * policy choice, not a default; the census to price that is
+        * q278/q282's batch re-run). */
       labelsDir: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     require(trainGramsDir.isEmpty || dfDir.nonEmpty,
@@ -1444,12 +1461,7 @@ object StreamOps {
       val ids = uniq.select(col("doc_id"))
       val nDocs = uniq.count()
       def readOpt(dir: String): Option[DataFrame] =
-        try Some(spark.read.parquet(dir))
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "PATH_NOT_FOUND" ||
-                e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-        }
+        readParquetOpt(spark, dir)
       // anti-join rewrite under the crash-safe publish; returns rows
       // removed by THIS attempt (0 on a replay that already removed).
       // `keys` must carry exactly the column `key`.
@@ -1554,8 +1566,43 @@ object StreamOps {
         }
       }.getOrElse(0L)
       // ---- label store: the forgotten doc stops anchoring ----------
-      val nLabels = labelsDir.map(rewriteMinus(_, "doc_id", ids))
-        .getOrElse(0L)
+      // ERASE IN PLACE rather than delete: the store's rows double as
+      // labelOnIngestBatch's commit markers AND its one-verdict-per-
+      // doc redelivery guard — deleting a forgotten doc's row could
+      // remove a batch's ONLY row (marker gone → an at-least-once
+      // replay re-runs the batch and RE-LABELS the just-forgotten
+      // doc). Nulling the label to src='erased' keeps both guards
+      // while killing anchoring (anchors filter label IS NOT NULL).
+      val nLabels = labelsDir.flatMap(readOpt).map { lb =>
+        val hit = lb.join(ids, Seq("doc_id"), "left_semi")
+          .filter(col("src") =!= "erased").count()
+        if (hit > 0) {
+          val dir = labelsDir.get
+          val tmp = dir + "_compact_tmp"
+          lb.join(ids.withColumn("_f", lit(1)), Seq("doc_id"), "left")
+            .select(col("batch_id"), col("doc_id"),
+              when(col("_f").isNotNull, lit(null).cast("long"))
+                .otherwise(col("label")).as("label"),
+              when(col("_f").isNotNull, lit("erased"))
+                .otherwise(col("src")).as("src"),
+              when(col("_f").isNotNull, lit(null).cast("long"))
+                .otherwise(col("match_doc")).as("match_doc"),
+              when(col("_f").isNotNull, lit(0L))
+                .otherwise(col("shared")).as("shared"))
+            .write.mode("overwrite").parquet(tmp)
+          val dst = new java.io.File(dir)
+          val oldF = new java.io.File(dir + "_compact_old")
+          if (oldF.exists) delTree(oldF)
+          if (!dst.renameTo(oldF))
+            throw new java.io.IOException(
+              s"failed to demote live label store: $dir -> $oldF")
+          if (!new java.io.File(tmp).renameTo(dst))
+            throw new java.io.IOException(
+              s"failed to publish erased label store: $tmp -> $dir")
+          delTree(oldF)
+        }
+        hit
+      }.getOrElse(0L)
       // report LAST — the commit marker
       spark.range(1).select(
         lit(batchId).as("batch_id"),
@@ -1595,23 +1642,27 @@ object StreamOps {
     val ss = spark
     import ss.implicits._
     def readOpt(dir: String): Option[DataFrame] =
-      try Some(spark.read.parquet(dir))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-      }
+      readParquetOpt(spark, dir)
     def nFiles(dir: String): Long =
       Option(new java.io.File(dir).listFiles())
         .map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
-    def row(store: String, dir: String, total: Long, live: Long)
-        : (String, Long, Long, Long, Long, Long, Boolean) = {
+    // each store's recommendation fires under ITS OWNER'S policy, not
+    // a blanket OR: gen/delta stores (dedup index, DF sidecar) compact
+    // on stale fraction (dedupIngestBatch's gate); rewrite-maintained
+    // stores age only by file count (trainGramIngestBatch's gate) —
+    // mixing the gates would schedule vacuums the owners never run
+    sealed trait Gate; case object ByStale extends Gate
+    case object ByFiles extends Gate
+    def row(store: String, dir: String, total: Long, live: Long,
+        gate: Gate): (String, Long, Long, Long, Long, Long, Boolean) = {
+      val files = nFiles(dir)
       val stale = total - live
       val staleMilli = if (total > 0) stale * 1000 / total else 0L
-      val byStale = total > 0 && stale > compactStaleFraction * total
-      val byFiles = nFiles(dir) > compactFileThreshold
-      (store, nFiles(dir), total, live, stale, staleMilli,
-        byStale || byFiles)
+      val rec = gate match {
+        case ByStale => total > 0 && stale > compactStaleFraction * total
+        case ByFiles => files > compactFileThreshold
+      }
+      (store, files, total, live, stale, staleMilli, rec)
     }
     val rows = Seq.newBuilder[(String, Long, Long, Long, Long, Long, Boolean)]
     dedupIndexDir.foreach { dir =>
@@ -1624,7 +1675,7 @@ object StreamOps {
           .filter(col("n") >= 0).count()
         (idx.count(), liveN)
       }.getOrElse((0L, 0L))
-      rows += row("dedup_index", dir, total, live)
+      rows += row("dedup_index", dir, total, live, ByStale)
     }
     dfDir.foreach { dir =>
       val (total, live) = readOpt(dir).map { sc =>
@@ -1632,14 +1683,14 @@ object StreamOps {
           .filter(col("df") > 0).count()
         (sc.select(col("g")).distinct().count(), liveN)
       }.getOrElse((0L, 0L))
-      rows += row("df_sidecar", dir, total, live)
+      rows += row("df_sidecar", dir, total, live, ByStale)
     }
     Seq("train_grams" -> trainGramsDir, "ivf_index" -> ivfIndexDir,
       "vector_store" -> vecStoreDir, "labels" -> labelsDir)
       .foreach { case (nm, od) =>
         od.foreach { dir =>
           val total = readOpt(dir).map(_.count()).getOrElse(0L)
-          rows += row(nm, dir, total, total)
+          rows += row(nm, dir, total, total, ByFiles)
         }
       }
     rows.result().toDF("store", "n_files", "n_rows", "n_live",
@@ -1674,15 +1725,14 @@ object StreamOps {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
     recoverCompaction(indexDir)
+    // the label store itself is rewrite-maintained by forgetBatch's
+    // erase-in-place publish — heal a torn publish BEFORE the
+    // standing read, or a crash window would read as "first batch"
+    // and the eventual recover would destroy the pre-crash store
+    recoverCompaction(labelsDir)
     if (batchCommitted(spark, labelsDir, batchId)) return
     val uniq0 = batch.dropDuplicates("doc_id")
-    val standing =
-      try Some(spark.read.parquet(labelsDir))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-      }
+    val standing = readParquetOpt(spark, labelsDir)
     val uniq = (standing match {
       case Some(lb) => uniq0.join(lb.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -1706,14 +1756,8 @@ object StreamOps {
           lit(null).cast("long").as("match_doc"),
           lit(0L).as("shared"))
       val unl = uniq.filter(col("label").isNull)
-      val idx =
-        try spark.read.parquet(indexDir)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "PATH_NOT_FOUND" ||
-                e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-            spark.emptyDataFrame
-        }
+      val idx = readParquetOpt(spark, indexDir)
+        .getOrElse(spark.emptyDataFrame)
       val inherited =
         if (idx.columns.isEmpty) unl.select(col("doc_id")).limit(0)
           .withColumn("label", lit(0L))
@@ -1783,21 +1827,33 @@ object StreamOps {
       .map { p => val nm = new java.io.File(p).getName; (nm, so.of(nm)) }
       .toDF("shard", "floor_lsn")
     val sch = "lsn BIGINT, frames ARRAY<STRING>"
+    // torn final lines (crash artifacts) parse to a null struct: drop
+    // them so the report counts exactly what the replay reader
+    // delivers (completeLines excludes them too)
     val tx = spark.read.textFile(
         CdcReplaySource.listLogFiles(logDir): _*)
       .select(element_at(split(input_file_name(), "/"), -1).as("shard"),
         from_json(col("value"), org.apache.spark.sql.types.StructType
           .fromDDL(sch)).as("j"))
+      .filter(col("j.lsn").isNotNull)
       .select(col("shard"), col("j.lsn").as("lsn"),
         expr("aggregate(j.frames, 0L," +
           " (acc, x) -> acc + 25 + length(x) DIV 2)").as("bytes"))
-    tx.join(broadcast(floors), Seq("shard"))
-      .groupBy(col("shard"), col("floor_lsn"))
-      .agg(max(col("lsn")).as("head_lsn"),
-        count(lit(1)).as("n_tx"),
-        count(when(col("lsn") > col("floor_lsn"), 1)).as("n_retained"),
-        coalesce(sum(when(col("lsn") > col("floor_lsn"), col("bytes"))),
-          lit(0L)).as("retained_bytes"))
+    // floors drives the join so a shard whose file holds no complete
+    // transaction still renders (0 retained), not vanish from the pane
+    val perShard = tx.groupBy(col("shard"))
+      .agg(max(col("lsn")).as("head_lsn"), count(lit(1)).as("n_tx"))
+    val retained = tx.join(broadcast(floors), Seq("shard"))
+      .filter(col("lsn") > col("floor_lsn"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_retained"),
+        sum(col("bytes")).as("retained_bytes"))
+    floors.join(perShard, Seq("shard"), "left")
+      .join(retained, Seq("shard"), "left")
+      .select(col("shard"), col("floor_lsn"), col("head_lsn"),
+        coalesce(col("n_tx"), lit(0L)).as("n_tx"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("retained_bytes"), lit(0L)).as("retained_bytes"))
       .withColumn("cap_milli",
         expr(s"retained_bytes * 1000 DIV ${capBytes}L"))
       .orderBy(col("shard"))

@@ -117,7 +117,9 @@ class LabelIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     dedup(unlabeled(3L -> tC).select(col("doc_id"), col("text")), 2L)
     label(unlabeled(3L -> tC), 2L)
 
-    // forget A and B: both their dedup shingles and their label rows
+    // forget A and B: dedup shingles tombstone, label rows ERASE IN
+    // PLACE — the rows stay (they are the ingest stream's commit
+    // markers and redelivery guards) but stop anchoring
     StreamOps.forgetBatch(fRep, dedupIndexDir = Some(idx),
       labelsDir = Some(labels))(
       unlabeled(1L -> tA, 2L -> tB).select(col("doc_id"), col("text")), 0L)
@@ -125,10 +127,19 @@ class LabelIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Long]("n_labels_removed") == 2L)
     val left = spark.read.parquet(labels)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        Option(r.getAs[java.lang.Long]("label"))).toMap
-    assert(left.keySet == Set(3L), s"labels left: $left")
-    assert(left(3L) == Some(7L),
+        ((r.getAs[String]("src"), Option(r.getAs[java.lang.Long]("label")))))
+      .toMap
+    assert(left.keySet == Set(1L, 2L, 3L), s"labels left: $left")
+    assert(left(1L) == (("erased", None)) && left(2L) == (("erased", None)),
+      s"forgotten docs must be erased in place: $left")
+    assert(left(3L) == (("inherited", Some(7L))),
       "a label learned while the source was present must survive")
+    // the erased rows still guard redelivery: doc 1 re-delivered
+    // under a NEW batchId must NOT be re-labeled
+    label(unlabeled(1L -> tA), 9L)
+    assert(spark.read.parquet(labels)
+      .filter(col("doc_id") === 1L).count() == 1L,
+      "an erased doc's redelivery must not re-create its label")
 
     // the forgotten docs must no longer anchor: a fresh near-copy of
     // tA matches nothing live (C shares only 2 shingles with it)

@@ -57,6 +57,14 @@ class SlotRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1("part-0.jsonl") == ((200L, 2L, 60L, 400L)))
     assert(r1("part-1.jsonl") == ((250L, 0L, 0L, 250L)))
 
+    // cap fraction while shard 0 still retains 60 bytes: a 50-byte
+    // cap makes the backlog overflow past 1000 milli — asserted
+    // BEFORE the acks drain it, so the formula's operands are live
+    val tight = StreamOps.slotRetentionReport(spark, root, capBytes = 50L)
+      .filter(r => r.getAs[String]("shard") == "part-0.jsonl").head()
+    assert(tight.getAs[Long]("cap_milli") == 1200L,
+      s"60 bytes over a 50-byte cap must read 1200 milli: $tight")
+
     // acks only advance (the sidecar contract): catching shard 0 up
     // to head drains its retention to zero
     CdcReplaySource.writeAckedOffsets(root, ShardOffsets(Long.MinValue,
@@ -65,12 +73,8 @@ class SlotRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(r => r.getAs[String]("shard") == "part-0.jsonl")
       .head()
     assert(r2.getAs[Long]("n_retained") == 0L &&
-      r2.getAs[Long]("retained_bytes") == 0L)
-    // cap fraction: 60 bytes of 1 MiB default rounds to 0 milli; a
-    // 100-byte cap makes the 120-byte backlog overflow past 1000
-    val tight = StreamOps.slotRetentionReport(spark, root, capBytes = 100L)
-      .filter(r => r.getAs[String]("shard") == "part-1.jsonl").head()
-    assert(tight.getAs[Long]("cap_milli") == 0L)
+      r2.getAs[Long]("retained_bytes") == 0L &&
+      r2.getAs[Long]("cap_milli") == 0L)
   }
 
   test("truncateFrameLog drops exactly the acked prefix, preserves a " +
@@ -106,10 +110,24 @@ class SlotRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines == Vector("{\"lsn\":999,\"frames\":[\"2a"))
     // idempotent rerun
     assert(CdcReplaySource.truncateFrameLog(root).values.sum == 0L)
-    // retention report and the physical log agree after enforcement
+    // retention report and the physical log agree after enforcement —
+    // including the zero-complete-transaction shard 1 still rendering
     val rep = StreamOps.slotRetentionReport(spark, root)
       .collect().map(r => r.getAs[String]("shard") ->
         r.getAs[Long]("n_retained")).toMap
-    assert(rep("part-0.jsonl") == 2L && rep("part-2.jsonl") == 1L)
+    assert(rep("part-0.jsonl") == 2L && rep("part-1.jsonl") == 0L &&
+      rep("part-2.jsonl") == 1L, s"report: $rep")
+
+    // a LAGGING SLOT pins the floor below the shard offsets: with
+    // part-0 acked to head (400) but slot 'lagging' confirmed only to
+    // 350, the min-over-consumers rule keeps 400 and drops just 300 —
+    // PostgreSQL's min(confirmed_flush_lsn) WAL-recycling contract
+    CdcReplaySource.writeAckedOffsets(root, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 400L)))
+    CdcReplaySource.writeSlotAckedLsn(root, "lagging", 350L)
+    val d2 = CdcReplaySource.truncateFrameLog(root)
+    assert(d2("part-0.jsonl") == 1L, s"dropped: $d2")
+    assert(readLsns() == Set(400L, 500L),
+      "the lagging slot's unconfirmed frame must survive truncation")
   }
 }
