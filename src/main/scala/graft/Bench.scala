@@ -15,10 +15,27 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Size post-shuffle partitions to the DATA, not the core count
+      // (r13 verdict ask 1): with parallelismFirst (Spark's default)
+      // AQE keeps one shuffle partition per core even when the whole
+      // exchange is a few MB, so at SPARK_GRAFT_CPUS=32 every sub-GB
+      // shuffle paid 32 tiny tasks of scheduling tax — q03/q07 ran
+      // 3.3x/4.8x their local[4] pins with identical plans. Advisory
+      // 16m suits the sf0.1 working set (measured: q03 steady 0.98 s
+      // -> 0.75 s at local[32]); a production 100 TB deployment keeps
+      // the same flag with the 64m+ default advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // executor-task-time accumulator (r13 verdict ask 2): per-query
+    // wall-vs-task-time is the telemetry that separates "tasks
+    // idle-waiting" from "work actually grew" — see TaskTimeProbe.
+    val probe = org.apache.spark.graft.TaskTimeProbe.install(
+      spark.sparkContext)
 
     // warm-up: touch every table's footer + run one tiny job
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -34,7 +51,8 @@ object Bench {
     // run order (the r8 q105-q117 attribution noise). memo_build
     // participates in the reported total — nothing is hidden.
     val tm0 = System.nanoTime()
-    val memoDetail: Seq[(String, Double)] =
+    val memoTask0 = probe.taskSec(spark.sparkContext)
+    val memoWall: Seq[(String, Double)] =
       try graft.ops.Prewarm.run(spark, sfDir)
       catch { case e: Throwable =>
         // visible failure: a silently-cold memo would re-smear build
@@ -44,6 +62,15 @@ object Bench {
         Seq.empty
       }
     val memoSec = (System.nanoTime() - tm0) / 1e9
+    val memoTaskSec = probe.taskSec(spark.sparkContext) - memoTask0
+    // per-memo [wall, task] pairs: Prewarm tags each step's jobs with
+    // a memo:<name> job group, so a driver artifact showing
+    // memo_build 64.6 s vs a clean 15.0 s can now read whether the
+    // task-time grew (the build itself changed) or only the wall did
+    // (chains idle-waiting on a contended box) — per memo.
+    val memoDetail: Seq[(String, Double, Double)] = memoWall.map {
+      case (n, wall) => (n, wall, probe.groupTaskSec(s"memo:$n"))
+    }
 
     // Double-pass variance attribution (r9 verdict ask 1): the suite
     // runs twice in THIS JVM in the same pinned (name-sorted) order,
@@ -93,8 +120,9 @@ object Bench {
     // in the artifact itself.
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def runPass(): Seq[(String, Double, Long, Double)] =
+    def runPass(): Seq[(String, Double, Long, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val k0 = probe.taskSec(spark.sparkContext)
         val g0 = gcMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -111,7 +139,10 @@ object Bench {
         // drop per-query transient caches so executor storage pressure
         // (and its GC shadow on later queries) stays flat over the run
         graft.ops.Tables.dropTransientCaches()
-        (name, sec, gcMs() - g0, loadAvg())
+        // taskSec flushes the listener bus, so this query's final
+        // task-end events land in THIS delta, not the next query's
+        (name, sec, gcMs() - g0, loadAvg(),
+          probe.taskSec(spark.sparkContext) - k0)
       }
     // Memo cache-health probe (r12 verdict ask 1b): after each pass,
     // walk every registered session memo and record [cached, countSec].
@@ -149,21 +180,33 @@ object Bench {
     // without re-running the tool. Same rule as the tool: steady
     // state (pass 2, falling back to pass 1) vs BASELINE_QUERIES.json
     // pins, factor 3x, 0.15 s floor, errored queries always flagged.
+    // Pins are CONFIG-KEYED (r13 verdict ask 1b): local[N] scheduling
+    // tax is real and uniform (~1.2x median at local[32] vs local[4]
+    // pins, SCALING.md r13), so a pins table measured at one local[N]
+    // cannot gate a run at another without spurious flags. The
+    // "configs" object maps "local[N]" -> {query: sec} pin tables;
+    // a query absent from the matching config table falls back to the
+    // legacy top-level "queries" (local[4]) pins.
+    val cfgKey = s"local[$cpus]"
     val regressed: Seq[(String, Double, Double)] = try {
       val pinsPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
       if (!java.nio.file.Files.exists(pinsPath)) Seq.empty
       else {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(pinsPath))
-          .path("queries")
+        val cfgNode = root.path("configs").path(cfgKey)
+        val legacy = root.path("queries")
+        def pin(n: String): Double =
+          if (cfgNode.has(n)) cfgNode.get(n).asDouble()
+          else if (legacy.has(n)) legacy.get(n).asDouble()
+          else -1.0
         val steady = (if (pass2.nonEmpty) pass2 else pass1)
-          .map { case (n, sec, _, _) => n -> sec }
+          .map { case (n, sec, _, _, _) => n -> sec }
         steady.collect {
           case (n, sec)
-              if node.has(n) && !passErrors.contains(n) &&
-                sec >= 0.15 && node.get(n).asDouble() > 0 &&
-                sec > 3.0 * node.get(n).asDouble() =>
-            (n, node.get(n).asDouble(), sec)
+              if !passErrors.contains(n) && sec >= 0.15 &&
+                pin(n) > 0 && sec > 3.0 * pin(n) =>
+            (n, pin(n), sec)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -174,14 +217,18 @@ object Bench {
         "%.3f".formatLocal(java.util.Locale.ROOT, sec) + "]"
     }.mkString("{", ",", "}")
     try {
-      def pj(p: Seq[(String, Double, Long, Double)]) = p.sortBy(_._1).map {
-        case (k, v, g, ld) =>
-          "\"" + k + "\":[" +
-            "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "," +
-            "%.1f".formatLocal(java.util.Locale.ROOT, ld) + "]"
-      }.mkString("{", ",", "}")
-      val memoJson = memoDetail.map { case (k, v) =>
-        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      def pj(p: Seq[(String, Double, Long, Double, Double)]) =
+        p.sortBy(_._1).map {
+          case (k, v, g, ld, ts) =>
+            "\"" + k + "\":[" +
+              "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "," +
+              "%.1f".formatLocal(java.util.Locale.ROOT, ld) + "," +
+              "%.3f".formatLocal(java.util.Locale.ROOT, ts) + "]"
+        }.mkString("{", ",", "}")
+      val memoJson = memoDetail.map { case (k, wall, task) =>
+        "\"" + k + "\":[" +
+          "%.3f".formatLocal(java.util.Locale.ROOT, wall) + "," +
+          "%.3f".formatLocal(java.util.Locale.ROOT, task) + "]"
       }.mkString("{", ",", "}")
       val telJson = telemetryPoints.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -189,9 +236,13 @@ object Bench {
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_VARIANCE.json"),
-        s"""{"unit":["sec","gc_ms","loadavg_1m"],"memo_build":${
-          "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
-        },"memo_detail":$memoJson,"telemetry":$telJson""" +
+        s"""{"unit":["sec","gc_ms","loadavg_1m","task_sec"],""" +
+          s""""config":"$cfgKey","memo_build":${
+            "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
+          },"memo_build_task_sec":${
+            "%.3f".formatLocal(java.util.Locale.ROOT, memoTaskSec)
+          },"memo_detail_unit":["wall_sec","task_sec"]""" +
+          s""","memo_detail":$memoJson,"telemetry":$telJson""" +
           s""","memo_health":$healthJson""" +
           s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
           s""","regressed":$regressJson""" +
@@ -199,7 +250,7 @@ object Bench {
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
     } catch { case _: Throwable => }
-    val results0 = pass1.map { case (n, sec, _, _) => n -> sec }
+    val results0 = pass1.map { case (n, sec, _, _, _) => n -> sec }
     val results = results0 :+ ("memo_build" -> memoSec)
     // Compact keys (qNN prefix) + 1-decimal per-query values keep the
     // JSON line inside the driver's 2000-byte stdout-tail capture

@@ -42,9 +42,18 @@ object Prewarm {
       : Seq[(String, Double)] = {
     graft.cdc.GraftFunctions.register(s)
     val times = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    // each step tags its jobs with a `memo:<name>` job group so the
+    // bench's TaskTimeProbe can attribute executor task-time per memo
+    // even though the chains interleave (r13 verdict ask 2: memo_build
+    // inflation gets the same wall-vs-task treatment as queries).
+    // setJobGroup is thread-local and AQE stage materialization
+    // inherits captured local properties, so concurrent chains don't
+    // cross-contaminate each other's groups.
     def step(name: String)(f: => Any): Unit = {
+      s.sparkContext.setJobGroup(s"memo:$name", s"prewarm $name",
+        interruptOnCancel = false)
       val t0 = System.nanoTime()
-      f
+      try f finally s.sparkContext.clearJobGroup()
       times.add(name -> (System.nanoTime() - t0) / 1e9); ()
     }
     // the root of every text chain builds alone, before the fan-out

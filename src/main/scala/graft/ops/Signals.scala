@@ -1798,6 +1798,125 @@ object Signals {
             expr("n_correct * 1000 DIV greatest(1, n_scored)")
               .as("acc_milli"))
       score(1L, n1).unionAll(score(2L, n2)).orderBy(col("round"))
+    },
+
+    // ---- q288: inheritance-threshold sweep --------------------------
+    // The operational consequence of q282/q284's near-chance-label
+    // finding (r13 verdict ask 5): labelOnIngestBatch admits an
+    // inherited label when its best anchor shares >= minShared
+    // shingles — this sweep PRICES that threshold the way q274
+    // prices the DF cap. Per threshold t in {1,2,4,...,128} (a
+    // geometric spine spanning the pair graph's observed shared-count
+    // range): how many unlabeled
+    // docs would inherit from their best seed-labeled near-dup
+    // anchor (coverage), how many of those have ground truth, and
+    // the exact-match accuracy in milli (precision). Best-anchor
+    // election mirrors the ingest operator's tie-break exactly
+    // (shared desc, label asc, anchor asc), and because rank-1 under
+    // no gate is rank-1 under any gate it passes, ONE window ranks
+    // all anchors and the 8-row spine just gates on the winner's
+    // shared count. Scale shape: the memoized J >= 0.6 pair graph +
+    // one node-partitioned window + an 8-row broadcast spine —
+    // never corpus x thresholds.
+    QueryDef(
+      "q288_inherit_threshold_sweep",
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (960000003, '$lpA'), (960000000, '$lpB'),
+         |    (960000001, '$lpC')) fx(doc_id, text)),
+         |shingles AS (${Text.shinglesSqlFrom("docs")}),
+         |${Text.jaccardPairsSql},
+         |ed AS (SELECT d1 AS e, d2 AS o, inter FROM jpairs
+         |       UNION ALL SELECT d2, d1, inter FROM jpairs),
+         |emb AS (SELECT vec_id, label FROM embeddings
+         |        UNION ALL SELECT 960000003, 7),
+         |l0 AS (SELECT d.doc_id, CAST(e.label AS BIGINT) AS label
+         |  FROM docs d JOIN emb e ON e.vec_id = d.doc_id
+         |  WHERE (${Text.h32Sql("CAST(d.doc_id AS VARCHAR)")}) % 5 = 0),
+         |cand AS (SELECT ed.e, ed.o, l.label, ed.inter
+         |  FROM ed JOIN l0 l ON l.doc_id = ed.o
+         |  WHERE ed.e NOT IN (SELECT doc_id FROM l0)),
+         |best AS (SELECT e AS doc_id, label, inter AS shared FROM (
+         |    SELECT e, label, inter, row_number() OVER (PARTITION BY e
+         |      ORDER BY inter DESC, label, o) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |truth AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS tl
+         |  FROM embeddings
+         |  UNION ALL SELECT * FROM (VALUES (960000000, CAST(7 AS BIGINT)),
+         |    (960000001, CAST(7 AS BIGINT))) ft(doc_id, tl)),
+         |bt AS (SELECT b.doc_id, b.label, b.shared, tr.tl
+         |  FROM best b LEFT JOIN truth tr ON tr.doc_id = b.doc_id),
+         |spine AS (SELECT (1 << t.i) AS thr
+         |  FROM UNNEST(range(0, 8)) AS t(i))
+         |SELECT CAST(s.thr AS BIGINT) AS threshold,
+         |  CAST(count(b.doc_id) AS BIGINT) AS n_inherited,
+         |  CAST(count(b.tl) AS BIGINT) AS n_scored,
+         |  CAST(coalesce(sum(CASE WHEN b.label = b.tl THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_correct,
+         |  CAST(coalesce(sum(CASE WHEN b.label = b.tl THEN 1 ELSE 0 END),
+         |      0) * 1000 // greatest(1, count(b.tl)) AS BIGINT)
+         |    AS acc_milli
+         |FROM spine s LEFT JOIN bt b ON b.shared >= s.thr
+         |GROUP BY s.thr ORDER BY threshold""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val splitOf = (c: org.apache.spark.sql.Column) => pmod(
+        graft.cdc.GraftFunctions.md5_h32(c.cast("string")), lit(5L)) === 0L
+      val fix = lpFixDocs(s)
+      // fixture pairs computed inline (disjoint zlp* vocabulary — the
+      // union with the memo is exact), carrying the shared counts
+      val jp = Text.jaccardPairs(s, d)
+        .select(col("d1"), col("d2"), col("inter"))
+        .unionAll(Text.jaccardPairsOfShingles(Text.shinglesOf(fix))
+          .select(col("d1"), col("d2"), col("inter")))
+      val sides = jp.select(col("d1").as("e"), col("d2").as("o"),
+          col("inter"))
+        .unionAll(jp.select(col("d2").as("e"), col("d1").as("o"),
+          col("inter")))
+      val embAll = embeddings(s, d).select(col("vec_id"), col("label"))
+        .unionByName(lpFixLabels(s))
+      val l0 = documents(s, d).select(col("doc_id"))
+        .unionAll(fix.select(col("doc_id")))
+        .filter(splitOf(col("doc_id")))
+        .join(embAll.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(col("doc_id"), col("label").cast("long").as("label"))
+      val w = Window.partitionBy(col("e"))
+        .orderBy(col("inter").desc, col("label"), col("o"))
+      val best = sides
+        .join(l0.select(col("doc_id").as("o"), col("label")), "o")
+        .join(l0.select(col("doc_id").as("e")), Seq("e"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("e").as("doc_id"), col("label"),
+          col("inter").as("shared"))
+      val truth = {
+        val ss = s; import ss.implicits._
+        embeddings(s, d)
+          .select(col("vec_id").as("doc_id"),
+            col("label").cast("long").as("tl"))
+          .unionByName(Seq((960000000L, 7L), (960000001L, 7L))
+            .toDF("doc_id", "tl"))
+      }
+      val bt = best.join(truth, Seq("doc_id"), "left")
+      // stream the node relation once against the BROADCAST 8-row
+      // spine (never broadcast the node side), then resurrect
+      // zero-coverage thresholds with a left join back onto the spine
+      val thr = s.range(0, 8).select(
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("thr"))
+      val perThr = bt.crossJoin(broadcast(thr))
+        .filter(col("shared") >= col("thr"))
+        .groupBy(col("thr"))
+        .agg(count(col("doc_id")).as("ni"),
+          count(col("tl")).as("ns"),
+          sum(when(col("label") === col("tl"), 1L).otherwise(0L))
+            .as("nc"))
+      thr.join(perThr, Seq("thr"), "left")
+        .select(col("thr").as("threshold"),
+          coalesce(col("ni"), lit(0L)).as("n_inherited"),
+          coalesce(col("ns"), lit(0L)).as("n_scored"),
+          coalesce(col("nc"), lit(0L)).as("n_correct"))
+        .withColumn("acc_milli",
+          expr("n_correct * 1000 DIV greatest(1, n_scored)"))
+        .orderBy(col("threshold"))
     })
 
   /** q278/q282's shared rounds: (seeds, round-1 newly labeled,

@@ -1970,8 +1970,12 @@ object Vectors {
     // trained-IVF arm (q116: nprobe=1 cell-mates, exact integer
     // ranking) and the PQ-ADC arm (q118: asymmetric compressed-domain
     // scan) each score recall@5 against the exact scan; the paired
-    // SIGN TEST over the non-tie queries gives an EXACT one-sided
-    // binomial p-value — C(n,k) built multiplicatively (each partial
+    // SIGN TEST over the non-tie queries gives an EXACT binomial
+    // p-value for the OBSERVED winner — the tail sums from
+    // greatest(wi, wp), so the gate certifies whichever arm actually
+    // dominated rather than only ever testing IVF superiority (r13
+    // advisor finding; the `winner` column names the direction) —
+    // C(n,k) built multiplicatively (each partial
     // product is itself a binomial coefficient, so the integer
     // division is exact at every step), tail summed over a k-spine,
     // in milli against 2^n. No normal approximation, no floats:
@@ -2049,7 +2053,7 @@ object Vectors {
          |    sum(CASE WHEN hp > hi THEN 1 ELSE 0 END) AS wp
          |  FROM w),
          |spine AS (SELECT nq, wi, wp, wi + wp AS n, t.k
-         |  FROM cnt, UNNEST(range(CAST(wi AS BIGINT),
+         |  FROM cnt, UNNEST(range(CAST(greatest(wi, wp) AS BIGINT),
          |    CAST(wi + wp + 1 AS BIGINT))) AS t(k)),
          |tails AS (SELECT nq, wi, wp, n,
          |    sum(list_reduce(list_prepend(CAST(1 AS BIGINT),
@@ -2061,8 +2065,10 @@ object Vectors {
          |  CAST(wi AS BIGINT) AS wins_ivf,
          |  CAST(wp AS BIGINT) AS wins_pq,
          |  CAST(nq - n AS BIGINT) AS n_ties,
+         |  CASE WHEN wi > wp THEN 'ivf' WHEN wp > wi THEN 'pq'
+         |    ELSE 'tie' END AS winner,
          |  CAST(tail * 1000 // (CAST(1 AS BIGINT) << CAST(n AS INT))
-         |    AS BIGINT) AS p_milli
+         |    AS BIGINT) AS p_winner_milli
          |FROM tails""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
       val e = quantized(s, d)
@@ -2110,7 +2116,9 @@ object Vectors {
           sum(when(col("hp") > col("hi"), 1L).otherwise(0L)).as("wp"))
         .withColumn("n", col("wi") + col("wp"))
       cnt.select(col("nq"), col("wi"), col("wp"), col("n"),
-          explode(sequence(col("wi"), col("n"))).as("k"))
+          // tail of the OBSERVED winner: from greatest(wi, wp)
+          explode(sequence(greatest(col("wi"), col("wp")), col("n")))
+            .as("k"))
         .withColumn("c", when(col("k") === 0, lit(1L)).otherwise(
           // each partial product is C(n, i), so DIV is exact; the
           // k = 0 branch dodges Spark's descending sequence(1, 0)
@@ -2120,8 +2128,11 @@ object Vectors {
         .agg(sum(col("c")).as("tail"))
         .select(col("nq").as("n_queries"), col("wi").as("wins_ivf"),
           col("wp").as("wins_pq"), (col("nq") - col("n")).as("n_ties"),
+          when(col("wi") > col("wp"), lit("ivf"))
+            .when(col("wp") > col("wi"), lit("pq"))
+            .otherwise(lit("tie")).as("winner"),
           expr("tail * 1000 DIV shiftleft(CAST(1 AS BIGINT)," +
-            " CAST(n AS INT))").as("p_milli"))
+            " CAST(n AS INT))").as("p_winner_milli"))
     }
   )
 

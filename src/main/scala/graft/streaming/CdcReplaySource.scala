@@ -314,28 +314,18 @@ object CdcReplaySource {
     * Returns per-file dropped-transaction counts. */
   def truncateFrameLog(path: String): Map[String, Long] =
     withDirLock(path) {
-      val so = lastAckedOffsets(path)
-        .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
-      // PostgreSQL recycles WAL at the MIN over ALL slots' confirmed
-      // positions — a frame is droppable only once EVERY consumer has
-      // passed it. Fold in every per-slot `_acked_lsn@<slot>` sidecar
-      // and the legacy global scalar alongside the per-shard offsets:
-      // a slot lagging at 100 pins frames 100..500 even after the
-      // checkpointed query acked 500 (the exact lagging-consumer case
-      // lastSlotAckedLsn's replay contract protects).
-      val slotFloors: Seq[Long] = {
-        val files = Option(new java.io.File(path).listFiles())
-          .getOrElse(Array.empty)
-        files.toSeq.collect {
-          case f if f.getName.startsWith("_acked_lsn@") =>
-            val src = scala.io.Source.fromFile(f)
-            try src.mkString.trim.toLong finally src.close()
-        } ++ lastAckedLsn(path).toSeq
-      }
+      // leaked scratch from a crashed predecessor (write done, move/
+      // delete never reached): invisible to listLogFiles but never
+      // reclaimed otherwise — sweep under the same lock before
+      // creating new ones (r13 advisor finding)
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".trunc"))
+        .foreach(f => { f.delete(); () })
+      val floors = retentionFloors(path)
       listLogFiles(path).map { p =>
         val f = new java.io.File(p)
         val nm = f.getName
-        val floor = (so.of(nm) +: slotFloors).min
+        val floor = floors(nm)
         if (floor == Long.MinValue) nm -> 0L
         else {
           // single streaming pass: filter into the tmp file while
@@ -343,23 +333,61 @@ object CdcReplaySource {
           // exists for are the ones too big to keep)
           val tmp = java.nio.file.Files.createTempFile(
             f.getParentFile.toPath, nm, ".trunc")
-          var dropped = 0L
-          val src = scala.io.Source.fromFile(f)
-          val out = java.nio.file.Files.newBufferedWriter(tmp,
-            java.nio.charset.StandardCharsets.UTF_8)
-          try src.getLines().foreach { l =>
-            if (isComplete(l) && parseLsn(l) <= floor) dropped += 1
-            else { out.write(l); out.write("\n") }
-          } finally { out.close(); src.close() }
-          if (dropped > 0)
-            java.nio.file.Files.move(tmp, f.toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          else java.nio.file.Files.delete(tmp)
-          nm -> dropped
+          try {
+            var dropped = 0L
+            val src = scala.io.Source.fromFile(f)
+            val out = java.nio.file.Files.newBufferedWriter(tmp,
+              java.nio.charset.StandardCharsets.UTF_8)
+            try src.getLines().foreach { l =>
+              if (isComplete(l) && parseLsn(l) <= floor) dropped += 1
+              else { out.write(l); out.write("\n") }
+            } finally { out.close(); src.close() }
+            if (dropped > 0)
+              java.nio.file.Files.move(tmp, f.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            else java.nio.file.Files.delete(tmp)
+            nm -> dropped
+          } catch {
+            // the filter write failed mid-stream: reclaim the scratch
+            // (the live file is untouched) and rethrow
+            case e: Throwable =>
+              java.nio.file.Files.deleteIfExists(tmp)
+              throw e
+          }
         }
       }.toMap
     }
+
+  /** Per-shard retention floor — the MIN over EVERY consumer's
+    * confirmed position: the shard's own `_acked_offsets` entry,
+    * every per-slot `_acked_lsn@<slot>` sidecar, and the legacy
+    * global scalar. PostgreSQL recycles WAL at exactly this minimum
+    * (a frame is droppable only once every slot has passed it); a
+    * slot lagging at 100 pins frames 100..500 even after a
+    * checkpointed query acked 500. ONE derivation shared by the
+    * enforcement half ([[truncateFrameLog]]) and the observation half
+    * ([[graft.streaming.StreamOps.slotRetentionReport]]) so the
+    * dashboard can never disagree with what truncation would do
+    * (r13 advisor finding: the report used to read only the shard
+    * offsets and understated lagging-consumer retention). */
+  def retentionFloors(path: String): Map[String, Long] = {
+    val so = lastAckedOffsets(path)
+      .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
+    val slotFloors: Seq[Long] = {
+      val files = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+      files.toSeq.collect {
+        case f if f.getName.startsWith("_acked_lsn@") =>
+          val src = scala.io.Source.fromFile(f)
+          try src.mkString.trim.toLong finally src.close()
+      } ++ lastAckedLsn(path).toSeq
+    }
+    listLogFiles(path).map { p =>
+      val nm = new java.io.File(p).getName
+      nm -> (so.of(nm) +: slotFloors).min
+    }.toMap
+  }
 
   def ackOffsetsSidecar(path: String) = new java.io.File(path, "_acked_offsets")
 

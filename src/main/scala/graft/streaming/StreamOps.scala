@@ -603,6 +603,55 @@ object StreamOps {
     if (dst.exists && tmp.exists) delTree(tmp)
   }
 
+  /** Sweep a stranded per-file-rewrite scratch dir (`<dir>_rw_tmp`,
+    * crash between a single-file tmp write and its ATOMIC_MOVE): the
+    * live store was untouched — before the move the original file
+    * still serves, after it the replacement does — so the scratch is
+    * pure garbage, never a recovery source. */
+  private def sweepRwTmp(dir: String): Unit = {
+    val t = new java.io.File(dir + "_rw_tmp")
+    if (t.exists) delTree(t)
+  }
+
+  /** Replace ONE parquet part file of a live store with a transformed
+    * version of its own rows: single-file read → transform → one-file
+    * scratch write → ATOMIC_MOVE onto the original path (same volume,
+    * so the swap is atomic; REPLACE_EXISTING lets a replay overwrite
+    * its own half-applied predecessor). A transform that keeps zero
+    * rows still replaces the file with a schema-preserving 0-row
+    * husk (Spark writes one empty part file) — the store stays
+    * READABLE after a full erasure, file counts are exactly stable
+    * under an erasure trickle, and the owner's compaction reclaims
+    * husks on its own policy. A crash anywhere strands only scratch
+    * ([[sweepRwTmp]] reclaims it at the next batch); the live dir
+    * holds every file either original or fully rewritten, never
+    * torn. */
+  private def replaceStoreFile(spark: SparkSession, dir: String,
+      fileUri: String)(transform: DataFrame => DataFrame): Unit = {
+    val live = java.nio.file.Paths.get(new java.net.URI(fileUri))
+    val tmpDir = new java.io.File(dir + "_rw_tmp")
+    if (tmpDir.exists) delTree(tmpDir)
+    transform(spark.read.parquet(live.toString)).coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.getPath)
+    val part = Option(tmpDir.listFiles).toSeq.flatten
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(
+        s"single-file rewrite produced no part file for $fileUri"))
+    // The original writer's checksum sidecar (.<name>.crc, Hadoop
+    // ChecksumFileSystem) describes the OLD bytes — left in place it
+    // fails every read of the replacement; absent, verification is
+    // skipped. Delete it BEFORE the swap: a crash in between leaves
+    // the original bytes unverified (readable), whereas deleting
+    // after would leave new-bytes + stale-crc, which poisons the
+    // replay's own store read and can never self-heal.
+    java.nio.file.Files.deleteIfExists(
+      live.resolveSibling("." + live.getFileName.toString + ".crc"))
+    java.nio.file.Files.move(part.toPath, live,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    delTree(tmpDir)
+  }
+
   /** foreachBatch dedup-on-ingest with WRITE-BACK: each micro-batch of
     * `(doc_id, text)` arrivals probes the standing shingle index
     * (new×existing only — work scales with the batch, never corpus²),
@@ -1282,6 +1331,14 @@ object StreamOps {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // heal a torn roster publish BEFORE the roster read: a stranded
+    // `_docs_compact_tmp` with no live dir (pre-r14 forgetBatch crash
+    // window) would otherwise read as an empty roster, and this
+    // batch's blind re-append would then resurrect the dir while
+    // recoverCompaction later DELETES the stranded pre-crash copy —
+    // permanently losing the erasure guard (r13 advisor finding)
+    recoverCompaction(dfDir + "_docs")
+    sweepRwTmp(dfDir + "_docs")
     if (batchCommitted(spark, reportDir, batchId)) return
     // half-committed crash window (df rows landed, report didn't):
     // unlike the gram index there is no anti-join to absorb a replay
@@ -1446,15 +1503,45 @@ object StreamOps {
         * cascade deletion through derived knowledge, which is a
         * policy choice, not a default; the census to price that is
         * q278/q282's batch re-run). */
-      labelsDir: Option[String] = None)(
+      labelsDir: Option[String] = None,
+      /** Raw replay frame-log dir ([[CdcReplaySource]] layout). The
+        * cascade does NOT rewrite the log: frames are the durable
+        * wire history, recycled only when EVERY slot's confirmed
+        * floor passes them ([[CdcReplaySource.truncateFrameLog]],
+        * PG's WAL semantics — scrubbing content under a live slot
+        * would desync resumed consumers). What erasure does instead
+        * is STATE THE EXPOSURE: the report's `n_frames_retained` =
+        * still-retained (above-floor) transactions whose frame bytes
+        * contain a forgotten doc_id (conservative byte-substring
+        * match on the decoded payload — over-reporting is the safe
+        * direction for a compliance pane), so an RTBF audit reads
+        * "this content
+        * persists in the replay log until slot floors advance", with
+        * [[slotRetentionReport]] naming the lagging slot. -1 when no
+        * log dir is configured (unmeasured ≠ measured zero). */
+      frameLogDir: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     require(trainGramsDir.isEmpty || dfDir.nonEmpty,
       "trainGramsDir requires dfDir: gram erasure needs per-gram DF " +
         "to know which grams were exclusive to the forgotten docs")
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // torn-publish healing for every store the cascade touches —
+    // INCLUDING the ingest roster (dfDir + "_docs"): before r14 the
+    // roster was rewritten under the whole-dir demote-promote
+    // publish, so a crash between its two renames left the live dir
+    // missing with _compact_tmp stranded; readParquetOpt then read
+    // the roster as EMPTY and every future DF decrement silently
+    // no-oped — a permanently lost roster (r13 advisor finding).
+    // recoverCompaction republishes any such stranded state; the
+    // per-file rewrite below no longer opens that window, but
+    // pre-upgrade stranded dirs (and the other stores' compactions)
+    // still need the heal.
     (dedupIndexDir ++ ivfIndexDir ++ vecStoreDir ++ trainGramsDir ++
-      labelsDir).foreach(recoverCompaction)
+      dfDir.map(_ + "_docs") ++ labelsDir).foreach { dir =>
+      recoverCompaction(dir)
+      sweepRwTmp(dir)
+    }
     if (batchCommitted(spark, reportDir, batchId)) return
     val uniq = batch.dropDuplicates("doc_id").cache()
     try {
@@ -1462,28 +1549,43 @@ object StreamOps {
       val nDocs = uniq.count()
       def readOpt(dir: String): Option[DataFrame] =
         readParquetOpt(spark, dir)
-      // anti-join rewrite under the crash-safe publish; returns rows
-      // removed by THIS attempt (0 on a replay that already removed).
+      // Per-file hit census shared by every rewrite below: ONE
+      // key-column scan maps the forget keys to the part FILES that
+      // hold them. Driver state is O(hit files), never O(rows) —
+      // compaction bounds every store's file count, and the budget
+      // guard makes a regression loud (the boundedCollect contract).
+      def hitFileCounts(hits: DataFrame)
+          : Array[org.apache.spark.sql.Row] = {
+        val hf = hits.groupBy(col("_file")).agg(count(lit(1)).as("n"))
+          .limit(65537).collect()
+        require(hf.length <= 65536,
+          "per-file erasure hit census exceeded its 65536-file " +
+            "budget — compaction must bound the store's file count")
+        hf
+      }
+      // File-pruned anti-join rewrite (r13 verdict ask 3): rewrite
+      // ONLY the part files containing forget hits, each via a
+      // single-file scratch write + ATOMIC_MOVE onto its original
+      // path ([[replaceStoreFile]]). An RTBF trickle now touches
+      // O(hit files), not O(store) — the MERGE-touching-files shape
+      // the 100 TB posture promised — and untouched files stay
+      // BYTE-IDENTICAL (ForgetSpec pins it), so the store-health
+      // pane's file count is stable under an erasure trickle. A crash
+      // leaves every file either original or fully rewritten; a
+      // replay sees only the residual hits (the documented
+      // residual-delta report contract). Returns rows removed by THIS
+      // attempt (0 on a replay that already removed).
       // `keys` must carry exactly the column `key`.
       def rewriteMinus(dir: String, key: String, keys: DataFrame): Long =
         readOpt(dir).map { df0 =>
-          val hit = df0.join(keys, Seq(key), "left_semi").count()
-          if (hit > 0) {
-            val tmp = dir + "_compact_tmp"
-            df0.join(keys, Seq(key), "left_anti")
-              .write.mode("overwrite").parquet(tmp)
-            val dst = new java.io.File(dir)
-            val oldF = new java.io.File(dir + "_compact_old")
-            if (oldF.exists) delTree(oldF)
-            if (!dst.renameTo(oldF))
-              throw new java.io.IOException(
-                s"failed to demote live store: $dir -> $oldF")
-            if (!new java.io.File(tmp).renameTo(dst))
-              throw new java.io.IOException(
-                s"failed to publish forgotten store: $tmp -> $dir")
-            delTree(oldF)
+          val hf = hitFileCounts(
+            df0.withColumn("_file", input_file_name())
+              .join(keys, Seq(key), "left_semi"))
+          hf.foreach { r =>
+            replaceStoreFile(spark, dir, r.getString(0))(
+              _.join(keys, Seq(key), "left_anti"))
           }
-          hit
+          hf.map(_.getLong(1)).sum
         }.getOrElse(0L)
       // ---- dedup shingle index: tombstone still-live forgotten docs
       // Tombstone gen = the DOC'S max(gen) + 1 — the tightest value
@@ -1573,36 +1675,67 @@ object StreamOps {
       // replay re-runs the batch and RE-LABELS the just-forgotten
       // doc). Nulling the label to src='erased' keeps both guards
       // while killing anchoring (anchors filter label IS NOT NULL).
+      // Same file pruning as rewriteMinus, but erase-IN-PLACE: the
+      // transform keeps every row (commit markers and redelivery
+      // guards survive), nulling only the forgotten docs' labels.
       val nLabels = labelsDir.flatMap(readOpt).map { lb =>
-        val hit = lb.join(ids, Seq("doc_id"), "left_semi")
-          .filter(col("src") =!= "erased").count()
-        if (hit > 0) {
-          val dir = labelsDir.get
-          val tmp = dir + "_compact_tmp"
-          lb.join(ids.withColumn("_f", lit(1)), Seq("doc_id"), "left")
-            .select(col("batch_id"), col("doc_id"),
-              when(col("_f").isNotNull, lit(null).cast("long"))
-                .otherwise(col("label")).as("label"),
-              when(col("_f").isNotNull, lit("erased"))
-                .otherwise(col("src")).as("src"),
-              when(col("_f").isNotNull, lit(null).cast("long"))
-                .otherwise(col("match_doc")).as("match_doc"),
-              when(col("_f").isNotNull, lit(0L))
-                .otherwise(col("shared")).as("shared"))
-            .write.mode("overwrite").parquet(tmp)
-          val dst = new java.io.File(dir)
-          val oldF = new java.io.File(dir + "_compact_old")
-          if (oldF.exists) delTree(oldF)
-          if (!dst.renameTo(oldF))
-            throw new java.io.IOException(
-              s"failed to demote live label store: $dir -> $oldF")
-          if (!new java.io.File(tmp).renameTo(dst))
-            throw new java.io.IOException(
-              s"failed to publish erased label store: $tmp -> $dir")
-          delTree(oldF)
+        val hf = hitFileCounts(
+          lb.withColumn("_file", input_file_name())
+            .join(ids, Seq("doc_id"), "left_semi")
+            .filter(col("src") =!= "erased"))
+        hf.foreach { r =>
+          replaceStoreFile(spark, labelsDir.get, r.getString(0)) { fd =>
+            fd.join(ids.withColumn("_f", lit(1)), Seq("doc_id"), "left")
+              .select(col("batch_id"), col("doc_id"),
+                when(col("_f").isNotNull, lit(null).cast("long"))
+                  .otherwise(col("label")).as("label"),
+                when(col("_f").isNotNull, lit("erased"))
+                  .otherwise(col("src")).as("src"),
+                when(col("_f").isNotNull, lit(null).cast("long"))
+                  .otherwise(col("match_doc")).as("match_doc"),
+                when(col("_f").isNotNull, lit(0L))
+                  .otherwise(col("shared")).as("shared"))
+          }
         }
-        hit
+        hf.map(_.getLong(1)).sum
       }.getOrElse(0L)
+      // ---- frame-log exposure: observation, never mutation ---------
+      // (r13 verdict ask 4) One pass over the retained slice of the
+      // log + a broadcast of the forget batch's own ids; the match is
+      // a substring probe on the hex payload, conservative toward
+      // reporting exposure.
+      val nFrames = frameLogDir.map { ld =>
+        val floors = CdcReplaySource.retentionFloors(ld)
+        if (floors.isEmpty) 0L
+        else {
+          val ss = spark
+          import ss.implicits._
+          val floorsDf = floors.toSeq.toDF("shard", "floor_lsn")
+          // byte-accurate needle: decode the hex payload back to its
+          // wire bytes and search the doc_id's own bytes — substring
+          // on the HEX text would also match at odd (nibble-
+          // misaligned) offsets, inflating the count beyond even the
+          // intended conservatism
+          val needles = uniq
+            .select(col("doc_id").cast("string").as("needle"))
+          val sch = "lsn BIGINT, frames ARRAY<STRING>"
+          spark.read.textFile(CdcReplaySource.listLogFiles(ld): _*)
+            .select(element_at(split(input_file_name(), "/"), -1)
+                .as("shard"),
+              from_json(col("value"),
+                org.apache.spark.sql.types.StructType.fromDDL(sch))
+                .as("j"))
+            .filter(col("j.lsn").isNotNull)
+            .select(col("shard"), col("j.lsn").as("lsn"),
+              unhex(concat_ws("", col("j.frames"))).cast("string")
+                .as("payload"))
+            .join(broadcast(floorsDf), Seq("shard"))
+            .filter(col("lsn") > col("floor_lsn"))
+            .join(broadcast(needles),
+              expr("contains(payload, needle)"), "left_semi")
+            .count()
+        }
+      }.getOrElse(-1L)
       // report LAST — the commit marker
       spark.range(1).select(
         lit(batchId).as("batch_id"),
@@ -1611,7 +1744,8 @@ object StreamOps {
         lit(nIvf).as("n_vecs_removed"),
         lit(nStore).as("n_store_removed"),
         lit(nGrams).as("n_grams_removed"),
-        lit(nLabels).as("n_labels_removed"))
+        lit(nLabels).as("n_labels_removed"),
+        lit(nFrames).as("n_frames_retained"))
         .write.mode("append").parquet(reportDir)
     } finally { uniq.unpersist(); () }
   }
@@ -1821,10 +1955,11 @@ object StreamOps {
       capBytes: Long = 1L << 20): DataFrame = {
     val ss = spark
     import ss.implicits._
-    val so = CdcReplaySource.lastAckedOffsets(logDir)
-      .getOrElse(ShardOffsets(Long.MinValue, Map.empty))
-    val floors = CdcReplaySource.listLogFiles(logDir)
-      .map { p => val nm = new java.io.File(p).getName; (nm, so.of(nm)) }
+    // the SAME floor derivation enforcement uses (min over the shard
+    // offset, every per-slot sidecar, and the legacy scalar) — the
+    // pane shows exactly what truncateFrameLog would keep, including
+    // frames pinned by a LAGGING slot's sidecar (r13 advisor finding)
+    val floors = CdcReplaySource.retentionFloors(logDir).toSeq
       .toDF("shard", "floor_lsn")
     val sch = "lsn BIGINT, frames ARRAY<STRING>"
     // torn final lines (crash artifacts) parse to a null struct: drop

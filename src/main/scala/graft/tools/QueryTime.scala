@@ -14,6 +14,10 @@ object QueryTime {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // parity with Bench: data-sized AQE coalescing (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))

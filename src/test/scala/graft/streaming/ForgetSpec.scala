@@ -291,6 +291,143 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("erasure is file-pruned: part files without hits stay " +
+      "byte-identical and file counts are stable") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-prune").toString
+    val ivf = s"$root/ivf"; val vecs = s"$root/vecs"
+    val rep = s"$root/ivfrep"
+    val cents = graft.ops.Vectors.trainedCentroids(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // two ingest batches → the stores span multiple part files
+    StreamOps.ivfIngestBatch(ivf, rep, cents, vecsDir = Some(vecs))(
+      emb.filter(col("vec_id") < 8), 0L)
+    StreamOps.ivfIngestBatch(ivf, rep, cents, vecsDir = Some(vecs))(
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 16), 1L)
+    val n0 = spark.read.parquet(vecs).count()
+    def md5s(dir: String): Map[String, String] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> d.map("%02x".format(_)).mkString
+        }.toMap
+    def filesWith(dir: String, id: Long): Set[String] =
+      spark.read.parquet(dir)
+        .withColumn("_f", input_file_name())
+        .filter(col("vec_id") === id)
+        .select(col("_f")).distinct().collect()
+        .map(r => r.getString(0).split('/').last).toSet
+    val beforeIvf = md5s(ivf); val beforeVec = md5s(vecs)
+    val hitIvf = filesWith(ivf, 3L); val hitVec = filesWith(vecs, 3L)
+    assert(beforeIvf.size > 1 && beforeVec.size > 1,
+      "fixture must span multiple files for pruning to be observable")
+    assert(hitIvf.size < beforeIvf.size && hitVec.size < beforeVec.size,
+      "the forgotten vec must live in a strict subset of files")
+    StreamOps.forgetBatch(s"$root/frep", ivfIndexDir = Some(ivf),
+      vecStoreDir = Some(vecs))(docs(3L -> textX), 0L)
+    val afterIvf = md5s(ivf); val afterVec = md5s(vecs)
+    // file counts exactly stable (hit files rewritten in place)
+    assert(afterIvf.keySet == beforeIvf.keySet)
+    assert(afterVec.keySet == beforeVec.keySet)
+    // files without hits are BYTE-identical — the O(hit-files) claim
+    (beforeIvf.keySet -- hitIvf).foreach { f =>
+      assert(afterIvf(f) == beforeIvf(f),
+        s"untouched index file $f must not be rewritten") }
+    (beforeVec.keySet -- hitVec).foreach { f =>
+      assert(afterVec(f) == beforeVec(f),
+        s"untouched store file $f must not be rewritten") }
+    // hit files DID change, and the rows are gone
+    hitIvf.foreach(f => assert(afterIvf(f) != beforeIvf(f)))
+    assert(spark.read.parquet(ivf)
+      .filter(col("vec_id") === 3L).isEmpty)
+    assert(spark.read.parquet(vecs).count() == n0 - 1)
+  }
+
+  test("a torn roster publish (live dir missing, _compact_tmp " +
+      "stranded) heals before any roster read") {
+    // pre-r14 crash window: the roster rewrite demoted the live dir
+    // and crashed before promoting the replacement. Unhealed, the
+    // roster reads as EMPTY — every future DF decrement silently
+    // no-ops and the store leaks the forgotten doc's evidence
+    // forever (r13 advisor finding).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-torn").toString
+    val tg = s"$root/grams"; val tgRep = s"$root/tgrep"
+    val df = s"$root/df"; val dfRep = s"$root/dfrep"
+    StreamOps.trainGramIngestBatch(tg, tgRep)(docs(3L -> textY), 0L)
+    StreamOps.trainGramDfIngestBatch(df, dfRep)(docs(3L -> textY), 0L)
+    val roster = new java.io.File(df + "_docs")
+    assert(roster.renameTo(new java.io.File(df + "_docs_compact_tmp")),
+      "fixture: simulate the torn publish")
+    // forgetBatch must heal the roster BEFORE its eligibility read,
+    // so doc 3's decrement fires and Y's exclusive grams zero out
+    StreamOps.forgetBatch(s"$root/frep", trainGramsDir = Some(tg),
+      dfDir = Some(df))(docs(3L -> textY), 0L)
+    assert(spark.read.parquet(s"$root/frep").head
+      .getAs[Long]("n_grams_removed") == 3L,
+      "the healed roster must make the forgotten doc eligible")
+    val totals = spark.read.parquet(df)
+      .groupBy(col("g")).agg(sum(col("df")).as("df"))
+    assert(totals.filter(col("df") =!= 0L).isEmpty,
+      "every gram of the only train doc must zero out")
+    assert(spark.read.parquet(tg).isEmpty)
+    // the ingest side heals the same window: tear the roster again
+    // and ingest a new batch — the pre-crash roster doc must survive
+    // next to the new one
+    assert(new java.io.File(df + "_docs").renameTo(
+      new java.io.File(df + "_docs_compact_tmp")))
+    StreamOps.trainGramDfIngestBatch(df, dfRep)(docs(4L -> textZ), 1L)
+    val rosterDocs = spark.read.parquet(df + "_docs")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rosterDocs == Set(4L),
+      s"roster after heal + ingest: $rosterDocs (doc 3 was removed " +
+        "by its erasure; doc 4 newly ingested)")
+  }
+
+  test("frame-log exposure: the report counts retained transactions " +
+      "that still carry a forgotten doc's bytes — and nothing below " +
+      "the slot floors") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-frames").toString
+    val log = s"$root/framelog"
+    def payload(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // shard 0: doc 41 at lsn 100 (will be below the floor), doc 42 at
+    // lsn 200 (retained); shard 1: doc 42 again at lsn 50 (retained —
+    // its shard is unacked)
+    CdcReplaySource.writeLogShard(log, 0, Seq(
+      100L -> Seq(payload("insert doc=41 alpha")),
+      200L -> Seq(payload("insert doc=42 beta"))))
+    CdcReplaySource.writeLogShard(log, 1, Seq(
+      50L -> Seq(payload("update doc=42 gamma"))))
+    CdcReplaySource.writeAckedOffsets(log, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 100L)))
+    // forget docs 41 and 42: 41's only frame is already droppable
+    // (acked past), 42 persists in two retained transactions
+    StreamOps.forgetBatch(s"$root/frep", frameLogDir = Some(log))(
+      docs(41L -> textX, 42L -> textY), 0L)
+    val rep = spark.read.parquet(s"$root/frep").head
+    assert(rep.getAs[Long]("n_frames_retained") == 2L,
+      s"doc 42 persists at lsn 200 (shard 0) and lsn 50 (shard 1): $rep")
+    // enforcement catches up: every slot acks past everything, the
+    // log truncates, and a repeat request measures zero exposure
+    CdcReplaySource.writeAckedOffsets(log, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 200L, "part-1.jsonl" -> 50L)))
+    CdcReplaySource.truncateFrameLog(log)
+    StreamOps.forgetBatch(s"$root/frep", frameLogDir = Some(log))(
+      docs(41L -> textX, 42L -> textY), 1L)
+    assert(spark.read.parquet(s"$root/frep")
+      .filter(col("batch_id") === 1L).head
+      .getAs[Long]("n_frames_retained") == 0L)
+    // unmeasured ≠ measured zero: no log dir configured reports -1
+    StreamOps.forgetBatch(s"$root/frep2")(docs(41L -> textX), 0L)
+    assert(spark.read.parquet(s"$root/frep2").head
+      .getAs[Long]("n_frames_retained") == -1L)
+  }
+
   test("trainGramsDir without dfDir is rejected") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-forget-req").toString

@@ -130,4 +130,34 @@ class SlotRetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLsns() == Set(400L, 500L),
       "the lagging slot's unconfirmed frame must survive truncation")
   }
+
+  test("report floors fold in lagging per-slot sidecars: the pane " +
+      "shows exactly what enforcement would keep") {
+    // r13 advisor finding: the report used to derive floors from the
+    // shard offsets alone, so with a checkpointed query acked at 300
+    // and a socket slot lagging at 100 the dashboard understated the
+    // very lagging-consumer retention it exists to surface. Floors
+    // now come from the shared retentionFloors derivation.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-slot-lag").toString
+    CdcReplaySource.writeLogShard(root, 0,
+      Seq(tx(100L), tx(200L), tx(300L)))
+    CdcReplaySource.writeAckedOffsets(root, ShardOffsets(Long.MinValue,
+      Map("part-0.jsonl" -> 300L)))
+    CdcReplaySource.writeSlotAckedLsn(root, "lagging-slot", 100L)
+    val rep = StreamOps.slotRetentionReport(spark, root).head()
+    assert(rep.getAs[Long]("floor_lsn") == 100L,
+      s"floor must be the min over ALL consumers: $rep")
+    assert(rep.getAs[Long]("n_retained") == 2L &&
+      rep.getAs[Long]("retained_bytes") == 60L,
+      s"frames 200/300 are pinned by the lagging slot: $rep")
+    // observation == enforcement: truncation drops exactly what the
+    // pane said was droppable (lsn 100), keeps what it said was
+    // retained
+    val dropped = CdcReplaySource.truncateFrameLog(root)
+    assert(dropped == Map("part-0.jsonl" -> 1L), s"dropped: $dropped")
+    val after = StreamOps.slotRetentionReport(spark, root).head()
+    assert(after.getAs[Long]("n_retained") == 2L &&
+      after.getAs[Long]("head_lsn") == 300L)
+  }
 }

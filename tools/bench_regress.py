@@ -24,40 +24,53 @@ MIN_SEC = 0.15  # below this, scheduler noise dominates; not gradable
 
 
 def load_current(path):
-    """Returns (times, errors): a throwing query records a tiny
-    fast-fail wall time, so the gate must read Bench's errors map —
-    otherwise total breakage hides under MIN_SEC."""
+    """Returns (times, errors, config): a throwing query records a
+    tiny fast-fail wall time, so the gate must read Bench's errors map
+    — otherwise total breakage hides under MIN_SEC. `config` is the
+    run's local[N] key (Bench >= r14 stamps it) so pins can be
+    config-matched."""
     with open(path) as f:
         d = json.load(f)
     errors = d.get("errors") or {}
     if isinstance(errors, list):  # headline-line form: names only
         errors = {k: "failed" for k in errors}
+    config = d.get("config")
     if "pass2" in d or "pass1" in d:
         p = d.get("pass2") or d["pass1"]
         return ({k: (v[0] if isinstance(v, list) else v)
-                 for k, v in p.items()}, errors)
+                 for k, v in p.items()}, errors, config)
     q = d.get("queries", d)
     return ({k: v for k, v in q.items()
-             if isinstance(v, (int, float))}, errors)
+             if isinstance(v, (int, float))}, errors, config)
 
 
 def main():
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_VARIANCE.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_QUERIES.json"
-    cur, errors = load_current(cur_path)
+    cur, errors, config = load_current(cur_path)
     with open(base_path) as f:
-        base = json.load(f)["queries"]
+        base_doc = json.load(f)
+    base = base_doc["queries"]
+    # config-keyed pins (r13 verdict ask 1b): local[N] scheduling tax
+    # is uniform but real, so a run stamped with a config whose pin
+    # table exists is gated against THAT table (per-query fallback to
+    # the legacy local[4] "queries" pins for queries not yet re-pinned
+    # at this config).
+    cfg_base = (base_doc.get("configs") or {}).get(config) or {}
+    if cfg_base:
+        print(f"using config-keyed pins for {config} "
+              f"({len(cfg_base)} pinned, fallback to legacy table)")
     flagged, new, checked = [], [], 0
     for name, msg in sorted(errors.items()):
         print(f"FAILED {name}: {msg}")
     for name, sec in sorted(cur.items()):
         if name == "memo_build" or name in errors:
             continue
-        if name not in base:
+        if name not in cfg_base and name not in base:
             new.append(name)
             continue
         checked += 1
-        pinned = base[name]
+        pinned = cfg_base.get(name, base.get(name))
         if sec >= MIN_SEC and pinned > 0 and sec > FACTOR * pinned:
             flagged.append((name, pinned, sec, sec / pinned))
     for name, pinned, sec, ratio in flagged:
