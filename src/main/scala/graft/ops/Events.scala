@@ -945,6 +945,92 @@ object Events {
             " * span_sec DIV (total_bytes * 3600))").cast("long")
             .as("hours_to_cap"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q289: frame-log erasure-exposure census --------------------
+    // The oracle-gated twin of forgetBatch's `n_frames_retained`
+    // (r14): an erasure cascade scrubs every DERIVED store, but the
+    // raw replay log keeps a forgotten subject's change frames until
+    // every slot's confirmed floor passes them (PG WAL semantics —
+    // scrubbing under a live slot would desync resumed consumers).
+    // This census states that exposure per shard, on q280's frame
+    // conventions (shard = event_id % 8, lsn = event_id·4, per-slot
+    // floors lagging the head): of the RETAINED (above-floor)
+    // transactions, how many carry a forget-split subject
+    // (md5-h32(user) % 17 = 3 — the erasure cohort), the exposure
+    // fraction in milli, the highest exposed LSN (the floor every
+    // slot must pass for this shard to read clean), and the retained
+    // backlog at or below it (how much the laggard must consume
+    // before retention-bounded compliance completes). Scale shape:
+    // one shared frame scan → two keyed aggs + an 8-row broadcast
+    // floor join; the subject split is a map-side hash predicate,
+    // never a subject × log join.
+    QueryDef(
+      "q289_framelog_erasure_exposure",
+      s"""WITH f AS (SELECT event_id, event_id % 8 AS shard,
+         |    event_id * 4 AS lsn, user_id FROM events),
+         |fl AS (SELECT shard,
+         |    4 * (max(event_id) - 8 * (shard + 1) * 25) AS floor_lsn
+         |  FROM f GROUP BY shard),
+         |ret AS (SELECT f.shard, f.lsn, f.user_id,
+         |    (${Text.h32Sql("CAST(f.user_id AS VARCHAR)")}) % 17 = 3
+         |      AS exposed
+         |  FROM f JOIN fl ON fl.shard = f.shard
+         |  WHERE f.lsn > fl.floor_lsn),
+         |agg AS (SELECT shard,
+         |    count(*) AS n_retained,
+         |    CAST(sum(CASE WHEN exposed THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exposed,
+         |    max(CASE WHEN exposed THEN lsn END) AS mxl
+         |  FROM ret GROUP BY shard),
+         |clr AS (SELECT r.shard, count(*) AS n_to_clear
+         |  FROM ret r JOIN agg a ON a.shard = r.shard
+         |  WHERE r.lsn <= a.mxl GROUP BY r.shard)
+         |SELECT fl.shard, CAST(fl.floor_lsn AS BIGINT) AS floor_lsn,
+         |  CAST(coalesce(a.n_retained, 0) AS BIGINT) AS n_retained,
+         |  CAST(coalesce(a.n_exposed, 0) AS BIGINT) AS n_exposed,
+         |  CAST(coalesce(a.n_exposed, 0) * 1000
+         |    // greatest(1, coalesce(a.n_retained, 0)) AS BIGINT)
+         |    AS exposure_milli,
+         |  CAST(coalesce(a.mxl, -1) AS BIGINT) AS max_exposed_lsn,
+         |  CAST(coalesce(c.n_to_clear, 0) AS BIGINT) AS n_to_clear
+         |FROM fl LEFT JOIN agg a ON a.shard = fl.shard
+         |LEFT JOIN clr c ON c.shard = fl.shard
+         |ORDER BY fl.shard""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val f = events(s, d)
+        .select((col("event_id") % 8).as("shard"),
+          (col("event_id") * 4).as("lsn"), col("user_id"))
+        .tcache() // floor derivation + retained scan share it
+      val fl = f.groupBy(col("shard"))
+        .agg(((max(expr("lsn DIV 4")) - (col("shard") + 1) * lit(8) * 25)
+          * 4).as("floor_lsn"))
+      val ret = f.join(broadcast(fl), Seq("shard"))
+        .filter(col("lsn") > col("floor_lsn"))
+        .select(col("shard"), col("lsn"),
+          (pmod(graft.cdc.GraftFunctions.md5_h32(
+            col("user_id").cast("string")), lit(17L)) === 3L)
+            .as("exposed"))
+        .tcache() // exposure agg + backlog agg share it
+      val agg = ret.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_retained"),
+          sum(when(col("exposed"), 1L).otherwise(0L)).as("n_exposed"),
+          max(when(col("exposed"), col("lsn"))).as("mxl"))
+      val clr = ret.join(broadcast(agg.select(col("shard"), col("mxl"))),
+          Seq("shard"))
+        .filter(col("lsn") <= col("mxl"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_to_clear"))
+      fl.join(agg, Seq("shard"), "left")
+        .join(clr, Seq("shard"), "left")
+        .select(col("shard"), col("floor_lsn").cast("long").as("floor_lsn"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_exposed"), lit(0L)).as("n_exposed"),
+          expr("coalesce(n_exposed, 0) * 1000" +
+            " DIV greatest(1, coalesce(n_retained, 0))")
+            .as("exposure_milli"),
+          coalesce(col("mxl"), lit(-1L)).as("max_exposed_lsn"),
+          coalesce(col("n_to_clear"), lit(0L)).as("n_to_clear"))
+        .orderBy(col("shard"))
     }
   )
 }

@@ -751,4 +751,30 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoop"),
       s"q278: propagation must stay keyed end-to-end:\n$p")
   }
+
+  test("q288: best-anchor election prunes through a node-partitioned " +
+    "WindowGroupLimit; the only BNLJ is the broadcast 8-row spine") {
+    val p = plan("q288_inherit_threshold_sweep")
+    assert("WindowGroupLimit \\[e#".r.findFirstIn(p).nonEmpty,
+      s"q288: rank-1 anchor election must prune through a " +
+        s"WindowGroupLimit partitioned by the node key:\n$p")
+    // the threshold sweep streams the node relation against the
+    // broadcast spine — the node side must never be the build side
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val ep = graft.SparkEntry.queries("q288_inherit_threshold_sweep")(
+      spark, sfDir).queryExecution.executedPlan
+    val joins = ep.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(joins.nonEmpty, s"q288: expected the broadcast-spine join:\n$p")
+    joins.foreach { j =>
+      val side = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      assert(side.toString.contains("Range (0, 8"),
+        s"q288: the BNLJ build side must be the 8-row spine, not the " +
+          s"node relation:\n$side")
+    }
+    assert(!p.contains("CartesianProduct"),
+      s"q288: no cartesian products:\n$p")
+  }
 }
