@@ -1327,10 +1327,15 @@ object StreamOps {
     * only grows, so the cap rule degrades conservatively — a
     * redelivered gram can only move toward 'boilerplate', never
     * fake-informative). */
-  def trainGramDfIngestBatch(dfDir: String, reportDir: String)(
+  def trainGramDfIngestBatch(dfDir: String, reportDir: String,
+      /** [[compactDfSidecar]]'s ByStale gate — the pane's policy. */
+      compactStaleFraction: Double = 0.3)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // the sidecar itself is compaction-maintained now — heal a torn
+    // publish before the gen-guard reads below
+    recoverCompaction(dfDir)
     // heal a torn roster publish BEFORE the roster read: a stranded
     // `_docs_compact_tmp` with no live dir (pre-r14 forgetBatch crash
     // window) would otherwise read as an empty roster, and this
@@ -1385,6 +1390,73 @@ object StreamOps {
       lit(batchId).as("batch_id"),
       lit(nTypes).as("n_gram_types"))
       .write.mode("append").parquet(reportDir)
+    // ---- compaction: reclaim fully-erased gram mass -----------------
+    // after the report commit (a crash replays as a committed no-op
+    // whose compaction retriggers), under the same ByStale policy the
+    // health pane recommends by
+    compactDfSidecar(spark, dfDir, compactStaleFraction)
+    ()
+  }
+
+  /** Reclaim the DF sidecar's erased mass — the ENFORCEMENT half of
+    * [[storeHealthReport]]'s `df_sidecar` recommendation (before r14
+    * the pane could recommend a compaction nothing implemented). A
+    * gram fully erased by [[forgetBatch]] leaves its increment and
+    * decrement rows behind summing to zero: reclaimable, but the rows
+    * cannot simply be dropped — the sidecar's per-gen rows double as
+    * the replay guards of BOTH writers ([[trainGramDfIngestBatch]]'s
+    * `gen == batchId` check, [[forgetBatch]]'s `gen == -batchId-1`
+    * check), so a gen losing its LAST row would re-admit a replayed
+    * batch's append (double count / double decrement). Compaction
+    * therefore drops every row of every zero-total gram but KEEPS one
+    * `df = 0` sentinel row per gen that would otherwise vanish (that
+    * gen's min-g zeroed row): gram totals are unchanged — the
+    * sentinel's gram stays zero-total, and zero-total grams are
+    * invisible to every reader (probes filter `df > 0`, forget's
+    * zeroed-set recompute treats ≤ 0 as already-gone) — while every
+    * gen ever written stays visible to the replay checks. Gate and
+    * staleness are in GRAM TYPES, matching the pane's accounting.
+    * Publishes under the tmp/old/live protocol healed by
+    * [[recoverCompaction]]. Returns reclaimed gram types (0 when
+    * below the gate). */
+  def compactDfSidecar(spark: SparkSession, dfDir: String,
+      staleFraction: Double = 0.3): Long = {
+    recoverCompaction(dfDir)
+    readParquetOpt(spark, dfDir) match {
+      case None => 0L
+      case Some(sc0) =>
+        val zeroG = sc0.groupBy(col("g")).agg(sum(col("df")).as("t"))
+          .filter(col("t") <= 0).select(col("g"))
+        val total = sc0.select(col("g")).distinct().count()
+        val stale = zeroG.count()
+        if (total == 0 || stale <= staleFraction * total) 0L
+        else {
+          val keep = sc0.join(zeroG, Seq("g"), "left_anti")
+          // gens whose every row is zero-total mass: keep one sentinel
+          val orphanGens = sc0.select(col("gen")).distinct()
+            .join(keep.select(col("gen")).distinct(),
+              Seq("gen"), "left_anti")
+          val sentinels = sc0.join(zeroG, Seq("g"), "left_semi")
+            .join(orphanGens, Seq("gen"), "left_semi")
+            .groupBy(col("gen")).agg(min(col("g")).as("g"))
+            .select(col("g"), lit(0L).as("df"), col("gen"))
+          val tmp = dfDir + "_compact_tmp"
+          keep.select(col("g"), col("df"), col("gen"))
+            .unionByName(sentinels)
+            .write.mode("overwrite").parquet(tmp)
+          val dst = new java.io.File(dfDir)
+          val oldF = new java.io.File(dfDir + "_compact_old")
+          if (oldF.exists) delTree(oldF)
+          if (!dst.renameTo(oldF))
+            throw new java.io.IOException(
+              s"failed to demote live DF sidecar: $dfDir -> $oldF")
+          if (!new java.io.File(tmp).renameTo(dst))
+            throw new java.io.IOException(
+              s"failed to publish compacted DF sidecar: $tmp -> $dfDir")
+          delTree(oldF)
+          stale
+        }
+    }
   }
 
   /** q273's live half: eval arrivals probe the DF sidecar and get
@@ -1397,6 +1469,9 @@ object StreamOps {
       dfCap: Long = 10L)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
+    // the sidecar is compaction-maintained (compactDfSidecar) — heal
+    // a torn publish rather than failing the probe read
+    recoverCompaction(dfDir)
     if (batchCommitted(spark, verdictsDir, batchId)) return
     val uniq = batch.dropDuplicates("doc_id")
     val ev = graft.ops.Text.gram8Of(uniq)
@@ -1538,7 +1613,7 @@ object StreamOps {
     // pre-upgrade stranded dirs (and the other stores' compactions)
     // still need the heal.
     (dedupIndexDir ++ ivfIndexDir ++ vecStoreDir ++ trainGramsDir ++
-      dfDir.map(_ + "_docs") ++ labelsDir).foreach { dir =>
+      dfDir ++ dfDir.map(_ + "_docs") ++ labelsDir).foreach { dir =>
       recoverCompaction(dir)
       sweepRwTmp(dir)
     }
@@ -1705,12 +1780,14 @@ object StreamOps {
       // a substring probe on the hex payload, conservative toward
       // reporting exposure.
       val nFrames = frameLogDir.map { ld =>
-        val floors = CdcReplaySource.retentionFloors(ld)
-        if (floors.isEmpty) 0L
+        // a configured-but-not-yet-created (or torn-down) log dir
+        // measures ZERO frames, it must not crash the cascade after
+        // the store rewrites have executed: listLogFiles returns the
+        // bare path for a non-directory, which would bypass the
+        // empty-floors guard and throw inside textFile (review
+        // finding)
+        if (!new java.io.File(ld).isDirectory) 0L
         else {
-          val ss = spark
-          import ss.implicits._
-          val floorsDf = floors.toSeq.toDF("shard", "floor_lsn")
           // byte-accurate needle: decode the hex payload back to its
           // wire bytes and search the doc_id's own bytes — substring
           // on the HEX text would also match at odd (nibble-
@@ -1718,19 +1795,9 @@ object StreamOps {
           // intended conservatism
           val needles = uniq
             .select(col("doc_id").cast("string").as("needle"))
-          val sch = "lsn BIGINT, frames ARRAY<STRING>"
-          spark.read.textFile(CdcReplaySource.listLogFiles(ld): _*)
-            .select(element_at(split(input_file_name(), "/"), -1)
-                .as("shard"),
-              from_json(col("value"),
-                org.apache.spark.sql.types.StructType.fromDDL(sch))
-                .as("j"))
-            .filter(col("j.lsn").isNotNull)
-            .select(col("shard"), col("j.lsn").as("lsn"),
-              unhex(concat_ws("", col("j.frames"))).cast("string")
-                .as("payload"))
-            .join(broadcast(floorsDf), Seq("shard"))
-            .filter(col("lsn") > col("floor_lsn"))
+          retainedTx(spark, ld)
+            .select(unhex(concat_ws("", col("frames"))).cast("string")
+              .as("payload"))
             .join(broadcast(needles),
               expr("contains(payload, needle)"), "left_semi")
             .count()
@@ -1951,6 +2018,39 @@ object StreamOps {
     * Scale shape: one pass over the log (per-file parallelism, the
     * source's own partitioning) + a broadcast of the k-row floor
     * relation. */
+  /** One complete transaction per row over a frame-log dir —
+    * `(shard, lsn, frames)`. THE parse shared by the retention pane
+    * ([[slotRetentionReport]]) and the erasure compliance census
+    * ([[forgetBatch]]'s `n_frames_retained`), so line schema,
+    * torn-line handling, and shard-name extraction can never drift
+    * between observation and compliance (the r13 floor-divergence
+    * lesson, one layer up). Torn final lines (crash artifacts) parse
+    * to a null lsn and are dropped — exactly the rows the replay
+    * reader delivers (`completeLines` excludes them too). */
+  private[streaming] def frameLogTx(spark: SparkSession,
+      logDir: String): DataFrame =
+    spark.read.textFile(CdcReplaySource.listLogFiles(logDir): _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("shard"),
+        from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("lsn BIGINT, frames ARRAY<STRING>")).as("j"))
+      .filter(col("j.lsn").isNotNull)
+      .select(col("shard"), col("j.lsn").as("lsn"), col("j.frames")
+        .as("frames"))
+
+  /** The RETAINED (above-floor) slice of [[frameLogTx]], floors per
+    * [[CdcReplaySource.retentionFloors]] — what every consumer has
+    * NOT yet confirmed past, i.e. what truncation must keep. */
+  private[streaming] def retainedTx(spark: SparkSession,
+      logDir: String): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    val floorsDf = CdcReplaySource.retentionFloors(logDir).toSeq
+      .toDF("shard", "floor_lsn")
+    frameLogTx(spark, logDir)
+      .join(broadcast(floorsDf), Seq("shard"))
+      .filter(col("lsn") > col("floor_lsn"))
+  }
+
   def slotRetentionReport(spark: SparkSession, logDir: String,
       capBytes: Long = 1L << 20): DataFrame = {
     val ss = spark
@@ -1961,25 +2061,16 @@ object StreamOps {
     // frames pinned by a LAGGING slot's sidecar (r13 advisor finding)
     val floors = CdcReplaySource.retentionFloors(logDir).toSeq
       .toDF("shard", "floor_lsn")
-    val sch = "lsn BIGINT, frames ARRAY<STRING>"
-    // torn final lines (crash artifacts) parse to a null struct: drop
-    // them so the report counts exactly what the replay reader
-    // delivers (completeLines excludes them too)
-    val tx = spark.read.textFile(
-        CdcReplaySource.listLogFiles(logDir): _*)
-      .select(element_at(split(input_file_name(), "/"), -1).as("shard"),
-        from_json(col("value"), org.apache.spark.sql.types.StructType
-          .fromDDL(sch)).as("j"))
-      .filter(col("j.lsn").isNotNull)
-      .select(col("shard"), col("j.lsn").as("lsn"),
-        expr("aggregate(j.frames, 0L," +
+    def bytesOf(df: DataFrame): DataFrame =
+      df.select(col("shard"), col("lsn"),
+        expr("aggregate(frames, 0L," +
           " (acc, x) -> acc + 25 + length(x) DIV 2)").as("bytes"))
     // floors drives the join so a shard whose file holds no complete
     // transaction still renders (0 retained), not vanish from the pane
-    val perShard = tx.groupBy(col("shard"))
+    val perShard = bytesOf(frameLogTx(spark, logDir))
+      .groupBy(col("shard"))
       .agg(max(col("lsn")).as("head_lsn"), count(lit(1)).as("n_tx"))
-    val retained = tx.join(broadcast(floors), Seq("shard"))
-      .filter(col("lsn") > col("floor_lsn"))
+    val retained = bytesOf(retainedTx(spark, logDir))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_retained"),
         sum(col("bytes")).as("retained_bytes"))

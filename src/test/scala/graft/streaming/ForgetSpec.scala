@@ -426,6 +426,67 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamOps.forgetBatch(s"$root/frep2")(docs(41L -> textX), 0L)
     assert(spark.read.parquet(s"$root/frep2").head
       .getAs[Long]("n_frames_retained") == -1L)
+    // a configured-but-not-yet-created log dir measures ZERO and must
+    // not crash the cascade after the store rewrites ran (review
+    // finding: listLogFiles returns the bare path for a non-directory,
+    // which used to bypass the empty guard and throw inside textFile)
+    StreamOps.forgetBatch(s"$root/frep3",
+      frameLogDir = Some(s"$root/never-created"))(docs(41L -> textX), 0L)
+    assert(spark.read.parquet(s"$root/frep3").head
+      .getAs[Long]("n_frames_retained") == 0L)
+  }
+
+  test("df-sidecar compaction reclaims erased mass but preserves both " +
+      "writers' replay guards (gen sentinels)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-dfcompact").toString
+    val tg = s"$root/grams"; val tgRep = s"$root/tgrep"
+    val df = s"$root/df"; val dfRep = s"$root/dfrep"
+    val frep = s"$root/frep"
+    StreamOps.trainGramIngestBatch(tg, tgRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+    StreamOps.trainGramDfIngestBatch(df, dfRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+    StreamOps.forgetBatch(frep, trainGramsDir = Some(tg),
+      dfDir = Some(df))(docs(3L -> textY), 0L)
+    def totals(): Map[Long, Long] = spark.read.parquet(df)
+      .groupBy(col("g")).agg(sum(col("df")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t0 = totals()
+    assert(t0.values.count(_ == 0L) == 3L &&
+      t0.values.count(_ == 1L) == 3L)
+    // 3 of 6 gram types zeroed = 0.5 stale > 0.3 → compaction fires
+    val reclaimed = StreamOps.compactDfSidecar(spark, df)
+    assert(reclaimed == 3L, s"reclaimed: $reclaimed")
+    val t1 = totals()
+    assert(t1.values.count(_ == 1L) == 3L,
+      "surviving grams' totals must ride the compaction unchanged")
+    // exactly ONE zero-total sentinel survives: the forget gen (-1)
+    // lost all its mass and must stay visible to the replay guard
+    assert(t1.values.count(_ == 0L) == 1L, s"totals after: $t1")
+    val gens = spark.read.parquet(df).select(col("gen")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gens == Set(0L, -1L),
+      s"both writers' gens must remain visible: $gens")
+    // forget replay with a lost marker: the -1 sentinel blocks a
+    // double decrement
+    def delTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(delTree))
+      f.delete(); ()
+    }
+    delTree(new java.io.File(frep))
+    StreamOps.forgetBatch(frep, trainGramsDir = Some(tg),
+      dfDir = Some(df))(docs(3L -> textY), 0L)
+    assert(totals().values.forall(_ >= 0L),
+      "compaction must not re-open the forget replay window")
+    // ingest replay with a lost marker: gen 0 (kept via the surviving
+    // doc's rows) blocks a double count
+    delTree(new java.io.File(dfRep))
+    StreamOps.trainGramDfIngestBatch(df, dfRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+    val t2 = totals()
+    assert(t2.values.count(_ == 1L) == 3L && t2.values.forall(_ <= 1L),
+      s"compaction must not re-open the ingest replay window: $t2")
   }
 
   test("trainGramsDir without dfDir is rejected") {

@@ -114,6 +114,8 @@ class OpsCycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h1 = health()
     assert(h1("dedup_index")._1 && h1("dedup_index")._2 > 0L,
       s"two of three docs tombstoned must trip the stale gate: $h1")
+    assert(h1("df_sidecar")._1 && h1("df_sidecar")._2 == 3L,
+      s"textB's three zeroed gram types are reclaimable mass: $h1")
     assert(h1("train_grams")._3 > gramGate,
       s"the gram index's file count must exceed the ByFiles gate: $h1")
     assert(h1("train_grams")._1,
@@ -132,6 +134,10 @@ class OpsCycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // grams: the next ingest batch triggers the file-count compaction
     StreamOps.trainGramIngestBatch(tg, tgRep, gramGate)(
       docs(4L -> textD), 13L)
+    // DF sidecar: the next df-ingest batch triggers compactDfSidecar
+    // under the pane's own ByStale gate (zeroed mass dropped, one
+    // df=0 sentinel keeps the forget gen visible to replay guards)
+    StreamOps.trainGramDfIngestBatch(df, dfRep)(docs(4L -> textD), 1L)
     // WAL: consumers ack to head, truncation recycles at the floors
     CdcReplaySource.writeAckedOffsets(log, ShardOffsets(Long.MinValue,
       Map("part-0.jsonl" -> 300L)))
@@ -145,6 +151,9 @@ class OpsCycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!h2("train_grams")._1 &&
       h2("train_grams")._3 <= gramGate,
       s"compaction must clear the gram pane: $h2")
+    assert(!h2("df_sidecar")._1 && h2("df_sidecar")._2 == 1L,
+      s"sidecar compaction must clear the pane down to the one gen " +
+        s"sentinel: $h2")
     val ret2 = StreamOps.slotRetentionReport(spark, log).head()
     assert(ret2.getAs[Long]("n_retained") == 0L &&
       ret2.getAs[Long]("retained_bytes") == 0L,
