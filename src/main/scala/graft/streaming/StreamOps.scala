@@ -861,28 +861,12 @@ object StreamOps {
           .filter(col("n") >= 0)
         val liveCount = liveNow.count()
         if (total > 0 && (total - liveCount) > compactStaleFraction * total) {
-          val tmp = indexDir + "_compact_tmp"
-          liveNow.select(col("doc_id"), col("h"), col("n"), col("gen"))
-            .write.mode("overwrite").parquet(tmp)
           // Crash-safe publish (r11 advisor): NEVER a moment where the
-          // live index is gone without a complete replacement on disk.
-          //   1. tmp fully written (above)   2. live -> _compact_old
-          //   3. tmp -> live                 4. delete _compact_old
-          // A crash at any point leaves either the live dir, or a
-          // complete tmp/old that `recoverCompaction` (run at every
-          // batch start) promotes/restores — the old delete-then-rename
-          // had a window where a crash lost the index and the next
-          // batch silently treated the whole corpus as novel.
-          val dst = new java.io.File(indexDir)
-          val oldF = new java.io.File(indexDir + "_compact_old")
-          if (oldF.exists) delTree(oldF)
-          if (!dst.renameTo(oldF))
-            throw new java.io.IOException(
-              s"failed to demote live index: $indexDir -> $oldF")
-          if (!new java.io.File(tmp).renameTo(dst))
-            throw new java.io.IOException(
-              s"failed to publish compacted index: $tmp -> $indexDir")
-          delTree(oldF)
+          // live index is gone without a complete replacement on disk
+          // — see [[publishCompacted]] (healed by recoverCompaction at
+          // every batch start).
+          publishCompacted(indexDir,
+            liveNow.select(col("doc_id"), col("h"), col("n"), col("gen")))
         }
       }
       if (hasIndex) { changedIds.unpersist(); live.unpersist(); () }
@@ -1151,20 +1135,9 @@ object StreamOps {
     recoverCompaction(indexDir)
     val store = spark.read.parquet(vecsDir)
       .select(col("vec_id"), col("embedding"))
-    val tmp = indexDir + "_compact_tmp"
-    graft.ops.Vectors.assignArrivals(store, centroids)
-      .withColumn("gen", lit(gen))
-      .write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(indexDir)
-    val oldF = new java.io.File(indexDir + "_compact_old")
-    if (oldF.exists) delTree(oldF)
-    if (dst.exists && !dst.renameTo(oldF))
-      throw new java.io.IOException(
-        s"failed to demote live index: $indexDir -> $oldF")
-    if (!new java.io.File(tmp).renameTo(dst))
-      throw new java.io.IOException(
-        s"failed to publish reassigned index: $tmp -> $indexDir")
-    if (oldF.exists) delTree(oldF)
+    publishCompacted(indexDir,
+      graft.ops.Vectors.assignArrivals(store, centroids)
+        .withColumn("gen", lit(gen)))
   }
 
   /** foreachBatch contamination probe — q234's live form: each
@@ -1256,28 +1229,18 @@ object StreamOps {
         .write.mode("append").parquet(reportDir)
     } finally { fresh.unpersist(); () }
     // ---- compaction: bound the index's FILE count ------------------
-    // Runs after the report commit, so a crash anywhere in here
-    // replays as a committed no-op batch whose compaction retriggers.
-    // Rows are preserved exactly (g, gen both ride the rewrite); the
-    // bucketed-by-g layout is the 100 TB table shape the probe's
-    // equi-join wants.
+    // Runs after the report commit. A crash in here leaves the batch
+    // committed with compaction DEFERRED (a replay's batchId marker
+    // short-circuits before reaching this point) — the next ingest
+    // batch's gate re-trips and compacts then. Rows are preserved
+    // exactly (g, gen both ride the rewrite); the bucketed-by-g
+    // layout is the 100 TB table shape the probe's equi-join wants.
     val live = new java.io.File(trainGramsDir)
     val nFiles = Option(live.listFiles).map(
       _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
     if (nFiles > compactFileThreshold) {
-      val tmp = trainGramsDir + "_compact_tmp"
-      spark.read.parquet(trainGramsDir)
-        .repartition(8, col("g"))
-        .write.mode("overwrite").parquet(tmp)
-      val oldF = new java.io.File(trainGramsDir + "_compact_old")
-      if (oldF.exists) delTree(oldF)
-      if (!live.renameTo(oldF))
-        throw new java.io.IOException(
-          s"failed to demote live gram index: $trainGramsDir -> $oldF")
-      if (!new java.io.File(tmp).renameTo(live))
-        throw new java.io.IOException(
-          s"failed to publish compacted gram index: $tmp -> $trainGramsDir")
-      delTree(oldF)
+      publishCompacted(trainGramsDir,
+        spark.read.parquet(trainGramsDir).repartition(8, col("g")))
     }
   }
 
@@ -1327,9 +1290,7 @@ object StreamOps {
     * only grows, so the cap rule degrades conservatively — a
     * redelivered gram can only move toward 'boilerplate', never
     * fake-informative). */
-  def trainGramDfIngestBatch(dfDir: String, reportDir: String,
-      /** [[compactDfSidecar]]'s ByStale gate — the pane's policy. */
-      compactStaleFraction: Double = 0.3)(
+  def trainGramDfIngestBatch(dfDir: String, reportDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     graft.cdc.GraftFunctions.register(spark)
@@ -1390,43 +1351,62 @@ object StreamOps {
       lit(batchId).as("batch_id"),
       lit(nTypes).as("n_gram_types"))
       .write.mode("append").parquet(reportDir)
-    // ---- compaction: reclaim fully-erased gram mass -----------------
-    // after the report commit (a crash replays as a committed no-op
-    // whose compaction retriggers), under the same ByStale policy the
-    // health pane recommends by
-    compactDfSidecar(spark, dfDir, compactStaleFraction)
-    ()
   }
 
   /** Reclaim the DF sidecar's erased mass — the ENFORCEMENT half of
     * [[storeHealthReport]]'s `df_sidecar` recommendation (before r14
-    * the pane could recommend a compaction nothing implemented). A
-    * gram fully erased by [[forgetBatch]] leaves its increment and
+    * the pane could recommend a compaction nothing implemented). Run
+    * it BETWEEN batches when the pane recommends, exactly like
+    * [[CdcReplaySource.truncateFrameLog]] — it deliberately does NOT
+    * ride the ingest hot path (ingest appends can never create stale
+    * mass, so gating there would pay two full-sidecar scans per
+    * micro-batch for nothing).
+    *
+    * A gram fully erased by [[forgetBatch]] leaves its increment and
     * decrement rows behind summing to zero: reclaimable, but the rows
-    * cannot simply be dropped — the sidecar's per-gen rows double as
-    * the replay guards of BOTH writers ([[trainGramDfIngestBatch]]'s
-    * `gen == batchId` check, [[forgetBatch]]'s `gen == -batchId-1`
-    * check), so a gen losing its LAST row would re-admit a replayed
-    * batch's append (double count / double decrement). Compaction
-    * therefore drops every row of every zero-total gram but KEEPS one
-    * `df = 0` sentinel row per gen that would otherwise vanish (that
-    * gen's min-g zeroed row): gram totals are unchanged — the
-    * sentinel's gram stays zero-total, and zero-total grams are
-    * invisible to every reader (probes filter `df > 0`, forget's
-    * zeroed-set recompute treats ≤ 0 as already-gone) — while every
-    * gen ever written stays visible to the replay checks. Gate and
-    * staleness are in GRAM TYPES, matching the pane's accounting.
-    * Publishes under the tmp/old/live protocol healed by
-    * [[recoverCompaction]]. Returns reclaimed gram types (0 when
-    * below the gate). */
+    * cannot simply be dropped —
+    *
+    *  - the sidecar's per-gen rows double as the replay guards of
+    *    BOTH writers ([[trainGramDfIngestBatch]]'s `gen == batchId`
+    *    check, [[forgetBatch]]'s `gen == -batchId-1` check), so a gen
+    *    losing its LAST row would re-admit a replayed batch's append
+    *    (double count / double decrement). Compaction keeps one
+    *    `df = 0` sentinel row per gen that would otherwise vanish
+    *    (that gen's min-g zeroed row): gram totals are unchanged and
+    *    zero-total grams stay invisible to every reader (probes
+    *    filter `df > 0`, forget's zeroed-set recompute treats ≤ 0 as
+    *    already-gone), while every gen ever written stays visible to
+    *    the replay checks.
+    *  - a zero-total gram STILL PRESENT in the train-gram index is
+    *    the evidence of an IN-FLIGHT (or crashed-uncommitted)
+    *    forget: the decrement landed but `rewriteMinus(tgDir, ...)`
+    *    has not, and the replay re-derives its zeroed set from
+    *    exactly these rows — dropping them would leave the
+    *    forgotten-exclusive grams in the index forever (erasure
+    *    incompleteness). Pass `trainGramsDir` and such pending grams
+    *    are excluded from reclamation until the forget completes.
+    *
+    * Gate and staleness are in GRAM TYPES, matching the pane's
+    * accounting. Publishes under the tmp/old/live protocol healed by
+    * [[recoverCompaction]]. Returns gram types actually reclaimed
+    * (stale minus sentinels kept; 0 when below the gate). */
   def compactDfSidecar(spark: SparkSession, dfDir: String,
-      staleFraction: Double = 0.3): Long = {
+      staleFraction: Double = 0.3,
+      trainGramsDir: Option[String] = None): Long = {
     recoverCompaction(dfDir)
     readParquetOpt(spark, dfDir) match {
       case None => 0L
       case Some(sc0) =>
-        val zeroG = sc0.groupBy(col("g")).agg(sum(col("df")).as("t"))
+        val zeroAll = sc0.groupBy(col("g")).agg(sum(col("df")).as("t"))
           .filter(col("t") <= 0).select(col("g"))
+        // pending-forget exclusion: zeroed grams the gram index still
+        // holds are NOT reclaimable (see scaladoc)
+        val zeroG = trainGramsDir.flatMap(readParquetOpt(spark, _)) match {
+          case Some(tg) =>
+            zeroAll.join(tg.select(col("g")).distinct(),
+              Seq("g"), "left_anti")
+          case None => zeroAll
+        }
         val total = sc0.select(col("g")).distinct().count()
         val stale = zeroG.count()
         if (total == 0 || stale <= staleFraction * total) 0L
@@ -1440,23 +1420,39 @@ object StreamOps {
             .join(orphanGens, Seq("gen"), "left_semi")
             .groupBy(col("gen")).agg(min(col("g")).as("g"))
             .select(col("g"), lit(0L).as("df"), col("gen"))
-          val tmp = dfDir + "_compact_tmp"
-          keep.select(col("g"), col("df"), col("gen"))
-            .unionByName(sentinels)
-            .write.mode("overwrite").parquet(tmp)
-          val dst = new java.io.File(dfDir)
-          val oldF = new java.io.File(dfDir + "_compact_old")
-          if (oldF.exists) delTree(oldF)
-          if (!dst.renameTo(oldF))
-            throw new java.io.IOException(
-              s"failed to demote live DF sidecar: $dfDir -> $oldF")
-          if (!new java.io.File(tmp).renameTo(dst))
-            throw new java.io.IOException(
-              s"failed to publish compacted DF sidecar: $tmp -> $dfDir")
-          delTree(oldF)
-          stale
+          val nSentinels = sentinels.count()
+          publishCompacted(dfDir,
+            keep.select(col("g"), col("df"), col("gen"))
+              .unionByName(sentinels))
+          stale - nSentinels
         }
     }
+  }
+
+  /** The crash-safe whole-store publish shared by every compaction:
+    * tmp fully written → live demoted to `_compact_old` → tmp
+    * promoted → old deleted. A crash at any point leaves either the
+    * live dir, or a complete tmp/old that [[recoverCompaction]] (run
+    * at every consumer's entry) promotes/restores — never a moment
+    * where the store is gone without a complete replacement on disk.
+    * ONE implementation so a future protocol change (fsync, object
+    * store, rename retry) cannot miss a site. */
+  private[streaming] def publishCompacted(dir: String,
+      replacement: DataFrame): Unit = {
+    val tmp = dir + "_compact_tmp"
+    replacement.write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(dir)
+    val oldF = new java.io.File(dir + "_compact_old")
+    if (oldF.exists) delTree(oldF)
+    // a missing live dir is legal for a FIRST publish (backfill into
+    // an empty store): skip the demote, promote straight in
+    if (dst.exists && !dst.renameTo(oldF))
+      throw new java.io.IOException(
+        s"failed to demote live store: $dir -> $oldF")
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(
+        s"failed to publish compacted store: $tmp -> $dir")
+    if (oldF.exists) delTree(oldF)
   }
 
   /** q273's live half: eval arrivals probe the DF sidecar and get
@@ -2044,12 +2040,19 @@ object StreamOps {
       logDir: String): DataFrame = {
     val ss = spark
     import ss.implicits._
-    val floorsDf = CdcReplaySource.retentionFloors(logDir).toSeq
-      .toDF("shard", "floor_lsn")
+    retainedTx(spark, logDir,
+      CdcReplaySource.retentionFloors(logDir).toSeq
+        .toDF("shard", "floor_lsn"))
+  }
+
+  /** As above with a caller-supplied floors snapshot — so a report
+    * that ALSO renders the floors uses ONE snapshot for both (two
+    * reads could diverge if a consumer acks in between). */
+  private[streaming] def retainedTx(spark: SparkSession, logDir: String,
+      floorsDf: DataFrame): DataFrame =
     frameLogTx(spark, logDir)
       .join(broadcast(floorsDf), Seq("shard"))
       .filter(col("lsn") > col("floor_lsn"))
-  }
 
   def slotRetentionReport(spark: SparkSession, logDir: String,
       capBytes: Long = 1L << 20): DataFrame = {
@@ -2070,7 +2073,7 @@ object StreamOps {
     val perShard = bytesOf(frameLogTx(spark, logDir))
       .groupBy(col("shard"))
       .agg(max(col("lsn")).as("head_lsn"), count(lit(1)).as("n_tx"))
-    val retained = bytesOf(retainedTx(spark, logDir))
+    val retained = bytesOf(retainedTx(spark, logDir, floors))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_retained"),
         sum(col("bytes")).as("retained_bytes"))

@@ -455,9 +455,11 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t0 = totals()
     assert(t0.values.count(_ == 0L) == 3L &&
       t0.values.count(_ == 1L) == 3L)
-    // 3 of 6 gram types zeroed = 0.5 stale > 0.3 → compaction fires
-    val reclaimed = StreamOps.compactDfSidecar(spark, df)
-    assert(reclaimed == 3L, s"reclaimed: $reclaimed")
+    // 3 of 6 gram types zeroed = 0.5 stale > 0.3 → compaction fires;
+    // returns types actually reclaimed (one stays as the gen sentinel)
+    val reclaimed = StreamOps.compactDfSidecar(spark, df,
+      trainGramsDir = Some(tg))
+    assert(reclaimed == 2L, s"reclaimed: $reclaimed")
     val t1 = totals()
     assert(t1.values.count(_ == 1L) == 3L,
       "surviving grams' totals must ride the compaction unchanged")
@@ -487,6 +489,62 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t2 = totals()
     assert(t2.values.count(_ == 1L) == 3L && t2.values.forall(_ <= 1L),
       s"compaction must not re-open the ingest replay window: $t2")
+  }
+
+  test("compaction must not destroy an in-flight forget's zeroed-set " +
+      "evidence: grams still in the train index are pending, not " +
+      "reclaimable") {
+    // the advisor's confirmed repro: a forget crashes AFTER its DF
+    // decrement append but BEFORE the gram-index rewrite; a
+    // compaction racing in would drop the zero-total rows the replay
+    // re-derives its zeroed set from, leaving the forgotten-exclusive
+    // grams in the index forever (erasure incompleteness)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-pending").toString
+    val tg = s"$root/grams"; val tgRep = s"$root/tgrep"
+    val df = s"$root/df"; val dfRep = s"$root/dfrep"
+    val frep = s"$root/frep"; val pverd = s"$root/pverd"
+    StreamOps.trainGramIngestBatch(tg, tgRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+    StreamOps.trainGramDfIngestBatch(df, dfRep)(
+      docs(3L -> textY, 4L -> textZ), 0L)
+    // simulate the crash window: the decrement rows landed (negGen
+    // -1, exactly forgetBatch's write), the gram-index rewrite and
+    // the report did NOT
+    graft.ops.Text.gram8Of(docs(3L -> textY))
+      .groupBy(col("g")).agg((-count(lit(1))).as("df"))
+      .join(spark.read.parquet(df).select(col("g")).distinct(), "g")
+      .withColumn("gen", lit(-1L))
+      .write.mode("append").parquet(df)
+    // a compaction racing in must treat the zeroed-but-still-indexed
+    // grams as PENDING and reclaim nothing
+    assert(StreamOps.compactDfSidecar(spark, df,
+      trainGramsDir = Some(tg)) == 0L)
+    def zeroRows(): Long = spark.read.parquet(df)
+      .groupBy(col("g")).agg(sum(col("df")).as("t"))
+      .filter(col("t") === 0L).count()
+    assert(zeroRows() == 3L,
+      "the pending zeroed set must survive the compaction attempt")
+    // the forget replays (same batchId namespace: batchId 0 → gen -1)
+    // and completes: genDone skips the re-decrement, the zeroed set
+    // re-derives from the surviving rows, the gram index rewrites
+    StreamOps.forgetBatch(frep, trainGramsDir = Some(tg),
+      dfDir = Some(df))(docs(3L -> textY), 0L)
+    assert(spark.read.parquet(tg)
+      .join(graft.ops.Text.gram8Of(docs(100L -> textY))
+        .select(col("g")).distinct(), Seq("g"), "left_semi").isEmpty,
+      "the completed forget must erase every exclusive gram")
+    StreamOps.contaminationProbeBatch(tg, pverd)(
+      docs(100L -> textY, 101L -> textZ), 0L)
+    val con = spark.read.parquet(pverd)
+      .select(col("doc_id"), col("is_contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!con(100L) && con(101L),
+      s"erasure must be complete after the replay: $con")
+    // now the mass is genuinely dead: compaction reclaims it
+    assert(StreamOps.compactDfSidecar(spark, df,
+      trainGramsDir = Some(tg)) == 2L)
+    assert(zeroRows() == 1L, "only the gen sentinel remains")
   }
 
   test("trainGramsDir without dfDir is rejected") {

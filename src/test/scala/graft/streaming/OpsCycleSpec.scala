@@ -134,10 +134,14 @@ class OpsCycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // grams: the next ingest batch triggers the file-count compaction
     StreamOps.trainGramIngestBatch(tg, tgRep, gramGate)(
       docs(4L -> textD), 13L)
-    // DF sidecar: the next df-ingest batch triggers compactDfSidecar
-    // under the pane's own ByStale gate (zeroed mass dropped, one
-    // df=0 sentinel keeps the forget gen visible to replay guards)
+    // DF sidecar: the operator runs compactDfSidecar per the pane's
+    // recommendation — the truncateFrameLog pattern: enforcement
+    // between batches, never on the ingest hot path (zeroed mass
+    // dropped, one df=0 sentinel keeps the forget gen visible to the
+    // replay guards, pending-forget grams excluded via the index)
     StreamOps.trainGramDfIngestBatch(df, dfRep)(docs(4L -> textD), 1L)
+    assert(StreamOps.compactDfSidecar(spark, df,
+      trainGramsDir = Some(tg)) == 2L)
     // WAL: consumers ack to head, truncation recycles at the floors
     CdcReplaySource.writeAckedOffsets(log, ShardOffsets(Long.MinValue,
       Map("part-0.jsonl" -> 300L)))
