@@ -252,8 +252,19 @@ object CdcFunctions {
     * an unparseable payload that decodes to null rows. */
   def wal2jsonReassembleChunks(df: DataFrame, shard: Column, lsn: Column,
       payload: Column): DataFrame = {
+    // Parallelism contract, DECLARED: the per-shard depth window's
+    // exchange is hash(shard) at an EXPLICIT partition count, so AQE
+    // data-size coalescing (which sees a few MB of frames and would
+    // collapse the exchange to one partition, serializing every
+    // shard's window into a single task — measured 1.5x on q260/q264)
+    // cannot flatten the wire's own shard parallelism. An explicit
+    // user repartition also satisfies the window's required
+    // distribution, so no second exchange is planned.
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val base = df.select(shard.as("shard"), lsn.as("_lsn"),
-      payload.as("_p"))
+        payload.as("_p"))
+      .repartition(parts, col("shard"))
     // Ordering contract: chunk order is NUMERIC LSN order. Textual
     // PostgreSQL LSNs ("0/16B3748") are variable-width hex, so raw
     // string comparison would scramble them ("0/10010" < "0/FFF8"

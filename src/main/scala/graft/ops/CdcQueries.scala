@@ -240,9 +240,13 @@ object CdcQueries {
     // shard's frames once; the cut tail stays in state and is
     // correctly withheld, mirroring a stream awaiting its footer).
     // Footer layout drops nextlsn so both engines build the payload
-    // from plain column concats. Scale: parallelism = shard count
-    // (the wire's per-slot contract); per-shard state = one open
-    // transaction.
+    // from plain column concats. Scale: in STREAMING, parallelism =
+    // the state store's fixed shuffle partitioning over shard keys
+    // (the wire's per-slot contract; AQE never re-plans a streaming
+    // stateful exchange). This BATCH oracle twin runs the same
+    // operator under AQE, which may size the tiny fixture exchange
+    // down — timing here prices the oracle run, not the streaming
+    // deployment. Per-shard state = one open transaction.
     QueryDef(
       "q265_chunked_stream_batch_parity",
       s"""WITH lastx AS (SELECT event_id % 8 AS shard,
