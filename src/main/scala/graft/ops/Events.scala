@@ -1031,6 +1031,191 @@ object Events {
           coalesce(col("mxl"), lit(-1L)).as("max_exposed_lsn"),
           coalesce(col("n_to_clear"), lit(0L)).as("n_to_clear"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q293: ack-lag SLO census per slot ---------------------------
+    // q280 forecasts disk; this grades LATENCY — the other half of
+    // the replication-slot dashboard. Model (q280's frame
+    // conventions, shard = event_id % 8, lsn = event_id·4): each
+    // consumer sends a standby-status ack every 32nd frame of its
+    // shard (the reference's periodic-ack knob,
+    // `logical-replication-service.ts` auto-ack machinery), so a
+    // frame's ack latency is the gap between its own timestamp and
+    // the timestamp of its group's closing frame — the tail of the
+    // log is acked by the shard's final frame. Per slot: frames,
+    // exact p50/p99 ack lag in seconds (order statistics, never an
+    // interpolation), worst lag, and the fraction acked within a
+    // 60 s SLO in milli. Scale shape: one shard-partitioned
+    // row-number window to form ack groups, one (shard, group) keyed
+    // agg for the closing timestamp, one shard-partitioned rank over
+    // lags, then a k=#slots-row output — the log is scanned twice,
+    // shuffled on its natural shard key both times.
+    QueryDef(
+      "q293_ack_lag_slo",
+      s"""WITH f AS (SELECT event_id % 8 AS shard, event_id * 4 AS lsn,
+         |    $tsSecSql AS ts_sec FROM events),
+         |g AS (SELECT shard, lsn, ts_sec,
+         |    (row_number() OVER (PARTITION BY shard ORDER BY lsn) - 1)
+         |      // 32 AS grp
+         |  FROM f),
+         |ack AS (SELECT shard, grp, max(ts_sec) AS ack_ts
+         |  FROM g GROUP BY shard, grp),
+         |lagged AS (SELECT g.shard, g.lsn,
+         |    greatest(0, ack.ack_ts - g.ts_sec) AS lag_sec
+         |  FROM g JOIN ack ON ack.shard = g.shard AND ack.grp = g.grp),
+         |r AS (SELECT shard, lag_sec, row_number() OVER (
+         |    PARTITION BY shard ORDER BY lag_sec, lsn) AS rn,
+         |    count(*) OVER (PARTITION BY shard) AS n
+         |  FROM lagged)
+         |SELECT shard, CAST(max(n) AS BIGINT) AS n_frames,
+         |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lag_sec END)
+         |    AS BIGINT) AS p50_lag_sec,
+         |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN lag_sec END)
+         |    AS BIGINT) AS p99_lag_sec,
+         |  CAST(max(lag_sec) AS BIGINT) AS max_lag_sec,
+         |  CAST(sum(CASE WHEN lag_sec <= 60 THEN 1 ELSE 0 END) * 1000
+         |    // max(n) AS BIGINT) AS slo_milli
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val f = events(s, d)
+        .select((col("event_id") % 8).as("shard"),
+          (col("event_id") * 4).as("lsn"), col("ts_sec"))
+      val g = f.withColumn("grp",
+          expr("(row_number() OVER (PARTITION BY shard ORDER BY lsn)" +
+            " - 1) DIV 32"))
+        .tcache() // group formation + closing-ts agg share the scan
+      val ack = g.groupBy(col("shard"), col("grp"))
+        .agg(max(col("ts_sec")).as("ack_ts"))
+      val lagged = g.join(ack, Seq("shard", "grp"))
+        .select(col("shard"), col("lsn"),
+          greatest(lit(0L), col("ack_ts") - col("ts_sec")).as("lag_sec"))
+      val wr = Window.partitionBy(col("shard"))
+        .orderBy(col("lag_sec"), col("lsn"))
+      val wn = Window.partitionBy(col("shard"))
+      lagged.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("shard"))
+        .agg(max(col("n")).as("n_frames"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"),
+            col("lag_sec"))).as("p50_lag_sec"),
+          max(when(col("rn") === expr("(99 * n + 99) DIV 100"),
+            col("lag_sec"))).as("p99_lag_sec"),
+          max(col("lag_sec")).as("max_lag_sec"),
+          expr("sum(CASE WHEN lag_sec <= 60 THEN 1 ELSE 0 END) * 1000" +
+            " DIV max(n)").as("slo_milli"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- q297: session-gap parameter sweep -----------------------------
+    // q18 sessionizes at ONE inactivity gap; this prices the choice —
+    // the session-window timeout every streaming sessionization
+    // (Events session windows, `StreamOps` stateful variants) must
+    // pick. Per candidate gap: total sessions, sessions per user and
+    // mean events per session in milli — read the elbow, pick the
+    // gap. One lag window (user-partitioned) computes every
+    // inter-event delta ONCE; the sweep is a 4-row broadcast spine
+    // against the delta stream, never a re-sessionization per
+    // candidate. Scale shape: one keyed window + one keyed agg;
+    // output is 4 rows.
+    QueryDef(
+      "q297_session_gap_sweep",
+      s"""WITH e AS (SELECT user_id, event_id, $tsSecSql AS ts_sec
+         |           FROM events),
+         |dl AS (SELECT user_id, ts_sec - lag(ts_sec) OVER (
+         |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS delta
+         |  FROM e),
+         |spine AS (SELECT * FROM (VALUES (60), (300), (900), (3600))
+         |          g(gap_sec)),
+         |agg AS (SELECT s.gap_sec,
+         |    sum(CASE WHEN dl.delta IS NULL OR dl.delta >= s.gap_sec
+         |        THEN 1 ELSE 0 END) AS n_sessions,
+         |    count(*) AS n_events
+         |  FROM dl CROSS JOIN spine s GROUP BY 1),
+         |u AS (SELECT count(DISTINCT user_id) AS n_users FROM e)
+         |SELECT CAST(a.gap_sec AS BIGINT) AS gap_sec,
+         |  CAST(a.n_sessions AS BIGINT) AS n_sessions,
+         |  CAST(a.n_sessions * 1000 // u.n_users AS BIGINT)
+         |    AS sess_per_user_milli,
+         |  CAST(a.n_events * 1000 // a.n_sessions AS BIGINT)
+         |    AS events_per_sess_milli
+         |FROM agg a CROSS JOIN u ORDER BY gap_sec""".stripMargin) {
+      (s, d) =>
+      val e = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_sec"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val dl = e.select(
+        (col("ts_sec") - lag(col("ts_sec"), 1).over(wu)).as("delta"))
+      val spine = {
+        val ss = s; import ss.implicits._
+        Seq(60L, 300L, 900L, 3600L).toDF("gap_sec")
+      }
+      val agg = dl.crossJoin(broadcast(spine))
+        .groupBy(col("gap_sec"))
+        .agg(sum(when(col("delta").isNull ||
+            col("delta") >= col("gap_sec"), 1L).otherwise(0L))
+            .as("n_sessions"),
+          count(lit(1)).as("n_events"))
+      val u = e.agg(countDistinct(col("user_id")).as("n_users"))
+      agg.crossJoin(broadcast(u))
+        .select(col("gap_sec"), col("n_sessions"),
+          expr("n_sessions * 1000 DIV n_users")
+            .as("sess_per_user_milli"),
+          expr("n_events * 1000 DIV n_sessions")
+            .as("events_per_sess_milli"))
+        .orderBy(col("gap_sec"))
+    },
+
+    // ---- q298: watermark-lateness sweep --------------------------------
+    // The other streaming parameter with no free lunch: a short
+    // watermark drops late data, a long one holds state. On the
+    // q280 frame conventions (shard = event_id % 8 = the arrival
+    // stream, event_id = arrival order within it), an event's
+    // lateness is how far the shard's running max event-time had
+    // already passed it on arrival. Per candidate delay: events that
+    // a `withWatermark(delay)` would drop, in ppm — read the knee,
+    // pick the delay. Scale shape: lateness is ONE shard-partitioned
+    // running-max window over the log; the sweep is a 4-row
+    // broadcast spine against the lateness stream — never a
+    // re-ingestion per candidate.
+    QueryDef(
+      "q298_watermark_lateness_sweep",
+      s"""WITH f AS (SELECT event_id % 8 AS shard, event_id,
+         |    $tsSecSql AS ts_sec FROM events),
+         |lt AS (SELECT greatest(0, max(ts_sec) OVER (
+         |      PARTITION BY shard ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - ts_sec) AS late_sec
+         |  FROM f),
+         |spine AS (SELECT * FROM (VALUES (0), (60), (300), (1800))
+         |          d(delay_sec))
+         |SELECT CAST(s.delay_sec AS BIGINT) AS delay_sec,
+         |  count(*) AS n_events,
+         |  CAST(sum(CASE WHEN lt.late_sec > s.delay_sec
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN lt.late_sec > s.delay_sec
+         |      THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         |    AS drop_ppm
+         |FROM lt CROSS JOIN spine s
+         |GROUP BY 1 ORDER BY delay_sec""".stripMargin) { (s, d) =>
+      val ws = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lt = events(s, d)
+        .select((col("event_id") % 8).as("shard"), col("event_id"),
+          col("ts_sec"))
+        .select(greatest(lit(0L),
+          max(col("ts_sec")).over(ws) - col("ts_sec")).as("late_sec"))
+      val spine = {
+        val ss = s; import ss.implicits._
+        Seq(0L, 60L, 300L, 1800L).toDF("delay_sec")
+      }
+      lt.crossJoin(broadcast(spine))
+        .groupBy(col("delay_sec"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_sec") > col("delay_sec"), 1L)
+            .otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_ppm",
+          expr("n_dropped * 1000000 DIV n_events"))
+        .orderBy(col("delay_sec"))
     }
   )
 }

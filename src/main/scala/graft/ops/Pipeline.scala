@@ -1516,6 +1516,174 @@ object Pipeline {
         .select(col("k").as("cluster_size"), col("n_clusters"),
           col("n_scorable"), col("n_unanimous"), col("maj_milli_avg"))
         .orderBy(col("cluster_size"))
+    },
+
+    // ---- q291: split-conformal quality-gate calibration ---------------
+    // The quality filter's threshold (q133's funnel, q143's
+    // calibration) is a guess unless it carries a guarantee. Split
+    // conformal prediction (Vovk et al.; Papadopoulos 2002) gives a
+    // distribution-free one: hold out a calibration split, take the
+    // k-th smallest quality score with k = floor(alpha*(n_cal+1)) as
+    // the floor, and P(new doc scores below the floor) <= alpha with
+    // NO distributional assumption — exchangeability only. Per
+    // (lang, alpha): the calibration size, the order-statistic index
+    // k (k = 0 => no rejection, floor sentinel -1), the chosen floor,
+    // and the holdout pass rate (which should sit >= 1000 - alpha in
+    // milli — the audit of the guarantee). Exact integers end to end:
+    // the "quantile" is a rank, never an interpolation. Scale shape:
+    // one window over the calibration split (lang-partitioned), a
+    // k*4-row broadcast threshold relation streamed against the
+    // holdout, and the q288-style left-join resurrection of
+    // zero-coverage cells — never corpus x alphas.
+    QueryDef(
+      "q291_conformal_quality_gate",
+      s"""WITH $qualityScoresSql,
+         |dq AS (SELECT d.doc_id, d.lang, qual.q,
+         |    (${h32Sql("CAST(d.doc_id AS VARCHAR)")}) % 5 = 0 AS cal
+         |  FROM documents d JOIN qual ON qual.doc_id = d.doc_id),
+         |c AS (SELECT lang, doc_id, q, row_number() OVER (
+         |    PARTITION BY lang ORDER BY q, doc_id) AS rn
+         |  FROM dq WHERE cal),
+         |n AS (SELECT lang, count(*) AS n_cal FROM dq WHERE cal
+         |      GROUP BY lang),
+         |spine AS (SELECT * FROM (VALUES (50), (100), (200), (333))
+         |          a(alpha_milli)),
+         |ks AS (SELECT n.lang, s.alpha_milli, n.n_cal,
+         |    s.alpha_milli * (n.n_cal + 1) // 1000 AS k
+         |  FROM n CROSS JOIN spine s),
+         |thr AS (SELECT ks.lang, ks.alpha_milli, ks.n_cal, ks.k,
+         |    coalesce(max(c.q), -1) AS thr_q
+         |  FROM ks LEFT JOIN c ON c.lang = ks.lang AND c.rn = ks.k
+         |  GROUP BY 1, 2, 3, 4),
+         |hold AS (SELECT lang, q FROM dq WHERE NOT cal),
+         |per AS (SELECT t.lang, t.alpha_milli,
+         |    count(*) AS n_hold,
+         |    sum(CASE WHEN h.q >= t.thr_q THEN 1 ELSE 0 END) AS n_pass
+         |  FROM hold h JOIN thr t ON t.lang = h.lang
+         |  GROUP BY 1, 2)
+         |SELECT t.lang, CAST(t.alpha_milli AS BIGINT) AS alpha_milli,
+         |  CAST(t.n_cal AS BIGINT) AS n_cal, CAST(t.k AS BIGINT) AS k,
+         |  CAST(t.thr_q AS BIGINT) AS thr_q,
+         |  CAST(coalesce(p.n_hold, 0) AS BIGINT) AS n_hold,
+         |  CAST(coalesce(p.n_pass, 0) AS BIGINT) AS n_pass,
+         |  CAST(coalesce(p.n_pass, 0) * 1000
+         |    // greatest(1, coalesce(p.n_hold, 0)) AS BIGINT) AS pass_milli
+         |FROM thr t LEFT JOIN per p
+         |  ON p.lang = t.lang AND p.alpha_milli = t.alpha_milli
+         |ORDER BY t.lang, alpha_milli""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val dq = documents(s, d).select(col("doc_id"), col("lang"))
+        .join(qualityScores(s, d), "doc_id")
+        .withColumn("cal", pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(5L)) === 0L)
+        .tcache() // calibration ranks and the holdout scan share it
+      val c = dq.filter(col("cal"))
+      val wc = Window.partitionBy(col("lang"))
+        .orderBy(col("q"), col("doc_id"))
+      val ranked = c.withColumn("rn", row_number().over(wc))
+        .select(col("lang").as("rlang"), col("q").as("rq"), col("rn"))
+      val n = c.groupBy(col("lang")).agg(count(lit(1)).as("n_cal"))
+      val spine = {
+        val ss = s; import ss.implicits._
+        Seq(50L, 100L, 200L, 333L).toDF("alpha_milli")
+      }
+      val ks = n.crossJoin(broadcast(spine))
+        .withColumn("k", expr("alpha_milli * (n_cal + 1) DIV 1000"))
+      val thr = ks.join(ranked,
+          ks("lang") === col("rlang") && col("rn") === ks("k"), "left")
+        .select(col("lang"), col("alpha_milli"), col("n_cal"), col("k"),
+          coalesce(col("rq"), lit(-1L)).as("thr_q"))
+      val per = dq.filter(!col("cal")).select(col("lang"), col("q"))
+        .join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"), col("alpha_milli"))
+        .agg(count(lit(1)).as("n_hold"),
+          sum(when(col("q") >= col("thr_q"), 1L).otherwise(0L))
+            .as("n_pass"))
+      thr.join(per, Seq("lang", "alpha_milli"), "left")
+        .select(col("lang"), col("alpha_milli"), col("n_cal"), col("k"),
+          col("thr_q"),
+          coalesce(col("n_hold"), lit(0L)).as("n_hold"),
+          coalesce(col("n_pass"), lit(0L)).as("n_pass"))
+        .withColumn("pass_milli",
+          expr("n_pass * 1000 DIV greatest(1, n_hold)"))
+        .orderBy(col("lang"), col("alpha_milli"))
+    },
+
+    // ---- q296: dedup discovery curve (coupon collector) ---------------
+    // Does deduplicating MORE data still pay? Per corpus decile (in
+    // arrival = doc_id order): docs seen, fingerprints first seen
+    // there, duplicate hits (docs whose fingerprint arrived earlier —
+    // including earlier in the SAME decile, which a min-bucket
+    // formulation would miss), the decile's marginal duplication
+    // rate, and the cumulative rate — the curve an operator reads to
+    // decide whether the next 10% of corpus is worth another dedup
+    // pass (coupon-collector saturation: marginal rate rising =>
+    // keep going). Buckets are the q248 fixed-width doc_id slices
+    // (no global sort). Scale shape: one keyed count + min per
+    // fingerprint, two ≤10-row rollups; the cumulative fold is a
+    // broadcast theta self-join over the 10-row census (q202's
+    // recipe — a global window would serialize on one task).
+    QueryDef(
+      "q296_dedup_discovery_curve",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+         |  FROM t WHERE len(toks) > 0),
+         |mom AS (SELECT min(doc_id) AS lo,
+         |    max(doc_id) - min(doc_id) + 1 AS w FROM documents),
+         |fb AS (SELECT f.doc_id, f.fp,
+         |    least(9, (f.doc_id - mom.lo) * 10 // mom.w) AS b
+         |  FROM fp f CROSS JOIN mom),
+         |fpa AS (SELECT fp, min(doc_id) AS fdoc FROM fb GROUP BY fp),
+         |nb AS (SELECT least(9, (fdoc - mom.lo) * 10 // mom.w) AS b,
+         |    count(*) AS n_new
+         |  FROM fpa CROSS JOIN mom GROUP BY 1),
+         |db AS (SELECT b, count(*) AS n_docs FROM fb GROUP BY b),
+         |j AS (SELECT db.b, db.n_docs, coalesce(nb.n_new, 0) AS n_new
+         |  FROM db LEFT JOIN nb ON nb.b = db.b),
+         |c AS (SELECT b, n_docs, n_new, n_docs - n_new AS n_dup,
+         |    CAST(sum(n_docs) OVER (ORDER BY b) AS BIGINT) AS cum_docs,
+         |    CAST(sum(n_new) OVER (ORDER BY b) AS BIGINT) AS cum_new
+         |  FROM j)
+         |SELECT CAST(b AS BIGINT) AS bucket,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_new AS BIGINT) AS n_new_fps,
+         |  CAST(n_dup AS BIGINT) AS n_dups,
+         |  CAST(n_dup * 1000 // n_docs AS BIGINT) AS marginal_dup_milli,
+         |  CAST((cum_docs - cum_new) * 1000 // cum_docs AS BIGINT)
+         |    AS cum_dup_milli
+         |FROM c ORDER BY bucket""".stripMargin) { (s, d) =>
+      val fp = withToks(s, d).filter(size(col("toks")) > 0)
+        .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp"))
+      val mom = documents(s, d)
+        .agg(min(col("doc_id")).as("lo"),
+          (max(col("doc_id")) - min(col("doc_id")) + 1).as("w"))
+      val fb = fp.crossJoin(broadcast(mom))
+        .withColumn("b", least(lit(9L),
+          expr("(doc_id - lo) * 10 DIV w")))
+        .tcache() // per-decile census + first-occurrence agg share it
+      val nb = fb.groupBy(col("fp")).agg(min(col("doc_id")).as("fdoc"))
+        .crossJoin(broadcast(mom))
+        .select(least(lit(9L), expr("(fdoc - lo) * 10 DIV w")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_new"))
+      val db = fb.groupBy(col("b")).agg(count(lit(1)).as("n_docs"))
+      val j = db.join(nb, Seq("b"), "left")
+        .select(col("b"), col("n_docs"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .tcache() // both sides of the cumulative theta join
+      j.as("a")
+        .join(broadcast(j.as("o")), col("o.b") <= col("a.b"))
+        .groupBy(col("a.b").as("bucket"), col("a.n_docs").as("n_docs"),
+          col("a.n_new").as("n_new"))
+        .agg(sum(col("o.n_docs")).as("cum_docs"),
+          sum(col("o.n_new")).as("cum_new"))
+        .select(col("bucket"), col("n_docs"),
+          col("n_new").as("n_new_fps"),
+          (col("n_docs") - col("n_new")).as("n_dups"),
+          expr("(n_docs - n_new) * 1000 DIV n_docs")
+            .as("marginal_dup_milli"),
+          expr("(cum_docs - cum_new) * 1000 DIV cum_docs")
+            .as("cum_dup_milli"))
+        .orderBy(col("bucket"))
     }
   )
 

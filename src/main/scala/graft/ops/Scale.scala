@@ -909,6 +909,51 @@ object Scale {
             when(col("r") <= col("k"), 1L).otherwise(0L))
             .cast("long").as("alloc"))
         .orderBy(col("source"))
+    },
+
+    // ---- q292: skew salting plan --------------------------------------
+    // q75 detects hot keys; this PLANS around them — the engine
+    // computing its own AQE-style skew mitigation from data
+    // statistics. Against a 32-task budget (locally the shuffle
+    // parallelism; on a cluster, spark.sql.shuffle.partitions): per
+    // key, its row count and corpus share, the salt factor that
+    // splits it to fit the per-task target (ceil(cnt/target), the
+    // fan-out a salted repartition would use), the resulting
+    // per-subtask row count, and that subtask's load relative to the
+    // uniform target in milli — the residual imbalance AFTER the
+    // plan, which is the number an operator reviews before accepting
+    // it. Exact integers: ceil(a/b) = (a+b-1) DIV b throughout.
+    // Scale shape: one partial+final keyed agg for the histogram,
+    // then a 1-row broadcast total; the plan itself is O(keys).
+    QueryDef(
+      "q292_skew_salting_plan",
+      """WITH k AS (SELECT event_type, count(*) AS cnt FROM events
+        |          GROUP BY event_type),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM k),
+        |p AS (SELECT k.event_type, k.cnt, t.n, (t.n + 31) // 32 AS target
+        |      FROM k CROSS JOIN t),
+        |p2 AS (SELECT event_type, cnt, n, target,
+        |        (cnt + target - 1) // target AS salt FROM p)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000 // n AS BIGINT) AS share_milli,
+        |  CAST(salt AS BIGINT) AS salt,
+        |  CAST((cnt + salt - 1) // salt AS BIGINT) AS subtask_rows,
+        |  CAST(((cnt + salt - 1) // salt) * 1000 // target AS BIGINT)
+        |    AS load_milli
+        |FROM p2 ORDER BY cnt DESC, event_type""".stripMargin) { (s, d) =>
+      val k = events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val t = k.agg(sum(col("cnt")).as("n"))
+      k.crossJoin(broadcast(t))
+        .withColumn("target", expr("(n + 31) DIV 32"))
+        .withColumn("salt", expr("(cnt + target - 1) DIV target"))
+        .select(col("event_type"), col("cnt"),
+          expr("cnt * 1000 DIV n").as("share_milli"),
+          col("salt"),
+          expr("(cnt + salt - 1) DIV salt").as("subtask_rows"),
+          expr("((cnt + salt - 1) DIV salt) * 1000 DIV target")
+            .as("load_milli"))
+        .orderBy(col("cnt").desc, col("event_type"))
     }
   )
 }

@@ -1917,6 +1917,95 @@ object Signals {
         .withColumn("acc_milli",
           expr("n_correct * 1000 DIV greatest(1, n_scored)"))
         .orderBy(col("threshold"))
+    },
+
+    // ---- q295: generalization-ladder pricing ---------------------------
+    // q207 audits ONE quasi-identifier choice; q272 gates ONE release.
+    // This prices the LADDER — the decision in between: how much
+    // k-anonymity risk does each date-generalization rung buy, and at
+    // what utility cost? Rungs: 0 = exact day, 1 = month, 2 = year,
+    // 3 = suppressed, over the (status, priority, date) QI. Per rung:
+    // group count, min group size, k<5 violators, rows at risk (and
+    // in milli), plus the utility proxy — surviving group count
+    // relative to rung 0 in milli (how much of the release's
+    // distinguishing power the generalization keeps). Scale shape:
+    // the FINEST grouping is aggregated once from the fact table;
+    // every coarser rung re-aggregates the previous rung's GROUP
+    // relation (O(groups), never a second fact scan), and the ladder
+    // census is four k-row rollups plus a 1-row broadcast base.
+    QueryDef(
+      "q295_generalization_ladder",
+      """WITH g0 AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |    year(o_orderdate) * 10000 + month(o_orderdate) * 100
+        |      + day(o_orderdate) AS d,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2, 3),
+        |g1 AS (SELECT st, pr, d // 100 AS d, sum(n) AS n
+        |       FROM g0 GROUP BY 1, 2, 3),
+        |g2 AS (SELECT st, pr, d // 100 AS d, sum(n) AS n
+        |       FROM g1 GROUP BY 1, 2, 3),
+        |g3 AS (SELECT st, pr, 0 AS d, sum(n) AS n
+        |       FROM g2 GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT 0 AS rung, count(*) AS n_groups, min(n) AS min_g,
+        |    sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_viol,
+        |    sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS at_risk,
+        |    sum(n) AS tot FROM g0
+        |  UNION ALL
+        |  SELECT 1, count(*), min(n),
+        |    sum(CASE WHEN n < 5 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n < 5 THEN n ELSE 0 END), sum(n) FROM g1
+        |  UNION ALL
+        |  SELECT 2, count(*), min(n),
+        |    sum(CASE WHEN n < 5 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n < 5 THEN n ELSE 0 END), sum(n) FROM g2
+        |  UNION ALL
+        |  SELECT 3, count(*), min(n),
+        |    sum(CASE WHEN n < 5 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n < 5 THEN n ELSE 0 END), sum(n) FROM g3),
+        |base AS (SELECT n_groups AS bg FROM a WHERE rung = 0)
+        |SELECT CAST(rung AS BIGINT) AS rung,
+        |  CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(min_g AS BIGINT) AS min_group_size,
+        |  CAST(n_viol AS BIGINT) AS n_violating,
+        |  CAST(at_risk AS BIGINT) AS rows_at_risk,
+        |  CAST(at_risk * 1000 // tot AS BIGINT) AS risk_milli,
+        |  CAST(n_groups * 1000 // bg AS BIGINT) AS groups_milli
+        |FROM a CROSS JOIN base ORDER BY rung""".stripMargin) { (s, d) =>
+      val g0 = orders(s, d)
+        .select(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr"),
+          (year(col("o_orderdate")) * 10000 +
+            month(col("o_orderdate")) * 100 +
+            dayofmonth(col("o_orderdate"))).as("d"))
+        .groupBy(col("st"), col("pr"), col("d"))
+        .agg(count(lit(1)).as("n"))
+        .tcache() // rung 0's rollup + rung 1's re-aggregation share it
+      def coarser(g: DataFrame): DataFrame = g
+        .groupBy(col("st"), col("pr"), expr("d DIV 100").as("d"))
+        .agg(sum(col("n")).as("n"))
+      val g1 = coarser(g0).tcache()
+      val g2 = coarser(g1).tcache()
+      val g3 = g2.groupBy(col("st"), col("pr"), lit(0L).as("d"))
+        .agg(sum(col("n")).as("n"))
+      def rollup(g: DataFrame, rung: Int): DataFrame = g
+        .agg(count(lit(1)).as("n_groups"), min(col("n")).as("min_g"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_viol"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("at_risk"),
+          sum(col("n")).as("tot"))
+        .select(lit(rung.toLong).as("rung"), col("n_groups"),
+          col("min_g"), col("n_viol"), col("at_risk"), col("tot"))
+      val a = rollup(g0, 0).unionAll(rollup(g1, 1))
+        .unionAll(rollup(g2, 2)).unionAll(rollup(g3, 3))
+      val base = rollup(g0, 0).select(col("n_groups").as("bg"))
+      a.crossJoin(broadcast(base))
+        .select(col("rung"), col("n_groups"),
+          col("min_g").as("min_group_size"),
+          col("n_viol").as("n_violating"),
+          col("at_risk").as("rows_at_risk"),
+          expr("at_risk * 1000 DIV tot").as("risk_milli"),
+          expr("n_groups * 1000 DIV bg").as("groups_milli"))
+        .orderBy(col("rung"))
     })
 
   /** q278/q282's shared rounds: (seeds, round-1 newly labeled,

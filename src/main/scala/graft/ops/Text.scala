@@ -100,6 +100,37 @@ object Text {
         .agg(count(lit(1)).as("c"))
         .cache())
 
+  /** Exact-integer OLS of y on x per lang over a tiny band relation
+    * `(lang, x, y)` — the shared fold behind the corpus-law fits
+    * (q290 Zipf, q294 Heaps): slope and intercept in milli (DIV
+    * truncates toward zero, matching DuckDB `//` — verified on
+    * negatives), plus the mean squared residual in micro as the
+    * goodness-of-fit tell. Callers guarantee O(log corpus) rows per
+    * lang with distinct x (dyadic bands), so the relation is
+    * broadcast back for residuals and the denominator n·Σx²−(Σx)²
+    * is nonzero whenever n ≥ 2. */
+  private[ops] def integerOlsFit(b: DataFrame, nName: String): DataFrame = {
+    val fit = b.groupBy(col("lang"))
+      .agg(count(lit(1)).as(nName),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .filter(col(nName) >= 2)
+      .select(col("lang"), col(nName),
+        expr(s"($nName * sxy - sx * sy) * 1000" +
+          s" DIV ($nName * sxx - sx * sx)").cast("long")
+          .as("slope_milli"),
+        expr(s"(sy * sxx - sx * sxy) * 1000" +
+          s" DIV ($nName * sxx - sx * sx)").cast("long")
+          .as("icept_milli"))
+    b.join(broadcast(fit), "lang")
+      .groupBy(col("lang"), col(nName), col("slope_milli"),
+        col("icept_milli"))
+      .agg(expr(s"sum((1000 * y - slope_milli * x - icept_milli)" +
+        s" * (1000 * y - slope_milli * x - icept_milli))" +
+        s" DIV $nName").cast("long").as("mse_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** DuckDB SQL for the first-8-hex-digits md5 hash as a 32-bit int —
     * the engine side is `conv(substring(md5(e), 1, 8), 16, 10)`. */
   private[ops] def h32Sql(e: String): String =
@@ -2421,6 +2452,154 @@ object Text {
           sum(when(col("vmr_milli") > 2000, 1L).otherwise(0L))
             .as("n_bursty"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q290: Zipf slope fit (exact-integer OLS) --------------------
+    // q285's dyadic rank-band census shows the curve; this fits it.
+    // Natural language runs a rank-frequency slope near -1 in log-log
+    // (Zipf 1949); templated/machine text flattens or steepens it.
+    // Both axes are made EXACT integers so the regression is pure
+    // integer arithmetic shared verbatim with the oracle: x = dyadic
+    // rank band (floor(log2 rank) via bit length), y = floor(log2 of
+    // the band's mean frequency) the same way. Per language with >= 2
+    // bands: OLS slope and intercept in milli (numerators can be
+    // negative — Spark DIV and DuckDB // both truncate toward zero,
+    // verified), plus the mean squared residual in micro (milli^2)
+    // as the goodness-of-fit tell. Scale shape: one keyed agg off the
+    // memoized tf relation, a lang-partitioned rank window (q285's),
+    // then everything downstream of the band relation is k*17 rows —
+    // the fit itself is a per-lang fold plus one broadcast join back
+    // for residuals.
+    QueryDef(
+      "q290_zipf_slope_fit",
+      s"""WITH tf AS (SELECT lang, tok, count(*) AS freq
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY lang, tok),
+         |r AS (SELECT lang, tok, freq, row_number() OVER (
+         |    PARTITION BY lang ORDER BY freq DESC, tok) AS rank
+         |  FROM tf),
+         |b AS (SELECT lang, CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+         |    CAST(length(bin(CAST(sum(freq) // count(*) AS BIGINT))) - 1
+         |      AS BIGINT) AS y
+         |  FROM r GROUP BY lang, length(bin(rank)) - 1),
+         |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bands,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM b GROUP BY lang HAVING count(*) >= 2),
+         |f AS (SELECT lang, n_bands,
+         |    CAST((n_bands * sxy - sx * sy) * 1000
+         |      // (n_bands * sxx - sx * sx) AS BIGINT) AS slope_milli,
+         |    CAST((sy * sxx - sx * sxy) * 1000
+         |      // (n_bands * sxx - sx * sx) AS BIGINT) AS icept_milli
+         |  FROM st)
+         |SELECT f.lang, f.n_bands, f.slope_milli, f.icept_milli,
+         |  CAST(sum((1000 * b.y - f.slope_milli * b.x - f.icept_milli)
+         |         * (1000 * b.y - f.slope_milli * b.x - f.icept_milli))
+         |    // f.n_bands AS BIGINT) AS mse_micro
+         |FROM f JOIN b ON b.lang = f.lang
+         |GROUP BY 1, 2, 3, 4 ORDER BY f.lang""".stripMargin) { (s, d) =>
+      val tf = docTermFreq(s, d)
+        .groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tf")).as("freq"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("freq").desc, col("tok"))
+      val b = tf.withColumn("rank", row_number().over(wr))
+        .groupBy(col("lang"),
+          (length(bin(col("rank"))) - 1).cast("long").as("x"))
+        .agg((length(bin(expr("sum(freq) DIV count(*)"))) - 1)
+          .cast("long").as("y"))
+        .tcache() // the per-lang fold and the residual join share it
+      integerOlsFit(b, "n_bands")
+    },
+
+    // ---- q294: Heaps'-law fit (exact-integer OLS) ---------------------
+    // q248 tabulates vocabulary growth; this fits its law. Heaps
+    // (1978): distinct types grow as tokens^beta with beta ≈ 0.4-0.6
+    // for natural text — templated/looping corpora sag toward 0 and
+    // random-ish streams push toward 1, so the fitted exponent is a
+    // third corpus-naturalness tell beside q290's Zipf slope and
+    // q287's burstiness. Checkpoints are dyadic token-volume bands
+    // over a per-lang position stream (doc_id order): x = band j
+    // (tokens ≤ 2^(j+1)-1), y = floor(log2 of types first seen by
+    // that checkpoint) — both exact via bit length, fed to the same
+    // integer OLS as q290 (slope_milli ≈ beta·1000). Scale shape:
+    // first-occurrence positions are RELATIONAL (one keyed min per
+    // (lang, tok), the q286 recipe — never a per-token prefix scan);
+    // the doc-offset window and the band cumsum are lang-partitioned;
+    // everything after the min-position agg is O(vocab) then
+    // O(log corpus) rows.
+    QueryDef(
+      "q294_heaps_law_fit",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks
+         |           FROM documents),
+         |sz AS (SELECT doc_id, lang, len(toks) AS nt FROM t),
+         |off AS (SELECT doc_id, CAST(coalesce(sum(nt) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         |  FROM sz),
+         |tj AS (SELECT t.lang, t.toks, o.off FROM t
+         |  JOIN off o ON o.doc_id = t.doc_id WHERE len(t.toks) > 0),
+         |p AS (SELECT lang, toks[i] AS tok, off + i AS pos
+         |  FROM tj, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |fp AS (SELECT lang, tok, CAST(min(pos) AS BIGINT) AS fp
+         |  FROM p GROUP BY lang, tok),
+         |pb AS (SELECT lang, length(bin(fp)) - 1 AS band,
+         |    count(*) AS cnt
+         |  FROM fp GROUP BY 1, 2),
+         |b AS (SELECT lang, CAST(band AS BIGINT) AS x,
+         |    CAST(length(bin(CAST(sum(cnt) OVER (PARTITION BY lang
+         |      ORDER BY band) AS BIGINT))) - 1 AS BIGINT) AS y
+         |  FROM pb),
+         |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pts,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM b GROUP BY lang HAVING count(*) >= 2),
+         |f AS (SELECT lang, n_pts,
+         |    CAST((n_pts * sxy - sx * sy) * 1000
+         |      // (n_pts * sxx - sx * sx) AS BIGINT) AS slope_milli,
+         |    CAST((sy * sxx - sx * sxy) * 1000
+         |      // (n_pts * sxx - sx * sx) AS BIGINT) AS icept_milli
+         |  FROM st)
+         |SELECT f.lang, f.n_pts, f.slope_milli, f.icept_milli,
+         |  CAST(sum((1000 * b.y - f.slope_milli * b.x - f.icept_milli)
+         |         * (1000 * b.y - f.slope_milli * b.x - f.icept_milli))
+         |    // f.n_pts AS BIGINT) AS mse_micro
+         |FROM f JOIN b ON b.lang = f.lang
+         |GROUP BY 1, 2, 3, 4 ORDER BY f.lang""".stripMargin) { (s, d) =>
+      val base = withToks(s, d)
+        .select(col("doc_id"), col("lang"), col("toks"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val off = base
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("nt"))
+        .withColumn("off", coalesce(sum(col("nt")).over(wl), lit(0L)))
+        .select(col("doc_id"), col("off"))
+      val p = base.filter(size(col("toks")) > 0)
+        .join(off, "doc_id")
+        .select(col("lang"), col("off"),
+          posexplode(col("toks")).as(Seq("i0", "tok")))
+        .select(col("lang"), col("tok"),
+          (col("off") + col("i0") + 1).as("pos"))
+      val pb = p.groupBy(col("lang"), col("tok"))
+        .agg(min(col("pos")).as("fp"))
+        .groupBy(col("lang"),
+          (length(bin(col("fp"))) - 1).cast("long").as("band"))
+        .agg(count(lit(1)).as("cnt"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("band"))
+      val b = pb
+        .select(col("lang"), col("band").as("x"),
+          (length(bin(sum(col("cnt")).over(wb))) - 1).cast("long")
+            .as("y"))
+        .tcache() // the per-lang fold and the residual join share it
+      integerOlsFit(b, "n_pts")
     }
   )
 }

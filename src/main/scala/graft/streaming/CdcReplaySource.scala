@@ -359,6 +359,111 @@ object CdcReplaySource {
       }.toMap
     }
 
+  /** The prefix every redaction frame starts with: logical-message
+    * tag 'M' + non-transactional flag; [[scrubFrameLog]] recognizes
+    * its own output by it (idempotent reruns). */
+  private val RedactedPrefix = "graft/redacted"
+
+  /** The frame [[scrubFrameLog]] substitutes for a scrubbed one: a
+    * pgoutput logical message (tag 'M', the same wire shape
+    * `pg_logical_emit_message` produces) at the transaction's own
+    * LSN with prefix `graft/redacted` and empty content — decodable
+    * by every downstream consumer, carrying no subject bytes, and
+    * making the redaction itself visible in the change stream. */
+  private[streaming] def redactionFrame(lsn: Long): Array[Byte] =
+    graft.cdc.PgoutputWriter.logicalMessage(
+      transactional = false, lsn = lsn, prefix = RedactedPrefix,
+      content = Array.emptyByteArray)
+
+  private def containsSlice(hay: Array[Byte], needle: Array[Byte]): Boolean = {
+    if (needle.isEmpty || needle.length > hay.length) return false
+    var i = 0
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Content-level frame scrub — the legal-hold escape hatch behind
+    * the retention-bounded RTBF posture ([[truncateFrameLog]] +
+    * q289's exposure census): when "the frames age out once every
+    * slot acks past them" is not enough, replace every frame whose
+    * BYTES contain a forget subject's needle with a
+    * [[redactionFrame]] at the same LSN. Unlike dropping lines, this
+    * preserves the shard's line count, LSN sequence, and byte
+    * offsets' ORDER, so a consumer resuming from its acked floor
+    * sees the same transaction boundaries — the scrub changes
+    * payloads, never positions. Per-file tmp + ATOMIC_MOVE under the
+    * directory lock (same crash contract as truncation: each file is
+    * whole-or-scrubbed, reruns idempotent); files without hits are
+    * NOT rewritten (byte-identical — the file-pruned-erasure
+    * contract); a torn final line is preserved as-is. Already-
+    * redacted frames never match again (the redaction frame carries
+    * no subject bytes), so a rerun reports 0. Needles are raw
+    * subject bytes as they appear on the wire (pgoutput text datums:
+    * the key's UTF-8 rendering); callers own needle specificity —
+    * a needle short enough to collide with wire framing would
+    * over-scrub, so use full key renderings, not fragments.
+    * Returns per-file scrubbed-frame counts. */
+  def scrubFrameLog(path: String,
+      needles: Seq[Array[Byte]]): Map[String, Long] =
+    withDirLock(path) {
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".scrub"))
+        .foreach(f => { f.delete(); () })
+      val live = needles.filter(_.nonEmpty)
+      listLogFiles(path).map { p =>
+        val f = new java.io.File(p)
+        val nm = f.getName
+        if (live.isEmpty) nm -> 0L
+        else {
+          val tmp = java.nio.file.Files.createTempFile(
+            f.getParentFile.toPath, nm, ".scrub")
+          try {
+            var scrubbed = 0L
+            val src = scala.io.Source.fromFile(f)
+            val out = java.nio.file.Files.newBufferedWriter(tmp,
+              java.nio.charset.StandardCharsets.UTF_8)
+            try src.getLines().foreach { l =>
+              if (!isComplete(l)) { out.write(l); out.write("\n") }
+              else {
+                val frames = parseFrames(l)
+                if (!frames.exists(fr => live.exists(containsSlice(fr, _))))
+                  { out.write(l); out.write("\n") } // byte-identical
+                else {
+                  val lsn = parseLsn(l)
+                  val red = redactionFrame(lsn)
+                  val kept = frames.map { fr =>
+                    if (live.exists(containsSlice(fr, _))) {
+                      scrubbed += 1; red
+                    } else fr
+                  }
+                  val hexed = kept.map(fr => "\"" + hex(fr) + "\"")
+                  out.write(
+                    s"""{"lsn":$lsn,"frames":[${hexed.mkString(",")}]}""")
+                  out.write("\n")
+                }
+              }
+            } finally { out.close(); src.close() }
+            if (scrubbed > 0)
+              java.nio.file.Files.move(tmp, f.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            else java.nio.file.Files.delete(tmp)
+            nm -> scrubbed
+          } catch {
+            case e: Throwable =>
+              java.nio.file.Files.deleteIfExists(tmp)
+              throw e
+          }
+        }
+      }.toMap
+    }
+
   /** Per-shard retention floor — the MIN over EVERY consumer's
     * confirmed position: the shard's own `_acked_offsets` entry,
     * every per-slot `_acked_lsn@<slot>` sidecar, and the legacy

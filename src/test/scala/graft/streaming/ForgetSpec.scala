@@ -436,6 +436,50 @@ class ForgetSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Long]("n_frames_retained") == 0L)
   }
 
+  test("legal hold: when slot floors cannot advance, scrubFrameLog " +
+      "zeroes the reported exposure without moving any position") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-scrub").toString
+    val log = s"$root/framelog"
+    def payload(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    CdcReplaySource.writeLogShard(log, 0, Seq(
+      100L -> Seq(payload("insert doc=41 alpha")),
+      200L -> Seq(payload("insert doc=42 beta"))))
+    CdcReplaySource.writeLogShard(log, 1, Seq(
+      50L -> Seq(payload("update doc=42 gamma"))))
+    // nothing acked: everything is retained, 42 is exposed twice
+    StreamOps.forgetBatch(s"$root/frep", frameLogDir = Some(log))(
+      docs(42L -> textY), 0L)
+    assert(spark.read.parquet(s"$root/frep").head
+      .getAs[Long]("n_frames_retained") == 2L)
+    val lsnsBefore = CdcReplaySource.lsnIndex(log)
+
+    // the hold: no slot will ack past the frames, so truncation can
+    // never clear them — scrub content instead, positions intact
+    val counts = CdcReplaySource.scrubFrameLog(log,
+      Seq("doc=42".getBytes("UTF-8")))
+    assert(counts.values.sum == 2L)
+    assert(CdcReplaySource.lsnIndex(log) == lsnsBefore)
+
+    // a repeat request now measures zero exposure; the unrelated
+    // doc's frame survived the scrub
+    StreamOps.forgetBatch(s"$root/frep", frameLogDir = Some(log))(
+      docs(42L -> textY), 1L)
+    assert(spark.read.parquet(s"$root/frep")
+      .filter(col("batch_id") === 1L).head
+      .getAs[Long]("n_frames_retained") == 0L)
+    val survivors = CdcReplaySource.listLogFiles(log)
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
+      }
+      .flatMap(CdcReplaySource.parseFrames(_))
+      .map(b => new String(b, "ISO-8859-1"))
+    assert(survivors.exists(_.contains("doc=41 alpha")))
+    assert(!survivors.exists(_.contains("doc=42")))
+  }
+
   test("df-sidecar compaction reclaims erased mass but preserves both " +
       "writers' replay guards (gen sentinels)") {
     val root = java.nio.file.Files
