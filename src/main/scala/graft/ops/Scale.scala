@@ -954,6 +954,164 @@ object Scale {
           expr("((cnt + salt - 1) DIV salt) * 1000 DIV target")
             .as("load_milli"))
         .orderBy(col("cnt").desc, col("event_type"))
+    },
+
+    // ---- q300: LSH S-curve calibration ---------------------------------
+    // q26 runs the 8-band × 2-row MinHash LSH; q80 audits signature
+    // accuracy on the high-J pairs; this audits the INDEX ITSELF
+    // against its theory across the whole Jaccard spectrum: the
+    // banding scheme's fire probability should follow
+    // 1 − (1 − s²)^8. Three pair arms probe the curve where the
+    // corpus can't on its own: (a) a deterministic stratified sample
+    // of real pairs (consecutive docs within md5-hash strata — the
+    // J ≈ 0 mass), (b) the memoized J ≥ 0.6 graph (the high tail),
+    // and (c) CONTROLLED mid-J pairs — each sampled doc against its
+    // own shingle subset at keep-rate k/8 (subset ⇒ J = |sub|/|full|
+    // exactly, and minhash theory applies unchanged), which sweeps
+    // deciles 1-8 that real pairs never populate. Per exact-J
+    // decile: pairs, observed band-fire rate, theoretical rate
+    // (integer milli powers, identical truncation in both engines),
+    // and the gap — calibration drift here means the hash family or
+    // banding broke, BEFORE recall regresses. Scale shape: pair list
+    // is O(docs) + O(memo); the controlled arm re-mins shingles of a
+    // 1-in-16 doc sample × 7 keep-rates (bounded audit arm); exact J
+    // per real pair via keyed shingle joins; signatures key-sized.
+    QueryDef(
+      "q300_lsh_scurve_calibration",
+      s"""WITH shingles AS (${Text.shinglesSql}),
+         |${Text.jaccardPairsSql},
+         |${Text.sigSql},
+         |ds AS (SELECT DISTINCT doc_id FROM shingles),
+         |st AS (SELECT doc_id,
+         |    (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 64 AS g
+         |  FROM ds),
+         |r AS (SELECT doc_id, g, row_number() OVER (
+         |    PARTITION BY g ORDER BY doc_id) AS rn FROM st),
+         |sp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM r a JOIN r b ON b.g = a.g AND b.rn = a.rn + 1
+         |  WHERE a.rn % 2 = 1),
+         |pl AS (SELECT DISTINCT d1, d2 FROM
+         |  (SELECT d1, d2 FROM sp UNION ALL SELECT d1, d2 FROM jpairs)),
+         |iv AS (SELECT p.d1, p.d2, count(*) AS i
+         |  FROM pl p JOIN shingles a ON a.doc_id = p.d1
+         |  JOIN shingles b ON b.doc_id = p.d2 AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |jm AS (SELECT p.d1, p.d2,
+         |    coalesce(iv.i, 0) * 1000
+         |      // (ca.n + cb.n - coalesce(iv.i, 0)) AS s_m
+         |  FROM pl p LEFT JOIN iv ON iv.d1 = p.d1 AND iv.d2 = p.d2
+         |  JOIN cnt ca ON ca.doc_id = p.d1
+         |  JOIN cnt cb ON cb.doc_id = p.d2),
+         |rarm AS (SELECT jm.s_m,
+         |    CASE WHEN ${(0 until 8).map(k =>
+                s"(sa.h${2 * k} = sb.h${2 * k} AND sa.h${2 * k + 1} = sb.h${2 * k + 1})")
+                .mkString(" OR ")}
+         |      THEN 1 ELSE 0 END AS fired
+         |  FROM jm JOIN sig sa ON sa.doc_id = jm.d1
+         |  JOIN sig sb ON sb.doc_id = jm.d2),
+         |ks AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+         |       kk(k)),
+         |sd AS (SELECT doc_id FROM ds
+         |  WHERE (${Text.h32Sql("CAST(doc_id AS VARCHAR)")}) % 16 = 0),
+         |vsig AS (SELECT s.doc_id, kk.k, count(*) AS nsub,
+         |    ${(0 until 16).map(j =>
+                s"min((${Text.minhashA(j)} * s.h + ${Text.minhashB(j)}) % 2147483647) AS v$j")
+                .mkString(", ")}
+         |  FROM shingles s JOIN sd ON sd.doc_id = s.doc_id
+         |  CROSS JOIN ks kk WHERE s.h % 8 < kk.k
+         |  GROUP BY s.doc_id, kk.k),
+         |carm AS (SELECT v.nsub * 1000 // c.n AS s_m,
+         |    CASE WHEN ${(0 until 8).map(k =>
+                s"(sg.h${2 * k} = v.v${2 * k} AND sg.h${2 * k + 1} = v.v${2 * k + 1})")
+                .mkString(" OR ")}
+         |      THEN 1 ELSE 0 END AS fired
+         |  FROM vsig v JOIN sig sg ON sg.doc_id = v.doc_id
+         |  JOIN cnt c ON c.doc_id = v.doc_id),
+         |fx AS (SELECT * FROM rarm UNION ALL SELECT * FROM carm),
+         |t2 AS (SELECT s_m, fired,
+         |    1000 - s_m * s_m // 1000 AS q1 FROM fx),
+         |t4 AS (SELECT s_m, fired, q1 * q1 // 1000 AS q2 FROM t2),
+         |t8 AS (SELECT s_m, fired, q2 * q2 // 1000 AS q4 FROM t4),
+         |tt AS (SELECT s_m, fired, 1000 - q4 * q4 // 1000 AS theo
+         |       FROM t8)
+         |SELECT CAST(least(9, s_m // 100) AS BIGINT) AS decile,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(fired) * 1000 // count(*) AS BIGINT) AS obs_milli,
+         |  CAST(sum(theo) // count(*) AS BIGINT) AS theo_milli,
+         |  CAST(sum(fired) * 1000 // count(*)
+         |    - sum(theo) // count(*) AS BIGINT) AS gap_milli
+         |FROM tt GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.cdc.GraftFunctions.register(s)
+      val sh = Text.shingleHashes(s, d)
+      val ds = sh.select(col("doc_id")).distinct().tcache()
+      val st = ds.withColumn("g", pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(64L)))
+      val wg = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+      val r = st.withColumn("rn", row_number().over(wg))
+      val sp = r.as("ra").join(r.as("rb"),
+          col("ra.g") === col("rb.g") &&
+            col("rb.rn") === col("ra.rn") + 1)
+        .filter(col("ra.rn") % 2 === 1)
+        .select(col("ra.doc_id").as("d1"), col("rb.doc_id").as("d2"))
+      val pl = sp
+        .unionAll(Text.jaccardPairs(s, d).select(col("d1"), col("d2")))
+        .distinct()
+        .tcache() // intersection join + size joins share the list
+      val cnt = sh.select(col("doc_id"), col("n")).distinct()
+      val iv = pl
+        .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      val jm = pl.join(iv, Seq("d1", "d2"), "left")
+        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .select(col("d1"), col("d2"),
+          expr("coalesce(i, 0) * 1000" +
+            " DIV (na + nb - coalesce(i, 0))").as("s_m"))
+      val sig = Text.minhashSig(s, d)
+      val sa = sig.toDF(sig.columns.toIndexedSeq.map {
+        case "doc_id" => "d1"; case c => s"a_$c" }: _*)
+      val sb = sig.toDF(sig.columns.toIndexedSeq.map {
+        case "doc_id" => "d2"; case c => s"b_$c" }: _*)
+      def bands(l: Int => org.apache.spark.sql.Column,
+          rr: Int => org.apache.spark.sql.Column) = (0 until 8).map(k =>
+        l(2 * k) === rr(2 * k) && l(2 * k + 1) === rr(2 * k + 1))
+        .reduce(_ || _)
+      val rarm = jm.join(sa, "d1").join(sb, "d2")
+        .select(col("s_m"),
+          when(bands(j => col(s"a_h$j"), j => col(s"b_h$j")), 1L)
+            .otherwise(0L).as("fired"))
+      // controlled mid-J arm: each sampled doc vs its own h%8<k
+      // shingle subset — J = nsub/n exactly, minhash theory unchanged
+      val sd = ds.filter(pmod(graft.cdc.GraftFunctions.md5_h32(
+        col("doc_id").cast("string")), lit(16L)) === 0L)
+      val ks = {
+        val ss = s; import ss.implicits._
+        (1L to 7L).toDF("k")
+      }
+      val vsig = sh.join(sd, "doc_id").crossJoin(broadcast(ks))
+        .filter(pmod(col("h"), lit(8L)) < col("k"))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(count(lit(1)).as("nsub"),
+          (0 until 16).map(j =>
+            min((lit(Text.minhashA(j)) * col("h") + lit(Text.minhashB(j)))
+              % 2147483647L).as(s"v$j")): _*)
+      val carm = vsig.join(sig, "doc_id")
+        .select(expr("nsub * 1000 DIV n").as("s_m"),
+          when(bands(j => col(s"h$j"), j => col(s"v$j")), 1L)
+            .otherwise(0L).as("fired"))
+      rarm.unionAll(carm)
+        .withColumn("q1", expr("1000 - s_m * s_m DIV 1000"))
+        .withColumn("q2", expr("q1 * q1 DIV 1000"))
+        .withColumn("q4", expr("q2 * q2 DIV 1000"))
+        .withColumn("theo", expr("1000 - q4 * q4 DIV 1000"))
+        .groupBy(least(lit(9L), expr("s_m DIV 100")).as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(fired) * 1000 DIV count(1)").as("obs_milli"),
+          expr("sum(theo) DIV count(1)").as("theo_milli"))
+        .withColumn("gap_milli", col("obs_milli") - col("theo_milli"))
+        .orderBy(col("decile"))
     }
   )
 }

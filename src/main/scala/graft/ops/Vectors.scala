@@ -2133,6 +2133,67 @@ object Vectors {
             .otherwise(lit("tie")).as("winner"),
           expr("tail * 1000 DIV shiftleft(CAST(1 AS BIGINT)," +
             " CAST(n AS INT))").as("p_winner_milli"))
+    },
+
+    // ---- q299: dimension-collapse census -------------------------------
+    // Embedding-quality diagnostic beside q283's hubness: anisotropy.
+    // A healthy embedding spreads variance across dimensions; a
+    // collapsed one concentrates it in a few (rogue dimensions —
+    // Timkey & van Schijndel 2021), which quietly dominates every
+    // cosine/L2 the ANN stack computes. Per dimension (top 10 by
+    // share): its fraction of total variance in milli, plus the
+    // participation ratio (Σv)²/Σv² over per-dim variance shares —
+    // the standard effective-dimensionality estimate, in milli
+    // "dimensions". Exact integers: coordinates land on the milli
+    // grid first (float→double cast is exact, floor is engine-
+    // identical), then variance numerators n·Σq²−(Σq)² are pure
+    // integer sums. Scale shape: one posexplode + one keyed agg per
+    // dim (64 groups), two 1-row broadcast rollups, a top-10 — the
+    // vector store is scanned once.
+    QueryDef(
+      "q299_dim_collapse_census",
+      """WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |p AS (SELECT i - 1 AS dim,
+        |    CAST(floor(v[i] * 1000) AS BIGINT) AS qv
+        |  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+        |dv AS (SELECT dim, count(*) AS n, CAST(sum(qv) AS BIGINT) AS s1,
+        |    CAST(sum(qv * qv) AS BIGINT) AS s2
+        |  FROM p GROUP BY dim),
+        |v AS (SELECT dim, n * s2 - s1 * s1 AS vn FROM dv),
+        |t AS (SELECT CAST(sum(vn) AS BIGINT) AS tv FROM v),
+        |sh AS (SELECT dim, vn * 1000 // greatest(1, t.tv) AS share_milli
+        |  FROM v CROSS JOIN t),
+        |pr AS (SELECT CAST(sum(share_milli) * sum(share_milli) * 1000
+        |    // greatest(1, sum(share_milli * share_milli)) AS BIGINT)
+        |    AS eff_dims_milli FROM sh)
+        |SELECT CAST(sh.dim AS BIGINT) AS dim,
+        |  CAST(sh.share_milli AS BIGINT) AS share_milli,
+        |  pr.eff_dims_milli
+        |FROM sh CROSS JOIN pr
+        |ORDER BY sh.share_milli DESC, sh.dim LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val p = embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("qv"))
+      val v = p.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("s1"),
+          sum(expr("qv * qv")).as("s2"))
+        .select(col("dim"), expr("n * s2 - s1 * s1").as("vn"))
+        .tcache() // total + shares share the 64-row relation
+      val t = v.agg(sum(col("vn")).as("tv"))
+      val sh = v.crossJoin(broadcast(t))
+        .select(col("dim"),
+          expr("vn * 1000 DIV greatest(1, tv)").as("share_milli"))
+        .tcache() // participation ratio + top-10 share it
+      val pr = sh.agg(expr("CAST(sum(share_milli) * sum(share_milli)" +
+        " * 1000 DIV greatest(1, sum(share_milli * share_milli))" +
+        " AS BIGINT)").as("eff_dims_milli"))
+      sh.crossJoin(broadcast(pr))
+        .select(col("dim"), col("share_milli"), col("eff_dims_milli"))
+        .orderBy(col("share_milli").desc, col("dim"))
+        .limit(10)
     }
   )
 

@@ -1895,6 +1895,83 @@ object StreamOps {
       .orderBy(col("store"))
   }
 
+  /** Point-in-time snapshot of one standing-store directory — the DR
+    * half the vacuum pane ([[storeHealthReport]]) and the erasure
+    * cascade ([[forgetBatch]]) assume exists: before a risky
+    * maintenance window, copy the store somewhere immutable. The
+    * source is HEALED first ([[recoverCompaction]] + scratch sweep),
+    * so a snapshot can never capture a torn publish. Snapshots are
+    * immutable and uniquely named by the caller (refusing to
+    * overwrite an existing one keeps "restore from snapshot X"
+    * unambiguous); a store that does not exist yet snapshots as an
+    * explicit `_absent` marker — restoring it recreates absence
+    * rather than silently keeping stale rows. The copy lands under
+    * `<snapDir>_tmp` and is renamed into place, so a crashed
+    * snapshot leaves only scratch (swept by the next attempt), never
+    * a half-readable snapshot. Returns the number of files captured.
+    * At 100 TB this is metadata + a parallel object-store copy; the
+    * discipline (heal, copy, atomic publish) is what matters. */
+  def snapshotStore(dir: String, snapDir: String): Long = {
+    require(!new java.io.File(snapDir).exists,
+      s"snapshot target already exists: $snapDir (snapshots are " +
+        "immutable — pick a fresh name)")
+    recoverCompaction(dir)
+    sweepRwTmp(dir)
+    val tmp = new java.io.File(snapDir + "_tmp")
+    if (tmp.exists) delTree(tmp)
+    if (!tmp.mkdirs()) throw new java.io.IOException(s"mkdir $tmp")
+    val src = new java.io.File(dir)
+    val files = if (src.isDirectory)
+      Option(src.listFiles()).toSeq.flatten.filter(_.isFile) else Seq.empty
+    val n = if (!src.isDirectory) {
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_absent").toPath, Array.emptyByteArray)
+      0L
+    } else {
+      files.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(tmp, f.getName).toPath)
+      }
+      files.length.toLong
+    }
+    if (!tmp.renameTo(new java.io.File(snapDir)))
+      throw new java.io.IOException(s"snapshot publish failed: $snapDir")
+    n
+  }
+
+  /** Restore one store directory from a [[snapshotStore]] snapshot.
+    * Rides the SAME demote-promote publish discipline as compaction
+    * (`_compact_tmp` / `_compact_old`), so a restore torn by a crash
+    * at ANY point is healed by the [[recoverCompaction]] call every
+    * store owner already runs at entry — no second recovery protocol
+    * to get wrong. An `_absent` snapshot restores to a deleted dir
+    * (the store did not exist at snapshot time). Idempotent: re-running
+    * a completed or torn restore converges on the snapshot state. */
+  def restoreStore(dir: String, snapDir: String): Unit = {
+    val snap = new java.io.File(snapDir)
+    require(snap.isDirectory, s"no such snapshot: $snapDir")
+    recoverCompaction(dir)
+    sweepRwTmp(dir)
+    val live = new java.io.File(dir)
+    if (new java.io.File(snap, "_absent").exists) {
+      if (live.exists) delTree(live)
+      return
+    }
+    val tmp = new java.io.File(dir + "_compact_tmp")
+    if (tmp.exists) delTree(tmp)
+    if (!tmp.mkdirs()) throw new java.io.IOException(s"mkdir $tmp")
+    Option(snap.listFiles()).toSeq.flatten.filter(_.isFile).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tmp, f.getName).toPath)
+    }
+    val old = new java.io.File(dir + "_compact_old")
+    if (live.exists && !live.renameTo(old))
+      throw new java.io.IOException(s"restore demote failed: $dir")
+    if (!tmp.renameTo(live))
+      throw new java.io.IOException(s"restore promote failed: $dir")
+    if (old.exists) delTree(old)
+  }
+
   /** foreachBatch label inheritance — q278's live half: each
     * micro-batch of `(doc_id, text, label)` arrivals (label nullable)
     * writes TRUSTED labels through and lets unlabeled docs inherit
