@@ -1684,6 +1684,110 @@ object Pipeline {
           expr("(cum_docs - cum_new) * 1000 DIV cum_docs")
             .as("cum_dup_milli"))
         .orderBy(col("bucket"))
+    },
+
+    // ---- q301: quality-score reliability (ECE) -------------------------
+    // q143 shows the quality↔duplication relationship; this measures
+    // whether the score is CALIBRATED as a uniqueness predictor —
+    // the check before anyone treats q/10000 as a probability in a
+    // filtering policy. Per fixed-width score bucket: docs, the mean
+    // claimed uniqueness (score in milli), the observed unique rate,
+    // the signed gap, and the bucket's weighted contribution to the
+    // expected calibration error in micro (summing the column = ECE).
+    // Exact integers throughout — no float reliability curve to
+    // diverge between engines. Scale shape: one keyed count per
+    // fingerprint joined back (the q143 plan) + an 11-row census; the
+    // ECE weighting joins a 1-row broadcast total.
+    QueryDef(
+      "q301_quality_dup_reliability",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+         |  FROM t WHERE len(toks) > 0),
+         |dup AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp),
+         |$qualityScoresSql,
+         |j AS (SELECT qual.q // 1000 AS bucket, qual.q,
+         |    CASE WHEN dup.n = 1 THEN 1 ELSE 0 END AS uniq
+         |  FROM qual JOIN fp ON fp.doc_id = qual.doc_id
+         |  JOIN dup ON dup.fp = fp.fp),
+         |tot AS (SELECT count(*) AS nt FROM j),
+         |b AS (SELECT bucket, count(*) AS n_docs,
+         |    CAST(sum(q) // (10 * count(*)) AS BIGINT) AS conf_milli,
+         |    CAST(sum(uniq) * 1000 // count(*) AS BIGINT) AS obs_milli
+         |  FROM j GROUP BY bucket)
+         |SELECT CAST(b.bucket AS BIGINT) AS bucket, b.n_docs,
+         |  b.conf_milli, b.obs_milli,
+         |  CAST(b.obs_milli - b.conf_milli AS BIGINT) AS gap_milli,
+         |  CAST(abs(b.obs_milli - b.conf_milli) * b.n_docs * 1000
+         |    // tot.nt AS BIGINT) AS ece_contrib_micro
+         |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin) { (s, d) =>
+      val fp = withToks(s, d).filter(size(col("toks")) > 0)
+        .select(col("doc_id"), md5(array_join(col("toks"), " ")).as("fp"))
+      val dup = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      val j = qualityScores(s, d)
+        .join(fp, "doc_id").join(dup, "fp")
+        .select(expr("q DIV 1000").as("bucket"), col("q"),
+          when(col("n") === 1, 1L).otherwise(0L).as("uniq"))
+        .tcache() // bucket census + the 1-row total share it
+      val tot = j.agg(count(lit(1)).as("nt"))
+      j.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(q) DIV (10 * count(1))").cast("long")
+            .as("conf_milli"),
+          expr("sum(uniq) * 1000 DIV count(1)").cast("long")
+            .as("obs_milli"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_docs"), col("conf_milli"),
+          col("obs_milli"),
+          (col("obs_milli") - col("conf_milli")).as("gap_milli"),
+          expr("abs(obs_milli - conf_milli) * n_docs * 1000 DIV nt")
+            .as("ece_contrib_micro"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- q302: context-length pricing sweep ----------------------------
+    // The max-sequence-length knob, priced from the corpus's own
+    // length distribution BEFORE anyone runs a packer: per candidate
+    // context length, the token mass a truncate-to-L policy keeps,
+    // the fill factor of the naive one-doc-per-sequence layout (its
+    // complement is padding waste — q154's number, now as a curve),
+    // and the bin-packing lower bound on sequence count
+    // (ceil(kept/L) — what q241's packer is judged against). All
+    // closed forms over the per-doc length relation — the sweep
+    // never re-packs. Scale shape: one map-side length projection,
+    // a 4-row broadcast spine, one keyed agg.
+    QueryDef(
+      "q302_context_length_sweep",
+      s"""WITH lens AS (SELECT len($toksSql) AS l FROM documents
+         |  WHERE len($toksSql) > 0),
+         |spine AS (SELECT * FROM (VALUES (64), (128), (256), (512))
+         |          c(ctx_len))
+         |SELECT CAST(c.ctx_len AS BIGINT) AS ctx_len,
+         |  count(*) AS n_docs,
+         |  CAST(sum(least(l, c.ctx_len)) * 1000 // sum(l) AS BIGINT)
+         |    AS kept_milli,
+         |  CAST(sum(least(l, c.ctx_len)) * 1000
+         |    // (count(*) * c.ctx_len) AS BIGINT) AS fill_milli,
+         |  CAST((sum(least(l, c.ctx_len)) + c.ctx_len - 1)
+         |    // c.ctx_len AS BIGINT) AS seqs_min
+         |FROM lens CROSS JOIN spine c
+         |GROUP BY c.ctx_len ORDER BY ctx_len""".stripMargin) { (s, d) =>
+      val lens = withToks(s, d)
+        .select(size(col("toks")).cast("long").as("l"))
+        .filter(col("l") > 0)
+      val spine = {
+        val ss = s; import ss.implicits._
+        Seq(64L, 128L, 256L, 512L).toDF("ctx_len")
+      }
+      lens.crossJoin(broadcast(spine))
+        .groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(least(l, ctx_len)) * 1000 DIV sum(l)").cast("long")
+            .as("kept_milli"),
+          expr("sum(least(l, ctx_len)) * 1000 DIV (count(1) * ctx_len)")
+            .cast("long").as("fill_milli"),
+          expr("(sum(least(l, ctx_len)) + ctx_len - 1) DIV ctx_len")
+            .cast("long").as("seqs_min"))
+        .orderBy(col("ctx_len"))
     }
   )
 
