@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A 300-query double-pass bench generates thousands of whole-stage
+  // codegen classes; the JDK default 240m code cache fills late in
+  // pass 1 and the JIT silently stops compiling — compute-heavy
+  // queries then run partially interpreted with 10-20x task-time
+  // inflation (measured: q87 0.5s -> 9.8s, q88 0.5s -> 9.0s in-suite
+  // while bit-identical in isolation). Size the cache to the suite
+  // and keep flushing enabled so long sessions degrade gracefully.
+  s"-XX:ReservedCodeCacheSize=${
+    sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -120,9 +120,26 @@ object Bench {
     // in the artifact itself.
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    def runPass(): Seq[(String, Double, Long, Double, Double)] =
+    // Per-query hypervisor steal (r14): cumulative /proc/stat field 8
+    // in USER_HZ ticks. The roaming in-suite inflation that survives
+    // the code-cache fix is CONTIGUOUS ALPHABETICAL BLOCKS of queries
+    // running 2-10x with task-time growth, zero GC, low loadavg, and
+    // clean isolated reruns — a multi-minute window where the host
+    // serves someone else. Stolen cycles lengthen executorRunTime
+    // without any in-JVM witness; this column is the witness, so a
+    // regressed list can be adjudicated "burst window" (steal
+    // elevated exactly there) vs "plan change" (steal flat) from the
+    // artifact alone. -1 when /proc/stat is unreadable.
+    def stealMs(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val parts = try f.getLines().next().split("\\s+") finally f.close()
+        if (parts.length > 8) parts(8).toLong * 10L else -1L
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    def runPass(): Seq[(String, Double, Long, Double, Double, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val k0 = probe.taskSec(spark.sparkContext)
+        val s0 = stealMs()
         val g0 = gcMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -141,8 +158,10 @@ object Bench {
         graft.ops.Tables.dropTransientCaches()
         // taskSec flushes the listener bus, so this query's final
         // task-end events land in THIS delta, not the next query's
-        (name, sec, gcMs() - g0, loadAvg(),
-          probe.taskSec(spark.sparkContext) - k0)
+        val taskDelta = probe.taskSec(spark.sparkContext) - k0
+        val s1 = stealMs()
+        (name, sec, gcMs() - g0, loadAvg(), taskDelta,
+          if (s0 < 0 || s1 < 0) -1L else s1 - s0)
       }
     // Memo cache-health probe (r12 verdict ask 1b): after each pass,
     // walk every registered session memo and record [cached, countSec].
@@ -200,8 +219,18 @@ object Bench {
           if (cfgNode.has(n)) cfgNode.get(n).asDouble()
           else if (legacy.has(n)) legacy.get(n).asDouble()
           else -1.0
+        // steady state = the per-query MIN of the two passes: a
+        // hypervisor steal burst (now visible in the steal_ms column)
+        // hits whatever queries run inside its window in ONE pass —
+        // measured r14: q260 at 44.1 s wall carrying 28.7 s of steal
+        // in pass 2 while pass 1 ran 14.3 s — whereas a genuine plan
+        // regression inflates BOTH passes. Gating on the min keeps
+        // the 3x factor strict for real regressions and immune to
+        // single-window bursts.
+        val p1m = pass1.map { case (n, sec, _, _, _, _) => n -> sec }.toMap
         val steady = (if (pass2.nonEmpty) pass2 else pass1)
-          .map { case (n, sec, _, _, _) => n -> sec }
+          .map { case (n, sec, _, _, _, _) =>
+            n -> math.min(sec, p1m.getOrElse(n, sec)) }
         steady.collect {
           case (n, sec)
               if !passErrors.contains(n) && sec >= 0.15 &&
@@ -217,13 +246,14 @@ object Bench {
         "%.3f".formatLocal(java.util.Locale.ROOT, sec) + "]"
     }.mkString("{", ",", "}")
     try {
-      def pj(p: Seq[(String, Double, Long, Double, Double)]) =
+      def pj(p: Seq[(String, Double, Long, Double, Double, Long)]) =
         p.sortBy(_._1).map {
-          case (k, v, g, ld, ts) =>
+          case (k, v, g, ld, ts, st) =>
             "\"" + k + "\":[" +
               "%.3f".formatLocal(java.util.Locale.ROOT, v) + "," + g + "," +
               "%.1f".formatLocal(java.util.Locale.ROOT, ld) + "," +
-              "%.3f".formatLocal(java.util.Locale.ROOT, ts) + "]"
+              "%.3f".formatLocal(java.util.Locale.ROOT, ts) + "," +
+              st + "]"
         }.mkString("{", ",", "}")
       val memoJson = memoDetail.map { case (k, wall, task) =>
         "\"" + k + "\":[" +
@@ -236,7 +266,7 @@ object Bench {
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_VARIANCE.json"),
-        s"""{"unit":["sec","gc_ms","loadavg_1m","task_sec"],""" +
+        s"""{"unit":["sec","gc_ms","loadavg_1m","task_sec","steal_ms"],""" +
           s""""config":"$cfgKey","memo_build":${
             "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
           },"memo_build_task_sec":${
@@ -250,7 +280,7 @@ object Bench {
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
     } catch { case _: Throwable => }
-    val results0 = pass1.map { case (n, sec, _, _, _) => n -> sec }
+    val results0 = pass1.map { case (n, sec, _, _, _, _) => n -> sec }
     val results = results0 :+ ("memo_build" -> memoSec)
     // Compact keys (qNN prefix) + 1-decimal per-query values keep the
     // JSON line inside the driver's 2000-byte stdout-tail capture

@@ -777,4 +777,54 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"q288: no cartesian products:\n$p")
   }
+
+  test("r14 sweeps: every broadcast-spine join builds on the tiny " +
+      "side, never on a corpus scan") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    Seq("q296_dedup_discovery_curve", "q297_session_gap_sweep",
+      "q298_watermark_lateness_sweep", "q299_dim_collapse_census",
+      "q300_lsh_scurve_calibration", "q302_context_length_sweep")
+      .foreach { q =>
+        val ep = graft.SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan
+        assert(!ep.toString.contains("CartesianProduct"),
+          s"$q: no cartesian products")
+        ep.collect { case j: BroadcastNestedLoopJoinExec => j }
+          .foreach { j =>
+            val side = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                j.left
+              case _ => j.right
+            }
+            // the build side must be a REDUCED relation (spine,
+            // 1-row bounds, cached k-row census) — its root operator
+            // is a local relation, an aggregate, or a memo read, and
+            // never a raw corpus projection
+            val root = side.toString.linesIterator.take(3).mkString(" ")
+            assert(Seq("LocalTableScan", "HashAggregate",
+              "SortAggregate", "InMemoryTableScan", "Range")
+              .exists(root.contains),
+              s"$q: a BNLJ build side is not a reduced relation:\n$side")
+          }
+      }
+  }
+
+  test("q295: the generalization ladder re-aggregates the group " +
+      "relation — the fact table is scanned once per rung chain") {
+    val p = plan("q295_generalization_ladder")
+    // one logical source (orders); rung 0 caches, rungs 1-3 and the
+    // base reuse it — the plan may show InMemoryTableScan reuses but
+    // only ONE distinct parquet relation
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan") ||
+      p.split("FileScan parquet").length - 1 <= 2,
+      s"q295: expected the cached group relation to feed the coarser " +
+        s"rungs:\n$p")
+  }
+
+  test("q290/q294: the corpus-law fits broadcast the k-row fit " +
+      "relation back for residuals") {
+    assert(plan("q290_zipf_slope_fit").contains("BroadcastHashJoin"))
+    assert(plan("q294_heaps_law_fit").contains("BroadcastHashJoin"))
+  }
 }
