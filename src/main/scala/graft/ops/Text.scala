@@ -390,9 +390,9 @@ object Text {
 
   /** (doc_id, q) — the q22 quality score, reusable by downstream
     * selection operators (q55 canonical-doc choice). */
-  private[ops] def qualityScores(s: SparkSession, d: String): DataFrame = {
+  private def scoreToks(withToksDf: DataFrame): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
-    withToks(s, d)
+    withToksDf
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(filter(col("toks"), x => array_contains(stopArr, x)))
@@ -405,6 +405,17 @@ object Text {
           + lit(0.3) * (col("n_uniq") * 1.0 / col("n_tokens")))).cast("long")
           .as("q"))
   }
+
+  private[ops] def qualityScores(s: SparkSession, d: String): DataFrame =
+    scoreToks(withToks(s, d))
+
+  /** [[qualityScores]] for an arbitrary `(doc_id, text)` relation —
+    * the LIVE-ingest entry point ([[graft.streaming.StreamOps
+    * .qualityGateIngestBatch]]): same tokenizer, same 0..10000
+    * lattice, so a floor calibrated on the standing store gates
+    * arrivals on exactly the score the batch queries audit. */
+  private[graft] def qualityScoresOf(docs: DataFrame): DataFrame =
+    scoreToks(docs.select(col("doc_id"), toksCol.as("toks")))
 
   /** Oracle mirror of [[qualityScores]]: CTE `qual(doc_id, q)`. */
   private[ops] val qualityScoresSql =

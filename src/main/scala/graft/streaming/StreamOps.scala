@@ -1575,6 +1575,12 @@ object StreamOps {
         * policy choice, not a default; the census to price that is
         * q278/q282's batch re-run). */
       labelsDir: Option[String] = None,
+      /** Conformal-gate calibration store
+        * ([[qualityGateIngestBatch]]): a forgotten doc's calibration
+        * row is its direct influence on every future admission floor
+        * — erased by the same file-pruned anti-join rewrite as the
+        * vector stores. */
+      calDir: Option[String] = None,
       /** Raw replay frame-log dir ([[CdcReplaySource]] layout). The
         * cascade does NOT rewrite the log: frames are the durable
         * wire history, recycled only when EVERY slot's confirmed
@@ -1609,7 +1615,7 @@ object StreamOps {
     // pre-upgrade stranded dirs (and the other stores' compactions)
     // still need the heal.
     (dedupIndexDir ++ ivfIndexDir ++ vecStoreDir ++ trainGramsDir ++
-      dfDir ++ dfDir.map(_ + "_docs") ++ labelsDir).foreach { dir =>
+      dfDir ++ dfDir.map(_ + "_docs") ++ labelsDir ++ calDir).foreach { dir =>
       recoverCompaction(dir)
       sweepRwTmp(dir)
     }
@@ -1770,6 +1776,11 @@ object StreamOps {
         }
         hf.map(_.getLong(1)).sum
       }.getOrElse(0L)
+      // ---- conformal calibration store: the forgotten doc stops ----
+      // shaping the admission floor (same file-pruned rewrite as the
+      // vector stores; repeats are no-ops on the residual)
+      val nCal = calDir.map(cd => rewriteMinus(cd, "doc_id", ids))
+        .getOrElse(0L)
       // ---- frame-log exposure: observation, never mutation ---------
       // (r13 verdict ask 4) One pass over the retained slice of the
       // log + a broadcast of the forget batch's own ids; the match is
@@ -1808,6 +1819,7 @@ object StreamOps {
         lit(nStore).as("n_store_removed"),
         lit(nGrams).as("n_grams_removed"),
         lit(nLabels).as("n_labels_removed"),
+        lit(nCal).as("n_cal_removed"),
         lit(nFrames).as("n_frames_retained"))
         .write.mode("append").parquet(reportDir)
     } finally { uniq.unpersist(); () }
@@ -1970,6 +1982,80 @@ object StreamOps {
     if (!tmp.renameTo(live))
       throw new java.io.IOException(s"restore promote failed: $dir")
     if (old.exists) delTree(old)
+  }
+
+  /** foreachBatch conformal quality gate — q291's live twin: each
+    * micro-batch of `(doc_id, text)` arrivals is scored on the shared
+    * 0..10000 quality lattice ([[graft.ops.Text.qualityScoresOf]],
+    * the exact scorer the batch queries audit) and gated by the
+    * split-conformal floor from the STANDING calibration store: the
+    * k-th smallest calibration score with k = ⌊alpha·(n+1)/1000⌋, so
+    * P(reject a doc exchangeable with the calibration set) ≤ alpha —
+    * the distribution-free guarantee q291 prices per (lang, alpha),
+    * now enforcing admission live. Mechanics:
+    *  - the floor is computed BEFORE this batch's calibration append
+    *    (a batch never gates itself), as max(q) over the k smallest —
+    *    a TakeOrdered + 1-row agg, never a global rank window;
+    *  - an empty store bootstraps OPEN (floor −1, everything passes
+    *    and seeds calibration — unmeasured must not mean strict);
+    *  - the calibration feed is the deterministic 1-in-`calFraction`
+    *    md5 split (the same hash q291's audit uses), appended with a
+    *    doc_id anti-join so at-least-once replays converge;
+    *  - verdicts `(batch_id, doc_id, q, thr_q, pass)` are written
+    *    LAST as the commit marker; zero-token docs carry q = −1 and
+    *    fail the gate EXPLICITLY (an empty doc is not trainable
+    *    text; silence would hide the drop);
+    *  - erasure: [[forgetBatch]]`(calDir = ...)` removes a forgotten
+    *    doc's calibration row — its influence on future floors —
+    *    under the same file-pruned publish as the vector stores.
+    * At 100 TB the calibration store is a k-row-per-batch append the
+    * floor derivation reads with one TakeOrdered; the batch side is
+    * one map-side scoring pass + a broadcast floor. */
+  def qualityGateIngestBatch(calDir: String, verdictsDir: String,
+      alphaMilli: Long = 100L, calFraction: Long = 5L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    recoverCompaction(calDir)
+    sweepRwTmp(calDir)
+    if (batchCommitted(spark, verdictsDir, batchId)) return
+    val uniq = batch.dropDuplicates("doc_id").cache()
+    try {
+      val scored = uniq
+        .join(graft.ops.Text.qualityScoresOf(uniq), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("q"), lit(-1L)).as("q"))
+      val cal = readParquetOpt(spark, calDir)
+      val floor: Long = cal.map { c =>
+        val n = c.count()
+        val k = alphaMilli * (n + 1) / 1000L
+        if (k <= 0L) -1L
+        else {
+          val kth = c.orderBy(col("q"), col("doc_id"))
+            .limit(math.min(k, n).toInt)
+            .agg(max(col("q")).as("thr"))
+            .collect()
+          kth.headOption.map(_.getAs[Long]("thr")).getOrElse(-1L)
+        }
+      }.getOrElse(-1L)
+      // calibration append FIRST (crash between the two writes
+      // replays into the anti-join, converging), floor already
+      // derived from the pre-batch store
+      val calRows = scored.filter(col("q") >= 0L)
+        .filter(pmod(graft.cdc.GraftFunctions.md5_h32(
+          col("doc_id").cast("string")), lit(calFraction)) === 0L)
+      val fresh = cal match {
+        case Some(c) => calRows.join(c.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        case None => calRows
+      }
+      fresh.select(col("doc_id"), col("q"))
+        .write.mode("append").parquet(calDir)
+      // verdicts LAST — the commit marker
+      scored.select(lit(batchId).as("batch_id"), col("doc_id"),
+          col("q"), lit(floor).as("thr_q"),
+          (col("q") >= 0L && col("q") >= lit(floor)).as("pass"))
+        .write.mode("append").parquet(verdictsDir)
+    } finally { uniq.unpersist(); () }
   }
 
   /** foreachBatch label inheritance — q278's live half: each

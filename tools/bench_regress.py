@@ -9,8 +9,8 @@ Baseline: BASELINE_QUERIES.json — {"source": ..., "unit": "sec",
 "queries": {name: sec}} — pinned from a clean-JVM pass-2 run
 (steady state; pass 1 carries per-plan JIT, see SCALING.md).
 
-Current run: a BENCH_VARIANCE.json (uses pass2, falling back to
-pass1) or a BENCH_FULL.json (flat name->sec map).
+Current run: a BENCH_VARIANCE.json (per-query MIN of pass1/pass2 —
+see load_current) or a BENCH_FULL.json (flat name->sec map).
 
 Usage: python3 tools/bench_regress.py [current.json] [baseline.json]
 Defaults: BENCH_VARIANCE.json BASELINE_QUERIES.json. Exit 1 if any
@@ -47,16 +47,16 @@ def load_current(path):
         merged = {k: min(x for x in (p1.get(k), p2.get(k))
                          if x is not None)
                   for k in set(p1) | set(p2)}
-        return (merged, errors, config)
+        return (merged, errors, config, d)
     q = d.get("queries", d)
     return ({k: v for k, v in q.items()
-             if isinstance(v, (int, float))}, errors, config)
+             if isinstance(v, (int, float))}, errors, config, d)
 
 
 def main():
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_VARIANCE.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_QUERIES.json"
-    cur, errors, config = load_current(cur_path)
+    cur, errors, config, raw = load_current(cur_path)
     with open(base_path) as f:
         base_doc = json.load(f)
     base = base_doc["queries"]
@@ -83,8 +83,15 @@ def main():
         if sec >= MIN_SEC and pinned > 0 and sec > FACTOR * pinned:
             flagged.append((name, pinned, sec, sec / pinned))
     for name, pinned, sec, ratio in flagged:
+        # adjudication telemetry: the quintuple is
+        # [sec, gc_ms, loadavg, task_sec, steal_ms] — steal elevated
+        # in BOTH passes says the host, task grown with steal flat
+        # says the plan
+        tel = " ".join(
+            f"{p}={raw[p].get(name)}" for p in ("pass1", "pass2")
+            if isinstance(raw.get(p), dict) and name in raw[p])
         print(f"REGRESSED {name}: {sec:.3f}s vs pinned {pinned:.3f}s "
-              f"({ratio:.1f}x > {FACTOR}x)")
+              f"({ratio:.1f}x > {FACTOR}x) {tel}")
     if new:
         print(f"note: {len(new)} queries have no pinned baseline yet: "
               + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
