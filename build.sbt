@@ -42,4 +42,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:ReservedCodeCacheSize=${
     sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
   "-XX:+UseCodeCacheFlushing",
-) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))
+) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

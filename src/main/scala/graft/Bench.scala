@@ -207,9 +207,10 @@ object Bench {
     // a query absent from the matching config table falls back to the
     // legacy top-level "queries" (local[4]) pins.
     val cfgKey = s"local[$cpus]"
-    val regressed: Seq[(String, Double, Double)] = try {
+    val (regressed, suspect): (Seq[(String, Double, Double)],
+        Seq[(String, Double, Double)]) = try {
       val pinsPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
-      if (!java.nio.file.Files.exists(pinsPath)) Seq.empty
+      if (!java.nio.file.Files.exists(pinsPath)) (Seq.empty, Seq.empty)
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(pinsPath))
@@ -231,15 +232,43 @@ object Bench {
         val steady = (if (pass2.nonEmpty) pass2 else pass1)
           .map { case (n, sec, _, _, _, _) =>
             n -> math.min(sec, p1m.getOrElse(n, sec)) }
-        steady.collect {
+        val reg = steady.collect {
           case (n, sec)
               if !passErrors.contains(n) && sec >= 0.15 &&
                 pin(n) > 0 && sec > 3.0 * pin(n) =>
             (n, pin(n), sec)
         }
+        // Non-fatal visibility (review finding): the min rule
+        // immunizes the gate against single-window steal bursts, but
+        // it must not make an IN-JVM pass-2-only degradation (a
+        // code-cache recurrence, a lost memo) invisible. Any query
+        // whose SLOWER pass exceeded the factor while the min stayed
+        // under it is carried as "suspect" in the artifact UNLESS
+        // that slow pass carries a steal excuse (steal >= 20% of its
+        // wall) — suspects don't fail the gate, they make the
+        // adjudication list explicit instead of nonexistent.
+        val regNames = reg.map(_._1).toSet
+        def quint(p: Seq[(String, Double, Long, Double, Double, Long)],
+            n: String) = p.find(_._1 == n)
+        val sus = (if (pass2.nonEmpty) pass2 else Seq.empty).collect {
+          case (n, sec, _, _, _, st)
+              if !passErrors.contains(n) && !regNames.contains(n) &&
+                sec >= 0.15 && pin(n) > 0 && sec > 3.0 * pin(n) &&
+                (st < 0 || st.toDouble < 0.2 * sec * 1000.0) &&
+                quint(pass1, n).exists(_._2 <= 3.0 * pin(n)) =>
+            (n, pin(n), sec)
+        }
+        (reg, sus)
       }
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    } catch {
+      case scala.util.control.NonFatal(_) => (Seq.empty, Seq.empty)
+    }
     val gatePass = regressed.isEmpty && passErrors.isEmpty
+    val suspectJson = suspect.map { case (n, pin, sec) =>
+      "\"" + n + "\":[" +
+        "%.3f".formatLocal(java.util.Locale.ROOT, pin) + "," +
+        "%.3f".formatLocal(java.util.Locale.ROOT, sec) + "]"
+    }.mkString("{", ",", "}")
     val regressJson = regressed.map { case (n, pin, sec) =>
       "\"" + n + "\":[" +
         "%.3f".formatLocal(java.util.Locale.ROOT, pin) + "," +
@@ -275,7 +304,7 @@ object Bench {
           s""","memo_detail":$memoJson,"telemetry":$telJson""" +
           s""","memo_health":$healthJson""" +
           s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
-          s""","regressed":$regressJson""" +
+          s""","regressed":$regressJson,"suspect":$suspectJson""" +
           (if (passErrors.nonEmpty) s""","errors":$errJson""" else "") +
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")

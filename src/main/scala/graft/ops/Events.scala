@@ -1141,6 +1141,7 @@ object Events {
       (s, d) =>
       val e = events(s, d)
         .select(col("user_id"), col("event_id"), col("ts_sec"))
+        .tcache() // the lag-delta stream + the user count share it
       val wu = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_sec"), col("event_id"))
       val dl = e.select(

@@ -943,6 +943,7 @@ object Scale {
         |FROM p2 ORDER BY cnt DESC, event_type""".stripMargin) { (s, d) =>
       val k = events(s, d).groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
+        .tcache() // the per-key plan + the 1-row total share the scan
       val t = k.agg(sum(col("cnt")).as("n"))
       k.crossJoin(broadcast(t))
         .withColumn("target", expr("(n + 31) DIV 32"))

@@ -70,9 +70,18 @@ object CdcReplaySource {
     dir.mkdirs()
     val w = new java.io.PrintWriter(new java.io.File(dir, s"part-$shard.jsonl"))
     try rows.sortBy(_._1).foreach { case (lsn, frames) =>
-      val hexed = frames.map(f => "\"" + hex(f) + "\"")
-      w.println(s"""{"lsn":$lsn,"frames":[${hexed.mkString(",")}]}""")
+      w.println(formatLine(lsn, frames))
     } finally w.close()
+  }
+
+  /** THE frame-log line serialization — single-sourced because the
+    * scrub's idempotence/crash contract depends on rewritten lines
+    * being byte-identical to freshly written ones ([[scrubFrameLog]]
+    * and [[writeLogShard]] must never drift apart). */
+  private[streaming] def formatLine(lsn: Long,
+      frames: Seq[Array[Byte]]): String = {
+    val hexed = frames.map(f => "\"" + hex(f) + "\"")
+    s"""{"lsn":$lsn,"frames":[${hexed.mkString(",")}]}"""
   }
 
   def listLogFiles(path: String): Seq[String] = {
@@ -375,6 +384,34 @@ object CdcReplaySource {
       transactional = false, lsn = lsn, prefix = RedactedPrefix,
       content = Array.emptyByteArray)
 
+  /** Best-effort byte recovery from a TORN line: decode every
+    * maximal even-length run of lowercase hex found after the frames
+    * marker (frame payload hex is the only lowercase-hex content on
+    * a line), concatenated — enough to ask "does the partial payload
+    * still carry these bytes", never used for replay. */
+  private[streaming] def decodeHexRuns(line: String): Array[Byte] = {
+    val start = math.max(line.indexOf("\"frames\":["), 0)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = start
+    while (i < line.length) {
+      var j = i
+      while (j < line.length && isHexChar(line.charAt(j))) j += 1
+      var k = i
+      while (k + 1 < j) {
+        out.write((nibble(line.charAt(k)) << 4) | nibble(line.charAt(k + 1)))
+        k += 2
+      }
+      i = j + 1
+    }
+    out.toByteArray
+  }
+
+  private def isHexChar(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')
+
+  private def nibble(c: Char): Int =
+    if (c <= '9') c - '0' else c - 'a' + 10
+
   private def containsSlice(hay: Array[Byte], needle: Array[Byte]): Boolean = {
     if (needle.isEmpty || needle.length > hay.length) return false
     var i = 0
@@ -429,7 +466,20 @@ object CdcReplaySource {
             val out = java.nio.file.Files.newBufferedWriter(tmp,
               java.nio.charset.StandardCharsets.UTF_8)
             try src.getLines().foreach { l =>
-              if (!isComplete(l)) { out.write(l); out.write("\n") }
+              if (!isComplete(l)) {
+                // A torn final line is a crash artifact — by the
+                // durable-then-ack contract it was never acked, so
+                // DROPPING it is always safe (truncateFrameLog's
+                // documented torn-tail reasoning). Preserving it is
+                // the default courtesy to the reader; preserving it
+                // when its partial hex still DECODES to subject
+                // bytes would be a silent compliance hole the scrub
+                // exists to close — so a subject-bearing torn tail
+                // is dropped, counted as one scrub.
+                val partial = decodeHexRuns(l)
+                if (live.exists(containsSlice(partial, _))) scrubbed += 1
+                else { out.write(l); out.write("\n") }
+              }
               else {
                 val frames = parseFrames(l)
                 if (!frames.exists(fr => live.exists(containsSlice(fr, _))))
@@ -442,9 +492,7 @@ object CdcReplaySource {
                       scrubbed += 1; red
                     } else fr
                   }
-                  val hexed = kept.map(fr => "\"" + hex(fr) + "\"")
-                  out.write(
-                    s"""{"lsn":$lsn,"frames":[${hexed.mkString(",")}]}""")
+                  out.write(formatLine(lsn, kept))
                   out.write("\n")
                 }
               }

@@ -1810,7 +1810,11 @@ object StreamOps {
             .count()
         }
       }.getOrElse(-1L)
-      // report LAST — the commit marker
+      // report LAST — the commit marker. Schema note: r14 widened the
+      // report with n_cal_removed; a reportDir holding pre-r14 rows
+      // must be read with mergeSchema=true (plain parquet read
+      // samples one footer and either hides the new column or nulls
+      // it for old rows, footer-dependent).
       spark.range(1).select(
         lit(batchId).as("batch_id"),
         lit(nDocs).as("n_docs"),
@@ -1933,6 +1937,19 @@ object StreamOps {
     if (tmp.exists) delTree(tmp)
     if (!tmp.mkdirs()) throw new java.io.IOException(s"mkdir $tmp")
     val src = new java.io.File(dir)
+    // stores are flat by construction (parquet parts + sidecar
+    // files); a subdirectory here is either a stranded Spark
+    // _temporary (commit-protocol crash) or a layout this copier
+    // does not understand — silently skipping it would publish a
+    // truncated DR copy that REPORTS success, so fail loudly instead
+    if (src.isDirectory) {
+      val subdirs = Option(src.listFiles()).toSeq.flatten
+        .filter(_.isDirectory)
+      require(subdirs.isEmpty,
+        s"snapshotStore: unexpected subdirectories in $dir " +
+          s"(${subdirs.map(_.getName).mkString(", ")}) — heal or " +
+          "remove them; a silent partial snapshot is worse than none")
+    }
     val files = if (src.isDirectory)
       Option(src.listFiles()).toSeq.flatten.filter(_.isFile) else Seq.empty
     val n = if (!src.isDirectory) {
@@ -2025,7 +2042,16 @@ object StreamOps {
         .join(graft.ops.Text.qualityScoresOf(uniq), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("q"), lit(-1L)).as("q"))
       val cal = readParquetOpt(spark, calDir)
-      val floor: Long = cal.map { c =>
+      val floor: Long = cal.map { c0 =>
+        // "a batch never gates itself" must hold on the CRASH-REPLAY
+        // path too: a predecessor that appended this batch's
+        // calibration rows and died before the verdict marker would
+        // otherwise leave the replay deriving its floor partly from
+        // the batch's own scores (different verdicts per crash
+        // timing — the review finding). Anti-joining the batch's ids
+        // out makes the floor identical on first run and any replay.
+        val c = c0.join(uniq.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
         val n = c.count()
         val k = alphaMilli * (n + 1) / 1000L
         if (k <= 0L) -1L

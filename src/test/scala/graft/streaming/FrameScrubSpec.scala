@@ -94,11 +94,40 @@ class FrameScrubSpec extends AnyFunSuite {
       Seq("subject-9".getBytes("UTF-8")))
     assert(counts("part-0.jsonl") == 1L) // the complete line only
     val after = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    // torn tail byte-identical, still last
+    // torn tail (no decodable subject bytes) byte-identical, still last
     assert(after.linesIterator.toList.last == torn(1).take(20))
     // no scratch files survive
     val leftovers = new java.io.File(root).listFiles()
       .filter(_.getName.endsWith(".scrub"))
     assert(leftovers.isEmpty)
+  }
+
+  test("a torn tail whose PARTIAL hex still decodes to subject bytes " +
+      "is dropped, not preserved — no silent compliance hole") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-scrub-torn-hit").toString
+    CdcReplaySource.writeLogShard(root, 0, Seq(
+      tx(100L, 1L, "other-1"), tx(200L, 2L, "subject-9")))
+    val p = java.nio.file.Paths.get(s"$root/part-0.jsonl")
+    val all = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val lines = all.linesIterator.toList
+    // tear AFTER the subject's payload hex: the partial line still
+    // carries recoverable subject bytes
+    val subjHex = "subject-9".getBytes("UTF-8")
+      .map(b => f"${b & 0xff}%02x").mkString
+    val cut = lines(1).indexOf(subjHex) + subjHex.length + 4
+    assert(cut > subjHex.length, "fixture: subject hex must be present")
+    java.nio.file.Files.write(p,
+      (lines.head + "\n" + lines(1).take(cut) + "\n").getBytes("UTF-8"))
+
+    val counts = CdcReplaySource.scrubFrameLog(root,
+      Seq("subject-9".getBytes("UTF-8")))
+    assert(counts("part-0.jsonl") == 1L) // the torn carrier
+    val after = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    assert(after.linesIterator.toList == List(lines.head),
+      "the subject-bearing torn tail must be gone, the clean line kept")
+    // idempotent
+    assert(CdcReplaySource.scrubFrameLog(root,
+      Seq("subject-9".getBytes("UTF-8"))).values.sum == 0L)
   }
 }

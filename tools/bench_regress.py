@@ -92,6 +92,12 @@ def main():
             if isinstance(raw.get(p), dict) and name in raw[p])
         print(f"REGRESSED {name}: {sec:.3f}s vs pinned {pinned:.3f}s "
               f"({ratio:.1f}x > {FACTOR}x) {tel}")
+    # non-fatal: Bench's embedded "suspect" list — slower pass over
+    # the factor with NO steal excuse while the min stayed under; the
+    # explicit adjudication queue for in-JVM pass-2-only degradation
+    for name, pair in sorted((raw.get("suspect") or {}).items()):
+        print(f"SUSPECT {name}: pass2 {pair[1]:.3f}s vs pinned "
+              f"{pair[0]:.3f}s (min-of-passes under factor; steal flat)")
     if new:
         print(f"note: {len(new)} queries have no pinned baseline yet: "
               + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))
