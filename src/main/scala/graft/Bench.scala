@@ -142,7 +142,11 @@ object Bench {
         val s0 = stealMs()
         val g0 = gcMs()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        // memo touches attributed per query — the memo→consumer
+        // census (r14 verdict ask 3) that prices memo_build per
+        // consumer and justifies which memos stay in the prewarm
+        try { graft.ops.Tables.withConsumer(name) {
+          fn(spark, sfDir).count() }; () } catch {
           case e: Throwable =>
             // JSON-safe: quotes/backslashes AND every control or
             // non-ASCII byte become spaces — one stray form-feed or
@@ -207,6 +211,10 @@ object Bench {
     // a query absent from the matching config table falls back to the
     // legacy top-level "queries" (local[4]) pins.
     val cfgKey = s"local[$cpus]"
+    val ncpu = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getAvailableProcessors
+    val adjudication =
+      scala.collection.mutable.LinkedHashMap[String, String]()
     val (regressed, suspect): (Seq[(String, Double, Double)],
         Seq[(String, Double, Double)]) = try {
       val pinsPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
@@ -216,27 +224,84 @@ object Bench {
           .readTree(java.nio.file.Files.readString(pinsPath))
         val cfgNode = root.path("configs").path(cfgKey)
         val legacy = root.path("queries")
-        def pin(n: String): Double =
-          if (cfgNode.has(n)) cfgNode.get(n).asDouble()
-          else if (legacy.has(n)) legacy.get(n).asDouble()
-          else -1.0
+        // Pin schema v2 (r14 verdict ask 8): a pin is either a bare
+        // number (v1: the per-query MIN over the pinning runs — the
+        // tightest possible value, gated at 3x) or a [min, median]
+        // pair (v2: gated at 2 x MEDIAN). The r13/r14 false-fail
+        // class was exactly min-pins meeting single-boot noise: the
+        // min is one lucky scheduling draw, the median is the
+        // typical clean run, and 2 x median is both tighter than
+        // 3 x min for stable queries and looser for high-dispersion
+        // ones — dispersion the pin file now records instead of
+        // discarding.
+        def pinNode(n: String): com.fasterxml.jackson.databind.JsonNode =
+          if (cfgNode.has(n)) cfgNode.get(n)
+          else if (legacy.has(n)) legacy.get(n) else null
+        // (reported pin, gate threshold) — -1 when unpinned
+        def pinThr(n: String): (Double, Double) = pinNode(n) match {
+          case null => (-1.0, -1.0)
+          case a if a.isArray && a.size() >= 2 =>
+            (a.get(1).asDouble(), 2.0 * a.get(1).asDouble())
+          case v => (v.asDouble(), 3.0 * v.asDouble())
+        }
         // steady state = the per-query MIN of the two passes: a
         // hypervisor steal burst (now visible in the steal_ms column)
         // hits whatever queries run inside its window in ONE pass —
         // measured r14: q260 at 44.1 s wall carrying 28.7 s of steal
         // in pass 2 while pass 1 ran 14.3 s — whereas a genuine plan
         // regression inflates BOTH passes. Gating on the min keeps
-        // the 3x factor strict for real regressions and immune to
+        // the factor strict for real regressions and immune to
         // single-window bursts.
         val p1m = pass1.map { case (n, sec, _, _, _, _) => n -> sec }.toMap
         val steady = (if (pass2.nonEmpty) pass2 else pass1)
           .map { case (n, sec, _, _, _, _) =>
             n -> math.min(sec, p1m.getOrElse(n, sec)) }
-        val reg = steady.collect {
+        // Steal-aware adjudication (r14 verdict ask 1): a per-query
+        // fail where EVERY over-threshold pass carries an
+        // environmental excuse is downgraded to `suspect` with the
+        // excuse recorded inline — the r13 (q03/q07) and r14 (q29)
+        // rounds both closed on driver artifacts whose only fails
+        // were hypervisor-steal windows the artifact itself had
+        // already witnessed in steal_ms. Excuses, per flagged pass:
+        //   steal — machine-wide steal during the query >= 30% of
+        //     its wall (this host's bursts measure 1-28 s against
+        //     1-3 s walls; flat background measures < 0.1 s/query,
+        //     so 30%-of-wall separates burst window from idle hum);
+        //   task-flat — executor task-seconds stayed within the
+        //     pinned wall x cores capacity budget, i.e. the WORK
+        //     didn't grow, only the waiting (a plan regression grows
+        //     task_sec; steal and scheduling tax grow wall alone).
+        // A downgraded query does NOT fail the gate but stays
+        // visible in `suspect` + `adjudication` — never silent.
+        def excuse(sec: Double, task: Double, st: Long,
+            pinSec: Double): Option[String] = {
+          if (st >= 0 && st.toDouble >= 0.3 * sec * 1000.0)
+            Some(f"steal ${st}ms >= 30%% of ${sec}%.2fs wall")
+          else if (task <= pinSec * ncpu)
+            Some(f"task_sec ${task}%.1f flat vs pin ${pinSec}%.3f x " +
+              f"$ncpu cores")
+          else None
+        }
+        def quint(p: Seq[(String, Double, Long, Double, Double, Long)],
+            n: String) = p.find(_._1 == n)
+        val overThr = steady.collect {
           case (n, sec)
               if !passErrors.contains(n) && sec >= 0.15 &&
-                pin(n) > 0 && sec > 3.0 * pin(n) =>
-            (n, pin(n), sec)
+                pinThr(n)._2 > 0 && sec > pinThr(n)._2 =>
+            (n, pinThr(n)._1, sec)
+        }
+        val (excused, reg) = overThr.partition { case (n, pinSec, _) =>
+          val thr = pinThr(n)._2
+          val flaggedPasses = (pass1 ++ pass2).collect {
+            case q @ (`n`, sec, _, _, _, _) if sec > thr => q
+          }
+          val verdicts = flaggedPasses.map {
+            case (_, sec, _, _, task, st) => excuse(sec, task, st, pinSec)
+          }
+          val ok = verdicts.nonEmpty && verdicts.forall(_.isDefined)
+          if (ok) adjudication(n) =
+            "downgraded: " + verdicts.flatten.mkString("; ")
+          ok
         }
         // Non-fatal visibility (review finding): the min rule
         // immunizes the gate against single-window steal bursts, but
@@ -244,26 +309,50 @@ object Bench {
         // code-cache recurrence, a lost memo) invisible. Any query
         // whose SLOWER pass exceeded the factor while the min stayed
         // under it is carried as "suspect" in the artifact UNLESS
-        // that slow pass carries a steal excuse (steal >= 20% of its
-        // wall) — suspects don't fail the gate, they make the
-        // adjudication list explicit instead of nonexistent.
-        val regNames = reg.map(_._1).toSet
-        def quint(p: Seq[(String, Double, Long, Double, Double, Long)],
-            n: String) = p.find(_._1 == n)
+        // that slow pass carries a steal excuse — and the excuse bar
+        // here is CPU-normalized (steal >= 20% of wall x ncpu, i.e.
+        // a fifth of the whole machine's capacity stolen; r14
+        // advisor finding: the un-normalized 20%-of-wall bar let
+        // modest background steal on a 32-core host silently excuse
+        // genuine pass-2-only degradations out of BOTH lists).
+        val regNames = overThr.map(_._1).toSet
         val sus = (if (pass2.nonEmpty) pass2 else Seq.empty).collect {
           case (n, sec, _, _, _, st)
               if !passErrors.contains(n) && !regNames.contains(n) &&
-                sec >= 0.15 && pin(n) > 0 && sec > 3.0 * pin(n) &&
-                (st < 0 || st.toDouble < 0.2 * sec * 1000.0) &&
-                quint(pass1, n).exists(_._2 <= 3.0 * pin(n)) =>
-            (n, pin(n), sec)
+                sec >= 0.15 && pinThr(n)._2 > 0 && sec > pinThr(n)._2 &&
+                (st < 0 ||
+                  st.toDouble < 0.2 * sec * 1000.0 * ncpu) &&
+                quint(pass1, n).exists(_._2 <= pinThr(n)._2) =>
+            (n, pinThr(n)._1, sec)
         }
-        (reg, sus)
+        (reg, excused ++ sus)
       }
     } catch {
       case scala.util.control.NonFatal(_) => (Seq.empty, Seq.empty)
     }
     val gatePass = regressed.isEmpty && passErrors.isEmpty
+    // Clobber-proof artifact paths (r14 verdict ask 2): Bench used to
+    // write BENCH_VARIANCE.json / BENCH_FULL.json at fixed repo-cwd
+    // paths, so ANY run — a smoke run at the wrong SF, the driver's
+    // own round-end run — silently overwrote the committed
+    // round-close artifacts (the r14 HEAD-pass vs working-tree-fail
+    // split). Every run now writes config+timestamp-keyed files
+    // under an output dir (SPARK_GRAFT_BENCH_OUT, default
+    // bench_out/, which is gitignored); the round-close step COPIES
+    // the blessed run to the canonical committed names. Two
+    // consecutive runs can no longer overwrite each other.
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out"))
+    try java.nio.file.Files.createDirectories(outDir)
+    catch { case _: Throwable => }
+    val cfgSafe = cfgKey.replaceAll("[^A-Za-z0-9]", "")
+    val stamp = System.currentTimeMillis() / 1000L
+    def outPath(base: String) =
+      outDir.resolve(s"$base-$cfgSafe-$stamp.json")
+    val adjJson = adjudication.map { case (k, v) =>
+      "\"" + k + "\":\"" +
+        v.replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ") + "\""
+    }.mkString("{", ",", "}")
     val suspectJson = suspect.map { case (n, pin, sec) =>
       "\"" + n + "\":[" +
         "%.3f".formatLocal(java.util.Locale.ROOT, pin) + "," +
@@ -291,10 +380,18 @@ object Bench {
       }.mkString("{", ",", "}")
       val telJson = telemetryPoints.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // memo → consumer census: which queries actually read which
+      // memo this run. Read it against memo_detail's per-memo cost
+      // to price memo_build per consumer; a memo with ≤ 1 consumer
+      // is a candidate to drop out of Prewarm into its one query.
+      val consumersJson = graft.ops.Tables.memoConsumers().toSeq
+        .sortBy(_._1).map { case (m, qs) =>
+          "\"" + m + "\":[" + qs.map("\"" + _ + "\"").mkString(",") + "]"
+        }.mkString("{", ",", "}")
       val healthJson = memoHealthPoints.map { case (k, v) =>
         "\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_VARIANCE.json"),
+        outPath("BENCH_VARIANCE"),
         s"""{"unit":["sec","gc_ms","loadavg_1m","task_sec","steal_ms"],""" +
           s""""config":"$cfgKey","memo_build":${
             "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
@@ -303,8 +400,10 @@ object Bench {
           },"memo_detail_unit":["wall_sec","task_sec"]""" +
           s""","memo_detail":$memoJson,"telemetry":$telJson""" +
           s""","memo_health":$healthJson""" +
+          s""","memo_consumers":$consumersJson""" +
           s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
           s""","regressed":$regressJson,"suspect":$suspectJson""" +
+          s""","adjudication":$adjJson""" +
           (if (passErrors.nonEmpty) s""","errors":$errJson""" else "") +
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
@@ -344,6 +443,13 @@ object Bench {
       s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
         (if (regressed.isEmpty) ""
          else s""","regressed":[${regressed.map("\"" + _._1 + "\"")
+           .mkString(",")}]""") +
+        // steal-downgraded names ride the headline too: a driver
+        // artifact reading "pass" with downgrades is self-describing
+        // about WHY it passed (the full excuse strings live in the
+        // variance sidecar's "adjudication" object)
+        (if (adjudication.isEmpty) ""
+         else s""","downgraded":[${adjudication.keys.map("\"" + _ + "\"")
            .mkString(",")}]""")
     def assemble(qs: String) =
       s"""{"metric":"total","value":${f3(total)}$gatePart$errPart,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
@@ -353,7 +459,7 @@ object Bench {
     // window) — committed per round so regressions in small queries
     // stay visible round-over-round (r8 verdict ask 8).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      outPath("BENCH_FULL"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":""" +
         results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }
           .mkString("{", ",", "}") + s""","sf":"$sfDir"}""" + "\n")

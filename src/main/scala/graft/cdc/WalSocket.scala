@@ -595,9 +595,19 @@ final class WalSocketClient(
     }
     // A11 in the live loop: the AckScheduler re-sends the confirmed
     // position when the wire has been quiet past the timeout — the
-    // liveness signal a walsender uses to not kill the slot
+    // liveness signal a walsender uses to not kill the slot.
+    // The census rides inside it (q293's live twin): delivery→ack
+    // latency per advancing LSN, published to the `_ack_lag@<slot>`
+    // sidecar on every flush+ack and at session end, so the SLO pane
+    // (`StreamOps.ackLagReport`) tracks a RUNNING session, not just
+    // finished ones.
+    val lagCensus = new AckLagCensus()
     val scheduler = new AckScheduler(math.max(ackTimeoutSeconds, 1),
-      send = lsn => sendStatus(lsn))
+      send = lsn => sendStatus(lsn), census = lagCensus)
+    def publishLag(): Unit =
+      try graft.streaming.CdcReplaySource.writeAckLag(
+        logDir, slotName, s"part-$shard.jsonl", lagCensus.census())
+      catch { case _: IOException => () }
     @volatile var closed = false
     val ackTimer: Option[Thread] =
       if (ackTimeoutSeconds <= 0) None
@@ -638,6 +648,7 @@ final class WalSocketClient(
       // keepalive reply at the stream origin still goes on the wire
       if (lsn != Lsn.InvalidLsn) scheduler.ack() // send + reset timer
       else sendStatus(lsn)
+      publishLag()
       sinceAck = 0
     }
     // ---- pgoutput session schema registry ---------------------------
@@ -966,6 +977,7 @@ final class WalSocketClient(
     } finally {
       closed = true
       ackTimer.foreach(_.interrupt())
+      publishLag() // final census snapshot covers the session tail
       logOut.close()
       sock.close()
     }

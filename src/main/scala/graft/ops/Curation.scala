@@ -77,30 +77,87 @@ object Curation {
             "concat_ws(' ', seq[i], seq[i+1]))")).as("pair"),
           col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+    // Fused per-round probe (r15, for the V=256 loop where job count
+    // IS the runtime): argmax pair and the total pair-occurrence
+    // count land in ONE aggregation job. The argmax rides
+    // min(struct(-c, pair)) — lexicographic struct ordering gives
+    // (count desc, pair asc), the exact ORDER BY c DESC, pair LIMIT 1
+    // tie-break the oracle replays. And because per-word tokens =
+    // pairs + 1, round r-1's corpus token total is just
+    // totalPairs(s_{r-1}) + Σcnt — which round r's probe computes
+    // anyway — so each pick's `toks` closes out at the NEXT probe
+    // (one final probe after the loop prices the last round). Values
+    // are bit-identical to the former two-job loop; q153/q159's
+    // oracle pins that.
+    val tcRow = boundedCollect(
+      df0.agg(sum(col("cnt")).as("tc")), 1, "BPE instance total")(0)
+    val totalCnt = if (tcRow.isNullAt(0)) 0L else tcRow.getLong(0)
     var cur = df0.tcache()
-    val picks = (1 to rounds).map { r =>
-      val best = boundedCollect(pairCounts(cur)
-        .orderBy(col("c").desc, col("pair")).limit(1),
-        1, "BPE merge argmax")(0)
-      val (pair, c) = (best.getString(0), best.getLong(1))
-      // merge tokens are [a-z] only (the tokenizer strips the rest),
-      // so inlining them into the literal replace is injection-safe
-      val pat = "|" + pair.replace(" ", "|") + "|"
-      val rep = "|" + pair.replace(" ", "") + "|"
-      val nextRaw = cur.withColumn("s", expr(
-        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
-      // the final round may be a session memo (q153 + q159 share it),
-      // which must survive the per-query transient-cache drop
-      val next =
-        if (r == rounds && !finalTransient) nextRaw.cache()
-        else nextRaw.tcache()
-      val toks = next.select(sum(col("cnt") * size(bpeSeqCol)))
-        .collect()(0).getLong(0)
-      cur.unpersist()
-      cur = next
-      (r, pair, c, toks)
+    var prev: DataFrame = null
+    val picks =
+      scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    var pending: Option[(Int, String, Long)] = None
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val probe = boundedCollect(pairCounts(cur)
+        .agg(min(struct((-col("c")).as("nc"), col("pair").as("p")))
+          .as("m"), sum(col("c")).as("tp")), 1, "BPE merge probe")(0)
+      // this probe materialized cur's cache; the round-before-last
+      // frame can release its blocks now (not earlier: cur's plan
+      // reads it)
+      if (prev != null) { prev.unpersist(false); prev = null }
+      val tp = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+      pending.foreach { case (pr, pp, pc) =>
+        picks += ((pr, pp, pc, tp + totalCnt)); () }
+      pending = None
+      if (probe.isNullAt(0)) done = true // vocab exhausted: every word
+        // is one symbol — a bounded V=256 run on a small vocabulary
+        // terminates here, matching the oracle chain whose empty
+        // argmax relations produce no further pick rows
+      else {
+        val m = probe.getStruct(0)
+        val (pair, c) = (m.getString(1), -m.getLong(0))
+        // merge tokens are [a-z] only (the tokenizer strips the
+        // rest), so inlining them into the literal replace is
+        // injection-safe
+        val pat = "|" + pair.replace(" ", "|") + "|"
+        val rep = "|" + pair.replace(" ", "") + "|"
+        val nextRaw = cur.withColumn("s", expr(
+          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
+        // Lineage cut every 8 rounds (measured necessity, not
+        // hygiene): each round's plan nests the previous round's
+        // InMemoryRelation, and AQE re-renders the FULL plan string
+        // on every update — at ~90 rounds that stringification alone
+        // OOMed a 4 GB driver before any data moved. An eager
+        // localCheckpoint resets the plan to a LogicalRDD leaf, so
+        // plan depth (and its string) stays bounded by the cut
+        // period. The checkpointed RDDs (vocab-sized, ~11 per full
+        // run) live until session end — bounded, documented cost.
+        val next =
+          if (r % 8 == 0) nextRaw.localCheckpoint(true)
+          else nextRaw.tcache()
+        pending = Some((r, pair, c))
+        prev = cur
+        cur = next
+      }
+      r += 1
     }
-    (cur, picks)
+    // price the final round (one probe over the final relation, which
+    // also materializes it)
+    pending.foreach { case (pr, pp, pc) =>
+      val fin = boundedCollect(cur.agg(
+        sum(col("cnt") * (size(bpeSeqCol) - 1)).as("tp")),
+        1, "BPE final total")(0)
+      val tp = if (fin.isNullAt(0)) 0L else fin.getLong(0)
+      if (prev != null) { prev.unpersist(false); prev = null }
+      picks += ((pr, pp, pc, tp + totalCnt)); ()
+    }
+    // the final state may be a session memo (q153 + q159 share one,
+    // q304/q305/q306 another), which must survive the per-query
+    // transient-cache drop: promote it out of the transient registry
+    if (!finalTransient) promoteTransient(cur)
+    (cur, picks.toSeq)
   }
 
   /** Lang-carrying BPE state after the 3 learned merges — ONE
@@ -1026,6 +1083,301 @@ object Curation {
           coalesce(col("n_excl"), lit(0L)).as("n_exclusive_grams"),
           coalesce(col("n_orph"), lit(0L)).as("n_orphaned_dups"))
         .orderBy(col("source"))
+    },
+
+    // ---- q303: cross-doc exact-substring dedup (ExactSubstr) ------
+    // The one headline dedup regime q127/q155 only approximate: those
+    // find duplicated 8-token WINDOWS and merge overlaps into
+    // intervals; this reports, per candidate document pair, the
+    // MAXIMAL exactly-shared token span at ARBITRARY length — the
+    // quantity ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better") removes, computed
+    // WITHOUT a suffix array and without doc×doc: candidate pairs
+    // come from the standing positional index's rare (df ≤ 10)
+    // anchors; each pair's matching 8-gram positions join KEYED on
+    // the gram hash; a hash match is verified EXACT in-bucket by
+    // comparing the actual 8-token slices (32-bit grams collide at
+    // corpus scale — an unverified collision inside a run would
+    // bridge two separate spans into one false long one); and the
+    // maximal span falls out of diagonal run-length (consecutive
+    // matches with i1 − i2 constant): a shared span of L ≥ 8 tokens
+    // is EXACTLY a run of L − 7 consecutive verified gram matches,
+    // so max span = max run + 7 with no per-pair binary search and
+    // no re-scan — q162's binary-search kernel lifted cross-doc
+    // collapses to one window pass because the index already holds
+    // every window. Scale shape: anchor-bounded pair list, keyed
+    // joins throughout, pair-partitioned windows; the oracle
+    // brute-forces the same spans from raw single-token position
+    // matches (an INDEPENDENT algorithm — token-level diagonal runs
+    // need no gram index) over the same anchored pair set.
+    QueryDef(
+      "q303_exact_substr_spans",
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
+         |  FROM documents WHERE len($toksSql) >= 8),
+         |pos8 AS MATERIALIZED (SELECT doc_id, i,
+         |    ${h32Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+         |      AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         |keep AS (SELECT h FROM pos8 GROUP BY h
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1,
+         |    b.doc_id AS d2
+         |  FROM pos8 a JOIN pos8 b USING (h) JOIN keep USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |pos1 AS MATERIALIZED (SELECT doc_id, i, toks[i] AS w
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |mm AS (SELECT c.d1, c.d2, a.i AS i1, b.i AS i2
+         |  FROM cand c JOIN pos1 a ON a.doc_id = c.d1
+         |  JOIN pos1 b ON b.doc_id = c.d2 AND b.w = a.w),
+         |isl AS (SELECT d1, d2, i1 - i2 AS diag, i1,
+         |    i1 - row_number() OVER (PARTITION BY d1, d2, i1 - i2
+         |      ORDER BY i1) AS grp
+         |  FROM mm),
+         |runs AS (SELECT d1, d2, diag, grp, count(*) AS len,
+         |    min(i1) AS s1
+         |  FROM isl GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT d1, d2, CAST(len AS BIGINT) AS span_toks,
+         |    CAST(s1 AS BIGINT) AS s1, CAST(s1 - diag AS BIGINT) AS s2,
+         |    row_number() OVER (PARTITION BY d1, d2
+         |      ORDER BY len DESC, s1, s1 - diag) AS rn
+         |  FROM runs WHERE len >= 8)
+         |SELECT d1, d2, span_toks, s1, s2 FROM best WHERE rn = 1
+         |ORDER BY span_toks DESC, d1, d2 LIMIT 25""".stripMargin) {
+      (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      exactSubstrSpansOf(Text.posIndex(s, d), Text.posDf(s, d),
+        withToks(s, d))
+        .orderBy(col("span_toks").desc, col("d1"), col("d2"))
+        .limit(25)
+    },
+
+    // ---- q304/q305: full-vocab BPE training (r14 verdict ask 5) ----
+    // q153 proves the loop at 3 merges; these run it as a TOKENIZER
+    // TRAINER: a bounded greedy loop to V=256 merges over the same
+    // vocab-bounded (lang, word, cnt) relation — the corpus is
+    // touched once (the word count memo), then every round is one
+    // fused aggregation job (argmax + pair total) plus a map-side
+    // string rewrite, so the loop is vocab-bounded no matter the
+    // corpus size. The loop TERMINATES EARLY when no pairs remain
+    // (every word fully merged — on this synthetic corpus's small
+    // word-type vocabulary that happens near round 89 at BOTH SFs),
+    // exactly where the oracle chain's empty argmax stops producing
+    // pick rows; at 100 TB vocabularies the full 256 rounds run.
+    // q304 reports the first 32 merges against a 32-round chained-CTE
+    // replay (sub-second oracle); q305 reports the WHOLE run against
+    // the full-length chain (the verdict-sanctioned tractability cap
+    // applies to per-round cost, and the collapsing chain makes
+    // post-exhaustion rounds free). One shared training memo serves
+    // q304, q305 and q306's fertility audit.
+    QueryDef(
+      "q304_bpe_train32",
+      bpePicksSql(32)) { (s, d) =>
+      import s.implicits._
+      bpe256Merges(s, d)._2.take(32)
+        .toDF("round", "pair", "pair_count", "corpus_toks")
+        .select(col("round").cast("int").as("round"), col("pair"),
+          col("pair_count"), col("corpus_toks"))
+        .orderBy(col("round"))
+    },
+
+    QueryDef(
+      "q305_bpe_train256",
+      bpePicksSql(256)) { (s, d) =>
+      import s.implicits._
+      bpe256Merges(s, d)._2
+        .toDF("round", "pair", "pair_count", "corpus_toks")
+        .select(col("round").cast("int").as("round"), col("pair"),
+          col("pair_count"), col("corpus_toks"))
+        .orderBy(col("round"))
+    },
+
+    // ---- q306: fertility re-audit of the trained tokenizer --------
+    // q159's census at the 3-merge vocab; this re-audits at V=64 —
+    // deep enough that the tokenizer is real (64 merges fold the
+    // high-frequency morphology), shallow enough that the metric
+    // still discriminates (the V=256 run fully merges this corpus's
+    // tiny word-type vocabulary: every word one piece, fertility
+    // 1000 everywhere — measured, degenerate as a signal — while the
+    // chain replay stays oracle-tractable). The 64-round state is
+    // the PREFIX of the shared 256-round training run (greedy BPE's
+    // picks depend only on earlier picks), re-derived here by
+    // replaying the memoized pick literals map-side — no extra
+    // training jobs, one rewrite pass over the word relation.
+    QueryDef(
+      "q306_bpe64_fertility",
+      bpeFertilitySql(64)) { (s, d) =>
+      val picks = bpe256Merges(s, d)._2.take(64)
+      val base = bpeWordBase(s, d)
+      val merged = picks.foldLeft(base) { case (df, (_, pair, _, _)) =>
+        val pat = "|" + pair.replace(" ", "|") + "|"
+        val rep = "|" + pair.replace(" ", "") + "|"
+        df.withColumn("s", expr(
+          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
+      }
+      merged.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("words"),
+          sum(col("cnt") * size(bpeSeqCol)).as("pieces"))
+        .select(col("lang"), col("words"), col("pieces"),
+          expr("pieces * 1000 DIV words").as("fertility_milli"))
+        .orderBy(col("lang"))
     }
   )
+
+  // ------------------------------------------------------------------
+  // Cross-doc exact-substring kernel (q303 + ExactSubstrSpec)
+  // ------------------------------------------------------------------
+
+  /** Maximal exactly-shared token span per anchored doc pair, over
+    * ANY (pos = (doc_id, i, h) positional 8-gram index, posDfRel =
+    * (h, df), toks = (doc_id, toks)) triple — the QueryDef feeds the
+    * session memos, ExactSubstrSpec a planted fixture corpus. One
+    * row per pair `(d1, d2, span_toks, s1, s2)` with (s1, s2) the
+    * positionally-first maximal occurrence (ties: span desc, s1 asc,
+    * s2 asc). Spans shorter than 8 tokens are below the index's gram
+    * size and out of contract (the candidate anchors couldn't see
+    * them either). */
+  private[graft] def exactSubstrSpansOf(pos: DataFrame,
+      posDfRel: DataFrame, toks: DataFrame): DataFrame = {
+    // anchors bound the PAIR fanout: a gram shared by more than 10
+    // docs is boilerplate (q136's territory) and contributes ≤ 45
+    // pairs per anchor either way
+    val keep = posDfRel.filter(col("df").between(2, 10)).select(col("h"))
+    val posk = pos.join(keep, "h")
+    val cand = posk.select(col("doc_id").as("d1"), col("h"))
+      .join(posk.select(col("doc_id").as("d2"), col("h")), "h")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .tcache() // both position joins below probe it
+    // full match set per candidate pair — ALL grams now (a maximal
+    // run must not break at a popular interior gram), keyed joins
+    val mm = cand
+      .join(pos.select(col("doc_id").as("d1"), col("i").as("i1"),
+        col("h")), "d1")
+      .join(pos.select(col("doc_id").as("d2"), col("i").as("i2"),
+        col("h")), Seq("d2", "h"))
+      .select(col("d1"), col("d2"), col("i1"), col("i2"))
+    // exact in-bucket verify at MATCH level (not after run
+    // formation): comparing the real 8-token slices here means a
+    // colliding hash can never bridge two separate runs
+    val ver = mm
+      .join(toks.select(col("doc_id").as("d1"), col("toks").as("tk1")),
+        "d1")
+      .join(toks.select(col("doc_id").as("d2"), col("toks").as("tk2")),
+        "d2")
+      .filter(expr("slice(tk1, i1, 8) = slice(tk2, i2, 8)"))
+      .select(col("d1"), col("d2"), col("i1"), col("i2"))
+    val wd = Window.partitionBy(col("d1"), col("d2"), col("diag"))
+      .orderBy(col("i1"))
+    val runs = ver.withColumn("diag", col("i1") - col("i2"))
+      .withColumn("grp", col("i1") - row_number().over(wd))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("i1")).as("s1"))
+    val wb = Window.partitionBy(col("d1"), col("d2"))
+      .orderBy(col("span_toks").desc, col("s1"), col("s2"))
+    runs.select(col("d1"), col("d2"),
+        (col("len") + 7).cast("long").as("span_toks"),
+        col("s1").cast("long").as("s1"),
+        (col("s1") - col("diag")).cast("long").as("s2"))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("d1"), col("d2"), col("span_toks"), col("s1"),
+        col("s2"))
+  }
+
+  // ------------------------------------------------------------------
+  // Full-vocab BPE training (q304/q305/q306) — shared memo + oracle SQL
+  // ------------------------------------------------------------------
+
+  /** The lang-carrying '|'-bounded word relation both training memos
+    * start from (lang rides functionally for q306's per-lang census;
+    * pair counts aggregate over it to the same global values). */
+  private[ops] def bpeWordBase(s: SparkSession, d: String): DataFrame =
+    Text.docTermFreq(s, d)
+      .groupBy(col("lang"), col("tok").as("word"))
+      .agg(sum(col("tf")).as("cnt"))
+      .select(col("lang"), concat(lit("|"),
+        regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
+
+  private val bpe256Cache =
+    new Tables.StatMemo[(DataFrame, Seq[(Int, String, Long, Long)])](
+      "bpe256",
+      // the value carries a session-cached relation: release its
+      // storage blocks when the LRU evicts the entry
+      onEvict = v => { v._1.unpersist(false); () })
+
+  /** ONE V=256 training run per (session, dataset) — q304 reads its
+    * first 32 picks, q305 the whole pick table, q306 replays its
+    * first 64 merge literals for the fertility census. Lazy
+    * (build-on-first-touch): its consumers are exactly this query
+    * trio, so the build is attributed to whichever runs first in a
+    * name-sorted bench pass (deterministically q304) instead of
+    * taxing every other query's prewarm. */
+  private[ops] def bpe256Merges(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, Long, Long)]) =
+    bpe256Cache.getOrElseUpdate((s, d)) {
+      bpeMergeRounds(bpeWordBase(s, d), 256, finalTransient = false)
+    }
+
+  /** One oracle round of the chained-CTE BPE replay: pair counts of
+    * the previous state, the (count desc, pair asc) argmax, the
+    * double-replace rewrite, and the post-merge token total.
+    * `AS MATERIALIZED` is load-bearing past a handful of rounds:
+    * each s_r is referenced twice (by p_{r+1} and s_{r+1}), so the
+    * default inlining would grow the plan 2^rounds. When the vocab
+    * exhausts (p_r empty), m_r is empty and the CROSS JOIN collapses
+    * s_r to empty — every later round is free and contributes no
+    * pick row, mirroring the Spark loop's early termination. */
+  private def bpeRoundSql(r: Int, prev: String): String =
+    s"""p$r AS MATERIALIZED (SELECT seq[i] || ' ' || seq[i+1] AS pair,
+       |    sum(cnt) AS c
+       |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '')
+       |      AS seq, cnt FROM $prev),
+       |    UNNEST(range(1, len(seq))) u(i)
+       |  WHERE len(seq) >= 2 GROUP BY 1),
+       |m$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+       |s$r AS MATERIALIZED (SELECT lang,
+       |    replace(replace($prev.s, r.pat, r.rep), r.pat, r.rep) AS s,
+       |    cnt
+       |  FROM $prev, (SELECT '|' || replace(pair, ' ', '|') || '|'
+       |      AS pat, '|' || replace(pair, ' ', '') || '|' AS rep
+       |    FROM m$r) r),
+       |t$r AS (SELECT sum(cnt * len(list_filter(string_split(s, '|'),
+       |    x -> x <> ''))) AS toks FROM s$r)""".stripMargin
+
+  private def bpeBaseSql: String =
+    s"""wc AS MATERIALIZED (SELECT lang, w AS word, count(*) AS cnt
+       |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+       |  GROUP BY lang, w),
+       |s0 AS MATERIALIZED (SELECT lang,
+       |    '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s, cnt
+       |  FROM wc)""".stripMargin
+
+  /** The v-round pick table (round, pair, pair_count, corpus_toks) —
+    * exhausted rounds' empty m_r arms contribute nothing. */
+  private def bpePicksSql(v: Int): String = {
+    val rounds = (1 to v).map(r => bpeRoundSql(r, s"s${r - 1}"))
+      .mkString(",\n")
+    val arms = (1 to v).map(r =>
+      s"""SELECT $r AS round, pair, CAST(c AS BIGINT) AS pair_count,
+         |  CAST((SELECT toks FROM t$r) AS BIGINT) AS corpus_toks
+         |FROM m$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"WITH $bpeBaseSql,\n$rounds\nSELECT * FROM (\n$arms)\nORDER BY round"
+  }
+
+  /** Per-lang fertility census over the v-round final state —
+    * q159's exact output shape at a deeper vocabulary. */
+  private def bpeFertilitySql(v: Int): String = {
+    val rounds = (1 to v).map(r => bpeRoundSql(r, s"s${r - 1}"))
+      .mkString(",\n")
+    s"""WITH $bpeBaseSql,
+       |$rounds
+       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS words,
+       |  CAST(sum(cnt * len(seq)) AS BIGINT) AS pieces,
+       |  CAST(sum(cnt * len(seq)) * 1000 // sum(cnt) AS BIGINT)
+       |    AS fertility_milli
+       |FROM (SELECT lang, cnt,
+       |    list_filter(string_split(s, '|'), x -> x <> '') AS seq
+       |  FROM s$v)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

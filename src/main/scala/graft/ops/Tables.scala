@@ -91,13 +91,16 @@ object Tables {
       }
 
     def getOrElseUpdate(k: (SparkSession, String))(
-        build: => DataFrame): DataFrame = m.synchronized {
-      val hit = m.get(k)
-      if (hit != null) hit
-      else {
-        val v = build
-        m.put(k, v)
-        v
+        build: => DataFrame): DataFrame = {
+      recordTouch(name)
+      m.synchronized {
+        val hit = m.get(k)
+        if (hit != null) hit
+        else {
+          val v = build
+          m.put(k, v)
+          v
+        }
       }
     }
 
@@ -186,12 +189,54 @@ object Tables {
           } else false
       }
 
-    def getOrElseUpdate(k: (SparkSession, String))(build: => V): V =
+    def getOrElseUpdate(k: (SparkSession, String))(build: => V): V = {
+      recordTouch(name)
       m.synchronized {
         val hit = m.get(k)
         if (hit != null) hit
         else { val v = build; m.put(k, v); v }
       }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Memo → consumer census (r14 verdict ask 3)
+  // ------------------------------------------------------------------
+
+  /** The consumer label (query name) charged for memo touches on this
+    * thread — set by the harness around each query; `null` outside
+    * one (prewarm, specs). Thread-local because Prewarm builds chains
+    * on pool threads concurrently with nothing. */
+  private val consumerLabel = new ThreadLocal[String]
+
+  /** (memo, consumer) touch pairs observed this session. Bounded:
+    * O(memos × queries) keys of short strings. */
+  private val touches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  private def recordTouch(memo: String): Unit = {
+    val c = consumerLabel.get()
+    if (c != null) { touches.add((memo, c)); () }
+  }
+
+  /** Run `f` with memo touches attributed to `name`. The census this
+    * builds answers "which queries read which memo" — the attribution
+    * a 25 s memo_build line needs before any memo can be demoted to
+    * lazy build-on-first-touch (a memo with ≤ 1 consumer taxes every
+    * OTHER query's prewarm for nothing). */
+  def withConsumer[T](name: String)(f: => T): T = {
+    val old = consumerLabel.get()
+    consumerLabel.set(name)
+    try f finally {
+      if (old == null) consumerLabel.remove() else consumerLabel.set(old)
+    }
+  }
+
+  /** memo → sorted consumer names observed so far this session. */
+  def memoConsumers(): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    touches.asScala.toSeq.groupBy(_._1)
+      .map { case (m, ps) => m -> ps.map(_._2).distinct.sorted }
   }
 
   // ------------------------------------------------------------------
@@ -229,6 +274,16 @@ object Tables {
       s"$what: driver-side collect exceeded its $max-row budget — " +
         "per-round coordination state must stay O(groups), not O(corpus)")
     rows
+  }
+
+  /** Promote a frame OUT of the transient registry — for loop kernels
+    * that tcache every round but whose FINAL state becomes a
+    * session-lifetime memo (the round count isn't known up front when
+    * the loop can terminate early, so the caller can't choose
+    * cache-vs-tcache at build time). The memo's own eviction hook
+    * owns the unpersist from here on. */
+  private[ops] def promoteTransient(df: DataFrame): Unit = {
+    transients.remove(df); ()
   }
 
   /** Unpersist every transient registered since the last call. The

@@ -274,16 +274,22 @@ object Text {
     * explode runs once per session, not once per query — at 100 TB
     * this is the standing positional index a span-dedup deployment
     * maintains, the suffix-array equivalent without a global sort. */
+  /** The positional 8-gram extraction over ANY (doc_id, toks)
+    * relation — one builder for the session memo below and for
+    * fixture corpora (ExactSubstrSpec's planted clones), so a
+    * fixture span is attributed by exactly the production index. */
+  private[graft] def posIndexOfToks(toks: DataFrame): DataFrame =
+    toks.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> struct(i AS i, " +
+          "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
+
   private[ops] def posIndex(s: SparkSession, d: String): DataFrame =
     posIdxCache.getOrElseUpdate((s, d)) {
       graft.cdc.GraftFunctions.register(s)
-      withToks(s, d).filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 7), " +
-            "i -> struct(i AS i, " +
-            "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
-        .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
-        .cache()
+      posIndexOfToks(withToks(s, d)).cache()
     }
 
   /** Per-hash document frequency over [[posIndex]] (`h`, `df` =
@@ -434,9 +440,9 @@ object Text {
 
   /** Affine minhash family h_j(x) = (a_j·x + b_j) mod 2³¹−1 — the one
     * source of truth for both the Spark plan and the oracle SQL. */
-  private[ops] val minhashA: Seq[Long] =
+  private[graft] val minhashA: Seq[Long] =
     (0 until 16).map(j => (1099087573L * (j + 1)) % 2147483647L)
-  private[ops] val minhashB: Seq[Long] =
+  private[graft] val minhashB: Seq[Long] =
     (0 until 16).map(j => (2654435761L * (j + 7)) % 2147483647L)
 
   /** 16-permutation minhash signature per doc (doc_id, h0..h15, n —

@@ -2146,10 +2146,21 @@ object Vectors {
     // the standard effective-dimensionality estimate, in milli
     // "dimensions". Exact integers: coordinates land on the milli
     // grid first (float→double cast is exact, floor is engine-
-    // identical), then variance numerators n·Σq²−(Σq)² are pure
-    // integer sums. Scale shape: one posexplode + one keyed agg per
-    // dim (64 groups), two 1-row broadcast rollups, a top-10 — the
-    // vector store is scanned once.
+    // identical), then variance numerators are MEAN-CENTERED sums
+    // Σ(q−m)² with m the truncated integer mean (r14 advisor
+    // finding: the one-pass n·Σq²−(Σq)² form grows O(n²·var) and
+    // silently wraps BIGINT in Spark past ~3e7 rows while DuckDB
+    // raises — the engines would diverge exactly at scale). Centered,
+    // the per-dim numerator is O(n·dev²): BIGINT-exact past 1e12
+    // rows/dim. The ×1000 share step divides BEFORE scaling through
+    // a data-dependent reducer rsc = max(1, tv DIV 1e9) applied to
+    // numerator and denominator alike — shares are ratio-invariant,
+    // the reduced numerator ×1000 stays ≤ ~1e12, and truncation
+    // (Spark DIV ≡ DuckDB //) is engine-identical. Residual bound
+    // (documented, not silent): tv = Σ over dims overflows only past
+    // ~1e10 rows/dim × 64 dims. Scale shape: one posexplode scanned
+    // twice (means, then centered squares against the broadcast
+    // 64-row means), two 1-row broadcast rollups, a top-10.
     QueryDef(
       "q299_dim_collapse_census",
       """WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2157,12 +2168,16 @@ object Vectors {
         |p AS (SELECT i - 1 AS dim,
         |    CAST(floor(v[i] * 1000) AS BIGINT) AS qv
         |  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
-        |dv AS (SELECT dim, count(*) AS n, CAST(sum(qv) AS BIGINT) AS s1,
-        |    CAST(sum(qv * qv) AS BIGINT) AS s2
+        |m AS (SELECT dim, CAST(sum(qv) AS BIGINT) // count(*) AS mu
         |  FROM p GROUP BY dim),
-        |v AS (SELECT dim, n * s2 - s1 * s1 AS vn FROM dv),
-        |t AS (SELECT CAST(sum(vn) AS BIGINT) AS tv FROM v),
-        |sh AS (SELECT dim, vn * 1000 // greatest(1, t.tv) AS share_milli
+        |v AS (SELECT p.dim,
+        |    CAST(sum((p.qv - m.mu) * (p.qv - m.mu)) AS BIGINT) AS vn
+        |  FROM p JOIN m ON p.dim = m.dim GROUP BY p.dim),
+        |t AS (SELECT CAST(sum(vn) AS BIGINT) AS tv,
+        |    greatest(1, CAST(sum(vn) AS BIGINT) // 1000000000) AS rsc
+        |  FROM v),
+        |sh AS (SELECT dim, (vn // t.rsc) * 1000
+        |    // greatest(1, t.tv // t.rsc) AS share_milli
         |  FROM v CROSS JOIN t),
         |pr AS (SELECT CAST(sum(share_milli) * sum(share_milli) * 1000
         |    // greatest(1, sum(share_milli * share_milli)) AS BIGINT)
@@ -2177,15 +2192,18 @@ object Vectors {
         .select(posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("dim").cast("long").as("dim"),
           floor(col("x").cast("double") * 1000).cast("long").as("qv"))
-      val v = p.groupBy(col("dim"))
-        .agg(count(lit(1)).as("n"), sum(col("qv")).as("s1"),
-          sum(expr("qv * qv")).as("s2"))
-        .select(col("dim"), expr("n * s2 - s1 * s1").as("vn"))
+      val m = p.groupBy(col("dim"))
+        .agg(expr("sum(qv) DIV count(*)").as("mu"))
+      val v = p.join(broadcast(m), Seq("dim"))
+        .groupBy(col("dim"))
+        .agg(sum(expr("(qv - mu) * (qv - mu)")).as("vn"))
         .tcache() // total + shares share the 64-row relation
-      val t = v.agg(sum(col("vn")).as("tv"))
+      val t = v.agg(sum(col("vn")).as("tv"),
+        expr("greatest(1, sum(vn) DIV 1000000000)").as("rsc"))
       val sh = v.crossJoin(broadcast(t))
         .select(col("dim"),
-          expr("vn * 1000 DIV greatest(1, tv)").as("share_milli"))
+          expr("(vn DIV rsc) * 1000 DIV greatest(1, tv DIV rsc)")
+            .as("share_milli"))
         .tcache() // participation ratio + top-10 share it
       val pr = sh.agg(expr("CAST(sum(share_milli) * sum(share_milli)" +
         " * 1000 DIV greatest(1, sum(share_milli * share_milli))" +

@@ -280,6 +280,33 @@ object CdcReplaySource {
       }
     }
 
+  /** Per-slot ack-lag metrics sidecar (`_ack_lag@<slot>`) — the live
+    * loop's q293-shape SLO census, written by the socket client from
+    * its own [[graft.cdc.AckLagCensus]] and read back by
+    * [[graft.streaming.StreamOps.ackLagReport]] next to the
+    * retention pane. One JSON line, whole-file atomic replace (same
+    * publish discipline as the position sidecars; metrics are a
+    * SNAPSHOT, so unlike positions there is no monotonicity guard —
+    * the latest census simply wins). */
+  def ackLagSidecar(path: String, slot: String) = new java.io.File(path,
+    "_ack_lag@" + java.net.URLEncoder.encode(slot, "UTF-8"))
+
+  def writeAckLag(path: String, slot: String, shard: String,
+      st: graft.cdc.AckLagCensus.Stats): Unit = withDirLock(path) {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, "_ack_lag", ".tmp")
+    // shard names are part-N.jsonl (ASCII, no quotes) — safe inline
+    val json = s"""{"shard":"$shard","n_frames":${st.nFrames},""" +
+      s""""p50_lag_sec":${st.p50LagSec},"p99_lag_sec":${st.p99LagSec},""" +
+      s""""max_lag_sec":${st.maxLagSec},"slo_milli":${st.sloMilli}}"""
+    java.nio.file.Files.write(tmp,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, ackLagSidecar(path, slot).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def readSlotAcked(path: String, slot: String): Option[Long] = {
     val f = slotAckSidecar(path, slot)
     if (!f.exists) None
@@ -465,8 +492,21 @@ object CdcReplaySource {
             val src = scala.io.Source.fromFile(f)
             val out = java.nio.file.Files.newBufferedWriter(tmp,
               java.nio.charset.StandardCharsets.UTF_8)
-            try src.getLines().foreach { l =>
+            // One-line lookahead so the torn-line branch applies ONLY
+            // to the file's LAST line (the crash-artifact position):
+            // an incomplete line FOLLOWED by more lines is corruption
+            // the replay reader (completeLines) refuses to read past,
+            // and the scrub must mirror that — silently rewriting or
+            // dropping a mid-file tear would destroy evidence of the
+            // corruption it sits in (r14 advisor finding).
+            val it = src.getLines()
+            try it.foreach { l =>
+              val isLast = !it.hasNext
               if (!isComplete(l)) {
+                if (!isLast) throw new IllegalStateException(
+                  s"$nm has a corrupt frame-log line before end of " +
+                    "file; only a torn final line (crash artifact) is " +
+                    "tolerated — scrub refused")
                 // A torn final line is a crash artifact — by the
                 // durable-then-ack contract it was never acked, so
                 // DROPPING it is always safe (truncateFrameLog's
@@ -475,10 +515,14 @@ object CdcReplaySource {
                 // when its partial hex still DECODES to subject
                 // bytes would be a silent compliance hole the scrub
                 // exists to close — so a subject-bearing torn tail
-                // is dropped, counted as one scrub.
+                // is dropped, counted as one scrub. A preserved tail
+                // is written WITHOUT a trailing newline (a tear
+                // happens mid-write, so the original has none) —
+                // appending one would alter bytes the scrub promised
+                // to keep identical.
                 val partial = decodeHexRuns(l)
                 if (live.exists(containsSlice(partial, _))) scrubbed += 1
-                else { out.write(l); out.write("\n") }
+                else out.write(l)
               }
               else {
                 val frames = parseFrames(l)

@@ -1271,6 +1271,99 @@ object StreamOps {
       .write.mode("append").parquet(verdictsDir)
   }
 
+  /** Standing LSH S-curve drift monitor — q300's live twin (r14
+    * verdict ask 6): the banding scheme `dedupIngestBatch`'s standing
+    * index relies on is audited against its own theory on EVERY
+    * ingest batch, using q300's controlled-subset-pair arm scoped to
+    * the batch: each arriving doc is paired with its own shingle
+    * subsets at keep-rates k/8 (subset ⇒ J = |sub|/|full| EXACTLY,
+    * minhash theory unchanged), the 8-band × 2-row fire bit is
+    * compared against 1 − (1 − s²)^8 in integer milli, and one row
+    * per (batch, J-decile) lands in `reportDir` — batchId-idempotent
+    * like the other probes (the report IS the commit marker). Work
+    * scales with the batch (7 keep-rates × its own shingles), never
+    * the corpus; nothing here reads the index, so a broken HASH
+    * FAMILY (the thing that can drift silently while recall decays)
+    * is caught at the probe, before recall regresses. The family is
+    * injectable so a spec can plant a broken one; production callers
+    * leave the defaults (the exact coefficients the standing
+    * signatures use). */
+  def lshCalibrationProbeBatch(reportDir: String,
+      hashA: Seq[Long] = graft.ops.Text.minhashA,
+      hashB: Seq[Long] = graft.ops.Text.minhashB)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    if (batchCommitted(spark, reportDir, batchId)) return
+    val uniq = batch.dropDuplicates("doc_id")
+    val sh = shingleArrivals(uniq).cache() // full sig + subset sigs
+    try {
+      def mins(g: String => org.apache.spark.sql.Column, pre: String) =
+        (0 until 16).map(j =>
+          min((lit(hashA(j)) * g("h") + lit(hashB(j))) % 2147483647L)
+            .as(s"$pre$j"))
+      val full = sh.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n"), mins(col, "h"): _*)
+      val ks = {
+        val ss = spark; import ss.implicits._
+        (1L to 7L).toDF("k")
+      }
+      val vsig = sh.crossJoin(broadcast(ks))
+        .filter(pmod(col("h"), lit(8L)) < col("k"))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(count(lit(1)).as("nsub"), mins(col, "v"): _*)
+      val fired = (0 until 8).map(b =>
+        col(s"h${2 * b}") === col(s"v${2 * b}") &&
+          col(s"h${2 * b + 1}") === col(s"v${2 * b + 1}"))
+        .reduce(_ || _)
+      vsig.join(full, "doc_id")
+        .select(expr("nsub * 1000 DIV n").as("s_m"),
+          when(fired, 1L).otherwise(0L).as("fired"))
+        .withColumn("q1", expr("1000 - s_m * s_m DIV 1000"))
+        .withColumn("q2", expr("q1 * q1 DIV 1000"))
+        .withColumn("q4", expr("q2 * q2 DIV 1000"))
+        .withColumn("theo", expr("1000 - q4 * q4 DIV 1000"))
+        .groupBy(least(lit(9L), expr("s_m DIV 100")).as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(fired) * 1000 DIV count(1)").as("obs_milli"),
+          expr("sum(theo) DIV count(1)").as("theo_milli"))
+        .select(lit(batchId).as("batch_id"), col("decile"),
+          col("n_pairs"), col("obs_milli"), col("theo_milli"),
+          (col("obs_milli") - col("theo_milli")).as("gap_milli"))
+        .write.mode("append").parquet(reportDir)
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Drift verdict over the probe's report: a J-decile ALARMS when
+    * its |gap_milli| breached `envelopeMilli` in each of the last
+    * `consecutive` batches it appeared in — one noisy batch (small
+    * probes carry binomial noise) never fires, a broken family
+    * (wrong coefficients fire every band at every J) fires on its
+    * second batch. The default envelope is deliberately wider than
+    * q300's corpus-level gaps (|gap| ≲ 100 at thousands of pairs):
+    * a batch probe is smaller, so its binomial noise is larger.
+    * Output: one row per decile ever observed, with the breach
+    * streak and the verdict. */
+  def lshDriftAlarm(spark: SparkSession, reportDir: String,
+      envelopeMilli: Long = 350L, consecutive: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep = spark.read.parquet(reportDir)
+    val w = Window.partitionBy(col("decile"))
+      .orderBy(col("batch_id").desc)
+    rep.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= consecutive)
+      .withColumn("breach",
+        when(abs(col("gap_milli")) > envelopeMilli, 1L).otherwise(0L))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_recent"), sum(col("breach")).as("n_breach"),
+        max(col("batch_id")).as("last_batch"))
+      .select(col("decile"), col("last_batch"), col("n_recent"),
+        col("n_breach"),
+        (col("n_recent") === consecutive.toLong &&
+          col("n_breach") === consecutive.toLong).as("drift_alarm"))
+      .orderBy(col("decile"))
+  }
+
   /** DF sidecar for the train-gram index — what q273's refined rule
     * needs live: each accepted train batch appends one
     * `(g, df, gen)` row per distinct gram it contains, where df =
@@ -1851,7 +1944,14 @@ object StreamOps {
       vecStoreDir: Option[String] = None,
       labelsDir: Option[String] = None,
       compactFileThreshold: Int = 64,
-      compactStaleFraction: Double = 0.3): DataFrame = {
+      compactStaleFraction: Double = 0.3,
+      /** [[lshCalibrationProbeBatch]]'s report dir: adds an
+        * `lsh_calibration` row where live/stale count healthy vs
+        * ALARMING J-deciles ([[lshDriftAlarm]]'s verdict) and the
+        * boolean column reads as "attention recommended" — a firing
+        * drift alarm, not a compaction, is the action it calls for. */
+      lshReportDir: Option[String] = None,
+      lshEnvelopeMilli: Long = 350L): DataFrame = {
     val ss = spark
     import ss.implicits._
     def readOpt(dir: String): Option[DataFrame] =
@@ -1906,6 +2006,17 @@ object StreamOps {
           rows += row(nm, dir, total, total, ByFiles)
         }
       }
+    lshReportDir.foreach { dir =>
+      readOpt(dir).foreach { _ =>
+        val verdicts = lshDriftAlarm(spark, dir, lshEnvelopeMilli)
+          .select(col("drift_alarm")).collect()
+        val total = verdicts.length.toLong
+        val alarming = verdicts.count(_.getBoolean(0)).toLong
+        rows += (("lsh_calibration", nFiles(dir), total,
+          total - alarming, alarming,
+          if (total > 0) alarming * 1000 / total else 0L, alarming > 0))
+      }
+    }
     rows.result().toDF("store", "n_files", "n_rows", "n_live",
       "n_stale", "stale_milli", "compact_recommended")
       .orderBy(col("store"))
@@ -2056,8 +2167,17 @@ object StreamOps {
         val k = alphaMilli * (n + 1) / 1000L
         if (k <= 0L) -1L
         else {
+          // limit() takes an Int, so the k-th order statistic is
+          // clamped at Int.MaxValue — reachable only past ~2.1e9/
+          // alpha calibration rows (alpha=100 milli → a >21e9-row
+          // store), where picking the 2.147e9-th smallest q instead
+          // of the k-th makes the floor strictly more permissive by
+          // an O(1e-2)-quantile sliver. Clamping beats the silent
+          // Long→Int wrap (negative limit → AnalysisException) the
+          // r14 advisor flagged; a store that big should shard its
+          // calibration anyway.
           val kth = c.orderBy(col("q"), col("doc_id"))
-            .limit(math.min(k, n).toInt)
+            .limit(math.min(math.min(k, n), Int.MaxValue.toLong).toInt)
             .agg(max(col("q")).as("thr"))
             .collect()
           kth.headOption.map(_.getAs[Long]("thr")).getOrElse(-1L)
@@ -2275,6 +2395,35 @@ object StreamOps {
       .withColumn("cap_milli",
         expr(s"retained_bytes * 1000 DIV ${capBytes}L"))
       .orderBy(col("shard"))
+  }
+
+  /** Live ack-lag SLO pane — q293's census, sourced from the socket
+    * clients' own send/receive timestamps instead of the frame log
+    * (r14 verdict ask 7): each `WalSocketClient` maintains an
+    * [[graft.cdc.AckLagCensus]] inside its ack scheduler and
+    * publishes the census to a per-slot `_ack_lag@<slot>` sidecar;
+    * this reads every sidecar in the dir back as one DataFrame with
+    * EXACTLY q293's output columns, keyed by shard — so the
+    * retention dashboard ([[slotRetentionReport]]) and the lag pane
+    * read off the same directory and the live numbers can be
+    * compared 1:1 against the batch census's. Driver-side parse: the
+    * sidecars are one JSON line each, O(slots) of them. */
+  def ackLagReport(spark: SparkSession, logDir: String): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = Option(new java.io.File(logDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_ack_lag@")).toSeq
+      .map { f =>
+        val j = node.readTree(
+          java.nio.file.Files.readString(f.toPath))
+        (j.path("shard").asText(), j.path("n_frames").asLong(),
+          j.path("p50_lag_sec").asLong(), j.path("p99_lag_sec").asLong(),
+          j.path("max_lag_sec").asLong(), j.path("slo_milli").asLong())
+      }
+    rows.toDF("shard", "n_frames", "p50_lag_sec", "p99_lag_sec",
+      "max_lag_sec", "slo_milli").orderBy(col("shard"))
   }
 
   /** foreachBatch sequence packing — q241's live form: arriving

@@ -34,6 +34,22 @@ class WalSocketTimerSpec extends AnyFunSuite {
         s"expected the timer to re-ack during silence, saw $repeats " +
           s"status(es): ${server.receivedStatuses}")
       assert(r.acksSent >= 2)
+      // the live session published its ack-lag census sidecar (r14
+      // verdict ask 7): q293's schema fields, ≥ 1 frame measured,
+      // and the timer's liveness re-acks measured nothing twice
+      val sidecar = graft.streaming.CdcReplaySource
+        .ackLagSidecar(dir, "slot_timer")
+      assert(sidecar.exists, s"missing ack-lag sidecar: $sidecar")
+      val json = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(sidecar.toPath))
+      assert(json.path("shard").asText() == "part-0.jsonl")
+      assert(json.path("n_frames").asLong() == 1L,
+        "one delivered transaction -> one measured frame, however " +
+          "many re-acks the timer sent")
+      assert(json.path("slo_milli").asLong() == 1000L,
+        "an immediate ack lands inside the 60 s SLO")
+      assert(json.has("p50_lag_sec") && json.has("p99_lag_sec") &&
+        json.has("max_lag_sec"))
     } finally server.close()
   }
 }

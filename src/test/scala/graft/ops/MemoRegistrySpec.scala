@@ -99,28 +99,55 @@ class MemoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dfNames.nonEmpty && statNames.nonEmpty)
 
     // (2) after one Prewarm pass, every source-named memo is in the
-    // runtime registry (its owning object loaded) ...
+    // runtime registry. Laziness contract (r14 verdict ask 3):
+    // Prewarm no longer loads every ops object (single-consumer
+    // memos moved out of the chains), so force registration the way
+    // the harness does — SparkEntry.allDefs touches every module.
+    graft.SparkEntry.allDefs
     Prewarm.run(spark, sfDir)
     import scala.jdk.CollectionConverters._
     val registered = Tables.dfMemos.keySet().asScala.toSet
     val missing = dfNames -- registered
     assert(missing.isEmpty,
       s"DfMemos named in source but never registered at runtime " +
-        s"(owning object not reached by Prewarm): $missing")
+        s"(owning object not loaded): $missing")
     val statRegistered = Tables.statMemoNames.asScala.toSet
     val statMissing = statNames -- statRegistered
     assert(statMissing.isEmpty,
       s"StatMemos named in source but never registered: $statMissing")
 
-    // (3) ... and every registered entry for THIS session is cached
-    // (Prewarm built it, directly or transitively) with a warm
-    // re-count. Only main-source names are held to the bar — specs
-    // may construct throwaway memos (e.g. TablesSpec's LRU probe).
+    // Laziness contract (r14 verdict ask 3): Prewarm.lazyMemos is the
+    // DECLARED exemption list — each entry names a registered memo
+    // and the measured consumers that justify keeping it out of the
+    // shared memo_build. Everything else must be chain-built.
+    val lazyNames = Prewarm.lazyMemos.keySet
+    val bogus = lazyNames -- (registered ++ statRegistered)
+    assert(bogus.isEmpty,
+      s"lazyMemos declares names that are not registered memos: $bogus")
+    val queries = graft.SparkEntry.queries.keySet
+    Prewarm.lazyMemos.foreach { case (m, consumers) =>
+      assert(consumers.nonEmpty, s"lazy memo $m declares no consumer")
+      val ghost = consumers.filterNot(queries.contains)
+      assert(ghost.isEmpty,
+        s"lazy memo $m declares consumers that are not registered " +
+          s"queries: $ghost — re-run tools.MemoCensus and update")
+    }
+
+    // (3) ... every registered DfMemo entry for THIS session is
+    // cached (Prewarm built it, directly or transitively) with a
+    // warm re-count — EXCEPT the declared-lazy ones, which must NOT
+    // have been built (a chain sneaking a lazy memo back in would
+    // silently re-tax every query's prewarm). Only main-source names
+    // are held to the bar — specs may construct throwaway memos
+    // (e.g. TablesSpec's LRU probe).
+    val eager = dfNames -- lazyNames
     val health = Tables.memoHealth(spark)
       .filter { case (n, dir, _, _) => dfNames.contains(n) && dir == sfDir }
-    assert(health.map(_._1).toSet == dfNames,
-      "every source-named DfMemo must have an entry for the Prewarm " +
-        s"session; missing: ${dfNames -- health.map(_._1).toSet}")
+    assert(health.map(_._1).toSet == eager,
+      "after Prewarm, exactly the non-lazy DfMemos must have a " +
+        s"session entry; missing eager: ${eager -- health.map(_._1).toSet}" +
+        s"; lazily-declared yet built: ${
+          health.map(_._1).toSet.intersect(lazyNames)}")
     val uncached = health.collect { case (n, _, cached, _) if !cached => n }
     assert(uncached.isEmpty,
       s"session memos NOT cached after Prewarm.run: $uncached — add " +
