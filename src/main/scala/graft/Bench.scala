@@ -264,26 +264,42 @@ object Bench {
         // were hypervisor-steal windows the artifact itself had
         // already witnessed in steal_ms. Excuses, per flagged pass:
         //   steal — machine-wide steal during the query >= 30% of
-        //     its wall (this host's bursts measure 1-28 s against
-        //     1-3 s walls; flat background measures < 0.1 s/query,
-        //     so 30%-of-wall separates burst window from idle hum);
+        //     its wall AND >= 10x the pass's per-query MEDIAN steal.
+        //     The second leg keeps the excuse burst-shaped (this
+        //     host: near-zero background with episodic 1-28 s
+        //     bursts that serialize stages on stalled stragglers):
+        //     on a host with UNIFORM background steal the median is
+        //     itself high, no query clears 10x it, and a genuine
+        //     regression cannot launder itself through ambient
+        //     steal (the r14 advisor's un-normalized-bar finding,
+        //     applied to the downgrade path);
         //   task-flat — executor task-seconds stayed within the
-        //     pinned wall x cores capacity budget, i.e. the WORK
-        //     didn't grow, only the waiting (a plan regression grows
-        //     task_sec; steal and scheduling tax grow wall alone).
+        //     pinned wall x BENCH-PARALLELISM budget (local[N]
+        //     slots, NOT host cores: at local[4] on a 32-core host
+        //     a pin x 32 budget would excuse any real regression,
+        //     since task_sec is bounded by ~4x wall anyway), i.e.
+        //     the WORK didn't grow, only the waiting.
         // A downgraded query does NOT fail the gate but stays
         // visible in `suspect` + `adjudication` — never silent.
+        val slots = cpus.toInt
+        def medSteal(p: Seq[(String, Double, Long, Double, Double, Long)])
+            : Double = {
+          val ss = p.map(_._6).filter(_ >= 0).sorted
+          if (ss.isEmpty) 0.0 else ss(ss.length / 2).toDouble
+        }
+        val med1 = medSteal(pass1)
+        val med2 = medSteal(pass2)
         def excuse(sec: Double, task: Double, st: Long,
-            pinSec: Double): Option[String] = {
-          if (st >= 0 && st.toDouble >= 0.3 * sec * 1000.0)
-            Some(f"steal ${st}ms >= 30%% of ${sec}%.2fs wall")
-          else if (task <= pinSec * ncpu)
+            pinSec: Double, passMed: Double): Option[String] = {
+          if (st >= 0 && st.toDouble >= 0.3 * sec * 1000.0 &&
+              st.toDouble >= 10.0 * passMed)
+            Some(f"steal ${st}ms >= 30%% of ${sec}%.2fs wall and >= " +
+              f"10x pass median ${passMed}%.0fms")
+          else if (task <= pinSec * slots)
             Some(f"task_sec ${task}%.1f flat vs pin ${pinSec}%.3f x " +
-              f"$ncpu cores")
+              f"$slots slots")
           else None
         }
-        def quint(p: Seq[(String, Double, Long, Double, Double, Long)],
-            n: String) = p.find(_._1 == n)
         val overThr = steady.collect {
           case (n, sec)
               if !passErrors.contains(n) && sec >= 0.15 &&
@@ -292,12 +308,12 @@ object Bench {
         }
         val (excused, reg) = overThr.partition { case (n, pinSec, _) =>
           val thr = pinThr(n)._2
-          val flaggedPasses = (pass1 ++ pass2).collect {
-            case q @ (`n`, sec, _, _, _, _) if sec > thr => q
+          def flagged(p: Seq[(String, Double, Long, Double, Double, Long)],
+              med: Double) = p.collect {
+            case (`n`, sec, _, _, task, st) if sec > thr =>
+              excuse(sec, task, st, pinSec, med)
           }
-          val verdicts = flaggedPasses.map {
-            case (_, sec, _, _, task, st) => excuse(sec, task, st, pinSec)
-          }
+          val verdicts = flagged(pass1, med1) ++ flagged(pass2, med2)
           val ok = verdicts.nonEmpty && verdicts.forall(_.isDefined)
           if (ok) adjudication(n) =
             "downgraded: " + verdicts.flatten.mkString("; ")
@@ -316,6 +332,8 @@ object Bench {
         // modest background steal on a 32-core host silently excuse
         // genuine pass-2-only degradations out of BOTH lists).
         val regNames = overThr.map(_._1).toSet
+        def quint(p: Seq[(String, Double, Long, Double, Double, Long)],
+            n: String) = p.find(_._1 == n)
         val sus = (if (pass2.nonEmpty) pass2 else Seq.empty).collect {
           case (n, sec, _, _, _, st)
               if !passErrors.contains(n) && !regNames.contains(n) &&

@@ -1247,7 +1247,6 @@ object Curation {
       .join(posk.select(col("doc_id").as("d2"), col("h")), "h")
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-      .tcache() // both position joins below probe it
     // full match set per candidate pair — ALL grams now (a maximal
     // run must not break at a popular interior gram), keyed joins
     val mm = cand
@@ -1315,7 +1314,14 @@ object Curation {
   private[ops] def bpe256Merges(s: SparkSession, d: String)
       : (DataFrame, Seq[(Int, String, Long, Long)]) =
     bpe256Cache.getOrElseUpdate((s, d)) {
-      bpeMergeRounds(bpeWordBase(s, d), 256, finalTransient = false)
+      // finalTransient = true (review finding): unlike bpeSharedMerges
+      // (q159 aggregates the merged relation), this trio reads ONLY
+      // the picks — q306 replays the pick literals itself — so the
+      // fully-merged word relation must not stay pinned in executor
+      // storage for the session; the per-query transient drop
+      // reclaims it, and a future ._1 consumer would recompute it
+      // deterministically from the embedded merge literals.
+      bpeMergeRounds(bpeWordBase(s, d), 256, finalTransient = true)
     }
 
   /** One oracle round of the chained-CTE BPE replay: pair counts of

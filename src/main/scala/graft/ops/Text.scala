@@ -266,14 +266,6 @@ object Text {
   private val posIdxCache = new Tables.DfMemo("pos8_idx")
   private val posDfCache = new Tables.DfMemo("pos8_df")
 
-  /** The sliding 8-token POSITIONAL hash index `(doc_id, i, h)` —
-    * the span-attribution analogue of the shingle index, shared by
-    * the duplicated-span family (q127 in-doc spans, q125-style span
-    * removal, q155 cross-doc attribution). One row per token
-    * position (token-linear, ScalingSpec-bounded); memoized so the
-    * explode runs once per session, not once per query — at 100 TB
-    * this is the standing positional index a span-dedup deployment
-    * maintains, the suffix-array equivalent without a global sort. */
   /** The positional 8-gram extraction over ANY (doc_id, toks)
     * relation — one builder for the session memo below and for
     * fixture corpora (ExactSubstrSpec's planted clones), so a
@@ -286,6 +278,15 @@ object Text {
           "md5_h32(concat_ws(' ', slice(toks, i, 8))) AS h))")).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.h").as("h"))
 
+  /** The sliding 8-token POSITIONAL hash index `(doc_id, i, h)` —
+    * the span-attribution analogue of the shingle index, shared by
+    * the duplicated-span family (q127 in-doc spans, q125-style span
+    * removal, q155 cross-doc attribution, q303 maximal shared
+    * spans). One row per token position (token-linear,
+    * ScalingSpec-bounded); memoized so the explode runs once per
+    * session, not once per query — at 100 TB this is the standing
+    * positional index a span-dedup deployment maintains, the
+    * suffix-array equivalent without a global sort. */
   private[ops] def posIndex(s: SparkSession, d: String): DataFrame =
     posIdxCache.getOrElseUpdate((s, d)) {
       graft.cdc.GraftFunctions.register(s)

@@ -292,9 +292,12 @@ object CdcReplaySource {
     "_ack_lag@" + java.net.URLEncoder.encode(slot, "UTF-8"))
 
   def writeAckLag(path: String, slot: String, shard: String,
-      st: graft.cdc.AckLagCensus.Stats): Unit = withDirLock(path) {
+      st: graft.cdc.AckLagCensus.Stats): Unit = {
     val dir = java.nio.file.Paths.get(path)
+    // before the lock: withDirLock opens <path>/_acked.lock with
+    // CREATE, which throws if the DIRECTORY itself is missing
     java.nio.file.Files.createDirectories(dir)
+    withDirLock(path) {
     val tmp = java.nio.file.Files.createTempFile(dir, "_ack_lag", ".tmp")
     // shard names are part-N.jsonl (ASCII, no quotes) — safe inline
     val json = s"""{"shard":"$shard","n_frames":${st.nFrames},""" +
@@ -305,6 +308,7 @@ object CdcReplaySource {
     java.nio.file.Files.move(tmp, ackLagSidecar(path, slot).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   private def readSlotAcked(path: String, slot: String): Option[Long] = {

@@ -37,9 +37,14 @@ MIN_SEC = 0.15  # below this, scheduler noise dominates; not gradable
 
 
 def default_current():
-    if os.path.exists("BENCH_VARIANCE.json"):
-        return "BENCH_VARIANCE.json"
+    """Newest artifact wins: a fresh bench_out run outranks the
+    committed round-close copy at the repo root (which exists in any
+    checked-out repo, so preferring it unconditionally would make a
+    no-arg invocation silently grade the STALE blessed run and hide a
+    fresh regression)."""
     cands = glob.glob("bench_out/BENCH_VARIANCE-*.json")
+    if os.path.exists("BENCH_VARIANCE.json"):
+        cands.append("BENCH_VARIANCE.json")
     if cands:
         return max(cands, key=os.path.getmtime)
     return "BENCH_VARIANCE.json"  # let open() fail with a clear path
@@ -134,9 +139,11 @@ def main():
     # the factor with NO steal excuse while the min stayed under; the
     # explicit adjudication queue for in-JVM pass-2-only degradation
     for name, pair in sorted((raw.get("suspect") or {}).items()):
-        note = adjudication.get(name, "min-of-passes under factor")
+        if name in adjudication:
+            continue  # already reported as DOWNGRADED above — Bench
+            # emits excused fails into BOTH objects
         print(f"SUSPECT {name}: slow pass {pair[1]:.3f}s vs pinned "
-              f"{pair[0]:.3f}s ({note})")
+              f"{pair[0]:.3f}s (min-of-passes under factor)")
     if new:
         print(f"note: {len(new)} queries have no pinned baseline yet: "
               + ", ".join(new[:8]) + ("..." if len(new) > 8 else ""))

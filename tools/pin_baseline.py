@@ -28,8 +28,14 @@ def steady(path):
         d = json.load(f)
     def sec(v):
         return v[0] if isinstance(v, list) else v
-    p1 = {k: sec(v) for k, v in (d.get("pass1") or {}).items()}
-    p2 = {k: sec(v) for k, v in (d.get("pass2") or {}).items()}
+    # a throwing query records its fast-fail wall time in the passes
+    # (only the errors map names it) — pinning that would poison the
+    # min forever and flag every later HEALTHY run as a regression
+    errors = d.get("errors") or {}
+    p1 = {k: sec(v) for k, v in (d.get("pass1") or {}).items()
+          if k not in errors}
+    p2 = {k: sec(v) for k, v in (d.get("pass2") or {}).items()
+          if k not in errors}
     merged = {k: min(x for x in (p1.get(k), p2.get(k)) if x is not None)
               for k in set(p1) | set(p2)}
     return d.get("config"), merged
