@@ -1220,6 +1220,67 @@ object Curation {
         .select(col("lang"), col("words"), col("pieces"),
           expr("pieces * 1000 DIV words").as("fertility_milli"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q307: tokenizer INFERENCE — corpus compression census -----
+    // q304/q305 train the merges, q306 audits the vocab; this runs
+    // the ENCODE path the trained tokenizer exists for: price each
+    // source's corpus under the V=32 tokenizer — word instances,
+    // emitted pieces, raw chars, pieces-per-word and chars-per-piece
+    // in milli (the compression numbers a data-mixture planner reads
+    // next to q111/q137's budget shares). The Spark-first shape IS
+    // the production encode at 100 TB: BPE is word-internal, so
+    // encoding reduces to ONE vocab-bounded (word → piece count) map
+    // — replayed from the shared training memo's pick literals, no
+    // re-training — joined onto the token occurrence stream (AQE
+    // broadcasts it at this vocab size; an open-vocabulary corpus
+    // degrades gracefully to a keyed join on the same plan). The
+    // oracle recovers the word spelling from the chain's own final
+    // state (symbols concatenated = the original word), so it needs
+    // no extra carried column.
+    QueryDef(
+      "q307_bpe_compression_census",
+      {
+        val rounds = (1 to 32).map(r => bpeRoundSql(r, s"s${r - 1}"))
+          .mkString(",\n")
+        s"""WITH $bpeBaseSql,
+           |$rounds,
+           |wp AS (SELECT DISTINCT replace(s, '|', '') AS tok,
+           |    len(list_filter(string_split(s, '|'), x -> x <> ''))
+           |      AS pieces
+           |  FROM s32),
+           |occ AS (SELECT source, unnest($toksSql) AS tok
+           |        FROM documents)
+           |SELECT occ.source, CAST(count(*) AS BIGINT) AS words,
+           |  CAST(sum(wp.pieces) AS BIGINT) AS pieces,
+           |  CAST(sum(length(occ.tok)) AS BIGINT) AS chars,
+           |  CAST(sum(wp.pieces) * 1000 // count(*) AS BIGINT)
+           |    AS pieces_per_word_milli,
+           |  CAST(sum(length(occ.tok)) * 1000 // sum(wp.pieces)
+           |    AS BIGINT) AS chars_per_piece_milli
+           |FROM occ JOIN wp USING (tok)
+           |GROUP BY occ.source ORDER BY occ.source""".stripMargin
+      }) { (s, d) =>
+      val picks = bpe256Merges(s, d)._2.take(32)
+      val words = Text.docTermFreq(s, d).select(col("tok")).distinct()
+        .select(col("tok"), concat(lit("|"),
+          regexp_replace(col("tok"), "(.)", "$1|")).as("s"))
+      val wp = picks.foldLeft(words) { case (df, (_, pair, _, _)) =>
+        val pat = "|" + pair.replace(" ", "|") + "|"
+        val rep = "|" + pair.replace(" ", "") + "|"
+        df.withColumn("s", expr(
+          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
+      }.select(col("tok"), size(bpeSeqCol).as("pieces"))
+      val occ = withToks(s, d)
+        .select(col("source"), explode(col("toks")).as("tok"))
+      occ.join(wp, "tok")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("words"), sum(col("pieces")).as("pieces"),
+          sum(length(col("tok"))).as("chars"))
+        .select(col("source"), col("words"), col("pieces"), col("chars"),
+          expr("pieces * 1000 DIV words").as("pieces_per_word_milli"),
+          expr("chars * 1000 DIV pieces").as("chars_per_piece_milli"))
+        .orderBy(col("source"))
     }
   )
 
