@@ -213,141 +213,49 @@ object Bench {
     val cfgKey = s"local[$cpus]"
     val ncpu = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getAvailableProcessors
-    val adjudication =
-      scala.collection.mutable.LinkedHashMap[String, String]()
-    val (regressed, suspect): (Seq[(String, Double, Double)],
-        Seq[(String, Double, Double)]) = try {
+    // Pin schema v2 (r14 verdict ask 8): a pin is either a bare
+    // number (v1: the per-query MIN over the pinning runs - the
+    // tightest possible value, gated at 3x) or a [min, median] pair
+    // (v2: gated at 2 x MEDIAN). The r13/r14 false-fail class was
+    // exactly min-pins meeting single-boot noise: the min is one
+    // lucky scheduling draw, the median is the typical clean run,
+    // and 2 x median is both tighter than 3 x min for stable queries
+    // and looser for high-dispersion ones - dispersion the pin file
+    // now records instead of discarding. The DECISION itself (steady
+    // state, thresholds, steal/task-flat downgrades, the suspect
+    // list) lives in BenchGate.decide - pure and spec-pinned
+    // (BenchGateSpec), so the gate semantics can never again change
+    // untested inside this main().
+    val gateVerdict: BenchGate.Verdict = try {
       val pinsPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
-      if (!java.nio.file.Files.exists(pinsPath)) (Seq.empty, Seq.empty)
+      if (!java.nio.file.Files.exists(pinsPath))
+        BenchGate.Verdict(Seq.empty, Seq.empty, Seq.empty)
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(pinsPath))
         val cfgNode = root.path("configs").path(cfgKey)
         val legacy = root.path("queries")
-        // Pin schema v2 (r14 verdict ask 8): a pin is either a bare
-        // number (v1: the per-query MIN over the pinning runs — the
-        // tightest possible value, gated at 3x) or a [min, median]
-        // pair (v2: gated at 2 x MEDIAN). The r13/r14 false-fail
-        // class was exactly min-pins meeting single-boot noise: the
-        // min is one lucky scheduling draw, the median is the
-        // typical clean run, and 2 x median is both tighter than
-        // 3 x min for stable queries and looser for high-dispersion
-        // ones — dispersion the pin file now records instead of
-        // discarding.
         def pinNode(n: String): com.fasterxml.jackson.databind.JsonNode =
           if (cfgNode.has(n)) cfgNode.get(n)
           else if (legacy.has(n)) legacy.get(n) else null
-        // (reported pin, gate threshold) — -1 when unpinned
+        // (reported pin, gate threshold) - -1 when unpinned
         def pinThr(n: String): (Double, Double) = pinNode(n) match {
           case null => (-1.0, -1.0)
           case a if a.isArray && a.size() >= 2 =>
             (a.get(1).asDouble(), 2.0 * a.get(1).asDouble())
           case v => (v.asDouble(), 3.0 * v.asDouble())
         }
-        // steady state = the per-query MIN of the two passes: a
-        // hypervisor steal burst (now visible in the steal_ms column)
-        // hits whatever queries run inside its window in ONE pass —
-        // measured r14: q260 at 44.1 s wall carrying 28.7 s of steal
-        // in pass 2 while pass 1 ran 14.3 s — whereas a genuine plan
-        // regression inflates BOTH passes. Gating on the min keeps
-        // the factor strict for real regressions and immune to
-        // single-window bursts.
-        val p1m = pass1.map { case (n, sec, _, _, _, _) => n -> sec }.toMap
-        val steady = (if (pass2.nonEmpty) pass2 else pass1)
-          .map { case (n, sec, _, _, _, _) =>
-            n -> math.min(sec, p1m.getOrElse(n, sec)) }
-        // Steal-aware adjudication (r14 verdict ask 1): a per-query
-        // fail where EVERY over-threshold pass carries an
-        // environmental excuse is downgraded to `suspect` with the
-        // excuse recorded inline — the r13 (q03/q07) and r14 (q29)
-        // rounds both closed on driver artifacts whose only fails
-        // were hypervisor-steal windows the artifact itself had
-        // already witnessed in steal_ms. Excuses, per flagged pass:
-        //   steal — machine-wide steal during the query >= 30% of
-        //     its wall AND >= 10x the pass's per-query MEDIAN steal.
-        //     The second leg keeps the excuse burst-shaped (this
-        //     host: near-zero background with episodic 1-28 s
-        //     bursts that serialize stages on stalled stragglers):
-        //     on a host with UNIFORM background steal the median is
-        //     itself high, no query clears 10x it, and a genuine
-        //     regression cannot launder itself through ambient
-        //     steal (the r14 advisor's un-normalized-bar finding,
-        //     applied to the downgrade path);
-        //   task-flat — executor task-seconds stayed within the
-        //     pinned wall x BENCH-PARALLELISM budget (local[N]
-        //     slots, NOT host cores: at local[4] on a 32-core host
-        //     a pin x 32 budget would excuse any real regression,
-        //     since task_sec is bounded by ~4x wall anyway), i.e.
-        //     the WORK didn't grow, only the waiting.
-        // A downgraded query does NOT fail the gate but stays
-        // visible in `suspect` + `adjudication` — never silent.
-        val slots = cpus.toInt
-        def medSteal(p: Seq[(String, Double, Long, Double, Double, Long)])
-            : Double = {
-          val ss = p.map(_._6).filter(_ >= 0).sorted
-          if (ss.isEmpty) 0.0 else ss(ss.length / 2).toDouble
-        }
-        val med1 = medSteal(pass1)
-        val med2 = medSteal(pass2)
-        def excuse(sec: Double, task: Double, st: Long,
-            pinSec: Double, passMed: Double): Option[String] = {
-          if (st >= 0 && st.toDouble >= 0.3 * sec * 1000.0 &&
-              st.toDouble >= 10.0 * passMed)
-            Some(f"steal ${st}ms >= 30%% of ${sec}%.2fs wall and >= " +
-              f"10x pass median ${passMed}%.0fms")
-          else if (task <= pinSec * slots)
-            Some(f"task_sec ${task}%.1f flat vs pin ${pinSec}%.3f x " +
-              f"$slots slots")
-          else None
-        }
-        val overThr = steady.collect {
-          case (n, sec)
-              if !passErrors.contains(n) && sec >= 0.15 &&
-                pinThr(n)._2 > 0 && sec > pinThr(n)._2 =>
-            (n, pinThr(n)._1, sec)
-        }
-        val (excused, reg) = overThr.partition { case (n, pinSec, _) =>
-          val thr = pinThr(n)._2
-          def flagged(p: Seq[(String, Double, Long, Double, Double, Long)],
-              med: Double) = p.collect {
-            case (`n`, sec, _, _, task, st) if sec > thr =>
-              excuse(sec, task, st, pinSec, med)
-          }
-          val verdicts = flagged(pass1, med1) ++ flagged(pass2, med2)
-          val ok = verdicts.nonEmpty && verdicts.forall(_.isDefined)
-          if (ok) adjudication(n) =
-            "downgraded: " + verdicts.flatten.mkString("; ")
-          ok
-        }
-        // Non-fatal visibility (review finding): the min rule
-        // immunizes the gate against single-window steal bursts, but
-        // it must not make an IN-JVM pass-2-only degradation (a
-        // code-cache recurrence, a lost memo) invisible. Any query
-        // whose SLOWER pass exceeded the factor while the min stayed
-        // under it is carried as "suspect" in the artifact UNLESS
-        // that slow pass carries a steal excuse — and the excuse bar
-        // here is CPU-normalized (steal >= 20% of wall x ncpu, i.e.
-        // a fifth of the whole machine's capacity stolen; r14
-        // advisor finding: the un-normalized 20%-of-wall bar let
-        // modest background steal on a 32-core host silently excuse
-        // genuine pass-2-only degradations out of BOTH lists).
-        val regNames = overThr.map(_._1).toSet
-        def quint(p: Seq[(String, Double, Long, Double, Double, Long)],
-            n: String) = p.find(_._1 == n)
-        val sus = (if (pass2.nonEmpty) pass2 else Seq.empty).collect {
-          case (n, sec, _, _, _, st)
-              if !passErrors.contains(n) && !regNames.contains(n) &&
-                sec >= 0.15 && pinThr(n)._2 > 0 && sec > pinThr(n)._2 &&
-                (st < 0 ||
-                  st.toDouble < 0.2 * sec * 1000.0 * ncpu) &&
-                quint(pass1, n).exists(_._2 <= pinThr(n)._2) =>
-            (n, pinThr(n)._1, sec)
-        }
-        (reg, excused ++ sus)
+        BenchGate.decide(pinThr, pass1, pass2,
+          passErrors.keySet.toSet, cpus.toInt, ncpu)
       }
     } catch {
-      case scala.util.control.NonFatal(_) => (Seq.empty, Seq.empty)
+      case scala.util.control.NonFatal(_) =>
+        BenchGate.Verdict(Seq.empty, Seq.empty, Seq.empty)
     }
+    val regressed = gateVerdict.regressed
+    val suspect = gateVerdict.suspect
+    val adjudication =
+      scala.collection.mutable.LinkedHashMap(gateVerdict.adjudication: _*)
     val gatePass = regressed.isEmpty && passErrors.isEmpty
     // Clobber-proof artifact paths (r14 verdict ask 2): Bench used to
     // write BENCH_VARIANCE.json / BENCH_FULL.json at fixed repo-cwd
