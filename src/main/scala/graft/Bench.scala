@@ -136,6 +136,43 @@ object Bench {
         val parts = try f.getLines().next().split("\\s+") finally f.close()
         if (parts.length > 8) parts(8).toLong * 10L else -1L
       } catch { case scala.util.control.NonFatal(_) => -1L }
+    // The bpe256 TRAINER builds here, BEFORE pass 1, as its own timed
+    // + pinned artifact line (r15 verdict ask 2): steady-state is
+    // min-of-passes and the memo used to build lazily inside q304's
+    // pass-1 touch, so the ~30 s one-time training cost hid behind
+    // q304's 0.1 s warm-replay pin — a 5x regression in TRAINING cost
+    // would never have flagged. As `bpe256_build` (pass-1-only: the
+    // memo is warm by pass 2, and BenchGate's union-steady rule grades
+    // single-pass entries) the cost is pinned and gated like any
+    // query. The memo still stays out of Prewarm's chains — its
+    // consumers are only the tokenizer family (Prewarm.lazyMemos), so
+    // it must not tax the shared memo_build attribution.
+    val bpeQuint: Seq[(String, Double, Long, Double, Double, Long)] = {
+      val k0 = probe.taskSec(spark.sparkContext)
+      val s0 = stealMs()
+      val g0 = gcMs()
+      val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup("memo:bpe256", "bpe256 train",
+        interruptOnCancel = false)
+      val ok =
+        try { graft.ops.Prewarm.buildBpe256(spark, sfDir); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          // visible failure, same contract as the memo prewarm: a
+          // silently-cold trainer memo would re-smear its build into
+          // q304's pass-1 timing
+          System.err.println(s"WARN: bpe256 build failed: $e")
+          passErrors.getOrElseUpdate("bpe256_build",
+            (Option(e.getMessage).getOrElse(e.getClass.getName))
+              .replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ").take(120))
+          false
+        } finally spark.sparkContext.clearJobGroup()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val s1 = stealMs()
+      if (!ok) Seq.empty
+      else Seq(("bpe256_build", sec, gcMs() - g0, loadAvg(),
+        probe.taskSec(spark.sparkContext) - k0,
+        if (s0 < 0 || s1 < 0) -1L else s1 - s0))
+    }
     def runPass(): Seq[(String, Double, Long, Double, Double, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val k0 = probe.taskSec(spark.sparkContext)
@@ -184,7 +221,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val memoHealthPoints =
       scala.collection.mutable.ArrayBuffer[(String, String)]()
-    val pass1 = runPass()
+    val pass1 = bpeQuint ++ runPass()
     telemetryPoints += ("after_pass1" -> telemetry())
     memoHealthPoints += ("after_pass1" -> memoHealthJson())
     val passes =
@@ -193,6 +230,23 @@ object Bench {
     if (pass2.nonEmpty) {
       telemetryPoints += ("after_pass2" -> telemetry())
       memoHealthPoints += ("after_pass2" -> memoHealthJson())
+    }
+    // Lazy-memo census enforcement (r15 verdict ask 3): the declared
+    // consumer lists in Prewarm.lazyMemos justify each memo's absence
+    // from the shared prewarm — q307 adopted bpe256 in r15 WITHOUT a
+    // census re-run and the stale list went unnoticed for a round.
+    // The bench's own touch census is the measured truth; any
+    // undeclared consumer of a lazy memo now fails the gate loudly,
+    // named, in the artifact itself.
+    graft.ops.Tables.memoConsumers().toSeq.sortBy(_._1).foreach {
+      case (m, qs) =>
+        graft.ops.Prewarm.lazyMemos.get(m).foreach { declared =>
+          qs.filterNot(declared.contains).foreach { qn =>
+            passErrors.getOrElseUpdate(s"memo_census:$m",
+              s"undeclared consumer $qn of lazy memo $m - re-run " +
+                "tools.MemoCensus and update Prewarm.lazyMemos")
+          }
+        }
     }
     def errJson = passErrors.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
@@ -226,10 +280,42 @@ object Bench {
     // list) lives in BenchGate.decide - pure and spec-pinned
     // (BenchGateSpec), so the gate semantics can never again change
     // untested inside this main().
-    val gateVerdict: BenchGate.Verdict = try {
+    // End-to-end micro-batch latency (r15 verdict ask 5): the
+    // reference's implicit 5-row-insert-visible floor, measured on
+    // the full socket → frame-log → AvailableNow → decode stack and
+    // RECORDED per artifact (not wall-gated: a single streaming
+    // trigger is checkpoint-IO dominated at this scale — the
+    // WalSocketPerfSpec leg owns the bound assertion). Runs after
+    // both passes so its socket/stream machinery cannot pollute any
+    // timed query. A failure is loud through the error channel: a
+    // broken wire path must fail the artifact, not skip the row.
+    val cdcLatencySec: Double =
+      try {
+        val (sec, n) =
+          graft.streaming.MicroBatchLatency.measureWarm(spark)
+        if (n == 5L) sec
+        else {
+          passErrors.getOrElseUpdate("cdc_latency",
+            s"expected 5 decoded rows, saw $n")
+          -1.0
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          passErrors.getOrElseUpdate("cdc_latency",
+            (Option(e.getMessage).getOrElse(e.getClass.getName))
+              .replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ").take(120))
+          -1.0
+      }
+    // Pin lookup, shared by the gate and the isolation rerun. Schema
+    // v3 (r15 verdict ask 1b): a pin may now carry a THIRD element —
+    // the task-seconds median over the pinning runs — which BenchGate
+    // uses as the tight task-flat bound (1.5 x task pin) in place of
+    // the loose wall x slots budget. v2 pairs and v1 scalars keep
+    // their semantics with no task pin (-1).
+    val pinThr: String => BenchGate.Pin = try {
       val pinsPath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
       if (!java.nio.file.Files.exists(pinsPath))
-        BenchGate.Verdict(Seq.empty, Seq.empty, Seq.empty)
+        (_: String) => (-1.0, -1.0, -1.0)
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(pinsPath))
@@ -238,20 +324,61 @@ object Bench {
         def pinNode(n: String): com.fasterxml.jackson.databind.JsonNode =
           if (cfgNode.has(n)) cfgNode.get(n)
           else if (legacy.has(n)) legacy.get(n) else null
-        // (reported pin, gate threshold) - -1 when unpinned
-        def pinThr(n: String): (Double, Double) = pinNode(n) match {
-          case null => (-1.0, -1.0)
+        (n: String) => pinNode(n) match {
+          case null => (-1.0, -1.0, -1.0)
+          case a if a.isArray && a.size() >= 3 =>
+            (a.get(1).asDouble(), 2.0 * a.get(1).asDouble(),
+              a.get(2).asDouble())
           case a if a.isArray && a.size() >= 2 =>
-            (a.get(1).asDouble(), 2.0 * a.get(1).asDouble())
-          case v => (v.asDouble(), 3.0 * v.asDouble())
+            (a.get(1).asDouble(), 2.0 * a.get(1).asDouble(), -1.0)
+          case v => (v.asDouble(), 3.0 * v.asDouble(), -1.0)
         }
-        BenchGate.decide(pinThr, pass1, pass2,
-          passErrors.keySet.toSet, cpus.toInt, ncpu)
       }
     } catch {
       case scala.util.control.NonFatal(_) =>
+        (_: String) => (-1.0, -1.0, -1.0)
+    }
+    val gateVerdict0: BenchGate.Verdict = try
+      BenchGate.decide(pinThr, pass1, pass2,
+        passErrors.keySet.toSet, cpus.toInt, ncpu)
+    catch {
+      case scala.util.control.NonFatal(_) =>
         BenchGate.Verdict(Seq.empty, Seq.empty, Seq.empty)
     }
+    // In-artifact isolation rerun (r15 verdict ask 1a): three rounds
+    // running, the driver's contended boot failed the gate on a query
+    // that was clean in every isolated re-measurement — and the class
+    // the steal-aware excuses CANNOT cover is same-host contention
+    // that inflates task-seconds with no /proc/stat witness (r15
+    // q262). So the artifact now adjudicates itself: each standing
+    // fail re-runs ONCE here (same JVM, memos warm, transients
+    // dropped — the exact pass-2 measurement conditions, via the
+    // BenchOne discipline), and BenchGate.applyRerun downgrades fails
+    // whose rerun lands under threshold (evidence in the
+    // adjudication) while a rerun still over threshold CONFIRMS the
+    // regression in-artifact. Genuine plan regressions reproduce in
+    // isolation by definition; contention windows do not.
+    val rerunQuints =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
+    gateVerdict0.regressed.foreach { case (n, _, _) =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        val k0 = probe.taskSec(spark.sparkContext)
+        val s0 = stealMs()
+        val t0 = System.nanoTime()
+        try { graft.ops.Tables.withConsumer(n) {
+          fn(spark, sfDir).count() }; () }
+        catch { case _: Throwable => () } // the pass already recorded
+        // this query healthy or errored; a rerun-only failure just
+        // leaves the fail standing
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.Tables.dropTransientCaches()
+        val s1 = stealMs()
+        rerunQuints(n) = (sec, probe.taskSec(spark.sparkContext) - k0,
+          if (s0 < 0 || s1 < 0) -1L else s1 - s0)
+      }
+    }
+    val gateVerdict = BenchGate.applyRerun(gateVerdict0, pinThr,
+      rerunQuints.map { case (n, (s, t, _)) => n -> (s, t) }.toMap)
     val regressed = gateVerdict.regressed
     val suspect = gateVerdict.suspect
     val adjudication =
@@ -272,7 +399,11 @@ object Bench {
     try java.nio.file.Files.createDirectories(outDir)
     catch { case _: Throwable => }
     val cfgSafe = cfgKey.replaceAll("[^A-Za-z0-9]", "")
-    val stamp = System.currentTimeMillis() / 1000L
+    // epoch stamp + a nanoTime uniquifier: two same-config runs
+    // started within the same second must still get distinct artifact
+    // names (r15 advisor — a 1 s stamp alone can collide and clobber)
+    val stamp = s"${System.currentTimeMillis() / 1000L}-${
+      java.lang.Long.toHexString(System.nanoTime() & 0xFFFFFFL)}"
     def outPath(base: String) =
       outDir.resolve(s"$base-$cfgSafe-$stamp.json")
     val adjJson = adjudication.map { case (k, v) =>
@@ -323,6 +454,8 @@ object Bench {
             "%.3f".formatLocal(java.util.Locale.ROOT, memoSec)
           },"memo_build_task_sec":${
             "%.3f".formatLocal(java.util.Locale.ROOT, memoTaskSec)
+          },"cdc_microbatch_latency_sec":${
+            "%.3f".formatLocal(java.util.Locale.ROOT, cdcLatencySec)
           },"memo_detail_unit":["wall_sec","task_sec"]""" +
           s""","memo_detail":$memoJson,"telemetry":$telJson""" +
           s""","memo_health":$healthJson""" +
@@ -330,6 +463,14 @@ object Bench {
           s""","regress_gate":"${if (gatePass) "pass" else "fail"}"""" +
           s""","regressed":$regressJson,"suspect":$suspectJson""" +
           s""","adjudication":$adjJson""" +
+          (if (rerunQuints.isEmpty) ""
+           else s""","rerun_unit":["sec","task_sec","steal_ms"],""" +
+             s""""rerun":${rerunQuints.map { case (n, (sec, task, st)) =>
+               "\"" + n + "\":[" +
+                 "%.3f".formatLocal(java.util.Locale.ROOT, sec) + "," +
+                 "%.3f".formatLocal(java.util.Locale.ROOT, task) + "," +
+                 st + "]"
+             }.mkString("{", ",", "}")}""") +
           (if (passErrors.nonEmpty) s""","errors":$errJson""" else "") +
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
@@ -378,7 +519,9 @@ object Bench {
          else s""","downgraded":[${adjudication.keys.map("\"" + _ + "\"")
            .mkString(",")}]""")
     def assemble(qs: String) =
-      s"""{"metric":"total","value":${f3(total)}$gatePart$errPart,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)}$gatePart$errPart""" +
+        s""","cdc_latency_sec":${f3(cdcLatencySec)}""" +
+        s""","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Sidecar with the FULL per-query map at 3-decimal resolution
     // under the FULL query names (the stdout line below may fold
     // sub-0.1 s queries to fit the driver's 2000-byte capture

@@ -607,7 +607,9 @@ final class WalSocketClient(
     def publishLag(): Unit =
       try graft.streaming.CdcReplaySource.writeAckLag(
         logDir, slotName, s"part-$shard.jsonl", lagCensus.census())
-      catch { case _: IOException => () }
+      catch { case scala.util.control.NonFatal(_) => () } // the sidecar
+      // is best-effort telemetry: ANY failure in its lock/temp-file
+      // path (not just IO) must never kill the live replication loop
     @volatile var closed = false
     val ackTimer: Option[Thread] =
       if (ackTimeoutSeconds <= 0) None

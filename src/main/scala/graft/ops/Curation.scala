@@ -93,6 +93,7 @@ object Curation {
       df0.agg(sum(col("cnt")).as("tc")), 1, "BPE instance total")(0)
     val totalCnt = if (tcRow.isNullAt(0)) 0L else tcRow.getLong(0)
     var cur = df0.tcache()
+    var curCk = false // is `cur` localCheckpoint-backed (lineage cut)?
     var prev: DataFrame = null
     val picks =
       scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
@@ -134,12 +135,14 @@ object Curation {
         // plan depth (and its string) stays bounded by the cut
         // period. The checkpointed RDDs (vocab-sized, ~11 per full
         // run) live until session end — bounded, documented cost.
+        val ck = r % 8 == 0
         val next =
-          if (r % 8 == 0) nextRaw.localCheckpoint(true)
+          if (ck) nextRaw.localCheckpoint(true)
           else nextRaw.tcache()
         pending = Some((r, pair, c))
         prev = cur
         cur = next
+        curCk = ck
       }
       r += 1
     }
@@ -157,8 +160,44 @@ object Curation {
     // q304/q305/q306 another), which must survive the per-query
     // transient-cache drop: promote it out of the transient registry
     if (!finalTransient) promoteTransient(cur)
-    (cur, picks.toSeq)
+    // r15 advisor: when the FINAL merge round lands on a multiple of 8
+    // the final state is checkpoint-backed — executor blocks that
+    // dropTransientCaches cannot release (and a localCheckpoint is
+    // unrecomputable once its blocks drop, so merely registering it
+    // as a transient would poison any later consumer). Honor the
+    // finalTransient "must not stay pinned" contract directly:
+    // release the checkpoint blocks NOW and hand back the same final
+    // state as a LAZY replay of the collected pick literals over the
+    // caller's base relation — deterministic, unmaterialized, and
+    // recomputable by any future consumer.
+    val result =
+      if (finalTransient && curCk) {
+        releaseCheckpointBlocks(cur)
+        picks.foldLeft(df0) { case (df, (_, pair, _, _)) =>
+          val pat = "|" + pair.replace(" ", "|") + "|"
+          val rep = "|" + pair.replace(" ", "") + "|"
+          df.withColumn("s", expr(
+            s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
+        }
+      } else cur
+    (result, picks.toSeq)
   }
+
+  /** Release the executor storage blocks behind a
+    * localCheckpoint-backed frame. The RDD behind a LogicalRDD leaf is
+    * reached reflectively (the node class is `private[sql]`); failures
+    * degrade to a no-op — the blocks then live until the
+    * ContextCleaner collects the unreferenced RDD, the pre-fix
+    * behavior. ONLY call on a frame about to be discarded: a dropped
+    * localCheckpoint cannot be recomputed. */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    try df.queryExecution.logical.foreach { node =>
+      if (node.getClass.getSimpleName == "LogicalRDD")
+        node.getClass.getMethod("rdd").invoke(node) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(false); ()
+          case _ => ()
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Lang-carrying BPE state after the 3 learned merges — ONE
     * training run shared by q153 (reports the picks) and q159 (the
@@ -1261,16 +1300,9 @@ object Curation {
            |FROM occ JOIN wp USING (tok)
            |GROUP BY occ.source ORDER BY occ.source""".stripMargin
       }) { (s, d) =>
-      val picks = bpe256Merges(s, d)._2.take(32)
-      val words = Text.docTermFreq(s, d).select(col("tok")).distinct()
-        .select(col("tok"), concat(lit("|"),
-          regexp_replace(col("tok"), "(.)", "$1|")).as("s"))
-      val wp = picks.foldLeft(words) { case (df, (_, pair, _, _)) =>
-        val pat = "|" + pair.replace(" ", "|") + "|"
-        val rep = "|" + pair.replace(" ", "") + "|"
-        df.withColumn("s", expr(
-          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
-      }.select(col("tok"), size(bpeSeqCol).as("pieces"))
+      val picks = bpe256Merges(s, d)._2.take(32).map(_._2)
+      val wp = bpeEncodePieces(
+        Text.docTermFreq(s, d).select(col("tok")).distinct(), picks)
       val occ = withToks(s, d)
         .select(col("source"), explode(col("toks")).as("tok"))
       occ.join(wp, "tok")
@@ -1281,6 +1313,142 @@ object Curation {
           expr("pieces * 1000 DIV words").as("pieces_per_word_milli"),
           expr("chars * 1000 DIV pieces").as("chars_per_piece_milli"))
         .orderBy(col("source"))
+    },
+
+    // ---- q308: ExactSubstr as a REMOVAL transform ------------------
+    // q303 reports the maximal exactly-shared spans; Lee et al. 2022's
+    // actual dedup REMOVES one copy of each shared span — this
+    // composes the q303 kernel with q156's rewrite discipline into the
+    // scrub census a dedup operator ships: for every anchored pair's
+    // maximal span, the occurrence in the HIGHER doc_id (d2) is
+    // removed — the d1 (first) copy survives, so every shared span
+    // keeps exactly one canonical occurrence — and overlapping
+    // removals from different pairs union at the position level
+    // before counting. Reported per source: docs, docs touched,
+    // token mass before/removed, removal rate in milli. The minimum
+    // span is a parameter (Lee et al. use 50 tokens; this corpus's
+    // planted clones sit at the index's 8-token floor, so the query
+    // scrubs at >= 8 — same code path, different constant, and the
+    // oracle pins the >= 8 semantics). Scale shape: identical to
+    // q303 (anchor-bounded pairs, keyed joins, pair-partitioned
+    // windows) plus one keyed position union and one left join —
+    // never doc x doc, never a corpus-wide window.
+    QueryDef(
+      "q308_exact_substr_scrub",
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, source, $toksSql AS toks
+         |  FROM documents WHERE len($toksSql) >= 8),
+         |pos8 AS MATERIALIZED (SELECT doc_id, i,
+         |    ${h32Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+         |      AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         |keep AS (SELECT h FROM pos8 GROUP BY h
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1,
+         |    b.doc_id AS d2
+         |  FROM pos8 a JOIN pos8 b USING (h) JOIN keep USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |pos1 AS MATERIALIZED (SELECT doc_id, i, toks[i] AS w
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |mm AS (SELECT c.d1, c.d2, a.i AS i1, b.i AS i2
+         |  FROM cand c JOIN pos1 a ON a.doc_id = c.d1
+         |  JOIN pos1 b ON b.doc_id = c.d2 AND b.w = a.w),
+         |isl AS (SELECT d1, d2, i1 - i2 AS diag, i1,
+         |    i1 - row_number() OVER (PARTITION BY d1, d2, i1 - i2
+         |      ORDER BY i1) AS grp
+         |  FROM mm),
+         |runs AS (SELECT d1, d2, diag, grp, count(*) AS len,
+         |    min(i1) AS s1
+         |  FROM isl GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT d1, d2, CAST(len AS BIGINT) AS span_toks,
+         |    CAST(s1 AS BIGINT) AS s1, CAST(s1 - diag AS BIGINT) AS s2,
+         |    row_number() OVER (PARTITION BY d1, d2
+         |      ORDER BY len DESC, s1, s1 - diag) AS rn
+         |  FROM runs WHERE len >= 8),
+         |rm AS (SELECT DISTINCT d2 AS doc_id, u.i
+         |  FROM best, UNNEST(range(s2, s2 + span_toks)) u(i)
+         |  WHERE rn = 1),
+         |rmc AS (SELECT doc_id, count(*) AS rm_toks FROM rm
+         |  GROUP BY doc_id)
+         |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(rm_toks, 0) > 0 THEN 1 ELSE 0
+         |    END) AS BIGINT) AS docs_scrubbed,
+         |  CAST(sum(len(t.toks)) AS BIGINT) AS toks_before,
+         |  CAST(sum(coalesce(rm_toks, 0)) AS BIGINT) AS toks_removed,
+         |  CAST(sum(coalesce(rm_toks, 0)) * 1000 // sum(len(t.toks))
+         |    AS BIGINT) AS removed_milli
+         |FROM t LEFT JOIN rmc USING (doc_id)
+         |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val spans = exactSubstrSpansOf(Text.posIndex(s, d),
+        Text.posDf(s, d), withToks(s, d))
+      exactSubstrScrub(spans,
+        withToks(s, d).filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), col("source"), col("toks")),
+        minSpan = 8L)
+        .orderBy(col("source"))
+    },
+
+    // ---- q309: context-length pricing in tokenizer PIECES ----------
+    // q302 prices the max-sequence-length knob in whitespace tokens —
+    // but a packer feeds the MODEL, and the model consumes tokenizer
+    // pieces, so the knob's real currency is q307's encode path: each
+    // doc's length is re-measured as the sum of its words' piece
+    // counts under the trained V=32 vocab (one vocab-bounded
+    // word -> pieces map off the shared training memo's pick
+    // literals, one broadcast-joined pass over the occurrence
+    // stream — no re-training, q307's exact scale shape), and the
+    // same closed-form sweep (kept mass, naive fill, bin-packing
+    // lower bound) runs over the piece-length relation. Same column
+    // names as q302 so the two sweeps diff row-for-row.
+    QueryDef(
+      "q309_context_pieces_sweep",
+      {
+        val rounds = (1 to 32).map(r => bpeRoundSql(r, s"s${r - 1}"))
+          .mkString(",\n")
+        s"""WITH $bpeBaseSql,
+           |$rounds,
+           |wp AS (SELECT DISTINCT replace(s, '|', '') AS tok,
+           |    len(list_filter(string_split(s, '|'), x -> x <> ''))
+           |      AS pieces
+           |  FROM s32),
+           |occ AS (SELECT doc_id, unnest($toksSql) AS tok
+           |        FROM documents),
+           |lens AS (SELECT doc_id, sum(wp.pieces) AS l
+           |  FROM occ JOIN wp USING (tok) GROUP BY doc_id),
+           |spine AS (SELECT * FROM (VALUES (64), (128), (256), (512))
+           |          c(ctx_len))
+           |SELECT CAST(c.ctx_len AS BIGINT) AS ctx_len,
+           |  count(*) AS n_docs,
+           |  CAST(sum(least(l, c.ctx_len)) * 1000 // sum(l) AS BIGINT)
+           |    AS kept_milli,
+           |  CAST(sum(least(l, c.ctx_len)) * 1000
+           |    // (count(*) * c.ctx_len) AS BIGINT) AS fill_milli,
+           |  CAST((sum(least(l, c.ctx_len)) + c.ctx_len - 1)
+           |    // c.ctx_len AS BIGINT) AS seqs_min
+           |FROM lens CROSS JOIN spine c
+           |GROUP BY c.ctx_len ORDER BY ctx_len""".stripMargin
+      }) { (s, d) =>
+      val picks = bpe256Merges(s, d)._2.take(32).map(_._2)
+      val wp = bpeEncodePieces(
+        Text.docTermFreq(s, d).select(col("tok")).distinct(), picks)
+      val lens = withToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .join(wp, "tok")
+        .groupBy(col("doc_id")).agg(sum(col("pieces")).as("l"))
+      val spine = {
+        val ss = s; import ss.implicits._
+        Seq(64L, 128L, 256L, 512L).toDF("ctx_len")
+      }
+      lens.crossJoin(broadcast(spine))
+        .groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(least(l, ctx_len)) * 1000 DIV sum(l)").cast("long")
+            .as("kept_milli"),
+          expr("sum(least(l, ctx_len)) * 1000 DIV (count(1) * ctx_len)")
+            .cast("long").as("fill_milli"),
+          expr("(sum(least(l, ctx_len)) + ctx_len - 1) DIV ctx_len")
+            .cast("long").as("seqs_min"))
+        .orderBy(col("ctx_len"))
     }
   )
 
@@ -1342,6 +1510,60 @@ object Curation {
       .filter(col("rn") === 1)
       .select(col("d1"), col("d2"), col("span_toks"), col("s1"),
         col("s2"))
+  }
+
+  /** ExactSubstr dedup as a REMOVAL transform (q308 +
+    * ExactSubstrSpec): given the q303 span table
+    * `(d1, d2, span_toks, s1, s2)` and a `(doc_id, source, toks)`
+    * corpus, remove the d2-side occurrence of every maximal shared
+    * span of at least `minSpan` tokens (the d1 copy is canonical —
+    * pairs are d1 < d2, so "first doc wins" is a total rule) and
+    * return the per-source scrub census. Removal positions union at
+    * `(doc_id, position)` grain before counting, so overlapping
+    * spans from different pairs never double-count. One keyed
+    * position dedup + one left join — O(removed tokens), never
+    * O(corpus^2). */
+  private[graft] def exactSubstrScrub(spans: DataFrame, docs: DataFrame,
+      minSpan: Long): DataFrame = {
+    val rm = spans.filter(col("span_toks") >= minSpan)
+      .select(col("d2").as("doc_id"),
+        explode(expr("sequence(s2, s2 + span_toks - 1)")).as("i"))
+      .distinct()
+    val rmc = rm.groupBy(col("doc_id")).agg(count(lit(1)).as("rm_toks"))
+    docs.select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n"))
+      .join(rmc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("rm_toks"), lit(0L)) > 0, 1L)
+          .otherwise(0L)).as("docs_scrubbed"),
+        sum(col("n")).as("toks_before"),
+        sum(coalesce(col("rm_toks"), lit(0L))).as("toks_removed"))
+      .select(col("source"), col("n_docs"), col("docs_scrubbed"),
+        col("toks_before"), col("toks_removed"),
+        expr("toks_removed * 1000 DIV toks_before").as("removed_milli"))
+  }
+
+  /** BPE ENCODE as a reusable operator (r15 verdict ask 7): replay
+    * trained merge-pick literals (`"a b"` pair strings, in pick
+    * order) over a one-column `tok` vocabulary relation and return
+    * the `(tok, pieces)` map — the whole inference path of a trained
+    * word-internal BPE tokenizer, because encoding a corpus then
+    * reduces to broadcast-joining this vocab-bounded map onto the
+    * token occurrence stream (q307's census, q309's piece-length
+    * pricing, and the live fertility probe all ride it). Map-side:
+    * the fold builds one nested codegen'd replace chain, no joins,
+    * no driver state beyond the pick literals themselves. */
+  private[graft] def bpeEncodePieces(words: DataFrame,
+      picks: Seq[String]): DataFrame = {
+    val base = words.select(col("tok"), concat(lit("|"),
+      regexp_replace(col("tok"), "(.)", "$1|")).as("s"))
+    picks.foldLeft(base) { case (df, pair) =>
+      val pat = "|" + pair.replace(" ", "|") + "|"
+      val rep = "|" + pair.replace(" ", "") + "|"
+      df.withColumn("s", expr(
+        s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
+    }.select(col("tok"), size(bpeSeqCol).as("pieces"))
   }
 
   // ------------------------------------------------------------------

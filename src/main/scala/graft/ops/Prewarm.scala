@@ -148,7 +148,23 @@ object Prewarm {
     "tredges" -> Seq("q210_textrank_keywords"),
     "urgent_count" -> Seq("q87_bloom_pruned_join"),
     "bpe256" -> Seq("q304_bpe_train32", "q305_bpe_train256",
-      "q306_bpe64_fertility"))
+      "q306_bpe64_fertility", "q307_bpe_compression_census",
+      "q309_context_pieces_sweep"))
+
+  /** Explicit build trigger for the bpe256 training memo (r15 verdict
+    * ask 2): Bench calls this BEFORE pass 1, under its own
+    * `memo:bpe256` job group, so the ~30 s one-time training cost is
+    * its own timed, PINNED artifact line (`bpe256_build`) instead of
+    * hiding behind q304's 0.1 s warm-replay pin — a 5× regression in
+    * training cost is now gate-visible. The memo stays OUT of the
+    * [[run]] chains (its consumers are only the tokenizer family, so
+    * it must not tax the shared memo_build), and MemoRegistrySpec's
+    * lazy-dichotomy leg still holds because `Prewarm.run` alone does
+    * not build it. */
+  def buildBpe256(s: SparkSession, d: String): Unit = {
+    graft.cdc.GraftFunctions.register(s)
+    Curation.bpe256Merges(s, d); ()
+  }
 
   /** Per-memo build seconds, in build order (tools.MemoTime prints
     * them; Bench reports only the total). */

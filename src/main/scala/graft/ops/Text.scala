@@ -31,7 +31,7 @@ object Text {
 
   // ---- shared tokenization (identical in oracle SQL) ----
 
-  private[ops] def toksCol: Column =
+  private[graft] def toksCol: Column =
     filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
 
   private[ops] val toksSql =

@@ -1364,6 +1364,68 @@ object StreamOps {
       .orderBy(col("decile"))
   }
 
+  /** Standing tokenizer-fertility drift monitor — the
+    * tokenizer-health member of the per-batch drift family (KS
+    * q255-live, LSH q300-live; r15 verdict ask 8): a standing corpus
+    * keeps ingesting after the tokenizer is frozen, and a shifted
+    * arrival distribution (new language, new domain, encoding junk)
+    * silently degrades every piece-count the packing/pricing family
+    * relies on. Each ingest batch is therefore re-ENCODED under the
+    * frozen vocab — `picks` are the trained merge literals (q306's
+    * replay shape: a map-side vocab-bounded fold over the batch's own
+    * distinct words via [[graft.ops.Curation.bpeEncodePieces]], no
+    * training jobs, no index reads) — and one
+    * `(batch_id, words, pieces, fertility_milli)` row lands in
+    * `reportDir`, batchId-idempotent like the other probes. Work
+    * scales with the batch, never the corpus; drifted text shows as
+    * fertility outside the calibration envelope (unseen words stay
+    * unmerged, pieces/word rises toward chars/word). */
+  def bpeFertilityProbeBatch(reportDir: String, picks: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.cdc.GraftFunctions.register(spark)
+    if (batchCommitted(spark, reportDir, batchId)) return
+    val occ = batch.dropDuplicates("doc_id")
+      .select(explode(graft.ops.Text.toksCol).as("tok"))
+    val wp = graft.ops.Curation.bpeEncodePieces(
+      occ.select(col("tok")).distinct(), picks)
+    occ.join(wp, "tok")
+      .agg(count(lit(1)).as("words"),
+        coalesce(sum(col("pieces")), lit(0L)).as("pieces"))
+      .select(lit(batchId).as("batch_id"), col("words"), col("pieces"),
+        when(col("words") > 0, expr("pieces * 1000 DIV words"))
+          .otherwise(lit(1000L)).as("fertility_milli"))
+      .write.mode("append").parquet(reportDir)
+  }
+
+  /** Drift verdict over the fertility probe's report: ONE row —
+    * the alarm fires when fertility sat OUTSIDE
+    * `[loMilli, hiMilli]` in each of the last `consecutive` batches
+    * (one noisy batch never fires — small batches carry word-mix
+    * noise; a genuinely shifted stream breaches every batch). The
+    * envelope is the caller's calibration from the frozen corpus's
+    * own fertility (q306's census); fertility is >= 1000 by
+    * construction, so loMilli = 1000 disables the low side. */
+  def bpeDriftAlarm(spark: SparkSession, reportDir: String,
+      loMilli: Long = 1000L, hiMilli: Long = 2500L,
+      consecutive: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("batch_id").desc)
+    spark.read.parquet(reportDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= consecutive)
+      .withColumn("breach",
+        when(col("fertility_milli") < loMilli ||
+          col("fertility_milli") > hiMilli, 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_recent"), sum(col("breach")).as("n_breach"),
+        max(col("batch_id")).as("last_batch"),
+        max(col("fertility_milli")).as("last_fertility_milli"))
+      .select(col("last_batch"), col("n_recent"), col("n_breach"),
+        col("last_fertility_milli"),
+        (col("n_recent") === consecutive.toLong &&
+          col("n_breach") === consecutive.toLong).as("drift_alarm"))
+  }
+
   /** DF sidecar for the train-gram index — what q273's refined rule
     * needs live: each accepted train batch appends one
     * `(g, df, gen)` row per distinct gram it contains, where df =
@@ -1951,7 +2013,14 @@ object StreamOps {
         * boolean column reads as "attention recommended" — a firing
         * drift alarm, not a compaction, is the action it calls for. */
       lshReportDir: Option[String] = None,
-      lshEnvelopeMilli: Long = 350L): DataFrame = {
+      lshEnvelopeMilli: Long = 350L,
+      /** [[bpeFertilityProbeBatch]]'s report dir: adds a
+        * `bpe_fertility` row where live/stale count in-envelope vs
+        * breaching batches and the boolean column carries
+        * [[bpeDriftAlarm]]'s verdict — a drifted arrival stream, not
+        * a compaction, is the action it calls for. */
+      bpeReportDir: Option[String] = None,
+      bpeEnvelopeMilli: (Long, Long) = (1000L, 2500L)): DataFrame = {
     val ss = spark
     import ss.implicits._
     def readOpt(dir: String): Option[DataFrame] =
@@ -2008,13 +2077,40 @@ object StreamOps {
       }
     lshReportDir.foreach { dir =>
       readOpt(dir).foreach { _ =>
-        val verdicts = lshDriftAlarm(spark, dir, lshEnvelopeMilli)
-          .select(col("drift_alarm")).collect()
-        val total = verdicts.length.toLong
-        val alarming = verdicts.count(_.getBoolean(0)).toLong
+        // verdict counts aggregate IN Spark and ONE summary row comes
+        // to the driver (r15 verdict ask 4): the per-verdict collect
+        // was the lone driver-side materialization in src/main without
+        // a boundedCollect budget — decile-bounded today, but the
+        // health pane's contract is metadata-sized driver state no
+        // matter how the probe's grouping evolves
+        val v = lshDriftAlarm(spark, dir, lshEnvelopeMilli)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("drift_alarm"), 1L).otherwise(0L)).as("alarming"))
+          .head()
+        val total = v.getLong(0)
+        val alarming = if (v.isNullAt(1)) 0L else v.getLong(1)
         rows += (("lsh_calibration", nFiles(dir), total,
           total - alarming, alarming,
           if (total > 0) alarming * 1000 / total else 0L, alarming > 0))
+      }
+    }
+    bpeReportDir.foreach { dir =>
+      readOpt(dir).foreach { rep =>
+        val (lo, hi) = bpeEnvelopeMilli
+        // per-batch breach census + the consecutive-breach verdict,
+        // both aggregated in Spark; two 1-row collects (same
+        // metadata-sized driver-state contract as lsh_calibration)
+        val c = rep.agg(count(lit(1)).as("n"),
+          sum(when(col("fertility_milli") < lo ||
+            col("fertility_milli") > hi, 1L).otherwise(0L)).as("breaches"))
+          .head()
+        val total = c.getLong(0)
+        val breaches = if (c.isNullAt(1)) 0L else c.getLong(1)
+        val alarm = bpeDriftAlarm(spark, dir, lo, hi)
+          .head().getAs[Boolean]("drift_alarm")
+        rows += (("bpe_fertility", nFiles(dir), total, total - breaches,
+          breaches, if (total > 0) breaches * 1000 / total else 0L,
+          alarm))
       }
     }
     rows.result().toDF("store", "n_files", "n_rows", "n_live",

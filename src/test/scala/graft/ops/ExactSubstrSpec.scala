@@ -173,4 +173,71 @@ class ExactSubstrSpec extends AnyFunSuite with BeforeAndAfterAll {
     diff(docs.toSeq.sortBy(_._1).map { case (id, ts) =>
       id -> ts.mkString(" ") })
   }
+
+  test("scrub census (q308) == independent removal over brute-force " +
+      "spans") {
+    // same seeded clone corpus as above (different seed), with a
+    // 3-way source split; the scrub contract: for each pair's maximal
+    // span >= minSpan, the d2-side occurrence's positions are
+    // removed, position-unioned per doc — diffed against a plain
+    // Scala removal over the INDEPENDENT brute-force span table
+    val r = new scala.util.Random(46)
+    val base = (1L to 16L).map(i => i -> words(r, 60, 40).toArray).toMap
+    val mdocs = scala.collection.mutable.Map(base.toSeq: _*)
+    for (_ <- 0 until 12) {
+      val src = 1L + r.nextInt(16)
+      val dst = 1L + r.nextInt(16)
+      if (src != dst) {
+        val len = 8 + r.nextInt(23)
+        val from = r.nextInt(math.max(1, mdocs(src).length - len))
+        val slice = mdocs(src).slice(from, from + len)
+        val at = r.nextInt(mdocs(dst).length)
+        mdocs(dst) = mdocs(dst).patch(at, slice, 0)
+      }
+    }
+    val docSeq = mdocs.toSeq.sortBy(_._1).map { case (id, ts) =>
+      id -> ts.mkString(" ") }
+    val srcOf = (id: Long) => "s" + (id % 3)
+    val minSpan = 8L
+
+    // expected census, in plain Scala off the brute-force spans
+    val rmPos: Map[Long, Set[Long]] = bruteForce(docSeq)
+      .filter(_._3 >= minSpan)
+      .flatMap { case (_, d2, len, _, s2) =>
+        (s2 until s2 + len).map(d2 -> _) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val toksOf = docSeq.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty) }.toMap
+    val expected = docSeq.map(_._1).filter(toksOf(_).length >= 8)
+      .groupBy(srcOf).toSeq.map { case (src, ids) =>
+        val before = ids.map(toksOf(_).length.toLong).sum
+        val removed = ids.map(id =>
+          rmPos.getOrElse(id, Set.empty).size.toLong).sum
+        (src, ids.size.toLong,
+          ids.count(id => rmPos.getOrElse(id, Set.empty).nonEmpty).toLong,
+          before, removed, removed * 1000L / before)
+      }.sortBy(_._1)
+
+    // kernel path: the q308 composition
+    val ss = spark
+    import ss.implicits._
+    val toks = docSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        concat(lit("s"), pmod(col("doc_id"), lit(3L))).as("source"),
+        Text.toksCol.as("toks"))
+    val pos = Text.posIndexOfToks(toks.select(col("doc_id"), col("toks")))
+    val dfRel = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val spans = Curation.exactSubstrSpansOf(pos, dfRel,
+      toks.select(col("doc_id"), col("toks")))
+    val got = Curation.exactSubstrScrub(spans,
+      toks.filter(size(col("toks")) >= 8), minSpan)
+      .orderBy(col("source")).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5))).toSeq
+    assert(got == expected,
+      s"scrub census diverged\n got: $got\n exp: $expected")
+    // sanity: the planted clones must actually exercise the removal
+    assert(expected.map(_._5).sum > 0, "fixture planted no removals")
+  }
 }

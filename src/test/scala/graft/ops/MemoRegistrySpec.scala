@@ -153,4 +153,32 @@ class MemoRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"session memos NOT cached after Prewarm.run: $uncached — add " +
         "them to a Prewarm chain (r12 verdict ask 7)")
   }
+
+  test("every DECLARED lazy-memo consumer measurably touches its memo") {
+    // The census-staleness leg (r15 verdict ask 3). Two directions
+    // keep Prewarm.lazyMemos honest:
+    //  - STALE declared consumer (listed but no longer touching):
+    //    caught HERE — each declared consumer runs under the same
+    //    touch attribution the census tool uses, and the (memo,
+    //    consumer) pair must land in Tables.memoConsumers();
+    //  - UNDECLARED adopter (q307's r15 slip — touching without being
+    //    listed): caught by Bench itself, whose post-pass census
+    //    check fails the regression gate loudly with the memo and
+    //    query named (running all 300+ queries here would cost
+    //    minutes per sbt test for the same evidence the per-round
+    //    bench already produces).
+    graft.SparkEntry.allDefs
+    val queries = graft.SparkEntry.queries
+    Prewarm.lazyMemos.foreach { case (memo, consumers) =>
+      consumers.foreach { qn =>
+        Tables.withConsumer(qn) { queries(qn)(spark, sfDir).count() }
+        Tables.dropTransientCaches()
+        val touched = Tables.memoConsumers().getOrElse(memo, Seq.empty)
+        assert(touched.contains(qn),
+          s"declared consumer $qn of lazy memo $memo never touched " +
+            "it — the census is stale; re-run tools.MemoCensus and " +
+            "prune Prewarm.lazyMemos")
+      }
+    }
+  }
 }

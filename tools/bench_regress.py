@@ -8,10 +8,13 @@ steady-state time exceeds its pinned threshold.
 Baseline: BASELINE_QUERIES.json — {"source": ..., "unit": "sec",
 "queries": {name: pin}, "configs": {"local[N]": {name: pin}}}.
 A pin is either a bare number (schema v1: the per-query MIN over the
-pinning runs, gated at 3x) or a [min, median] pair (schema v2, r14
+pinning runs, gated at 3x), a [min, median] pair (schema v2, r14
 verdict ask 8: gated at 2 x MEDIAN — the min is one lucky scheduling
 draw; the median is the typical clean run, and the pair records the
-pin-time dispersion instead of discarding it).
+pin-time dispersion instead of discarding it), or a
+[min, median, task_median] triple (schema v3, r15 verdict ask 1b:
+same 2 x median wall gate; the task median feeds Bench's embedded
+task-flat excuse — this tool's wall gate is unchanged by it).
 
 Current run: a BENCH_VARIANCE-<cfg>-<epoch>.json (per-query MIN of
 pass1/pass2 — see load_current) or a BENCH_FULL-*.json (flat
