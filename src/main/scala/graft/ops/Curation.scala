@@ -173,12 +173,7 @@ object Curation {
     val result =
       if (finalTransient && curCk) {
         releaseCheckpointBlocks(cur)
-        picks.foldLeft(df0) { case (df, (_, pair, _, _)) =>
-          val pat = "|" + pair.replace(" ", "|") + "|"
-          val rep = "|" + pair.replace(" ", "") + "|"
-          df.withColumn("s", expr(
-            s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
-        }
+        bpeReplayMerges(df0, picks.map(_._2).toSeq)
       } else cur
     (result, picks.toSeq)
   }
@@ -1245,14 +1240,8 @@ object Curation {
     QueryDef(
       "q306_bpe64_fertility",
       bpeFertilitySql(64)) { (s, d) =>
-      val picks = bpe256Merges(s, d)._2.take(64)
-      val base = bpeWordBase(s, d)
-      val merged = picks.foldLeft(base) { case (df, (_, pair, _, _)) =>
-        val pat = "|" + pair.replace(" ", "|") + "|"
-        val rep = "|" + pair.replace(" ", "") + "|"
-        df.withColumn("s", expr(
-          s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
-      }
+      val picks = bpe256Merges(s, d)._2.take(64).map(_._2)
+      val merged = bpeReplayMerges(bpeWordBase(s, d), picks)
       merged.groupBy(col("lang"))
         .agg(sum(col("cnt")).as("words"),
           sum(col("cnt") * size(bpeSeqCol)).as("pieces"))
@@ -1449,6 +1438,142 @@ object Curation {
           expr("(sum(least(l, ctx_len)) + ctx_len - 1) DIV ctx_len")
             .cast("long").as("seqs_min"))
         .orderBy(col("ctx_len"))
+    },
+
+    // ---- q310: BPE vocab-utilization census ------------------------
+    // The audit between training (q304/q305) and pricing (q307/q309):
+    // which learned pieces does the encode path ACTUALLY emit, and
+    // how is usage mass distributed over them? A merge that argmaxed
+    // during training can still end up unused at inference (a later
+    // merge swallows it inside every word it appeared in) — dead
+    // vocab a tokenizer shipper prunes. Per emitted piece: its
+    // character length, the distinct word types whose encoding
+    // contains it (a word counts once even when the piece repeats
+    // inside it), and total corpus occurrences (each in-word repeat
+    // counts, weighted by the word's instance count). Top 25 by
+    // usage. Scale shape: the merge replay is the q306/q307 map-side
+    // fold over the vocab-bounded word relation; the census is one
+    // explode + one keyed agg over vocab-bounded rows — the corpus
+    // itself is never re-touched (its mass rides in through `cnt`).
+    QueryDef(
+      "q310_bpe_vocab_utilization",
+      {
+        val rounds = (1 to 32).map(r => bpeRoundSql(r, s"s${r - 1}"))
+          .mkString(",\n")
+        s"""WITH $bpeBaseSql,
+           |$rounds,
+           |u AS (SELECT replace(s, '|', '') AS tok, cnt,
+           |    unnest(list_filter(string_split(s, '|'), x -> x <> ''))
+           |      AS piece
+           |  FROM s32)
+           |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_chars,
+           |  CAST(count(DISTINCT tok) AS BIGINT) AS n_words,
+           |  CAST(sum(cnt) AS BIGINT) AS uses
+           |FROM u GROUP BY piece
+           |ORDER BY uses DESC, piece LIMIT 25""".stripMargin
+      }) { (s, d) =>
+      val picks = bpe256Merges(s, d)._2.take(32).map(_._2)
+      bpeReplayMerges(bpeWordBase(s, d), picks)
+        .select(expr("replace(s, '|', '')").as("tok"), col("cnt"),
+          explode(bpeSeqCol).as("piece"))
+        .groupBy(col("piece"))
+        .agg(countDistinct(col("tok")).as("n_words"),
+          sum(col("cnt")).as("uses"))
+        .select(col("piece"),
+          length(col("piece")).cast("long").as("piece_chars"),
+          col("n_words"), col("uses"))
+        .orderBy(col("uses").desc, col("piece"))
+        .limit(25)
+    },
+
+    // ---- q311: ExactSubstr rewrite, content-addressed --------------
+    // q308 counts what the scrub removes; this EMITS the scrubbed
+    // corpus, doc by doc, content-addressed by md5 exactly like
+    // q156's near-dup rewrite — so the oracle pins the rewritten
+    // BYTES, not just the accounting, and the operator pair
+    // (q156: window-dedup rewrite; q311: maximal-span rewrite)
+    // covers both dedup regimes with the same reconstruction
+    // discipline. Removal set = q308's (position-unioned d2-side
+    // maximal spans); reconstruction = one left-anti position join +
+    // per-doc sort_array agg (one keyed shuffle, no window); a doc
+    // scrubbed to nothing rewrites to the EMPTY document (md5(""))
+    // rather than a missing row.
+    QueryDef(
+      "q311_exact_substr_rewrite",
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
+         |  FROM documents WHERE len($toksSql) >= 8),
+         |pos8 AS MATERIALIZED (SELECT doc_id, i,
+         |    ${h32Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")}
+         |      AS h
+         |  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)),
+         |keep AS (SELECT h FROM pos8 GROUP BY h
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS d1,
+         |    b.doc_id AS d2
+         |  FROM pos8 a JOIN pos8 b USING (h) JOIN keep USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |pos1 AS MATERIALIZED (SELECT doc_id, i, toks[i] AS w
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |mm AS (SELECT c.d1, c.d2, a.i AS i1, b.i AS i2
+         |  FROM cand c JOIN pos1 a ON a.doc_id = c.d1
+         |  JOIN pos1 b ON b.doc_id = c.d2 AND b.w = a.w),
+         |isl AS (SELECT d1, d2, i1 - i2 AS diag, i1,
+         |    i1 - row_number() OVER (PARTITION BY d1, d2, i1 - i2
+         |      ORDER BY i1) AS grp
+         |  FROM mm),
+         |runs AS (SELECT d1, d2, diag, grp, count(*) AS len,
+         |    min(i1) AS s1
+         |  FROM isl GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT d1, d2, CAST(len AS BIGINT) AS span_toks,
+         |    CAST(s1 AS BIGINT) AS s1, CAST(s1 - diag AS BIGINT) AS s2,
+         |    row_number() OVER (PARTITION BY d1, d2
+         |      ORDER BY len DESC, s1, s1 - diag) AS rn
+         |  FROM runs WHERE len >= 8),
+         |rm AS (SELECT DISTINCT d2 AS doc_id, u.i
+         |  FROM best, UNNEST(range(s2, s2 + span_toks)) u(i)
+         |  WHERE rn = 1),
+         |tk AS (SELECT doc_id, u.i, toks[u.i] AS tok
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+         |kept AS (SELECT tk.doc_id, tk.i, tk.tok
+         |  FROM tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.i = tk.i
+         |  WHERE rm.i IS NULL)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(count(kept.i), 0) AS BIGINT) AS kept_toks,
+         |  CAST(len(t.toks) - coalesce(count(kept.i), 0) AS BIGINT)
+         |    AS removed_toks,
+         |  md5(coalesce(array_to_string(list(kept.tok ORDER BY kept.i)
+         |    FILTER (WHERE kept.i IS NOT NULL), ' '), '')) AS clean_md5
+         |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
+         |GROUP BY t.doc_id, len(t.toks)
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      graft.cdc.GraftFunctions.register(s)
+      val spans = exactSubstrSpansOf(Text.posIndex(s, d),
+        Text.posDf(s, d), withToks(s, d))
+      val rm = spans.filter(col("span_toks") >= 8)
+        .select(col("d2").as("doc_id"),
+          explode(expr("sequence(s2, s2 + span_toks - 1)")).as("i"))
+        .distinct()
+      val t = withToks(s, d).filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n"))
+      val tk = t.select(col("doc_id"), posexplode(col("toks"))
+          .as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"),
+          col("tok"))
+      val kept = tk.join(rm, Seq("doc_id", "i"), "left_anti")
+      t.select(col("doc_id"), col("n"))
+        .join(kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("kept_toks"),
+            md5(array_join(expr(
+              "transform(sort_array(collect_list(struct(i, tok))), " +
+                "x -> x.tok)"), " ")).as("clean_md5")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_toks"),
+          coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+          (col("n") - coalesce(col("kept_toks"), lit(0L)))
+            .as("removed_toks"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1544,27 +1669,48 @@ object Curation {
         expr("toks_removed * 1000 DIV toks_before").as("removed_milli"))
   }
 
-  /** BPE ENCODE as a reusable operator (r15 verdict ask 7): replay
-    * trained merge-pick literals (`"a b"` pair strings, in pick
-    * order) over a one-column `tok` vocabulary relation and return
-    * the `(tok, pieces)` map — the whole inference path of a trained
-    * word-internal BPE tokenizer, because encoding a corpus then
-    * reduces to broadcast-joining this vocab-bounded map onto the
-    * token occurrence stream (q307's census, q309's piece-length
-    * pricing, and the live fertility probe all ride it). Map-side:
-    * the fold builds one nested codegen'd replace chain, no joins,
-    * no driver state beyond the pick literals themselves. */
-  private[graft] def bpeEncodePieces(words: DataFrame,
-      picks: Seq[String]): DataFrame = {
-    val base = words.select(col("tok"), concat(lit("|"),
-      regexp_replace(col("tok"), "(.)", "$1|")).as("s"))
-    picks.foldLeft(base) { case (df, pair) =>
+  /** The shared merge-replay kernel: apply trained pick literals
+    * (`"a b"` pair strings, in pick order) to a '|'-bounded `s`
+    * column as one map-side nested-replace fold — q306's fertility
+    * replay, the encode operators, and [[bpeMergeRounds]]'s
+    * final-state rebuild all collapse to this. Merge tokens are
+    * [a-z] only (the tokenizer strips the rest), so inlining them
+    * into the literal replace is injection-safe. */
+  private[ops] def bpeReplayMerges(df: DataFrame,
+      picks: Seq[String]): DataFrame =
+    picks.foldLeft(df) { case (cur, pair) =>
       val pat = "|" + pair.replace(" ", "|") + "|"
       val rep = "|" + pair.replace(" ", "") + "|"
-      df.withColumn("s", expr(
+      cur.withColumn("s", expr(
         s"replace(replace(s, '$pat', '$rep'), '$pat', '$rep')"))
-    }.select(col("tok"), size(bpeSeqCol).as("pieces"))
-  }
+    }
+
+  /** BPE ENCODE as a reusable operator (r15 verdict ask 7): replay
+    * trained merge-pick literals over a one-column `tok` vocabulary
+    * relation and return the `(tok, pieces)` map — the whole
+    * inference path of a trained word-internal BPE tokenizer,
+    * because encoding a corpus then reduces to broadcast-joining
+    * this vocab-bounded map onto the token occurrence stream (q307's
+    * census, q309's piece-length pricing, and the live fertility
+    * probe all ride it). Map-side: the fold builds one nested
+    * codegen'd replace chain, no joins, no driver state beyond the
+    * pick literals themselves. */
+  private[graft] def bpeEncodePieces(words: DataFrame,
+      picks: Seq[String]): DataFrame =
+    bpeReplayMerges(
+      words.select(col("tok"), concat(lit("|"),
+        regexp_replace(col("tok"), "(.)", "$1|")).as("s")), picks)
+      .select(col("tok"), size(bpeSeqCol).as("pieces"))
+
+  /** [[bpeEncodePieces]]'s sibling returning the actual piece
+    * SEQUENCE per word (`(tok, pieces_seq)`) — what vocab-utilization
+    * audits (q310) and any piece-level downstream need. */
+  private[graft] def bpeEncodeSegments(words: DataFrame,
+      picks: Seq[String]): DataFrame =
+    bpeReplayMerges(
+      words.select(col("tok"), concat(lit("|"),
+        regexp_replace(col("tok"), "(.)", "$1|")).as("s")), picks)
+      .select(col("tok"), bpeSeqCol.as("pieces_seq"))
 
   // ------------------------------------------------------------------
   // Full-vocab BPE training (q304/q305/q306) — shared memo + oracle SQL

@@ -149,7 +149,7 @@ object Prewarm {
     "urgent_count" -> Seq("q87_bloom_pruned_join"),
     "bpe256" -> Seq("q304_bpe_train32", "q305_bpe_train256",
       "q306_bpe64_fertility", "q307_bpe_compression_census",
-      "q309_context_pieces_sweep"))
+      "q309_context_pieces_sweep", "q310_bpe_vocab_utilization"))
 
   /** Explicit build trigger for the bpe256 training memo (r15 verdict
     * ask 2): Bench calls this BEFORE pass 1, under its own
