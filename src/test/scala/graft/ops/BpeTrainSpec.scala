@@ -107,6 +107,38 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.Tables.dropTransientCaches()
   }
 
+  test("a checkpoint-backed final round releases its blocks under " +
+      "finalTransient and the replayed state is still exact") {
+    // r15 advisor: when the LAST merge round lands on a multiple of 8
+    // the loop's lineage cut leaves the final state checkpoint-backed
+    // — blocks the per-query transient drop cannot release. The fix
+    // hands back a LAZY pick-literal replay instead: assert (a) the
+    // returned frame is NOT LogicalRDD-backed (nothing pinned), and
+    // (b) it still computes the exact final state the reference
+    // produces. The fixture runs >= 8 rounds, so rounds=8 lands the
+    // final round exactly on the cut.
+    val (fin, picks) = Curation.bpeMergeRounds(base(fixture), 8,
+      finalTransient = true)
+    assert(picks.length == 8, "fixture must sustain 8 merge rounds")
+    val checkpointBacked = fin.queryExecution.logical.find(
+      _.getClass.getSimpleName == "LogicalRDD").isDefined
+    assert(!checkpointBacked,
+      "finalTransient result must not be checkpoint-backed (pinned " +
+        "executor blocks the transient drop cannot release)")
+    // exactness: replayed final state == reference's 8-round state
+    var ref = fixture.map { case (w, c) => ("|" + w.mkString("|") + "|", c) }
+    reference(fixture, 8).foreach { case (_, pair, _, _) =>
+      val pat = "|" + pair.replace(" ", "|") + "|"
+      val rep = "|" + pair.replace(" ", "") + "|"
+      ref = ref.map { case (s, n) => (s.replace(pat, rep).replace(pat, rep), n) }
+    }
+    val got = fin.select(col("s"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref.sorted,
+      s"replayed final state diverged\n got $got\n exp ${ref.sorted}")
+    graft.ops.Tables.dropTransientCaches()
+  }
+
   test("exhaustion: the final state is one symbol per word and the " +
       "token total equals the instance total") {
     val tiny = Seq("ab" -> 3L, "ba" -> 2L, "b" -> 1L)
