@@ -20,13 +20,24 @@ object Bench {
       // AQE keeps one shuffle partition per core even when the whole
       // exchange is a few MB, so at SPARK_GRAFT_CPUS=32 every sub-GB
       // shuffle paid 32 tiny tasks of scheduling tax — q03/q07 ran
-      // 3.3x/4.8x their local[4] pins with identical plans. Advisory
-      // 16m suits the sf0.1 working set (measured: q03 steady 0.98 s
-      // -> 0.75 s at local[32]); a production 100 TB deployment keeps
-      // the same flag with the 64m+ default advisory size.
+      // 3.3x/4.8x their local[4] pins with identical plans.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // r16 re-measurement of the advisory size: 16m (the r13 pick)
+      // over-coalesces CPU-dense small-byte exchanges into one task —
+      // a low-cardinality window key like q176's 3-value flag
+      // serializes a 2.2 task-sec sort onto one core (wall == CPU).
+      // A 36-query sweep at 16m/8m/4m/2m (min-of-two warm runs,
+      // /tmp-logged and summarized in OPTIMIZATION_r16.md) read
+      // 38.8 / 41.4 / 36.8 / 55.9 s: 4m recovers the q176/q213-class
+      // parallelism without 2m's task-explosion blowups (q160 8x).
+      // Parameterised (SPARK_GRAFT_ADVISORY) with the 4m local
+      // default; a production 100 TB deployment sets 64m+ — partition
+      // BYTES per task should track per-task CPU seconds, and at
+      // sf0.1 the corpus is ~100x denser in CPU per byte than the
+      // TPC-H side.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

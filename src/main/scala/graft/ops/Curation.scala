@@ -69,6 +69,50 @@ object Curation {
   private[ops] def bpeMergeRounds(df0: DataFrame, rounds: Int,
       finalTransient: Boolean = true)
       : (DataFrame, Seq[(Int, String, Long, Long)]) = {
+    val s = df0.sparkSession
+    // r16 optimization (guide §1.2/§2.4): the merge loop's per-round
+    // Spark job is pure overhead at any realistic vocabulary — the
+    // (word, cnt) relation is VOCAB-bounded, not corpus-bounded, so
+    // up to a configured size the whole loop runs as ONE single-task
+    // job via the in-memory kernel (picks are bit-identical —
+    // BpeTrainSpec diffs kernel vs distributed loop vs reference, and
+    // the q304/q305/q306 oracle rows pin the output at both SFs).
+    // Past the bound (a corpus whose aggregated vocabulary exceeds
+    // one task's memory) the distributed per-round loop below remains
+    // the scale path.
+    val localMax =
+      s.conf.get("spark.graft.bpe.localVocabMax", "4000000").toLong
+    val nWords = boundedCollect(df0.groupBy(col("s")).agg(
+        sum(col("cnt")).as("cnt"))
+        .agg(count(lit(1)).as("nw")), 1, "BPE vocab size")(0).getLong(0)
+    if (nWords <= localMax) {
+      val agg = df0.groupBy(col("s")).agg(sum(col("cnt")).as("cnt"))
+      val picksDf = {
+        val ss = s; import ss.implicits._
+        agg.as[(String, Long)].coalesce(1)
+          .mapPartitions(it => BpeKernel.train(it, rounds).iterator)
+          .toDF("round", "pair", "c", "toks")
+      }
+      val picks = boundedCollect(picksDf, rounds, "BPE picks")
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      // final state = lazy replay of the pick literals over the
+      // caller's base relation — deterministic and recomputable (the
+      // exact frame the distributed loop's checkpoint-release path
+      // hands back); the shared memo (finalTransient = false) caches
+      // it session-lifetime since q159 aggregates it
+      val fin0 = bpeReplayMerges(df0, picks.map(_._2))
+      val fin = if (finalTransient) fin0 else fin0.cache()
+      (fin, picks)
+    } else bpeMergeRoundsDistributed(df0, rounds, finalTransient)
+  }
+
+  /** The distributed per-round merge loop — the scale path for
+    * vocabularies past `spark.graft.bpe.localVocabMax`, and the
+    * reference the kernel is spec-diffed against. */
+  private[ops] def bpeMergeRoundsDistributed(df0: DataFrame, rounds: Int,
+      finalTransient: Boolean = true)
+      : (DataFrame, Seq[(Int, String, Long, Long)]) = {
     def pairCounts(cur: DataFrame): DataFrame =
       cur.select(bpeSeqCol.as("seq"), col("cnt"))
         .filter(size(col("seq")) >= 2)

@@ -16,8 +16,37 @@ import org.apache.spark.sql.Column
   *  - every query ends in a deterministic total order.
   */
 object Tables {
+  /** PLAN-level memo of the base-table readers, keyed
+    * (session, dir/name) — NOT a data cache (nothing is persisted;
+    * every action still scans parquet). `spark.read.parquet` pays a
+    * driver-side file listing + footer schema read on every call, and
+    * the bench's ~310 queries × 2 passes × several tables each made
+    * that the single largest slice of per-query DataFrame-construction
+    * time (r16 ProfileOverhead: 45 s of build across a 180 s warm
+    * suite). Reusing the resolved relation removes the repeated
+    * listing/inference; safe because a dataset dir is immutable for
+    * the life of a session (fixtures that rewrite files use their own
+    * store paths, never these readers). Bounded LRU so a long-lived
+    * multi-session service cannot pin sessions. */
+  private val relMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame])
+          : Boolean = size > 256
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relMemo.synchronized {
+      val k = (spark, s"$dir/$name.parquet")
+      val hit = relMemo.get(k)
+      if (hit != null) hit
+      else {
+        val v = spark.read.parquet(k._2)
+        relMemo.put(k, v)
+        v
+      }
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

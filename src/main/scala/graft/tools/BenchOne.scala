@@ -16,7 +16,8 @@ object BenchOne {
       // parity with Bench: data-sized AQE coalescing (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -16,8 +16,12 @@ object QueryTime {
       .config("spark.sql.adaptive.enabled", "true")
       // parity with Bench: data-sized AQE coalescing (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      // sweepable for advisory-size experiments (r16): how AQE's
+      // byte-based coalescing trades scheduling tax (too many tiny
+      // tasks) against serialized CPU (too few)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))

@@ -82,7 +82,7 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     "an" -> 11L, "a" -> 9L,  // single-symbol words count toward toks
     "nab" -> 4L, "ban" -> 6L)
 
-  test("distributed loop == reference on the fixture, all rounds") {
+  test("kernel fast path == reference on the fixture, all rounds") {
     val (_, picks) = Curation.bpeMergeRounds(base(fixture), 64)
     val ref = reference(fixture, 64)
     assert(picks == ref,
@@ -90,6 +90,36 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fixture's vocabulary exhausts well before 64 merges: the
     // loop must terminate early, not pad with empty rounds
     assert(picks.nonEmpty && picks.length < 64)
+    graft.ops.Tables.dropTransientCaches()
+  }
+
+  test("distributed loop == reference == kernel on the fixture") {
+    val (_, dist) = Curation.bpeMergeRoundsDistributed(base(fixture), 64)
+    val ref = reference(fixture, 64)
+    assert(dist == ref,
+      s"distributed loop vs reference:\n got $dist\n exp $ref")
+    val (_, fast) = Curation.bpeMergeRounds(base(fixture), 64)
+    assert(fast == dist,
+      s"kernel vs distributed loop:\n got $fast\n exp $dist")
+    graft.ops.Tables.dropTransientCaches()
+  }
+
+  test("kernel == distributed loop on a multi-rider (lang) relation " +
+      "with cross-lang duplicate words and overlap runs") {
+    // same word under two langs: the kernel aggregates by s first;
+    // pair counts must stay the lang-summed totals
+    val ss = spark
+    import ss.implicits._
+    val langWords = Seq(
+      ("en", "banana", 4L), ("de", "banana", 3L), ("en", "aaaa", 5L),
+      ("de", "aaaaa", 2L), ("en", "ab", 7L), ("de", "ba", 1L))
+    val b = langWords.toDF("lang", "word", "cnt")
+      .select(col("lang"), concat(lit("|"),
+        regexp_replace(col("word"), "(.)", "$1|")).as("s"), col("cnt"))
+    val (_, dist) = Curation.bpeMergeRoundsDistributed(b, 32)
+    val (_, fast) = Curation.bpeMergeRounds(b, 32)
+    assert(fast == dist,
+      s"kernel vs distributed loop (lang riders):\n got $fast\n exp $dist")
     graft.ops.Tables.dropTransientCaches()
   }
 
@@ -117,7 +147,7 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (b) it still computes the exact final state the reference
     // produces. The fixture runs >= 8 rounds, so rounds=8 lands the
     // final round exactly on the cut.
-    val (fin, picks) = Curation.bpeMergeRounds(base(fixture), 8,
+    val (fin, picks) = Curation.bpeMergeRoundsDistributed(base(fixture), 8,
       finalTransient = true)
     assert(picks.length == 8, "fixture must sustain 8 merge rounds")
     val checkpointBacked = fin.queryExecution.logical.find(
