@@ -427,19 +427,42 @@ object Analytics {
       val dg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val edd = ed.join(dg, "src").tcache()
       val docs = documents(s, d).select(col("doc_id"))
-      var r = docs.select(col("doc_id"), lit(1000L).as("pr"))
-      for (_ <- 1 to 3) {
-        val inflow = edd.join(r, edd("src") === r("doc_id"))
-          .select(col("dst"), expr("pr DIV deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        r = docs.join(inflow, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id"),
-            (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
-              .as("pr"))
-          // truncate per-round lineage — round k otherwise re-executes
-          // rounds 1..k-1 (the weightedPageRank/minLabelProp recipe)
-          .localCheckpoint(true)
-      }
+      val localMax =
+        s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+      val r =
+        if (edd.count() <= localMax) {
+          // r16 fast path (see GraphKernel): the 3 integer rank rounds
+          // run in one task over the near-dup edge list (w = 1,
+          // wdeg = deg gives exactly pr DIV deg per edge). Nodes
+          // never touched by an edge rank 150 in closed form after
+          // round 1 (1000 enters round 1 with zero inflow), so the
+          // all-docs universe re-attaches with one coalesce.
+          val ss = s; import ss.implicits._
+          val ranked = edd.select(col("src").cast("long"),
+              col("dst").cast("long"), lit(1L), col("deg").cast("long"))
+            .as[(Long, Long, Long, Long)].repartition(1)
+            .mapPartitions(it => GraphKernel.pageRankLong(it, 3))
+            .toDF("doc_id", "kpr", "deg")
+            .select(col("doc_id"), col("kpr"))
+          docs.join(ranked, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("kpr"), lit(150L)).as("pr"))
+        } else {
+          var rr = docs.select(col("doc_id"), lit(1000L).as("pr"))
+          for (_ <- 1 to 3) {
+            val inflow = edd.join(rr, edd("src") === rr("doc_id"))
+              .select(col("dst"), expr("pr DIV deg").as("c"))
+              .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+            rr = docs.join(inflow, col("doc_id") === col("dst"), "left")
+              .select(col("doc_id"),
+                (lit(150L) + expr("(850 * coalesce(s, 0L)) DIV 1000"))
+                  .as("pr"))
+              // truncate per-round lineage — round k otherwise
+              // re-executes rounds 1..k-1 (the minLabelProp recipe)
+              .localCheckpoint(true)
+          }
+          rr
+        }
       r.orderBy(col("pr").desc, col("doc_id")).limit(20)
         .select(col("doc_id"), col("pr").as("pr_milli"))
     },

@@ -47,6 +47,27 @@ object Pipeline {
 
   private[ops] def clusterLabels(s: SparkSession, d: String): DataFrame =
     labelCache.getOrElseUpdate((s, d)) {
+      // r16 fast path: fixpoint min-label components ARE the
+      // union-find component minima — below the edge bound the memo
+      // builds from the single-task kernel (cached: session memo, the
+      // distributed loop's checkpoint pinned blocks the same way) and
+      // the convergence loop below stays the scale path.
+      val localMax =
+        s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+      val pairs0 = jaccardPairs(s, d).select(col("d1"), col("d2"))
+      if (pairs0.count() <= localMax) {
+        val ss = s; import ss.implicits._
+        pairs0.select(col("d1").cast("long"), col("d2").cast("long"))
+          .as[(Long, Long)].repartition(1)
+          .mapPartitions(GraphKernel.components)
+          .toDF("node", "label")
+          .cache()
+      } else clusterLabelsDistributed(s, d)
+    }
+
+  /** The distributed convergence loop — the scale path. */
+  private def clusterLabelsDistributed(s: SparkSession,
+      d: String): DataFrame = {
       val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
       val edges = pairs
         .union(pairs.select(col("d2"), col("d1")))
@@ -1867,8 +1888,34 @@ object Pipeline {
 
   /** Core star-contraction over an arbitrary undirected edge list
     * (two columns, one row per edge in either orientation). Returns
-    * (node, label) with label = the component's minimum node id. */
+    * (node, label) with label = the component's minimum node id.
+    *
+    * r16 fast path: below `spark.graft.graph.localEdgeMax` edges the
+    * component labels come from a single-task union-find kernel
+    * ([[GraphKernel.components]]) — the star-contraction loop's 2
+    * keyed passes × O(log n) rounds are pure AQE stage-cycle overhead
+    * on a pair-graph-bounded edge list, and both algorithms provably
+    * converge to the same min-rooted labels (the oracle's recursive
+    * closure pins it at both SFs). Past the bound the contraction
+    * below remains the 100 TB path. */
   private[graft] def starContraction(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    val localMax =
+      s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+    val p2 = pairs.toDF("d1", "d2")
+    if (p2.count() <= localMax) {
+      val ss = s; import ss.implicits._
+      return p2.select(col("d1").cast("long"), col("d2").cast("long"))
+        .as[(Long, Long)].repartition(1)
+        .mapPartitions(GraphKernel.components)
+        .toDF("node", "label")
+    }
+    starContractionDistributed(p2)
+  }
+
+  /** The distributed large-star/small-star loop — the scale path. */
+  private[graft] def starContractionDistributed(pairs: DataFrame)
+      : DataFrame = {
     var edges = pairs.toDF("d1", "d2")
       .union(pairs.toDF("d1", "d2").select(col("d2"), col("d1")))
       .toDF("u", "v").filter(col("u") =!= col("v"))

@@ -100,6 +100,27 @@ object Signals {
     * `iters` rounds. */
   private[ops] def weightedPageRankPrepared(edd: DataFrame,
       iters: Int): DataFrame = {
+    // r16 fast path (see GraphKernel): the integer rank recurrence
+    // runs in one task below the edge bound; identical Long
+    // arithmetic (per-edge DIV then sum), q187/q210 oracles pin it.
+    val s = edd.sparkSession
+    val localMax =
+      s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+    if (edd.count() <= localMax) {
+      val ss = s; import ss.implicits._
+      return edd.select(col("src").cast("string"),
+          col("dst").cast("string"), col("w").cast("long"),
+          col("wdeg").cast("long"))
+        .as[(String, String, Long, Long)].repartition(1)
+        .mapPartitions(it => GraphKernel.pageRank(it, iters))
+        .toDF("tok", "pr", "wdeg")
+    }
+    weightedPageRankPreparedDistributed(edd, iters)
+  }
+
+  /** The distributed per-round recurrence — the scale path. */
+  private[ops] def weightedPageRankPreparedDistributed(edd: DataFrame,
+      iters: Int): DataFrame = {
     // wdeg rides along functionally dependent on src, so the node
     // relation doubles as the final degree lookup
     val nodes = edd.select(col("src").as("tok"), col("wdeg"))
@@ -136,6 +157,26 @@ object Signals {
     * both engines bit-agreed even on unconverged chains. Returns
     * (node, lbl). */
   private[ops] def minLabelProp(ed: DataFrame, rounds: Int): DataFrame = {
+    // r16 fast path (see GraphKernel): the fixed synchronous rounds
+    // run in one task below the edge bound; the distributed loop
+    // below stays the scale path. Same output bit-for-bit
+    // (GraphKernelSpec + the q218 oracle at both SFs).
+    val s = ed.sparkSession
+    val localMax =
+      s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+    if (ed.count() <= localMax) {
+      val ss = s; import ss.implicits._
+      return ed.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].repartition(1)
+        .mapPartitions(it => GraphKernel.minLabelProp(it, rounds))
+        .toDF("node", "lbl")
+    }
+    minLabelPropDistributed(ed, rounds)
+  }
+
+  /** The distributed per-round loop — the scale path. */
+  private[ops] def minLabelPropDistributed(ed: DataFrame,
+      rounds: Int): DataFrame = {
     var l = ed.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -161,6 +202,23 @@ object Signals {
     * rounds — not a convergence probe — keep the plan static and
     * both engines bit-agreed even mid-convergence. */
   private[ops] def kcoreSurvivors(ed: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    // r16 fast path (see GraphKernel): same dispatch as minLabelProp.
+    val s = ed.sparkSession
+    val localMax =
+      s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+    if (ed.count() <= localMax) {
+      val ss = s; import ss.implicits._
+      return ed.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].repartition(1)
+        .mapPartitions(it => GraphKernel.kcore(it, k, rounds))
+        .toDF("n", "deg")
+    }
+    kcoreSurvivorsDistributed(ed, k, rounds)
+  }
+
+  /** The distributed per-round peel — the scale path. */
+  private[ops] def kcoreSurvivorsDistributed(ed: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var surv = ed.select(col("a").as("n")).distinct()
     var deg: DataFrame = null

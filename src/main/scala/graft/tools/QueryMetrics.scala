@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Runs named queries under bench conditions and prints the FINAL
+  * (post-AQE) physical plan with per-operator metrics — rows out,
+  * codegen/op time where exposed, shuffle bytes — the SQL-tab view
+  * for a UI-less sandbox. Use to find which operator owns a heavy
+  * query's task-seconds. */
+object QueryMetrics {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Prewarm.run(spark, sfDir)
+
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def dump(p: SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.map { case (k, m) =>
+        s"$k=${m.value}"
+      }.filter(s => !s.endsWith("=0") && !s.endsWith("=-1"))
+      println(("  " * depth) + p.nodeName + "  " +
+        ms.mkString(" "))
+      p.children.foreach(dump(_, depth + 1))
+      // descend into reused/adaptive subtrees
+      p match {
+        case a: AdaptiveSparkPlanExec => dump(a.executedPlan, depth + 1)
+        case _ => ()
+      }
+    }
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // warm run first so metrics reflect steady state
+      fn(spark, sfDir).count()
+      graft.ops.Tables.dropTransientCaches()
+      val df = fn(spark, sfDir)
+      df.count()
+      println(s"==== $name (final plan with metrics)")
+      dump(finalPlan(df.queryExecution.executedPlan), 0)
+      graft.ops.Tables.dropTransientCaches()
+    }
+    spark.stop()
+  }
+}

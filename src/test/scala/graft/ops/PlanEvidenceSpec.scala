@@ -389,17 +389,16 @@ class PlanEvidenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the busiest-50 must be a top-k, not a full sort:\n$p")
   }
 
-  test("q187: pagerank rounds truncate lineage; final pass is top-k " +
-      "over the checkpointed rank vector") {
-    // r10: the rank vector localCheckpoints per round (broadcast(r)
-    // at round k otherwise re-executes rounds 1..k-1), so the FINAL
-    // plan is a top-k over the checkpointed RDD — the cached
-    // degree-annotated edge list (InMemoryTableScan) now lives
-    // inside the per-round plans behind the checkpoint, where each
-    // round's single execution consumes it
+  test("q187: pagerank rank rounds run in the single-task kernel; " +
+      "final pass is top-k over its output") {
+    // r16: below spark.graft.graph.localEdgeMax the integer rank
+    // recurrence runs inside one MapPartitions task (GraphKernel) —
+    // the per-round joins/checkpoints (and their AQE stage cycles)
+    // exist only on the distributed scale path. The final plan is a
+    // top-k over the kernel's output.
     val p = plan("q187_pagerank_neardup")
-    assert(p.contains("Scan ExistingRDD"),
-      s"rank vector must be lineage-truncated (checkpointed):\n$p")
+    assert(p.contains("MapPartitions"),
+      s"rank recurrence must run in the graph kernel:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-20 must be a top-k:\n$p")
     assert(!p.contains("CartesianProduct"), p)
