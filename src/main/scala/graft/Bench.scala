@@ -38,6 +38,20 @@ object Bench {
       // TPC-H side.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
+      // r16: the codegen hash-aggregate's two-level "fast map" first
+      // level degenerates on this workload's grouping keys — md5-
+      // derived hashes and packed (p1·2^32+p2) pair longs drive its
+      // cheap first-level hash into linear probe storms (QueryMetrics:
+      // avgHashProbe 144 on q205's pair count, 480 on its partial agg,
+      // 70 on q128 — healthy is ~1-2). Disabling the first level
+      // falls back to the robust UnsafeFixedWidthAggregationMap:
+      // interleaved min-of-3 A/B over 16 agg-heavy queries read
+      // 14.7 s vs 17.1 s (-14%), no query regressing. Key-shape is a
+      // property of the workload, not the scale factor — the same
+      // keys degenerate identically at 100 TB — so the default is
+      // off at every deployment size (env-overridable).
+      .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

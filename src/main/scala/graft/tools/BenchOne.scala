@@ -18,6 +18,8 @@ object BenchOne {
         "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
+      .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -22,9 +22,21 @@ object QueryTime {
       // tasks) against serialized CPU (too few)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
+      .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
+      // experiment hook (r16): price ANSI-mode arithmetic checks
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      // experiment hook (r16): arbitrary extra confs, "k=v;k=v"
+      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+        .flatMap(_.split(";")).filter(_.contains("="))
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> (v: Any)
+        }.toMap)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
