@@ -52,6 +52,20 @@ object Bench {
       // off at every deployment size (env-overridable).
       .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "false"))
+      // r17: at <= 200 shuffle partitions Spark's bypass-merge shuffle
+      // writer opens ONE FILE PER REDUCE PARTITION per map task — at
+      // local[32] that is 1024 file create/close cycles per exchange,
+      // measured 150-200 ms of executorRunTime per map task for
+      // KB-scale shuffles (TaskOverheadProbe: a single 260k-row
+      // exchange read 5-7.4 task-sec; threshold 1 reads 0.9-2.1, wall
+      // 0.40 -> 0.27 s). This was the bulk of the r16 "task-sec is
+      // 10-100x napkin math" anomaly. Threshold 1 routes every
+      // exchange through the serialized UnsafeShuffleWriter (one spill
+      // file + index per task) — the SAME writer a production >200-
+      // partition deployment uses, so this config ALIGNS local mode
+      // with the 100 TB path rather than tuning away from it.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "1"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -500,7 +514,23 @@ object Bench {
           s""","sf":"$sfDir","pass1":${pj(pass1)}""" +
           (if (pass2.nonEmpty) s""","pass2":${pj(pass2)}""" else "") + "}\n")
     } catch { case _: Throwable => }
-    val results0 = pass1.map { case (n, sec, _, _, _, _) => n -> sec }
+    // Graded line carries STEADY per-query values (r17, r16 verdict
+    // ask 2): the line used to report raw pass-1 seconds, so a
+    // driver-boot steal burst in pass 1 manufactured 16 phantom
+    // "regressions" in PERF_r16.json while the gate's own steady
+    // (min-of-passes) grading correctly read pass. The line now
+    // reports exactly what BenchGate grades — per-query MIN over the
+    // passes the entry appears in (bpe256_build runs in pass 1 only
+    // and is graded on that pass alone; same union rule as
+    // BenchGate.decide). Raw pass-1/pass-2 quintuples stay in the
+    // variance sidecar, and the headline carries both totals:
+    // "value" = steady sum (the graded number), "pass1_total" = the
+    // old definition, kept for round-over-round comparability.
+    val p2secs = pass2.map { case (n, sec, _, _, _, _) => n -> sec }.toMap
+    val results0 = pass1.map { case (n, sec, _, _, _, _) =>
+      n -> math.min(sec, p2secs.getOrElse(n, Double.MaxValue)) }
+    val pass1Total =
+      pass1.map(_._2).sum + memoSec
     val results = results0 :+ ("memo_build" -> memoSec)
     // Compact keys (qNN prefix) + 1-decimal per-query values keep the
     // JSON line inside the driver's 2000-byte stdout-tail capture
@@ -545,6 +575,7 @@ object Bench {
            .mkString(",")}]""")
     def assemble(qs: String) =
       s"""{"metric":"total","value":${f3(total)}$gatePart$errPart""" +
+        s""","pass1_total":${f3(pass1Total)}""" +
         s""","cdc_latency_sec":${f3(cdcLatencySec)}""" +
         s""","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Sidecar with the FULL per-query map at 3-decimal resolution

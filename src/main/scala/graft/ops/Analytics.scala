@@ -430,7 +430,7 @@ object Analytics {
       val localMax =
         s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
       val r =
-        if (edd.count() <= localMax) {
+        if (Tables.fitsLocal(edd, localMax)) {
           // r16 fast path (see GraphKernel): the 3 integer rank rounds
           // run in one task over the near-dup edge list (w = 1,
           // wdeg = deg gives exactly pr DIV deg per edge). Nodes

@@ -30,7 +30,16 @@ private[ops] object GraphKernel extends Serializable {
     * (both orientations or either — orientation-insensitive). Output:
     * one (node, label) row per distinct endpoint with label = the
     * component's minimum node id — exactly the star-contraction
-    * fixpoint (children + self-labelled roots). */
+    * fixpoint (children + self-labelled roots).
+    *
+    * Self-loop rows (u == v) register the endpoint but perform no
+    * union — matching clusterLabelsDistributed, which keeps a
+    * self-loop node as its own labelled singleton. NB
+    * starContractionDistributed instead FILTERS u =!= v first and
+    * drops self-loop-only nodes entirely (r16 advisor finding); no
+    * live caller can produce one (jaccardPairs enforces d1 < d2,
+    * q164 filters node =!= label), so the kernel sides with the
+    * keep-the-node semantics should that ever change. */
   def components(edges: Iterator[(Long, Long)])
       : Iterator[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()
@@ -73,9 +82,16 @@ private[ops] object GraphKernel extends Serializable {
     while (r < rounds) {
       val mn = new java.util.HashMap[Long, Long]()
       es.foreach { case (a, b) =>
-        val xb = lbl.get(b) // symmetric input: b is always a node
-        val cur = mn.get(a)
-        if (!mn.containsKey(a) || xb < cur) mn.put(a, xb)
+        // symmetric input: b is always a node. On a VIOLATED symmetry
+        // precondition (b never seen as a source) the distributed
+        // twin's inner join on b drops the edge — match that instead
+        // of letting the boxed get's null unbox to 0L and propagate a
+        // phantom label-0 minimum (r16 advisor finding).
+        if (lbl.containsKey(b)) {
+          val xb = lbl.get(b)
+          val cur = mn.get(a)
+          if (!mn.containsKey(a) || xb < cur) mn.put(a, xb)
+        }
         ()
       }
       val it = mn.entrySet().iterator()

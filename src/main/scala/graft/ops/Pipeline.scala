@@ -55,7 +55,7 @@ object Pipeline {
       val localMax =
         s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
       val pairs0 = jaccardPairs(s, d).select(col("d1"), col("d2"))
-      if (pairs0.count() <= localMax) {
+      if (Tables.fitsLocal(pairs0, localMax)) {
         val ss = s; import ss.implicits._
         pairs0.select(col("d1").cast("long"), col("d2").cast("long"))
           .as[(Long, Long)].repartition(1)
@@ -1903,7 +1903,7 @@ object Pipeline {
     val localMax =
       s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
     val p2 = pairs.toDF("d1", "d2")
-    if (p2.count() <= localMax) {
+    if (Tables.fitsLocal(p2, localMax)) {
       val ss = s; import ss.implicits._
       return p2.select(col("d1").cast("long"), col("d2").cast("long"))
         .as[(Long, Long)].repartition(1)

@@ -106,7 +106,7 @@ object Signals {
     val s = edd.sparkSession
     val localMax =
       s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
-    if (edd.count() <= localMax) {
+    if (Tables.fitsLocal(edd, localMax)) {
       val ss = s; import ss.implicits._
       return edd.select(col("src").cast("string"),
           col("dst").cast("string"), col("w").cast("long"),
@@ -164,7 +164,7 @@ object Signals {
     val s = ed.sparkSession
     val localMax =
       s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
-    if (ed.count() <= localMax) {
+    if (Tables.fitsLocal(ed, localMax)) {
       val ss = s; import ss.implicits._
       return ed.select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].repartition(1)
@@ -207,7 +207,7 @@ object Signals {
     val s = ed.sparkSession
     val localMax =
       s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
-    if (ed.count() <= localMax) {
+    if (Tables.fitsLocal(ed, localMax)) {
       val ss = s; import ss.implicits._
       return ed.select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].repartition(1)

@@ -286,6 +286,20 @@ object Tables {
     def tcache(): DataFrame = { val c = df.cache(); transients.add(c); c }
   }
 
+  /** Bounded kernel-dispatch probe (r16 verdict "what's wrong"): is
+    * `df`'s cardinality ≤ `max`, decided WITHOUT a full pass. The
+    * plain `df.count() <= max` the r16 kernels shipped with runs a
+    * complete pass over the edge/vocab relation on every dispatch —
+    * free on a cached bench memo, but at 100 TB a full read of the
+    * relation before the real work starts. `limit(max + 1)` puts a
+    * LocalLimit under the count, so every scan task stops after
+    * max + 1 rows and the probe's cost is bounded by the dispatch
+    * threshold itself, not the data. min(count, max+1) compares to
+    * max exactly like the full count did — same dispatch decision. */
+  private[ops] def fitsLocal(df: DataFrame, max: Long): Boolean =
+    if (max >= Int.MaxValue - 1L) df.count() <= max
+    else df.limit(max.toInt + 1).count() <= max
+
   /** Driver-loop guard for the iterative kernels (greedy cover,
     * histogram bisection, MMR, per-group moments): their per-round
     * coordination state comes to the driver via collect(), and the

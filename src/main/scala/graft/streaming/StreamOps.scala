@@ -245,8 +245,16 @@ object StreamOps {
     * regexp_replace compiles the identical pattern), SAME structural
     * counts, so streaming and batch reassembly agree chunk-for-chunk
     * (Wal2JsonChunkedStreamSpec pins the equivalence). */
+  // compiled ONCE: String.replaceAll re-compiles its pattern on every
+  // call, and this runs per frame (3 frames/event × the whole log) in
+  // the keyed-state reassembler — the per-task hot path (guide §1.2
+  // "per-task work"). Same pattern string, so streaming and batch
+  // stripping stay regex-identical.
+  private val stringLiteralRe =
+    java.util.regex.Pattern.compile("\"([^\"\\\\]|\\\\.)*\"")
+
   private[streaming] def chunkDepthDelta(p: String): Long = {
-    val stripped = p.replaceAll("\"([^\"\\\\]|\\\\.)*\"", "")
+    val stripped = stringLiteralRe.matcher(p).replaceAll("")
     var d = 0L
     var i = 0
     while (i < stripped.length) {

@@ -25,6 +25,9 @@ object ProfileOverhead {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
       .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "false"))
+      // parity with Bench: production-path shuffle writer (see Bench)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "1"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,6 +24,9 @@ object QueryTime {
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "4m"))
       .config("spark.sql.codegen.aggregate.map.twolevel.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AGG_TWOLEVEL", "false"))
+      // parity with Bench: production-path shuffle writer (see Bench)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "1"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.inMemoryColumnarStorage.compressed",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
