@@ -272,15 +272,17 @@ object CdcFunctions {
     // native parse_lsn expression first; numeric columns order as-is.
     val isStr = base.schema("_lsn").dataType ==
       org.apache.spark.sql.types.StringType
-    if (isStr) GraftFunctions.register(df.sparkSession)
+    GraftFunctions.register(df.sparkSession)
     val ord =
       if (isStr) GraftFunctions.parse_lsn(col("_lsn")) else col("_lsn")
     // strip complete string literals (handles \" escapes), then count
-    // structural brackets in what remains
-    val stripped = regexp_replace(col("_p"), "\"([^\"\\\\]|\\\\.)*\"", "")
-    def cnt(ch: String): Column =
-      length(stripped) - length(translate(stripped, ch, ""))
-    val delta = cnt("{") + cnt("[") - cnt("}") - cnt("]")
+    // structural brackets in what remains — the native one-pass
+    // json_depth_delta kernel (r17), shared verbatim with the
+    // streaming reassembler so stream == batch holds by construction;
+    // it replaces a per-frame regexp_replace + 4x translate chain
+    // (the regex materialized the stripped string per frame — the
+    // dominant per-row cost of the q260/q264/q265 family).
+    val delta = GraftFunctions.json_depth_delta(col("_p"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(ord)
     val closes = when(col("_depth") === 0, 1L).otherwise(0L)

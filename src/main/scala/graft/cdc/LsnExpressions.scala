@@ -144,6 +144,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("longest_repeat"),
       info("longest_repeat"),
       (exprs: Seq[Expression]) => LongestRepeatExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("pair_pack"),
+      info("pair_pack"),
+      (exprs: Seq[Expression]) => PairPackExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("sorted_inter_count"),
+      info("sorted_inter_count"),
+      (exprs: Seq[Expression]) => SortedInterCountExpr(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("json_depth_delta"),
+      info("json_depth_delta"),
+      (exprs: Seq[Expression]) => JsonDepthDeltaExpr(exprs.head)))
   }
 }
 
@@ -169,6 +178,11 @@ object GraftFunctions {
     call_function("jump_shard", k, n)
   def longest_repeat(c: Column): Column =
     call_function("longest_repeat", c)
+  def pair_pack(c: Column): Column = call_function("pair_pack", c)
+  def sorted_inter_count(a: Column, b: Column): Column =
+    call_function("sorted_inter_count", a, b)
+  def json_depth_delta(c: Column): Column =
+    call_function("json_depth_delta", c)
 
   /** Codegen'd Bloom-filter probe: `bf` is a binary literal holding a
     * serialized `org.apache.spark.util.sketch.BloomFilter`, `key` a
@@ -205,6 +219,10 @@ object GraftFunctions {
     ensure("sliding_min", exprs => SlidingMinExpr(exprs(0), exprs(1)))
     ensure("jump_shard", exprs => JumpShardExpr(exprs(0), exprs(1)))
     ensure("longest_repeat", exprs => LongestRepeatExpr(exprs.head))
+    ensure("pair_pack", exprs => PairPackExpr(exprs.head))
+    ensure("sorted_inter_count", exprs =>
+      SortedInterCountExpr(exprs(0), exprs(1)))
+    ensure("json_depth_delta", exprs => JsonDepthDeltaExpr(exprs.head))
     ensure("bloom_might_contain", exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
@@ -475,6 +493,168 @@ case class JumpShardExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** All ordered index pairs (i < j) of a long array, packed
+  * arr[i]·2³² + arr[j] — the market-basket 2-itemset fanout kernel
+  * (q205). Replaces the `flatten(transform(items, (x, i) ->
+  * transform(slice(items, i + 2, size(items)), y -> x·2³² + y)))`
+  * higher-order chain, which evaluates INTERPRETED (lambda closures,
+  * one allocated sub-array per element, plus the flatten copy);
+  * this is one tight loop into a primitive long array inside
+  * whole-stage codegen. The packing arithmetic (including overflow
+  * wrap) is bit-identical to the expression it replaces. */
+object PairPack {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def apply(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](if (n < 2) 0 else n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i) * 4294967296L
+      var j = i + 1
+      while (j < n) {
+        out(k) = x + a.getLong(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native `pair_pack(arr)` — elements must be non-null (callers feed
+  * collect_set outputs, which never are). */
+case class PairPackExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pair_pack"
+
+  override def nullSafeEval(v: Any): Any =
+    PairPack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.PairPack.apply($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Intersection size of two SORTED distinct long arrays — the
+  * set-similarity verify kernel (q130's PPJoin candidate verify):
+  * two-pointer merge count, no allocation. Callers guarantee sorted
+  * distinct inputs (sort_array over per-doc distinct shingle sets);
+  * on unsorted input the count is merely a lower bound, never an
+  * error. */
+object SortedInterCount {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def apply(a: ArrayData, b: ArrayData): Long = {
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Native `sorted_inter_count(a, b)`. */
+case class SortedInterCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_inter_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(SortedInterCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.cdc.SortedInterCount.apply($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Structural JSON bracket-depth delta of one wal2json chunk frame —
+  * the `write-in-chunks` reassembly kernel, shared verbatim by the
+  * batch operator ([[CdcFunctions.wal2jsonReassembleChunks]]) and the
+  * streaming one (`StreamOps.chunkDepthDelta`), so stream == batch
+  * holds by construction. One pass, no allocation; replaces a
+  * per-frame `regexp_replace("\"([^\"\\\\]|\\\\.)*\"", "")` +
+  * 4× `translate` chain (the regex built the stripped string per
+  * frame — the hot per-row cost of the q260/q264/q265 family).
+  *
+  * Semantics mirror the regex EXACTLY, including the degenerate
+  * cases: a COMPLETE string literal (closing quote reachable through
+  * `\x` escapes) is skipped wholesale; an UNTERMINATED literal's
+  * opening quote is a plain character (the regex finds no match
+  * there) and scanning continues at the next character, so brackets
+  * after it still count. */
+object JsonDepth {
+  def delta(s: UTF8String): Long = delta(s.toString)
+
+  def delta(p: String): Long = {
+    val n = p.length
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val c = p.charAt(i)
+      if (c == '"') {
+        // try to complete a string literal: ([^"\]|\.)* then "
+        var j = i + 1
+        var closed = -1
+        while (j < n && closed < 0) {
+          val cj = p.charAt(j)
+          if (cj == '"') closed = j
+          else if (cj == '\\') j += 2
+          else j += 1
+        }
+        if (closed >= 0) i = closed + 1 // strip the whole literal
+        else i += 1 // no match starting here — '"' is a plain char
+      } else {
+        if (c == '{' || c == '[') d += 1
+        else if (c == '}' || c == ']') d -= 1
+        i += 1
+      }
+    }
+    d
+  }
+}
+
+/** Native `json_depth_delta(p)`. */
+case class JsonDepthDeltaExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "json_depth_delta"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(JsonDepth.delta(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cdc.JsonDepth.delta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Longest repeated contiguous token window within one document —

@@ -1342,13 +1342,29 @@ object Text {
           least(col("na") - col("ra"), col("nb") - col("rb")) >=
           expr("(3 * (na + nb) + 7) DIV 8"))
         .select(col("d1"), col("d2")).distinct()
-      val a = sh.select(col("doc_id").as("d1"), col("h"), col("n").as("na"))
-      val b = sh.select(col("doc_id").as("d2"), col("h"), col("n").as("nb"))
+      // Candidate VERIFY by record fetch (r17): the former shape
+      // joined every candidate pair against d1's FULL shingle set and
+      // then d2's — a 9.8M-row intermediate for 137k candidates whose
+      // pipeline read 38 task-sec (QueryMetrics). The SSJoin-canonical
+      // verify instead fetches both docs' sorted shingle arrays (two
+      // keyed joins, no row expansion — arrays are doc-bounded,
+      // ScalingSpec territory) and counts the intersection with the
+      // native two-pointer sorted_inter_count kernel; inter/na/nb are
+      // value-identical (shingles are distinct per doc), so the
+      // jaccard_4 output and the oracle hash are unchanged.
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"),
+          max(col("n")).as("n"))
+        .tcache()
       val jac = col("inter") * 1.0 / (col("na") + col("nb") - col("inter"))
-      cand.join(a, "d1")
-        .join(b, Seq("d2", "h"))
-        .groupBy(col("d1"), col("d2"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("hs").as("h1"),
+          col("n").as("na")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("hs").as("h2"),
+          col("n").as("nb")), "d2")
+        .select(col("d1"), col("d2"), col("na"), col("nb"),
+          graft.cdc.GraftFunctions.sorted_inter_count(col("h1"),
+            col("h2")).as("inter"))
         .filter(jac >= 0.6)
         .select(col("d1"), col("d2"),
           floor(col("inter") * 10000.0 /

@@ -241,30 +241,15 @@ object StreamOps {
 
   /** The batch operator's bracket-depth delta
     * ([[CdcFunctions.wal2jsonReassembleChunks]]) in executor-local
-    * form — SAME string-literal strip (Java regex in both: Spark's
-    * regexp_replace compiles the identical pattern), SAME structural
-    * counts, so streaming and batch reassembly agree chunk-for-chunk
-    * (Wal2JsonChunkedStreamSpec pins the equivalence). */
-  // compiled ONCE: String.replaceAll re-compiles its pattern on every
-  // call, and this runs per frame (3 frames/event × the whole log) in
-  // the keyed-state reassembler — the per-task hot path (guide §1.2
-  // "per-task work"). Same pattern string, so streaming and batch
-  // stripping stay regex-identical.
-  private val stringLiteralRe =
-    java.util.regex.Pattern.compile("\"([^\"\\\\]|\\\\.)*\"")
-
-  private[streaming] def chunkDepthDelta(p: String): Long = {
-    val stripped = stringLiteralRe.matcher(p).replaceAll("")
-    var d = 0L
-    var i = 0
-    while (i < stripped.length) {
-      val c = stripped.charAt(i)
-      if (c == '{' || c == '[') d += 1
-      else if (c == '}' || c == ']') d -= 1
-      i += 1
-    }
-    d
-  }
+    * form — THE SAME JVM kernel ([[graft.cdc.JsonDepth]], r17: the
+    * one-pass literal-skipping scanner that replaced the per-frame
+    * regexp_replace + translate chain on both paths), so streaming
+    * and batch reassembly agree chunk-for-chunk by construction
+    * (Wal2JsonChunkedStreamSpec additionally pins the equivalence,
+    * and a spec leg diffs the scanner against the original regex
+    * formula on adversarial frames). */
+  private[streaming] def chunkDepthDelta(p: String): Long =
+    graft.cdc.JsonDepth.delta(p)
 
   /** Streaming twin of [[CdcFunctions.wal2jsonReassembleChunks]] —
     * `write-in-chunks 'on'` consumed LIVE (r12 verdict ask 5;
