@@ -66,6 +66,12 @@ object Bench {
       // with the 100 TB path rather than tuning away from it.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "1"))
+      // r17 experiment knob: let AQE coalesce the OUTPUT partitioning
+      // of cached plans (the session memos cache at the static
+      // 32-partition layout otherwise, so every map stage over a
+      // KB-scale memo pays 32 tasks of fixed overhead).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

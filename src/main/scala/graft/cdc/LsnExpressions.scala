@@ -505,7 +505,8 @@ case class JumpShardExpr(left: Expression, right: Expression)
   * whole-stage codegen. The packing arithmetic (including overflow
   * wrap) is bit-identical to the expression it replaces. */
 object PairPack {
-  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 
   def apply(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -522,7 +523,11 @@ object PairPack {
       }
       i += 1
     }
-    new GenericArrayData(out)
+    // UnsafeArrayData, not GenericArrayData: the generic form wraps an
+    // Object[] and BOXES every long on construction and again on each
+    // downstream getLong — for a fanout expression the boxing was the
+    // cost being removed in the first place.
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 

@@ -339,16 +339,23 @@ object Curation {
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
       graft.cdc.GraftFunctions.register(s)
       val fps = winnowPrints(s, d)
+      // pair fanout via the native pair_pack kernel (r17, same move
+      // as q205): the struct-building flatten(transform(transform))
+      // chain evaluated interpreted; pair_pack is one codegen'd loop
+      // into a primitive long[]. doc_ids (corpus ≤ ~5e3 per SF,
+      // fixtures ≤ 9.1e8) are int32-bounded, so the pack/unpack
+      // round-trip is exact and the (d1, d2) group keys — and counts —
+      // are identical.
       fps.groupBy(col("fp"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")).between(2, 20))
-        .select(explode(expr(
-          "flatten(transform(ds, (x, i) -> " +
-            "transform(slice(ds, i + 2, size(ds)), y -> " +
-            "struct(x AS d1, y AS d2))))")).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .select(explode(
+          graft.cdc.GraftFunctions.pair_pack(col("ds"))).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
+        .select(expr("pk DIV 4294967296L").as("d1"),
+          expr("pk % 4294967296L").as("d2"), col("shared_fps"))
         .orderBy(col("d1"), col("d2"))
     },
 

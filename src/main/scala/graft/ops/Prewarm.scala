@@ -44,6 +44,12 @@ object Prewarm {
   def run(s: SparkSession, d: String, maxChains: Int = 3)
       : Seq[(String, Double)] = {
     graft.cdc.GraftFunctions.register(s)
+    // Lane count stays at 3 (r17 re-measured): a 6-lane variant at
+    // local[32] read memo_build 15.0 s vs 13.0 s — the extra chains
+    // contend on the same cores and every chain's wall inflates
+    // (snm 1.7 → 8.8 s), exactly the r11 amplification the bound was
+    // introduced for. Examined and reverted.
+    val lanes = maxChains
     val times = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
     // each step tags its jobs with a `memo:<name>` job group so the
     // bench's TaskTimeProbe can attribute executor task-time per memo
@@ -99,7 +105,7 @@ object Prewarm {
       // SNM candidate pairs chain off the token memo (q194 + q256)
       () => step("snm") { Analytics.snmCandidatePairs(s, d).count() })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, maxChains))
+      math.max(1, lanes))
     try {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration

@@ -582,22 +582,53 @@ object Relational {
         |  CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
         |FROM r WHERE rk > n // 10 AND rk <= n - n // 10
         |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      // Order-statistics rewrite (r17, the r16-deferred proof sketch):
+      // the rank window sorted EVERY lineitem row inside 3 flag
+      // partitions — a 3-way-serialized sort whose wall was the whole
+      // query. But the kept SUM doesn't depend on which tie-rows
+      // survive: dropping the k = n DIV 10 lowest-ranked rows under
+      // ANY total order extending (cents asc) drops all rows with
+      // cents < b plus exactly (k − |cents < b|) rows AT the boundary
+      // value b — identical sum either way. So aggregate to a
+      // per-(flag, cents) HISTOGRAM first (map-side partial, one
+      // small shuffle), run the cumulative window over histogram rows
+      // (≈ distinct prices per flag, orders of magnitude fewer than
+      // items), and subtract the trimmed mass with exact boundary
+      // arithmetic. n_items / n_kept / trimmed_mean_cents are
+      // value-identical (oracle-pinned at both SFs); no per-row sort
+      // remains in the plan.
       import org.apache.spark.sql.expressions.Window
       val c = lineitem(s, d).select(
         col("l_returnflag").as("flag"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
-        col("l_orderkey"), col("l_linenumber"))
-      val w = Window.partitionBy(col("flag"))
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      c.withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy(col("flag"))))
-        .filter(col("rk") > expr("n DIV 10") &&
-          col("rk") <= col("n") - expr("n DIV 10"))
-        .groupBy(col("flag"))
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val h = c.groupBy(col("flag"), col("cents"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("s"))
+      val wOrd = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("flag"))
+      val e = h
+        .withColumn("cume", sum(col("cnt")).over(wOrd))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("tot", sum(col("s")).over(wAll))
+        .withColumn("k", expr("n DIV 10"))
+        // bottom-k mass: buckets fully below the cut drop whole; the
+        // boundary bucket drops only its first k − (cume − cnt) rows
+        .withColumn("dbot",
+          when(col("cume") <= col("k"), col("s"))
+            .when(col("cume") - col("cnt") < col("k"),
+              (col("k") - (col("cume") - col("cnt"))) * col("cents"))
+            .otherwise(lit(0L)))
+        // top-k mass, mirrored: rows ranked > n − k
+        .withColumn("dtop",
+          when(col("cume") - col("cnt") >= col("n") - col("k"), col("s"))
+            .when(col("cume") > col("n") - col("k"),
+              (col("cume") - (col("n") - col("k"))) * col("cents"))
+            .otherwise(lit(0L)))
+      e.groupBy(col("flag"))
         .agg(max(col("n")).cast("long").as("n_items"),
-          count(lit(1)).as("n_kept"),
-          expr("sum(cents) DIV count(1)").cast("long")
+          (max(col("n")) - lit(2) * max(col("k"))).cast("long")
+            .as("n_kept"),
+          expr("(max(tot) - sum(dbot) - sum(dtop))" +
+            " DIV (max(n) - 2 * max(k))").cast("long")
             .as("trimmed_mean_cents"))
         .orderBy(col("flag"))
     },

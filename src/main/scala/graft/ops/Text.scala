@@ -321,7 +321,31 @@ object Text {
     * q25, reused by q45's duplicate-cluster graph. Columns:
     * d1, d2, na, nb, inter. */
   private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d))(buildJaccardPairs(s, d).cache())
+    pairCache.getOrElseUpdate((s, d)) {
+      val built = buildJaccardPairs(s, d).cache()
+      // Cache layout sized to the DATA (r17): the pair graph is
+      // near-dup-bounded — KB-scale next to the corpus — yet cached
+      // under the session's static 32-partition layout, so every one
+      // of its ~24 consumers paid 32 fixed-overhead tasks per map
+      // stage over it. (AQE cannot fix this: cached-plan output
+      // partitioning is pinned by default, and the r17 A/B of the
+      // global canChangeCachedPlanOutputPartitioning flag traded this
+      // exact win — q160 1.58 → 0.81 — for starvation losses on the
+      // CPU-dense memos, so the re-layout is per-memo and bounded.)
+      // One partition per 64k edges below the kernel edge bound; a
+      // graph past the bound keeps the build's layout and parallelism.
+      val n = built.count()
+      val localMax =
+        s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
+      if (n <= localMax) {
+        val resized = built
+          .repartition(math.max(1, (n / 65536L).toInt + 1))
+          .cache()
+        resized.count()
+        built.unpersist(false)
+        resized
+      } else built
+    }
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame =
     // per-doc shingle counts ride on the cached index (map-side from
