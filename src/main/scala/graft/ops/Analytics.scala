@@ -71,8 +71,9 @@ object Analytics {
         .withColumn("bucket", substring(col("key"), 1, 1))
       // no distinct: the construction yields each pair once (within
       // and cross arms are bucket-disjoint; SnmSpec proves set
-      // equality), and q194's oracle states the same multiplicity
-      snmCandidates(base, 4).cache()
+      // equality), and q194's oracle states the same multiplicity.
+      // data-sized cache layout (Tables.cacheSized): doc-linear rows
+      Tables.cacheSized(snmCandidates(base, 4))
     }
 
   private[ops] def snmCandidates(base: DataFrame, w: Int): DataFrame = {

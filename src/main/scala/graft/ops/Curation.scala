@@ -43,8 +43,9 @@ object Curation {
   private[ops] def winnowPrints(s: SparkSession, d: String): DataFrame =
     winnowCache.getOrElseUpdate((s, d)) {
       graft.cdc.GraftFunctions.register(s)
-      winnowFingerprints(
-        withToks(s, d).select(col("doc_id"), col("toks"))).cache()
+      // data-sized cache layout (Tables.cacheSized): token-linear rows
+      Tables.cacheSized(winnowFingerprints(
+        withToks(s, d).select(col("doc_id"), col("toks"))))
     }
 
   private[ops] def winnowFingerprints(toks: DataFrame): DataFrame =

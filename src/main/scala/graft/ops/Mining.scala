@@ -88,10 +88,10 @@ object Mining {
       // per-doc mean over OCCURRENCES folds off the per-doc TYPE
       // rows: sum(c·p_ppm) DIV sum(c) == sum(p_ppm) DIV count(*)
       // over the expanded stream
-      pr.join(bp, Seq("t1", "t2"))
+      // data-sized cache layout (Tables.cacheSized): one row per doc
+      Tables.cacheSized(pr.join(bp, Seq("t1", "t2"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(expr("sum(c * p_ppm) DIV sum(c)").as("fl"))
-        .cache()
+        .agg(expr("sum(c * p_ppm) DIV sum(c)").as("fl")))
     }
 
   /** Session-lifetime scalar stats row for q87's bloom sizing (the

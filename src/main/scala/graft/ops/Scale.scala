@@ -1059,17 +1059,28 @@ object Scale {
         .unionAll(Text.jaccardPairs(s, d).select(col("d1"), col("d2")))
         .distinct()
         .tcache() // intersection join + size joins share the list
-      val cnt = sh.select(col("doc_id"), col("n")).distinct()
-      val iv = pl
-        .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      val jm = pl.join(iv, Seq("d1", "d2"), "left")
-        .join(cnt.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(cnt.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      // Exact-J per pair by record fetch (r17, q130's verify recipe):
+      // the former shape joined every pair against d1's FULL shingle
+      // postings and then d2's — a pairs×postings row expansion whose
+      // pipeline read ~30 task-sec (QueryMetrics). Fetch both docs'
+      // sorted shingle arrays instead (two keyed joins, no expansion)
+      // and count the intersection natively; i = 0 pairs fall out of
+      // the two-pointer count exactly like the old left join's
+      // coalesce(i, 0), so s_m is value-identical.
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"),
+          max(col("n")).as("n"))
+        .tcache()
+      val jm = pl
+        .join(sets.select(col("doc_id").as("d1"), col("hs").as("h1"),
+          col("n").as("na")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("hs").as("h2"),
+          col("n").as("nb")), "d2")
         .select(col("d1"), col("d2"),
-          expr("coalesce(i, 0) * 1000" +
-            " DIV (na + nb - coalesce(i, 0))").as("s_m"))
+          graft.cdc.GraftFunctions.sorted_inter_count(col("h1"),
+            col("h2")).as("i"), col("na"), col("nb"))
+        .select(col("d1"), col("d2"),
+          expr("i * 1000 DIV (na + nb - i)").as("s_m"))
       val sig = Text.minhashSig(s, d)
       val sa = sig.toDF(sig.columns.toIndexedSeq.map {
         case "doc_id" => "d1"; case c => s"a_$c" }: _*)

@@ -286,6 +286,35 @@ object Tables {
     def tcache(): DataFrame = { val c = df.cache(); transients.add(c); c }
   }
 
+  /** Cache a session memo at a partition count sized to its DATA
+    * (r17): memos cached under the session's static 32-partition
+    * layout make every consumer map stage launch 32 tasks — for a
+    * KB-scale dimension (the near-dup pair graph, per-doc signature
+    * tables) that is pure fixed overhead ×32 ×consumers (q160's whole
+    * 18.9 task-sec was this; ProfileOverhead puts the suite floor at
+    * ~40 ms/job dominated by task dispatch). AQE cannot re-lay cached
+    * plans (output partitioning pinned by default, and the global
+    * canChangeCachedPlanOutputPartitioning flag was A/B'd and
+    * rejected — it also starves the CPU-dense memos). So: materialize,
+    * COUNT (the memo's first consumer pays this once per session),
+    * and below `maxLocal` rows re-cache at one partition per
+    * `rowsPerPart` rows; past the bound the build's layout and
+    * parallelism stand — a 100 TB relation keeps its thousands of
+    * partitions. */
+  private[ops] def cacheSized(df: DataFrame, rowsPerPart: Long = 65536L,
+      maxLocal: Long = 4000000L): DataFrame = {
+    val built = df.cache()
+    val n = built.count()
+    if (n <= maxLocal) {
+      val resized = built
+        .repartition(math.max(1L, n / rowsPerPart + 1L).toInt)
+        .cache()
+      resized.count()
+      built.unpersist(false)
+      resized
+    } else built
+  }
+
   /** Bounded kernel-dispatch probe (r16 verdict "what's wrong"): is
     * `df`'s cardinality ≤ `max`, decided WITHOUT a full pass. The
     * plain `df.count() <= max` the r16 kernels shipped with runs a

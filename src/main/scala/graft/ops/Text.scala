@@ -322,29 +322,14 @@ object Text {
     * d1, d2, na, nb, inter. */
   private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d)) {
-      val built = buildJaccardPairs(s, d).cache()
-      // Cache layout sized to the DATA (r17): the pair graph is
-      // near-dup-bounded — KB-scale next to the corpus — yet cached
-      // under the session's static 32-partition layout, so every one
-      // of its ~24 consumers paid 32 fixed-overhead tasks per map
-      // stage over it. (AQE cannot fix this: cached-plan output
-      // partitioning is pinned by default, and the r17 A/B of the
-      // global canChangeCachedPlanOutputPartitioning flag traded this
-      // exact win — q160 1.58 → 0.81 — for starvation losses on the
-      // CPU-dense memos, so the re-layout is per-memo and bounded.)
-      // One partition per 64k edges below the kernel edge bound; a
-      // graph past the bound keeps the build's layout and parallelism.
-      val n = built.count()
-      val localMax =
-        s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong
-      if (n <= localMax) {
-        val resized = built
-          .repartition(math.max(1, (n / 65536L).toInt + 1))
-          .cache()
-        resized.count()
-        built.unpersist(false)
-        resized
-      } else built
+      // data-sized cache layout (see Tables.cacheSized): the pair
+      // graph is near-dup-bounded — KB-scale next to the corpus — and
+      // its ~24 consumers each paid 32 fixed-overhead tasks per map
+      // stage under the static layout (q160 1.58 → 0.86 s from this
+      // alone). Bound = the kernel edge bound: past it the build's
+      // layout and parallelism stand.
+      Tables.cacheSized(buildJaccardPairs(s, d), maxLocal =
+        s.conf.get("spark.graft.graph.localEdgeMax", "4000000").toLong)
     }
 
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -483,13 +468,16 @@ object Text {
 
   private[ops] def minhashSig(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d))(
-      shingleHashes(s, d).groupBy(col("doc_id")).agg(
-        min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
-          .as("h0"),
-        (1 until 16).map(j =>
-          min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
-            .as(s"h$j")) :+ max(col("n")).as("n"): _*)
-        .cache())
+      // data-sized cache layout (Tables.cacheSized): one signature row
+      // per doc — the LSH band joins' map stages over it were 32
+      // fixed-overhead tasks for KB of data
+      Tables.cacheSized(
+        shingleHashes(s, d).groupBy(col("doc_id")).agg(
+          min((lit(minhashA(0)) * col("h") + lit(minhashB(0))) % 2147483647L)
+            .as("h0"),
+          (1 until 16).map(j =>
+            min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % 2147483647L)
+              .as(s"h$j")) :+ max(col("n")).as("n"): _*)))
 
   private val simCache = new Tables.DfMemo("simhash")
 

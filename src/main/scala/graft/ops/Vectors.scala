@@ -2314,8 +2314,10 @@ object Vectors {
 
   private[ops] def quantized(s: SparkSession, d: String): DataFrame =
     quantCache.getOrElseUpdate((s, d))(
-      prepared(s, d).select(col("vec_id"), expr(quantizeSql).as("q"))
-        .cache())
+      // data-sized cache layout (Tables.cacheSized): one 64-long row
+      // per vector (~512 B), so 64k rows/partition is ~32 MB
+      Tables.cacheSized(
+        prepared(s, d).select(col("vec_id"), expr(quantizeSql).as("q"))))
 
   /** (vec_id, j): every vector's trained cluster after two exact-
     * integer Lloyd iterations — memoized, shared by q115 (summary)
@@ -2450,7 +2452,9 @@ object Vectors {
       // argmin over centroid LITERALS — no crossJoin row expansion,
       // no per-vector window shuffle. Only the centroid RECOMPUTE
       // (one keyed (cluster, dim) sum) shuffles — as it must.
-      assignToCents(quantized(s, d), kmeansCentroids(s, d)).cache()
+      // data-sized cache layout (Tables.cacheSized): one row per vector
+      Tables.cacheSized(
+        assignToCents(quantized(s, d), kmeansCentroids(s, d)))
     }
 
   /** IVF-probed semantic top-k: the scale-shape retrieval arm q191
