@@ -219,11 +219,24 @@ object Text {
   /** The corpus's distinct hashed 8-grams per doc, memoized — the
     * shared base of the contamination family (q231 verdicts, q262
     * method-agreement census). Token-linear (ScalingSpec-bounded);
-    * session cache like the shingle index it parallels. */
+    * session cache like the shingle index it parallels.
+    *
+    * r17 fusion (guide §1.2 "don't compute things twice"): the
+    * positional index [[posIndex]] already md5-hashes EVERY 8-gram
+    * position of the corpus — `concat_ws(' ', slice(toks, i, 8))` is
+    * character-identical to gram8OfToks's 8-argument concat_ws, so
+    * `md5_h32` values agree bit-for-bit — and the session memo for
+    * gram8 is exactly its per-doc distinct projection. Deriving it
+    * from the cached positional index replaces a second full md5 pass
+    * over every position with one keyed dedup of cached rows. The
+    * SHARED builder [[gram8OfToks]] stays the single source of truth
+    * for fixtures and the streaming probe (their inputs are not the
+    * session corpus), and Gram8FusionSpec pins the set equality. */
   private[ops] def gram8Hashes(s: SparkSession, d: String): DataFrame =
     gram8Cache.getOrElseUpdate((s, d)) {
       graft.cdc.GraftFunctions.register(s)
-      gram8OfToks(withToks(s, d)).cache()
+      posIndex(s, d).select(col("doc_id"), col("h").as("g"))
+        .distinct().cache()
     }
 
   private[ops] def shingleHashes(s: SparkSession, d: String): DataFrame =
